@@ -1,0 +1,69 @@
+"""Checkpoint-resumable stage tables (north_rule: "checkpoint-resumable
+stage boundaries", SURVEY.md §1.3).
+
+The reference materializes every stage as CSV/txt files
+(dataset.py:44-92) and resumes by checking file existence
+(train.py:72-124). Here each stage boundary is a partitioned parquet
+table under a warehouse directory plus a _STAGE_MANIFEST.json recording
+schema, row count, and upstream lineage. ``ensure_stage`` recomputes
+only when the manifest is missing — kill the job after stage k, rerun,
+and stages 1..k are read back instead of recomputed.
+
+Iceberg note: with an Iceberg catalog on the classpath these writes
+become ``df.writeTo(table).createOrReplace()`` with the same partition
+spec; the container has no Iceberg runtime jar, so the layer isolates
+that swap behind write_stage/read_stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_STAGE_MANIFEST.json"
+
+
+def stage_path(warehouse: str, stage: str) -> str:
+    return os.path.join(warehouse, stage)
+
+
+def write_stage(df: DataFrame, warehouse: str, stage: str,
+                partition_by: list[str] | None = None,
+                lineage: dict | None = None) -> str:
+    path = stage_path(warehouse, stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    spark = df.sparkSession
+    n = spark.read.parquet(path).count()
+    manifest = {
+        "stage": stage,
+        "rows": n,
+        "schema": df.schema.simpleString(),
+        "partition_by": partition_by or [],
+        "lineage": lineage or {},
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+def stage_complete(warehouse: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(stage_path(warehouse, stage), MANIFEST))
+
+
+def read_stage(spark: SparkSession, warehouse: str, stage: str) -> DataFrame:
+    return spark.read.parquet(stage_path(warehouse, stage))
+
+
+def ensure_stage(spark: SparkSession, warehouse: str, stage: str, compute,
+                 partition_by: list[str] | None = None,
+                 lineage: dict | None = None) -> DataFrame:
+    """Resume point: reuse the stage table when its manifest exists,
+    else compute + persist it."""
+    if not stage_complete(warehouse, stage):
+        write_stage(compute(), warehouse, stage, partition_by, lineage)
+    return read_stage(spark, warehouse, stage)

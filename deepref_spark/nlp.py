@@ -1,0 +1,120 @@
+"""Pluggable NLP tagging backends (T3/T4 in SURVEY.md §2.2).
+
+The reference runs spaCy/Stanza per sentence
+(deepref/nlp/spacy_nlp_tool.py:13-26, stanza_nlp_tool.py:8-17) to get
+(tokens, upos, deps, ner) for the untagged sentence. Neither library is
+available in this container, so the default backend is ``RuleTagger`` —
+a deterministic, order-sensitive rule cascade whose rules are *also*
+emittable as a SQL CASE expression (see portable.py), which is what
+makes the parse stage oracle-checkable in DuckDB.
+
+A real spaCy/Stanza backend slots in behind the same ``tagger(tokens)
+-> (pos_tags, deps, ner)`` contract when installed (import-try below);
+at cluster scale either backend runs inside ``mapInPandas`` with a
+per-worker lazy pipeline — never on the driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Ordered rule cascade over the lowercased token. Each entry is
+# (tag, kind, payload): kind 'regex' | 'in' | 'suffix'. First match wins;
+# fallback tag is NOUN. portable.py compiles this same table to SQL.
+PUNCT_REGEX = r"^[.,;:!?()\[\]'\"%/-]+$"
+NUM_REGEX = r"^[0-9]+([.,][0-9]+)*$"
+
+TAG_RULES: list[tuple[str, str, object]] = [
+    ("PUNCT", "regex", PUNCT_REGEX),
+    ("NUM", "regex", NUM_REGEX),
+    ("DET", "in", ("the", "a", "an", "this", "that", "these", "those")),
+    ("ADP", "in", ("of", "in", "on", "at", "by", "with", "from", "to", "for", "into", "about")),
+    ("CCONJ", "in", ("and", "or", "but")),
+    ("AUX", "in", ("is", "are", "was", "were", "be", "been", "am", "has", "have", "had")),
+    ("PRON", "in", ("he", "she", "it", "they", "we", "you", "i", "its", "their", "his")),
+    ("ADV", "suffix", ("ly",)),
+    ("VERB", "suffix", ("ing", "ed")),
+    ("ADJ", "suffix", ("ous", "ful", "ive", "ical")),
+]
+FALLBACK_TAG = "NOUN"
+
+# Deterministic token-level dep label per upos (stands in for the parse
+# tree; real backends emit true relations). Lowercased like
+# spacy_nlp_tool.py:19.
+DEP_BY_TAG = {
+    "PUNCT": "punct", "NUM": "nummod", "DET": "det", "ADP": "prep",
+    "CCONJ": "cc", "AUX": "aux", "PRON": "nsubj", "ADV": "advmod",
+    "VERB": "root", "ADJ": "amod", "NOUN": "pobj",
+}
+
+_COMPILED = [(tag, kind, re.compile(pat) if kind == "regex" else pat) for tag, kind, pat in TAG_RULES]
+
+
+def rule_tag_token(token: str) -> str:
+    for tag, kind, payload in _COMPILED:
+        if kind == "regex":
+            if payload.match(token):
+                return tag
+        elif kind == "in":
+            if token in payload:
+                return tag
+        else:  # suffix
+            if any(token.endswith(s) for s in payload):
+                return tag
+    return FALLBACK_TAG
+
+
+class RuleTagger:
+    """Deterministic backend. NER mirrors the spaCy path's shape
+    (spacy_nlp_tool.py:20-23): 'O' everywhere by default; the pipeline
+    overwrites entity spans with 'ENT' post-hoc (position info lives
+    outside the tagger, as in the reference where NER comes from the
+    untagged parse)."""
+
+    name = "ruletag"
+
+    def __call__(self, tokens: list[str]) -> tuple[list[str], list[str], list[str]]:
+        pos = [rule_tag_token(t) for t in tokens]
+        deps = [DEP_BY_TAG[p] for p in pos]
+        ner = ["O"] * len(tokens)
+        return pos, deps, ner
+
+
+class SpacyTagger:
+    """Real-backend adapter (deepref/nlp/spacy_nlp_tool.py:13-26):
+    pos/deps(lower)/ner from the untagged sentence; per-token NER labels
+    with 'O' default. Lazy per-process pipeline for executor reuse."""
+
+    name = "spacy"
+
+    def __init__(self, model: str = "en_core_web_sm"):
+        self.model = model
+        self._nlp = None
+
+    def _pipeline(self):
+        if self._nlp is None:
+            import spacy  # noqa: F401 — optional dependency
+
+            self._nlp = spacy.load(self.model)
+        return self._nlp
+
+    def __call__(self, tokens: list[str]) -> tuple[list[str], list[str], list[str]]:
+        doc = self._pipeline()(" ".join(tokens))
+        pos = [t.pos_ for t in doc]
+        deps = [t.dep_.lower() for t in doc]
+        ner = ["O"] * len(doc)
+        for ent in doc.ents:
+            for i in range(ent.start, ent.end):
+                ner[i] = ent.label_
+        return pos, deps, ner
+
+
+def get_tagger(backend: str = "ruletag"):
+    if backend == "spacy":
+        try:
+            import spacy  # noqa: F401
+
+            return SpacyTagger()
+        except ImportError:
+            return RuleTagger()
+    return RuleTagger()

@@ -1,0 +1,135 @@
+"""Deduplication suite over the `documents` table: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (embedding near-dup lives in similarity.py).
+
+Design for 100 TB:
+  * exact dedup is a single hash-groupBy (map-side combined);
+  * near-dup never goes quadratic — candidates come from band-bucket
+    joins (LSH) whose block sizes AQE's skew handling bounds;
+  * all hashing uses the portable md5 formulas so DuckDB oracles verify
+    the exact same numbers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from deepref_spark import portable
+from deepref_spark.portable import SPARK, md5_mod
+
+HASH_SPACE = 1_000_003
+
+
+def _norm_text() -> str:
+    return portable.norm_text("text", SPARK)
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicates by normalized-text md5: keep the smallest doc_id
+    per group, report group size."""
+    keyed = documents.select("doc_id", F.expr(f"md5({_norm_text()})").alias("content_hash"))
+    return (
+        keyed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _token_shingles(k: int = 3) -> str:
+    toks = portable.norm_tokens("text", SPARK)
+    return (
+        f"transform(sequence(1, greatest(1, size({toks}) - {k - 1})), "
+        f"i -> array_join(slice({toks}, i, {k}), ' '))"
+    )
+
+
+def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, band, sig): per-band minhash over token k-shingles —
+    the shingle->minhash->band step of MinHash-LSH, all built-ins."""
+    sh = documents.select("doc_id", F.expr(_token_shingles(k)).alias("shingles"))
+    bands = [
+        f"aggregate(shingles, {HASH_SPACE}, (acc, s) -> "
+        f"least(acc, {md5_mod(f\"concat('{b}:', s)\", HASH_SPACE)})) as band_{b}"
+        for b in range(n_bands)
+    ]
+    sig = sh.selectExpr("doc_id", *bands)
+    return sig.selectExpr(
+        "doc_id",
+        "stack({n}, {pairs}) as (band, sig)".format(
+            n=n_bands, pairs=", ".join(f"{b}, band_{b}" for b in range(n_bands))
+        ),
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band bucket."""
+    keys = minhash_band_keys(documents, n_bands, k)
+    a = keys.select("band", "sig", F.col("doc_id").alias("a"))
+    b = keys.select("band", "sig", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold, computed via an inverted
+    shingle index (explode + join + group) — linear in total postings,
+    never all-pairs. The scale path prefilters with minhash_lsh_pairs;
+    this operator is the verifier."""
+    sh = (
+        documents.select("doc_id", F.explode(F.expr(_token_shingles(k))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
+    """Per-doc SimHash over token k-shingles: bit j of each shingle's
+    md5-derived hash votes +/-; the fingerprint sets bit j when the
+    votes are positive. Explode+pivot-free formulation: one aggregate
+    per bit inside a single projection."""
+    sh = documents.select("doc_id", F.expr(_token_shingles(k)).alias("shingles"))
+    bit_terms = []
+    for j in range(bits):
+        h = md5_mod(f"concat('{j}|', s)", 2)
+        # vote: +1 when hash bit is 1, -1 otherwise
+        bit_terms.append(
+            f"CAST(CASE WHEN aggregate(shingles, 0, (acc, s) -> acc + (2 * {h} - 1)) > 0 "
+            f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        )
+    return sh.select(
+        "doc_id", F.expr(" + ".join(bit_terms)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, bits: int = 16,
+                       max_hamming: int = 2, k: int = 3) -> DataFrame:
+    """Near-dup candidates: equal simhash buckets (block join), then a
+    popcount filter on XOR distance over a wider re-hash would follow at
+    scale; at 16 bits equal-bucket is the candidate set."""
+    s = simhash(documents, bits, k)
+    a = s.select(F.col("doc_id").alias("a"), F.col("simhash"))
+    b = s.select(F.col("doc_id").alias("b"), F.col("simhash"))
+    return (
+        a.join(b, "simhash").where(F.col("a") < F.col("b"))
+        .select("a", "b", "simhash")
+    )

@@ -1,0 +1,124 @@
+"""Evaluation aggregations (SURVEY.md §2.5 A3-A7, A10-A11) as pure
+DataFrame aggs — the distributed twin of the reference's driver-side
+eval kernel (data_loader.py:52-112).
+
+Quirks reproduced on purpose:
+  * the negative class is the FIRST present name in the fixed candidate
+    list (incl. DDI's 'int'), data_loader.py:67-72;
+  * micro P/R exclude the negative class, but micro_f1 is the sklearn
+    all-classes value (== accuracy), because :106 overwrites the manual
+    number;
+  * macro_f1 averages over every class in rel2id, absent classes
+    contributing 0.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from deepref_spark.refsem import NEGATIVE_CLASS_NAMES
+
+
+def negative_class_name(relations: list[str]) -> str | None:
+    present = set(relations)
+    for name in NEGATIVE_CLASS_NAMES:
+        if name in present:
+            return name
+    return None
+
+
+def eval_metrics(preds: DataFrame, golden_col: str = "relation",
+                 pred_col: str = "pred_relation",
+                 all_relations: list[str] | None = None) -> DataFrame:
+    """One-row DataFrame: acc, micro_p, micro_r, micro_f1, macro_f1.
+
+    ``preds`` holds name-level golden + predicted labels. A single
+    shuffle-free pass of partial aggregates for the micro numbers plus a
+    per-class agg for macro — both map-side combined.
+    """
+    if all_relations is None:
+        all_relations = [
+            r[0] for r in preds.select(golden_col).union(preds.select(pred_col)).distinct().collect()
+        ]
+    neg = negative_class_name(all_relations)
+    g, p = F.col(golden_col), F.col(pred_col)
+    is_neg_g = g == F.lit(neg) if neg is not None else F.lit(False)
+    is_neg_p = p == F.lit(neg) if neg is not None else F.lit(False)
+
+    micro = preds.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((g == p).cast("long")).alias("correct"),
+        F.sum(((g == p) & ~is_neg_g).cast("long")).alias("correct_positive"),
+        F.sum((~is_neg_g).cast("long")).alias("gold_positive"),
+        F.sum((~is_neg_p).cast("long")).alias("pred_positive"),
+    )
+
+    # per-class tp/fp/fn for macro-F1 over ALL classes (data_loader.py:107)
+    per_class = (
+        preds.select(g.alias("cls"), (g == p).cast("long").alias("tp_flag"))
+        .groupBy("cls")
+        .agg(F.sum("tp_flag").alias("tp"), F.count(F.lit(1)).alias("support"))
+        .join(
+            preds.groupBy(p.alias("cls")).agg(F.count(F.lit(1)).alias("predicted")),
+            "cls", "full",
+        )
+        .na.fill(0, ["tp", "support", "predicted"])
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("support") + F.col("predicted")) > 0,
+                2.0 * F.col("tp") / (F.col("support") + F.col("predicted")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    n_classes = len(set(all_relations))
+    macro = per_class.agg((F.sum("f1") / F.lit(n_classes)).alias("macro_f1"))
+
+    return micro.crossJoin(macro).select(
+        (F.col("correct") / F.col("total")).alias("acc"),
+        F.when(F.col("pred_positive") > 0, F.col("correct_positive") / F.col("pred_positive"))
+        .otherwise(F.lit(0.0)).alias("micro_p"),
+        F.when(F.col("gold_positive") > 0, F.col("correct_positive") / F.col("gold_positive"))
+        .otherwise(F.lit(0.0)).alias("micro_f1_r_tmp"),
+        (F.col("correct") / F.col("total")).alias("micro_f1"),
+        F.col("macro_f1"),
+    ).withColumnRenamed("micro_f1_r_tmp", "micro_r").select(
+        "acc", "micro_p", "micro_r", "micro_f1", "macro_f1"
+    )
+
+
+def confusion_matrix(preds: DataFrame, golden_col: str = "relation",
+                     pred_col: str = "pred_relation") -> DataFrame:
+    """groupBy(golden, pred) counts (data_loader.py:108 /
+    sentence_re.py:221-231's rendered matrix)."""
+    return (
+        preds.groupBy(F.col(golden_col).alias("golden"), F.col(pred_col).alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sentence_length_histogram(mentions: DataFrame) -> DataFrame:
+    """Token-count distribution (framework/statistics.py:11-45)."""
+    return (
+        mentions.select(F.size("token").alias("sentence_length"))
+        .groupBy("sentence_length")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pr_curve(preds: DataFrame, score_col: str = "score",
+             correct_col: str = "is_correct") -> DataFrame:
+    """Cumulative P/R sorted by score desc (BagREDataset.eval,
+    data_loader.py:239-265) — a Window over the global ordering with a
+    deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), "sent_id").rowsBetween(Window.unboundedPreceding, 0)
+    total = preds.agg(F.sum(F.col(correct_col).cast("long"))).collect()[0][0] or 1
+    return preds.select(
+        "sent_id", score_col,
+        (F.sum(F.col(correct_col).cast("long")).over(w)
+         / F.row_number().over(Window.orderBy(F.desc(score_col), "sent_id"))).alias("prec"),
+        (F.sum(F.col(correct_col).cast("long")).over(w) / F.lit(float(total))).alias("rec"),
+    )

@@ -1,0 +1,96 @@
+"""Multimodal span handling: media spans as opaque binary/ref columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked stub (NotImplementedError) with a deterministic fake
+behind a flag — but the Spark-side plumbing is real and tested: schema,
+partition-preserving batch iteration, UDF signature, fixed-width
+feature output, and the invariant that media spans re-enter the doc
+span sequence untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FEATURE_DIM = 16
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, span_idx int, media_ref string, media_kind string, "
+    "n_bytes long, features array<float>"
+)
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """Real decode hook (image/audio/video -> feature vector). Not
+    implementable in this container — swap in PIL/torchaudio/decord
+    here; the pipeline around it is production-shaped."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use fake_decode "
+        "or plug a real decoder into extract_media_features(decoder=...)"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: md5 of the payload -> FEATURE_DIM floats
+    in [0,1). Keeps batch shapes/dtypes identical to a real extractor."""
+    out = np.empty(FEATURE_DIM, dtype=np.float32)
+    h = payload
+    for i in range(FEATURE_DIM):
+        h = hashlib.md5(h + bytes([i])).digest()
+        out[i] = int.from_bytes(h[:4], "big") / 2**32
+    return out
+
+
+def media_kind_of(ref: str) -> str:
+    if "/img/" in ref or ref.endswith((".png", ".jpg")):
+        return "image"
+    if "/aud/" in ref or ref.endswith((".wav", ".mp3")):
+        return "audio"
+    if "/vid/" in ref or ref.endswith((".mp4",)):
+        return "video"
+    return "blob"
+
+
+def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+    """media spans (doc_id, span_idx, media_ref) -> per-span feature
+    rows. The payload fetch is modeled as ref->bytes (here the ref
+    string itself stands in for the blob; production: a ranged object
+    read per batch). One Arrow batch per crossing, numpy stacking
+    inside."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [r.encode("utf-8") for r in pdf["media_ref"]]
+            feats = [decoder(p).tolist() for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
+                "media_ref": pdf["media_ref"],
+                "media_kind": [media_kind_of(r) for r in pdf["media_ref"]],
+                "n_bytes": [len(p) for p in payloads],
+                "features": feats,
+            })
+
+    return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
+        run, schema=MEDIA_FEATURES_SCHEMA
+    )
+
+
+def media_stats(media_features: DataFrame) -> DataFrame:
+    """Per-kind rollup of the extracted features."""
+    return (
+        media_features.groupBy("media_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+            F.round(F.avg(F.expr("element_at(features, 1)")), 6).alias("avg_f0"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Training-data text analysis over the raw `documents` table:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built-in expressions (whole-stage codegen, no Python
+boundary), formulated to be reproducible in the DuckDB oracle via
+portable.py's shared fragments.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from deepref_spark import portable
+from deepref_spark.portable import SPARK
+
+# language-ID lexicons: tiny per-language function-word sets; the n-gram
+# heuristic scores by function-word hit ratio.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "est", "pas", "pour", "dans", "une"),
+    "es": ("el", "la", "los", "de", "que", "es", "en", "por", "con", "una"),
+}
+
+
+def _tokens_col() -> F.Column:
+    return F.expr(portable.norm_tokens("text", SPARK))
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish estimate (pieces of <=4 chars, the
+    same piece width as the deterministic wordpiece in refsem)."""
+    toks = _tokens_col()
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
+                t=portable.norm_tokens("text", SPARK)
+            )
+        ).alias("n_pieces"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Function-word-ratio language ID: argmax over per-language marker
+    hit counts, 'und' (undetermined) when nothing hits."""
+    toks = portable.norm_tokens("text", SPARK)
+    cols = [F.col("doc_id")]
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        cols.append(
+            F.expr(f"size(filter({toks}, w -> w IN ({inlist})))").alias(f"hits_{lang}")
+        )
+    hits = documents.select(*cols)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pick = F.lit("und")
+    # reversed so earlier languages win ties (stable priority order)
+    for lg in reversed(langs):
+        pick = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pick)
+    return hits.select(
+        "doc_id",
+        F.when(best > 0, pick).otherwise(F.lit("und")).alias("lang_pred"),
+        best.alias("marker_hits"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length band, alpha ratio,
+    stopword ratio, mean word length. score in [0,1]."""
+    toks = portable.norm_tokens("text", SPARK)
+    sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
+    n = F.expr(f"size({toks})").cast("double")
+    n_sw = F.expr(f"size(filter({toks}, w -> w IN ({sw})))").cast("double")
+    n_alpha = F.expr(f"size(filter({toks}, w -> w rlike '^[a-z]+$'))").cast("double")
+    mean_len = F.expr(
+        f"aggregate({toks}, 0L, (acc, w) -> acc + length(w))"
+    ).cast("double") / F.greatest(n, F.lit(1.0))
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_len >= 2.5) & (mean_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ratio = n_sw / F.greatest(n, F.lit(1.0))
+    alpha_ratio = n_alpha / F.greatest(n, F.lit(1.0))
+    score = (
+        0.25 * len_ok + 0.25 * wl_ok
+        + 0.25 * F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.25 * alpha_ratio
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum hash over all
+    k-token shingles (portable md5 formula — identical in DuckDB)."""
+    toks = portable.norm_tokens("text", SPARK)
+    shingle = f"array_join(slice({toks}, i, {k}), ' ')"
+    h = portable.md5_mod(shingle, 1_000_003)
+    return documents.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(1, greatest(1, size({toks}) - {k - 1})), "
+            f"1000003, (acc, i) -> least(acc, {h}))"
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,248 @@
+"""Dual-dialect SQL fragments: formulas that evaluate bit-identically in
+Spark SQL and DuckDB SQL.
+
+The driver's correctness gate runs each Spark query next to a DuckDB
+oracle on the same parquet and hash-compares values, so every derived
+value that appears in a checked query must be computable in both
+engines from the raw tables. This module is the single source of truth
+for those formulas (hashing, normalization/tokenization, the rule
+tagger's CASE cascade, and the deterministic mention synthesis over the
+``documents`` table). The Spark pipeline itself is written with the
+DataFrame API in operators/ — these emitters exist so the DuckDB
+oracles cannot drift from the Spark semantics.
+
+Dialect notes handled here:
+  * duckdb regexp_replace needs the 'g' flag; Spark replaces all matches
+  * Spark: size/element_at/slice/array_join/transform/filter
+    DuckDB: len/list_element/list_slice/array_to_string/list_transform/
+    list_filter (list_slice takes an inclusive stop, not a length)
+  * rlike (Spark) vs regexp_matches (DuckDB)
+  * md5(), ascii(), substr(), % behave identically on our inputs
+"""
+
+from __future__ import annotations
+
+from deepref_spark import nlp
+
+SPARK = "spark"
+DUCK = "duckdb"
+
+# Punctuation/bracket tokens the portable normalizer keeps as standalone
+# tokens (everything else non-alphanumeric is stripped).
+KEPT_PUNCT = [".", ",", "(", ")"]
+
+
+# ---------------------------------------------------------------------------
+# primitive emitters
+# ---------------------------------------------------------------------------
+
+def rx_match(expr: str, pattern: str, d: str) -> str:
+    return f"({expr} rlike '{pattern}')" if d == SPARK else f"regexp_matches({expr}, '{pattern}')"
+
+
+def rx_replace_all(expr: str, pattern: str, repl: str, d: str) -> str:
+    if d == SPARK:
+        return f"regexp_replace({expr}, '{pattern}', '{repl}')"
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def arr_len(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def el(arr: str, idx1: str, d: str) -> str:
+    """1-based element access (both engines are 1-based)."""
+    return f"element_at({arr}, {idx1})" if d == SPARK else f"list_element({arr}, {idx1})"
+
+
+def arr_slice(arr: str, start1: str, length: str, d: str) -> str:
+    """1-based start + length slice."""
+    if d == SPARK:
+        return f"slice({arr}, {start1}, {length})"
+    return f"list_slice({arr}, {start1}, ({start1}) + ({length}) - 1)"
+
+
+def arr_join(arr: str, d: str, sep: str = " ") -> str:
+    return f"array_join({arr}, '{sep}')" if d == SPARK else f"array_to_string({arr}, '{sep}')"
+
+
+def transform(arr: str, lam: str, d: str) -> str:
+    return f"transform({arr}, {lam})" if d == SPARK else f"list_transform({arr}, {lam})"
+
+
+def filt(arr: str, lam: str, d: str) -> str:
+    return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
+
+
+def md5_mod(expr: str, m: int) -> str:
+    """Deterministic cross-engine hash of a string expression into
+    [0, m). Combines the ascii codes of the first 4 hex chars of md5 —
+    identical text in both dialects."""
+    h = f"md5({expr})"
+    return (
+        f"((ascii(substr({h},1,1))*131071 + ascii(substr({h},2,1))*8191 "
+        f"+ ascii(substr({h},3,1))*127 + ascii(substr({h},4,1))) % {m})"
+    )
+
+
+def md5_unit(expr: str) -> str:
+    """Deterministic cross-engine pseudo-uniform double in [0,1)."""
+    return f"({md5_mod(expr, 100000)} / 100000.0)"
+
+
+# ---------------------------------------------------------------------------
+# normalization / tokenization
+# ---------------------------------------------------------------------------
+
+def norm_text(col: str, d: str) -> str:
+    """Lowercase; isolate kept punctuation as standalone tokens; strip
+    every other non-alphanumeric char."""
+    e = f"lower({col})"
+    for ch in KEPT_PUNCT:
+        lit = ch.replace("'", "''")
+        e = f"replace({e}, '{lit}', ' {lit} ')"
+    e = rx_replace_all(e, "[^a-z0-9(),. ]", " ", d)
+    return f"trim({e})"
+
+
+def norm_tokens(col: str, d: str) -> str:
+    inner = norm_text(col, d)
+    if d == SPARK:
+        return f"split({inner}, ' +')"
+    return f"regexp_split_to_array({inner}, ' +')"
+
+
+# ---------------------------------------------------------------------------
+# rule tagger as a CASE cascade (must mirror nlp.TAG_RULES exactly on the
+# token alphabet produced by norm_tokens: [a-z0-9(),.]+ )
+# ---------------------------------------------------------------------------
+
+def _in_list(expr: str, items) -> str:
+    quoted = ", ".join("'" + i.replace("'", "''") + "'" for i in items)
+    return f"{expr} IN ({quoted})"
+
+
+def tag_case(tok: str, d: str) -> str:
+    branches = []
+    for tag, kind, payload in nlp.TAG_RULES:
+        if tag == "PUNCT":
+            cond = _in_list(tok, KEPT_PUNCT)
+        elif tag == "NUM":
+            cond = rx_match(tok, "^[0-9]+$", d)
+        elif kind == "in":
+            cond = _in_list(tok, payload)
+        else:  # suffix
+            cond = "(" + " OR ".join(f"{tok} LIKE '%{s}'" for s in payload) + ")"
+        branches.append(f"WHEN {cond} THEN '{tag}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{nlp.FALLBACK_TAG}' END"
+
+
+def dep_case(tag_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN '{t}' THEN '{dep}'" for t, dep in nlp.DEP_BY_TAG.items()
+    )
+    return f"CASE {tag_expr} {branches} ELSE 'dep' END"
+
+
+def stopword_cond(tok: str) -> str:
+    """Membership in the reference's stopword set (NLTK english minus
+    'o', stop_word_preprocessor.py:26-27)."""
+    from deepref_spark.refsem import STOPWORDS_MINUS_O
+
+    return _in_list(tok, sorted(STOPWORDS_MINUS_O))
+
+
+# ---------------------------------------------------------------------------
+# deterministic mention synthesis over the driver's `documents` table
+# ---------------------------------------------------------------------------
+
+RELATION_NAMES = [
+    "Other",            # negative class (data_loader.py:68 list)
+    "cause-effect",
+    "component-whole",
+    "entity-origin",
+    "member-collection",
+    "message-topic",
+]
+MIN_TOKENS = 12
+
+
+def relation_case(expr: str) -> str:
+    branches = " ".join(f"WHEN {i} THEN '{r}'" for i, r in enumerate(RELATION_NAMES))
+    return f"CASE ({expr}) % {len(RELATION_NAMES)} {branches} END"
+
+
+def mentions_cte(d: str, source: str = "documents") -> str:
+    """Deterministic gold-pair mention table derived from the documents
+    corpus — the portable stand-in for a converted corpus, used by every
+    oracle-checked query. 0-based [start, end) spans; two span layouts
+    (head-first and tail-first) selected by doc_id % 5; relation label
+    by doc_id % 6. Only docs with >= MIN_TOKENS tokens qualify."""
+    toks = norm_tokens("text", d)
+    n = arr_len("tokens", d)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS tokens FROM {source}
+),
+sized AS (
+  SELECT doc_id, tokens, {n} AS n FROM toks WHERE {n} >= {MIN_TOKENS}
+),
+spans AS (
+  SELECT doc_id, tokens, n,
+         CAST(1 + doc_id % 3 AS INT) AS a0,
+         CAST(1 + doc_id % 3 + 1 + doc_id % 2 AS INT) AS a1,
+         CAST(1 + doc_id % 3 + 1 + doc_id % 2 + 2 + doc_id % 2 AS INT) AS b0,
+         CAST(1 + doc_id % 3 + 1 + doc_id % 2 + 2 + doc_id % 2 + 1 AS INT) AS b1,
+         (doc_id % 5 = 0) AS rev,
+         {relation_case("doc_id")} AS relation
+  FROM sized
+),
+mentions AS (
+  SELECT doc_id, tokens, n, relation, rev,
+         CASE WHEN rev THEN b0 ELSE a0 END AS h0,
+         CASE WHEN rev THEN b1 ELSE a1 END AS h1,
+         CASE WHEN rev THEN a0 ELSE b0 END AS t0,
+         CASE WHEN rev THEN a1 ELSE b1 END AS t1,
+         {arr_join(arr_slice('tokens', 'CASE WHEN rev THEN b0 ELSE a0 END + 1', 'CASE WHEN rev THEN b1 - b0 ELSE a1 - a0 END', d), d)} AS h_name,
+         {arr_join(arr_slice('tokens', 'CASE WHEN rev THEN a0 ELSE b0 END + 1', 'CASE WHEN rev THEN a1 - a0 ELSE b1 - b0 END', d), d)} AS t_name
+  FROM spans
+)
+"""
+
+
+def tagged_tokens_expr(d: str) -> str:
+    """Rebuild the tagged marker stream from tokens + spans (the T1
+    output shape): tokens with ENTITYSTART/END around [h0,h1) and
+    ENTITYOTHERSTART/END around [t0,t1)."""
+    first_start = "CASE WHEN h0 < t0 THEN h0 ELSE t0 END"
+    first_end = "CASE WHEN h0 < t0 THEN h1 ELSE t1 END"
+    second_start = "CASE WHEN h0 < t0 THEN t0 ELSE h0 END"
+    second_end = "CASE WHEN h0 < t0 THEN t1 ELSE h1 END"
+    fs_m = "CASE WHEN h0 < t0 THEN 'ENTITYSTART' ELSE 'ENTITYOTHERSTART' END"
+    fe_m = "CASE WHEN h0 < t0 THEN 'ENTITYEND' ELSE 'ENTITYOTHEREND' END"
+    ss_m = "CASE WHEN h0 < t0 THEN 'ENTITYOTHERSTART' ELSE 'ENTITYSTART' END"
+    se_m = "CASE WHEN h0 < t0 THEN 'ENTITYOTHEREND' ELSE 'ENTITYEND' END"
+    if d == SPARK:
+        mk = lambda m: f"array({m})"  # noqa: E731
+        cat = "concat"
+    else:
+        mk = lambda m: f"[{m}]"  # noqa: E731
+        cat = "list_concat"
+    parts = [
+        arr_slice("tokens", "1", first_start, d),
+        mk(fs_m),
+        arr_slice("tokens", f"{first_start} + 1", f"{first_end} - ({first_start})", d),
+        mk(fe_m),
+        arr_slice("tokens", f"{first_end} + 1", f"{second_start} - ({first_end})", d),
+        mk(ss_m),
+        arr_slice("tokens", f"{second_start} + 1", f"{second_end} - ({second_start})", d),
+        mk(se_m),
+        arr_slice("tokens", f"{second_end} + 1", f"n - ({second_end})", d),
+    ]
+    if d == DUCK:
+        # duckdb's list_concat is binary — fold.
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"list_concat({out}, {p})"
+        return out
+    return f"{cat}(" + ", ".join(parts) + ")"

@@ -1,0 +1,67 @@
+"""Structured Streaming surface (SURVEY.md §2.7).
+
+The reference is purely batch; streaming here extends the same
+operators to continuous ingestion, per the survey's note that the RE
+core is stateless row transforms + one grouped dedup:
+
+  * ``streaming_triple_dedup`` — dropDuplicates with watermark: the
+    triple-materialize stage as an incremental query;
+  * ``windowed_event_counts`` — watermarked tumbling-window agg over an
+    events stream (late data handled by the watermark);
+  * ``sessionize`` — batch sessionization via lag+cumsum (the
+    session_window streaming twin, usable on both batch and streams).
+
+Tests drive these with file sources + processAllAvailable, the
+documented local pattern for deterministic streaming tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def streaming_triple_dedup(scored_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of pipeline.triples_from_scored's dedup: distinct
+    (subj, pred, obj) within the watermark horizon."""
+    return (
+        scored_stream
+        .withWatermark("event_time", watermark)
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. Works on both
+    a stream (append mode) and a batch frame (same expression)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-user session ids from gaps > threshold
+    (lag + cumulative sum), then per-session rollup."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = (
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
+    )
+    with_session = (
+        events.withColumn("new_session", marked)
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+    )

@@ -1,0 +1,228 @@
+"""Golden-row unit tests for the pure-Python reference-semantics oracle
+(SURVEY.md §5 strategy (1)); hand-computed expectations transcribe the
+reference algorithms' behavior on small inputs, including the quirks."""
+
+from deepref_spark import refsem
+from deepref_spark.nlp import RuleTagger
+
+
+def test_tag_sentence_semeval_strips_quotes_and_markers():
+    line = '1\t"The <e1>outline</e1> focuses on <e2>spirituality</e2> and mysticism."'
+    tagged = refsem.tag_sentence_semeval(line)
+    assert tagged == (
+        "The ENTITYSTART outline ENTITYEND focuses on "
+        "ENTITYOTHERSTART spirituality ENTITYOTHEREND and mysticism."
+    )
+
+
+def test_tag_sentence_offsets_basic():
+    # DDI-style: "Aspirin increases the effect of warfarin."
+    s = "Aspirin increases the effect of warfarin."
+    tagged = refsem.tag_sentence_offsets(s, ["0-6"], ["32-39"], [])
+    assert tagged == (
+        "ENTITYSTART Aspirin ENTITYEND increases the effect of "
+        "ENTITYOTHERSTART warfarin ENTITYOTHEREND ."
+    )
+
+
+def test_tag_sentence_offsets_single_span_drops_tail():
+    # reference quirk (dataset_converter.py:69-72): with one span the
+    # trailing text is lost (the trailing-append lives in the i>0 branch)
+    s = "Aspirin increases effect."
+    tagged = refsem.tag_sentence_offsets(s, ["0-6"], ["0-6"], [])
+    assert tagged == "ENTITYSTART Aspirin ENTITYEND"
+
+
+def test_tag_sentence_offsets_first_wins_collision():
+    # e2 sharing e1's offset keeps e1's markers (dataset_converter.py:46-52)
+    s = "aspirin helps people daily."
+    tagged = refsem.tag_sentence_offsets(s, ["0-6"], ["0-6", "14-19"], [])
+    assert tagged.startswith("ENTITYSTART aspirin ENTITYEND")
+    assert "ENTITYOTHERSTART people ENTITYOTHEREND" in tagged
+
+
+def test_untag_first_occurrence_only():
+    toks = "a ENTITYSTART b ENTITYEND c ENTITYOTHERSTART d ENTITYOTHEREND ENTITYUNRELATEDSTART e ENTITYUNRELATEDEND".split()
+    assert refsem.untag_tokens(toks) == ["a", "b", "c", "d", "e"]
+
+
+def test_get_entities_head_first():
+    tagged = "the ENTITYSTART quick fox ENTITYEND jumped over ENTITYOTHERSTART dogs ENTITYOTHEREND today".split()
+    original = refsem.untag_tokens(tagged)
+    e1, e2 = refsem.get_entities(tagged, original)
+    assert e1 == {"name": "quick fox", "position": [1, 3]}
+    assert e2 == {"name": "dogs", "position": [5, 6]}
+    assert original[e1["position"][0]:e1["position"][1]] == ["quick", "fox"]
+
+
+def test_get_entities_tail_first():
+    tagged = "the ENTITYOTHERSTART dogs ENTITYOTHEREND saw ENTITYSTART quick fox ENTITYEND today".split()
+    original = refsem.untag_tokens(tagged)
+    e1, e2 = refsem.get_entities(tagged, original)
+    assert e2 == {"name": "dogs", "position": [1, 2]}
+    assert e1 == {"name": "quick fox", "position": [3, 5]}
+
+
+def test_get_entities_ignores_unrelated_markers():
+    tagged = ("ENTITYUNRELATEDSTART cat ENTITYUNRELATEDEND the ENTITYSTART fox ENTITYEND "
+              "ran to ENTITYOTHERSTART dogs ENTITYOTHEREND").split()
+    original = refsem.untag_tokens(tagged)
+    e1, e2 = refsem.get_entities(tagged, original)
+    assert e1["name"] == "fox"
+    assert e2["name"] == "dogs"
+
+
+def _mention(tokens, h_pos, t_pos, tagger=None):
+    tagger = tagger or RuleTagger()
+    pos, deps, ner = tagger(tokens)
+    return refsem.Mention(
+        token=list(tokens),
+        h={"name": " ".join(tokens[h_pos[0]:h_pos[1]]), "pos": list(h_pos)},
+        t={"name": " ".join(tokens[t_pos[0]:t_pos[1]]), "pos": list(t_pos)},
+        relation="cause-effect",
+        pos_tags=pos, deps=deps, ner=ner,
+    )
+
+
+def test_preproc_sw_removes_stopwords_and_shifts():
+    toks = "the quick fox is near the lazy dogs".split()
+    m = _mention(toks, [1, 3], [6, 8])
+    out = refsem.preproc_sw(m.copy())
+    # 'the'(0), 'is'(3), 'the'(5) removed; 'near' is not a stopword
+    assert out.token == ["quick", "fox", "near", "lazy", "dogs"]
+    assert out.h["pos"] == [0, 2]
+    assert out.t["pos"] == [3, 5]
+
+
+def test_preproc_sw_protects_entity_tokens():
+    toks = "the the fox meets dogs".split()
+    m = _mention(toks, [1, 2], [4, 5])  # h = 'the' (a stopword) — protected
+    out = refsem.preproc_sw(m.copy())
+    assert out.token == ["the", "fox", "meets", "dogs"]
+    assert out.h["pos"] == [0, 1]
+
+
+def test_preproc_p_removes_punct_tokens():
+    toks = "fox , meets . dogs".split()
+    m = _mention(toks, [0, 1], [4, 5])
+    out = refsem.preproc_p(m.copy())
+    assert out.token == ["fox", "meets", "dogs"]
+    assert out.t["pos"] == [2, 3]
+
+
+def test_preproc_b_removes_bracket_spans():
+    toks = "fox ( small red ) meets dogs".split()
+    m = _mention(toks, [0, 1], [6, 7])
+    out = refsem.preproc_b(m.copy())
+    assert out.token == ["fox", "meets", "dogs"]
+    assert out.t["pos"] == [2, 3]
+
+
+def test_preproc_b_entity_inside_brackets_survives():
+    toks = "alpha ( fox beta ) meets dogs".split()
+    m = _mention(toks, [2, 3], [6, 7])  # h = fox inside brackets
+    out = refsem.preproc_b(m.copy())
+    assert "fox" in out.token
+    assert out.token[out.h["pos"][0]] == "fox"
+
+
+def test_preproc_d_blind_digits_even_in_entities():
+    toks = "fox paid 42 to dogs".split()
+    m = _mention(toks, [0, 1], [4, 5])
+    out = refsem.preproc_d(m.copy())
+    assert out.token == ["fox", "paid", "DIGIT", "to", "dogs"]
+
+
+def test_preproc_eb_collapses_and_shifts():
+    toks = "the quick fox meets lazy dogs now".split()
+    m = _mention(toks, [1, 3], [5, 6])  # h='quick fox' len2, t='dogs'
+    out = refsem.preproc_blind(m.copy(), "entity", "ENTITY")
+    assert out.token == ["the", "ENTITY", "meets", "lazy", "ENTITY", "now"]
+    assert out.h["pos"] == [1, 2]
+    assert out.t["pos"] == [4, 5]
+
+
+def test_preproc_nb_uses_ner_tag():
+    toks = "the fox meets dogs".split()
+    m = _mention(toks, [1, 2], [3, 4])
+    m.ner = ["O", "ANIMAL", "O", "BEAST"]
+    out = refsem.preproc_blind(m.copy(), "ner", None)
+    assert out.token == ["the", "ANIMAL", "meets", "BEAST"]
+
+
+def test_preproc_blind_tail_first_branch():
+    toks = "big dogs saw the quick fox today".split()
+    m = _mention(toks, [4, 6], [1, 2])  # h after t
+    out = refsem.preproc_blind(m.copy(), "entity", "ENTITY")
+    assert out.token == ["big", "ENTITY", "saw", "the", "ENTITY", "today"]
+    assert out.t["pos"] == [1, 2]
+    assert out.h["pos"] == [4, 5]
+
+
+def test_composition_order_and_eb_nb_collapse():
+    assert refsem.normalize_preproc(["eb", "nb", "d", "sw"]) == ["sw", "d", "nb"]
+    assert refsem.variant_key([]) == "original"
+    assert refsem.variant_key(["nb", "sw"]) == "nb_sw"
+    assert len(refsem.all_preproc_combinations()) == 48  # test_config.py:5-12
+
+
+def test_sk_extract_golden():
+    # reference golden (deepref/tests/dataset/test_sentence.py:12)
+    sk = refsem.sk_extract(["audits", "waste"], refsem.DEFAULT_HYPERNYMS)
+    assert sk == {"ses1": ["boundary", "extremity"], "ses2": ["property", "possession"]}
+
+
+def test_sk_extract_fallbacks():
+    sk = refsem.sk_extract(["unknownword", "aspirin"], {"aspirin": "analgesic.n.01"})
+    assert sk["ses1"] == ["unknownword", "unknownword"]
+    assert sk["ses2"] == ["analgesic", "analgesic"]  # no grandpa -> father twice
+    sk2 = refsem.sk_extract(["x", "x"], {"x": "social_group.n.01", "social_group": "group.n.01"})
+    assert sk2["ses1"] == ["group", "group"]  # unigram keeps last '_' segment
+
+
+def test_bert_entity_tokenize_layout():
+    toks = "alpha beta gamma delta epsilon".split()
+    ids, mask, p1, p2 = refsem.bert_entity_tokenize(toks, [1, 2], [3, 4], max_length=16)
+    # [CLS] alph(+##a pieces)... entity markers at expected indexes
+    pieces = (["[CLS]"] + refsem.tokenize_text("alpha")
+              + ["[unused0]"] + refsem.tokenize_text("beta") + ["[unused1]"]
+              + refsem.tokenize_text("gamma")
+              + ["[unused2]"] + refsem.tokenize_text("delta") + ["[unused3]"]
+              + refsem.tokenize_text("epsilon") + ["[SEP]"])
+    assert p1 == 1 + len(refsem.tokenize_text("alpha"))
+    assert ids[:len(pieces)] == [refsem.piece_to_id(p) for p in pieces]
+    assert mask[len(pieces) - 1] == 1
+    if len(pieces) < 16:
+        assert mask[len(pieces)] == 0 and ids[len(pieces)] == 0
+
+
+def test_bert_entity_tokenize_reversed_and_clamped():
+    toks = ["w"] * 30
+    ids, mask, p1, p2 = refsem.bert_entity_tokenize(toks, [25, 26], [2, 3], max_length=8)
+    # tail precedes head -> rev branch; positions clamped to max_length-1
+    assert p2 == 1 + len(refsem.tokenize_text("w w"))  # pos2 = 1 + len(sent0)
+    assert p1 <= 7 and p2 <= 7
+    assert len(ids) == 8 and len(mask) == 8
+    assert all(m == 1 for m in mask)  # true length exceeds max_length
+
+
+def test_eval_kernel_quirks():
+    rel2id = {"Other": 0, "cause-effect": 1, "member-collection": 2}
+    goldens = [0, 0, 1, 1, 2, 2, 1, 0, 2, 1]
+    preds = [0, 1, 1, 1, 2, 0, 2, 0, 2, 1]
+    r = refsem.eval_predictions(goldens, preds, rel2id)
+    # correct: idx 0,2,3,4,7,8,9 -> 7/10
+    assert abs(r["acc"] - 0.7) < 1e-12
+    # positives: golden != Other. correct_positive = 5 (idx 2,3,4,8,9)
+    # pred_positive = 6 (idx 1,2,3,4,6,9,8 -> 1,2,3,4,6,8,9 = 7) — compute:
+    pred_positive = sum(1 for p in preds if p != 0)
+    gold_positive = sum(1 for g in goldens if g != 0)
+    assert abs(r["micro_p"] - 5 / pred_positive) < 1e-12
+    assert abs(r["micro_r"] - 5 / gold_positive) < 1e-12
+    assert r["micro_f1"] == r["acc"]  # sklearn all-labels overwrite quirk
+
+
+def test_find_negative_class_order_and_ddi_int():
+    assert refsem.find_negative_class({"int": 3, "effect": 0}) == 3
+    assert refsem.find_negative_class({"Other": 2, "none": 1}) == 2  # 'Other' first in list
+    assert refsem.find_negative_class({"effect": 0}) == -1
