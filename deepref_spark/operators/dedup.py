@@ -47,8 +47,9 @@ def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> Dat
     the shingle->minhash->band step of MinHash-LSH, all built-ins."""
     sh = documents.select("doc_id", F.expr(_token_shingles(k)).alias("shingles"))
     bands = [
-        f"aggregate(shingles, {HASH_SPACE}, (acc, s) -> "
-        f"least(acc, {md5_mod(f\"concat('{b}:', s)\", HASH_SPACE)})) as band_{b}"
+        "aggregate(shingles, {sp}, (acc, s) -> least(acc, {h})) as band_{b}".format(
+            sp=HASH_SPACE, h=md5_mod("concat('%d:', s)" % b, HASH_SPACE), b=b
+        )
         for b in range(n_bands)
     ]
     sig = sh.selectExpr("doc_id", *bands)

@@ -49,14 +49,14 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
         .where(F.col("nbr_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot("q_emb", "nbr_emb") / (F.col("q_norm") * F.col("nbr_norm")),
+            F.round(_dot("q_emb", "nbr_emb") / (F.col("q_norm") * F.col("nbr_norm")), 4),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "nbr_id", F.col("cosine").alias("cosine"), "rank")
     )
 
 
@@ -93,13 +93,13 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     scored = (
         corpus.join(q, "bucket")
         .where(F.col("nbr_id") != F.col("query_id"))
-        .withColumn("cosine", _dot("q_emb", "nbr_emb") / (F.col("q_norm") * F.col("nbr_norm")))
+        .withColumn("cosine", F.round(_dot("q_emb", "nbr_emb") / (F.col("q_norm") * F.col("nbr_norm")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "nbr_id", F.col("cosine").alias("cosine"), "rank")
     )
 
 
@@ -113,7 +113,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                      _norm_col("embedding").alias("nb"), "bucket")
     return (
         left.join(right, "bucket").where(F.col("a") < F.col("b"))
-        .withColumn("cosine", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .withColumn("cosine", F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cosine") >= threshold)
-        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .select("a", "b", "cosine")
     )

@@ -1,0 +1,1333 @@
+"""Driver-facing query registry: every implemented operator from
+SURVEY.md §2 as a (spark_fn, oracle_sql) pair.
+
+The Spark side is idiomatic DataFrame API (operators/*); the oracle is
+DuckDB SQL assembled from portable.py's shared formulas, runnable on
+the same parquet views. Queries whose semantics need the numpy model
+forward have no SQL oracle (driver records a rows-only check) — they
+are covered by pytest goldens instead.
+
+Shared derivation: a deterministic gold-pair mention table over the
+driver's `documents` corpus (portable.mentions_cte) — the stand-in for
+a converted relation-extraction corpus that both engines can
+reconstruct bit-identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from deepref_spark import portable, refsem
+from deepref_spark.portable import DUCK, SPARK, md5_mod, md5_unit
+from deepref_spark.schemas import load_table
+
+MIN_T = portable.MIN_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side derivations
+# ---------------------------------------------------------------------------
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin of portable.mentions_cte: deterministic
+    entity spans + relation labels over `documents`."""
+    d = documents(spark, sf_dir)
+    toks = F.expr(portable.norm_tokens("text", SPARK))
+    base = (
+        d.select("doc_id", toks.alias("tokens"))
+        .where(F.size("tokens") >= MIN_T)
+        .withColumn("n", F.size("tokens"))
+    )
+    m = F.col("doc_id")
+    base = (
+        base
+        .withColumn("a0", (1 + m % 3).cast("int"))
+        .withColumn("a1", (1 + m % 3 + 1 + m % 2).cast("int"))
+        .withColumn("b0", (1 + m % 3 + 1 + m % 2 + 2 + m % 2).cast("int"))
+        .withColumn("b1", (1 + m % 3 + 1 + m % 2 + 2 + m % 2 + 1).cast("int"))
+        .withColumn("rev", m % 5 == 0)
+        .withColumn("relation", F.expr(portable.relation_case("doc_id")))
+    )
+    return (
+        base
+        .withColumn("h0", F.when(F.col("rev"), F.col("b0")).otherwise(F.col("a0")))
+        .withColumn("h1", F.when(F.col("rev"), F.col("b1")).otherwise(F.col("a1")))
+        .withColumn("t0", F.when(F.col("rev"), F.col("a0")).otherwise(F.col("b0")))
+        .withColumn("t1", F.when(F.col("rev"), F.col("a1")).otherwise(F.col("b1")))
+        .withColumn("h_name", F.expr("array_join(slice(tokens, h0 + 1, h1 - h0), ' ')"))
+        .withColumn("t_name", F.expr("array_join(slice(tokens, t0 + 1, t1 - t0), ' ')"))
+        .drop("a0", "a1", "b0", "b1")
+    )
+
+
+def _tagged(ments: DataFrame) -> DataFrame:
+    """mentions + the tagged marker stream (T1's output shape)."""
+    return ments.withColumn("tagged_tokens", F.expr(portable.tagged_tokens_expr(SPARK)))
+
+
+def _oracle_prefix() -> str:
+    return portable.mentions_cte(DUCK)
+
+
+# hash-based stand-in predicate (SQL-expressible; the numpy-model path is
+# the rows-only flagship)
+def _pred_expr() -> str:
+    return portable.relation_case(md5_mod("concat(h_name, '|', t_name)", 997))
+
+
+def _score_expr() -> str:
+    return md5_unit("concat(h_name, '#', t_name, '#', relation)")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, dict] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = {"spark": fn, "oracle": oracle}
+        return fn
+    return deco
+
+
+# --- Group A: KG pipeline core over documents-derived mentions -------------
+
+@q("kg_mentions", _oracle_prefix() + f"""
+SELECT doc_id, n, relation, h0, h1, t0, t1, h_name, t_name,
+       array_to_string(tokens, ' ') AS sentence
+FROM mentions
+""")
+def kg_mentions(spark, sf_dir):
+    return portable_mentions(spark, sf_dir).select(
+        "doc_id", "n", "relation", "h0", "h1", "t0", "t1", "h_name", "t_name",
+        F.expr("array_join(tokens, ' ')").alias("sentence"),
+    )
+
+
+@q("kg_tag_sentence", _oracle_prefix() + f"""
+SELECT doc_id, {portable.arr_join(portable.tagged_tokens_expr(DUCK), DUCK)} AS tagged
+FROM mentions
+""")
+def kg_tag_sentence(spark, sf_dir):
+    """T1: splice entity markers into the token stream
+    (dataset_converter.py:63-85 output shape)."""
+    return _tagged(portable_mentions(spark, sf_dir)).select(
+        "doc_id", F.expr("array_join(tagged_tokens, ' ')").alias("tagged")
+    )
+
+
+def _untag_step(arr: str, marker: str, d: str) -> str:
+    """Remove the FIRST occurrence of ``marker`` from array column
+    ``arr`` (nlp_tool.py:9-19's list.remove). Index lambda is 1-based
+    in duckdb, 0-based in Spark — normalized here. ``arr`` must be a
+    plain column reference (each step is staged as its own column so
+    the expression tree stays linear, not exponential)."""
+    if d == SPARK:
+        return f"filter({arr}, (x, i) -> i != array_position({arr}, '{marker}') - 1)"
+    return f"list_filter({arr}, (x, i) -> i != list_position({arr}, '{marker}'))"
+
+
+def _untag_oracle() -> str:
+    sql = _oracle_prefix() + f"""
+, u0 AS (SELECT doc_id, {portable.tagged_tokens_expr(DUCK)} AS t0_arr FROM mentions)"""
+    prev = "t0_arr"
+    for k, marker in enumerate(refsem.PAIR_MARKERS, start=1):
+        sql += f""",
+u{k} AS (SELECT doc_id, {_untag_step(prev, marker, DUCK)} AS t{k}_arr FROM u{k - 1})"""
+        prev = f"t{k}_arr"
+    sql += f"""
+SELECT doc_id, {portable.arr_join(prev, DUCK)} AS untagged FROM u4
+"""
+    return sql
+
+
+@q("kg_untag_sentence", _untag_oracle())
+def kg_untag_sentence(spark, sf_dir):
+    """T5: first-occurrence marker removal, expressed with built-in
+    array functions only (JVM-side), one staged column per marker."""
+    df = _tagged(portable_mentions(spark, sf_dir))
+    prev = "tagged_tokens"
+    for k, marker in enumerate(refsem.PAIR_MARKERS):
+        df = df.withColumn(f"u{k}", F.expr(_untag_step(prev, marker, SPARK)))
+        prev = f"u{k}"
+    return df.select("doc_id", F.expr(f"array_join({prev}, ' ')").alias("untagged"))
+
+
+def _get_entities_sql(d: str) -> str:
+    """T6 position arithmetic (sentence.py:15-29) over the tagged
+    stream `tt` (0-based outputs). Returns select-list fragment."""
+    def pos(marker: str) -> str:
+        f = "array_position" if d == SPARK else "list_position"
+        return f"({f}(tt, '{marker}') - 1)"  # 0-based marker index
+
+    e1s, e1e = pos("ENTITYSTART"), pos("ENTITYEND")
+    e2s, e2e = pos("ENTITYOTHERSTART"), pos("ENTITYOTHEREND")
+    head_first = f"({e1e} < {e2e})"
+    return (
+        f"CASE WHEN {head_first} THEN {e1s} ELSE {e1s} - 2 END AS g_h0, "
+        f"CASE WHEN {head_first} THEN {e1e} - 1 ELSE {e1e} - 3 END AS g_h1, "
+        f"CASE WHEN {head_first} THEN {e2s} - 2 ELSE {e2s} END AS g_t0, "
+        f"CASE WHEN {head_first} THEN {e2e} - 3 ELSE {e2e} - 1 END AS g_t1"
+    )
+
+
+@q("kg_get_entities", _oracle_prefix() + f"""
+SELECT doc_id, h0, h1, t0, t1, g_h0, g_h1, g_t0, g_t1
+FROM (
+  SELECT doc_id, h0, h1, t0, t1, {_get_entities_sql(DUCK)}
+  FROM (SELECT doc_id, h0, h1, t0, t1,
+               {portable.tagged_tokens_expr(DUCK)} AS tt
+        FROM mentions)
+)
+""")
+def kg_get_entities(spark, sf_dir):
+    """T6: recover entity spans from marker indexes with the reference's
+    -1/-2/-3 shifts; emitted next to the ground-truth spans so the
+    oracle check asserts the arithmetic is self-consistent."""
+    tagged = _tagged(portable_mentions(spark, sf_dir)).withColumnRenamed("tagged_tokens", "tt")
+    return tagged.selectExpr(
+        "doc_id", "h0", "h1", "t0", "t1", *_split_select(_get_entities_sql(SPARK)),
+    )
+
+
+@q("kg_parse_tags", _oracle_prefix() + f"""
+SELECT doc_id,
+       {portable.arr_join(portable.transform('tokens', 'x -> ' + portable.tag_case('x', DUCK), DUCK), DUCK)} AS pos_tags,
+       {portable.arr_join(portable.transform('tokens', 'x -> ' + portable.dep_case(portable.tag_case('x', DUCK)), DUCK), DUCK)} AS deps
+FROM mentions
+""")
+def kg_parse_tags(spark, sf_dir):
+    """T3: the deterministic rule tagger as a JVM-side transform (the
+    pluggable spaCy backend runs in mapInPandas; this is the
+    oracle-checkable default)."""
+    m = portable_mentions(spark, sf_dir)
+    tag = portable.tag_case("x", SPARK)
+    return m.select(
+        "doc_id",
+        F.expr(f"array_join(transform(tokens, x -> {tag}), ' ')").alias("pos_tags"),
+        F.expr(
+            f"array_join(transform(tokens, x -> {portable.dep_case(portable.tag_case('x', SPARK))}), ' ')"
+        ).alias("deps"),
+    )
+
+
+def _p1_sql(drop_cond: str, d: str) -> str:
+    """Shared delete-by-indexes kernel (preprocessor.py:19-40) as
+    portable SQL over (tokens, h0, h1, t0, t1): drop tokens where
+    ``drop_cond(x, j)`` holds (j 0-based) outside entity spans, and
+    emit shifted spans. Returns a select-list fragment producing
+    token_out, p_h0, p_h1, p_t0, p_t1."""
+    if d == SPARK:
+        fil, agg = "filter", "aggregate"
+        jj = "i"  # 0-based already
+    else:
+        fil, agg = "list_filter", "list_reduce"
+        jj = "(i - 1)"
+    in_ent = f"(({jj} >= h0 AND {jj} < h1) OR ({jj} >= t0 AND {jj} < t1))"
+    keep = f"{fil}(tokens, (x, i) -> NOT ({drop_cond.format(j=jj)}) OR {in_ent})"
+    # deletions strictly before a position p (p > 0 guaranteed for our spans)
+    def before(p: str) -> str:
+        cond = f"({drop_cond.format(j=jj)}) AND NOT {in_ent} AND {jj} < {p}"
+        if d == SPARK:
+            return f"size(filter(tokens, (x, i) -> {cond}))"
+        return f"len(list_filter(tokens, (x, i) -> {cond}))"
+
+    return (
+        f"{portable.arr_join(keep, d)} AS token_out, "
+        f"h0 - {before('h0')} AS p_h0, h1 - {before('h0')} AS p_h1, "
+        f"t0 - {before('t0')} AS p_t0, t1 - {before('t0')} AS p_t1"
+    )
+
+
+def _preproc_query(name: str, drop_cond_spark: str, doc: str,
+                   drop_cond_duck: str | None = None):
+    oracle = _oracle_prefix() + f"""
+SELECT doc_id, {_p1_sql(drop_cond_duck or drop_cond_spark, DUCK)}
+FROM mentions
+"""
+
+    @q(name, oracle)
+    def fn(spark, sf_dir, _cond=drop_cond_spark):
+        m = portable_mentions(spark, sf_dir)
+        return m.selectExpr("doc_id", *_split_select(_p1_sql(_cond, SPARK)))
+
+    fn.__doc__ = doc
+    return fn
+
+
+def _split_select(fragment: str) -> list[str]:
+    """Split a select-list fragment on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in fragment:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+_preproc_query(
+    "kg_preproc_sw", portable.stopword_cond("x"),
+    "T9: stopword removal outside entity spans + span shifts "
+    "(stop_word_preprocessor.py:25-34 over kernel P1).",
+)
+_preproc_query(
+    "kg_preproc_p", portable.tag_case("x", SPARK) + " = 'PUNCT'",
+    "T10: PUNCT-tagged removal (punctuation_preprocessor.py:20-27).",
+    drop_cond_duck=portable.tag_case("x", DUCK) + " = 'PUNCT'",
+)
+
+
+@q("kg_preproc_d", _oracle_prefix() + f"""
+SELECT doc_id,
+       {portable.arr_join(portable.transform('tokens', "x -> CASE WHEN " + portable.tag_case('x', DUCK) + " = 'NUM' THEN 'DIGIT' ELSE x END", DUCK), DUCK)} AS token_out
+FROM mentions
+""")
+def kg_preproc_d(spark, sf_dir):
+    """T12: digit blinding, entities NOT protected
+    (digit_blinding_preprocessor.py:20-24) — pure built-in."""
+    m = portable_mentions(spark, sf_dir)
+    tag = portable.tag_case("x", SPARK)
+    return m.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(tokens, x -> CASE WHEN {tag} = 'NUM' THEN 'DIGIT' ELSE x END), ' ')"
+        ).alias("token_out"),
+    )
+
+
+def _bracket_drop_sql(d: str) -> str:
+    """T11 stateful bracket scan as portable SQL: token j is dropped
+    when it is a bracket, or when the count of '(' minus ')' strictly
+    before j is positive (no nesting in the reference's scan —
+    brackets_or_parenthesis_preprocessor.py:20-36; with the reference's
+    entity-exemption applied at every step). Entity-span exemption is
+    handled by the shared P1 wrapper."""
+    if d == SPARK:
+        return (
+            "x IN ('(', ')') OR "
+            "size(filter(slice(tokens, 1, i), y -> y = '(')) > "
+            "size(filter(slice(tokens, 1, i), y -> y = ')'))"
+        )
+    return (
+        "x IN ('(', ')') OR "
+        "len(list_filter(list_slice(tokens, 1, i - 1), y -> y = '(')) > "
+        "len(list_filter(list_slice(tokens, 1, i - 1), y -> y = ')'))"
+    )
+
+
+_preproc_query(
+    "kg_preproc_b", "__BRACKET__",
+    "T11: bracket-span removal (stateful scan; the no-nesting depth "
+    "count formulation is equivalent for balanced single-level spans).",
+)
+# patch the bracket condition per dialect (it needs the slice-prefix trick)
+REGISTRY["kg_preproc_b"]["oracle"] = _oracle_prefix() + f"""
+SELECT doc_id, {_p1_sql(_bracket_drop_sql(DUCK), DUCK)}
+FROM mentions
+"""
+
+
+def _kg_preproc_b(spark, sf_dir):
+    m = portable_mentions(spark, sf_dir)
+    return m.selectExpr("doc_id", *_split_select(_p1_sql(_bracket_drop_sql(SPARK), SPARK)))
+
+
+REGISTRY["kg_preproc_b"]["spark"] = _kg_preproc_b
+
+
+def _eb_sql(d: str) -> str:
+    """T13 entity blinding (entity_blinding_preprocessor.py:37-61):
+    collapse both spans to one 'ENTITY' token; positions per the
+    reference's shift arithmetic."""
+    cat = (lambda parts: "concat(" + ", ".join(parts) + ")") if d == SPARK else None
+
+    def mk(lit: str) -> str:
+        return f"array('{lit}')" if d == SPARK else f"['{lit}']"
+
+    first0 = "CASE WHEN h0 < t0 THEN h0 ELSE t0 END"
+    first1 = "CASE WHEN h0 < t0 THEN h1 ELSE t1 END"
+    second0 = "CASE WHEN h0 < t0 THEN t0 ELSE h0 END"
+    second1 = "CASE WHEN h0 < t0 THEN t1 ELSE h1 END"
+    parts = [
+        portable.arr_slice("tokens", "1", first0, d),
+        mk("ENTITY"),
+        portable.arr_slice("tokens", f"{first1} + 1", f"{second0} - {first1}", d),
+        mk("ENTITY"),
+        portable.arr_slice("tokens", f"{second1} + 1", f"n - {second1}", d),
+    ]
+    if d == SPARK:
+        arr = cat(parts)
+    else:
+        arr = parts[0]
+        for p in parts[1:]:
+            arr = f"list_concat({arr}, {p})"
+    # new positions: first span -> [first0, first0+1); second shifts left
+    # by (first_len - 1)
+    first_len = f"({first1} - {first0})"
+    new_second0 = f"({second0} - ({first_len} - 1))"
+    return (
+        f"{portable.arr_join(arr, d)} AS token_out, "
+        f"CASE WHEN h0 < t0 THEN h0 ELSE {new_second0} END AS p_h0, "
+        f"CASE WHEN h0 < t0 THEN h0 + 1 ELSE {new_second0} + 1 END AS p_h1, "
+        f"CASE WHEN h0 < t0 THEN {new_second0} ELSE t0 END AS p_t0, "
+        f"CASE WHEN h0 < t0 THEN {new_second0} + 1 ELSE t0 + 1 END AS p_t1"
+    )
+
+
+@q("kg_preproc_eb", _oracle_prefix() + f"""
+SELECT doc_id, {_eb_sql(DUCK)}
+FROM mentions
+""")
+def kg_preproc_eb(spark, sf_dir):
+    m = portable_mentions(spark, sf_dir)
+    return m.selectExpr("doc_id", *_split_select(_eb_sql(SPARK)))
+
+
+@q("kg_sk_lookup", _oracle_prefix() + f"""
+, hyp AS (SELECT * FROM (VALUES {{HYP_VALUES}}) AS t(entity, father, grandpa))
+SELECT m.doc_id,
+       coalesce(h1.father, m.h_name) AS h_father,
+       coalesce(h1.grandpa, m.h_name) AS h_grandpa,
+       coalesce(h2.father, m.t_name) AS t_father,
+       coalesce(h2.grandpa, m.t_name) AS t_grandpa
+FROM mentions m
+LEFT JOIN hyp h1 ON m.h_name = h1.entity
+LEFT JOIN hyp h2 ON m.t_name = h2.entity
+""")
+def kg_sk_lookup(spark, sf_dir):
+    """T8: WordNet father/grandpa as a broadcast join against the
+    precomputed hypernym table (semantic_knowledge.py:12-31 semantics —
+    the scale path from SURVEY.md §2.2)."""
+    from deepref_spark.operators.sk import sk_table
+
+    m = portable_mentions(spark, sf_dir)
+    sk = sk_table(spark)
+    h1 = F.broadcast(sk.withColumnRenamed("entity", "h_key"))
+    h2 = F.broadcast(
+        sk.select(F.col("entity").alias("t_key"), F.col("father").alias("tf"), F.col("grandpa").alias("tg"))
+    )
+    return (
+        m.join(h1, m["h_name"] == h1["h_key"], "left")
+        .join(h2, m["t_name"] == h2["t_key"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("father", "h_name").alias("h_father"),
+            F.coalesce("grandpa", "h_name").alias("h_grandpa"),
+            F.coalesce("tf", "t_name").alias("t_father"),
+            F.coalesce("tg", "t_name").alias("t_grandpa"),
+        )
+    )
+
+
+def _hyp_values() -> str:
+    from deepref_spark.operators.sk import sk_table  # noqa: F401 — values mirror sk_table
+    rows = []
+    hyp = refsem.DEFAULT_HYPERNYMS
+    for entity in sorted(hyp):
+        vec = refsem.sk_extract([entity, entity], hyp)["ses1"]
+        rows.append(f"('{entity}', '{vec[0]}', '{vec[1]}')")
+    return ", ".join(rows)
+
+
+REGISTRY["kg_sk_lookup"]["oracle"] = REGISTRY["kg_sk_lookup"]["oracle"].replace(
+    "{HYP_VALUES}", _hyp_values()
+)
+
+
+@q("kg_rel2id", _oracle_prefix() + """
+SELECT relation, CAST(row_number() OVER (ORDER BY relation) - 1 AS BIGINT) AS rel_id
+FROM (SELECT DISTINCT relation FROM mentions)
+""")
+def kg_rel2id(spark, sf_dir):
+    """A1: deterministic rel2id (sorted names; fixes the reference's
+    set-ordering nondeterminism at dataset.py:33-42)."""
+    m = portable_mentions(spark, sf_dir)
+    w = Window.orderBy("relation")
+    return (
+        m.select("relation").distinct()
+        .withColumn("rel_id", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+@q("kg_upos2id", _oracle_prefix() + f"""
+SELECT tag, CAST(row_number() OVER (ORDER BY tag) - 1 AS BIGINT) AS tag_id
+FROM (SELECT DISTINCT unnest(list_transform(tokens, x -> {portable.tag_case('x', DUCK)})) AS tag FROM mentions)
+""")
+def kg_upos2id(spark, sf_dir):
+    """A2: upos2id built by flattening tag columns
+    (benchmark/generate_parser.py:7-19) — explode + distinct + window."""
+    m = portable_mentions(spark, sf_dir)
+    tag = portable.tag_case("x", SPARK)
+    w = Window.orderBy("tag")
+    return (
+        m.select(F.explode(F.expr(f"transform(tokens, x -> {tag})")).alias("tag"))
+        .distinct()
+        .withColumn("tag_id", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+# --- hash-predicate triple path (SQL-checkable end to end) ------------------
+
+_TRIPLES_HASH_ORACLE = _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, relation,
+         {_pred_expr()} AS pred_relation,
+         round({_score_expr()}, 6) AS score
+  FROM mentions
+)
+SELECT h_name AS subj, pred_relation AS pred, t_name AS obj,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       round(max(score), 6) AS max_score
+FROM preds
+WHERE pred_relation <> 'Other'
+GROUP BY 1, 2, 3
+"""
+
+
+def _hash_preds(spark, sf_dir) -> DataFrame:
+    m = portable_mentions(spark, sf_dir)
+    return m.select(
+        "doc_id", "h_name", "t_name", "relation",
+        F.expr(_pred_expr()).alias("pred_relation"),
+        F.round(F.expr(_score_expr()), 6).alias("score"),
+    )
+
+
+@q("kg_triples_hashpred", _TRIPLES_HASH_ORACLE)
+def kg_triples_hashpred(spark, sf_dir):
+    """End-to-end triple materialization with the portable hash
+    predicate: extraction -> negative-class filter -> dedup with max
+    score + contributing-doc count (pipeline.triples_from_scored shape,
+    SQL-checkable)."""
+    p = _hash_preds(spark, sf_dir)
+    return (
+        p.where(F.col("pred_relation") != "Other")
+        .groupBy(
+            F.col("h_name").alias("subj"),
+            F.col("pred_relation").alias("pred"),
+            F.col("t_name").alias("obj"),
+        )
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+@q("kg_eval_micro", _oracle_prefix() + f"""
+, preds AS (SELECT relation, {_pred_expr()} AS pred_relation FROM mentions)
+SELECT round(CAST(sum(CASE WHEN relation = pred_relation THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS acc,
+       round(CAST(sum(CASE WHEN relation = pred_relation AND relation <> 'Other' THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(sum(CASE WHEN pred_relation <> 'Other' THEN 1 ELSE 0 END), 0), 6) AS micro_p,
+       round(CAST(sum(CASE WHEN relation = pred_relation AND relation <> 'Other' THEN 1 ELSE 0 END) AS DOUBLE)
+             / nullif(sum(CASE WHEN relation <> 'Other' THEN 1 ELSE 0 END), 0), 6) AS micro_r
+FROM preds
+""")
+def kg_eval_micro(spark, sf_dir):
+    """A3/A4: accuracy + positive-only micro P/R with 'Other' as the
+    negative class (data_loader.py:67-104)."""
+    p = _hash_preds(spark, sf_dir)
+    g, pr = F.col("relation"), F.col("pred_relation")
+    return p.agg(
+        F.round(F.sum((g == pr).cast("double")) / F.count(F.lit(1)), 6).alias("acc"),
+        F.round(
+            F.sum(((g == pr) & (g != "Other")).cast("double"))
+            / F.nullif(F.sum((pr != "Other").cast("double")), F.lit(0.0)), 6
+        ).alias("micro_p"),
+        F.round(
+            F.sum(((g == pr) & (g != "Other")).cast("double"))
+            / F.nullif(F.sum((g != "Other").cast("double")), F.lit(0.0)), 6
+        ).alias("micro_r"),
+    )
+
+
+@q("kg_eval_macro", _oracle_prefix() + f"""
+, preds AS (SELECT relation, {_pred_expr()} AS pred_relation FROM mentions),
+per_class AS (
+  SELECT cls,
+         CAST(sum(tp) AS DOUBLE) AS tp,
+         CAST(sum(is_gold) AS DOUBLE) AS support,
+         CAST(sum(is_pred) AS DOUBLE) AS predicted
+  FROM (
+    SELECT relation AS cls, CASE WHEN relation = pred_relation THEN 1 ELSE 0 END AS tp, 1 AS is_gold, 0 AS is_pred FROM preds
+    UNION ALL
+    SELECT pred_relation AS cls, 0, 0, 1 FROM preds
+  ) GROUP BY cls
+)
+SELECT round(sum(CASE WHEN support + predicted > 0 THEN 2.0 * tp / (support + predicted) ELSE 0 END)
+             / count(*), 6) AS macro_f1
+FROM per_class
+""")
+def kg_eval_macro(spark, sf_dir):
+    """A5: macro-F1 over all classes (per-class 2tp/(support+pred),
+    zero-division -> 0, averaged; data_loader.py:107)."""
+    p = _hash_preds(spark, sf_dir)
+    gold = p.select(
+        F.col("relation").alias("cls"),
+        (F.col("relation") == F.col("pred_relation")).cast("long").alias("tp"),
+        F.lit(1).alias("is_gold"), F.lit(0).alias("is_pred"),
+    )
+    pred = p.select(
+        F.col("pred_relation").alias("cls"),
+        F.lit(0).cast("long").alias("tp"), F.lit(0).alias("is_gold"), F.lit(1).alias("is_pred"),
+    )
+    per_class = (
+        gold.unionByName(pred)
+        .groupBy("cls")
+        .agg(
+            F.sum("tp").cast("double").alias("tp"),
+            F.sum("is_gold").cast("double").alias("support"),
+            F.sum("is_pred").cast("double").alias("predicted"),
+        )
+    )
+    return per_class.agg(
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("support") + F.col("predicted")) > 0,
+                    2.0 * F.col("tp") / (F.col("support") + F.col("predicted")),
+                ).otherwise(F.lit(0.0))
+            ) / F.count(F.lit(1)), 6
+        ).alias("macro_f1")
+    )
+
+
+@q("kg_confusion", _oracle_prefix() + f"""
+, preds AS (SELECT relation, {_pred_expr()} AS pred_relation FROM mentions)
+SELECT relation AS golden, pred_relation AS pred, CAST(count(*) AS BIGINT) AS n
+FROM preds GROUP BY 1, 2
+""")
+def kg_confusion(spark, sf_dir):
+    """A6: confusion counts (data_loader.py:108)."""
+    return (
+        _hash_preds(spark, sf_dir)
+        .groupBy(F.col("relation").alias("golden"), F.col("pred_relation").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q("kg_bag_group", _oracle_prefix() + f"""
+, preds AS (SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation,
+                   round({_score_expr()}, 6) AS score FROM mentions)
+SELECT h_name, t_name,
+       CAST(count(*) AS BIGINT) AS bag_size,
+       CAST(count(DISTINCT pred_relation) AS BIGINT) AS n_relations,
+       round(max(score), 6) AS max_score
+FROM preds GROUP BY 1, 2
+""")
+def kg_bag_group(spark, sf_dir):
+    """A9: bag grouping by entity pair (BagREDataset,
+    data_loader.py:125-236) — the candidate-pair dedup shape."""
+    return (
+        _hash_preds(spark, sf_dir)
+        .groupBy("h_name", "t_name")
+        .agg(
+            F.count(F.lit(1)).alias("bag_size"),
+            F.countDistinct("pred_relation").alias("n_relations"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+@q("kg_pr_curve", _oracle_prefix() + f"""
+, preds AS (SELECT doc_id, relation, {_pred_expr()} AS pred_relation,
+                   round({_score_expr()}, 6) AS score FROM mentions
+            WHERE {_pred_expr()} <> 'Other'),
+ranked AS (
+  SELECT doc_id, score,
+         CASE WHEN relation = pred_relation THEN 1 ELSE 0 END AS correct,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM preds
+)
+SELECT rk, round(CAST(sum(correct) OVER (ORDER BY rk) AS DOUBLE) / rk, 6) AS prec
+FROM ranked
+WHERE rk <= 200
+""")
+def kg_pr_curve(spark, sf_dir):
+    """A10: cumulative precision over score-desc ranking
+    (data_loader.py:239-265), deterministic tiebreak."""
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = p.select(
+        (F.col("relation") == F.col("pred_relation")).cast("long").alias("correct"),
+        F.row_number().over(w).alias("rk"),
+    )
+    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.select("rk", F.round(F.sum("correct").over(cum) / F.col("rk"), 6).alias("prec"))
+        .where(F.col("rk") <= 200)
+    )
+
+
+@q("kg_sentence_length_hist", _oracle_prefix() + """
+SELECT n AS sentence_length, CAST(count(*) AS BIGINT) AS cnt
+FROM mentions GROUP BY n
+""")
+def kg_sentence_length_hist(spark, sf_dir):
+    """A11: token-count histogram (framework/statistics.py:11-45)."""
+    return (
+        portable_mentions(spark, sf_dir)
+        .groupBy(F.col("n").alias("sentence_length"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q("kg_skew_salted_agg", _oracle_prefix() + """
+SELECT h_name, CAST(count(*) AS BIGINT) AS n
+FROM mentions GROUP BY h_name
+""")
+def kg_skew_salted_agg(spark, sf_dir):
+    """§2.8 skew handling: two-phase salted count by (hot) entity —
+    identical result to the plain GROUP BY the oracle runs, different
+    shuffle distribution."""
+    from deepref_spark.operators.skew import salted_count
+
+    return salted_count(portable_mentions(spark, sf_dir), ["h_name"], count_alias="n")
+
+
+# --- entity linking / canonicalization --------------------------------------
+
+def _entities_cte(d: str) -> str:
+    return _oracle_prefix() + """
+, entities AS (
+  SELECT DISTINCT h_name AS entity FROM mentions
+  UNION SELECT DISTINCT t_name AS entity FROM mentions
+)
+"""
+
+
+def _band_sql(d: str, n_bands: int = 4) -> str:
+    """Per-band minhash over char-3gram shingles of the entity string —
+    identical formula to operators/linking.py."""
+    padded = "concat('^', entity, '$')"
+    if d == SPARK:
+        sh = f"transform(sequence(1, greatest(1, length({padded}) - 2)), i -> substring({padded}, i, 3))"
+        mn = "array_min"
+    else:
+        sh = f"list_transform(generate_series(1, greatest(1, length({padded}) - 2)), i -> substr({padded}, i, 3))"
+        mn = "list_min"
+    cols = []
+    for b in range(n_bands):
+        h = md5_mod(f"concat('{b}:', s)", 1_000_003)
+        cols.append(f"{mn}({portable.transform(sh, 's -> ' + h, d)}) AS band_{b}")
+    return ", ".join(cols)
+
+
+@q("kg_minhash_bands", _entities_cte(DUCK) + f"""
+SELECT entity, {_band_sql(DUCK)}
+FROM entities
+""")
+def kg_minhash_bands(spark, sf_dir):
+    """§2.8 MinHash-LSH blocking keys for entity surface forms."""
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    return ents.selectExpr("entity", *_split_select(_band_sql(SPARK)))
+
+
+@q("kg_connected_components", _entities_cte(DUCK) + f"""
+, sigs AS (SELECT entity, {_band_sql(DUCK)} FROM entities),
+edges0 AS (
+  SELECT a.entity AS a, b.entity AS b
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+cc AS (
+  WITH RECURSIVE walk(entity, component) AS (
+    SELECT entity, entity FROM entities
+    UNION
+    SELECT e.a, w.component
+    FROM edges e JOIN walk w ON e.b = w.entity
+    WHERE w.component < e.a
+  )
+  SELECT entity, min(component) AS component FROM walk GROUP BY entity
+)
+SELECT entity, component FROM cc
+""")
+def kg_connected_components(spark, sf_dir):
+    """§2.8 canonicalization: LSH-candidate edges -> iterative
+    min-label propagation (linking.connected_components); the oracle
+    recomputes components with a recursive CTE."""
+    from deepref_spark.operators import linking
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK)))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    edges = a.join(b, cond).select(F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
+    comps = linking.connected_components(edges)
+    return (
+        ents.join(comps, "entity", "left")
+        .select("entity", F.coalesce("component", "entity").alias("component"))
+    )
+
+
+@q("kg_canonical_triples", _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation,
+         round({_score_expr()}, 6) AS score
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+)
+SELECT c1.canonical AS subj_canon, pred_relation AS pred, c2.canonical AS obj_canon,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, round(max(score), 6) AS max_score
+FROM preds p
+JOIN canon c1 ON p.h_name = c1.entity
+JOIN canon c2 ON p.t_name = c2.entity
+GROUP BY 1, 2, 3
+""")
+def kg_canonical_triples(spark, sf_dir):
+    """§2.8 triple dedup + canonical materialization with a
+    key-normalization canonicalizer (strip non-alnum) — the
+    deterministic stand-in whose oracle is pure SQL; the LSH+CC
+    canonicalizer is exercised by kg_connected_components."""
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    ents = (
+        p.select(F.col("h_name").alias("entity"))
+        .union(p.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    w = Window.partitionBy(F.regexp_replace("entity", "[^a-z0-9]", ""))
+    canon = ents.select("entity", F.min("entity").over(w).alias("canonical"))
+    return (
+        p.join(F.broadcast(canon).withColumnRenamed("entity", "h_name").withColumnRenamed("canonical", "subj_canon"), "h_name")
+        .join(F.broadcast(canon).withColumnRenamed("entity", "t_name").withColumnRenamed("canonical", "obj_canon"), "t_name")
+        .groupBy("subj_canon", F.col("pred_relation").alias("pred"), "obj_canon")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+# --- K1 tokenization as portable SQL (oracle-checked) ------------------------
+
+def _wp_sql(word: str, d: str) -> str:
+    """Deterministic fixed-width wordpiece (refsem.wordpiece): 4-char
+    chunks, '##' continuations."""
+    if d == SPARK:
+        return (
+            f"transform(sequence(1, CAST(ceil(length({word}) / 4.0) AS INT)), "
+            f"c -> CASE WHEN c = 1 THEN substring({word}, 1, 4) "
+            f"ELSE concat('##', substring({word}, (c - 1) * 4 + 1, 4)) END)"
+        )
+    return (
+        f"list_transform(generate_series(1, CAST(ceil(length({word}) / 4.0) AS INT)), "
+        f"c -> CASE WHEN c = 1 THEN substr({word}, 1, 4) "
+        f"ELSE '##' || substr({word}, (c - 1) * 4 + 1, 4) END)"
+    )
+
+
+def _pieces_sql(arr: str, d: str) -> str:
+    inner = portable.transform(arr, f"w -> {_wp_sql('w', d)}", d)
+    return f"flatten({inner})"
+
+
+def _piece_ids_sql(pieces: str, d: str) -> str:
+    vocab = refsem.VOCAB_SIZE - 12
+    return portable.transform(pieces, f"p -> 12 + {md5_mod('p', vocab)}", d)
+
+
+def _tokenize_sql(d: str, max_length: int = 128) -> str:
+    """K1 (bert_encoder.py:144-228) as a portable select-list fragment
+    over (tokens, n, h0, h1, t0, t1): marker positions computed before
+    truncation, clamped to max_length-1; id stream prefix emitted for
+    value comparison."""
+    min0 = "least(h0, t0)"
+    min1 = "CASE WHEN h0 < t0 THEN h1 ELSE t1 END"
+    max0 = "greatest(h0, t0)"
+    max1 = "CASE WHEN h0 < t0 THEN t1 ELSE h1 END"
+    seg = {
+        "s0": portable.arr_slice("tokens", "1", min0, d),
+        "e0": portable.arr_slice("tokens", f"{min0} + 1", f"{min1} - {min0}", d),
+        "s1": portable.arr_slice("tokens", f"{min1} + 1", f"{max0} - {min1}", d),
+        "e1": portable.arr_slice("tokens", f"{max0} + 1", f"{max1} - {max0}", d),
+        "s2": portable.arr_slice("tokens", f"{max1} + 1", f"n - {max1}", d),
+    }
+    p = {k: _pieces_sql(v, d) for k, v in seg.items()}
+    ln = {k: (f"size({v})" if d == SPARK else f"len({v})") for k, v in p.items()}
+    rev = "(h0 > t0)"
+    # marker ids: head pair [unused0]=4/[unused1]=5, tail pair 6/7; the
+    # FIRST entity gets the head pair unless reversed.
+    m00 = f"CASE WHEN {rev} THEN 6 ELSE 4 END"
+    m01 = f"CASE WHEN {rev} THEN 7 ELSE 5 END"
+    m10 = f"CASE WHEN {rev} THEN 4 ELSE 6 END"
+    m11 = f"CASE WHEN {rev} THEN 5 ELSE 7 END"
+    if d == SPARK:
+        def arr1(x):
+            return f"array({x})"
+        cat = lambda parts: "concat(" + ", ".join(parts) + ")"  # noqa: E731
+    else:
+        def arr1(x):
+            return f"[{x}]"
+        def cat(parts):
+            out = parts[0]
+            for q_ in parts[1:]:
+                out = f"list_concat({out}, {q_})"
+            return out
+    ids = cat([
+        arr1("2"), _piece_ids_sql(p["s0"], d),
+        arr1(m00), _piece_ids_sql(p["e0"], d), arr1(m01),
+        _piece_ids_sql(p["s1"], d),
+        arr1(m10), _piece_ids_sql(p["e1"], d), arr1(m11),
+        _piece_ids_sql(p["s2"], d),
+        arr1("3"),
+    ])
+    pos1 = (
+        f"CASE WHEN {rev} THEN 1 + {ln['s0']} + 2 + {ln['e0']} + {ln['s1']} "
+        f"ELSE 1 + {ln['s0']} END"
+    )
+    pos2 = (
+        f"CASE WHEN {rev} THEN 1 + {ln['s0']} "
+        f"ELSE 1 + {ln['s0']} + 2 + {ln['e0']} + {ln['s1']} END"
+    )
+    total = f"(6 + {ln['s0']} + {ln['e0']} + {ln['s1']} + {ln['e1']} + {ln['s2']})"
+    prefix = portable.arr_slice(ids, "1", f"least(12, {total})", d)
+    return (
+        f"least({max_length - 1}, {pos1}) AS pos1, "
+        f"least({max_length - 1}, {pos2}) AS pos2, "
+        f"{total} AS n_pieces, "
+        f"{portable.arr_join(prefix, d, sep=' ')} AS ids_prefix"
+    )
+
+
+@q("kg_tokenize", _oracle_prefix() + f"""
+SELECT doc_id, {_tokenize_sql(DUCK)}
+FROM mentions
+""")
+def kg_tokenize(spark, sf_dir):
+    """K1 entity-marker tokenization as built-in array expressions —
+    the oracle-checkable twin of operators/tokenize.py's Arrow kernel
+    (same ids via refsem.piece_to_id's portable hash)."""
+    m = portable_mentions(spark, sf_dir)
+    return m.selectExpr("doc_id", *_split_select(_tokenize_sql(SPARK)))
+
+
+# --- Group B: corpus dedup / text analysis over `documents` -----------------
+
+_NORM_DUCK = portable.norm_text("text", DUCK)
+_TOKS_DUCK = portable.norm_tokens("text", DUCK)
+
+
+@q("dedup_exact", f"""
+SELECT content_hash, min(doc_id) AS keep_doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, md5({_NORM_DUCK}) AS content_hash FROM documents)
+GROUP BY content_hash
+""")
+def dedup_exact(spark, sf_dir):
+    from deepref_spark.operators.dedup import exact_dedup
+
+    d = documents(spark, sf_dir)
+    d = d.select("doc_id", F.expr(portable.norm_text("text", SPARK)).alias("text"))
+    return exact_dedup(d).select("content_hash", "keep_doc_id", "n_dups")
+
+
+def _shingles_duck(k: int = 3) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(1, len({_TOKS_DUCK}) - {k - 1})), "
+        f"i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + {k - 1}), ' '))"
+    )
+
+
+@q("dedup_minhash_bands", f"""
+SELECT doc_id,
+  {", ".join(
+      f"list_min(list_transform(sh, s -> {md5_mod(f_b, 1000003)})) AS band_{b}"
+      for b, f_b in ((b, f"concat('{b}:', s)") for b in range(4))
+  )}
+FROM (SELECT doc_id, {_shingles_duck()} AS sh FROM documents)
+WHERE len(sh) > 0
+""")
+def dedup_minhash_bands(spark, sf_dir):
+    """MinHash band signatures over token 3-shingles (the
+    shingle→minhash→band step of MinHash-LSH dedup)."""
+    d = documents(spark, sf_dir)
+    toks = portable.norm_tokens("text", SPARK)
+    sh = (
+        f"transform(sequence(1, greatest(1, size({toks}) - 2)), "
+        f"i -> array_join(slice({toks}, i, 3), ' '))"
+    )
+    cols = [
+        "array_min(transform(sh, s -> {h})) AS band_{b}".format(
+            h=md5_mod("concat('%d:', s)" % b, 1_000_003), b=b
+        )
+        for b in range(4)
+    ]
+    return d.selectExpr("doc_id", f"{sh} AS sh").where("size(sh) > 0").selectExpr("doc_id", *cols)
+
+
+@q("dedup_simhash", f"""
+SELECT doc_id,
+  {" + ".join(
+      f"CAST(CASE WHEN list_sum(list_transform(sh, s -> 2 * {md5_mod(f_b, 2)} - 1)) > 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
+      for b, f_b in ((b, f"concat('{b}|', s)") for b in range(16))
+  )} AS simhash
+FROM (SELECT doc_id, {_shingles_duck()} AS sh FROM documents)
+WHERE len(sh) > 0
+""")
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over token 3-shingles (per-bit ±1 votes)."""
+    d = documents(spark, sf_dir)
+    toks = portable.norm_tokens("text", SPARK)
+    sh = (
+        f"transform(sequence(1, greatest(1, size({toks}) - 2)), "
+        f"i -> array_join(slice({toks}, i, 3), ' '))"
+    )
+    bits = " + ".join(
+        "CAST(CASE WHEN aggregate(sh, 0, (acc, s) -> acc + 2 * {h} - 1) > 0 THEN {v} ELSE 0 END AS BIGINT)".format(
+            h=md5_mod("concat('%d|', s)" % b, 2), v=1 << b
+        )
+        for b in range(16)
+    )
+    return (
+        d.selectExpr("doc_id", f"{sh} AS sh").where("size(sh) > 0")
+        .selectExpr("doc_id", f"{bits} AS simhash")
+    )
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    from deepref_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = documents(spark, sf_dir)
+    d = d.select("doc_id", "text")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8)
+
+
+@q("text_token_count", f"""
+SELECT doc_id,
+       CAST(len({_TOKS_DUCK}) AS INT) AS n_tokens,
+       CAST(list_sum(list_transform({_TOKS_DUCK}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces
+FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    from deepref_spark.operators.text_analysis import token_count
+
+    return token_count(documents(spark, sf_dir))
+
+
+@q("text_quality", None)  # registered below with generated oracle
+def text_quality(spark, sf_dir):
+    from deepref_spark.operators.text_analysis import quality_score
+
+    return quality_score(documents(spark, sf_dir))
+
+
+def _quality_oracle() -> str:
+    from deepref_spark.operators.text_analysis import LANG_MARKERS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
+    toks = _TOKS_DUCK
+    n = f"CAST(len({toks}) AS DOUBLE)"
+    n_sw = f"CAST(len(list_filter({toks}, w -> w IN ({sw}))) AS DOUBLE)"
+    n_alpha = f"CAST(len(list_filter({toks}, w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE)"
+    mean_len = f"CAST(list_sum(list_transform({toks}, w -> length(w))) AS DOUBLE) / greatest({n}, 1.0)"
+    len_ok = f"CASE WHEN {n} >= 10 AND {n} <= 5000 THEN 1.0 ELSE 0.0 END"
+    wl_ok = f"CASE WHEN {mean_len} >= 2.5 AND {mean_len} <= 10.0 THEN 1.0 ELSE 0.0 END"
+    sw_ratio = f"({n_sw} / greatest({n}, 1.0))"
+    alpha_ratio = f"({n_alpha} / greatest({n}, 1.0))"
+    return f"""
+SELECT doc_id,
+       CAST({n} AS INT) AS n_tokens,
+       round({sw_ratio}, 6) AS stopword_ratio,
+       round({alpha_ratio}, 6) AS alpha_ratio,
+       round(0.25 * {len_ok} + 0.25 * {wl_ok}
+             + 0.25 * least({sw_ratio} * 4.0, 1.0) + 0.25 * {alpha_ratio}, 6) AS quality
+FROM documents
+"""
+
+
+REGISTRY["text_quality"]["oracle"] = _quality_oracle()
+
+
+@q("text_lang_id", None)  # oracle generated below
+def text_lang_id(spark, sf_dir):
+    from deepref_spark.operators.text_analysis import lang_id
+
+    return lang_id(documents(spark, sf_dir)).select("doc_id", "lang_pred", "marker_hits")
+
+
+def _lang_oracle() -> str:
+    from deepref_spark.operators.text_analysis import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    hit_cols = ", ".join(
+        f"CAST(len(list_filter({_TOKS_DUCK}, w -> w IN ({', '.join(chr(39) + m + chr(39) for m in ms)}))) AS INT) AS hits_{lg}"
+        for lg, ms in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pick = "'und'"
+    for lg in reversed(langs):
+        pick = f"CASE WHEN hits_{lg} = {best} THEN '{lg}' ELSE {pick} END"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {best} > 0 THEN {pick} ELSE 'und' END AS lang_pred,
+       {best} AS marker_hits
+FROM (SELECT doc_id, {hit_cols} FROM documents)
+"""
+
+
+REGISTRY["text_lang_id"]["oracle"] = _lang_oracle()
+
+
+@q("doc_fingerprint", f"""
+SELECT doc_id,
+       list_min(list_transform(
+         list_transform(generate_series(1, greatest(1, len({_TOKS_DUCK}) - 4)),
+                        i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + 4), ' ')),
+         s -> {md5_mod('s', 1000003)})) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    from deepref_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(documents(spark, sf_dir))
+
+
+# --- Group C: embeddings similarity ------------------------------------------
+
+def _emb_queries_filter() -> str:
+    return "vec_id % 50 = 0"
+
+
+@q("emb_cosine_topk", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE {_emb_queries_filter()}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+""")
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN correctness baseline)."""
+    from deepref_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return brute_force_topk(emb, qs, k=5).select(
+        "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q("emb_ann_lsh", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {" || ".join(f"(CASE WHEN CAST(list_element(embedding, {i + 1}) AS DOUBLE) >= 0 THEN '1' ELSE '0' END)" for i in range(8))} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE {_emb_queries_filter()}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+""")
+def emb_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the scale path)."""
+    from deepref_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return lsh_ann_topk(emb, qs, k=5, n_planes=8).select(
+        "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q("emb_near_dups", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {" || ".join(f"(CASE WHEN CAST(list_element(embedding, {i + 1}) AS DOUBLE) >= 0 THEN '1' ELSE '0' END)" for i in range(6))} AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.embedding, y.embedding)
+             / (sqrt(list_dot_product(x.embedding, x.embedding)) * sqrt(list_dot_product(y.embedding, y.embedding))), 4) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.embedding, y.embedding)
+      / (sqrt(list_dot_product(x.embedding, x.embedding)) * sqrt(list_dot_product(y.embedding, y.embedding))), 4) >= 0.95
+""")
+def emb_near_dups(spark, sf_dir):
+    from deepref_spark.operators.similarity import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.95, n_planes=6)
+
+
+# --- Group D: events (windowed agg + sessionization) -------------------------
+
+@q("events_window_agg", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation (the batch twin of the streaming
+    query in streaming/stream_ops.py)."""
+    from deepref_spark.streaming.stream_ops import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
+
+
+@q("events_sessionize", """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(CAST(sum(value) AS DOUBLE), 6) AS session_value
+FROM sess GROUP BY 1, 2
+""")
+def events_sessionize(spark, sf_dir):
+    from deepref_spark.streaming.stream_ops import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "session_value",
+    )
+
+
+# --- model-scored flagship (rows-only: the numpy forward is not SQL) ---------
+
+def model_mentions(spark, sf_dir) -> DataFrame:
+    """portable mentions reshaped into the MENTION schema consumed by
+    the tokenize/score operators."""
+    m = portable_mentions(spark, sf_dir)
+    tag = portable.tag_case("x", SPARK)
+    dep = portable.dep_case(portable.tag_case("x", SPARK))
+    return m.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.col("doc_id").cast("string").alias("sent_id"),
+        F.col("tokens").alias("token"),
+        F.struct(F.col("h_name").alias("name"), F.array("h0", "h1").alias("pos")).alias("h"),
+        F.struct(F.col("t_name").alias("name"), F.array("t0", "t1").alias("pos")).alias("t"),
+        "relation",
+        F.expr(f"transform(tokens, x -> {tag})").alias("pos_tags"),
+        F.expr(f"transform(tokens, x -> {dep})").alias("deps"),
+        F.expr("transform(tokens, x -> 'O')").alias("ner"),
+    )
+
+
+@q("kg_triples_model", None)
+def kg_triples_model(spark, sf_dir):
+    """Flagship: full extraction with the broadcast-weight numpy scorer
+    (tokenize -> batched forward -> argmax -> canonical triple dedup).
+    No SQL oracle (model forward); covered by pytest goldens + the
+    rows-only driver check."""
+    from deepref_spark.operators import score as score_op
+    from deepref_spark.operators import tokenize as tok_op
+    from deepref_spark.pipeline import triples_from_scored
+
+    mentions = model_mentions(spark, sf_dir)
+    tokenized = tok_op.tokenize_mentions(mentions, max_length=128)
+    rel2id = score_op.rel2id_from_relations(portable.RELATION_NAMES)
+    scored = score_op.score_tokenized(spark, tokenized, n_relations=len(rel2id))
+    scored = score_op.attach_pred_names(scored, rel2id)
+    return triples_from_scored(scored, canonicalize=True).select(
+        "subj", "pred", "obj", "subj_canon", "obj_canon",
+        F.round("score", 6).alias("score"), "n_docs",
+    )
+
+
+@q("kg_eval_model", None)
+def kg_eval_model(spark, sf_dir):
+    """Model-path evaluation metrics (A3-A5) against the synthetic
+    golden labels — rows-only check (one row out)."""
+    from deepref_spark.operators import score as score_op
+    from deepref_spark.operators import tokenize as tok_op
+    from deepref_spark.operators.metrics import eval_metrics
+
+    mentions = model_mentions(spark, sf_dir)
+    tokenized = tok_op.tokenize_mentions(mentions, max_length=128)
+    rel2id = score_op.rel2id_from_relations(portable.RELATION_NAMES)
+    scored = score_op.score_tokenized(spark, tokenized, n_relations=len(rel2id))
+    scored = score_op.attach_pred_names(scored, rel2id)
+    return eval_metrics(scored, all_relations=portable.RELATION_NAMES)

@@ -35,6 +35,8 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event_type. Works on both
     a stream (append mode) and a batch frame (same expression)."""
+    # watermarks require TIMESTAMP (session-TZ), not TIMESTAMP_NTZ
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -47,7 +49,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization: per-user session ids from gaps > threshold
     (lag + cumulative sum), then per-session rollup."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # parquet µs timestamps read as TIMESTAMP_NTZ can't cast straight to
+    # long; hop through timestamp (session TZ pinned to UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     marked = (
         F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0))
     )

@@ -1,0 +1,59 @@
+"""Driver-contract tests: every oracle-backed query in
+__spark_entry__.queries() must match its DuckDB oracle at sf0.001 (the
+local mirror of the driver's sf0.01 gate), and the model-path queries
+must produce sane rows."""
+
+import pytest
+
+from harness import compare_query, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from deepref_spark.queries import REGISTRY
+
+    return REGISTRY
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+def _oracle_names():
+    from deepref_spark.queries import REGISTRY
+
+    return sorted(n for n, s in REGISTRY.items() if s["oracle"] is not None)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, duck, registry, name):
+    ok, detail = compare_query(
+        spark, duck, registry[name]["spark"], registry[name]["oracle"], SF
+    )
+    assert ok, f"{name}: {detail}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.limit(2000).collect()
+    assert len(rows) > 0
+    assert {"subj", "pred", "obj", "subj_canon", "obj_canon", "score", "n_docs"} <= set(df.columns)
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 38
+
+
+def test_model_queries_rows_only(spark, registry):
+    triples = registry["kg_triples_model"]["spark"](spark, SF)
+    pdf = triples.toPandas()
+    assert len(pdf) > 0
+    assert pdf["pred"].nunique() >= 2  # class-diverse predictions
+    ev = registry["kg_eval_model"]["spark"](spark, SF).collect()[0]
+    assert 0.0 <= ev["acc"] <= 1.0 and ev["micro_f1"] == ev["acc"]
