@@ -67,3 +67,15 @@ def ensure_stage(spark: SparkSession, warehouse: str, stage: str, compute,
     if not stage_complete(warehouse, stage):
         write_stage(compute(), warehouse, stage, partition_by, lineage)
     return read_stage(spark, warehouse, stage)
+
+
+def write_label_map(path: str, mapping: dict[str, int]) -> None:
+    """W3 — rel2id/upos2id/deps2id json artifacts (dataset.py:39-42,
+    generate_parser.py:21-26), deterministically ordered."""
+    with open(path, "w") as f:
+        json.dump(dict(sorted(mapping.items(), key=lambda kv: kv[1])), f, indent=0)
+
+
+def read_label_map(path: str) -> dict[str, int]:
+    with open(path) as f:
+        return json.load(f)

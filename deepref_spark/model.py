@@ -67,22 +67,32 @@ def forward_batch(weights: dict, ids: np.ndarray, mask: np.ndarray,
     (bert_encoder.py:122-142) and SoftmaxNN's fc+softmax+max
     (softmax_nn.py:37-47, sentence_re.py:199).
     """
-    emb = weights["emb"]
-    hidden = emb[ids] * mask[:, :, None]          # (B, L, H)
     # Context mixing: without it the gather at the entity-marker
     # positions would read the (constant) marker embedding and every
     # row would score identically. A bidirectional local mix makes the
     # marker states depend on the adjacent entity/context pieces — the
     # cheapest deterministic stand-in for attention that still yields
     # input-sensitive, class-diverse predictions.
-    left = np.roll(hidden, 1, axis=1)
-    left[:, 0] = 0.0
-    right = np.roll(hidden, -1, axis=1)
-    right[:, -1] = 0.0
-    hidden = np.tanh(3.0 * (hidden + 0.7 * left + 0.7 * right))
+    #
+    # Only the two gathered positions feed the head, so the mix is
+    # computed at those positions alone (identical float ops to the
+    # full (B, L, H) tanh, ~L/2 x less work — this is the hot loop of
+    # the whole pipeline).
+    emb = weights["emb"]
     b = np.arange(ids.shape[0])
-    head = hidden[b, pos1]                         # (B, H)
-    tail = hidden[b, pos2]                         # (B, H)
+    L = ids.shape[1]
+
+    def state_at(pos: np.ndarray) -> np.ndarray:
+        def tok(p):
+            p_c = np.clip(p, 0, L - 1)
+            valid = ((p >= 0) & (p < L)).astype(np.float64) * mask[b, p_c]
+            return emb[ids[b, p_c]] * valid[:, None]
+
+        center, left, right = tok(pos), tok(pos - 1), tok(pos + 1)
+        return np.tanh(3.0 * (center + 0.7 * left + 0.7 * right))
+
+    head = state_at(pos1)                          # (B, H)
+    tail = state_at(pos2)                          # (B, H)
     x = np.concatenate([head, tail], axis=1)       # (B, 2H)
     x = np.tanh(x @ weights["w_lin"] + weights["b_lin"])
     logits = x @ weights["w_fc"] + weights["b_fc"]  # (B, N)
@@ -94,15 +104,161 @@ def forward_batch(weights: dict, ids: np.ndarray, mask: np.ndarray,
     return pred.astype(np.int32), p[b, pred]
 
 
-# Per-python-worker weight cache: the broadcast value is unpickled once
-# per worker process, not once per batch.
-_WORKER_CACHE: dict[int, dict] = {}
-
-
 def cached_weights(broadcast_var) -> dict:
-    key = id(broadcast_var)
-    w = _WORKER_CACHE.get(key)
-    if w is None:
-        w = broadcast_var.value
-        _WORKER_CACHE[key] = w
+    """Deserialized once per python worker: Spark's own broadcast layer
+    caches .value per process, so no extra cache is needed (an earlier
+    id()-keyed cache here collided across broadcasts after GC id reuse
+    and served one model's weights to another — never key on id())."""
+    return broadcast_var.value
+
+
+def forward_cls_batch(weights: dict, ids: np.ndarray, mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """M1 — BERT-CLS variant (bert_encoder.py:30-39 + SoftmaxNN): the
+    pooled representation is the [CLS]-position state (position 0) with
+    the same local context mix; duplicated to the 2H head input so the
+    same fc stack serves both encoders."""
+    b = np.arange(ids.shape[0])
+    pos0 = np.zeros(len(b), dtype=np.int64)
+    emb = weights["emb"]
+    L = ids.shape[1]
+
+    def tok(p):
+        p_c = np.clip(p, 0, L - 1)
+        valid = ((p >= 0) & (p < L)).astype(np.float64) * mask[b, p_c]
+        return emb[ids[b, p_c]] * valid[:, None]
+
+    cls_state = np.tanh(3.0 * (tok(pos0) + 0.7 * tok(pos0 - 1) + 0.7 * tok(pos0 + 1)))
+    x = np.concatenate([cls_state, cls_state], axis=1)
+    x = np.tanh(x @ weights["w_lin"] + weights["b_lin"])
+    logits = (x @ weights["w_fc"] + weights["b_fc"] - weights["logit_offset"]) * 8.0
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    pred = p.argmax(axis=1)
+    return pred.astype(np.int32), p[b, pred]
+
+
+def build_ebem_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE,
+                       hidden: int = HIDDEN) -> dict:
+    """M3 weights: EBEM concatenates head/tail entity states AND their
+    SK father/grandpa states (4H input, bert_encoder.py:269-330's
+    input_size = 4 * H) through a 3-linear funnel."""
+    rs = np.random.RandomState(SEED + 1)
+    scale = 1.0 / np.sqrt(hidden)
+    in_sz = 4 * hidden
+    w = {
+        "emb": rs.normal(0, 1.0, size=(vocab_size, hidden)) * scale,
+        "w1": rs.normal(0, 1.0, size=(in_sz, in_sz // 2)) * scale,
+        "b1": rs.normal(0, 0.1, size=(in_sz // 2,)),
+        "w2": rs.normal(0, 1.0, size=(in_sz // 2, in_sz // 4)) * scale,
+        "b2": rs.normal(0, 0.1, size=(in_sz // 4,)),
+        "w_fc": rs.normal(0, 1.0, size=(in_sz // 4, n_relations)) * scale,
+        "b_fc": rs.normal(0, 0.1, size=(n_relations,)),
+        "n_relations": n_relations,
+    }
+    x0 = np.tanh(np.tanh(w["b1"]) @ w["w2"] + w["b2"])
+    w["logit_offset"] = x0 @ w["w_fc"] + w["b_fc"]
     return w
+
+
+def forward_ebem_batch(weights: dict, ids: np.ndarray, mask: np.ndarray,
+                       pos1: np.ndarray, pos2: np.ndarray,
+                       sk_pos1: np.ndarray, sk_pos2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """M3 — EBEM forward (bert_encoder.py:269-330): entity-start gathers
+    plus SK-position gathers (father position of each entity's SK pair),
+    concat (B, 4H), linear funnel, softmax argmax."""
+    emb = weights["emb"]
+    b = np.arange(ids.shape[0])
+    L = ids.shape[1]
+
+    def state_at(pos: np.ndarray) -> np.ndarray:
+        def tok(p):
+            p_c = np.clip(p, 0, L - 1)
+            valid = ((p >= 0) & (p < L)).astype(np.float64) * mask[b, p_c]
+            return emb[ids[b, p_c]] * valid[:, None]
+
+        return np.tanh(3.0 * (tok(pos) + 0.7 * tok(pos - 1) + 0.7 * tok(pos + 1)))
+
+    head = state_at(pos1)
+    tail = state_at(pos2)
+    sk_head = state_at(sk_pos1[:, 0])
+    sk_tail = state_at(sk_pos2[:, 0])
+    x = np.concatenate([head, sk_head, tail, sk_tail], axis=1)  # (B, 4H)
+    x = np.tanh(x @ weights["w1"] + weights["b1"])
+    x = np.tanh(x @ weights["w2"] + weights["b2"])
+    logits = (x @ weights["w_fc"] + weights["b_fc"] - weights["logit_offset"]) * 8.0
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    pred = p.argmax(axis=1)
+    return pred.astype(np.int32), p[b, pred]
+
+
+def build_cnn_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE,
+                      hidden: int = HIDDEN, pos_dim: int = 5,
+                      max_length: int = 128, window: int = 3) -> dict:
+    """M4/M5 weights: word ⊕ pos1 ⊕ pos2 embeddings -> 1-D conv ->
+    (piecewise) max pool -> fc (cnn_encoder.py:46-65 /
+    pcnn_encoder.py:54-80 dataflow)."""
+    rs = np.random.RandomState(SEED + 2)
+    in_dim = hidden + 2 * pos_dim
+    scale = 1.0 / np.sqrt(in_dim)
+    w = {
+        "emb": rs.normal(0, 1.0, size=(vocab_size, hidden)) * (1.0 / np.sqrt(hidden)),
+        "pos_emb": rs.normal(0, 1.0, size=(2 * max_length, pos_dim)) * 0.3,
+        "conv": rs.normal(0, 1.0, size=(window * in_dim, hidden)) * scale,
+        "b_conv": rs.normal(0, 0.1, size=(hidden,)),
+        "w_fc": rs.normal(0, 1.0, size=(hidden, n_relations)) * (1.0 / np.sqrt(hidden)),
+        "w_fc3": rs.normal(0, 1.0, size=(3 * hidden, n_relations)) * (1.0 / np.sqrt(3 * hidden)),
+        "b_fc": rs.normal(0, 0.1, size=(n_relations,)),
+        "n_relations": n_relations,
+        "window": window,
+    }
+    return w
+
+
+def _conv_relu(w: dict, ids, pos1, pos2):
+    emb = w["emb"][ids]                                   # (B, L, H)
+    p1 = w["pos_emb"][np.clip(pos1, 0, w["pos_emb"].shape[0] - 1)]
+    p2 = w["pos_emb"][np.clip(pos2, 0, w["pos_emb"].shape[0] - 1)]
+    x = np.concatenate([emb, p1, p2], axis=2)             # (B, L, H+2P)
+    B, L, D = x.shape
+    k = w["window"]
+    pad = np.zeros((B, k // 2, D))
+    xp = np.concatenate([pad, x, pad], axis=1)
+    windows = np.stack([xp[:, i:i + L] for i in range(k)], axis=2)  # (B, L, k, D)
+    conv = windows.reshape(B, L, k * D) @ w["conv"] + w["b_conv"]   # (B, L, H)
+    return np.maximum(conv, 0.0)
+
+
+def forward_cnn_batch(w: dict, ids, pos1, pos2) -> tuple[np.ndarray, np.ndarray]:
+    """M4 — CNN forward: conv -> relu -> max-pool over L -> fc."""
+    conv = _conv_relu(w, ids, pos1, pos2)
+    rep = conv.max(axis=1)                                # (B, H)
+    logits = rep @ w["w_fc"] + w["b_fc"]
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    b = np.arange(ids.shape[0])
+    pred = p.argmax(axis=1)
+    return pred.astype(np.int32), p[b, pred]
+
+
+def forward_pcnn_batch(w: dict, ids, pos1, pos2, seg_mask) -> tuple[np.ndarray, np.ndarray]:
+    """M5 — PCNN forward: conv then 3 masked max-pools (piecewise by the
+    K4 segment mask), concat (B, 3H), fc."""
+    conv = _conv_relu(w, ids, pos1, pos2)                 # (B, L, H)
+    pools = []
+    for seg in (1, 2, 3):
+        m = (seg_mask == seg)[:, :, None]
+        seg_vals = np.where(m, conv, -np.inf)
+        pool = seg_vals.max(axis=1)
+        pools.append(np.where(np.isfinite(pool), pool, 0.0))
+    rep = np.concatenate(pools, axis=1)                   # (B, 3H)
+    logits = rep @ w["w_fc3"] + w["b_fc"]
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    b = np.arange(ids.shape[0])
+    pred = p.argmax(axis=1)
+    return pred.astype(np.int32), p[b, pred]

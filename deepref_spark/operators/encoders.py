@@ -1,0 +1,162 @@
+"""Encoder-variant operators (SURVEY.md §2.3 K2-K4 + §2.4 M1/M3/M4/M5):
+the EBEM path (entity markers + semantic-knowledge tokens) and the
+word+position CNN/PCNN family, each as one fused Arrow pass.
+
+These widen coverage beyond the default bert_entity path in
+operators/fused.py; selection mirrors the reference's `model` string
+(train.py:138-254):
+    bert_entity -> fused.extract_scored_fused
+    bert_cls    -> score_cls
+    ebem        -> score_ebem        (K2 + M3)
+    cnn / pcnn  -> score_cnn_family  (K3 [+K4] + M4/M5)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from deepref_spark import model as mdl
+from deepref_spark import refsem
+
+SCORED_SCHEMA = (
+    "sent_id string, doc_id string, relation string, "
+    "h_name string, t_name string, pred_id int, score double"
+)
+
+
+def _iter_mentions(pdf: pd.DataFrame):
+    for row in pdf.itertuples(index=False):
+        yield row
+
+
+def score_ebem(spark: SparkSession, mentions: DataFrame, n_relations: int,
+               max_length: int = 128, mask_entity: bool = False) -> DataFrame:
+    """mentions (token, h, t, sk, ...) -> EBEM-scored rows. One fused
+    crossing: K2 tokenize + M3 forward."""
+    weights_bc = spark.sparkContext.broadcast(mdl.build_ebem_weights(n_relations))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if weights is None:
+                weights = mdl.cached_weights(weights_bc)
+            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
+            ids_l, mask_l, p1, p2, sk1, sk2 = [], [], [], [], [], []
+            for row in _iter_mentions(pdf):
+                ses1 = list(row.sk["ses1"]) if row.sk is not None and row.sk["ses1"] is not None else []
+                ses2 = list(row.sk["ses2"]) if row.sk is not None and row.sk["ses2"] is not None else []
+                if len(ses1) == 0:
+                    ses1 = [row.h["name"], row.h["name"]]
+                if len(ses2) == 0:
+                    ses2 = [row.t["name"], row.t["name"]]
+                sk = {"ses1": ses1, "ses2": ses2}
+                out = refsem.ebem_tokenize(
+                    list(row.token), list(row.h["pos"]), list(row.t["pos"]),
+                    sk, max_length=max_length, mask_entity=mask_entity,
+                )
+                cols["sent_id"].append(row.sent_id)
+                cols["doc_id"].append(row.doc_id)
+                cols["relation"].append(row.relation)
+                cols["h_name"].append(row.h["name"])
+                cols["t_name"].append(row.t["name"])
+                ids_l.append(out["ids"])
+                mask_l.append(out["att_mask"])
+                p1.append(out["pos1"])
+                p2.append(out["pos2"])
+                sk1.append(out["sk_pos1"])
+                sk2.append(out["sk_pos2"])
+            if not cols["sent_id"]:
+                continue
+            pred, score = mdl.forward_ebem_batch(
+                weights, np.asarray(ids_l), np.asarray(mask_l),
+                np.asarray(p1), np.asarray(p2), np.asarray(sk1), np.asarray(sk2),
+            )
+            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+
+    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+def score_cls(spark: SparkSession, mentions: DataFrame, n_relations: int,
+              max_length: int = 128) -> DataFrame:
+    """bert_cls path (M1): K1 tokenize, pooled-[CLS] forward."""
+    weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if weights is None:
+                weights = mdl.cached_weights(weights_bc)
+            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
+            ids_l, mask_l = [], []
+            for row in _iter_mentions(pdf):
+                ids, mask, _, _ = refsem.bert_entity_tokenize(
+                    list(row.token), list(row.h["pos"]), list(row.t["pos"]), max_length
+                )
+                cols["sent_id"].append(row.sent_id)
+                cols["doc_id"].append(row.doc_id)
+                cols["relation"].append(row.relation)
+                cols["h_name"].append(row.h["name"])
+                cols["t_name"].append(row.t["name"])
+                ids_l.append(ids)
+                mask_l.append(mask)
+            if not cols["sent_id"]:
+                continue
+            pred, score = mdl.forward_cls_batch(weights, np.asarray(ids_l), np.asarray(mask_l))
+            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+
+    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
+                     max_length: int = 128, piecewise: bool = False) -> DataFrame:
+    """cnn/pcnn path: K3 word+position tokenize (+K4 segment mask for
+    pcnn) and the M4/M5 conv forward."""
+    weights_bc = spark.sparkContext.broadcast(
+        mdl.build_cnn_weights(n_relations, max_length=max_length)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if weights is None:
+                weights = mdl.cached_weights(weights_bc)
+            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
+            ids_l, p1_l, p2_l, seg_l = [], [], [], []
+            for row in _iter_mentions(pdf):
+                token = list(row.token)
+                hp, tp = list(row.h["pos"]), list(row.t["pos"])
+                ids, pos1, pos2 = refsem.word_position_tokenize(token, hp, tp, max_length)
+                cols["sent_id"].append(row.sent_id)
+                cols["doc_id"].append(row.doc_id)
+                cols["relation"].append(row.relation)
+                cols["h_name"].append(row.h["name"])
+                cols["t_name"].append(row.t["name"])
+                ids_l.append(ids)
+                p1_l.append(pos1)
+                p2_l.append(pos2)
+                if piecewise:
+                    seg_l.append(refsem.pcnn_segment_mask(len(token), hp, tp, max_length))
+            if not cols["sent_id"]:
+                continue
+            if piecewise:
+                pred, score = mdl.forward_pcnn_batch(
+                    weights, np.asarray(ids_l), np.asarray(p1_l), np.asarray(p2_l),
+                    np.asarray(seg_l),
+                )
+            else:
+                pred, score = mdl.forward_cnn_batch(
+                    weights, np.asarray(ids_l), np.asarray(p1_l), np.asarray(p2_l)
+                )
+            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+
+    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)

@@ -122,3 +122,46 @@ def pr_curve(preds: DataFrame, score_col: str = "score",
          / F.row_number().over(Window.orderBy(F.desc(score_col), "sent_id"))).alias("prec"),
         (F.sum(F.col(correct_col).cast("long")).over(w) / F.lit(float(total))).alias("rec"),
     )
+
+
+def auc_trapezoid(pr_points: DataFrame, rec_col: str = "rec",
+                  prec_col: str = "prec") -> DataFrame:
+    """A10's AUC (data_loader.py:263 sklearn.metrics.auc): trapezoid
+    rule over the (recall, precision) curve — a window over the sorted
+    curve, pure aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(rec_col)
+    stepped = pr_points.select(
+        F.col(rec_col).alias("x"), F.col(prec_col).alias("y"),
+        F.lag(rec_col).over(w).alias("x0"),
+        F.lag(prec_col).over(w).alias("y0"),
+    ).where(F.col("x0").isNotNull())
+    return stepped.agg(
+        F.round(F.sum((F.col("x") - F.col("x0")) * (F.col("y") + F.col("y0")) / 2.0), 6).alias("auc")
+    )
+
+
+def ablation_summary(results: DataFrame, config_cols: list[str],
+                     metric_col: str = "metric_value") -> DataFrame:
+    """A12 (ablation_studies.py:77-138): per-configuration mean/std over
+    seeds — the reference appends np.mean/np.std rows to a CSV; here one
+    grouped aggregation."""
+    return (
+        results.groupBy(*config_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds"),
+            F.round(F.avg(metric_col), 6).alias("mean_metric"),
+            F.round(F.coalesce(F.stddev_samp(metric_col), F.lit(0.0)), 6).alias("std_metric"),
+        )
+    )
+
+
+def cv_splits(df: DataFrame, k: int = 5, seed: int = 42,
+              id_col: str = "sent_id") -> DataFrame:
+    """Cross-validation fold assignment (framework/cross_validation.py:
+    23-30's shuffle+slice): deterministic hash-based fold id — stable
+    under repartitioning, unlike randomSplit."""
+    return df.withColumn(
+        "fold", F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(k))
+    )

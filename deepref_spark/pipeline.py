@@ -27,16 +27,31 @@ def extract_scored(
     preprocessing: list[str] | None = None,
     max_length: int = 128,
     relations: list[str] | None = None,
+    fused: bool = True,
 ) -> DataFrame:
-    """docs -> scored mentions with predicted relation names."""
+    """docs -> scored mentions with predicted relation names.
+
+    fused=True (default, production path): parse/preprocess/tokenize/
+    score run in ONE mapInPandas crossing (operators/fused.py).
+    fused=False: the modular operator chain — same kernels, same
+    output, 3 extra Python crossings; kept for stage-level inspection
+    and the operator-parity tests."""
     relations = relations or RELATION_NAMES
     sentences = convert.text_sentences(docs)
-    mentions = parse.parse_mentions(sentences)
-    if preprocessing:
-        mentions = preprocess.apply_variant(mentions, preprocessing)
-    tokenized = tokenize.tokenize_mentions(mentions, max_length=max_length)
     rel2id = score.rel2id_from_relations(relations)
-    scored = score.score_tokenized(spark, tokenized, n_relations=len(rel2id))
+    if fused:
+        from deepref_spark.operators.fused import extract_scored_fused
+
+        scored = extract_scored_fused(
+            spark, sentences, n_relations=len(rel2id),
+            preprocessing=preprocessing, max_length=max_length,
+        )
+    else:
+        mentions = parse.parse_mentions(sentences)
+        if preprocessing:
+            mentions = preprocess.apply_variant(mentions, preprocessing)
+        tokenized = tokenize.tokenize_mentions(mentions, max_length=max_length)
+        scored = score.score_tokenized(spark, tokenized, n_relations=len(rel2id))
     return score.attach_pred_names(scored, rel2id)
 
 

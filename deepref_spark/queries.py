@@ -1331,3 +1331,137 @@ def kg_eval_model(spark, sf_dir):
     scored = score_op.score_tokenized(spark, tokenized, n_relations=len(rel2id))
     scored = score_op.attach_pred_names(scored, rel2id)
     return eval_metrics(scored, all_relations=portable.RELATION_NAMES)
+
+
+# --- metrics extensions: AUC (A10), ablation summary (A12), CV folds --------
+
+@q("kg_auc", _oracle_prefix() + f"""
+, preds AS (SELECT doc_id, relation, {_pred_expr()} AS pred_relation,
+                   round({_score_expr()}, 6) AS score FROM mentions
+            WHERE {_pred_expr()} <> 'Other'),
+ranked AS (
+  SELECT CASE WHEN relation = pred_relation THEN 1 ELSE 0 END AS correct,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM preds
+),
+curve AS (
+  SELECT rk,
+         CAST(sum(correct) OVER (ORDER BY rk) AS DOUBLE) / rk AS prec,
+         CAST(sum(correct) OVER (ORDER BY rk) AS DOUBLE)
+           / (SELECT greatest(sum(correct), 1) FROM ranked) AS rec
+  FROM ranked
+),
+stepped AS (
+  SELECT rec AS x, prec AS y,
+         lag(rec) OVER (ORDER BY rk) AS x0, lag(prec) OVER (ORDER BY rk) AS y0
+  FROM curve
+)
+SELECT round(CAST(sum((x - x0) * (y + y0) / 2.0) AS DOUBLE), 6) AS auc
+FROM stepped WHERE x0 IS NOT NULL
+""")
+def kg_auc(spark, sf_dir):
+    """A10 AUC (data_loader.py:263): trapezoid over the cumulative P/R
+    curve of the hash-predicate predictions."""
+    from deepref_spark.operators.metrics import auc_trapezoid
+
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    total = p.select(
+        F.sum((F.col("relation") == F.col("pred_relation")).cast("long"))
+    ).collect()[0][0] or 1
+    ranked = p.select(
+        (F.col("relation") == F.col("pred_relation")).cast("long").alias("correct"),
+        F.row_number().over(w).alias("rk"),
+    )
+    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    curve = ranked.select(
+        "rk",
+        (F.sum("correct").over(cum) / F.col("rk")).alias("prec"),
+        (F.sum("correct").over(cum) / F.lit(float(max(total, 1)))).alias("rec"),
+    )
+    return auc_trapezoid(curve)
+
+
+@q("kg_ablation_summary", _oracle_prefix() + f"""
+, results AS (
+  SELECT relation AS model, CAST(doc_id % 3 AS INT) AS seed,
+         round({_score_expr()}, 6) AS metric_value
+  FROM mentions
+)
+SELECT model, CAST(count(*) AS BIGINT) AS n_seeds,
+       round(avg(metric_value), 6) AS mean_metric,
+       round(coalesce(stddev_samp(metric_value), 0.0), 6) AS std_metric
+FROM (SELECT model, seed, avg(metric_value) AS metric_value FROM results GROUP BY 1, 2)
+GROUP BY model
+""")
+def kg_ablation_summary(spark, sf_dir):
+    """A12: per-configuration mean/std over seeds
+    (ablation_studies.py:77-138) — config = relation label, seed =
+    doc_id % 3, metric = deterministic score."""
+    from deepref_spark.operators.metrics import ablation_summary
+
+    m = portable_mentions(spark, sf_dir)
+    results = m.select(
+        F.col("relation").alias("model"),
+        (F.col("doc_id") % 3).cast("int").alias("seed"),
+        F.round(F.expr(_score_expr()), 6).alias("metric_value"),
+    ).groupBy("model", "seed").agg(F.avg("metric_value").alias("metric_value"))
+    return ablation_summary(results, ["model"])
+
+
+@q("kg_cv_folds", _oracle_prefix() + f"""
+SELECT {md5_mod("concat(CAST(doc_id AS VARCHAR), ':42')", 5)} AS fold,
+       CAST(count(*) AS BIGINT) AS n
+FROM mentions GROUP BY 1
+""")
+def kg_cv_folds(spark, sf_dir):
+    """CV split shape (cross_validation.py:23-30): deterministic
+    hash-based fold assignment + fold sizes (portable hash so the
+    oracle reproduces the exact folds, not just the distribution)."""
+    m = portable_mentions(spark, sf_dir)
+    fold = md5_mod("concat(CAST(doc_id AS STRING), ':42')", 5)
+    return m.selectExpr(f"{fold} AS fold").groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- encoder variants (rows-only: numpy forwards) ----------------------------
+
+def _mentions_with_sk(spark, sf_dir):
+    from deepref_spark.operators.sk import attach_sk, sk_table
+
+    return attach_sk(model_mentions(spark, sf_dir), sk_table(spark))
+
+
+@q("kg_eval_ebem", None)
+def kg_eval_ebem(spark, sf_dir):
+    """EBEM path (K2+M3): SK-augmented tokenize + 4H funnel forward,
+    evaluated against the synthetic goldens (rows-only)."""
+    from deepref_spark.operators.encoders import score_ebem
+    from deepref_spark.operators.metrics import eval_metrics
+    from deepref_spark.operators.score import attach_pred_names, rel2id_from_relations
+
+    rel2id = rel2id_from_relations(portable.RELATION_NAMES)
+    scored = score_ebem(spark, _mentions_with_sk(spark, sf_dir), len(rel2id))
+    return eval_metrics(attach_pred_names(scored, rel2id),
+                        all_relations=portable.RELATION_NAMES)
+
+
+@q("kg_eval_cnn_pcnn", None)
+def kg_eval_cnn_pcnn(spark, sf_dir):
+    """CNN + PCNN paths (K3/K4 + M4/M5), one metrics row each,
+    unioned with a path label (rows-only)."""
+    from deepref_spark.operators.encoders import score_cnn_family
+    from deepref_spark.operators.metrics import eval_metrics
+    from deepref_spark.operators.score import attach_pred_names, rel2id_from_relations
+
+    rel2id = rel2id_from_relations(portable.RELATION_NAMES)
+    mentions = model_mentions(spark, sf_dir)
+    out = None
+    for label, piecewise in (("cnn", False), ("pcnn", True)):
+        scored = score_cnn_family(spark, mentions, len(rel2id), piecewise=piecewise)
+        ev = eval_metrics(attach_pred_names(scored, rel2id),
+                          all_relations=portable.RELATION_NAMES)
+        ev = ev.select(F.lit(label).alias("encoder"), "*")
+        out = ev if out is None else out.unionByName(ev)
+    return out

@@ -618,3 +618,103 @@ def eval_predictions(goldens: list[int], preds: list[int], rel2id: dict[str, int
         "acc": acc, "micro_p": micro_p, "micro_r": micro_r,
         "micro_f1": micro_f1, "macro_f1": macro_f1,
     }
+
+
+def ebem_tokenize(
+    token: list[str], h_pos: list[int], t_pos: list[int], sk: dict,
+    max_length: int = 128, mask_entity: bool = False, to_id=None,
+) -> dict:
+    """EBEM tokenization (K2, bert_encoder.py:332-440): K1 plus the
+    semantic-knowledge father/grandpa tokens appended before [SEP],
+    wrapped in [unused4..7] ([unused6..7] pair first when reversed).
+    Positions are recovered with first-occurrence .index() — including
+    the mask_entity quirk where the entity placeholder [unused4/5]
+    shadows the SK wrapper of the same name (:390-404). Note the
+    reference wraps ent0/ent1 in [unused0..3] even when mask_entity
+    already replaced them (:384-385)."""
+    rev = h_pos[0] > t_pos[0]
+    pos_min, pos_max = (t_pos, h_pos) if rev else (h_pos, t_pos)
+
+    sent0 = tokenize_text(" ".join(token[:pos_min[0]]))
+    ent0 = tokenize_text(" ".join(token[pos_min[0]:pos_min[1]]))
+    sent1 = tokenize_text(" ".join(token[pos_min[1]:pos_max[0]]))
+    ent1 = tokenize_text(" ".join(token[pos_max[0]:pos_max[1]]))
+    sent2 = tokenize_text(" ".join(token[pos_max[1]:]))
+
+    if mask_entity:
+        ent0 = ["[unused4]"] if not rev else ["[unused5]"]
+        ent1 = ["[unused5]"] if not rev else ["[unused4]"]
+
+    sk1_father = tokenize_text(sk["ses1"][0])
+    sk1_grandpa = tokenize_text(sk["ses1"][-1])
+    sk2_father = tokenize_text(sk["ses2"][0])
+    sk2_grandpa = tokenize_text(sk["ses2"][-1])
+
+    ent0 = (["[unused0]"] + ent0 + ["[unused1]"]) if not rev else (["[unused2]"] + ent0 + ["[unused3]"])
+    ent1 = (["[unused2]"] + ent1 + ["[unused3]"]) if not rev else (["[unused0]"] + ent1 + ["[unused1]"])
+    sk1 = (["[unused4]"] + sk1_father + sk1_grandpa + ["[unused5]"]) if not rev \
+        else (["[unused6]"] + sk1_father + sk1_grandpa + ["[unused7]"])
+    sk2 = (["[unused6]"] + sk2_father + sk2_grandpa + ["[unused7]"]) if not rev \
+        else (["[unused4]"] + sk2_father + sk2_grandpa + ["[unused5]"])
+    re_tokens = ["[CLS]"] + sent0 + ent0 + sent1 + ent1 + sent2 + sk1 + sk2 + ["[SEP]"]
+
+    clamp = lambda p: min(max_length - 1, p)  # noqa: E731
+    sk_pos1 = [
+        clamp(re_tokens.index("[unused4]" if not rev else "[unused6]")),
+        clamp(re_tokens.index("[unused5]" if not rev else "[unused7]")),
+    ]
+    sk_pos2 = [
+        clamp(re_tokens.index("[unused6]" if not rev else "[unused4]")),
+        clamp(re_tokens.index("[unused7]" if not rev else "[unused5]")),
+    ]
+    if mask_entity:
+        pos1 = re_tokens.index("[unused4]" if not rev else "[unused5]")
+        pos2 = re_tokens.index("[unused5]" if not rev else "[unused4]")
+    else:
+        pos1 = re_tokens.index("[unused0]" if not rev else "[unused2]")
+        pos2 = re_tokens.index("[unused2]" if not rev else "[unused0]")
+    pos1, pos2 = clamp(pos1), clamp(pos2)
+
+    ids = [(to_id or piece_to_id)(p) for p in re_tokens]
+    avai_len = len(ids)
+    ids = (ids + [0] * max_length)[:max_length]
+    mask = [1] * min(avai_len, max_length) + [0] * max(0, max_length - avai_len)
+    return {
+        "ids": ids, "att_mask": mask, "pos1": pos1, "pos2": pos2,
+        "sk_pos1": sk_pos1, "sk_pos2": sk_pos2,
+    }
+
+
+def word_to_id(word: str, vocab_size: int = VOCAB_SIZE) -> int:
+    """Whole-word vocab lookup stand-in for K3 (convert_by_vocab,
+    tokenization/utils.py:186-202): lowercase, deterministic hash id in
+    [2, vocab_size) — 0 is [PAD], 1 is [UNK]."""
+    return 2 + md5_mod_py(word.lower(), vocab_size - 2)
+
+
+def word_position_tokenize(
+    token: list[str], h_pos: list[int], t_pos: list[int], max_length: int = 128,
+) -> tuple[list[int], list[int], list[int]]:
+    """K3 (base_encoder.py:84-154, is_token path): whole-word vocab ids
+    padded/truncated to max_length, plus relative-position features
+    clip(i - ent_start + L, 0, 2L-1) per entity, 0-padded."""
+    ids = [word_to_id(w) for w in token]
+    ids = (ids + [0] * max_length)[:max_length] if True else ids
+    p1i = min(h_pos[0], max_length)
+    p2i = min(t_pos[0], max_length)
+    pos1 = [min(i - p1i + max_length, 2 * max_length - 1) for i in range(len(token))]
+    pos2 = [min(i - p2i + max_length, 2 * max_length - 1) for i in range(len(token))]
+    pos1 = (pos1 + [0] * max_length)[:max_length]
+    pos2 = (pos2 + [0] * max_length)[:max_length]
+    return ids, pos1, pos2
+
+
+def pcnn_segment_mask(n_tokens: int, h_pos: list[int], t_pos: list[int],
+                      max_length: int = 128) -> list[int]:
+    """K4 (pcnn_encoder.py:155-172): 1 up to and including the first
+    entity start, 2 up to the second, 3 after, 0-padded."""
+    p1i = min(h_pos[0], max_length)
+    p2i = min(t_pos[0], max_length)
+    lo, hi = min(p1i, p2i), max(p1i, p2i)
+    mask = [1 if i <= lo else (2 if i <= hi else 3) for i in range(n_tokens)]
+    return (mask + [0] * max_length)[:max_length]

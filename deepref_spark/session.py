@@ -13,6 +13,14 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One BLAS thread per task: Spark supplies the parallelism (one python
+# worker per core); multi-threaded BLAS inside each worker oversubscribes
+# the box and destroys scaling (measured: 32 workers x OpenBLAS threads
+# ran SLOWER than 8). Must be set before numpy loads in the workers —
+# they inherit the JVM's env, which inherits ours.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 # Shuffle partitions are sized for the LARGEST parallelism we run
 # (local[32]); keeping it fixed across parallelism levels means the
 # N-core and 4N-core runs execute the same physical plan and the

@@ -70,3 +70,33 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 6).alias("session_value"),
         )
     )
+
+
+def running_entity_counts(scored_stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.7):
+    applyInPandasWithState keeping a running mention count + best score
+    per subject entity — the streaming twin of the bag-grouping
+    aggregation (A9). State is one row per entity; emits the updated
+    aggregate per micro-batch (update semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        total, best = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                best = max(best, float(pdf["score"].max()))
+        state.update((total, best))
+        yield pd.DataFrame({"subj": [key[0]], "n_mentions": [total], "best_score": [best]})
+
+    return (
+        scored_stream.groupBy("subj")
+        .applyInPandasWithState(
+            update,
+            outputStructType="subj string, n_mentions long, best_score double",
+            stateStructType="n long, best double",
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -203,3 +203,37 @@ def test_streaming_triple_dedup(spark, tmp_path):
     q.stop()
     rows = {(r["subj"], r["pred"], r["obj"]) for r in spark.sql("SELECT * FROM trip_out").collect()}
     assert rows == {("a", "r", "b"), ("c", "r", "d")}
+
+
+def test_stateful_running_entity_counts(spark, tmp_path):
+    """applyInPandasWithState over a file-source stream: running
+    per-entity mention counts + best score (update mode)."""
+    import pyspark.sql.functions as F
+    from deepref_spark.streaming.stream_ops import running_entity_counts
+
+    src = str(tmp_path / "scored_in")
+    spark.createDataFrame(
+        [("aspirin", 0.9), ("aspirin", 0.7), ("engine", 0.5), ("aspirin", 0.95)],
+        "subj string, score double",
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_entity_counts(stream).writeStream.outputMode("update")
+        .format("memory").queryName("state_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["subj"]: r for r in spark.sql(
+        "SELECT subj, max(n_mentions) n_mentions, max(best_score) best_score FROM state_out GROUP BY subj"
+    ).collect()}
+    assert rows["aspirin"]["n_mentions"] == 3 and abs(rows["aspirin"]["best_score"] - 0.95) < 1e-9
+    assert rows["engine"]["n_mentions"] == 1
+
+
+def test_label_map_sink(tmp_path):
+    from deepref_spark.io.tables import read_label_map, write_label_map
+
+    p = str(tmp_path / "rel2id.json")
+    write_label_map(p, {"b-rel": 1, "a-rel": 0, "Other": 2})
+    assert read_label_map(p) == {"a-rel": 0, "b-rel": 1, "Other": 2}

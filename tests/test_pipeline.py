@@ -130,3 +130,14 @@ def test_tokenize_matches_oracle(spark, docs):
         g = got[r["sent_id"]]
         assert list(g["ids"]) == ids and list(g["att_mask"]) == mask
         assert g["pos1"] == p1 and g["pos2"] == p2
+
+
+def test_fused_equals_modular(spark, docs):
+    """The fused single-crossing operator must be bit-identical to the
+    modular parse->preprocess->tokenize->score chain."""
+    for prep in (None, ["sw", "d"]):
+        a = extract_scored(spark, docs, preprocessing=prep, fused=True)
+        b = extract_scored(spark, docs, preprocessing=prep, fused=False)
+        ra = {r["sent_id"]: (r["pred_id"], r["score"], r["h_name"], r["t_name"]) for r in a.collect()}
+        rb = {r["sent_id"]: (r["pred_id"], r["score"], r["h_name"], r["t_name"]) for r in b.collect()}
+        assert ra == rb
