@@ -44,11 +44,19 @@ def _token_shingles(k: int = 3) -> str:
 
 def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, band, sig): per-band minhash over token k-shingles —
-    the shingle->minhash->band step of MinHash-LSH, all built-ins."""
-    sh = documents.select("doc_id", F.expr(_token_shingles(k)).alias("shingles"))
+    the shingle->minhash->band step of MinHash-LSH, all built-ins.
+    ONE md5 per shingle; each band reads a disjoint 4-hex-char slice
+    (n_bands <= 8), so hashing cost is flat in the band count."""
+    from deepref_spark.portable import md5_slice_mod
+
+    assert n_bands <= 8
+    sh = documents.select(
+        "doc_id",
+        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    )
     bands = [
-        "aggregate(shingles, {sp}, (acc, s) -> least(acc, {h})) as band_{b}".format(
-            sp=HASH_SPACE, h=md5_mod("concat('%d:', s)" % b, HASH_SPACE), b=b
+        "array_min(transform(hashes, h -> {h})) as band_{b}".format(
+            h=md5_slice_mod("h", 4 * b, HASH_SPACE), b=b
         )
         for b in range(n_bands)
     ]
@@ -108,13 +116,17 @@ def simhash(documents: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
     md5-derived hash votes +/-; the fingerprint sets bit j when the
     votes are positive. Explode+pivot-free formulation: one aggregate
     per bit inside a single projection."""
-    sh = documents.select("doc_id", F.expr(_token_shingles(k)).alias("shingles"))
+    from deepref_spark.portable import md5_bit
+
+    sh = documents.select(
+        "doc_id",
+        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    )
     bit_terms = []
     for j in range(bits):
-        h = md5_mod(f"concat('{j}|', s)", 2)
-        # vote: +1 when hash bit is 1, -1 otherwise
+        # vote: +1 when md5 bit j is 1, -1 otherwise; one md5 per shingle
         bit_terms.append(
-            f"CAST(CASE WHEN aggregate(shingles, 0, (acc, s) -> acc + (2 * {h} - 1)) > 0 "
+            f"CAST(CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + (2 * {md5_bit('h', j)} - 1)) > 0 "
             f"THEN {1 << j} ELSE 0 END AS BIGINT)"
         )
     return sh.select(

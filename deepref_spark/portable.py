@@ -90,6 +90,23 @@ def md5_unit(expr: str) -> str:
     return f"({md5_mod(expr, 100000)} / 100000.0)"
 
 
+def md5_slice_mod(hash_col: str, offset: int, m: int) -> str:
+    """Independent hash from a 4-hex-char slice of an ALREADY-computed
+    md5 column — lets one md5 per row feed many hash functions (16-bit
+    simhash, minhash bands) instead of re-hashing per function."""
+    return (
+        f"((ascii(substr({hash_col},{offset + 1},1))*131071 "
+        f"+ ascii(substr({hash_col},{offset + 2},1))*8191 "
+        f"+ ascii(substr({hash_col},{offset + 3},1))*127 "
+        f"+ ascii(substr({hash_col},{offset + 4},1))) % {m})"
+    )
+
+
+def md5_bit(hash_col: str, j: int) -> str:
+    """Bit j (0..31) of an already-computed md5 hex column."""
+    return f"(ascii(substr({hash_col},{j + 1},1)) % 2)"
+
+
 # ---------------------------------------------------------------------------
 # normalization / tokenization
 # ---------------------------------------------------------------------------

@@ -816,7 +816,9 @@ def kg_canonical_triples(spark, sf_dir):
     key-normalization canonicalizer (strip non-alnum) — the
     deterministic stand-in whose oracle is pure SQL; the LSH+CC
     canonicalizer is exercised by kg_connected_components."""
-    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    # three consumers (ents x2 + final join): materialize the filtered
+    # predictions once instead of re-parsing the corpus per consumer
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other").localCheckpoint()
     ents = (
         p.select(F.col("h_name").alias("entity"))
         .union(p.select(F.col("t_name").alias("entity")))
@@ -940,6 +942,13 @@ def kg_tokenize(spark, sf_dir):
 
 # --- Group B: corpus dedup / text analysis over `documents` -----------------
 
+
+
+def md5_slice_mod_duck(offset: int, m: int = 1_000_003) -> str:
+    from deepref_spark.portable import md5_slice_mod
+
+    return md5_slice_mod("h", offset, m)
+
 _NORM_DUCK = portable.norm_text("text", DUCK)
 _TOKS_DUCK = portable.norm_tokens("text", DUCK)
 
@@ -967,57 +976,49 @@ def _shingles_duck(k: int = 3) -> str:
 @q("dedup_minhash_bands", f"""
 SELECT doc_id,
   {", ".join(
-      f"list_min(list_transform(sh, s -> {md5_mod(f_b, 1000003)})) AS band_{b}"
-      for b, f_b in ((b, f"concat('{b}:', s)") for b in range(4))
+      "list_min(list_transform(hashes, h -> %s)) AS band_%d" % (md5_slice_mod_duck(4 * b), b)
+      for b in range(4)
   )}
-FROM (SELECT doc_id, {_shingles_duck()} AS sh FROM documents)
-WHERE len(sh) > 0
+FROM (SELECT doc_id, list_transform({_shingles_duck()}, s -> md5(s)) AS hashes FROM documents)
 """)
 def dedup_minhash_bands(spark, sf_dir):
-    """MinHash band signatures over token 3-shingles (the
-    shingle→minhash→band step of MinHash-LSH dedup)."""
+    """MinHash band signatures over token 3-shingles: ONE md5 per
+    shingle, each band a disjoint 4-hex-char slice (the
+    shingle->minhash->band step of MinHash-LSH)."""
+    from deepref_spark.portable import md5_slice_mod
+
     d = documents(spark, sf_dir)
     toks = portable.norm_tokens("text", SPARK)
     sh = (
-        f"transform(sequence(1, greatest(1, size({toks}) - 2)), "
-        f"i -> array_join(slice({toks}, i, 3), ' '))"
+        f"transform(transform(sequence(1, greatest(1, size({toks}) - 2)), "
+        f"i -> array_join(slice({toks}, i, 3), ' ')), s -> md5(s))"
     )
     cols = [
-        "array_min(transform(sh, s -> {h})) AS band_{b}".format(
-            h=md5_mod("concat('%d:', s)" % b, 1_000_003), b=b
+        "array_min(transform(hashes, h -> {h})) AS band_{b}".format(
+            h=md5_slice_mod("h", 4 * b, 1_000_003), b=b
         )
         for b in range(4)
     ]
-    return d.selectExpr("doc_id", f"{sh} AS sh").where("size(sh) > 0").selectExpr("doc_id", *cols)
+    # no filter: the shingle array is never empty (sequence floor of 1),
+    # and a filter on the alias would make Catalyst evaluate the md5
+    # array twice (filter + project)
+    return d.selectExpr("doc_id", f"{sh} AS hashes").selectExpr("doc_id", *cols)
 
 
 @q("dedup_simhash", f"""
 SELECT doc_id,
   {" + ".join(
-      f"CAST(CASE WHEN list_sum(list_transform(sh, s -> 2 * {md5_mod(f_b, 2)} - 1)) > 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
-      for b, f_b in ((b, f"concat('{b}|', s)") for b in range(16))
+      "CAST(CASE WHEN list_sum(list_transform(hashes, h -> 2 * (ascii(substr(h,%d,1)) %% 2) - 1)) > 0 THEN %d ELSE 0 END AS BIGINT)" % (j + 1, 1 << j)
+      for j in range(16)
   )} AS simhash
-FROM (SELECT doc_id, {_shingles_duck()} AS sh FROM documents)
-WHERE len(sh) > 0
+FROM (SELECT doc_id, list_transform({_shingles_duck()}, s -> md5(s)) AS hashes FROM documents)
 """)
 def dedup_simhash(spark, sf_dir):
-    """16-bit SimHash over token 3-shingles (per-bit ±1 votes)."""
-    d = documents(spark, sf_dir)
-    toks = portable.norm_tokens("text", SPARK)
-    sh = (
-        f"transform(sequence(1, greatest(1, size({toks}) - 2)), "
-        f"i -> array_join(slice({toks}, i, 3), ' '))"
-    )
-    bits = " + ".join(
-        "CAST(CASE WHEN aggregate(sh, 0, (acc, s) -> acc + 2 * {h} - 1) > 0 THEN {v} ELSE 0 END AS BIGINT)".format(
-            h=md5_mod("concat('%d|', s)" % b, 2), v=1 << b
-        )
-        for b in range(16)
-    )
-    return (
-        d.selectExpr("doc_id", f"{sh} AS sh").where("size(sh) > 0")
-        .selectExpr("doc_id", f"{bits} AS simhash")
-    )
+    """16-bit SimHash over token 3-shingles: per-bit +/-1 votes from the
+    bits of ONE md5 per shingle."""
+    from deepref_spark.operators.dedup import simhash
+
+    return simhash(documents(spark, sf_dir))
 
 
 @q("dedup_ngram_jaccard", f"""
