@@ -160,3 +160,53 @@ def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
             yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
 
     return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+def score_entity(spark: SparkSession, mentions: DataFrame, n_relations: int,
+                 max_length: int = 128) -> DataFrame:
+    """bert_entity path fused for structured mention rows (K1 + M2 in
+    one crossing) — the mention-table twin of fused.extract_scored_fused
+    (which starts from tagged text)."""
+    weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = None
+        memo: dict[str, int] = {}
+
+        def to_id(piece: str) -> int:
+            v = memo.get(piece)
+            if v is None:
+                v = refsem.piece_to_id(piece)
+                memo[piece] = v
+            return v
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if weights is None:
+                weights = mdl.cached_weights(weights_bc)
+            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
+            ids_l, mask_l, p1_l, p2_l = [], [], [], []
+            for row in _iter_mentions(pdf):
+                ids, mask, p1, p2 = refsem.bert_entity_tokenize(
+                    list(row.token), list(row.h["pos"]), list(row.t["pos"]),
+                    max_length=max_length, to_id=to_id,
+                )
+                cols["sent_id"].append(row.sent_id)
+                cols["doc_id"].append(row.doc_id)
+                cols["relation"].append(row.relation)
+                cols["h_name"].append(row.h["name"])
+                cols["t_name"].append(row.t["name"])
+                ids_l.append(ids)
+                mask_l.append(mask)
+                p1_l.append(p1)
+                p2_l.append(p2)
+            if not cols["sent_id"]:
+                continue
+            pred, score = mdl.forward_batch(
+                weights, np.asarray(ids_l), np.asarray(mask_l),
+                np.asarray(p1_l), np.asarray(p2_l),
+            )
+            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+
+    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)

@@ -1304,13 +1304,12 @@ def kg_triples_model(spark, sf_dir):
     No SQL oracle (model forward); covered by pytest goldens + the
     rows-only driver check."""
     from deepref_spark.operators import score as score_op
-    from deepref_spark.operators import tokenize as tok_op
+    from deepref_spark.operators.encoders import score_entity
     from deepref_spark.pipeline import triples_from_scored
 
     mentions = model_mentions(spark, sf_dir)
-    tokenized = tok_op.tokenize_mentions(mentions, max_length=128)
     rel2id = score_op.rel2id_from_relations(portable.RELATION_NAMES)
-    scored = score_op.score_tokenized(spark, tokenized, n_relations=len(rel2id))
+    scored = score_entity(spark, mentions, n_relations=len(rel2id))
     scored = score_op.attach_pred_names(scored, rel2id)
     return triples_from_scored(scored, canonicalize=True).select(
         "subj", "pred", "obj", "subj_canon", "obj_canon",
@@ -1323,14 +1322,14 @@ def kg_eval_model(spark, sf_dir):
     """Model-path evaluation metrics (A3-A5) against the synthetic
     golden labels — rows-only check (one row out)."""
     from deepref_spark.operators import score as score_op
-    from deepref_spark.operators import tokenize as tok_op
+    from deepref_spark.operators.encoders import score_entity
     from deepref_spark.operators.metrics import eval_metrics
 
     mentions = model_mentions(spark, sf_dir)
-    tokenized = tok_op.tokenize_mentions(mentions, max_length=128)
     rel2id = score_op.rel2id_from_relations(portable.RELATION_NAMES)
-    scored = score_op.score_tokenized(spark, tokenized, n_relations=len(rel2id))
-    scored = score_op.attach_pred_names(scored, rel2id)
+    scored = score_op.attach_pred_names(
+        score_entity(spark, mentions, n_relations=len(rel2id)), rel2id
+    )
     return eval_metrics(scored, all_relations=portable.RELATION_NAMES)
 
 
