@@ -86,8 +86,13 @@ def md5_mod(expr: str, m: int) -> str:
 
 
 def md5_unit(expr: str) -> str:
-    """Deterministic cross-engine pseudo-uniform double in [0,1)."""
-    return f"({md5_mod(expr, 100000)} / 100000.0)"
+    """Deterministic cross-engine pseudo-uniform double in [0,1).
+
+    The CAST AS DOUBLE is load-bearing: Spark types `int / 100000.0` as
+    DECIMAL(19,6) while DuckDB types it DOUBLE, so without the cast any
+    query that OUTPUTS the score hash-mismatches its oracle.
+    """
+    return f"(CAST({md5_mod(expr, 100000)} AS DOUBLE) / 100000.0)"
 
 
 def md5_slice_mod(hash_col: str, offset: int, m: int) -> str:
