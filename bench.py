@@ -54,6 +54,14 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
 
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # untimed warmup — same protocol the scaling mode documents: force
+    # JVM codegen JIT, parquet footer reads, and python-worker spawn so
+    # query timings measure steady-state work, not session start.
+    import pandas as pd  # noqa: F401
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).count()
+    spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -268,3 +268,67 @@ def tagged_tokens_expr(d: str) -> str:
             out = f"list_concat({out}, {p})"
         return out
     return f"{cat}(" + ", ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# NER-driven mention detection / candidate-pair generation (SURVEY §2.8
+# row 1). The reference always consumes gold entity pairs from its
+# converters (dataset_converter.py:95-113); over raw documents there are
+# none, so candidates come from deterministic NER spans: maximal runs of
+# entity-flagged tokens (rule tag NOUN, length >= 4), capped at
+# MAX_SPANS per sentence, expanded to all ordered span pairs. Everything
+# is per-row array combinatorics — zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+MAX_SPANS = 6
+ENT_MIN_LEN = 4
+
+
+def ent_flags(tokens: str, d: str) -> str:
+    """1/0 per token: deterministic NER flag (NOUN-tagged, >= 4 chars)."""
+    lam = (
+        f"x -> CASE WHEN {tag_case('x', d)} = 'NOUN' "
+        f"AND length(x) >= {ENT_MIN_LEN} THEN 1 ELSE 0 END"
+    )
+    return transform(tokens, lam, d)
+
+
+def _seq0(n: str, d: str) -> str:
+    """[0 .. n-1]; callers guarantee n >= 1."""
+    return f"sequence(0, {n} - 1)" if d == SPARK else f"range({n})"
+
+
+def run_starts(is_ent: str, n: str, d: str) -> str:
+    """0-based start index of each maximal run of 1s in ``is_ent``."""
+    lam = f"i -> {el(is_ent, 'i + 1', d)} = 1 AND (i = 0 OR {el(is_ent, 'i', d)} = 0)"
+    return filt(_seq0(n, d), lam, d)
+
+
+def run_ends_excl(is_ent: str, n: str, d: str) -> str:
+    """0-based EXCLUSIVE end index of each maximal run (aligned with
+    run_starts by construction — runs don't overlap)."""
+    lam = (
+        f"j -> {el(is_ent, 'j + 1', d)} = 1 "
+        f"AND (j = {n} - 1 OR {el(is_ent, 'j + 2', d)} = 0)"
+    )
+    return transform(filt(_seq0(n, d), lam, d), "j -> j + 1", d)
+
+
+def span_index_keys(starts: str, d: str) -> str:
+    """[1 .. min(len(starts), MAX_SPANS)] as 1-based span keys."""
+    rng = f"sequence(1, {MAX_SPANS})" if d == SPARK else f"range(1, {MAX_SPANS + 1})"
+    return filt(rng, f"c -> c <= {arr_len(starts, d)}", d)
+
+
+def pair_codes(ks: str, d: str) -> str:
+    """All ordered (i, j) span-key pairs, i != j, encoded i*8+j so the
+    exploded column is a plain int in both engines."""
+    inner = transform(filt(ks, "j -> j != i", d), f"j -> i * 8 + j", d)
+    return f"flatten({transform(ks, f'i -> {inner}', d)})"
+
+
+def pair_decode(code: str, part: str, d: str) -> str:
+    """part 'i' or 'j' back out of an encoded pair."""
+    if part == "i":
+        return f"CAST(floor({code} / 8) AS INT)"
+    return f"CAST({code} % 8 AS INT)"

@@ -33,9 +33,30 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Per-(session, sf_dir) persisted mention stage table. The mentions
+# derivation (regex-heavy norm_tokens + span arithmetic) is shared by
+# ~25 registry queries; materializing it once (a) removes the repeated
+# scan tax and (b) acts as a codegen barrier so downstream expression
+# trees stay under the JVM 64 KB method limit (round-1 verdict #2).
+# At cluster scale this is the io/tables.py stage-table pattern — a
+# narrow persisted projection, not a driver collect.
+_MENTIONS_CACHE: dict = {}
+
+
 def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API twin of portable.mentions_cte: deterministic
-    entity spans + relation labels over `documents`."""
+    entity spans + relation labels over `documents`. Persisted and
+    memoized per (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MENTIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _portable_mentions_plan(spark, sf_dir).persist()
+    _MENTIONS_CACHE[key] = df
+    return df
+
+
+def _portable_mentions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents(spark, sf_dir)
     toks = F.expr(portable.norm_tokens("text", SPARK))
     base = (
@@ -501,11 +522,20 @@ GROUP BY 1, 2, 3
 
 
 def _hash_preds(spark, sf_dir) -> DataFrame:
+    # Stage the md5 hash into its own column so the 6-way relation CASE
+    # references a plain int instead of inlining the md5 chain per
+    # branch (codegen stayed under 64 KB in round-1 only by interpreted
+    # fallback; verdict #2).
     m = portable_mentions(spark, sf_dir)
-    return m.select(
+    staged = m.select(
         "doc_id", "h_name", "t_name", "relation",
-        F.expr(_pred_expr()).alias("pred_relation"),
+        F.expr(md5_mod("concat(h_name, '|', t_name)", 997)).alias("_hv"),
         F.round(F.expr(_score_expr()), 6).alias("score"),
+    )
+    return staged.select(
+        "doc_id", "h_name", "t_name", "relation",
+        F.expr(portable.relation_case("_hv")).alias("pred_relation"),
+        "score",
     )
 
 
@@ -699,6 +729,63 @@ def kg_skew_salted_agg(spark, sf_dir):
     from deepref_spark.operators.skew import salted_count
 
     return salted_count(portable_mentions(spark, sf_dir), ["h_name"], count_alias="n")
+
+
+# --- mention detection / candidate-pair generation (SURVEY §2.8 row 1) ------
+
+def _candidate_oracle() -> str:
+    f = portable
+    return _oracle_prefix() + f"""
+, flagged AS (
+  SELECT doc_id, tokens, n, {f.ent_flags('tokens', DUCK)} AS is_ent
+  FROM mentions
+),
+runs AS (
+  SELECT doc_id, tokens,
+         {f.run_starts('is_ent', 'n', DUCK)} AS starts,
+         {f.run_ends_excl('is_ent', 'n', DUCK)} AS ends_x
+  FROM flagged
+),
+keyed AS (
+  SELECT doc_id, tokens, starts, ends_x,
+         {f.span_index_keys('starts', DUCK)} AS ks
+  FROM runs
+),
+exploded AS (
+  SELECT doc_id, tokens, starts, ends_x,
+         unnest({f.pair_codes('ks', DUCK)}) AS pair_code
+  FROM keyed
+),
+decoded AS (
+  SELECT doc_id, tokens,
+         {f.pair_decode('pair_code', 'i', DUCK)} AS si,
+         {f.pair_decode('pair_code', 'j', DUCK)} AS sj,
+         CAST({f.el('starts', f.pair_decode('pair_code', 'i', DUCK), DUCK)} AS INT) AS h0,
+         CAST({f.el('ends_x', f.pair_decode('pair_code', 'i', DUCK), DUCK)} AS INT) AS h1,
+         CAST({f.el('starts', f.pair_decode('pair_code', 'j', DUCK), DUCK)} AS INT) AS t0,
+         CAST({f.el('ends_x', f.pair_decode('pair_code', 'j', DUCK), DUCK)} AS INT) AS t1
+  FROM exploded
+)
+SELECT doc_id, si, sj, h0, h1, t0, t1,
+       {f.arr_join(f.arr_slice('tokens', 'h0 + 1', 'h1 - h0', DUCK), DUCK)} AS h_name,
+       {f.arr_join(f.arr_slice('tokens', 't0 + 1', 't1 - t0', DUCK), DUCK)} AS t_name
+FROM decoded
+"""
+
+
+@q("kg_candidate_pairs", _candidate_oracle())
+def kg_candidate_pairs(spark, sf_dir):
+    """§2.8 row 1: NER-driven mention detection + ordered candidate-pair
+    generation over raw tokens — the stage the reference lacks (its
+    converters ship gold pairs, dataset_converter.py:95-113). Maximal
+    runs of NER-flagged tokens -> first MAX_SPANS spans -> all ordered
+    pairs via array combinatorics; zero shuffle, one bounded explode."""
+    from deepref_spark.operators.mentions import candidate_pairs
+
+    m = portable_mentions(spark, sf_dir).select("doc_id", "tokens", "n")
+    return candidate_pairs(m).select(
+        "doc_id", "si", "sj", "h0", "h1", "t0", "t1", "h_name", "t_name"
+    )
 
 
 # --- entity linking / canonicalization --------------------------------------
