@@ -217,18 +217,27 @@ def build_cnn_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE,
     return w
 
 
-def _conv_relu(w: dict, ids, pos1, pos2):
+def _word_pos_embed(w: dict, ids, pos1, pos2):
+    """word ⊕ pos1 ⊕ pos2 input embedding (base_encoder.py input
+    construction shared by the CNN/PCNN/CRCNN/LSTM/GRU family)."""
     emb = w["emb"][ids]                                   # (B, L, H)
     p1 = w["pos_emb"][np.clip(pos1, 0, w["pos_emb"].shape[0] - 1)]
     p2 = w["pos_emb"][np.clip(pos2, 0, w["pos_emb"].shape[0] - 1)]
-    x = np.concatenate([emb, p1, p2], axis=2)             # (B, L, H+2P)
+    return np.concatenate([emb, p1, p2], axis=2)          # (B, L, H+2P)
+
+
+def _conv(w: dict, ids, pos1, pos2):
+    x = _word_pos_embed(w, ids, pos1, pos2)
     B, L, D = x.shape
     k = w["window"]
     pad = np.zeros((B, k // 2, D))
     xp = np.concatenate([pad, x, pad], axis=1)
     windows = np.stack([xp[:, i:i + L] for i in range(k)], axis=2)  # (B, L, k, D)
-    conv = windows.reshape(B, L, k * D) @ w["conv"] + w["b_conv"]   # (B, L, H)
-    return np.maximum(conv, 0.0)
+    return windows.reshape(B, L, k * D) @ w["conv"] + w["b_conv"]   # (B, L, H)
+
+
+def _conv_relu(w: dict, ids, pos1, pos2):
+    return np.maximum(_conv(w, ids, pos1, pos2), 0.0)
 
 
 def forward_cnn_batch(w: dict, ids, pos1, pos2) -> tuple[np.ndarray, np.ndarray]:
@@ -262,3 +271,113 @@ def forward_pcnn_batch(w: dict, ids, pos1, pos2, seg_mask) -> tuple[np.ndarray, 
     b = np.arange(ids.shape[0])
     pred = p.argmax(axis=1)
     return pred.astype(np.int32), p[b, pred]
+
+
+def _softmax_pred(logits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    logits = logits - logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    pred = p.argmax(axis=1)
+    return pred.astype(np.int32), p[np.arange(len(pred)), pred]
+
+
+def forward_crcnn_batch(w: dict, ids, pos1, pos2) -> tuple[np.ndarray, np.ndarray]:
+    """M6 — CRCNN forward (crcnn_encoder.py:46-65): identical dataflow
+    to M4 but tanh activation after the conv (the reference's default
+    activation_function=torch.tanh at crcnn_encoder.py:22) -> max-pool
+    over L -> fc. (The reference trains CRCNN with a ranking loss; at
+    inference the scoring head shape is the same fc.)"""
+    conv = np.tanh(_conv(w, ids, pos1, pos2))             # (B, L, H)
+    rep = conv.max(axis=1)                                # (B, H)
+    # center on the zero-input response (rep0 = tanh(b_conv), the
+    # max over L of a constant sequence) and sharpen — the same
+    # untrained-prior calibration build_weights documents.
+    rep0 = np.tanh(w["b_conv"])
+    offset = rep0 @ w["w_fc"] + w["b_fc"]
+    return _softmax_pred((rep @ w["w_fc"] + w["b_fc"] - offset) * 8.0)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def build_rnn_weights(n_relations: int, kind: str = "lstm",
+                      vocab_size: int = refsem.VOCAB_SIZE, hidden: int = HIDDEN,
+                      pos_dim: int = 5, max_length: int = 128,
+                      layers: int = 2) -> dict:
+    """M7 weights: word ⊕ pos embeddings through a ``layers``-deep
+    recurrent stack (module/nn/lstm.py, gru.py: nn.LSTM/GRU with
+    num_layers=2 per lstm_encoder.py:37) then max-pool-over-states + fc
+    (lstm_encoder.py:42-59 / gru_encoder.py:42-59 dataflow)."""
+    assert kind in ("lstm", "gru")
+    rs = np.random.RandomState(SEED + (3 if kind == "lstm" else 4))
+    gates = 4 if kind == "lstm" else 3
+    in0 = hidden + 2 * pos_dim
+    w = {
+        "emb": rs.normal(0, 1.0, size=(vocab_size, hidden)) * (1.0 / np.sqrt(hidden)),
+        "pos_emb": rs.normal(0, 1.0, size=(2 * max_length, pos_dim)) * 0.3,
+        "w_fc": rs.normal(0, 1.0, size=(hidden, n_relations)) * (1.0 / np.sqrt(hidden)),
+        "b_fc": rs.normal(0, 0.1, size=(n_relations,)),
+        "n_relations": n_relations,
+        "kind": kind,
+        "layers": layers,
+    }
+    in_sz = in0
+    for ell in range(layers):
+        sc = 1.0 / np.sqrt(max(in_sz, hidden))
+        w[f"wx{ell}"] = rs.normal(0, 1.0, size=(in_sz, gates * hidden)) * sc
+        w[f"wh{ell}"] = rs.normal(0, 1.0, size=(hidden, gates * hidden)) * (1.0 / np.sqrt(hidden))
+        w[f"b{ell}"] = rs.normal(0, 0.1, size=(gates * hidden,))
+        in_sz = hidden
+    # Untrained-prior calibration (see build_weights): the recurrent
+    # stack's bias trajectory gives one class a constant logit lead, so
+    # subtract the zero-input run's logits. Row-independent — pure
+    # function of the weights.
+    x0 = np.zeros((1, max_length, in0))
+    for ell in range(layers):
+        x0 = _rnn_layer(w, ell, x0, kind)
+    rep0 = np.maximum(x0, 0.0).max(axis=1)
+    w["logit_offset"] = (rep0 @ w["w_fc"] + w["b_fc"])[0]
+    return w
+
+
+def _rnn_layer(w: dict, ell: int, x: np.ndarray, kind: str) -> np.ndarray:
+    """One recurrent layer over (B, L, D) -> (B, L, H). Python loops
+    over L only; every step is a whole-batch matmul."""
+    B, L, _ = x.shape
+    H = w["emb"].shape[1]
+    wx, wh, b = w[f"wx{ell}"], w[f"wh{ell}"], w[f"b{ell}"]
+    h = np.zeros((B, H))
+    xg = x @ wx + b                                        # (B, L, G*H) — hoisted
+    out = np.empty((B, L, H))
+    if kind == "lstm":
+        c = np.zeros((B, H))
+        for t in range(L):
+            g = xg[:, t] + h @ wh
+            i, f, gg, o = g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
+            c = _sigmoid(f) * c + _sigmoid(i) * np.tanh(gg)
+            h = _sigmoid(o) * np.tanh(c)
+            out[:, t] = h
+    else:  # gru
+        for t in range(L):
+            hw = h @ wh
+            z = _sigmoid(xg[:, t, :H] + hw[:, :H])
+            r = _sigmoid(xg[:, t, H:2 * H] + hw[:, H:2 * H])
+            n = np.tanh(xg[:, t, 2 * H:] + r * hw[:, 2 * H:])
+            h = (1.0 - z) * n + z * h
+            out[:, t] = h
+    return out
+
+
+def forward_rnn_batch(w: dict, ids, pos1, pos2) -> tuple[np.ndarray, np.ndarray]:
+    """M7 — LSTM/GRU forward (lstm_encoder.py:42-59,
+    gru_encoder.py:42-59): embed ⊕ positions -> 2-layer recurrence ->
+    relu (the encoders' default activation_function=F.relu) ->
+    max-pool over L -> fc softmax."""
+    x = _word_pos_embed(w, ids, pos1, pos2)
+    for ell in range(w["layers"]):
+        x = _rnn_layer(w, ell, x, w["kind"])
+    x = np.maximum(x, 0.0)
+    rep = x.max(axis=1)                                    # (B, H)
+    logits = (rep @ w["w_fc"] + w["b_fc"] - w["logit_offset"]) * 8.0
+    return _softmax_pred(logits)

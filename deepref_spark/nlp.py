@@ -109,12 +109,57 @@ class SpacyTagger:
         return pos, deps, ner
 
 
+class StanzaTagger:
+    """T4 — Stanza adapter (deepref/nlp/stanza_nlp_tool.py:8-17):
+    Pipeline('tokenize,ner,depparse,pos,lemma', tokenize_no_ssplit=True)
+    over the untagged sentence; upos / deprel / per-token ner with the
+    same (pos, deps, ner) contract as the other backends. Lazy
+    per-process pipeline: on an executor the download/load happens once
+    per python worker, never on the driver."""
+
+    name = "stanza"
+
+    def __init__(self, model: str | None = None):
+        self.model = model or "default"
+        self._nlp = None
+
+    def _pipeline(self):
+        if self._nlp is None:
+            import stanza  # noqa: F401 — optional dependency
+
+            self._nlp = stanza.Pipeline(
+                lang="en", processors="tokenize,ner,depparse,pos,lemma",
+                tokenize_no_ssplit=True,
+            )
+        return self._nlp
+
+    def __call__(self, tokens: list[str]) -> tuple[list[str], list[str], list[str]]:
+        doc = self._pipeline()(" ".join(tokens))
+        pos = [w.upos for s in doc.sentences for w in s.words]
+        deps = [(w.deprel or "dep").lower() for s in doc.sentences for w in s.words]
+        ner = [t.ner for s in doc.sentences for t in s.tokens]
+        # stanza emits BIO-style tags ('O' for none) per token; align to
+        # word count (no MWT splits on our normalized alphabet)
+        if len(ner) != len(pos):
+            ner = (ner + ["O"] * len(pos))[: len(pos)]
+        return pos, deps, ner
+
+
 def get_tagger(backend: str = "ruletag"):
+    """Backend dispatch (T3/T4). Unavailable libraries degrade to the
+    deterministic RuleTagger so the pipeline keeps running."""
     if backend == "spacy":
         try:
             import spacy  # noqa: F401
 
             return SpacyTagger()
+        except ImportError:
+            return RuleTagger()
+    if backend == "stanza":
+        try:
+            import stanza  # noqa: F401
+
+            return StanzaTagger()
         except ImportError:
             return RuleTagger()
     return RuleTagger()

@@ -1,6 +1,7 @@
-"""Encoder-variant operators (SURVEY.md §2.3 K2-K4 + §2.4 M1/M3/M4/M5):
+"""Encoder-variant operators (SURVEY.md §2.3 K2-K4 + §2.4 M1/M3-M7):
 the EBEM path (entity markers + semantic-knowledge tokens) and the
-word+position CNN/PCNN family, each as one fused Arrow pass.
+word+position CNN/PCNN/CRCNN/LSTM/GRU family, each as one fused Arrow
+pass.
 
 These widen coverage beyond the default bert_entity path in
 operators/fused.py; selection mirrors the reference's `model` string
@@ -8,7 +9,8 @@ operators/fused.py; selection mirrors the reference's `model` string
     bert_entity -> fused.extract_scored_fused
     bert_cls    -> score_cls
     ebem        -> score_ebem        (K2 + M3)
-    cnn / pcnn  -> score_cnn_family  (K3 [+K4] + M4/M5)
+    cnn / pcnn / crcnn / lstm / gru
+                -> score_cnn_family  (K3 [+K4] + M4/M5/M6/M7)
 """
 
 from __future__ import annotations
@@ -116,12 +118,20 @@ def score_cls(spark: SparkSession, mentions: DataFrame, n_relations: int,
 
 
 def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
-                     max_length: int = 128, piecewise: bool = False) -> DataFrame:
-    """cnn/pcnn path: K3 word+position tokenize (+K4 segment mask for
-    pcnn) and the M4/M5 conv forward."""
-    weights_bc = spark.sparkContext.broadcast(
-        mdl.build_cnn_weights(n_relations, max_length=max_length)
-    )
+                     max_length: int = 128, piecewise: bool = False,
+                     encoder: str | None = None) -> DataFrame:
+    """cnn/pcnn/crcnn/lstm/gru path: K3 word+position tokenize (+K4
+    segment mask for pcnn) and the M4/M5/M6/M7 forwards — the full
+    word-embedding encoder family from train.py:138-254's model switch.
+    ``encoder`` overrides the legacy ``piecewise`` flag."""
+    encoder = encoder or ("pcnn" if piecewise else "cnn")
+    assert encoder in ("cnn", "pcnn", "crcnn", "lstm", "gru")
+    if encoder in ("lstm", "gru"):
+        built = mdl.build_rnn_weights(n_relations, kind=encoder, max_length=max_length)
+    else:
+        built = mdl.build_cnn_weights(n_relations, max_length=max_length)
+    weights_bc = spark.sparkContext.broadcast(built)
+    need_seg = encoder == "pcnn"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = None
@@ -144,19 +154,20 @@ def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
                 ids_l.append(ids)
                 p1_l.append(pos1)
                 p2_l.append(pos2)
-                if piecewise:
+                if need_seg:
                     seg_l.append(refsem.pcnn_segment_mask(len(token), hp, tp, max_length))
             if not cols["sent_id"]:
                 continue
-            if piecewise:
-                pred, score = mdl.forward_pcnn_batch(
-                    weights, np.asarray(ids_l), np.asarray(p1_l), np.asarray(p2_l),
-                    np.asarray(seg_l),
-                )
+            ids_a = np.asarray(ids_l)
+            p1_a, p2_a = np.asarray(p1_l), np.asarray(p2_l)
+            if encoder == "pcnn":
+                pred, score = mdl.forward_pcnn_batch(weights, ids_a, p1_a, p2_a, np.asarray(seg_l))
+            elif encoder == "crcnn":
+                pred, score = mdl.forward_crcnn_batch(weights, ids_a, p1_a, p2_a)
+            elif encoder in ("lstm", "gru"):
+                pred, score = mdl.forward_rnn_batch(weights, ids_a, p1_a, p2_a)
             else:
-                pred, score = mdl.forward_cnn_batch(
-                    weights, np.asarray(ids_l), np.asarray(p1_l), np.asarray(p2_l)
-                )
+                pred, score = mdl.forward_cnn_batch(weights, ids_a, p1_a, p2_a)
             yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
 
     return mentions.mapInPandas(run, schema=SCORED_SCHEMA)

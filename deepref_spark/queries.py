@@ -1552,3 +1552,24 @@ def kg_eval_cnn_pcnn(spark, sf_dir):
         ev = ev.select(F.lit(label).alias("encoder"), "*")
         out = ev if out is None else out.unionByName(ev)
     return out
+
+
+@q("kg_eval_crcnn_lstm_gru", None)
+def kg_eval_crcnn_lstm_gru(spark, sf_dir):
+    """M6 CRCNN (crcnn_encoder.py:46-65 tanh variant) + M7 LSTM/GRU
+    (lstm_encoder.py:42-59, gru_encoder.py:42-59 max-pool-over-states)
+    numpy forwards, one metrics row per encoder (rows-only)."""
+    from deepref_spark.operators.encoders import score_cnn_family
+    from deepref_spark.operators.metrics import eval_metrics
+    from deepref_spark.operators.score import attach_pred_names, rel2id_from_relations
+
+    rel2id = rel2id_from_relations(portable.RELATION_NAMES)
+    mentions = model_mentions(spark, sf_dir)
+    out = None
+    for label in ("crcnn", "lstm", "gru"):
+        scored = score_cnn_family(spark, mentions, len(rel2id), encoder=label)
+        ev = eval_metrics(attach_pred_names(scored, rel2id),
+                          all_relations=portable.RELATION_NAMES)
+        ev = ev.select(F.lit(label).alias("encoder"), "*")
+        out = ev if out is None else out.unionByName(ev)
+    return out

@@ -92,10 +92,46 @@ def test_encoder_operators_on_spark(spark):
         score_cls(spark, mentions_sk, 6),
         score_cnn_family(spark, mentions_sk, 6),
         score_cnn_family(spark, mentions_sk, 6, piecewise=True),
+        score_cnn_family(spark, mentions_sk, 6, encoder="crcnn"),
+        score_cnn_family(spark, mentions_sk, 6, encoder="lstm"),
+        score_cnn_family(spark, mentions_sk, 6, encoder="gru"),
     ):
         rows = df.collect()
         assert len(rows) == n
         assert all(0 <= r["pred_id"] < 6 and 0.0 < r["score"] <= 1.0 for r in rows)
+
+
+def test_crcnn_lstm_gru_forwards_deterministic_and_diverse():
+    rng = np.random.RandomState(7)
+    ids = rng.randint(12, refsem.VOCAB_SIZE, (96, 24))
+    pos = np.tile(np.arange(24), (96, 1))
+    wc = mdl.build_cnn_weights(6, max_length=24)
+    pc1, sc1 = mdl.forward_crcnn_batch(wc, ids, pos, pos)
+    pc2, sc2 = mdl.forward_crcnn_batch(wc, ids, pos, pos)
+    assert (pc1 == pc2).all() and (sc1 == sc2).all()
+    assert len(set(pc1.tolist())) >= 2
+    for kind in ("lstm", "gru"):
+        w = mdl.build_rnn_weights(6, kind, max_length=24)
+        p1, s1 = mdl.forward_rnn_batch(w, ids, pos, pos)
+        p2, s2 = mdl.forward_rnn_batch(w, ids, pos, pos)
+        assert (p1 == p2).all() and (s1 == s2).all()
+        assert len(set(p1.tolist())) >= 2
+        # calibration: no single class may own the whole batch
+        assert max(np.bincount(p1, minlength=6)) < len(p1)
+
+
+def test_rnn_layer_state_dependence():
+    """The recurrence must actually carry state: permuting the sequence
+    changes the per-step outputs (unlike the conv family's local
+    windows)."""
+    w = mdl.build_rnn_weights(6, "lstm", max_length=8)
+    rng = np.random.RandomState(11)
+    ids = rng.randint(12, refsem.VOCAB_SIZE, (4, 8))
+    pos = np.tile(np.arange(8), (4, 1))
+    x = mdl._word_pos_embed(w, ids, pos, pos)
+    out = mdl._rnn_layer(w, 0, x, "lstm")
+    out_rev = mdl._rnn_layer(w, 0, x[:, ::-1], "lstm")
+    assert not np.allclose(out[:, -1], out_rev[:, -1])
 
 
 def test_semeval2018_source(spark, tmp_path):

@@ -226,3 +226,21 @@ def test_find_negative_class_order_and_ddi_int():
     assert refsem.find_negative_class({"int": 3, "effect": 0}) == 3
     assert refsem.find_negative_class({"Other": 2, "none": 1}) == 2  # 'Other' first in list
     assert refsem.find_negative_class({"effect": 0}) == -1
+
+
+def test_tagger_backend_dispatch_and_fallback():
+    """T3/T4 dispatch: unavailable backends degrade to RuleTagger; the
+    Stanza adapter exists with the reference contract (import-guarded
+    like SpacyTagger — stanza is not in this container)."""
+    from deepref_spark import nlp
+
+    assert isinstance(nlp.get_tagger("ruletag"), nlp.RuleTagger)
+    assert isinstance(nlp.get_tagger("nonsense"), nlp.RuleTagger)
+    # neither lib is installed here -> graceful fallback
+    assert isinstance(nlp.get_tagger("spacy"), (nlp.SpacyTagger, nlp.RuleTagger))
+    assert isinstance(nlp.get_tagger("stanza"), (nlp.StanzaTagger, nlp.RuleTagger))
+    # adapter contract (without the lib): lazy pipeline untouched on init
+    st = nlp.StanzaTagger()
+    assert st.name == "stanza" and st._nlp is None
+    pos, deps, ner = nlp.RuleTagger()(["the", "cat", "runs", "."])
+    assert len(pos) == len(deps) == len(ner) == 4
