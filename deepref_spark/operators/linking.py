@@ -118,21 +118,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .select(
                 "entity",
                 F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+                # convergence flag computed in the SAME pass — the
+                # round-1 version paid a second labels-sized join per
+                # round just to probe for changes
+                (F.coalesce("n_comp", "component") < F.col("component")).alias("_changed"),
             )
         )
         # localCheckpoint each round: labels are one row per distinct
         # entity (small next to the corpus); cutting lineage every round
-        # keeps plan depth O(1) and makes the convergence probe cheap.
+        # keeps plan depth O(1) and makes the convergence probe a scan
+        # of the already-materialized result.
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "entity")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max(F.col("_changed").cast("int"))).first()[0]
+        labels = new_labels.drop("_changed")
+        if not changed:
             break
     return labels
 
@@ -149,3 +148,20 @@ def canonical_map(entities: DataFrame, name_col: str = "entity",
         .join(comps, "entity", "left")
         .select("entity", F.coalesce("component", "entity").alias("canonical"))
     )
+
+
+def size_gated_broadcast(df: DataFrame, conf_key: str = "deepref.broadcast.max_entities",
+                         default_limit: int = 1_000_000) -> tuple[DataFrame, int]:
+    """Broadcast-hint ``df`` only when it is provably small.
+
+    At 100 TB the distinct-entity table is NOT broadcast-sized, so an
+    unconditional F.broadcast() (the round-1 shape) would OOM every
+    executor; above the configured row limit the plain shuffle join
+    (AQE handles skew) is the right plan. The count() is an action on
+    what callers should already have cached/checkpointed. Returns
+    (possibly-hinted df, row count)."""
+    limit = int(df.sparkSession.conf.get(conf_key, str(default_limit)))
+    n = df.count()
+    if n <= limit:
+        return F.broadcast(df), n
+    return df, n

@@ -107,20 +107,64 @@ def sentence_length_histogram(mentions: DataFrame) -> DataFrame:
     )
 
 
+def global_ranked_cumsum(df: DataFrame, order_cols: list, value_col: str,
+                         rank_col: str = "rk", cum_col: str = "cum",
+                         num_partitions: int | None = None) -> DataFrame:
+    """Global row_number + cumulative sum over a total order WITHOUT a
+    single-partition Window (the round-1 100x-scale killer): range-
+    repartition on the order, per-partition local window (parallel),
+    then a tiny per-partition offset table (one row per partition)
+    broadcast back. Exact for integer value columns. ``order_cols``
+    must define a total order (include a unique tiebreak)."""
+    from pyspark.sql import Window
+
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = (
+        part.withColumn("_lrk", F.row_number().over(w_local))
+        .withColumn("_lcum", F.sum(value_col).over(w_local))
+    )
+    # one row per partition — the only single-partition window left runs
+    # over num_partitions rows, constant at any data scale
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_rk_off"),
+            F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_cum_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_rk_off")).cast("int"))
+        .withColumn(cum_col, F.col("_lcum") + F.col("_cum_off"))
+        .drop("_pid", "_lrk", "_lcum", "_rk_off", "_cum_off")
+    )
+
+
 def pr_curve(preds: DataFrame, score_col: str = "score",
              correct_col: str = "is_correct") -> DataFrame:
     """Cumulative P/R sorted by score desc (BagREDataset.eval,
-    data_loader.py:239-265) — a Window over the global ordering with a
-    deterministic tiebreak."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc(score_col), "sent_id").rowsBetween(Window.unboundedPreceding, 0)
-    total = preds.agg(F.sum(F.col(correct_col).cast("long"))).collect()[0][0] or 1
-    return preds.select(
+    data_loader.py:239-265), deterministic tiebreak. Distributed:
+    two-phase ranked cumsum (global_ranked_cumsum) + a broadcast
+    1-row total — no global-ordering Window, no driver collect."""
+    ranked = global_ranked_cumsum(
+        preds.withColumn("_c", F.col(correct_col).cast("long")),
+        [F.desc(score_col), F.asc("sent_id")], "_c",
+    )
+    total = preds.agg(
+        F.greatest(F.sum(F.col(correct_col).cast("long")), F.lit(1)).alias("_total")
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         "sent_id", score_col,
-        (F.sum(F.col(correct_col).cast("long")).over(w)
-         / F.row_number().over(Window.orderBy(F.desc(score_col), "sent_id"))).alias("prec"),
-        (F.sum(F.col(correct_col).cast("long")).over(w) / F.lit(float(total))).alias("rec"),
+        (F.col("cum") / F.col("rk")).alias("prec"),
+        (F.col("cum") / F.col("_total").cast("double")).alias("rec"),
     )
 
 
@@ -128,7 +172,8 @@ def auc_trapezoid(pr_points: DataFrame, rec_col: str = "rec",
                   prec_col: str = "prec") -> DataFrame:
     """A10's AUC (data_loader.py:263 sklearn.metrics.auc): trapezoid
     rule over the (recall, precision) curve — a window over the sorted
-    curve, pure aggregation."""
+    curve. Fine for bounded curves (ablation summaries, test points);
+    for full prediction sets use auc_trapezoid_ranked."""
     from pyspark.sql import Window
 
     w = Window.orderBy(rec_col)
@@ -137,6 +182,23 @@ def auc_trapezoid(pr_points: DataFrame, rec_col: str = "rec",
         F.lag(rec_col).over(w).alias("x0"),
         F.lag(prec_col).over(w).alias("y0"),
     ).where(F.col("x0").isNotNull())
+    return stepped.agg(
+        F.round(F.sum((F.col("x") - F.col("x0")) * (F.col("y") + F.col("y0")) / 2.0), 6).alias("auc")
+    )
+
+
+def auc_trapezoid_ranked(curve: DataFrame, rank_col: str = "rk",
+                         rec_col: str = "rec", prec_col: str = "prec") -> DataFrame:
+    """Distributed trapezoid: the lag() a global window would need is an
+    equi-join on consecutive ranks (rk = rk' + 1) — a plain shuffle
+    join, no single-partition funnel, same sum as the window form."""
+    cur = curve.select(
+        F.col(rank_col).alias("_r"), F.col(rec_col).alias("x"), F.col(prec_col).alias("y")
+    )
+    prev = curve.select(
+        (F.col(rank_col) + 1).alias("_r"), F.col(rec_col).alias("x0"), F.col(prec_col).alias("y0")
+    )
+    stepped = cur.join(prev, "_r")
     return stepped.agg(
         F.round(F.sum((F.col("x") - F.col("x0")) * (F.col("y") + F.col("y0")) / 2.0), 6).alias("auc")
     )

@@ -82,12 +82,16 @@ def triples_from_scored(scored: DataFrame, canonicalize: bool = True,
             .distinct()
         )
         canon = linking.canonical_map(ents).cache()
+        # broadcast only when the entity map is provably small — at
+        # 10^12 docs the distinct-entity table is not broadcast-sized
+        # and the gate falls back to a shuffle join (AQE skew-handled)
+        canon, _ = linking.size_gated_broadcast(canon)
         triples = (
             triples
-            .join(F.broadcast(canon.withColumnRenamed("entity", "subj")
-                              .withColumnRenamed("canonical", "subj_canon")), "subj", "left")
-            .join(F.broadcast(canon.withColumnRenamed("entity", "obj")
-                              .withColumnRenamed("canonical", "obj_canon")), "obj", "left")
+            .join(canon.withColumnRenamed("entity", "subj")
+                  .withColumnRenamed("canonical", "subj_canon"), "subj", "left")
+            .join(canon.withColumnRenamed("entity", "obj")
+                  .withColumnRenamed("canonical", "obj_canon"), "obj", "left")
             .withColumn("subj_canon", F.coalesce("subj_canon", "subj"))
             .withColumn("obj_canon", F.coalesce("obj_canon", "obj"))
         )

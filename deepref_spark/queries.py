@@ -691,17 +691,25 @@ WHERE rk <= 200
 """)
 def kg_pr_curve(spark, sf_dir):
     """A10: cumulative precision over score-desc ranking
-    (data_loader.py:239-265), deterministic tiebreak."""
+    (data_loader.py:239-265), deterministic tiebreak. Only the top 200
+    ranks are emitted, so the scale-safe plan is distributed top-k
+    (TakeOrderedAndProject: per-partition top-200, single 200*P-row
+    merge) — the global sort the round-1 version paid never happens."""
     p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = p.select(
-        (F.col("relation") == F.col("pred_relation")).cast("long").alias("correct"),
-        F.row_number().over(w).alias("rk"),
+    top = (
+        p.select(
+            "doc_id", "score",
+            (F.col("relation") == F.col("pred_relation")).cast("long").alias("correct"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(200)
     )
+    # 200 rows from here on — the windows below are constant-size
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = top.select("correct", F.row_number().over(w).alias("rk"))
     cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        ranked.select("rk", F.round(F.sum("correct").over(cum) / F.col("rk"), 6).alias("prec"))
-        .where(F.col("rk") <= 200)
+    return ranked.select(
+        "rk", F.round(F.sum("correct").over(cum) / F.col("rk"), 6).alias("prec")
     )
 
 
@@ -911,11 +919,14 @@ def kg_canonical_triples(spark, sf_dir):
         .union(p.select(F.col("t_name").alias("entity")))
         .distinct()
     )
+    from deepref_spark.operators.linking import size_gated_broadcast
+
     w = Window.partitionBy(F.regexp_replace("entity", "[^a-z0-9]", ""))
-    canon = ents.select("entity", F.min("entity").over(w).alias("canonical"))
+    canon = ents.select("entity", F.min("entity").over(w).alias("canonical")).localCheckpoint()
+    canon, _ = size_gated_broadcast(canon)
     return (
-        p.join(F.broadcast(canon).withColumnRenamed("entity", "h_name").withColumnRenamed("canonical", "subj_canon"), "h_name")
-        .join(F.broadcast(canon).withColumnRenamed("entity", "t_name").withColumnRenamed("canonical", "obj_canon"), "t_name")
+        p.join(canon.withColumnRenamed("entity", "h_name").withColumnRenamed("canonical", "subj_canon"), "h_name")
+        .join(canon.withColumnRenamed("entity", "t_name").withColumnRenamed("canonical", "obj_canon"), "t_name")
         .groupBy("subj_canon", F.col("pred_relation").alias("pred"), "obj_canon")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1448,25 +1459,29 @@ FROM stepped WHERE x0 IS NOT NULL
 """)
 def kg_auc(spark, sf_dir):
     """A10 AUC (data_loader.py:263): trapezoid over the cumulative P/R
-    curve of the hash-predicate predictions."""
-    from deepref_spark.operators.metrics import auc_trapezoid
+    curve of the hash-predicate predictions. Fully distributed: two-
+    phase ranked cumsum (no global-order Window), broadcast 1-row
+    positive total (no driver collect), and the trapezoid's lag() as a
+    consecutive-rank equi-join."""
+    from deepref_spark.operators.metrics import auc_trapezoid_ranked, global_ranked_cumsum
 
     p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    total = p.select(
-        F.sum((F.col("relation") == F.col("pred_relation")).cast("long"))
-    ).collect()[0][0] or 1
-    ranked = p.select(
+    marked = p.select(
+        "doc_id", "score",
         (F.col("relation") == F.col("pred_relation")).cast("long").alias("correct"),
-        F.row_number().over(w).alias("rk"),
     )
-    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
-    curve = ranked.select(
+    ranked = global_ranked_cumsum(
+        marked, [F.desc("score"), F.asc("doc_id")], "correct"
+    )
+    total = marked.agg(
+        F.greatest(F.sum("correct"), F.lit(1)).cast("double").alias("_total")
+    )
+    curve = ranked.crossJoin(F.broadcast(total)).select(
         "rk",
-        (F.sum("correct").over(cum) / F.col("rk")).alias("prec"),
-        (F.sum("correct").over(cum) / F.lit(float(max(total, 1)))).alias("rec"),
+        (F.col("cum") / F.col("rk")).alias("prec"),
+        (F.col("cum") / F.col("_total")).alias("rec"),
     )
-    return auc_trapezoid(curve)
+    return auc_trapezoid_ranked(curve)
 
 
 @q("kg_ablation_summary", _oracle_prefix() + f"""

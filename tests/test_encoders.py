@@ -216,3 +216,39 @@ def test_metrics_extensions(spark):
     counts = {r["fold"]: r["n"] for r in folds.groupBy("fold").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {0, 1, 2, 3, 4}
     assert folds.count() == 100
+
+
+def test_global_ranked_cumsum_matches_local(spark):
+    """Two-phase ranked cumsum (no single-partition window) must equal
+    the driver-side sort+cumsum exactly, across many partitions."""
+    import pandas as pd
+
+    from deepref_spark.operators.metrics import global_ranked_cumsum, pr_curve
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "sent_id": [f"s{i:04d}" for i in range(500)],
+        "score": np.round(rng.rand(500) * 0.5 + 0.25, 6),
+        "is_correct": rng.randint(0, 2, 500).astype(bool),
+    })
+    df = spark.createDataFrame(pdf).repartition(16)
+    import pyspark.sql.functions as F
+
+    ranked = global_ranked_cumsum(
+        df.withColumn("_c", F.col("is_correct").cast("long")),
+        [F.desc("score"), F.asc("sent_id")], "_c",
+    ).select("sent_id", "rk", "cum").toPandas().set_index("sent_id")
+
+    ref = pdf.sort_values(["score", "sent_id"], ascending=[False, True]).reset_index(drop=True)
+    ref["rk"] = np.arange(1, len(ref) + 1)
+    ref["cum"] = ref["is_correct"].astype(int).cumsum()
+    for _, r in ref.iterrows():
+        assert ranked.loc[r["sent_id"], "rk"] == r["rk"]
+        assert ranked.loc[r["sent_id"], "cum"] == r["cum"]
+
+    # pr_curve end-to-end on the same data
+    curve = pr_curve(df).toPandas().set_index("sent_id")
+    total = max(int(ref["is_correct"].sum()), 1)
+    for _, r in ref.iterrows():
+        assert abs(curve.loc[r["sent_id"], "prec"] - r["cum"] / r["rk"]) < 1e-12
+        assert abs(curve.loc[r["sent_id"], "rec"] - r["cum"] / total) < 1e-12

@@ -141,3 +141,33 @@ def test_fused_equals_modular(spark, docs):
         ra = {r["sent_id"]: (r["pred_id"], r["score"], r["h_name"], r["t_name"]) for r in a.collect()}
         rb = {r["sent_id"]: (r["pred_id"], r["score"], r["h_name"], r["t_name"]) for r in b.collect()}
         assert ra == rb
+
+
+def test_size_gated_broadcast_non_broadcast_path(spark, docs):
+    """Above the config limit the canonical map must NOT carry a
+    broadcast hint, and the triples must be identical either way."""
+    from deepref_spark.operators.linking import size_gated_broadcast
+
+    small = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "entity string, canonical string"
+    )
+    hinted, n = size_gated_broadcast(small)
+    assert n == 2
+    assert "hint" in hinted._jdf.queryExecution().analyzed().toString().lower()
+    spark.conf.set("deepref.broadcast.max_entities", "0")
+    try:
+        plain, n2 = size_gated_broadcast(small)
+        assert n2 == 2
+        assert "hint" not in plain._jdf.queryExecution().analyzed().toString().lower()
+        scored = extract_scored(spark, docs)
+        shuffled = {
+            (r["subj_canon"], r["pred"], r["obj_canon"], round(r["score"], 9))
+            for r in triples_from_scored(scored, canonicalize=True).collect()
+        }
+    finally:
+        spark.conf.unset("deepref.broadcast.max_entities")
+    broadcasted = {
+        (r["subj_canon"], r["pred"], r["obj_canon"], round(r["score"], 9))
+        for r in triples_from_scored(extract_scored(spark, docs), canonicalize=True).collect()
+    }
+    assert shuffled == broadcasted
