@@ -81,15 +81,31 @@ def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8, k: int = 3) -> Dat
 
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        df_cap: int | None = None) -> DataFrame:
     """Exact shingle-Jaccard >= threshold, computed via an inverted
     shingle index (explode + join + group) — linear in total postings,
     never all-pairs. The scale path prefilters with minhash_lsh_pairs;
-    this operator is the verifier."""
+    this operator is the verifier.
+
+    ``df_cap``: drop shingles whose document frequency exceeds the cap
+    BEFORE the self-join (similarity is then defined over the reduced
+    shingle universe, sizes included — the oracle applies the same
+    rule). Without it a ubiquitous shingle's posting list makes the
+    self-join quadratic in the hottest key; at 100 TB the cap is
+    mandatory, locally it defaults off to keep the uncapped oracle."""
     sh = (
         documents.select("doc_id", F.explode(F.expr(_token_shingles(k))).alias("shingle"))
         .distinct()
     )
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
@@ -134,15 +150,56 @@ def simhash(documents: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
     )
 
 
-def simhash_near_pairs(documents: DataFrame, bits: int = 16,
-                       max_hamming: int = 2, k: int = 3) -> DataFrame:
-    """Near-dup candidates: equal simhash buckets (block join), then a
-    popcount filter on XOR distance over a wider re-hash would follow at
-    scale; at 16 bits equal-bucket is the candidate set."""
-    s = simhash(documents, bits, k)
-    a = s.select(F.col("doc_id").alias("a"), F.col("simhash"))
-    b = s.select(F.col("doc_id").alias("b"), F.col("simhash"))
+def simhash64(documents: DataFrame, k: int = 3) -> DataFrame:
+    """64-bit SimHash from the TRUE md5 bits (portable.md5_true_bit) —
+    one md5 per shingle feeds all 64 votes. The 16-bit variant above
+    stays for its oracle query; this is the scale fingerprint: at 10^10
+    docs a 16-bit bucket holds ~10^6 docs and any within-bucket join
+    goes quadratic, while 64 bits keep buckets sparse."""
+    from deepref_spark.portable import md5_true_bit
+
+    sh = documents.select(
+        "doc_id",
+        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    )
+    bit_terms = [
+        f"CAST(CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + (2 * {md5_true_bit('h', j)} - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        for j in range(63)  # 63 vote bits keep the BIGINT non-negative
+    ]
+    return sh.select("doc_id", F.expr(" + ".join(bit_terms)).alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       k: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming over the 64-bit
+    fingerprint: band the fingerprint into ``n_bands`` 16-bit slices
+    (pigeonhole: any pair within distance n_bands - 1 shares at least
+    one exact band), equi-join per band bucket, then verify with
+    popcount(xor) — never an all-pairs comparison, and bucket
+    cardinality stays bounded at web scale (the round-1 16-bit version
+    went quadratic inside hot buckets)."""
+    s = simhash64(documents, k)
+    width = 16
+    bands = [
+        f"(shiftright(simhash, {width * b}) & {(1 << width) - 1}) AS band_{b}"
+        for b in range(n_bands)
+    ]
+    sig = s.selectExpr("doc_id", "simhash", *bands)
+    keyed = sig.selectExpr(
+        "doc_id", "simhash",
+        "stack({n}, {pairs}) as (band, bval)".format(
+            n=n_bands, pairs=", ".join(f"{b}, band_{b}" for b in range(n_bands))
+        ),
+    )
+    a = keyed.select("band", "bval", F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
+    b = keyed.select("band", "bval", F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        a.join(b, ["band", "bval"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b").distinct()
+    )
     return (
-        a.join(b, "simhash").where(F.col("a") < F.col("b"))
-        .select("a", "b", "simhash")
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -37,13 +37,16 @@ def decode_media(payload: bytes) -> np.ndarray:
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in: md5 of the payload -> FEATURE_DIM floats
-    in [0,1). Keeps batch shapes/dtypes identical to a real extractor."""
+    """Deterministic stand-in: FEATURE_DIM floats in [0,1), feature i =
+    portable md5_mod(payload || ':' || i, 2^20) / 2^20 — the exact
+    formula a DuckDB oracle evaluates (kg_media_features), so the fake
+    keeps batch shapes/dtypes real AND the lane oracle-checkable."""
+    from deepref_spark.refsem import md5_mod_py
+
+    s = payload.decode("utf-8", errors="replace")
     out = np.empty(FEATURE_DIM, dtype=np.float32)
-    h = payload
     for i in range(FEATURE_DIM):
-        h = hashlib.md5(h + bytes([i])).digest()
-        out[i] = int.from_bytes(h[:4], "big") / 2**32
+        out[i] = md5_mod_py(f"{s}:{i}", 1 << 20) / float(1 << 20)
     return out
 
 

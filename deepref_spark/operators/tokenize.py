@@ -28,7 +28,8 @@ TOKENIZED_SCHEMA = (
 )
 
 
-def tokenize_mentions(mentions: DataFrame, max_length: int = 128, mask_entity: bool = False) -> DataFrame:
+def tokenize_mentions(mentions: DataFrame, max_length: int = 128, mask_entity: bool = False,
+                      wordpiece_fn=None) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
 
@@ -48,6 +49,7 @@ def tokenize_mentions(mentions: DataFrame, max_length: int = 128, mask_entity: b
                 ids, mask, p1, p2 = refsem.bert_entity_tokenize(
                     list(row.token), list(row.h["pos"]), list(row.t["pos"]),
                     max_length=max_length, mask_entity=mask_entity, to_id=to_id,
+                    wp=wordpiece_fn,
                 )
                 out["sent_id"].append(row.sent_id)
                 out["doc_id"].append(row.doc_id)

@@ -1143,6 +1143,123 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, k=3, threshold=0.8)
 
 
+# --- multimodal lane (SURVEY §2.8 media passthrough + feature extract) -------
+
+_MEDIA_REF_CASE = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat('/img/', CAST(doc_id AS {s}), '.png') "
+    "WHEN 1 THEN concat('/aud/', CAST(doc_id AS {s}), '.wav') "
+    "ELSE concat('/vid/', CAST(doc_id AS {s}), '.mp4') END"
+)
+
+
+@q("kg_media_features", f"""
+WITH media AS (
+  SELECT doc_id, {_MEDIA_REF_CASE.format(s="VARCHAR")} AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+feat AS (
+  SELECT media_ref,
+         CASE WHEN media_ref LIKE '%/img/%' THEN 'image'
+              WHEN media_ref LIKE '%/aud/%' THEN 'audio'
+              WHEN media_ref LIKE '%/vid/%' THEN 'video'
+              ELSE 'blob' END AS media_kind,
+         CAST(length(media_ref) AS BIGINT) AS n_bytes,
+         CAST({md5_mod("concat(media_ref, ':0')", 1 << 20)} / {float(1 << 20)} AS FLOAT) AS f0
+  FROM media
+)
+SELECT media_kind, CAST(count(*) AS BIGINT) AS n,
+       round(avg(n_bytes), 6) AS avg_bytes, round(avg(f0), 6) AS avg_f0
+FROM feat GROUP BY media_kind
+""")
+def kg_media_features(spark, sf_dir):
+    """Multimodal lane end-to-end: deterministic media refs derived from
+    documents -> extract_media_features (REAL Arrow mapInPandas with the
+    declared-stub decoder's deterministic fake) -> per-kind rollup. The
+    oracle recomputes feature 0 with the shared portable md5 formula."""
+    from deepref_spark.operators.multimodal import extract_media_features, media_stats
+
+    media = (
+        documents(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS doc_id",
+            "CAST(1 AS INT) AS span_idx",
+            _MEDIA_REF_CASE.format(s="STRING") + " AS media_ref",
+        )
+    )
+    return media_stats(extract_media_features(media))
+
+
+def _simhash64_duck() -> str:
+    from deepref_spark.portable import md5_true_bit
+
+    terms = " + ".join(
+        f"CAST(CASE WHEN list_sum(list_transform(hashes, h -> 2 * {md5_true_bit('h', j)} - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        for j in range(63)
+    )
+    return f"""
+WITH fp AS (
+  SELECT doc_id, {terms} AS simhash
+  FROM (SELECT doc_id, list_transform({_shingles_duck()}, s -> md5(s)) AS hashes FROM documents)
+),
+keyed AS (
+  SELECT doc_id, simhash,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([(simhash >> 0) & 65535, (simhash >> 16) & 65535,
+                 (simhash >> 32) & 65535, (simhash >> 48) & 65535]) AS bval
+  FROM fp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM keyed x JOIN keyed y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@q("dedup_simhash_pairs", _simhash64_duck())
+def dedup_simhash_pairs(spark, sf_dir):
+    """Scale-safe simhash near-dup: 64-bit fingerprint (true md5 bits),
+    4 x 16-bit LSH bands (pigeonhole covers hamming <= 3), popcount-xor
+    verify — bounded buckets instead of the 16-bit equal-bucket join
+    that goes quadratic at web scale."""
+    from deepref_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+@q("dedup_ngram_jaccard_capped", f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
+""")
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """n-gram Jaccard with the document-frequency cap the 100 TB path
+    requires: shingles with df > 50 are dropped from the index AND the
+    sizes before the self-join, bounding every posting list."""
+    from deepref_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50)
+
+
 @q("text_token_count", f"""
 SELECT doc_id,
        CAST(len({_TOKS_DUCK}) AS INT) AS n_tokens,

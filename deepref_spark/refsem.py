@@ -510,11 +510,72 @@ def wordpiece(word: str) -> list[str]:
     return pieces
 
 
-def tokenize_text(text: str) -> list[str]:
+def tokenize_text(text: str, wp=None) -> list[str]:
+    wp = wp or wordpiece
     out: list[str] = []
     for w in text.split():
-        out.extend(wordpiece(w))
+        out.extend(wp(w))
     return out
+
+
+# ---------------------------------------------------------------------------
+# K5 — REAL greedy longest-match wordpiece over a pinned vocab
+# (deepref/tokenization/word_piece_tokenizer.py:61-96 semantics)
+# ---------------------------------------------------------------------------
+
+_WP_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789(),."
+_WP_FRAGMENTS = [
+    # the vendored tokenizer's own docstring example (word_piece_tokenizer.py:45-47)
+    "un", "##aff", "##able",
+    # common English morphemes — a deterministic, pinned stand-in for a
+    # trained vocab file (load_vocab at word_piece_tokenizer.py:36)
+    "anti", "con", "de", "dis", "en", "inter", "mis", "non", "out",
+    "over", "pre", "re", "sub", "the", "under",
+    "##age", "##al", "##ance", "##ate", "##ation", "##ed", "##ence",
+    "##ent", "##er", "##est", "##ful", "##ing", "##ion", "##ism",
+    "##ist", "##ity", "##ive", "##ize", "##less", "##ly", "##ment",
+    "##ness", "##ous", "##s", "##tion",
+]
+WP_VOCAB = frozenset(
+    list(_WP_ALPHABET)
+    + ["##" + c for c in _WP_ALPHABET]
+    + _WP_FRAGMENTS
+)
+
+
+def wordpiece_greedy(word: str, vocab: frozenset | set | None = None,
+                     unk_token: str = "[UNK]",
+                     max_input_chars_per_word: int = 200) -> list[str]:
+    """Greedy longest-match-first wordpiece — the exact algorithm of the
+    vendored tokenizer (word_piece_tokenizer.py:61-96): per start
+    position shrink the candidate from the full remaining suffix until a
+    vocab hit ('##'-prefixed beyond position 0); any unmatched position
+    makes the whole word [UNK] (is_bad), as does exceeding
+    max_input_chars_per_word. Single characters of the normalized
+    alphabet are all in WP_VOCAB, so is_bad only fires on
+    out-of-alphabet characters — same guarantee a trained BERT vocab
+    gives via its byte fallback."""
+    vocab = WP_VOCAB if vocab is None else vocab
+    if not word:
+        return []
+    if len(word) > max_input_chars_per_word:
+        return [unk_token]
+    sub_tokens: list[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        while start < end:
+            substr = ("##" if start > 0 else "") + word[start:end]
+            if substr in vocab:
+                cur = substr
+                break
+            end -= 1
+        if cur is None:
+            return [unk_token]  # is_bad
+        sub_tokens.append(cur)
+        start = end
+    return sub_tokens
 
 
 def md5_mod_py(s: str, m: int) -> int:
@@ -536,7 +597,7 @@ def piece_to_id(piece: str) -> int:
 
 def bert_entity_tokenize(
     token: list[str], h_pos: list[int], t_pos: list[int],
-    max_length: int = 128, mask_entity: bool = False, to_id=None,
+    max_length: int = 128, mask_entity: bool = False, to_id=None, wp=None,
 ) -> tuple[list[int], list[int], int, int]:
     """Entity-marked tokenization (deepref/encoder/bert_encoder.py:144-228):
     split around min/max entity, wrap in [unused0..3] ([unused2..3] pair
@@ -548,11 +609,11 @@ def bert_entity_tokenize(
     rev = pos_head[0] > pos_tail[0]
     pos_min, pos_max = (pos_tail, pos_head) if rev else (pos_head, pos_tail)
 
-    sent0 = tokenize_text(" ".join(token[:pos_min[0]]))
-    ent0 = tokenize_text(" ".join(token[pos_min[0]:pos_min[1]]))
-    sent1 = tokenize_text(" ".join(token[pos_min[1]:pos_max[0]]))
-    ent1 = tokenize_text(" ".join(token[pos_max[0]:pos_max[1]]))
-    sent2 = tokenize_text(" ".join(token[pos_max[1]:]))
+    sent0 = tokenize_text(" ".join(token[:pos_min[0]]), wp)
+    ent0 = tokenize_text(" ".join(token[pos_min[0]:pos_min[1]]), wp)
+    sent1 = tokenize_text(" ".join(token[pos_min[1]:pos_max[0]]), wp)
+    ent1 = tokenize_text(" ".join(token[pos_max[0]:pos_max[1]]), wp)
+    sent2 = tokenize_text(" ".join(token[pos_max[1]:]), wp)
 
     if mask_entity:
         ent0 = ["[unused4]"] if not rev else ["[unused5]"]
@@ -635,11 +696,11 @@ def ebem_tokenize(
     rev = h_pos[0] > t_pos[0]
     pos_min, pos_max = (t_pos, h_pos) if rev else (h_pos, t_pos)
 
-    sent0 = tokenize_text(" ".join(token[:pos_min[0]]))
-    ent0 = tokenize_text(" ".join(token[pos_min[0]:pos_min[1]]))
-    sent1 = tokenize_text(" ".join(token[pos_min[1]:pos_max[0]]))
-    ent1 = tokenize_text(" ".join(token[pos_max[0]:pos_max[1]]))
-    sent2 = tokenize_text(" ".join(token[pos_max[1]:]))
+    sent0 = tokenize_text(" ".join(token[:pos_min[0]]), wp)
+    ent0 = tokenize_text(" ".join(token[pos_min[0]:pos_min[1]]), wp)
+    sent1 = tokenize_text(" ".join(token[pos_min[1]:pos_max[0]]), wp)
+    ent1 = tokenize_text(" ".join(token[pos_max[0]:pos_max[1]]), wp)
+    sent2 = tokenize_text(" ".join(token[pos_max[1]:]), wp)
 
     if mask_entity:
         ent0 = ["[unused4]"] if not rev else ["[unused5]"]

@@ -244,3 +244,54 @@ def test_tagger_backend_dispatch_and_fallback():
     assert st.name == "stanza" and st._nlp is None
     pos, deps, ner = nlp.RuleTagger()(["the", "cat", "runs", "."])
     assert len(pos) == len(deps) == len(ner) == 4
+
+
+def test_wordpiece_greedy_reference_semantics():
+    """K5 — greedy longest-match-first per word_piece_tokenizer.py:61-96,
+    including the vendored docstring example and the is_bad/[UNK] and
+    max_input_chars_per_word branches."""
+    # the reference's own example (word_piece_tokenizer.py:45-47)
+    assert refsem.wordpiece_greedy("unaffable") == ["un", "##aff", "##able"]
+    # longest-match-first: 'the' matches whole, not t-h-e singles
+    assert refsem.wordpiece_greedy("the") == ["the"]
+    assert refsem.wordpiece_greedy("preform") == ["pre", "##f", "##o", "##r", "##m"]
+    # suffix fragments win over singles at continuation positions
+    assert refsem.wordpiece_greedy("going")[-1] == "##ing"
+    # is_bad: any unmatched char makes the WHOLE word [UNK]
+    assert refsem.wordpiece_greedy("café") == ["[UNK]"]
+    assert refsem.wordpiece_greedy("ABC") == ["[UNK]"]
+    # max_input_chars_per_word guard (word_piece_tokenizer.py:62-64)
+    assert refsem.wordpiece_greedy("a" * 201) == ["[UNK]"]
+    assert refsem.wordpiece_greedy("") == []
+
+
+def test_wordpiece_greedy_over_complete_k_vocab_equals_chunker():
+    """With a complete <=4-char vocab, greedy longest-match always takes
+    4 chars — i.e. the oracle-checkable fixed-width chunker IS greedy
+    wordpiece under that vocab (why kg_tokenize's SQL twin is faithful)."""
+    import itertools
+
+    alpha = "abcde"
+    vocab = set()
+    for k in (1, 2, 3, 4):
+        for tup in itertools.product(alpha, repeat=k):
+            piece = "".join(tup)
+            vocab.add(piece)
+            vocab.add("##" + piece)
+    import random
+
+    rnd = random.Random(42)
+    for _ in range(200):
+        w = "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 15)))
+        assert refsem.wordpiece_greedy(w, vocab=vocab) == refsem.wordpiece(w)
+
+
+def test_bert_entity_tokenize_with_greedy_wordpiece():
+    """The K1 layout invariants hold with the real matcher plugged in."""
+    toks = "the unaffable glacier is running over there".split()
+    ids, mask, p1, p2 = refsem.bert_entity_tokenize(
+        toks, [1, 2], [2, 3], max_length=64, wp=refsem.wordpiece_greedy
+    )
+    assert ids[p1] == refsem.SPECIAL_TOKENS["[unused0]"]
+    assert ids[p2] == refsem.SPECIAL_TOKENS["[unused2]"]
+    assert len(ids) == len(mask) == 64
