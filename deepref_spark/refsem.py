@@ -683,7 +683,7 @@ def eval_predictions(goldens: list[int], preds: list[int], rel2id: dict[str, int
 
 def ebem_tokenize(
     token: list[str], h_pos: list[int], t_pos: list[int], sk: dict,
-    max_length: int = 128, mask_entity: bool = False, to_id=None,
+    max_length: int = 128, mask_entity: bool = False, to_id=None, wp=None,
 ) -> dict:
     """EBEM tokenization (K2, bert_encoder.py:332-440): K1 plus the
     semantic-knowledge father/grandpa tokens appended before [SEP],
