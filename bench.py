@@ -32,12 +32,16 @@ HEADLINE = [
     "kg_preproc_sw",
     "kg_preproc_eb",
     "kg_tokenize",
+    "kg_candidate_pairs",
     "kg_triples_hashpred",
     "kg_canonical_triples",
     "kg_triples_model",
+    "kg_media_features",
     "dedup_exact",
     "dedup_minhash_bands",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_capped",
     "text_quality",
     "text_lang_id",
     "doc_fingerprint",

@@ -35,10 +35,34 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def _token_shingles(k: int = 3) -> str:
+    """Shingle expression over a raw text column. NOTE: inlines the
+    tokenizer inside the per-element lambda — callers that fan out per
+    shingle must use _with_shingles instead, which stages tokens as a
+    column (this inline form re-tokenizes the document for EVERY shingle
+    index: measured 10x+ slowdown at sf0.1)."""
     toks = portable.norm_tokens("text", SPARK)
     return (
         f"transform(sequence(1, greatest(1, size({toks}) - {k - 1})), "
         f"i -> array_join(slice({toks}, i, {k}), ' '))"
+    )
+
+
+def _with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id + token k-shingle array, with tokenization staged as a
+    real column. The extra `_n` reference makes the tokens expression
+    multi-referenced so CollapseProject (SPARK-36718 rule) cannot inline
+    the regex chain back into the per-shingle lambda — keeping
+    tokenization O(1) per row instead of O(#shingles) per row."""
+    toks = portable.norm_tokens("text", SPARK)
+    staged = documents.select("doc_id", F.expr(toks).alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(1, _n - {k - 1})), "
+            f"i -> array_join(slice(_toks, i, {k}), ' '))"
+        ).alias("shingles"),
     )
 
 
@@ -50,9 +74,8 @@ def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> Dat
     from deepref_spark.portable import md5_slice_mod
 
     assert n_bands <= 8
-    sh = documents.select(
-        "doc_id",
-        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    sh = _with_shingles(documents, k).select(
+        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hashes")
     )
     bands = [
         "array_min(transform(hashes, h -> {h})) as band_{b}".format(
@@ -95,7 +118,8 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     self-join quadratic in the hottest key; at 100 TB the cap is
     mandatory, locally it defaults off to keep the uncapped oracle."""
     sh = (
-        documents.select("doc_id", F.explode(F.expr(_token_shingles(k))).alias("shingle"))
+        _with_shingles(documents, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
     )
     if df_cap is not None:
@@ -106,6 +130,9 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
+    # the exploded (and capped) posting table feeds FOUR consumers
+    # (df-cap, sizes, both self-join sides): stage it once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
@@ -134,9 +161,8 @@ def simhash(documents: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
     per bit inside a single projection."""
     from deepref_spark.portable import md5_bit
 
-    sh = documents.select(
-        "doc_id",
-        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    sh = _with_shingles(documents, k).select(
+        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hashes")
     )
     bit_terms = []
     for j in range(bits):
@@ -158,9 +184,8 @@ def simhash64(documents: DataFrame, k: int = 3) -> DataFrame:
     goes quadratic, while 64 bits keep buckets sparse."""
     from deepref_spark.portable import md5_true_bit
 
-    sh = documents.select(
-        "doc_id",
-        F.expr(f"transform({_token_shingles(k)}, s -> md5(s))").alias("hashes"),
+    sh = _with_shingles(documents, k).select(
+        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hashes")
     )
     bit_terms = [
         f"CAST(CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + (2 * {md5_true_bit('h', j)} - 1)) > 0 "
@@ -179,7 +204,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     popcount(xor) — never an all-pairs comparison, and bucket
     cardinality stays bounded at web scale (the round-1 16-bit version
     went quadratic inside hot buckets)."""
-    s = simhash64(documents, k)
+    # fingerprints feed both self-join sides — stage once instead of
+    # running the 63-vote aggregation twice
+    s = simhash64(documents, k).localCheckpoint(eager=False)
     width = 16
     bands = [
         f"(shiftright(simhash, {width * b}) & {(1 << width) - 1}) AS band_{b}"

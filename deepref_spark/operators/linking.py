@@ -105,16 +105,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("entity"))
     )
-    sym = sym.localCheckpoint()
-    labels = labels.localCheckpoint()
-    for i in range(max_iter):
+    # lazy checkpoints: materialization rides the first action that
+    # needs them instead of costing a dedicated job each (2 actions ->
+    # 1 action per round; the driver-side loop is latency-bound at
+    # small scale and action-count-bound at any scale)
+    sym = sym.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=False)
+    def one_hop(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym["b"] == labels["entity"])
+            sym.join(lbl, sym["b"] == lbl["entity"])
             .groupBy(F.col("a").alias("entity"))
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "entity", "left")
+        return (
+            lbl.join(neighbor_min, "entity", "left")
             .select(
                 "entity",
                 F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
@@ -124,11 +128,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 (F.coalesce("n_comp", "component") < F.col("component")).alias("_changed"),
             )
         )
+
+    for i in range(max_iter):
+        # two propagation hops per planned round: Catalyst planning +
+        # checkpoint + convergence action are per-ROUND fixed costs (the
+        # dominant cost at the small-graph end, measured), so batching
+        # hops halves them. Min-label propagation is monotone, so the
+        # LAST hop's no-change flag alone certifies the fixed point.
+        hop1 = one_hop(labels).drop("_changed")
+        new_labels = one_hop(hop1)
         # localCheckpoint each round: labels are one row per distinct
         # entity (small next to the corpus); cutting lineage every round
-        # keeps plan depth O(1) and makes the convergence probe a scan
-        # of the already-materialized result.
-        new_labels = new_labels.localCheckpoint()
+        # keeps plan depth O(1). Lazy: the convergence agg below is the
+        # single action that materializes the round.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.agg(F.max(F.col("_changed").cast("int"))).first()[0]
         labels = new_labels.drop("_changed")
         if not changed:

@@ -147,13 +147,26 @@ def kg_tag_sentence(spark, sf_dir):
 
 def _untag_step(arr: str, marker: str, d: str) -> str:
     """Remove the FIRST occurrence of ``marker`` from array column
-    ``arr`` (nlp_tool.py:9-19's list.remove). Index lambda is 1-based
-    in duckdb, 0-based in Spark — normalized here. ``arr`` must be a
-    plain column reference (each step is staged as its own column so
-    the expression tree stays linear, not exponential)."""
+    ``arr`` (nlp_tool.py:9-19's list.remove), as a head++tail slice
+    around the marker position. The round-1 form filtered with
+    ``array_position`` inside the lambda, which re-scans the array per
+    element (O(n^2) per marker); the slice form evaluates the position
+    a constant number of times per row. ``arr`` must be a plain column
+    reference (each step is staged as its own column so the expression
+    tree stays linear, not exponential)."""
     if d == SPARK:
-        return f"filter({arr}, (x, i) -> i != array_position({arr}, '{marker}') - 1)"
-    return f"list_filter({arr}, (x, i) -> i != list_position({arr}, '{marker}'))"
+        p = f"array_position({arr}, '{marker}')"
+        return (
+            f"CASE WHEN {p} = 0 THEN {arr} "
+            f"ELSE concat(slice({arr}, 1, {p} - 1), "
+            f"slice({arr}, {p} + 1, size({arr}) - {p})) END"
+        )
+    p = f"list_position({arr}, '{marker}')"
+    return (
+        f"CASE WHEN {p} IS NULL THEN {arr} "
+        f"ELSE list_concat(list_slice({arr}, 1, {p} - 1), "
+        f"list_slice({arr}, {p} + 1, len({arr}))) END"
+    )
 
 
 def _untag_oracle() -> str:

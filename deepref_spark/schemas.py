@@ -80,4 +80,13 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark, sf_dir: str, name: str):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table. The local files are single-row-group
+    parquet (unsplittable -> ONE partition), which would serialize every
+    per-row kernel onto one core; spread them to the session parallelism
+    up front. At cluster scale inputs arrive in many splits and this is
+    a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

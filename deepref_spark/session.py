@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate turns every explode(expensive_expr)
+        # into a pushed-down size(expensive_expr) > 0 filter that
+        # re-evaluates the full expression tree (for our shingle arrays,
+        # re-tokenizing each document inside the filter lambda: measured
+        # 10x+ on the dedup suite). Our generated arrays are non-empty
+        # by construction (sequence floors at 1), so the inferred filter
+        # only ever costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
