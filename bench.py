@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_fingerprint",
     "emb_cosine_topk",
     "emb_ann_lsh",
+    "emb_ann_gaussian",
     "events_window_agg",
     "events_sessionize",
 ]

@@ -60,12 +60,47 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> D
     )
 
 
+def gaussian_planes(dim: int, n_planes: int = 8, seed: int = 42):
+    """Seeded Gaussian hyperplanes, rounded to 6 decimals so the exact
+    same constants can be embedded as literals in a SQL oracle."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return np.round(rs.normal(0.0, 1.0, size=(n_planes, dim)), 6)
+
+
+def plane_literal_sql(plane, d: str = "spark") -> str:
+    vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane.tolist())
+    return f"array({vals})" if d == "spark" else f"[{', '.join(repr(v) for v in plane.tolist())}]"
+
+
+def gaussian_lsh_buckets(embeddings: DataFrame, dim: int,
+                         n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH with REAL seeded Gaussian planes — the
+    production bucketing (recall is controlled for any embedding
+    distribution, unlike the raw-coordinate sign trick below). The
+    planes are literals in the plan (tiny: n_planes x dim doubles), so
+    the same constants appear verbatim in the DuckDB oracle — no
+    broadcast machinery needed for a kilobyte of floats."""
+    planes = gaussian_planes(dim, n_planes, seed)
+    bits = [
+        "CASE WHEN aggregate(zip_with(embedding, "
+        + plane_literal_sql(p)
+        + ", (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return embeddings.select(
+        "vec_id", "embedding",
+        F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"),
+    )
+
+
 def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane LSH without random planes: the sign pattern of
-    the first n_planes coordinates is a deterministic, oracle-checkable
-    bucket key (coordinates of trained embeddings are near-random
-    projections already). Production swap-in: seeded Gaussian planes in
-    a broadcast matrix, same bucket-join shape."""
+    """Axis-aligned sign LSH: the sign pattern of the first n_planes
+    coordinates as the bucket key (coordinates of trained embeddings are
+    near-random projections already). Kept for the cheapest bucketing;
+    gaussian_lsh_buckets is the production default."""
     bucket_bits = [
         f"CASE WHEN CAST(element_at(embedding, {i + 1}) AS DOUBLE) >= 0 THEN '1' ELSE '0' END"
         for i in range(n_planes)
@@ -77,15 +112,22 @@ def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                 n_planes: int = 8) -> DataFrame:
-    """ANN: candidates share the query's sign bucket; exact cosine +
-    window ranking within the bucket only."""
-    corpus = sign_lsh_buckets(embeddings, n_planes).select(
+                 n_planes: int = 8, dim: int | None = None) -> DataFrame:
+    """ANN: candidates share the query's LSH bucket; exact cosine +
+    window ranking within the bucket only. With ``dim`` set the bucket
+    key comes from seeded Gaussian planes (production default);
+    otherwise the axis-aligned sign fallback."""
+    def buckets(df):
+        if dim is not None:
+            return gaussian_lsh_buckets(df, dim, n_planes)
+        return sign_lsh_buckets(df, n_planes)
+
+    corpus = buckets(embeddings).select(
         F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"),
         _norm_col("embedding").alias("nbr_norm"), "bucket",
     )
     q = F.broadcast(
-        sign_lsh_buckets(queries, n_planes).select(
+        buckets(queries).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
             _norm_col("embedding").alias("q_norm"), "bucket",
         )

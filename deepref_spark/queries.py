@@ -1418,12 +1418,56 @@ ranked AS (
 SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
 """)
 def emb_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the scale path)."""
+    """Sign-LSH bucketed ANN (cheapest bucketing)."""
     from deepref_spark.operators.similarity import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
     return lsh_ann_topk(emb, qs, k=5, n_planes=8).select(
+        "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _gaussian_ann_oracle(dim: int = 64, n_planes: int = 8) -> str:
+    from deepref_spark.operators.similarity import gaussian_planes, plane_literal_sql
+
+    planes = gaussian_planes(dim, n_planes)
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(embedding, {plane_literal_sql(p, DUCK)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE {_emb_queries_filter()}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("emb_ann_gaussian", _gaussian_ann_oracle())
+def emb_ann_gaussian(spark, sf_dir):
+    """Gaussian random-hyperplane ANN — the production bucketing
+    (seeded planes, recall controlled for any embedding distribution).
+    The plane constants are literals shared verbatim with the oracle."""
+    from deepref_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return lsh_ann_topk(emb, qs, k=5, n_planes=8, dim=64).select(
         "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
