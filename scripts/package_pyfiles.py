@@ -1,0 +1,22 @@
+#!/usr/bin/env python
+"""Build the --py-files artifact: a zip of the deepref_spark package
+(sources only). `python scripts/package_pyfiles.py [out.zip]`."""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+
+def build(out: str = "deepref_spark.zip") -> str:
+    root = Path(__file__).resolve().parent.parent
+    pkg = root / "deepref_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for py in sorted(pkg.rglob("*.py")):
+            z.write(py, py.relative_to(root))
+    return out
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else "deepref_spark.zip"))
