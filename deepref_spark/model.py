@@ -36,9 +36,12 @@ HIDDEN = 64
 SEED = 42
 
 
-def build_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE, hidden: int = HIDDEN) -> dict:
-    """Deterministic weight init (seed 42, like train.py:261-265)."""
-    rs = np.random.RandomState(SEED)
+def build_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE, hidden: int = HIDDEN,
+                  seed: int = SEED) -> dict:
+    """Deterministic weight init (seed 42, like train.py:261-265;
+    ablation runs pass alternate seeds like get_seeds at
+    ablation_studies.py:162-176)."""
+    rs = np.random.RandomState(seed)
     scale = 1.0 / np.sqrt(hidden)
     w = {
         "emb": rs.normal(0, 1.0, size=(vocab_size, hidden)) * scale,
@@ -196,11 +199,12 @@ def forward_ebem_batch(weights: dict, ids: np.ndarray, mask: np.ndarray,
 
 def build_cnn_weights(n_relations: int, vocab_size: int = refsem.VOCAB_SIZE,
                       hidden: int = HIDDEN, pos_dim: int = 5,
-                      max_length: int = 128, window: int = 3) -> dict:
+                      max_length: int = 128, window: int = 3,
+                      seed: int = SEED + 2) -> dict:
     """M4/M5 weights: word ⊕ pos1 ⊕ pos2 embeddings -> 1-D conv ->
     (piecewise) max pool -> fc (cnn_encoder.py:46-65 /
     pcnn_encoder.py:54-80 dataflow)."""
-    rs = np.random.RandomState(SEED + 2)
+    rs = np.random.RandomState(seed)
     in_dim = hidden + 2 * pos_dim
     scale = 1.0 / np.sqrt(in_dim)
     w = {
@@ -304,13 +308,15 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 def build_rnn_weights(n_relations: int, kind: str = "lstm",
                       vocab_size: int = refsem.VOCAB_SIZE, hidden: int = HIDDEN,
                       pos_dim: int = 5, max_length: int = 128,
-                      layers: int = 2) -> dict:
+                      layers: int = 2, seed: int | None = None) -> dict:
     """M7 weights: word ⊕ pos embeddings through a ``layers``-deep
     recurrent stack (module/nn/lstm.py, gru.py: nn.LSTM/GRU with
     num_layers=2 per lstm_encoder.py:37) then max-pool-over-states + fc
     (lstm_encoder.py:42-59 / gru_encoder.py:42-59 dataflow)."""
     assert kind in ("lstm", "gru")
-    rs = np.random.RandomState(SEED + (3 if kind == "lstm" else 4))
+    if seed is None:
+        seed = SEED + (3 if kind == "lstm" else 4)
+    rs = np.random.RandomState(seed)
     gates = 4 if kind == "lstm" else 3
     in0 = hidden + 2 * pos_dim
     w = {

@@ -119,7 +119,7 @@ def score_cls(spark: SparkSession, mentions: DataFrame, n_relations: int,
 
 def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
                      max_length: int = 128, piecewise: bool = False,
-                     encoder: str | None = None) -> DataFrame:
+                     encoder: str | None = None, seed: int = 0) -> DataFrame:
     """cnn/pcnn/crcnn/lstm/gru path: K3 word+position tokenize (+K4
     segment mask for pcnn) and the M4/M5/M6/M7 forwards — the full
     word-embedding encoder family from train.py:138-254's model switch.
@@ -127,9 +127,12 @@ def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
     encoder = encoder or ("pcnn" if piecewise else "cnn")
     assert encoder in ("cnn", "pcnn", "crcnn", "lstm", "gru")
     if encoder in ("lstm", "gru"):
-        built = mdl.build_rnn_weights(n_relations, kind=encoder, max_length=max_length)
+        base = mdl.SEED + (3 if encoder == "lstm" else 4)
+        built = mdl.build_rnn_weights(n_relations, kind=encoder, max_length=max_length,
+                                      seed=base + 1009 * seed)
     else:
-        built = mdl.build_cnn_weights(n_relations, max_length=max_length)
+        built = mdl.build_cnn_weights(n_relations, max_length=max_length,
+                                      seed=mdl.SEED + 2 + 1009 * seed)
     weights_bc = spark.sparkContext.broadcast(built)
     need_seg = encoder == "pcnn"
 
@@ -174,11 +177,13 @@ def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
 
 
 def score_entity(spark: SparkSession, mentions: DataFrame, n_relations: int,
-                 max_length: int = 128) -> DataFrame:
+                 max_length: int = 128, seed: int = 0) -> DataFrame:
     """bert_entity path fused for structured mention rows (K1 + M2 in
     one crossing) — the mention-table twin of fused.extract_scored_fused
     (which starts from tagged text)."""
-    weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
+    weights_bc = spark.sparkContext.broadcast(
+        mdl.build_weights(n_relations, seed=mdl.SEED + 1009 * seed)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = None

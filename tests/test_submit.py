@@ -58,3 +58,45 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
         f"FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()
     assert rows[0] == n and rows[1] == n  # canonical triple key unique
+
+
+@pytest.mark.slow
+def test_spark_submit_ablation_resume(tmp_path):
+    """§3.3 lifecycle parity: ablation grid with resume-by-row-count
+    (ablation_studies.py:42-56) — rerun after truncation completes the
+    grid with identical rows."""
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("spark-submit binary not available")
+    zip_path = tmp_path / "deepref_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "package_pyfiles.py"), str(zip_path)],
+        check=True, capture_output=True, cwd=str(tmp_path),
+    )
+
+    def run(csv_path):
+        return subprocess.run(
+            [
+                submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(zip_path),
+                str(REPO / "scripts" / "run_ablation.py"),
+                "--out", str(csv_path), "--n-docs", "40",
+                "--encoders", "bert,cnn", "--variants", "original,sw", "--seeds", "1",
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=360,
+        )
+
+    full = tmp_path / "abl.csv"
+    r = run(full)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = full.read_text().strip().splitlines()
+    assert len(lines) == 1 + 4  # header + 2 encoders x 2 variants x 1 seed
+
+    partial = tmp_path / "abl_partial.csv"
+    partial.write_text("\n".join(lines[:3]) + "\n")
+    r2 = run(partial)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "done=2 todo=2" in r2.stdout
+    assert partial.read_text().strip().splitlines() == lines
