@@ -54,7 +54,7 @@ def main() -> None:
         from deepref_spark import portable
         from deepref_spark.operators import mentions as mops
         from deepref_spark.operators import score as score_op
-        from deepref_spark.operators import tokenize
+        from deepref_spark.operators.encoders import score_entity
         from deepref_spark.pipeline import triples_from_scored
 
         raw = spark.read.parquet(args.docs)
@@ -64,13 +64,12 @@ def main() -> None:
             F.concat_ws("#", "doc_id", F.lit("0")).alias("sent_id"),
             "text",
         )
+        # candidate generation is pure JVM; score_entity fuses
+        # tokenize+forward into ONE Arrow crossing
         ments = mops.candidate_mentions(sentences)
         rel2id = score_op.rel2id_from_relations(portable.RELATION_NAMES)
         scored = score_op.attach_pred_names(
-            score_op.score_tokenized(
-                spark, tokenize.tokenize_mentions(ments), n_relations=len(rel2id)
-            ),
-            rel2id,
+            score_entity(spark, ments, n_relations=len(rel2id)), rel2id
         )
         triples = triples_from_scored(scored, canonicalize=True)
     else:
