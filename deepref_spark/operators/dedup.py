@@ -117,10 +117,14 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     rule). Without it a ubiquitous shingle's posting list makes the
     self-join quadratic in the hottest key; at 100 TB the cap is
     mandatory, locally it defaults off to keep the uncapped oracle."""
+    # the exploded posting table feeds several consumers (df-cap count,
+    # sizes, both self-join sides): stage it before fan-out so shingle
+    # derivation runs exactly once
     sh = (
         _with_shingles(documents, k)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if df_cap is not None:
         keep = (
@@ -129,10 +133,7 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
             .where(F.col("_df") <= df_cap)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle")
-    # the exploded (and capped) posting table feeds FOUR consumers
-    # (df-cap, sizes, both self-join sides): stage it once
-    sh = sh.localCheckpoint(eager=False)
+        sh = sh.join(keep, "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")

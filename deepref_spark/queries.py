@@ -59,8 +59,15 @@ def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _portable_mentions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = documents(spark, sf_dir)
     toks = F.expr(portable.norm_tokens("text", SPARK))
+    # The lazy checkpoint is a pushdown BARRIER: without it Catalyst
+    # pushes the size>=MIN filter below the repartition into the
+    # (single-split) parquet scan, re-tokenizing every document inside
+    # one task. Behind the barrier the regex runs once per doc at full
+    # parallelism and the filter is a cheap size() on the materialized
+    # arrays.
+    staged = d.select("doc_id", toks.alias("tokens")).localCheckpoint(eager=False)
     base = (
-        d.select("doc_id", toks.alias("tokens"))
+        staged
         .where(F.size("tokens") >= MIN_T)
         .withColumn("n", F.size("tokens"))
     )
