@@ -153,12 +153,14 @@ def canonical_map(entities: DataFrame, name_col: str = "entity",
                   threshold: float = 0.6) -> DataFrame:
     """entity -> canonical entity (component min). Singletons map to
     themselves."""
-    sigs = minhash_signatures(entities.select(F.col(name_col).alias("entity")).distinct())
+    ents = entities.select(F.col(name_col).alias("entity")).distinct().localCheckpoint(eager=False)
+    # signatures feed BOTH sides of the LSH self-join — stage them so
+    # the shingle/minhash derivation runs once, not per join side
+    sigs = minhash_signatures(ents).localCheckpoint(eager=False)
     edges = similarity_edges(candidate_pairs(sigs), threshold)
     comps = connected_components(edges)
     return (
-        entities.select(F.col(name_col).alias("entity")).distinct()
-        .join(comps, "entity", "left")
+        ents.join(comps, "entity", "left")
         .select("entity", F.coalesce("component", "entity").alias("canonical"))
     )
 
