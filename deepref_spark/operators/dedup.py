@@ -94,7 +94,7 @@ def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> Dat
 
 def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band bucket."""
-    keys = minhash_band_keys(documents, n_bands, k)
+    keys = minhash_band_keys(documents, n_bands, k).localCheckpoint(eager=False)
     a = keys.select("band", "sig", F.col("doc_id").alias("a"))
     b = keys.select("band", "sig", F.col("doc_id").alias("b"))
     return (

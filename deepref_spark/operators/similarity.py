@@ -147,8 +147,10 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         n_planes: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join."""
-    b = sign_lsh_buckets(embeddings, n_planes)
+    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+    Buckets are staged so the fingerprint derivation runs once, not per
+    join side."""
+    b = sign_lsh_buckets(embeddings, n_planes).localCheckpoint(eager=False)
     left = b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
                     _norm_col("embedding").alias("na"), "bucket")
     right = b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),

@@ -892,7 +892,7 @@ def kg_connected_components(spark, sf_dir):
         .union(m.select(F.col("t_name").alias("entity")))
         .distinct()
     )
-    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK)))
+    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
     a = sigs.alias("a")
     b = sigs.alias("b")
     cond = (
