@@ -117,23 +117,22 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     rule). Without it a ubiquitous shingle's posting list makes the
     self-join quadratic in the hottest key; at 100 TB the cap is
     mandatory, locally it defaults off to keep the uncapped oracle."""
-    # the exploded posting table feeds several consumers (df-cap count,
-    # sizes, both self-join sides): stage it before fan-out so shingle
-    # derivation runs exactly once
     sh = (
         _with_shingles(documents, k)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     if df_cap is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= df_cap)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle").localCheckpoint(eager=False)
+        # document frequency as a window count over the posting list —
+        # one shuffle (no groupBy + rejoin), partition size bounded by
+        # the corpus doc count per shingle
+        from pyspark.sql import Window
+
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("_df", dfreq).where(F.col("_df") <= df_cap).drop("_df")
+    # the posting table feeds several consumers (sizes, both self-join
+    # sides): stage it so the derivation runs exactly once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
