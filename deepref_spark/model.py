@@ -387,3 +387,40 @@ def forward_rnn_batch(w: dict, ids, pos1, pos2) -> tuple[np.ndarray, np.ndarray]
     rep = x.max(axis=1)                                    # (B, H)
     logits = (rep @ w["w_fc"] + w["b_fc"] - w["logit_offset"]) * 8.0
     return _softmax_pred(logits)
+
+
+def load_hf_weights(state_dict: dict, n_relations: int) -> dict:
+    """S7 — map a BERTEntityEncoder+SoftmaxNN checkpoint into the
+    forward_batch weight layout. The reference builds
+    `self.linear = nn.Linear(2H, 2H)` over concatenated entity-start
+    states (bert_encoder.py:105-142) and `self.fc = nn.Linear(2H, N)`
+    (softmax_nn.py:19,46); this maps those exact parameter names (plus
+    the word-embedding table) into the numpy dict, transposing the
+    torch (out, in) convention to our (in, out) matmuls.
+
+    ``state_dict`` holds numpy arrays (call .numpy() on torch tensors
+    first — no torch import here). The deep transformer stack is NOT
+    reproduced by the numpy stand-in (its context mix replaces it); what
+    this adapter guarantees is that a real checkpoint's embedding/head
+    parameters flow into the same broadcast/scoring plumbing unchanged,
+    which is the swap-in contract documented at the top of this module.
+    """
+    emb = np.asarray(state_dict["sentence_encoder.bert.embeddings.word_embeddings.weight"])
+    w_lin = np.asarray(state_dict["sentence_encoder.linear.weight"]).T  # (2H, 2H)
+    b_lin = np.asarray(state_dict["sentence_encoder.linear.bias"])
+    w_fc = np.asarray(state_dict["fc.weight"]).T                       # (2H, N)
+    b_fc = np.asarray(state_dict["fc.bias"])
+    hidden = emb.shape[1]
+    assert w_lin.shape == (2 * hidden, 2 * hidden), w_lin.shape
+    assert w_fc.shape[0] == 2 * hidden and w_fc.shape[1] == n_relations, w_fc.shape
+    w = {
+        "emb": emb.astype(np.float64),
+        "w_lin": w_lin.astype(np.float64),
+        "b_lin": b_lin.astype(np.float64),
+        "w_fc": w_fc.astype(np.float64),
+        "b_fc": b_fc.astype(np.float64),
+        "n_relations": n_relations,
+        # trained heads need no untrained-prior calibration
+        "logit_offset": np.zeros(n_relations),
+    }
+    return w

@@ -252,3 +252,28 @@ def test_global_ranked_cumsum_matches_local(spark):
     for _, r in ref.iterrows():
         assert abs(curve.loc[r["sent_id"], "prec"] - r["cum"] / r["rk"]) < 1e-12
         assert abs(curve.loc[r["sent_id"], "rec"] - r["cum"] / total) < 1e-12
+
+
+def test_load_hf_weights_mapping():
+    """S7 adapter: a (fake, HF-key-named) checkpoint state_dict flows
+    into forward_batch's layout — shapes, transposition, and the scoring
+    path all work without torch."""
+    rng = np.random.RandomState(0)
+    H, V, N = 8, 64, 6
+    sd = {
+        "sentence_encoder.bert.embeddings.word_embeddings.weight": rng.randn(V, H),
+        "sentence_encoder.linear.weight": rng.randn(2 * H, 2 * H),   # torch (out, in)
+        "sentence_encoder.linear.bias": rng.randn(2 * H),
+        "fc.weight": rng.randn(N, 2 * H),
+        "fc.bias": rng.randn(N),
+    }
+    w = mdl.load_hf_weights(sd, n_relations=N)
+    assert w["emb"].shape == (V, H) and w["w_fc"].shape == (2 * H, N)
+    assert (w["logit_offset"] == 0).all()
+    ids = rng.randint(0, V, (16, 12))
+    mask = np.ones((16, 12), dtype=np.int64)
+    pos = rng.randint(0, 12, 16)
+    pred, score = mdl.forward_batch(w, ids, mask, pos, pos)
+    assert pred.shape == (16,) and ((score > 0) & (score <= 1)).all()
+    # transposition is load-bearing: w_fc must be fc.weight.T
+    assert np.allclose(w["w_fc"], np.asarray(sd["fc.weight"]).T)
