@@ -933,7 +933,7 @@ def kg_canonical_triples(spark, sf_dir):
     canonicalizer is exercised by kg_connected_components."""
     # three consumers (ents x2 + final join): materialize the filtered
     # predictions once instead of re-parsing the corpus per consumer
-    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other").localCheckpoint()
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other").localCheckpoint(eager=False)
     ents = (
         p.select(F.col("h_name").alias("entity"))
         .union(p.select(F.col("t_name").alias("entity")))
@@ -942,7 +942,7 @@ def kg_canonical_triples(spark, sf_dir):
     from deepref_spark.operators.linking import size_gated_broadcast
 
     w = Window.partitionBy(F.regexp_replace("entity", "[^a-z0-9]", ""))
-    canon = ents.select("entity", F.min("entity").over(w).alias("canonical")).localCheckpoint()
+    canon = ents.select("entity", F.min("entity").over(w).alias("canonical")).localCheckpoint(eager=False)
     canon, _ = size_gated_broadcast(canon)
     return (
         p.join(canon.withColumnRenamed("entity", "h_name").withColumnRenamed("canonical", "subj_canon"), "h_name")
