@@ -79,3 +79,47 @@ def write_label_map(path: str, mapping: dict[str, int]) -> None:
 def read_label_map(path: str) -> dict[str, int]:
     with open(path) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Graph-table materialization (north_rule: "partitioned Iceberg graph
+# tables") — Iceberg when a catalog is configured, parquet otherwise.
+# ---------------------------------------------------------------------------
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None. Detection is by
+    session conf (spark.sql.catalog.<name> = SparkCatalog/RESTCatalog
+    ...), the standard way an Iceberg deployment announces itself."""
+    try:
+        confs = dict(spark.sparkContext.getConf().getAll())
+    except Exception:
+        return None
+    for k, v in confs.items():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+            return k.rsplit(".", 1)[-1]
+    return None
+
+
+def write_graph_table(df: DataFrame, warehouse: str, name: str,
+                      partition_by: list[str] | None = None) -> str:
+    """Materialize a graph table (triples / entities / lineage).
+
+    With an Iceberg catalog configured this is
+    ``df.writeTo(f"{cat}.kg.{name}").partitionedBy(...).createOrReplace()``
+    — atomic snapshot, hidden partitioning, time travel for free. This
+    container ships no Iceberg jar, so the probe falls back to the
+    partitioned-parquet stage writer with the identical partition spec;
+    the caller-visible contract (path/identifier in, resumable table
+    out) is the same either way."""
+    cat = iceberg_catalog(df.sparkSession)
+    if cat is not None:
+        ident = f"{cat}.kg.{name}"
+        writer = df.writeTo(ident)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return ident
+    return write_stage(df, warehouse, name, partition_by=partition_by,
+                       lineage={"materialize": "graph_table", "iceberg": False})

@@ -237,3 +237,23 @@ def test_label_map_sink(tmp_path):
     p = str(tmp_path / "rel2id.json")
     write_label_map(p, {"b-rel": 1, "a-rel": 0, "Other": 2})
     assert read_label_map(p) == {"a-rel": 0, "b-rel": 1, "Other": 2}
+
+
+def test_graph_table_materialization_fallback(spark, tmp_path):
+    """north rule graph materialize: the Iceberg probe correctly reports
+    no catalog here and the parquet fallback round-trips with the same
+    partition spec."""
+    from deepref_spark.io import tables
+
+    assert tables.iceberg_catalog(spark) is None  # no jar in container
+    df = spark.createDataFrame(
+        [("a", "cause-effect", "b", 0.9), ("c", "message-topic", "d", 0.8)],
+        "subj string, pred string, obj string, score double",
+    )
+    out = tables.write_graph_table(df, str(tmp_path), "triples", partition_by=["pred"])
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"subj", "pred", "obj", "score"}
+    import os
+
+    assert any(p.startswith("pred=") for p in os.listdir(out))
