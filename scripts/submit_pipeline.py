@@ -84,8 +84,17 @@ def main() -> None:
             spark, docs, preprocessing=preprocessing or None, warehouse=args.warehouse
         )
 
-    triples.write.mode("overwrite").parquet(args.out)
-    n = spark.read.parquet(args.out).count()
+    import os
+
+    from deepref_spark.io.tables import write_graph_table
+
+    # north-rule materialization: Iceberg graph table when a catalog is
+    # configured, partitioned parquet otherwise (same partition spec)
+    out = write_graph_table(
+        triples, os.path.dirname(args.out) or ".", os.path.basename(args.out),
+        partition_by=["pred"],
+    )
+    n = spark.read.parquet(out).count() if os.path.isdir(out) else spark.table(out).count()
     print(f"TRIPLES_WRITTEN={n}")
     spark.stop()
 

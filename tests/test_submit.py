@@ -55,7 +55,7 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
 
     rows = duckdb.sql(
         f"SELECT count(*), count(DISTINCT subj_canon || '|' || pred || '|' || obj_canon) "
-        f"FROM read_parquet('{out_dir}/*.parquet')"
+        f"FROM read_parquet('{out_dir}/**/*.parquet', hive_partitioning=1)"
     ).fetchone()
     assert rows[0] == n and rows[1] == n  # canonical triple key unique
 
