@@ -1769,3 +1769,21 @@ def kg_eval_crcnn_lstm_gru(spark, sf_dir):
         ev = ev.select(F.lit(label).alias("encoder"), "*")
         out = ev if out is None else out.unionByName(ev)
     return out
+
+
+@q("kg_stage_lineage", None)
+def kg_stage_lineage(spark, sf_dir):
+    """north rule: per-partition lineage/metrics rows. One row per
+    (stage, physical partition) over the live pipeline stages —
+    reconstructs partition balance (the skew evidence) after a run.
+    Rows-only: partition ids are a property of the physical plan, not
+    of the data, so no SQL oracle applies."""
+    from deepref_spark.lineage import partition_metrics
+
+    m = portable_mentions(spark, sf_dir)
+    p = _hash_preds(spark, sf_dir)
+    return (
+        partition_metrics(documents(spark, sf_dir), "documents")
+        .unionByName(partition_metrics(m, "mentions"))
+        .unionByName(partition_metrics(p, "scored"))
+    )
