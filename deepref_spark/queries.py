@@ -1787,3 +1787,33 @@ def kg_stage_lineage(spark, sf_dir):
         .unionByName(partition_metrics(m, "mentions"))
         .unionByName(partition_metrics(p, "scored"))
     )
+
+
+@q("events_user_running", """
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+       round(CAST(sum(value) OVER w AS DOUBLE), 6) AS value_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def events_user_running(spark, sf_dir):
+    """Per-user running count + value (the batch twin of the
+    applyInPandasWithState running_entity_counts stream op): a
+    KEY-partitioned window — parallel across users, never a global
+    ordering, so it scales with the user count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).cast("long").alias("n_so_far"),
+        F.round(F.sum("value").over(w), 6).alias("value_so_far"),
+    )
