@@ -48,6 +48,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_ann_lsh",
     "emb_ann_gaussian",
+    "emb_ann_ivf",
     "events_window_agg",
     "events_sessionize",
 ]

@@ -161,3 +161,78 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """IVF coarse quantizer with a deterministic sampled codebook: the
+    embeddings of vec_id < n_lists are the centroids (random-codebook
+    IVF; a k-means refinement is the drop-in upgrade and changes only
+    this function). Assignment = max-cosine centroid via a broadcast
+    join over the tiny codebook — one corpus pass, no iteration, fully
+    reproducible in a SQL oracle."""
+    cents = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_lists).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+            _norm_col("embedding").alias("cnorm"),
+        )
+    )
+    scored = (
+        embeddings.select("vec_id", "embedding", _norm_col("embedding").alias("vnorm"))
+        .crossJoin(cents)
+        .withColumn("csim", _dot("embedding", "cvec") / (F.col("vnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "embedding", "list_id")
+    )
+
+
+def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                 n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF-flat ANN: each query probes its ``nprobe`` nearest inverted
+    lists and searches only those lists exactly — the classic
+    coarse-quantize-then-scan scale path (search cost ~ nprobe/n_lists
+    of brute force; lists shard naturally across executors)."""
+    assign = ivf_assignments(embeddings, n_lists).localCheckpoint(eager=False)
+    cents = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_lists).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+            _norm_col("embedding").alias("cnorm"),
+        )
+    )
+    qprobe = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm_col("embedding").alias("q_norm"),
+        )
+        .crossJoin(cents)
+        .withColumn("csim", _dot("q_emb", "cvec") / (F.col("q_norm") * F.col("cnorm")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probes = (
+        qprobe.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "list_id")
+    )
+    corpus = assign.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"),
+        _norm_col("embedding").alias("nbr_norm"), "list_id",
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(_dot("q_emb", "nbr_emb") / (F.col("q_norm") * F.col("nbr_norm")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    # (query, nbr) pairs are structurally unique: every corpus vector
+    # lives in exactly one inverted list
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

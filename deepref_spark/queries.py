@@ -1465,6 +1465,61 @@ SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE 
 """
 
 
+_IVF_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, sqrt(list_dot_product(embedding, embedding)) AS vnorm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS list_id, embedding AS cvec, vnorm AS cnorm FROM base WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, vnorm, list_id FROM (
+    SELECT b.vec_id, b.embedding, b.vnorm, c.list_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.embedding, c.cvec) / (b.vnorm * c.cnorm) DESC, c.list_id) AS r
+    FROM base b CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, q_emb, q_norm, list_id FROM (
+    SELECT b.vec_id AS query_id, b.embedding AS q_emb, b.vnorm AS q_norm, c.list_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.embedding, c.cvec) / (b.vnorm * c.cnorm) DESC, c.list_id) AS r
+    FROM base b CROSS JOIN cents c
+    WHERE {_emb_queries_filter().replace('vec_id', 'b.vec_id')}
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+         round(list_dot_product(p.q_emb, a.embedding) / (p.q_norm * a.vnorm), 4) AS cosine
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("emb_ann_ivf", _IVF_ORACLE)
+def emb_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (the brief's second scale path next to LSH): coarse
+    quantizer over a deterministic sampled codebook, nprobe=2 inverted
+    lists searched exactly. Search cost ~ nprobe/n_lists of brute
+    force; lists shard across executors."""
+    from deepref_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2).select(
+        "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @q("emb_ann_gaussian", _gaussian_ann_oracle())
 def emb_ann_gaussian(spark, sf_dir):
     """Gaussian random-hyperplane ANN — the production bucketing
