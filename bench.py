@@ -42,7 +42,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_capped",
+    "dedup_passages",
     "text_quality",
+    "text_quality_by_source",
     "text_lang_id",
     "doc_fingerprint",
     "emb_cosine_topk",

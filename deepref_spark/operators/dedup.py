@@ -230,3 +230,28 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def passage_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
+    """Passage-level frequency index (boilerplate detection): split each
+    doc on sentence boundaries, hash the normalized passage, count
+    distinct docs per passage. The cleaning pass filters n_docs > its
+    boilerplate threshold and anti-joins docs on the hash. The groupBy
+    is map-side combined (one hash per passage occurrence) — strictly
+    linear at any scale."""
+    passages = documents.select(
+        "doc_id",
+        F.explode(F.expr("split(text, '[.!?]')")).alias("raw"),
+    ).select(
+        "doc_id",
+        F.expr(f"trim(regexp_replace(lower(raw), '[^a-z0-9 ]', ' '))").alias("p"),
+    ).where(
+        F.expr(f"size(split(p, ' +')) >= {min_words}")
+    ).select("doc_id", F.expr("md5(p)").alias("passage_hash")).distinct()
+    return (
+        passages.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

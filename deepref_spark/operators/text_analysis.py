@@ -109,3 +109,29 @@ def fingerprint(documents: DataFrame, k: int = 5) -> DataFrame:
             f"1000003, (acc, i) -> least(acc, {h}))"
         ).alias("fingerprint"),
     )
+
+
+def quality_by_source(documents: DataFrame) -> DataFrame:
+    """Corpus-curation rollup: quality/stopword/alpha aggregates per
+    (lang, source) — the per-slice view a 100 TB cleaning run uses to
+    pick drop thresholds. Pure grouped aggregation over the per-doc
+    quality projection (map-side combined)."""
+    q = quality_score(documents)
+    keyed = documents.select("doc_id", "lang", "source").join(q, "doc_id")
+    # averages via exact integer sums (the 6dp-rounded inputs scale to
+    # integers), so the result is independent of partial-agg order —
+    # plain avg(double) differs from the oracle in the last rounded
+    # digit on boundary values
+    def exact_avg(col: str) -> F.Column:
+        s = F.sum(F.round(F.col(col) * 1_000_000).cast("long"))
+        return F.round(s / F.count(F.lit(1)) / 1_000_000.0, 6)
+
+    return (
+        keyed.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            exact_avg("quality").alias("avg_quality"),
+            exact_avg("stopword_ratio").alias("avg_stopword_ratio"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        )
+    )

@@ -1872,3 +1872,50 @@ def events_user_running(spark, sf_dir):
         ).cast("long").alias("n_so_far"),
         F.round(F.sum("value").over(w), 6).alias("value_so_far"),
     )
+
+
+@q("dedup_passages", """
+WITH passages AS (
+  SELECT DISTINCT doc_id, md5(p) AS passage_hash
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(lower(unnest(regexp_split_to_array(text, '[.!?]'))), '[^a-z0-9 ]', ' ', 'g')) AS p
+    FROM documents
+  )
+  WHERE len(regexp_split_to_array(p, ' +')) >= 4
+)
+SELECT passage_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM passages GROUP BY passage_hash
+""")
+def dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup (boilerplate detection): repeated
+    sentences across documents, found with one map-side-combined
+    groupBy over passage hashes."""
+    from deepref_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _quality_by_source_oracle() -> str:
+    inner = _quality_oracle().strip()
+    return f"""
+WITH q AS ({inner})
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(CAST(round(q.quality * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS avg_quality,
+       round(sum(CAST(round(q.stopword_ratio * 1000000) AS BIGINT)) / count(*) / 1000000.0, 6) AS avg_stopword_ratio,
+       round(CAST(sum(q.n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+GROUP BY d.lang, d.source
+"""
+
+
+@q("text_quality_by_source", _quality_by_source_oracle())
+def text_quality_by_source(spark, sf_dir):
+    """Corpus-curation rollup per (lang, source) — the slice view a
+    cleaning run thresholds on."""
+    from deepref_spark.operators.text_analysis import quality_by_source
+
+    return quality_by_source(documents(spark, sf_dir))
