@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_capped",
     "dedup_passages",
+    "dedup_keep_map",
     "text_quality",
     "text_quality_by_source",
     "text_lang_id",

@@ -255,3 +255,21 @@ def passage_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+def near_dup_keep_map(documents: DataFrame, n_bands: int = 8, k: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """The dedup DECISION: LSH candidate pairs -> exact-Jaccard verify
+    -> connected components over the surviving edges -> one keep doc
+    (cluster min) per document. Docs with no near-dup keep themselves.
+    This is the end-to-end removal artifact a cleaning pass anti-joins
+    on — pairs alone (minhash_lsh_pairs) are only the candidate stage."""
+    from deepref_spark.operators.linking import connected_components
+
+    verified = ngram_jaccard_pairs(documents, k=k, threshold=threshold)
+    comps = connected_components(verified.select("a", "b"))  # numeric min labels
+    ids = documents.select("doc_id").distinct()
+    return (
+        ids.join(comps.withColumnRenamed("entity", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("keep_doc_id"))
+    )

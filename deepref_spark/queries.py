@@ -1919,3 +1919,44 @@ def text_quality_by_source(spark, sf_dir):
     from deepref_spark.operators.text_analysis import quality_by_source
 
     return quality_by_source(documents(spark, sf_dir))
+
+
+@q("dedup_keep_map", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs0 AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON common.a = sa.doc_id
+  JOIN sizes sb ON common.b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
+),
+edges AS (SELECT a, b FROM pairs0 UNION SELECT b, a FROM pairs0),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+cc AS (
+  WITH RECURSIVE walk(id, component) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.a, w.component
+    FROM edges e JOIN walk w ON e.b = w.id
+    WHERE w.component < e.a
+  )
+  SELECT id, min(component) AS component FROM walk GROUP BY id
+)
+SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS keep_doc_id
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN cc ON d.doc_id = cc.id
+""")
+def dedup_keep_map(spark, sf_dir):
+    """The dedup DECISION artifact: verified near-dup pairs -> connected
+    components -> (doc_id, keep_doc_id). A cleaning pass keeps rows
+    where doc_id = keep_doc_id — pairs alone are only candidates."""
+    from deepref_spark.operators.dedup import near_dup_keep_map
+
+    return near_dup_keep_map(documents(spark, sf_dir).select("doc_id", "text"))
