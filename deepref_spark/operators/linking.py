@@ -98,7 +98,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     min member label. Iterative label propagation; each round joins the
     current labels across edges and takes the min; convergence checked
     with a cheap agg. Lineage cut via localCheckpoint (SURVEY.md §4.2)."""
-    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the symmetrization union reads `edges` twice — stage it so callers'
+    # (possibly expensive) edge pipelines run once
+    edges = edges.select("a", "b").localCheckpoint(eager=False)
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("entity"))
         .union(sym.select(F.col("b").alias("entity")))
