@@ -97,3 +97,93 @@ def media_stats(media_features: DataFrame) -> DataFrame:
             F.round(F.avg(F.expr("element_at(features, 1)")), 6).alias("avg_f0"),
         )
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id string, span_idx int, media_ref string, media_kind string, "
+    "width int, height int, resized_n_bytes long, features array<float>"
+)
+
+
+def fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decoded media dimensions."""
+    from deepref_spark.refsem import md5_mod_py
+
+    s = payload.decode("utf-8", errors="replace")
+    return 64 + md5_mod_py(s + ":w", 1920), 64 + md5_mod_py(s + ":h", 1080)
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                 decoder=fake_decode) -> DataFrame:
+    """Resize stage plumbing (decode -> scale -> re-encode): one Arrow
+    crossing, per-row output (shape-preserving). The decode/scale kernel
+    is the declared stub (PIL/opencv slot in via ``decoder`` and a real
+    resize in place of the deterministic byte-count model); the schema,
+    batching, and metadata flow are production-real."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in ("doc_id", "span_idx", "media_ref", "media_kind",
+                                    "width", "height", "resized_n_bytes", "features")}
+            for r in pdf.itertuples(index=False):
+                payload = r.media_ref.encode("utf-8")
+                w, h = fake_dims(payload)
+                # deterministic byte model: area ratio scales the payload
+                scale = (target_w * target_h) / float(w * h)
+                rows["doc_id"].append(r.doc_id)
+                rows["span_idx"].append(int(r.span_idx))
+                rows["media_ref"].append(r.media_ref)
+                rows["media_kind"].append(media_kind_of(r.media_ref))
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                rows["resized_n_bytes"].append(max(1, int(len(payload) * scale)))
+                rows["features"].append(decoder(payload).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = (
+    "doc_id string, span_idx int, media_ref string, frame_idx int, "
+    "frame_ts double, features array<float>"
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  decoder=fake_decode) -> DataFrame:
+    """Frame-sampling plumbing for video spans: ONE input row fans out
+    to ``n_frames`` output rows (uniform timestamps over a deterministic
+    fake duration), each with its own feature vector — the 1->N batch
+    shape a real decord/ffmpeg sampler produces. Non-video spans pass
+    through with a single frame."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in ("doc_id", "span_idx", "media_ref",
+                                    "frame_idx", "frame_ts", "features")}
+            for r in pdf.itertuples(index=False):
+                payload = r.media_ref.encode("utf-8")
+                kind = media_kind_of(r.media_ref)
+                k = n_frames if kind == "video" else 1
+                from deepref_spark.refsem import md5_mod_py
+
+                duration = 1.0 + md5_mod_py(r.media_ref + ":dur", 600)
+                for i in range(k):
+                    rows["doc_id"].append(r.doc_id)
+                    rows["span_idx"].append(int(r.span_idx))
+                    rows["media_ref"].append(r.media_ref)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts"].append(round(duration * i / max(k, 1), 6))
+                    rows["features"].append(decoder(payload + b":%d" % i).tolist())
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

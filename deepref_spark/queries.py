@@ -1960,3 +1960,42 @@ def dedup_keep_map(spark, sf_dir):
     from deepref_spark.operators.dedup import near_dup_keep_map
 
     return near_dup_keep_map(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+@q("kg_media_frames", f"""
+WITH media AS (
+  SELECT doc_id, {_MEDIA_REF_CASE.format(s="VARCHAR")} AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+framed AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN media_ref LIKE '%/vid/%' THEN 4 ELSE 1 END AS k,
+         unnest(range(CASE WHEN media_ref LIKE '%/vid/%' THEN 4 ELSE 1 END)) AS frame_idx
+  FROM media
+)
+SELECT doc_id, media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       round((1.0 + {md5_mod("concat(media_ref, ':dur')", 600)}) * frame_idx / k, 6) AS frame_ts,
+       CAST({md5_mod("concat(media_ref, ':', frame_idx, ':0')", 1 << 20)} / {float(1 << 20)} AS FLOAT) AS f0
+FROM framed
+""")
+def kg_media_frames(spark, sf_dir):
+    """Multimodal frame sampling end-to-end: media refs -> sample_frames
+    (REAL 1->N mapInPandas fan-out with the declared-stub decoder) —
+    frame timestamps and per-frame features, oracle-reproduced from the
+    shared portable md5 formulas."""
+    from deepref_spark.operators.multimodal import sample_frames
+
+    media = (
+        documents(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS doc_id",
+            "CAST(1 AS INT) AS span_idx",
+            _MEDIA_REF_CASE.format(s="STRING") + " AS media_ref",
+        )
+    )
+    return sample_frames(media, n_frames=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref", "frame_idx", "frame_ts",
+        F.expr("element_at(features, 1)").alias("f0"),
+    )

@@ -257,3 +257,34 @@ def test_graph_table_materialization_fallback(spark, tmp_path):
     import os
 
     assert any(p.startswith("pred=") for p in os.listdir(out))
+
+
+def test_multimodal_resize_and_frame_plumbing(spark):
+    """resize (1->1) and frame sampling (1->N for video, 1->1 else):
+    batch shapes, metadata, and decoder parity."""
+    from deepref_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [("1", 0, "/img/1.png"), ("2", 0, "/vid/2.mp4"), ("3", 1, "/aud/3.wav")],
+        "doc_id string, span_idx int, media_ref string",
+    )
+    resized = {r["media_ref"]: r for r in mm.resize_media(media, 224, 224).collect()}
+    assert len(resized) == 3
+    for ref, r in resized.items():
+        assert (r["width"], r["height"]) == (224, 224)
+        assert r["resized_n_bytes"] >= 1
+        expect = mm.fake_decode(ref.encode("utf-8"))
+        assert abs(r["features"][0] - float(expect[0])) < 1e-6
+
+    frames = mm.sample_frames(media, n_frames=4).collect()
+    per_ref = {}
+    for r in frames:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(per_ref["/vid/2.mp4"]) == 4
+    assert len(per_ref["/img/1.png"]) == 1
+    vid = sorted(per_ref["/vid/2.mp4"], key=lambda r: r["frame_idx"])
+    assert [v["frame_idx"] for v in vid] == [0, 1, 2, 3]
+    assert vid[0]["frame_ts"] == 0.0
+    assert vid[1]["frame_ts"] < vid[2]["frame_ts"] < vid[3]["frame_ts"]
+    # per-frame features differ (frame index feeds the decoder)
+    assert vid[0]["features"][0] != vid[1]["features"][0]
