@@ -92,6 +92,10 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
     ...), the standard way an Iceberg deployment announces itself."""
     try:
         confs = dict(spark.sparkContext.getConf().getAll())
+        # getConf() only sees submit-time entries; catalogs set at
+        # runtime via spark.conf.set() appear in SET output instead
+        for r in spark.sql("SET").collect():
+            confs.setdefault(r["key"], r["value"] or "")
     except Exception:
         return None
     for k, v in confs.items():

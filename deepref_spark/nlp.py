@@ -128,7 +128,8 @@ class StanzaTagger:
             import stanza  # noqa: F401 — optional dependency
 
             self._nlp = stanza.Pipeline(
-                lang="en", processors="tokenize,ner,depparse,pos,lemma",
+                lang="en", package=self.model,
+                processors="tokenize,ner,depparse,pos,lemma",
                 tokenize_no_ssplit=True,
             )
         return self._nlp

@@ -258,7 +258,8 @@ def passage_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
 
 
 def near_dup_keep_map(documents: DataFrame, n_bands: int = 8, k: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      df_cap: int | None = None) -> DataFrame:
     """The dedup DECISION: LSH candidate pairs -> exact-Jaccard verify
     -> connected components over the surviving edges -> one keep doc
     (cluster min) per document. Docs with no near-dup keep themselves.
@@ -266,7 +267,9 @@ def near_dup_keep_map(documents: DataFrame, n_bands: int = 8, k: int = 3,
     on — pairs alone (minhash_lsh_pairs) are only the candidate stage."""
     from deepref_spark.operators.linking import connected_components
 
-    verified = ngram_jaccard_pairs(documents, k=k, threshold=threshold)
+    # at 100 TB pass df_cap (mandatory — see ngram_jaccard_pairs) so the
+    # verifier's posting lists stay bounded; the local oracle runs uncapped
+    verified = ngram_jaccard_pairs(documents, k=k, threshold=threshold, df_cap=df_cap)
     comps = connected_components(verified.select("a", "b"))  # numeric min labels
     ids = documents.select("doc_id").distinct()
     return (

@@ -124,9 +124,12 @@ def global_ranked_cumsum(df: DataFrame, order_cols: list, value_col: str,
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    # `local` feeds both the offsets aggregate and the final join —
+    # stage it so the range shuffle + windows run once, not per consumer
     local = (
         part.withColumn("_lrk", F.row_number().over(w_local))
         .withColumn("_lcum", F.sum(value_col).over(w_local))
+        .localCheckpoint(eager=False)
     )
     # one row per partition — the only single-partition window left runs
     # over num_partitions rows, constant at any data scale
@@ -158,9 +161,9 @@ def pr_curve(preds: DataFrame, score_col: str = "score",
         preds.withColumn("_c", F.col(correct_col).cast("long")),
         [F.desc(score_col), F.asc("sent_id")], "_c",
     )
-    total = preds.agg(
-        F.greatest(F.sum(F.col(correct_col).cast("long")), F.lit(1)).alias("_total")
-    )
+    # the positive total is just the final cumulative value — derive it
+    # from the staged ranking instead of re-scanning the input
+    total = ranked.agg(F.greatest(F.max("cum"), F.lit(1)).alias("_total"))
     return ranked.crossJoin(F.broadcast(total)).select(
         "sent_id", score_col,
         (F.col("cum") / F.col("rk")).alias("prec"),

@@ -163,6 +163,18 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+def _ivf_codebook(embeddings: DataFrame, n_lists: int):
+    """The coarse-quantizer codebook (broadcast): shared by assignment
+    and query probing so a k-means upgrade changes exactly one place."""
+    return F.broadcast(
+        embeddings.where(F.col("vec_id") < n_lists).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("cvec"),
+            _norm_col("embedding").alias("cnorm"),
+        )
+    )
+
+
 def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     """IVF coarse quantizer with a deterministic sampled codebook: the
     embeddings of vec_id < n_lists are the centroids (random-codebook
@@ -170,13 +182,7 @@ def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     this function). Assignment = max-cosine centroid via a broadcast
     join over the tiny codebook — one corpus pass, no iteration, fully
     reproducible in a SQL oracle."""
-    cents = F.broadcast(
-        embeddings.where(F.col("vec_id") < n_lists).select(
-            F.col("vec_id").alias("list_id"),
-            F.col("embedding").alias("cvec"),
-            _norm_col("embedding").alias("cnorm"),
-        )
-    )
+    cents = _ivf_codebook(embeddings, n_lists)
     scored = (
         embeddings.select("vec_id", "embedding", _norm_col("embedding").alias("vnorm"))
         .crossJoin(cents)
@@ -197,13 +203,7 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     coarse-quantize-then-scan scale path (search cost ~ nprobe/n_lists
     of brute force; lists shard naturally across executors)."""
     assign = ivf_assignments(embeddings, n_lists).localCheckpoint(eager=False)
-    cents = F.broadcast(
-        embeddings.where(F.col("vec_id") < n_lists).select(
-            F.col("vec_id").alias("list_id"),
-            F.col("embedding").alias("cvec"),
-            _norm_col("embedding").alias("cnorm"),
-        )
-    )
+    cents = _ivf_codebook(embeddings, n_lists)
     qprobe = (
         queries.select(
             F.col("vec_id").alias("query_id"),

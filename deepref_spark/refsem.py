@@ -706,10 +706,10 @@ def ebem_tokenize(
         ent0 = ["[unused4]"] if not rev else ["[unused5]"]
         ent1 = ["[unused5]"] if not rev else ["[unused4]"]
 
-    sk1_father = tokenize_text(sk["ses1"][0])
-    sk1_grandpa = tokenize_text(sk["ses1"][-1])
-    sk2_father = tokenize_text(sk["ses2"][0])
-    sk2_grandpa = tokenize_text(sk["ses2"][-1])
+    sk1_father = tokenize_text(sk["ses1"][0], wp)
+    sk1_grandpa = tokenize_text(sk["ses1"][-1], wp)
+    sk2_father = tokenize_text(sk["ses2"][0], wp)
+    sk2_grandpa = tokenize_text(sk["ses2"][-1], wp)
 
     ent0 = (["[unused0]"] + ent0 + ["[unused1]"]) if not rev else (["[unused2]"] + ent0 + ["[unused3]"])
     ent1 = (["[unused2]"] + ent1 + ["[unused3]"]) if not rev else (["[unused0]"] + ent1 + ["[unused1]"])

@@ -97,6 +97,8 @@ def main() -> None:
         )
         study.optimize(opt_objective, n_trials=args.trials)
         best = dict(study.best_params)
+        # suggest_int stores the INDEX; resolve it to the actual variant
+        best["variant"] = SPACE["variant"][best.pop("variant_idx")]
         best[args.metric] = study.best_value
     except ImportError:
         import random

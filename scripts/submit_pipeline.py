@@ -94,7 +94,9 @@ def main() -> None:
         triples, os.path.dirname(args.out) or ".", os.path.basename(args.out),
         partition_by=["pred"],
     )
-    n = spark.read.parquet(out).count() if os.path.isdir(out) else spark.table(out).count()
+    # write_graph_table returns a catalog identifier (no path separator)
+    # for Iceberg, else the written path (works for hdfs://, s3a://, ...)
+    n = spark.table(out).count() if "/" not in out else spark.read.parquet(out).count()
     print(f"TRIPLES_WRITTEN={n}")
     spark.stop()
 
