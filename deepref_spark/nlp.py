@@ -122,25 +122,39 @@ class StanzaTagger:
     def __init__(self, model: str | None = None):
         self.model = model or "default"
         self._nlp = None
+        self._fallback = None
 
     def _pipeline(self):
         if self._nlp is None:
             import stanza  # noqa: F401 — optional dependency
 
+            # tokenize_pretokenized: our contract is lockstep tags over
+            # the ALREADY-tokenized stream (Mention invariant); letting
+            # stanza re-tokenize would misalign pos/deps with the input
+            # tokens (its tokenizer splits differently). The reference
+            # parses raw sentences (stanza_nlp_tool.py:9) because its
+            # tokens COME from the parse; ours are upstream.
             self._nlp = stanza.Pipeline(
                 lang="en", package=self.model,
                 processors="tokenize,ner,depparse,pos,lemma",
-                tokenize_no_ssplit=True,
+                tokenize_pretokenized=True,
             )
         return self._nlp
 
     def __call__(self, tokens: list[str]) -> tuple[list[str], list[str], list[str]]:
-        doc = self._pipeline()(" ".join(tokens))
+        # model files are a separate download from the pip package —
+        # degrade at CALL time too (an executor without
+        # ~/stanza_resources must not fail the stage)
+        if self._fallback is not None:
+            return self._fallback(tokens)
+        try:
+            doc = self._pipeline()([tokens])
+        except Exception:
+            self._fallback = RuleTagger()
+            return self._fallback(tokens)
         pos = [w.upos for s in doc.sentences for w in s.words]
         deps = [(w.deprel or "dep").lower() for s in doc.sentences for w in s.words]
         ner = [t.ner for s in doc.sentences for t in s.tokens]
-        # stanza emits BIO-style tags ('O' for none) per token; align to
-        # word count (no MWT splits on our normalized alphabet)
         if len(ner) != len(pos):
             ner = (ner + ["O"] * len(pos))[: len(pos)]
         return pos, deps, ner

@@ -34,25 +34,15 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _token_shingles(k: int = 3) -> str:
-    """Shingle expression over a raw text column. NOTE: inlines the
-    tokenizer inside the per-element lambda — callers that fan out per
-    shingle must use _with_shingles instead, which stages tokens as a
-    column (this inline form re-tokenizes the document for EVERY shingle
-    index: measured 10x+ slowdown at sf0.1)."""
-    toks = portable.norm_tokens("text", SPARK)
-    return (
-        f"transform(sequence(1, greatest(1, size({toks}) - {k - 1})), "
-        f"i -> array_join(slice({toks}, i, {k}), ' '))"
-    )
-
-
 def _with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """doc_id + token k-shingle array, with tokenization staged as a
     real column. The extra `_n` reference makes the tokens expression
     multi-referenced so CollapseProject (SPARK-36718 rule) cannot inline
     the regex chain back into the per-shingle lambda — keeping
-    tokenization O(1) per row instead of O(#shingles) per row."""
+    tokenization O(1) per row instead of O(#shingles) per row. (Never
+    inline the tokenizer inside the per-element lambda: that form
+    re-tokenizes the document for EVERY shingle index — measured 10x+
+    slowdown at sf0.1.)"""
     toks = portable.norm_tokens("text", SPARK)
     staged = documents.select("doc_id", F.expr(toks).alias("_toks")).withColumn(
         "_n", F.size("_toks")
@@ -206,6 +196,9 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
     went quadratic inside hot buckets)."""
     # fingerprints feed both self-join sides — stage once instead of
     # running the 63-vote aggregation twice
+    # pigeonhole guarantee: a pair within max_hamming shares a band only
+    # when the differing bits fit in n_bands - 1 bands
+    assert max_hamming <= n_bands - 1, "recall guarantee needs max_hamming <= n_bands - 1"
     s = simhash64(documents, k).localCheckpoint(eager=False)
     width = 16
     bands = [

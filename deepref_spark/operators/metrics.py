@@ -145,7 +145,7 @@ def global_ranked_cumsum(df: DataFrame, order_cols: list, value_col: str,
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_lrk") + F.col("_rk_off")).cast("int"))
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_rk_off")).cast("long"))
         .withColumn(cum_col, F.col("_lcum") + F.col("_cum_off"))
         .drop("_pid", "_lrk", "_lcum", "_rk_off", "_cum_off")
     )

@@ -162,6 +162,8 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     through with a single frame."""
 
     def run(batches):
+        from deepref_spark.refsem import md5_mod_py
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -171,8 +173,6 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                 payload = r.media_ref.encode("utf-8")
                 kind = media_kind_of(r.media_ref)
                 k = n_frames if kind == "video" else 1
-                from deepref_spark.refsem import md5_mod_py
-
                 duration = 1.0 + md5_mod_py(r.media_ref + ":dur", 600)
                 for i in range(k):
                     rows["doc_id"].append(r.doc_id)

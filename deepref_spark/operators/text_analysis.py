@@ -67,9 +67,11 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, carry_cols: tuple = ()) -> DataFrame:
     """Deterministic quality heuristics: length band, alpha ratio,
-    stopword ratio, mean word length. score in [0,1]."""
+    stopword ratio, mean word length. score in [0,1]. ``carry_cols``
+    pass metadata columns (lang, source, ...) through the projection so
+    downstream rollups need no corpus-wide re-join."""
     toks = portable.norm_tokens("text", SPARK)
     sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
     n = F.expr(f"size({toks})").cast("double")
@@ -87,8 +89,9 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + 0.25 * F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
         + 0.25 * alpha_ratio
     )
+    carry = [c for c in (carry_cols or ()) if c in documents.columns]
     return documents.select(
-        "doc_id",
+        "doc_id", *carry,
         n.cast("int").alias("n_tokens"),
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),

@@ -1859,18 +1859,13 @@ def events_user_running(spark, sf_dir):
     KEY-partitioned window — parallel across users, never a global
     ordering, so it scales with the user count."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
     return ev.select(
         "user_id",
         F.col("event_id").cast("long").alias("event_id"),
-        F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).cast("long").alias("n_so_far"),
-        F.round(F.sum("value").over(w), 6).alias("value_so_far"),
+        F.row_number().over(order).cast("long").alias("n_so_far"),
+        F.round(F.sum("value").over(cum), 6).alias("value_so_far"),
     )
 
 

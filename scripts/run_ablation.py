@@ -62,11 +62,23 @@ def main() -> None:
     configs = list(grid(encoders, variants, args.seeds))
 
     # resume-by-row-count (ablation_studies.py:42-56): one CSV data row
-    # per completed config, in grid order.
+    # per completed config, in grid order. The existing rows' config
+    # columns must match the current grid prefix — resuming with a
+    # DIFFERENT grid would silently mislabel configs otherwise.
     done = 0
     if os.path.exists(args.out):
         with open(args.out) as f:
-            done = max(0, sum(1 for _ in f) - 1)
+            existing = [ln.split(",")[:3] for ln in f.read().strip().splitlines()[1:]]
+        done = len(existing)
+        from deepref_spark import refsem as _rs
+
+        for row, cfg in zip(existing, configs[:done]):
+            want = [cfg[0], _rs.variant_key(cfg[1]), str(cfg[2])]
+            if row != want:
+                raise SystemExit(
+                    f"resume mismatch: CSV row {row} != grid config {want} — "
+                    f"the grid flags changed since the interrupted run"
+                )
     todo = configs[done:]
     print(f"ABLATION configs={len(configs)} done={done} todo={len(todo)}")
 
