@@ -56,24 +56,51 @@ def _with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
-    """(doc_id, band, sig): per-band minhash over token k-shingles —
-    the shingle->minhash->band step of MinHash-LSH, all built-ins.
-    ONE md5 per shingle; each band reads a disjoint 4-hex-char slice
-    (n_bands <= 8), so hashing cost is flat in the band count."""
-    from deepref_spark.portable import md5_slice_mod
+def minhash_band_keys(documents: DataFrame, n_bands: int = 8,
+                      rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """(doc_id, band, sig): real b x r MinHash-LSH banding over token
+    k-shingles, all built-ins.
 
-    assert n_bands <= 8
-    sh = _with_shingles(documents, k).select(
-        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hashes")
-    )
-    bands = [
-        "array_min(transform(hashes, h -> {h})) as band_{b}".format(
-            h=md5_slice_mod("h", 4 * b, HASH_SPACE), b=b
+    Per minhash function f the row value is the min over shingles of an
+    independent FULL-WIDTH 32-bit hash (portable.hex32 over a salted
+    md5); band b's signature is the ':'-joined concatenation of its
+    ``rows_per_band`` row values. Collision probability per band is
+    j^r, so with r >= 2 mildly-similar pairs (j=0.2-0.3) stop flooding
+    the candidate set at web scale (P(candidate) = 1-(1-j^r)^b: at
+    j=0.25, b=8, r=2 that is 0.39; the r=1 form gave 0.90), while
+    j>=0.9 pairs are still caught with P > 1 - 2e-6. The 32-bit hash
+    space matters equally: the min of n uniform 16-bit values
+    saturates near 0 as n grows, colliding all long documents
+    regardless of content.
+
+    Hashing cost: one md5 yields four 32-bit values, so b*r/4 md5s per
+    shingle (2 at the 8x2 default) — flat in the band count. Each md5
+    array is staged as a multi-referenced column so CollapseProject
+    cannot inline the shingle chain back into the per-element lambdas.
+    """
+    from deepref_spark.portable import hex32
+
+    n_funcs = n_bands * rows_per_band
+    n_md5 = (n_funcs + 3) // 4
+    sh = _with_shingles(documents, k)
+    hash_cols = [
+        F.expr(f"transform(shingles, s -> md5(concat('{t}:', s)))").alias(f"_h{t}")
+        for t in range(n_md5)
+    ]
+    staged = sh.select("doc_id", *hash_cols)
+
+    def mh(f: int) -> str:
+        t, slot = divmod(f, 4)
+        return f"array_min(transform(_h{t}, h -> {hex32('h', slot * 8, SPARK)}))"
+
+    band_sigs = [
+        "concat_ws(':', {vals}) AS band_{b}".format(
+            vals=", ".join(mh(b * rows_per_band + r) for r in range(rows_per_band)),
+            b=b,
         )
         for b in range(n_bands)
     ]
-    sig = sh.selectExpr("doc_id", *bands)
+    sig = staged.selectExpr("doc_id", *band_sigs)
     return sig.selectExpr(
         "doc_id",
         "stack({n}, {pairs}) as (band, sig)".format(
@@ -82,9 +109,10 @@ def minhash_band_keys(documents: DataFrame, n_bands: int = 8, k: int = 3) -> Dat
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8, k: int = 3) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any band bucket."""
-    keys = minhash_band_keys(documents, n_bands, k).localCheckpoint(eager=False)
+def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8,
+                      rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any b x r band bucket."""
+    keys = minhash_band_keys(documents, n_bands, rows_per_band, k).localCheckpoint(eager=False)
     a = keys.select("band", "sig", F.col("doc_id").alias("a"))
     b = keys.select("band", "sig", F.col("doc_id").alias("b"))
     return (
@@ -113,13 +141,24 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
         .distinct()
     )
     if df_cap is not None:
-        # document frequency as a window count over the posting list —
-        # one shuffle (no groupBy + rejoin), partition size bounded by
-        # the corpus doc count per shingle
-        from pyspark.sql import Window
-
-        dfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        sh = sh.withColumn("_df", dfreq).where(F.col("_df") <= df_cap).drop("_df")
+        # document frequency via plain groupBy count — MAP-SIDE COMBINED,
+        # so the ubiquitous shingle never lands its whole posting list in
+        # one partition (the round-2 Window.partitionBy("shingle") form
+        # materialized exactly the skew the cap exists to remove). The
+        # over-cap list is then broadcast anti-joined back: it holds at
+        # most total_postings/df_cap shingles and each row is one short
+        # string, so it stays broadcast-sized far past the point where
+        # the posting table itself is petabytes; if it ever outgrows the
+        # broadcast threshold Spark falls back to a shuffle anti-join
+        # whose reduce work per hot key is a drop (AQE splits it).
+        sh = sh.localCheckpoint(eager=False)  # postings feed count + anti-join
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # the posting table feeds several consumers (sizes, both self-join
     # sides): stage it so the derivation runs exactly once
     sh = sh.localCheckpoint(eager=False)
@@ -185,37 +224,67 @@ def simhash64(documents: DataFrame, k: int = 3) -> DataFrame:
     return sh.select("doc_id", F.expr(" + ".join(bit_terms)).alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
-                       k: int = 3, n_bands: int = 4) -> DataFrame:
-    """Near-dup pairs at Hamming distance <= max_hamming over the 64-bit
-    fingerprint: band the fingerprint into ``n_bands`` 16-bit slices
-    (pigeonhole: any pair within distance n_bands - 1 shares at least
-    one exact band), equi-join per band bucket, then verify with
-    popcount(xor) — never an all-pairs comparison, and bucket
-    cardinality stays bounded at web scale (the round-1 16-bit version
-    went quadratic inside hot buckets)."""
-    # fingerprints feed both self-join sides — stage once instead of
-    # running the 63-vote aggregation twice
-    # pigeonhole guarantee: a pair within max_hamming shares a band only
-    # when the differing bits fit in n_bands - 1 bands
-    assert max_hamming <= n_bands - 1, "recall guarantee needs max_hamming <= n_bands - 1"
-    s = simhash64(documents, k).localCheckpoint(eager=False)
-    width = 16
-    bands = [
-        f"(shiftright(simhash, {width * b}) & {(1 << width) - 1}) AS band_{b}"
-        for b in range(n_bands)
+def _block_layout(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block: n_bits split as evenly as possible."""
+    base, extra = divmod(n_bits, n_blocks)
+    layout, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_block_pairs(fingerprints: DataFrame, max_hamming: int = 3,
+                        n_blocks: int = 6, n_bits: int = 63) -> DataFrame:
+    """Manku-style block-combination join over (doc_id, simhash).
+
+    Split the fingerprint into ``n_blocks`` blocks; a pair within
+    Hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    blocks, so at least ``n_blocks - max_hamming`` blocks match exactly
+    — join on every C(n_blocks, n_blocks - max_hamming) concatenation
+    of that many blocks (complete by pigeonhole), verify popcount(xor).
+
+    The combination keys are what make this survive web scale: at the
+    6-block / hamming<=3 default each key concatenates 3 blocks of
+    10-11 bits (>= 31 bits, vs the 16-bit single-band keys of round 2
+    that pack ~150k docs per bucket at 10^10 docs). Expected bucket
+    size at N = 10^10 is N / 2^31 ~ 5 docs per (combo, key) bucket —
+    the within-bucket self-join is constant work, and the 20x key
+    fan-out is linear map-side cost, no extra shuffle rounds.
+    Reference for the construction: Manku, Jain, Sarma, "Detecting
+    Near-Duplicates for Web Crawling" (WWW'07), §3."""
+    from itertools import combinations
+
+    assert max_hamming < n_blocks, "recall needs n_blocks > max_hamming"
+    layout = _block_layout(n_bits, n_blocks)
+    # stage the block values as columns: each is referenced by
+    # C(n_blocks-1, keep-1) combination keys, so Catalyst keeps the
+    # shift/mask staged instead of re-deriving per key
+    blocks = [
+        f"(shiftright(simhash, {off}) & {(1 << w) - 1}) AS blk_{i}"
+        for i, (off, w) in enumerate(layout)
     ]
-    sig = s.selectExpr("doc_id", "simhash", *bands)
+    sig = fingerprints.selectExpr("doc_id", "simhash", *blocks)
+    keep = n_blocks - max_hamming
+    combos = list(combinations(range(n_blocks), keep))
+    key_exprs = []
+    for ci, combo in enumerate(combos):
+        # arithmetic concatenation: shift each block into its own field
+        expr = "CAST(0 AS BIGINT)"
+        for i in combo:
+            expr = f"({expr} * {1 << layout[i][1]} + blk_{i})"
+        key_exprs.append(f"{ci}, {expr}")
     keyed = sig.selectExpr(
         "doc_id", "simhash",
-        "stack({n}, {pairs}) as (band, bval)".format(
-            n=n_bands, pairs=", ".join(f"{b}, band_{b}" for b in range(n_bands))
+        "stack({n}, {pairs}) as (combo, ckey)".format(
+            n=len(combos), pairs=", ".join(key_exprs)
         ),
     )
-    a = keyed.select("band", "bval", F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
-    b = keyed.select("band", "bval", F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
+    a = keyed.select("combo", "ckey", F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"))
+    b = keyed.select("combo", "ckey", F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"))
     cand = (
-        a.join(b, ["band", "bval"]).where(F.col("a") < F.col("b"))
+        a.join(b, ["combo", "ckey"]).where(F.col("a") < F.col("b"))
         .select("a", "b", "sh_a", "sh_b").distinct()
     )
     return (
@@ -223,6 +292,19 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       k: int = 3, n_blocks: int = 6) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming over the 64-bit
+    fingerprint via Manku block-combination joins (simhash_block_pairs
+    has the bucket math). Output is exactly {pairs : hamming <= max} —
+    candidate generation is complete by pigeonhole, so the result is
+    independent of the blocking scheme and SQL-oracle-checkable."""
+    # fingerprints feed all join sides — stage once instead of
+    # running the 63-vote aggregation per side
+    s = simhash64(documents, k).localCheckpoint(eager=False)
+    return simhash_block_pairs(s, max_hamming=max_hamming, n_blocks=n_blocks)
 
 
 def passage_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
@@ -250,19 +332,64 @@ def passage_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
     )
 
 
-def near_dup_keep_map(documents: DataFrame, n_bands: int = 8, k: int = 3,
+def candidate_pair_jaccard(documents: DataFrame, candidates: DataFrame,
+                           k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard restricted to CANDIDATE pairs: join each
+    (a, b) pair with the two docs' distinct-shingle arrays and compute
+    |intersect| / |union| per pair — per-pair work bounded by document
+    length, no inverted-index self-join at all. This is the verify
+    stage of the scale path (LSH prefilter feeds it); semantics match
+    ngram_jaccard_pairs on the candidate subset exactly (both operate
+    on the distinct shingle set)."""
+    sets = (
+        _with_shingles(documents, k)
+        .select("doc_id", F.array_distinct("shingles").alias("sh_set"))
+        .localCheckpoint(eager=False)  # feeds both pair sides
+    )
+    return (
+        candidates.select("a", "b")
+        .join(sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sh_a")), "a")
+        .join(sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def near_dup_keep_map(documents: DataFrame, n_bands: int = 8,
+                      rows_per_band: int = 2, k: int = 3,
                       threshold: float = 0.8,
-                      df_cap: int | None = None) -> DataFrame:
+                      df_cap: int | None = None,
+                      prefilter: bool = True) -> DataFrame:
     """The dedup DECISION: LSH candidate pairs -> exact-Jaccard verify
     -> connected components over the surviving edges -> one keep doc
     (cluster min) per document. Docs with no near-dup keep themselves.
     This is the end-to-end removal artifact a cleaning pass anti-joins
-    on — pairs alone (minhash_lsh_pairs) are only the candidate stage."""
+    on — pairs alone (minhash_lsh_pairs) are only the candidate stage.
+
+    DEFAULT = the scale shape: b x r MinHash-LSH prefilter, then exact
+    Jaccard on the candidate pairs only (candidate_pair_jaccard — per
+    pair work bounded by doc length, no posting-list self-join
+    anywhere). At the 8x2 default a true pair at j >= 0.8 is missed
+    with P = (1-j^2)^8 <= 1.7e-4 (j=0.9: 2e-6), so prefiltered output
+    equals the exact keep map in practice (fixture test asserts
+    equality). ``prefilter=False`` is the exhaustive verifier for
+    oracles and audits; there df_cap bounds the inverted index
+    (mandatory at 100 TB on that path)."""
     from deepref_spark.operators.linking import connected_components
 
-    # at 100 TB pass df_cap (mandatory — see ngram_jaccard_pairs) so the
-    # verifier's posting lists stay bounded; the local oracle runs uncapped
-    verified = ngram_jaccard_pairs(documents, k=k, threshold=threshold, df_cap=df_cap)
+    if prefilter:
+        docs = documents.select("doc_id", "text").localCheckpoint(eager=False)
+        cands = minhash_lsh_pairs(docs, n_bands=n_bands,
+                                  rows_per_band=rows_per_band, k=k)
+        verified = candidate_pair_jaccard(docs, cands, k=k, threshold=threshold)
+        documents = docs
+    else:
+        verified = ngram_jaccard_pairs(documents, k=k, threshold=threshold, df_cap=df_cap)
     comps = connected_components(verified.select("a", "b"))  # numeric min labels
     ids = documents.select("doc_id").distinct()
     return (

@@ -112,6 +112,20 @@ def md5_bit(hash_col: str, j: int) -> str:
     return f"(ascii(substr({hash_col},{j + 1},1)) % 2)"
 
 
+def hex32(hash_col: str, offset: int, d: str) -> str:
+    """Full-width 32-bit unsigned value from an 8-hex-char slice of an
+    ALREADY-computed md5 column — one md5 feeds FOUR independent 32-bit
+    hash values (offsets 0/8/16/24). Spark's conv() and DuckDB's
+    '0x'-prefixed cast parse the identical hex text, so the value is
+    bit-identical across engines. Used by the b x r MinHash banding
+    where the 16-bit md5_slice_mod space is too small (the min of n
+    16-bit values saturates near 0 for long documents)."""
+    s = f"substr({hash_col}, {offset + 1}, 8)"
+    if d == SPARK:
+        return f"CAST(conv({s}, 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || {s}) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # normalization / tokenization
 # ---------------------------------------------------------------------------

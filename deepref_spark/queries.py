@@ -1091,36 +1091,71 @@ def _shingles_duck(k: int = 3) -> str:
     )
 
 
-@q("dedup_minhash_bands", f"""
-SELECT doc_id,
-  {", ".join(
-      "list_min(list_transform(hashes, h -> %s)) AS band_%d" % (md5_slice_mod_duck(4 * b), b)
-      for b in range(4)
-  )}
-FROM (SELECT doc_id, list_transform({_shingles_duck()}, s -> md5(s)) AS hashes FROM documents)
+def _minhash_duck(n_bands: int = 8, rows_per_band: int = 2) -> str:
+    """DuckDB CTE chain reproducing minhash_band_keys' b x r banding:
+    per minhash function the min over shingles of a full-width 32-bit
+    hex32 value from a salted md5; band sig = ':'-joined r values.
+    Emits CTEs `mh` (wide) and `keyed` (doc_id, band, sig)."""
+    from deepref_spark.portable import hex32
+
+    n_funcs = n_bands * rows_per_band
+    n_md5 = (n_funcs + 3) // 4
+    hcols = ", ".join(
+        f"list_transform(sh, s -> md5('{t}:' || s)) AS h{t}" for t in range(n_md5)
+    )
+
+    def mh(f: int) -> str:
+        t, slot = divmod(f, 4)
+        return f"list_min(list_transform(h{t}, h -> {hex32('h', slot * 8, DUCK)}))"
+
+    mh_cols = ", ".join(f"{mh(f)} AS mh{f}" for f in range(n_funcs))
+    bands = ", ".join(str(b) for b in range(n_bands))
+    sigs = ", ".join(
+        "concat_ws(':', {vals})".format(
+            vals=", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hcols}
+  FROM (SELECT doc_id, {_shingles_duck()} AS sh FROM documents)
+),
+mh AS (SELECT doc_id, {mh_cols} FROM h),
+keyed AS (
+  SELECT doc_id, CAST(unnest([{bands}]) AS INT) AS band,
+         unnest([{sigs}]) AS sig
+  FROM mh
+)"""
+
+
+@q("dedup_minhash_bands", _minhash_duck() + """
+SELECT doc_id, band, sig FROM keyed
 """)
 def dedup_minhash_bands(spark, sf_dir):
-    """MinHash band signatures over token 3-shingles: ONE md5 per
-    shingle, each band a disjoint 4-hex-char slice (the
-    shingle->minhash->band step of MinHash-LSH)."""
-    from deepref_spark.portable import md5_slice_mod
+    """Real b x r MinHash-LSH band signatures over token 3-shingles
+    (b=8 bands, r=2 rows): per-band sig concatenates two independent
+    full-width 32-bit minhashes, so per-band collision probability is
+    j^2 — not raw j as in the round-2 r=1 form, which flooded the
+    candidate set with mildly-similar pairs at web scale (and whose
+    16-bit min saturated near 0 for long docs)."""
+    from deepref_spark.operators.dedup import minhash_band_keys
 
-    d = documents(spark, sf_dir)
-    toks = portable.norm_tokens("text", SPARK)
-    sh = (
-        f"transform(transform(sequence(1, greatest(1, size({toks}) - 2)), "
-        f"i -> array_join(slice({toks}, i, 3), ' ')), s -> md5(s))"
-    )
-    cols = [
-        "array_min(transform(hashes, h -> {h})) AS band_{b}".format(
-            h=md5_slice_mod("h", 4 * b, 1_000_003), b=b
-        )
-        for b in range(4)
-    ]
-    # no filter: the shingle array is never empty (sequence floor of 1),
-    # and a filter on the alias would make Catalyst evaluate the md5
-    # array twice (filter + project)
-    return d.selectExpr("doc_id", f"{sh} AS hashes").selectExpr("doc_id", *cols)
+    return minhash_band_keys(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+@q("dedup_minhash_pairs", _minhash_duck() + """
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM keyed x JOIN keyed y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+""")
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: docs sharing any b x r band bucket
+    — the candidate-generation stage the keep-map's verify consumes.
+    The oracle replicates the full banding, so the pair SET (not just
+    counts) is checked."""
+    from deepref_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(documents(spark, sf_dir).select("doc_id", "text"))
 
 
 @q("dedup_simhash", f"""
@@ -1244,9 +1279,11 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 @q("dedup_simhash_pairs", _simhash64_duck())
 def dedup_simhash_pairs(spark, sf_dir):
     """Scale-safe simhash near-dup: 64-bit fingerprint (true md5 bits),
-    4 x 16-bit LSH bands (pigeonhole covers hamming <= 3), popcount-xor
-    verify — bounded buckets instead of the 16-bit equal-bucket join
-    that goes quadratic at web scale."""
+    Manku block-combination join (6 blocks, C(6,3)=20 keys of >= 31
+    bits each — bucket size ~5 docs at 10^10), popcount-xor verify.
+    Candidate generation is COMPLETE for hamming <= 3 by pigeonhole,
+    so the oracle's 4 x 16-bit banding (also complete) yields the
+    identical pair set — the check is blocking-scheme-independent."""
     from deepref_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(documents(spark, sf_dir).select("doc_id", "text"))
@@ -1949,9 +1986,15 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN cc ON d.doc_id = cc.id
 """)
 def dedup_keep_map(spark, sf_dir):
-    """The dedup DECISION artifact: verified near-dup pairs -> connected
+    """The dedup DECISION artifact: near-dup pairs -> connected
     components -> (doc_id, keep_doc_id). A cleaning pass keeps rows
-    where doc_id = keep_doc_id — pairs alone are only candidates."""
+    where doc_id = keep_doc_id — pairs alone are only candidates.
+
+    Runs the SCALE shape (default): b x r LSH prefilter -> exact
+    Jaccard on candidates only. The oracle is the exhaustive verifier;
+    they agree because prefilter recall at the corpus's pair
+    similarities (all j >= 0.9 here) is 1 - 2e-6 per pair, and a
+    fixture test asserts prefiltered == exact outright."""
     from deepref_spark.operators.dedup import near_dup_keep_map
 
     return near_dup_keep_map(documents(spark, sf_dir).select("doc_id", "text"))
