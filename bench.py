@@ -71,23 +71,33 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1).count()
     spark.range(64).mapInPandas(lambda it: it, schema="id long").count()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = REGISTRY[name]["spark"]
-        t0 = time.time()
-        # count() forces the full plan without driver-side collection
-        fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    # repeats: the shared host inflates single runs 2-4x under load
+    # (NOTES.md) — round 2's "regressions" on unchanged code were pure
+    # noise. min-of-R is the steady-state number; the per-query spread
+    # makes any remaining delta attributable.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for r in range(repeats):
+        for name in HEADLINE:
+            fn = REGISTRY[name]["spark"]
+            t0 = time.time()
+            # count() forces the full plan without driver-side collection
+            fn(spark, sf_dir).count()
+            runs[name].append(round(time.time() - t0, 3))
     spark.stop()
+    timings = {name: min(ts) for name, ts in runs.items()}
+    spread = {name: {"min": min(ts), "max": max(ts),
+                     "mean": round(sum(ts) / len(ts), 3)}
+              for name, ts in runs.items()}
+    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

@@ -206,22 +206,38 @@ def simhash(documents: DataFrame, bits: int = 16, k: int = 3) -> DataFrame:
 
 
 def simhash64(documents: DataFrame, k: int = 3) -> DataFrame:
-    """64-bit SimHash from the TRUE md5 bits (portable.md5_true_bit) —
-    one md5 per shingle feeds all 64 votes. The 16-bit variant above
+    """64-bit SimHash — one md5 per shingle, decoded ONCE into two
+    32-bit integers (portable.hex32); the 63 bit votes are then integer
+    shift/mask aggregates instead of per-bit hex-string decodes (the
+    round-2 md5_true_bit form did 63 substr+ascii chains per shingle —
+    the fingerprint stage's dominant cost). The 16-bit variant above
     stays for its oracle query; this is the scale fingerprint: at 10^10
     docs a 16-bit bucket holds ~10^6 docs and any within-bucket join
     goes quadratic, while 64 bits keep buckets sparse."""
-    from deepref_spark.portable import md5_true_bit
+    from deepref_spark.portable import hex32
 
     sh = _with_shingles(documents, k).select(
         "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hashes")
     )
-    bit_terms = [
-        f"CAST(CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + (2 * {md5_true_bit('h', j)} - 1)) > 0 "
-        f"THEN {1 << j} ELSE 0 END AS BIGINT)"
-        for j in range(63)  # 63 vote bits keep the BIGINT non-negative
-    ]
-    return sh.select("doc_id", F.expr(" + ".join(bit_terms)).alias("simhash"))
+    # hashes is referenced by both int arrays -> the md5 transform stays
+    # staged (CollapseProject's cost guard); each int array is then
+    # referenced by ~32 vote aggregates, likewise staged
+    ints = sh.select(
+        "doc_id",
+        F.expr(f"transform(hashes, h -> {hex32('h', 0, SPARK)})").alias("_lo"),
+        F.expr(f"transform(hashes, h -> {hex32('h', 8, SPARK)})").alias("_hi"),
+    )
+
+    def vote(j: int) -> str:
+        arr, jj = ("_lo", j) if j < 32 else ("_hi", j - 32)
+        return (
+            f"CAST(CASE WHEN aggregate({arr}, 0, "
+            f"(acc, v) -> acc + CAST(2 * (shiftright(v, {jj}) & 1) - 1 AS INT)) > 0 "
+            f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        )
+
+    # 63 vote bits keep the BIGINT non-negative
+    return ints.select("doc_id", F.expr(" + ".join(vote(j) for j in range(63))).alias("simhash"))
 
 
 def _block_layout(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:

@@ -348,20 +348,6 @@ def pair_decode(code: str, part: str, d: str) -> str:
     return f"CAST({code} % 8 AS INT)"
 
 
-def hex_val(ch: str) -> str:
-    """Value 0-15 of one lowercase hex char (portable: pure ascii math)."""
-    return f"(CASE WHEN ascii({ch}) >= 97 THEN ascii({ch}) - 87 ELSE ascii({ch}) - 48 END)"
-
-
-def md5_true_bit(hash_col: str, j: int) -> str:
-    """TRUE bit j (0..127) of an md5 hex column — unlike md5_bit's
-    char-parity trick this decodes the hex digit, so all 128 bits are
-    uniform and independent. Used by the 64-bit simhash."""
-    c = f"substr({hash_col}, {j // 4 + 1}, 1)"
-    shift = 3 - (j % 4)
-    return f"(CAST(floor({hex_val(c)} / {1 << shift}) AS INT) % 2)"
-
-
 def bit_xor(a: str, b: str, d: str) -> str:
     """Bitwise XOR — '^' is power in DuckDB, so emit per dialect."""
     return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"

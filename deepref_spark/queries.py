@@ -1247,17 +1247,25 @@ def kg_media_features(spark, sf_dir):
 
 
 def _simhash64_duck() -> str:
-    from deepref_spark.portable import md5_true_bit
+    from deepref_spark.portable import hex32
 
-    terms = " + ".join(
-        f"CAST(CASE WHEN list_sum(list_transform(hashes, h -> 2 * {md5_true_bit('h', j)} - 1)) > 0 "
-        f"THEN {1 << j} ELSE 0 END AS BIGINT)"
-        for j in range(63)
-    )
+    def vote(j: int) -> str:
+        arr, jj = ("lo", j) if j < 32 else ("hi", j - 32)
+        return (
+            f"CAST(CASE WHEN list_sum(list_transform({arr}, v -> 2 * ((v >> {jj}) & 1) - 1)) > 0 "
+            f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        )
+
+    terms = " + ".join(vote(j) for j in range(63))
     return f"""
-WITH fp AS (
-  SELECT doc_id, {terms} AS simhash
+WITH ints AS (
+  SELECT doc_id,
+         list_transform(hashes, h -> {hex32('h', 0, DUCK)}) AS lo,
+         list_transform(hashes, h -> {hex32('h', 8, DUCK)}) AS hi
   FROM (SELECT doc_id, list_transform({_shingles_duck()}, s -> md5(s)) AS hashes FROM documents)
+),
+fp AS (
+  SELECT doc_id, {terms} AS simhash FROM ints
 ),
 keyed AS (
   SELECT doc_id, simhash,

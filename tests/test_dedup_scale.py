@@ -164,3 +164,67 @@ def test_candidate_pair_jaccard_matches_inverted_index(spark):
     via_arrays = {(r["a"], r["b"]): r["jaccard"]
                   for r in candidate_pair_jaccard(df, all_pairs, threshold=0.1).collect()}
     assert via_arrays == full
+
+
+# --- connected-components hardening (round-3 item 8) -------------------------
+
+
+def _path_edges(spark, n: int):
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    from deepref_spark.operators.linking import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a long, b long",
+    )
+    fast = {r["entity"]: r["component"]
+            for r in connected_components(edges).collect()}
+    dist = {r["entity"]: r["component"]
+            for r in connected_components(edges, driver_max_edges=0).collect()}
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert fast == expected and dist == expected
+
+
+def test_cc_pointer_doubling_converges_on_long_chain(spark):
+    """A path graph far longer than 2 * max_iter plain hops: pointer
+    doubling must still converge (O(log diameter) rounds) on the
+    distributed path — the round-2 version silently returned a partial
+    merge here."""
+    from deepref_spark.operators.linking import connected_components
+
+    n = 300  # diameter 300 >> 2 hops/round * 20 rounds without doubling
+    comps = connected_components(
+        _path_edges(spark, n), max_iter=20, driver_max_edges=0
+    ).collect()
+    assert all(r["component"] == 0 for r in comps)
+    assert len(comps) == n + 1
+
+
+def test_cc_raises_loudly_on_budget_exhaustion(spark):
+    """When the round budget genuinely cannot cover the diameter the
+    operator must raise, never return a half-merged labelling."""
+    import pytest
+
+    from deepref_spark.operators.linking import connected_components
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_path_edges(spark, 300), max_iter=1, driver_max_edges=0)
+
+
+def test_cc_string_labels_min_component(spark):
+    """String entities (the canonical_map case): component = lexicographic
+    min member on both paths."""
+    from deepref_spark.operators.linking import connected_components
+
+    edges = spark.createDataFrame(
+        [("beta", "alpha"), ("beta", "gamma")], "a string, b string"
+    )
+    for kw in ({}, {"driver_max_edges": 0}):
+        comps = {r["entity"]: r["component"]
+                 for r in connected_components(edges, **kw).collect()}
+        assert comps == {"alpha": "alpha", "beta": "alpha", "gamma": "alpha"}
