@@ -29,6 +29,34 @@ def stage_path(warehouse: str, stage: str) -> str:
     return os.path.join(warehouse, stage)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — file://,
+    hdfs://, s3a://. The manifest I/O goes through this so the resume
+    contract holds on a real cluster filesystem, not just the driver's
+    local disk (driver-local open() silently scoped resume to file://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_exists(spark: SparkSession | None, path: str) -> bool:
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:  # no JVM at hand: local-path semantics only
+        return os.path.exists(path)
+    fs, p = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
 def write_stage(df: DataFrame, warehouse: str, stage: str,
                 partition_by: list[str] | None = None,
                 lineage: dict | None = None) -> str:
@@ -46,13 +74,15 @@ def write_stage(df: DataFrame, warehouse: str, stage: str,
         "partition_by": partition_by or [],
         "lineage": lineage or {},
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1)
+    # Hadoop FS write: the manifest must land on the SAME filesystem as
+    # the parquet (hdfs://, s3a://, ...) or cluster resume never fires
+    _fs_write_text(spark, os.path.join(path, MANIFEST), json.dumps(manifest, indent=1))
     return path
 
 
-def stage_complete(warehouse: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(stage_path(warehouse, stage), MANIFEST))
+def stage_complete(warehouse: str, stage: str,
+                   spark: SparkSession | None = None) -> bool:
+    return _fs_exists(spark, os.path.join(stage_path(warehouse, stage), MANIFEST))
 
 
 def read_stage(spark: SparkSession, warehouse: str, stage: str) -> DataFrame:
@@ -64,7 +94,7 @@ def ensure_stage(spark: SparkSession, warehouse: str, stage: str, compute,
                  lineage: dict | None = None) -> DataFrame:
     """Resume point: reuse the stage table when its manifest exists,
     else compute + persist it."""
-    if not stage_complete(warehouse, stage):
+    if not stage_complete(warehouse, stage, spark):
         write_stage(compute(), warehouse, stage, partition_by, lineage)
     return read_stage(spark, warehouse, stage)
 

@@ -155,6 +155,13 @@ class StanzaTagger:
         pos = [w.upos for s in doc.sentences for w in s.words]
         deps = [(w.deprel or "dep").lower() for s in doc.sentences for w in s.words]
         ner = [t.ner for s in doc.sentences for t in s.tokens]
+        if len(pos) != len(tokens):
+            # multi-word-token expansion (no 'mwt' processor requested,
+            # but stanza can still split) would break the lockstep
+            # Mention invariant (one tag per input token) — degrade to
+            # the deterministic tagger for THIS call rather than emit a
+            # misaligned stream
+            return RuleTagger()(tokens)
         if len(ner) != len(pos):
             ner = (ner + ["O"] * len(pos))[: len(pos)]
         return pos, deps, ner

@@ -118,9 +118,10 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
     """Corpus-curation rollup: quality/stopword/alpha aggregates per
     (lang, source) — the per-slice view a 100 TB cleaning run uses to
     pick drop thresholds. Pure grouped aggregation over the per-doc
-    quality projection (map-side combined)."""
-    q = quality_score(documents)
-    keyed = documents.select("doc_id", "lang", "source").join(q, "doc_id")
+    quality projection (map-side combined): carry_cols threads the
+    group keys through the projection, so ONE corpus scan and zero
+    joins (the round-2 version re-scanned documents for a self-join)."""
+    keyed = quality_score(documents, carry_cols=("lang", "source"))
     # averages via exact integer sums (the 6dp-rounded inputs scale to
     # integers), so the result is independent of partial-agg order —
     # plain avg(double) differs from the oracle in the last rounded

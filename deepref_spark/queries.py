@@ -41,16 +41,37 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At cluster scale this is the io/tables.py stage-table pattern — a
 # narrow persisted projection, not a driver collect.
 _MENTIONS_CACHE: dict = {}
+_MENTIONS_CACHE_MAX = 4  # a session rarely touches >2 sf_dirs; cap so a
+# long-lived session sweeping many scales cannot grow executor storage
+# without bound
+
+
+def clear_mentions_cache() -> None:
+    """Unpersist and drop every cached mentions stage (call between
+    benchmark scales or before shutting a long-lived session)."""
+    for df in _MENTIONS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MENTIONS_CACHE.clear()
 
 
 def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API twin of portable.mentions_cte: deterministic
     entity spans + relation labels over `documents`. Persisted and
-    memoized per (application, sf_dir)."""
+    memoized per (application, sf_dir); oldest entry evicted (and
+    unpersisted) past the cache cap."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MENTIONS_CACHE.get(key)
     if cached is not None:
         return cached
+    while len(_MENTIONS_CACHE) >= _MENTIONS_CACHE_MAX:
+        old_key = next(iter(_MENTIONS_CACHE))
+        try:
+            _MENTIONS_CACHE.pop(old_key).unpersist()
+        except Exception:
+            pass
     df = _portable_mentions_plan(spark, sf_dir).persist()
     _MENTIONS_CACHE[key] = df
     return df

@@ -70,6 +70,14 @@ def main() -> None:
         with open(args.out) as f:
             existing = [ln.split(",")[:3] for ln in f.read().strip().splitlines()[1:]]
         done = len(existing)
+        if done > len(configs):
+            # a shrunken grid would zip-truncate silently and report
+            # stale rows from the old grid as current-grid results
+            raise SystemExit(
+                f"resume mismatch: CSV has {done} data rows but the current "
+                f"grid has only {len(configs)} configs — the grid shrank "
+                f"since the interrupted run"
+            )
         from deepref_spark import refsem as _rs
 
         for row, cfg in zip(existing, configs[:done]):
