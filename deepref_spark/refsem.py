@@ -14,6 +14,7 @@ batches so it can be unit-tested in isolation.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
@@ -511,7 +512,10 @@ def wordpiece(word: str) -> list[str]:
 
 
 def tokenize_text(text: str, wp=None) -> list[str]:
-    wp = wp or wordpiece
+    """Default wp is the REAL greedy matcher over the pinned vocab
+    artifact (wordpiece_real); pass wp=wordpiece for the fixed-width
+    chunker the SQL twins mirror."""
+    wp = wp or wordpiece_real
     out: list[str] = []
     for w in text.split():
         out.extend(wp(w))
@@ -576,6 +580,37 @@ def wordpiece_greedy(word: str, vocab: frozenset | set | None = None,
         sub_tokens.append(cur)
         start = end
     return sub_tokens
+
+
+_WP_VOCAB_FILE = os.path.join(os.path.dirname(__file__), "data", "wp_vocab.txt")
+_WP_REAL: frozenset | None = None
+_WP_MEMO: dict[str, list[str]] = {}
+
+
+def load_wp_vocab(path: str | None = None) -> frozenset:
+    """Pinned vocab artifact (scripts/build_wp_vocab.py), standard
+    one-piece-per-line vocab.txt format — a trained 30k vocab (e.g.
+    bert-base-uncased's) drops in via ``path`` unchanged. Cached."""
+    global _WP_REAL
+    if path is None:
+        if _WP_REAL is None:
+            with open(_WP_VOCAB_FILE) as f:
+                _WP_REAL = frozenset(ln.strip() for ln in f if ln.strip())
+        return _WP_REAL
+    with open(path) as f:
+        return frozenset(ln.strip() for ln in f if ln.strip())
+
+
+def wordpiece_real(word: str) -> list[str]:
+    """THE default tokenizer: greedy longest-match wordpiece over the
+    pinned vocab artifact, memoized per word — the Zipf-skewed token
+    distribution makes the memo hit rate ~99% inside an Arrow batch,
+    so the greedy scan runs roughly once per DISTINCT word per worker."""
+    hit = _WP_MEMO.get(word)
+    if hit is None:
+        hit = wordpiece_greedy(word, load_wp_vocab())
+        _WP_MEMO[word] = hit
+    return hit
 
 
 def md5_mod_py(s: str, m: int) -> int:

@@ -190,8 +190,9 @@ def test_bert_entity_tokenize_layout():
               + ["[unused2]"] + refsem.tokenize_text("delta") + ["[unused3]"]
               + refsem.tokenize_text("epsilon") + ["[SEP]"])
     assert p1 == 1 + len(refsem.tokenize_text("alpha"))
-    assert ids[:len(pieces)] == [refsem.piece_to_id(p) for p in pieces]
-    assert mask[len(pieces) - 1] == 1
+    n = min(len(pieces), 16)  # kernel pads/truncates to max_length
+    assert ids[:n] == [refsem.piece_to_id(p) for p in pieces][:n]
+    assert mask[n - 1] == 1
     if len(pieces) < 16:
         assert mask[len(pieces)] == 0 and ids[len(pieces)] == 0
 
@@ -295,3 +296,32 @@ def test_bert_entity_tokenize_with_greedy_wordpiece():
     assert ids[p1] == refsem.SPECIAL_TOKENS["[unused0]"]
     assert ids[p2] == refsem.SPECIAL_TOKENS["[unused2]"]
     assert len(ids) == len(mask) == 64
+
+
+def test_wordpiece_real_pinned_vocab_goldens():
+    """K5 over the PINNED vocab artifact (deepref_spark/data/wp_vocab.txt,
+    scripts/build_wp_vocab.py): greedy longest-match outputs on the
+    reference's own encoder-test tokens (deepref/tests/encoder/
+    test_bert_encoder.py:33 item fixture) are frozen here — any vocab or
+    matcher drift fails loudly. Algorithm semantics per
+    word_piece_tokenizer.py:61-96."""
+    assert refsem.wordpiece_real("unaffable") == ["un", "##aff", "##able"]
+    # reference fixture sentence tokens ('avian influenza ... virus')
+    assert refsem.wordpiece_real("avian") == ["a", "##vi", "##an"]
+    assert refsem.wordpiece_real("influenza") == ["in", "##f", "##lue", "##n", "##z", "##a"]
+    assert refsem.wordpiece_real("infectious") == ["in", "##fect", "##io", "##us"]
+    assert refsem.wordpiece_real("strains") == ["str", "##ain", "##s"]
+    assert refsem.wordpiece_real("the") == ["the"]
+    # whole corpus-frequent words match as single pieces
+    assert refsem.wordpiece_real("customer") == ["customer"]
+    assert refsem.wordpiece_real("windowing") == ["window", "##ing"]
+    # out-of-alphabet -> [UNK] via is_bad, exactly like a trained vocab
+    assert refsem.wordpiece_real("café") == ["[UNK]"]
+    # a trained vocab.txt (standard format) drops in via load_wp_vocab
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("zz\n##top\nz\n##z\n")
+        path = f.name
+    v = refsem.load_wp_vocab(path)
+    assert refsem.wordpiece_greedy("zzztop", vocab=v) == ["zz", "##z", "##top"]
