@@ -163,29 +163,12 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
-def _ivf_codebook(embeddings: DataFrame, n_lists: int):
-    """The coarse-quantizer codebook (broadcast): shared by assignment
-    and query probing so a k-means upgrade changes exactly one place."""
-    return F.broadcast(
-        embeddings.where(F.col("vec_id") < n_lists).select(
-            F.col("vec_id").alias("list_id"),
-            F.col("embedding").alias("cvec"),
-            _norm_col("embedding").alias("cnorm"),
-        )
-    )
-
-
-def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
-    """IVF coarse quantizer with a deterministic sampled codebook: the
-    embeddings of vec_id < n_lists are the centroids (random-codebook
-    IVF; a k-means refinement is the drop-in upgrade and changes only
-    this function). Assignment = max-cosine centroid via a broadcast
-    join over the tiny codebook — one corpus pass, no iteration, fully
-    reproducible in a SQL oracle."""
-    cents = _ivf_codebook(embeddings, n_lists)
+def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): max-cosine centroid per vector via
+    a broadcast join over the tiny codebook — one corpus pass."""
     scored = (
         embeddings.select("vec_id", "embedding", _norm_col("embedding").alias("vnorm"))
-        .crossJoin(cents)
+        .crossJoin(F.broadcast(cents))
         .withColumn("csim", _dot("embedding", "cvec") / (F.col("vnorm") * F.col("cnorm")))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
@@ -196,21 +179,73 @@ def ivf_assignments(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     )
 
 
+def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
+    """The coarse-quantizer k-means codebook (broadcast), shared by
+    assignment and query probing.
+
+    Seeds: the ``n_lists`` vectors with smallest md5(vec_id) — a
+    uniform pseudo-random sample independent of the id distribution
+    (the round-2 ``vec_id < n_lists`` form assumed dense numeric ids),
+    computed as a distributed top-k (orderBy+limit plans as
+    TakeOrderedAndProject, no global sort). Then ``lloyd_iters`` Lloyd
+    refinements: assign (broadcast argmax) -> element-wise mean per
+    list (posexplode + grouped avg, one shuffle) — the FAISS-style
+    train step, expressed as plain DataFrame aggregation. Components
+    are rounded to 6dp so the SQL oracle reproduces the centroids
+    bit-identically; empty lists keep their seed vector."""
+    seeds = (
+        embeddings
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_lists)
+        .select(
+            F.col("vec_id").alias("list_id"),
+            F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").alias("cvec"),
+        )
+    )
+    cents = seeds
+    for _ in range(lloyd_iters):
+        assigned = _assign_to(embeddings, cents.withColumn("cnorm", _norm_col("cvec")))
+        newc = (
+            assigned.select("list_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("list_id", F.expr("transform(pm, x -> round(x.m, 6))").alias("cvec"))
+        )
+        cents = (
+            seeds.select("list_id", F.col("cvec").alias("_seed"))
+            .join(newc, "list_id", "left")
+            .select("list_id", F.coalesce("cvec", "_seed").alias("cvec"))
+        )
+    # the refinement chain feeds assignment AND probing — materialize once
+    return cents.withColumn("cnorm", _norm_col("cvec")).localCheckpoint(eager=False)
+
+
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 16,
+                    codebook: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantizer over the k-means codebook (_ivf_codebook).
+    Assignment = max-cosine centroid via a broadcast join over the tiny
+    codebook — one corpus pass, fully reproducible in a SQL oracle."""
+    cents = _ivf_codebook(embeddings, n_lists) if codebook is None else codebook
+    return _assign_to(embeddings, cents)
+
+
 def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                  n_lists: int = 16, nprobe: int = 2) -> DataFrame:
     """IVF-flat ANN: each query probes its ``nprobe`` nearest inverted
     lists and searches only those lists exactly — the classic
     coarse-quantize-then-scan scale path (search cost ~ nprobe/n_lists
     of brute force; lists shard naturally across executors)."""
-    assign = ivf_assignments(embeddings, n_lists).localCheckpoint(eager=False)
     cents = _ivf_codebook(embeddings, n_lists)
+    assign = ivf_assignments(embeddings, n_lists, codebook=cents).localCheckpoint(eager=False)
     qprobe = (
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             _norm_col("embedding").alias("q_norm"),
         )
-        .crossJoin(cents)
+        .crossJoin(F.broadcast(cents))
         .withColumn("csim", _dot("q_emb", "cvec") / (F.col("q_norm") * F.col("cnorm")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("list_id"))

@@ -1536,8 +1536,33 @@ WITH base AS (
   SELECT vec_id, embedding, sqrt(list_dot_product(embedding, embedding)) AS vnorm
   FROM embeddings
 ),
+seeds AS (
+  SELECT vec_id AS list_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+seedn AS (
+  SELECT list_id, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM seeds
+),
+assign0 AS (
+  SELECT list_id, embedding FROM (
+    SELECT b.embedding, s.list_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.embedding, s.cvec) / (b.vnorm * s.cnorm) DESC, s.list_id) AS r
+    FROM base b CROSS JOIN seedn s
+  ) WHERE r = 1
+),
+lloyd AS (
+  SELECT list_id, i, round(avg(CAST(e AS DOUBLE)), 6) AS m
+  FROM (SELECT list_id, unnest(embedding) AS e,
+               unnest(range(len(embedding))) AS i FROM assign0)
+  GROUP BY list_id, i
+),
+newc AS (SELECT list_id, list(m ORDER BY i) AS cvec FROM lloyd GROUP BY list_id),
 cents AS (
-  SELECT vec_id AS list_id, embedding AS cvec, vnorm AS cnorm FROM base WHERE vec_id < 16
+  SELECT s.list_id, coalesce(n.cvec, s.cvec) AS cvec,
+         sqrt(list_dot_product(coalesce(n.cvec, s.cvec), coalesce(n.cvec, s.cvec))) AS cnorm
+  FROM seeds s LEFT JOIN newc n USING (list_id)
 ),
 assign AS (
   SELECT vec_id, embedding, vnorm, list_id FROM (

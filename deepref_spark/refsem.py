@@ -590,12 +590,26 @@ _WP_MEMO: dict[str, list[str]] = {}
 def load_wp_vocab(path: str | None = None) -> frozenset:
     """Pinned vocab artifact (scripts/build_wp_vocab.py), standard
     one-piece-per-line vocab.txt format — a trained 30k vocab (e.g.
-    bert-base-uncased's) drops in via ``path`` unchanged. Cached."""
+    bert-base-uncased's) drops in via ``path`` unchanged. Cached.
+
+    The default artifact is read through importlib.resources so it
+    resolves inside the --py-files zip on executors (a plain open() on
+    __file__-relative paths raises NotADirectoryError there)."""
     global _WP_REAL
     if path is None:
         if _WP_REAL is None:
-            with open(_WP_VOCAB_FILE) as f:
-                _WP_REAL = frozenset(ln.strip() for ln in f if ln.strip())
+            try:
+                from importlib import resources
+
+                text = (
+                    resources.files("deepref_spark")
+                    .joinpath("data/wp_vocab.txt")
+                    .read_text()
+                )
+            except Exception:
+                with open(_WP_VOCAB_FILE) as f:
+                    text = f.read()
+            _WP_REAL = frozenset(ln.strip() for ln in text.splitlines() if ln.strip())
         return _WP_REAL
     with open(path) as f:
         return frozenset(ln.strip() for ln in f if ln.strip())

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Build the --py-files artifact: a zip of the deepref_spark package
-(sources only). `python scripts/package_pyfiles.py [out.zip]`."""
+(sources + data artifacts like the pinned wordpiece vocab).
+`python scripts/package_pyfiles.py [out.zip]`."""
 
 from __future__ import annotations
 
@@ -13,8 +14,8 @@ def build(out: str = "deepref_spark.zip") -> str:
     root = Path(__file__).resolve().parent.parent
     pkg = root / "deepref_spark"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for py in sorted(pkg.rglob("*.py")):
-            z.write(py, py.relative_to(root))
+        for f in sorted(list(pkg.rglob("*.py")) + list(pkg.rglob("data/*.txt"))):
+            z.write(f, f.relative_to(root))
     return out
 
 
