@@ -165,17 +165,24 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
 
 def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, list_id): max-cosine centroid per vector via
-    a broadcast join over the tiny codebook — one corpus pass."""
+    a broadcast join over the tiny codebook — one corpus pass. The
+    argmax is max_by over (csim, -list_id), a hash aggregate that
+    combines MAP-SIDE (the N x n_lists scored rows reduce to N before
+    the shuffle) — a row_number window would sort-shuffle the full
+    scored set. Tie-break (highest csim, then smallest list_id) matches
+    the oracle's ORDER BY csim DESC, list_id."""
     scored = (
         embeddings.select("vec_id", "embedding", _norm_col("embedding").alias("vnorm"))
         .crossJoin(F.broadcast(cents))
         .withColumn("csim", _dot("embedding", "cvec") / (F.col("vnorm") * F.col("cnorm")))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("list_id"))
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "embedding", "list_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr("max_by(struct(embedding, list_id), struct(csim, -list_id))").alias("_w"),
+        )
+        .select("vec_id", F.col("_w.embedding").alias("embedding"),
+                F.col("_w.list_id").alias("list_id"))
     )
 
 
