@@ -84,9 +84,42 @@ def score_ebem(spark: SparkSession, mentions: DataFrame, n_relations: int,
     return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
 
 
+def _flat_mentions(mentions: DataFrame) -> DataFrame:
+    """Prune + flatten the mention table BEFORE the Python crossing.
+
+    mapInPandas ships its input schema verbatim — Catalyst cannot prune
+    columns through the opaque UDF, so without this select every batch
+    Arrow-serializes pos_tags/deps/ner arrays the scorer never reads
+    (and computes them upstream). Flattening h/t structs to int columns
+    also lands positions as numpy ints instead of per-row dicts."""
+    from pyspark.sql import functions as F
+
+    return mentions.select(
+        "sent_id", "doc_id", "relation", "token",
+        F.col("h.name").alias("h_name"), F.col("t.name").alias("t_name"),
+        F.col("h.pos").getItem(0).alias("h0"), F.col("h.pos").getItem(1).alias("h1"),
+        F.col("t.pos").getItem(0).alias("t0"), F.col("t.pos").getItem(1).alias("t1"),
+    )
+
+
+def _batch_tokenize(pdf: pd.DataFrame, max_length: int):
+    from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
+
+    return bert_entity_tokenize_batch(
+        pdf["token"].to_numpy(),
+        pdf["h0"].to_numpy(), pdf["h1"].to_numpy(),
+        pdf["t0"].to_numpy(), pdf["t1"].to_numpy(),
+        max_length=max_length,
+    )
+
+
+_PASS_COLS = ("sent_id", "doc_id", "relation", "h_name", "t_name")
+
+
 def score_cls(spark: SparkSession, mentions: DataFrame, n_relations: int,
               max_length: int = 128) -> DataFrame:
-    """bert_cls path (M1): K1 tokenize, pooled-[CLS] forward."""
+    """bert_cls path (M1): K1 tokenize (vectorized batch kernel),
+    pooled-[CLS] forward."""
     weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,25 +129,12 @@ def score_cls(spark: SparkSession, mentions: DataFrame, n_relations: int,
                 continue
             if weights is None:
                 weights = mdl.cached_weights(weights_bc)
-            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
-            ids_l, mask_l = [], []
-            for row in _iter_mentions(pdf):
-                ids, mask, _, _ = refsem.bert_entity_tokenize(
-                    list(row.token), list(row.h["pos"]), list(row.t["pos"]), max_length
-                )
-                cols["sent_id"].append(row.sent_id)
-                cols["doc_id"].append(row.doc_id)
-                cols["relation"].append(row.relation)
-                cols["h_name"].append(row.h["name"])
-                cols["t_name"].append(row.t["name"])
-                ids_l.append(ids)
-                mask_l.append(mask)
-            if not cols["sent_id"]:
-                continue
-            pred, score = mdl.forward_cls_batch(weights, np.asarray(ids_l), np.asarray(mask_l))
-            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+            ids, mask, _, _ = _batch_tokenize(pdf, max_length)
+            pred, score = mdl.forward_cls_batch(weights, ids, mask)
+            out = {c: pdf[c].to_numpy() for c in _PASS_COLS}
+            yield pd.DataFrame({**out, "pred_id": pred, "score": score})
 
-    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+    return _flat_mentions(mentions).mapInPandas(run, schema=SCORED_SCHEMA)
 
 
 def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
@@ -180,49 +200,23 @@ def score_entity(spark: SparkSession, mentions: DataFrame, n_relations: int,
                  max_length: int = 128, seed: int = 0) -> DataFrame:
     """bert_entity path fused for structured mention rows (K1 + M2 in
     one crossing) — the mention-table twin of fused.extract_scored_fused
-    (which starts from tagged text)."""
+    (which starts from tagged text). Tokenization runs through the
+    vectorized batch kernel (tokenize_batch.py): zero per-row Python;
+    the input is pruned/flattened JVM-side before the Arrow transfer."""
     weights_bc = spark.sparkContext.broadcast(
         mdl.build_weights(n_relations, seed=mdl.SEED + 1009 * seed)
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = None
-        memo: dict[str, int] = {}
-
-        def to_id(piece: str) -> int:
-            v = memo.get(piece)
-            if v is None:
-                v = refsem.piece_to_id(piece)
-                memo[piece] = v
-            return v
-
         for pdf in batches:
             if not len(pdf):
                 continue
             if weights is None:
                 weights = mdl.cached_weights(weights_bc)
-            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
-            ids_l, mask_l, p1_l, p2_l = [], [], [], []
-            for row in _iter_mentions(pdf):
-                ids, mask, p1, p2 = refsem.bert_entity_tokenize(
-                    list(row.token), list(row.h["pos"]), list(row.t["pos"]),
-                    max_length=max_length, to_id=to_id,
-                )
-                cols["sent_id"].append(row.sent_id)
-                cols["doc_id"].append(row.doc_id)
-                cols["relation"].append(row.relation)
-                cols["h_name"].append(row.h["name"])
-                cols["t_name"].append(row.t["name"])
-                ids_l.append(ids)
-                mask_l.append(mask)
-                p1_l.append(p1)
-                p2_l.append(p2)
-            if not cols["sent_id"]:
-                continue
-            pred, score = mdl.forward_batch(
-                weights, np.asarray(ids_l), np.asarray(mask_l),
-                np.asarray(p1_l), np.asarray(p2_l),
-            )
-            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+            ids, mask, p1, p2 = _batch_tokenize(pdf, max_length)
+            pred, score = mdl.forward_batch(weights, ids, mask, p1, p2)
+            out = {c: pdf[c].to_numpy() for c in _PASS_COLS}
+            yield pd.DataFrame({**out, "pred_id": pred, "score": score})
 
-    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+    return _flat_mentions(mentions).mapInPandas(run, schema=SCORED_SCHEMA)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,24 +44,19 @@ def extract_scored_fused(
     weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
+
         tagger = get_tagger(tagger_backend)
         weights = None
-        memo: dict[str, int] = {}
-
-        def to_id(piece: str) -> int:
-            v = memo.get(piece)
-            if v is None:
-                v = refsem.piece_to_id(piece)
-                memo[piece] = v
-            return v
-
         for pdf in batches:
             if not len(pdf):
                 continue
             if weights is None:
                 weights = mdl.cached_weights(weights_bc)
             sent_ids, doc_ids, relations, h_names, t_names = [], [], [], [], []
-            ids_l, mask_l, p1_l, p2_l = [], [], [], []
+            toks_l, h0_l, h1_l, t0_l, t1_l = [], [], [], [], []
+            # parse/preprocess stay per-row (stateful string kernels);
+            # tokenize + id-mapping run vectorized over the whole batch.
             for doc_id, sent_id, relation, tagged in zip(
                 pdf["doc_id"], pdf["sent_id"], pdf["relation"], pdf["tagged"]
             ):
@@ -72,27 +66,22 @@ def extract_scored_fused(
                         m = refsem.apply_preprocessing(m, kinds, entity_replacement)
                 except (ValueError, IndexError, AssertionError):
                     continue
-                ids, mask, p1, p2 = refsem.bert_entity_tokenize(
-                    m.token, m.h["pos"], m.t["pos"], max_length=max_length, to_id=to_id
-                )
                 sent_ids.append(sent_id)
                 doc_ids.append(doc_id)
                 relations.append(relation)
                 h_names.append(m.h["name"])
                 t_names.append(m.t["name"])
-                ids_l.append(ids)
-                mask_l.append(mask)
-                p1_l.append(p1)
-                p2_l.append(p2)
+                toks_l.append(m.token)
+                h0_l.append(m.h["pos"][0])
+                h1_l.append(m.h["pos"][1])
+                t0_l.append(m.t["pos"][0])
+                t1_l.append(m.t["pos"][1])
             if not sent_ids:
                 continue
-            pred, score = mdl.forward_batch(
-                weights,
-                np.asarray(ids_l, dtype=np.int64),
-                np.asarray(mask_l, dtype=np.int64),
-                np.asarray(p1_l, dtype=np.int64),
-                np.asarray(p2_l, dtype=np.int64),
+            ids, mask, p1, p2 = bert_entity_tokenize_batch(
+                toks_l, h0_l, h1_l, t0_l, t1_l, max_length=max_length
             )
+            pred, score = mdl.forward_batch(weights, ids, mask, p1, p2)
             yield pd.DataFrame({
                 "sent_id": sent_ids, "doc_id": doc_ids, "relation": relations,
                 "h_name": h_names, "t_name": t_names,

@@ -1,0 +1,206 @@
+"""Vectorized batch twin of refsem.bert_entity_tokenize (K1).
+
+The per-row kernel costs ~30 Python ops/row (segment joins, wordpiece
+dict hits, list pads) inside every Arrow batch; at web scale that loop
+IS the flagship's hot path (bench: kg_triples_model was the #1 query).
+This module computes the identical (ids, mask, pos1, pos2) for a WHOLE
+batch with flat numpy gather/scatter over a per-word piece-id cache:
+
+  1. flatten the batch's token lists once; factorize to unique words;
+  2. per unique word (Zipf => few per batch after warmup) look up the
+     cached piece-id array (greedy wordpiece + portable md5 ids, exactly
+     refsem.tokenize_text + piece_to_id);
+  3. rebuild every row's [CLS] s0 [m] e0 [m] s1 [m] e1 [m] s2 [SEP]
+     layout with O(total_pieces) repeat/cumsum gather-scatters — zero
+     per-row Python.
+
+Bit-identity with the scalar kernel is asserted by
+tests/test_tokenize_batch.py (hypothesis property over adversarial
+span layouts) and the existing fused-vs-modular parity tests.
+
+Rows with NEGATIVE span indexes (the -1/-2/-3 get_entities sentinels,
+reference deepref/dataset/converters/utils.py) follow Python slice
+semantics, which clip-based vector math cannot reproduce; those rows
+fall back to the scalar kernel row-by-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from deepref_spark import refsem
+
+_WORD_IDS: dict[str, np.ndarray] = {}
+
+_CLS = refsem.SPECIAL_TOKENS["[CLS]"]
+_SEP = refsem.SPECIAL_TOKENS["[SEP]"]
+_U0, _U1 = refsem.SPECIAL_TOKENS["[unused0]"], refsem.SPECIAL_TOKENS["[unused1]"]
+_U2, _U3 = refsem.SPECIAL_TOKENS["[unused2]"], refsem.SPECIAL_TOKENS["[unused3]"]
+_U4, _U5 = refsem.SPECIAL_TOKENS["[unused4]"], refsem.SPECIAL_TOKENS["[unused5]"]
+
+
+def _compute_word_ids(word: str, wp) -> np.ndarray:
+    # tokenize_text(" ".join(words)) === per word: word.split() then wp
+    # on each fragment (str.split drops empties / splits whitespace runs,
+    # exactly like the joined round-trip).
+    pieces = [p for sub in word.split() for p in wp(sub)]
+    return np.fromiter(
+        (refsem.piece_to_id(p) for p in pieces), dtype=np.int64, count=len(pieces)
+    )
+
+
+def _word_ids_lookup(uniques, wp) -> list[np.ndarray]:
+    if wp is None or wp is refsem.wordpiece_real:
+        cache, wp_eff = _WORD_IDS, refsem.wordpiece_real
+    else:
+        cache, wp_eff = {}, wp  # custom wp: no cross-batch reuse
+    out = []
+    for w in uniques:
+        hit = cache.get(w)
+        if hit is None:
+            hit = _compute_word_ids(w, wp_eff)
+            cache[w] = hit
+        out.append(hit)
+    return out
+
+
+def bert_entity_tokenize_batch(
+    tokens_list,
+    h0,
+    h1,
+    t0,
+    t1,
+    max_length: int = 128,
+    mask_entity: bool = False,
+    wp=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch K1: returns (ids[B,L], mask[B,L], pos1[B], pos2[B]) equal
+    element-wise to refsem.bert_entity_tokenize per row."""
+    B = len(tokens_list)
+    ML = max_length
+    h0 = np.asarray(h0, dtype=np.int64)
+    h1 = np.asarray(h1, dtype=np.int64)
+    t0 = np.asarray(t0, dtype=np.int64)
+    t1 = np.asarray(t1, dtype=np.int64)
+    ids_out = np.zeros((B, ML), dtype=np.int64)
+    if B == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ids_out, np.zeros((0, ML), dtype=np.int64), z, z
+
+    n_words = np.fromiter((len(t) for t in tokens_list), dtype=np.int64, count=B)
+    flat_words: list = []
+    for t in tokens_list:
+        flat_words.extend(t)
+    if flat_words:
+        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        uarrs = _word_ids_lookup(uniques, wp)
+        ulens = np.fromiter((a.size for a in uarrs), dtype=np.int64, count=len(uarrs))
+        U = np.concatenate(uarrs) if len(uarrs) else np.zeros(0, dtype=np.int64)
+        ustarts = np.concatenate(([0], np.cumsum(ulens)))[:-1]
+        pc = ulens[codes]
+    else:
+        U = np.zeros(0, dtype=np.int64)
+        ustarts = np.zeros(0, dtype=np.int64)
+        codes = np.zeros(0, dtype=np.int64)
+        pc = np.zeros(0, dtype=np.int64)
+
+    W = int(n_words.sum())
+    cumP = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(pc, out=cumP[1:])
+    Woff = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(n_words, out=Woff[1:])
+
+    # flat piece-id stream aligned to flat word order
+    tot_pieces = int(cumP[-1])
+    if tot_pieces:
+        within = np.arange(tot_pieces, dtype=np.int64) - np.repeat(cumP[:-1], pc)
+        flat_ids = U[np.repeat(ustarts[codes], pc) + within]
+    else:
+        flat_ids = np.zeros(0, dtype=np.int64)
+
+    rev = h0 > t0
+    min0 = np.where(rev, t0, h0)
+    min1 = np.where(rev, t1, h1)
+    max0 = np.where(rev, h0, t0)
+    max1 = np.where(rev, h1, t1)
+
+    def gb(word_idx):  # global piece boundary at a clipped word index
+        return cumP[Woff[:-1] + np.clip(word_idx, 0, n_words)]
+
+    g_start, g_end = cumP[Woff[:-1]], cumP[Woff[1:]]
+    gm0, gm1, gx0, gx1 = gb(min0), gb(min1), gb(max0), gb(max1)
+
+    zero = np.zeros(B, dtype=np.int64)
+    L0 = np.maximum(zero, gm0 - g_start)   # sent0 pieces
+    L1 = np.maximum(zero, gm1 - gm0)       # ent0 pieces (pre-marker)
+    L2 = np.maximum(zero, gx0 - gm1)       # sent1 pieces
+    L3 = np.maximum(zero, gx1 - gx0)       # ent1 pieces
+    L4 = np.maximum(zero, g_end - gx1)     # sent2 pieces
+    E0 = np.full(B, 1, dtype=np.int64) if mask_entity else L1 + 2
+    E1 = np.full(B, 1, dtype=np.int64) if mask_entity else L3 + 2
+
+    d_s0 = np.full(B, 1, dtype=np.int64)
+    d_e0 = d_s0 + L0
+    d_s1 = d_e0 + E0
+    d_e1 = d_s1 + L2
+    d_s2 = d_e1 + E1
+    d_sep = d_s2 + L4
+    total = d_sep + 1
+
+    rows = np.arange(B, dtype=np.int64)
+
+    def scatter_seg(src_start, lens, dest_start):
+        tot = int(lens.sum())
+        if not tot:
+            return
+        seg_within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.repeat(src_start, lens) + seg_within
+        dst = np.repeat(dest_start, lens) + seg_within
+        rr = np.repeat(rows, lens)
+        ok = dst < ML
+        ids_out[rr[ok], dst[ok]] = flat_ids[src[ok]]
+
+    def put(dest, vals):
+        ok = dest < ML
+        ids_out[rows[ok], dest[ok]] = vals[ok] if isinstance(vals, np.ndarray) else vals
+
+    ids_out[:, 0] = _CLS
+    scatter_seg(g_start, L0, d_s0)
+    scatter_seg(gm1, L2, d_s1)
+    scatter_seg(gx1, L4, d_s2)
+    if mask_entity:
+        put(d_e0, np.where(rev, _U5, _U4))
+        put(d_e1, np.where(rev, _U4, _U5))
+    else:
+        put(d_e0, np.where(rev, _U2, _U0))
+        scatter_seg(gm0, L1, d_e0 + 1)
+        put(d_e0 + 1 + L1, np.where(rev, _U3, _U1))
+        put(d_e1, np.where(rev, _U0, _U2))
+        scatter_seg(gx0, L3, d_e1 + 1)
+        put(d_e1 + 1 + L3, np.where(rev, _U1, _U3))
+    put(d_sep, _SEP)
+
+    mask = (np.arange(ML, dtype=np.int64)[None, :] < np.minimum(total, ML)[:, None]).astype(np.int64)
+    pos_min_marker = d_s0 + L0          # 1 + len(sent0)
+    pos_max_marker = d_s1 + L2          # 1 + len(sent0) + len(ent0) + len(sent1)
+    pos1 = np.minimum(ML - 1, np.where(rev, pos_max_marker, pos_min_marker))
+    pos2 = np.minimum(ML - 1, np.where(rev, pos_min_marker, pos_max_marker))
+
+    # scalar fallback for negative-index rows (Python slice semantics)
+    neg = (h0 < 0) | (h1 < 0) | (t0 < 0) | (t1 < 0)
+    if neg.any():
+        for r in np.flatnonzero(neg):
+            s_ids, s_mask, s_p1, s_p2 = refsem.bert_entity_tokenize(
+                list(tokens_list[r]), [int(h0[r]), int(h1[r])],
+                [int(t0[r]), int(t1[r])], max_length=ML,
+                mask_entity=mask_entity, wp=wp,
+            )
+            ids_out[r] = s_ids
+            mask[r] = s_mask
+            pos1[r] = s_p1
+            pos2[r] = s_p2
+
+    return ids_out, mask, pos1, pos2

@@ -1,0 +1,76 @@
+"""Batch tokenizer == scalar kernel, element-wise, on adversarial layouts."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepref_spark import refsem
+from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
+
+WORDS = ["the", "warfarin", "unaffable", "x1", "interaction", "city,",
+         "pre-dose", "[CLS]", "a b", "", "zzzzzzzzzzzzzzzzzzzzzzzz"]
+
+
+def _scalar(tokens, hp, tp, ml, mask_entity=False):
+    return refsem.bert_entity_tokenize(
+        list(tokens), list(hp), list(tp), max_length=ml, mask_entity=mask_entity
+    )
+
+
+def _check(rows, ml, mask_entity=False):
+    ids, mask, p1, p2 = bert_entity_tokenize_batch(
+        [r[0] for r in rows],
+        [r[1][0] for r in rows], [r[1][1] for r in rows],
+        [r[2][0] for r in rows], [r[2][1] for r in rows],
+        max_length=ml, mask_entity=mask_entity,
+    )
+    for i, (tokens, hp, tp) in enumerate(rows):
+        e_ids, e_mask, e_p1, e_p2 = _scalar(tokens, hp, tp, ml, mask_entity)
+        assert ids[i].tolist() == e_ids, (tokens, hp, tp)
+        assert mask[i].tolist() == e_mask, (tokens, hp, tp)
+        assert (p1[i], p2[i]) == (e_p1, e_p2), (tokens, hp, tp)
+
+
+@st.composite
+def mention_row(draw):
+    n = draw(st.integers(0, 12))
+    tokens = [draw(st.sampled_from(WORDS)) for _ in range(n)]
+    # spans beyond range, inverted, overlapping, degenerate — all fair game
+    idx = st.integers(0, max(0, n + 2))
+    hp = [draw(idx), draw(idx)]
+    tp = [draw(idx), draw(idx)]
+    return tokens, hp, tp
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(mention_row(), min_size=1, max_size=8), st.sampled_from([16, 128]))
+def test_batch_equals_scalar(rows, ml):
+    _check(rows, ml)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(mention_row(), min_size=1, max_size=4))
+def test_batch_equals_scalar_mask_entity(rows):
+    _check(rows, 32, mask_entity=True)
+
+
+def test_negative_positions_fall_back_to_python_slices():
+    rows = [
+        (["a", "b", "c", "d", "e"], [-1, 2], [3, 4]),
+        (["a", "b", "c", "d", "e"], [0, 1], [-3, -1]),
+        (["a", "b", "c"], [-2, -1], [-1, 3]),
+    ]
+    _check(rows, 16)
+
+
+def test_truncation_and_long_words():
+    long_doc = ["warfarin"] * 100
+    rows = [(long_doc, [2, 4], [50, 60]), (long_doc, [90, 95], [1, 2])]
+    _check(rows, 128)
+    _check(rows, 16)
+
+
+def test_empty_batch():
+    ids, mask, p1, p2 = bert_entity_tokenize_batch([], [], [], [], [], max_length=8)
+    assert ids.shape == (0, 8) and mask.shape == (0, 8)
+    assert p1.size == 0 and p2.size == 0
