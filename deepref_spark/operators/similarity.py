@@ -200,6 +200,10 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
     train step, expressed as plain DataFrame aggregation. Components
     are rounded to 6dp so the SQL oracle reproduces the centroids
     bit-identically; empty lists keep their seed vector."""
+    # seeds is a FULL-CORPUS TakeOrdered referenced twice (the Lloyd
+    # broadcast and the empty-list fallback join): without the
+    # checkpoint each reference re-scans the corpus — at web scale
+    # that is an extra 100-TB pass to rebuild 16 rows.
     seeds = (
         embeddings
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
@@ -208,6 +212,7 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
             F.col("vec_id").alias("list_id"),
             F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").alias("cvec"),
         )
+        .localCheckpoint(eager=False)
     )
     cents = seeds
     for _ in range(lloyd_iters):
