@@ -157,43 +157,35 @@ def score_cnn_family(spark: SparkSession, mentions: DataFrame, n_relations: int,
     need_seg = encoder == "pcnn"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepref_spark.operators.tokenize_batch import (
+            pcnn_segment_mask_batch,
+            word_position_tokenize_batch,
+        )
+
         weights = None
         for pdf in batches:
             if not len(pdf):
                 continue
             if weights is None:
                 weights = mdl.cached_weights(weights_bc)
-            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
-            ids_l, p1_l, p2_l, seg_l = [], [], [], []
-            for row in _iter_mentions(pdf):
-                token = list(row.token)
-                hp, tp = list(row.h["pos"]), list(row.t["pos"])
-                ids, pos1, pos2 = refsem.word_position_tokenize(token, hp, tp, max_length)
-                cols["sent_id"].append(row.sent_id)
-                cols["doc_id"].append(row.doc_id)
-                cols["relation"].append(row.relation)
-                cols["h_name"].append(row.h["name"])
-                cols["t_name"].append(row.t["name"])
-                ids_l.append(ids)
-                p1_l.append(pos1)
-                p2_l.append(pos2)
-                if need_seg:
-                    seg_l.append(refsem.pcnn_segment_mask(len(token), hp, tp, max_length))
-            if not cols["sent_id"]:
-                continue
-            ids_a = np.asarray(ids_l)
-            p1_a, p2_a = np.asarray(p1_l), np.asarray(p2_l)
+            toks = pdf["token"].to_numpy()
+            h0 = pdf["h0"].to_numpy()
+            t0 = pdf["t0"].to_numpy()
+            ids_a, p1_a, p2_a = word_position_tokenize_batch(toks, h0, t0, max_length)
             if encoder == "pcnn":
-                pred, score = mdl.forward_pcnn_batch(weights, ids_a, p1_a, p2_a, np.asarray(seg_l))
+                n_tok = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+                seg = pcnn_segment_mask_batch(n_tok, h0, t0, max_length)
+                pred, score = mdl.forward_pcnn_batch(weights, ids_a, p1_a, p2_a, seg)
             elif encoder == "crcnn":
                 pred, score = mdl.forward_crcnn_batch(weights, ids_a, p1_a, p2_a)
             elif encoder in ("lstm", "gru"):
                 pred, score = mdl.forward_rnn_batch(weights, ids_a, p1_a, p2_a)
             else:
                 pred, score = mdl.forward_cnn_batch(weights, ids_a, p1_a, p2_a)
-            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+            out = {c: pdf[c].to_numpy() for c in _PASS_COLS}
+            yield pd.DataFrame({**out, "pred_id": pred, "score": score})
 
-    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+    return _flat_mentions(mentions).mapInPandas(run, schema=SCORED_SCHEMA)
 
 
 def score_entity(spark: SparkSession, mentions: DataFrame, n_relations: int,

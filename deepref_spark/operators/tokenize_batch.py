@@ -204,3 +204,63 @@ def bert_entity_tokenize_batch(
             pos2[r] = s_p2
 
     return ids_out, mask, pos1, pos2
+
+
+_WORD_VOCAB_IDS: dict[str, int] = {}
+
+
+def word_position_tokenize_batch(
+    tokens_list, h0, t0, max_length: int = 128
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch K3: whole-word vocab ids + relative-position features,
+    element-wise equal to refsem.word_position_tokenize per row."""
+    B = len(tokens_list)
+    ML = max_length
+    h0 = np.asarray(h0, dtype=np.int64)
+    t0 = np.asarray(t0, dtype=np.int64)
+    ids = np.zeros((B, ML), dtype=np.int64)
+    if B == 0:
+        return ids, np.zeros((0, ML), dtype=np.int64), np.zeros((0, ML), dtype=np.int64)
+
+    n_words = np.fromiter((len(t) for t in tokens_list), dtype=np.int64, count=B)
+    n_eff = np.minimum(n_words, ML)
+    flat_words: list = []
+    for t, ne in zip(tokens_list, n_eff):
+        flat_words.extend(t[:ne])
+    if flat_words:
+        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        uids = np.empty(len(uniques), dtype=np.int64)
+        for i, w in enumerate(uniques):
+            v = _WORD_VOCAB_IDS.get(w)
+            if v is None:
+                v = refsem.word_to_id(w)
+                _WORD_VOCAB_IDS[w] = v
+            uids[i] = v
+        flat_ids = uids[codes]
+        tot = int(n_eff.sum())
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(n_eff) - n_eff, n_eff
+        )
+        ids[np.repeat(np.arange(B, dtype=np.int64), n_eff), within] = flat_ids
+
+    ar = np.arange(ML, dtype=np.int64)[None, :]
+    live = ar < n_eff[:, None]  # positions past len(token) stay 0-padded
+    p1i = np.minimum(h0, ML)[:, None]
+    p2i = np.minimum(t0, ML)[:, None]
+    pos1 = np.where(live, np.minimum(ar - p1i + ML, 2 * ML - 1), 0)
+    pos2 = np.where(live, np.minimum(ar - p2i + ML, 2 * ML - 1), 0)
+    return ids, pos1, pos2
+
+
+def pcnn_segment_mask_batch(n_tokens, h0, t0, max_length: int = 128) -> np.ndarray:
+    """Batch K4: piecewise segment labels (1/2/3, 0-padded), equal to
+    refsem.pcnn_segment_mask per row."""
+    ML = max_length
+    n = np.minimum(np.asarray(n_tokens, dtype=np.int64), ML)[:, None]
+    p1i = np.minimum(np.asarray(h0, dtype=np.int64), ML)[:, None]
+    p2i = np.minimum(np.asarray(t0, dtype=np.int64), ML)[:, None]
+    lo = np.minimum(p1i, p2i)
+    hi = np.maximum(p1i, p2i)
+    ar = np.arange(ML, dtype=np.int64)[None, :]
+    seg = np.where(ar <= lo, 1, np.where(ar <= hi, 2, 3))
+    return np.where(ar < n, seg, 0)

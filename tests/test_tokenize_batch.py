@@ -74,3 +74,30 @@ def test_empty_batch():
     ids, mask, p1, p2 = bert_entity_tokenize_batch([], [], [], [], [], max_length=8)
     assert ids.shape == (0, 8) and mask.shape == (0, 8)
     assert p1.size == 0 and p2.size == 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(mention_row(), min_size=1, max_size=8), st.sampled_from([8, 64]))
+def test_word_position_batch_equals_scalar(rows, ml):
+    from deepref_spark.operators.tokenize_batch import (
+        pcnn_segment_mask_batch,
+        word_position_tokenize_batch,
+    )
+
+    ids, p1, p2 = word_position_tokenize_batch(
+        [r[0] for r in rows],
+        [r[1][0] for r in rows], [r[2][0] for r in rows], max_length=ml,
+    )
+    seg = pcnn_segment_mask_batch(
+        [len(r[0]) for r in rows],
+        [r[1][0] for r in rows], [r[2][0] for r in rows], max_length=ml,
+    )
+    for i, (tokens, hp, tp) in enumerate(rows):
+        e_ids, e_p1, e_p2 = refsem.word_position_tokenize(
+            list(tokens), list(hp), list(tp), max_length=ml
+        )
+        e_seg = refsem.pcnn_segment_mask(len(tokens), list(hp), list(tp), max_length=ml)
+        assert ids[i].tolist() == e_ids, (tokens, hp, tp)
+        assert p1[i].tolist() == e_p1, (tokens, hp, tp)
+        assert p2[i].tolist() == e_p2, (tokens, hp, tp)
+        assert seg[i].tolist() == e_seg, (tokens, hp, tp)
