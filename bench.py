@@ -153,30 +153,45 @@ def _scaling_child(cores: int, n_docs: int) -> None:
     spark.stop()
 
 
-def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8) -> dict:
+def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
+                repeats: int | None = None) -> dict:
     """N -> 4N scaling evidence. Default pair (2, 8): both fit the box's
     physical cores, so the ratio measures the SOFTWARE's scaling, not
     SMT/bandwidth saturation (this host exposes 32 hyperthreads over
     ~16 physical cores — local[32] cannot be 4x local[8] on FP-heavy
     work no matter what the code does; see BENCH.md). Must run
-    exclusively: any concurrent load corrupts the ratio."""
+    exclusively: any concurrent load corrupts the ratio.
+
+    ``repeats`` (env SPARK_GRAFT_SCALE_REPEATS, default 3) interleaves
+    low/high runs and takes best-of per config — the shared-host
+    de-noising protocol BENCH.md documents (an outside load spike in
+    ONE window otherwise corrupts the ratio; interleaving + best-of
+    pairs the two configs' cleanest windows)."""
     assert high == 4 * low, "scaling pair must be N and 4N"
-    out = {}
-    for cores in (low, high):
-        env = dict(os.environ)
-        env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
-        r = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cores), str(n_docs)],
-            capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        out[cores] = json.loads(line)
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    attempts: dict[int, list[dict]] = {low: [], high: []}
+    for _ in range(repeats):
+        for cores in (low, high):
+            env = dict(os.environ)
+            env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+                       MKL_NUM_THREADS="1")
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cores), str(n_docs)],
+                capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),
+            )
+            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+            attempts[cores].append(json.loads(line))
+    out = {c: min(runs, key=lambda d: d["sec"]) for c, runs in attempts.items()}
     t_lo, t_hi = out[low]["docs_per_sec"], out[high]["docs_per_sec"]
     raw_eff = t_hi / (4 * t_lo)
     # host parallel envelope from the calibration job (perfectly
     # parallel native work): its 4x-core speedup is the ceiling any
-    # software can reach on this box
-    host_envelope = out[low]["calib_sec"] / (4 * out[high]["calib_sec"])
+    # software can reach on this box; best-of per config, like the
+    # pipeline numbers
+    calib_lo = min(d["calib_sec"] for d in attempts[low])
+    calib_hi = min(d["calib_sec"] for d in attempts[high])
+    host_envelope = calib_lo / (4 * calib_hi)
     return {
         "metric": f"scaling_efficiency_{low}_to_{high}",
         "value": round(raw_eff, 4),
@@ -186,6 +201,9 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8) -> dict:
         "host_envelope_efficiency": round(host_envelope, 4),
         "pipeline_vs_envelope": round(raw_eff / host_envelope, 4) if host_envelope else None,
         "docs": n_docs,
+        "repeats": repeats,
+        "all_docs_per_sec": {str(c): [d["docs_per_sec"] for d in runs]
+                             for c, runs in attempts.items()},
     }
 
 
