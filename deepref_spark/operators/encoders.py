@@ -38,50 +38,53 @@ def _iter_mentions(pdf: pd.DataFrame):
 def score_ebem(spark: SparkSession, mentions: DataFrame, n_relations: int,
                max_length: int = 128, mask_entity: bool = False) -> DataFrame:
     """mentions (token, h, t, sk, ...) -> EBEM-scored rows. One fused
-    crossing: K2 tokenize + M3 forward."""
+    crossing: batched K2 tokenize + M3 forward. The SK empty-fallback
+    (missing/empty ses -> [name, name], semantic_knowledge.py:70-72)
+    and the father/grandpa first/last extraction run JVM-side, so only
+    four plain string columns cross into Python."""
+    from pyspark.sql import functions as F
+
     weights_bc = spark.sparkContext.broadcast(mdl.build_ebem_weights(n_relations))
 
+    def _ses(field: str, name: str) -> str:
+        return (
+            f"CASE WHEN sk IS NULL OR sk.{field} IS NULL OR size(sk.{field}) = 0 "
+            f"THEN array({name}, {name}) ELSE sk.{field} END"
+        )
+
+    flat = mentions.select(
+        "sent_id", "doc_id", "relation", "token",
+        F.col("h.name").alias("h_name"), F.col("t.name").alias("t_name"),
+        F.col("h.pos").getItem(0).alias("h0"), F.col("h.pos").getItem(1).alias("h1"),
+        F.col("t.pos").getItem(0).alias("t0"), F.col("t.pos").getItem(1).alias("t1"),
+        F.expr(f"element_at({_ses('ses1', 'h.name')}, 1)").alias("s1f"),
+        F.expr(f"element_at({_ses('ses1', 'h.name')}, -1)").alias("s1l"),
+        F.expr(f"element_at({_ses('ses2', 't.name')}, 1)").alias("s2f"),
+        F.expr(f"element_at({_ses('ses2', 't.name')}, -1)").alias("s2l"),
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepref_spark.operators.tokenize_batch import ebem_tokenize_batch
+
         weights = None
         for pdf in batches:
             if not len(pdf):
                 continue
             if weights is None:
                 weights = mdl.cached_weights(weights_bc)
-            cols = {k: [] for k in ("sent_id", "doc_id", "relation", "h_name", "t_name")}
-            ids_l, mask_l, p1, p2, sk1, sk2 = [], [], [], [], [], []
-            for row in _iter_mentions(pdf):
-                ses1 = list(row.sk["ses1"]) if row.sk is not None and row.sk["ses1"] is not None else []
-                ses2 = list(row.sk["ses2"]) if row.sk is not None and row.sk["ses2"] is not None else []
-                if len(ses1) == 0:
-                    ses1 = [row.h["name"], row.h["name"]]
-                if len(ses2) == 0:
-                    ses2 = [row.t["name"], row.t["name"]]
-                sk = {"ses1": ses1, "ses2": ses2}
-                out = refsem.ebem_tokenize(
-                    list(row.token), list(row.h["pos"]), list(row.t["pos"]),
-                    sk, max_length=max_length, mask_entity=mask_entity,
-                )
-                cols["sent_id"].append(row.sent_id)
-                cols["doc_id"].append(row.doc_id)
-                cols["relation"].append(row.relation)
-                cols["h_name"].append(row.h["name"])
-                cols["t_name"].append(row.t["name"])
-                ids_l.append(out["ids"])
-                mask_l.append(out["att_mask"])
-                p1.append(out["pos1"])
-                p2.append(out["pos2"])
-                sk1.append(out["sk_pos1"])
-                sk2.append(out["sk_pos2"])
-            if not cols["sent_id"]:
-                continue
-            pred, score = mdl.forward_ebem_batch(
-                weights, np.asarray(ids_l), np.asarray(mask_l),
-                np.asarray(p1), np.asarray(p2), np.asarray(sk1), np.asarray(sk2),
+            ids, mask, p1, p2, sk1, sk2 = ebem_tokenize_batch(
+                pdf["token"].to_numpy(),
+                pdf["h0"].to_numpy(), pdf["h1"].to_numpy(),
+                pdf["t0"].to_numpy(), pdf["t1"].to_numpy(),
+                pdf["s1f"].to_numpy(), pdf["s1l"].to_numpy(),
+                pdf["s2f"].to_numpy(), pdf["s2l"].to_numpy(),
+                max_length=max_length, mask_entity=mask_entity,
             )
-            yield pd.DataFrame({**cols, "pred_id": pred, "score": score})
+            pred, score = mdl.forward_ebem_batch(weights, ids, mask, p1, p2, sk1, sk2)
+            out = {c: pdf[c].to_numpy() for c in _PASS_COLS}
+            yield pd.DataFrame({**out, "pred_id": pred, "score": score})
 
-    return mentions.mapInPandas(run, schema=SCORED_SCHEMA)
+    return flat.mapInPandas(run, schema=SCORED_SCHEMA)
 
 
 def _flat_mentions(mentions: DataFrame) -> DataFrame:

@@ -206,6 +206,201 @@ def bert_entity_tokenize_batch(
     return ids_out, mask, pos1, pos2
 
 
+_U6, _U7 = refsem.SPECIAL_TOKENS["[unused6]"], refsem.SPECIAL_TOKENS["[unused7]"]
+
+
+def _flat_word_ids(words, wp):
+    """factorize a flat word/string array -> (codes-aligned piece
+    counts, flat piece-id stream, per-entry src starts). Entries may
+    contain whitespace (SK strings): _compute_word_ids' word.split()
+    reproduces tokenize_text exactly."""
+    codes, uniques = pd.factorize(np.asarray(words, dtype=object))
+    uarrs = _word_ids_lookup(uniques, wp)
+    ulens = np.fromiter((a.size for a in uarrs), dtype=np.int64, count=len(uarrs))
+    U = np.concatenate(uarrs) if len(uarrs) else np.zeros(0, dtype=np.int64)
+    ustarts = np.concatenate(([0], np.cumsum(ulens)))[:-1]
+    return ulens[codes], U, ustarts[codes]
+
+
+def ebem_tokenize_batch(
+    tokens_list,
+    h0, h1, t0, t1,
+    s1f, s1l, s2f, s2l,
+    max_length: int = 128,
+    mask_entity: bool = False,
+    wp=None,
+):
+    """Batch K2 (EBEM): element-wise equal to refsem.ebem_tokenize.
+
+    The scalar kernel recovers positions with .index() first-occurrence
+    scans; wordpiece output can never contain a literal ``[unusedX]``
+    (brackets are outside the vocab alphabet -> [UNK]), so every marker
+    occurs ONLY at its known insert offsets and first-occurrence is the
+    min over those — including the documented mask_entity shadowing
+    quirk where the entity placeholder [unused4/5] shadows the SK
+    wrapper of the same name (bert_encoder.py:390-404).
+
+    s1f/s1l/s2f/s2l are the SK father/grandpa strings AFTER the
+    empty-fallback (caller substitutes [h_name, h_name])."""
+    B = len(tokens_list)
+    ML = max_length
+    h0 = np.asarray(h0, dtype=np.int64)
+    h1 = np.asarray(h1, dtype=np.int64)
+    t0 = np.asarray(t0, dtype=np.int64)
+    t1 = np.asarray(t1, dtype=np.int64)
+    ids_out = np.zeros((B, ML), dtype=np.int64)
+    if B == 0:
+        z = np.zeros(0, dtype=np.int64)
+        z2 = np.zeros((0, 2), dtype=np.int64)
+        return ids_out, np.zeros((0, ML), dtype=np.int64), z, z, z2, z2
+
+    n_words = np.fromiter((len(t) for t in tokens_list), dtype=np.int64, count=B)
+    flat_words: list = []
+    for t in tokens_list:
+        flat_words.extend(t)
+    if flat_words:
+        pc, U, src0 = _flat_word_ids(flat_words, wp)
+    else:
+        pc = np.zeros(0, dtype=np.int64)
+        U = np.zeros(0, dtype=np.int64)
+        src0 = np.zeros(0, dtype=np.int64)
+    W = int(n_words.sum())
+    cumP = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(pc, out=cumP[1:])
+    Woff = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(n_words, out=Woff[1:])
+    tot_pieces = int(cumP[-1])
+    if tot_pieces:
+        within = np.arange(tot_pieces, dtype=np.int64) - np.repeat(cumP[:-1], pc)
+        flat_ids = U[np.repeat(src0, pc) + within]
+    else:
+        flat_ids = np.zeros(0, dtype=np.int64)
+
+    # SK strings: one factorize over the 4B entries, aligned per group
+    sk_all = list(s1f) + list(s1l) + list(s2f) + list(s2l)
+    sk_pc, skU, sk_src = _flat_word_ids(sk_all, wp)
+    F1, G1 = sk_pc[0:B], sk_pc[B:2 * B]
+    F2, G2 = sk_pc[2 * B:3 * B], sk_pc[3 * B:4 * B]
+
+    rev = h0 > t0
+    min0 = np.where(rev, t0, h0)
+    min1 = np.where(rev, t1, h1)
+    max0 = np.where(rev, h0, t0)
+    max1 = np.where(rev, h1, t1)
+
+    def gb(word_idx):
+        return cumP[Woff[:-1] + np.clip(word_idx, 0, n_words)]
+
+    g_start, g_end = cumP[Woff[:-1]], cumP[Woff[1:]]
+    gm0, gm1, gx0, gx1 = gb(min0), gb(min1), gb(max0), gb(max1)
+    zero = np.zeros(B, dtype=np.int64)
+    L0 = np.maximum(zero, gm0 - g_start)
+    L1 = np.maximum(zero, gm1 - gm0)
+    L2 = np.maximum(zero, gx0 - gm1)
+    L3 = np.maximum(zero, gx1 - gx0)
+    L4 = np.maximum(zero, g_end - gx1)
+    one = np.full(B, 1, dtype=np.int64)
+    E0c = one if mask_entity else L1  # ent core length (inside the wrap)
+    E1c = one if mask_entity else L3
+
+    p_e0_open = 1 + L0
+    p_e0_core = p_e0_open + 1
+    p_e0_close = p_e0_open + 1 + E0c
+    p_e1_open = p_e0_close + 1 + L2
+    p_e1_core = p_e1_open + 1
+    p_e1_close = p_e1_open + 1 + E1c
+    p_sk1_open = p_e1_close + 1 + L4
+    p_sk1_close = p_sk1_open + 1 + F1 + G1
+    p_sk2_open = p_sk1_close + 1
+    p_sk2_close = p_sk2_open + 1 + F2 + G2
+    p_sep = p_sk2_close + 1
+    total = p_sep + 1
+
+    rows = np.arange(B, dtype=np.int64)
+
+    def scatter_seg(flat_src, src_start, lens, dest_start):
+        tot = int(lens.sum())
+        if not tot:
+            return
+        seg_within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.repeat(src_start, lens) + seg_within
+        dst = np.repeat(dest_start, lens) + seg_within
+        rr = np.repeat(rows, lens)
+        ok = dst < ML
+        ids_out[rr[ok], dst[ok]] = flat_src[src[ok]]
+
+    def put(dest, vals):
+        ok = dest < ML
+        ids_out[rows[ok], dest[ok]] = vals[ok] if isinstance(vals, np.ndarray) else vals
+
+    ids_out[:, 0] = _CLS
+    scatter_seg(flat_ids, g_start, L0, np.full(B, 1, dtype=np.int64))  # sent0
+    scatter_seg(flat_ids, gm1, L2, p_e0_close + 1)                     # sent1
+    scatter_seg(flat_ids, gx1, L4, p_e1_close + 1)                     # sent2
+    put(p_e0_open, np.where(rev, _U2, _U0))
+    put(p_e0_close, np.where(rev, _U3, _U1))
+    put(p_e1_open, np.where(rev, _U0, _U2))
+    put(p_e1_close, np.where(rev, _U1, _U3))
+    if mask_entity:
+        put(p_e0_core, np.where(rev, _U5, _U4))
+        put(p_e1_core, np.where(rev, _U4, _U5))
+    else:
+        scatter_seg(flat_ids, gm0, L1, p_e0_core)
+        scatter_seg(flat_ids, gx0, L3, p_e1_core)
+    put(p_sk1_open, np.where(rev, _U6, _U4))
+    put(p_sk1_close, np.where(rev, _U7, _U5))
+    put(p_sk2_open, np.where(rev, _U4, _U6))
+    put(p_sk2_close, np.where(rev, _U5, _U7))
+    scatter_seg(skU, sk_src[0:B], F1, p_sk1_open + 1)            # sk1 father
+    scatter_seg(skU, sk_src[B:2 * B], G1, p_sk1_open + 1 + F1)   # sk1 grandpa
+    scatter_seg(skU, sk_src[2 * B:3 * B], F2, p_sk2_open + 1)    # sk2 father
+    scatter_seg(skU, sk_src[3 * B:4 * B], G2, p_sk2_open + 1 + F2)
+    put(p_sep, _SEP)
+
+    att_mask = (
+        np.arange(ML, dtype=np.int64)[None, :] < np.minimum(total, ML)[:, None]
+    ).astype(np.int64)
+
+    clamp = lambda p: np.minimum(ML - 1, p)  # noqa: E731
+    if mask_entity:
+        # [unused4]/[unused5] entity cores shadow the SK wrappers
+        sk1a = np.where(rev, p_sk1_open, p_e0_core)   # idx("[u4]"|"[u6]")
+        sk1b = np.where(rev, p_sk1_close, p_e1_core)  # idx("[u5]"|"[u7]")
+        sk2a = np.where(rev, p_e1_core, p_sk2_open)   # idx("[u6]"|"[u4]")
+        sk2b = np.where(rev, p_e0_core, p_sk2_close)  # idx("[u7]"|"[u5]")
+        pos1 = p_e0_core  # idx of [u4] (fwd) / [u5] (rev) = ent0 core
+        pos2 = p_e1_core
+    else:
+        sk1a, sk1b = p_sk1_open, p_sk1_close
+        sk2a, sk2b = p_sk2_open, p_sk2_close
+        pos1 = p_e0_open  # idx of [u0] (fwd) / [u2] (rev) = ent0 open
+        pos2 = p_e1_open
+    sk_pos1 = np.stack([clamp(sk1a), clamp(sk1b)], axis=1)
+    sk_pos2 = np.stack([clamp(sk2a), clamp(sk2b)], axis=1)
+    pos1 = clamp(pos1)
+    pos2 = clamp(pos2)
+
+    neg = (h0 < 0) | (h1 < 0) | (t0 < 0) | (t1 < 0)
+    if neg.any():
+        for r in np.flatnonzero(neg):
+            out = refsem.ebem_tokenize(
+                list(tokens_list[r]), [int(h0[r]), int(h1[r])],
+                [int(t0[r]), int(t1[r])],
+                {"ses1": [s1f[r], s1l[r]], "ses2": [s2f[r], s2l[r]]},
+                max_length=ML, mask_entity=mask_entity, wp=wp,
+            )
+            ids_out[r] = out["ids"]
+            att_mask[r] = out["att_mask"]
+            pos1[r] = out["pos1"]
+            pos2[r] = out["pos2"]
+            sk_pos1[r] = out["sk_pos1"]
+            sk_pos2[r] = out["sk_pos2"]
+
+    return ids_out, att_mask, pos1, pos2, sk_pos1, sk_pos2
+
+
 _WORD_VOCAB_IDS: dict[str, int] = {}
 
 

@@ -76,6 +76,59 @@ def test_empty_batch():
     assert p1.size == 0 and p2.size == 0
 
 
+SK_STRINGS = ["entity", "warfarin", "city of glass", "", "a b c", "unaffable"]
+
+
+@st.composite
+def ebem_row(draw):
+    tokens, hp, tp = draw(mention_row())
+    sks = [draw(st.sampled_from(SK_STRINGS)) for _ in range(4)]
+    return tokens, hp, tp, sks
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(ebem_row(), min_size=1, max_size=6),
+       st.sampled_from([16, 128]), st.booleans())
+def test_ebem_batch_equals_scalar(rows, ml, mask_entity):
+    from deepref_spark.operators.tokenize_batch import ebem_tokenize_batch
+
+    ids, mask, p1, p2, sk1, sk2 = ebem_tokenize_batch(
+        [r[0] for r in rows],
+        [r[1][0] for r in rows], [r[1][1] for r in rows],
+        [r[2][0] for r in rows], [r[2][1] for r in rows],
+        [r[3][0] for r in rows], [r[3][1] for r in rows],
+        [r[3][2] for r in rows], [r[3][3] for r in rows],
+        max_length=ml, mask_entity=mask_entity,
+    )
+    for i, (tokens, hp, tp, sks) in enumerate(rows):
+        exp = refsem.ebem_tokenize(
+            list(tokens), list(hp), list(tp),
+            {"ses1": [sks[0], sks[1]], "ses2": [sks[2], sks[3]]},
+            max_length=ml, mask_entity=mask_entity,
+        )
+        assert ids[i].tolist() == exp["ids"], (tokens, hp, tp, sks)
+        assert mask[i].tolist() == exp["att_mask"], (tokens, hp, tp, sks)
+        assert (p1[i], p2[i]) == (exp["pos1"], exp["pos2"]), (tokens, hp, tp, sks)
+        assert sk1[i].tolist() == exp["sk_pos1"], (tokens, hp, tp, sks)
+        assert sk2[i].tolist() == exp["sk_pos2"], (tokens, hp, tp, sks)
+
+
+def test_ebem_negative_positions_fall_back():
+    from deepref_spark.operators.tokenize_batch import ebem_tokenize_batch
+
+    rows = [(["a", "b", "c", "d"], [-1, 2], [2, 3], ["x", "y", "z", "w"])]
+    ids, mask, p1, p2, sk1, sk2 = ebem_tokenize_batch(
+        [rows[0][0]], [-1], [2], [2], [3], ["x"], ["y"], ["z"], ["w"], max_length=16
+    )
+    exp = refsem.ebem_tokenize(
+        ["a", "b", "c", "d"], [-1, 2], [2, 3],
+        {"ses1": ["x", "y"], "ses2": ["z", "w"]}, max_length=16,
+    )
+    assert ids[0].tolist() == exp["ids"]
+    assert (p1[0], p2[0]) == (exp["pos1"], exp["pos2"])
+    assert sk1[0].tolist() == exp["sk_pos1"] and sk2[0].tolist() == exp["sk_pos2"]
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.lists(mention_row(), min_size=1, max_size=8), st.sampled_from([8, 64]))
 def test_word_position_batch_equals_scalar(rows, ml):
