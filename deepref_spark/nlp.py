@@ -50,18 +50,32 @@ DEP_BY_TAG = {
 _COMPILED = [(tag, kind, re.compile(pat) if kind == "regex" else pat) for tag, kind, pat in TAG_RULES]
 
 
+_RULE_TAG_MEMO: dict[str, str] = {}
+
+
 def rule_tag_token(token: str) -> str:
-    for tag, kind, payload in _COMPILED:
+    # memoized per process: the rule cascade is ~75% of build_mention's
+    # cost and token frequency is Zipf, so after warmup the cascade runs
+    # roughly once per DISTINCT token per worker
+    hit = _RULE_TAG_MEMO.get(token)
+    if hit is not None:
+        return hit
+    tag = FALLBACK_TAG
+    for t, kind, payload in _COMPILED:
         if kind == "regex":
             if payload.match(token):
-                return tag
+                tag = t
+                break
         elif kind == "in":
             if token in payload:
-                return tag
+                tag = t
+                break
         else:  # suffix
             if any(token.endswith(s) for s in payload):
-                return tag
-    return FALLBACK_TAG
+                tag = t
+                break
+    _RULE_TAG_MEMO[token] = tag
+    return tag
 
 
 class RuleTagger:
