@@ -89,3 +89,27 @@ def extract_scored_fused(
             })
 
     return sentences.mapInPandas(run, schema=SCORED_SCHEMA)
+
+
+def extract_scored_jvm(
+    spark: SparkSession,
+    sentences: DataFrame,
+    n_relations: int,
+    max_length: int = 128,
+) -> DataFrame:
+    """Zero-per-row-Python flagship path (no preprocessing variant,
+    rule tagger): JVM parse (operators/parse_jvm.py) -> one Arrow
+    crossing doing only the batched tokenize + numpy forward. Rows the
+    vector parse cannot reproduce bit-exactly (non-ASCII, exotic
+    separators, negative derived spans) run through the reference
+    Python kernels and union back in; marker-missing rows drop in both
+    engines. Equivalence with extract_scored_fused is asserted by
+    tests/test_parse_jvm.py on corpora covering every routing class."""
+    from deepref_spark.operators.encoders import score_entity_flat
+    from deepref_spark.operators.parse_jvm import split_jvm_eligible
+
+    weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
+    clean, py_rows = split_jvm_eligible(sentences)
+    scored = score_entity_flat(spark, clean, weights_bc, max_length)
+    fallback = extract_scored_fused(spark, py_rows, n_relations, max_length=max_length)
+    return scored.unionByName(fallback)

@@ -1,0 +1,119 @@
+"""JVM parse fast path == Python fused path, row for row."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deepref_spark import synth
+from deepref_spark.operators.fused import extract_scored_fused, extract_scored_jvm
+
+N_REL = 6
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from deepref_spark.session import get_spark
+
+    s = get_spark("test_parse_jvm", cores=4, shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _cmp(spark, sentences):
+    a = extract_scored_jvm(spark, sentences, n_relations=N_REL).toPandas()
+    b = extract_scored_fused(spark, sentences, n_relations=N_REL).toPandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    a["score"] = a["score"].round(9)
+    b["score"] = b["score"].round(9)
+    pd.testing.assert_frame_equal(a, b)
+    return len(a)
+
+
+def test_jvm_parse_equals_python_on_synth(spark):
+    """Full synth corpus: reversed layouts, unrelated markers, hot
+    entities — every row scores identically through both parses."""
+    from deepref_spark.operators import convert
+
+    docs = synth.generate_docs(spark, 150, partitions=4)
+    sentences = convert.text_sentences(docs).localCheckpoint()
+    n = _cmp(spark, sentences)
+    assert n > 300  # ~4.2 text spans/doc
+
+
+def _sent_df(spark, rows):
+    return spark.createDataFrame(
+        [(f"d{i}", 0, f"d{i}#0", rel, tagged) for i, (rel, tagged) in enumerate(rows)],
+        "doc_id string, span_idx int, sent_id string, relation string, tagged string",
+    )
+
+
+def test_jvm_parse_equals_python_on_adversarial(spark):
+    """Every routing class: clean, tail-first, unrelated markers,
+    marker-missing (dropped by BOTH), duplicated markers, markers only,
+    non-ASCII (python branch), exotic separators (python branch),
+    whitespace runs."""
+    rows = [
+        ("member-collection",
+         "the ENTITYSTART aspirin ENTITYEND helps ENTITYOTHERSTART warfarin ENTITYOTHEREND daily"),
+        ("entity-origin",
+         "ENTITYOTHERSTART city ENTITYOTHEREND before ENTITYSTART river delta ENTITYEND flows"),
+        ("message-topic",
+         "ENTITYUNRELATEDSTART senate ENTITYUNRELATEDEND near ENTITYSTART harbor ENTITYEND and "
+         "ENTITYOTHERSTART violin ENTITYOTHEREND music ENTITYUNRELATEDSTART comet ENTITYUNRELATEDEND"),
+        ("Other", "no markers at all in this sentence"),
+        ("Other", "only ENTITYSTART aspirin ENTITYEND here"),
+        ("member-collection",
+         "dup ENTITYSTART a ENTITYEND mid ENTITYSTART x ENTITYEND and ENTITYOTHERSTART b ENTITYOTHEREND"),
+        ("entity-origin",
+         "ENTITYSTART aspirin ENTITYEND ENTITYOTHERSTART warfarin ENTITYOTHEREND"),
+        ("entity-origin", "ENTITYSTART ENTITYEND empty ENTITYOTHERSTART warfarin ENTITYOTHEREND"),
+        ("message-topic",
+         "café talk ENTITYSTART résumé ENTITYEND with ENTITYOTHERSTART naïve ENTITYOTHEREND plan"),
+        ("member-collection",
+         "odd space ENTITYSTART aspirin ENTITYEND with ENTITYOTHERSTART city ENTITYOTHEREND"),
+        ("entity-origin",
+         "  leading   ENTITYSTART aspirin ENTITYEND \t tabs \t ENTITYOTHERSTART city ENTITYOTHEREND  "),
+        ("Other", ""),
+        ("member-collection",
+         "UPPER Case ENTITYSTART Aspirin UNIT ENTITYEND vs ENTITYOTHERSTART WARFARIN ENTITYOTHEREND"),
+    ]
+    _cmp(spark, _sent_df(spark, rows))
+
+
+def test_marker_missing_rows_drop_in_both(spark):
+    rows = [("Other", "nothing here"), ("Other", "half ENTITYSTART a ENTITYEND only")]
+    df = _sent_df(spark, rows)
+    assert extract_scored_jvm(spark, df, n_relations=N_REL).count() == 0
+    assert extract_scored_fused(spark, df, n_relations=N_REL).count() == 0
+
+
+def test_clean_branch_has_single_python_crossing(spark):
+    """The JVM branch's plan contains exactly one Arrow crossing (the
+    scorer); the parse is all built-in expressions."""
+    from deepref_spark.operators.parse_jvm import split_jvm_eligible
+
+    docs = synth.generate_docs(spark, 20, partitions=2)
+    from deepref_spark.operators import convert
+
+    # checkpoint the input so synth's own mapInPandas generator is not
+    # part of the inspected plan
+    sentences = convert.text_sentences(docs).localCheckpoint()
+    clean, _ = split_jvm_eligible(sentences)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_run_pipeline_routes_no_preproc_through_jvm(spark):
+    """extract_scored with no preprocessing uses the JVM parse and
+    still yields class-diverse predictions."""
+    from deepref_spark.pipeline import extract_scored
+
+    docs = synth.generate_docs(spark, 60, partitions=2)
+    scored = extract_scored(spark, docs)
+    pdf = scored.toPandas()
+    assert len(pdf) > 100
+    assert pdf["pred_relation"].nunique() >= 3
