@@ -95,21 +95,97 @@ def extract_scored_jvm(
     spark: SparkSession,
     sentences: DataFrame,
     n_relations: int,
+    preprocessing: list[str] | None = None,
+    entity_replacement: str = "ENTITY",
     max_length: int = 128,
 ) -> DataFrame:
-    """Zero-per-row-Python flagship path (no preprocessing variant,
-    rule tagger): JVM parse (operators/parse_jvm.py) -> one Arrow
-    crossing doing only the batched tokenize + numpy forward. Rows the
-    vector parse cannot reproduce bit-exactly (non-ASCII, exotic
-    separators, negative derived spans) run through the reference
-    Python kernels and union back in; marker-missing rows drop in both
-    engines. Equivalence with extract_scored_fused is asserted by
-    tests/test_parse_jvm.py on corpora covering every routing class."""
+    """JVM-parse flagship path: parse runs as built-in expressions
+    (operators/parse_jvm.py); the single Arrow crossing does batched
+    tokenize + numpy forward — with NO preprocessing that crossing has
+    zero per-row Python; with a preprocessing variant only the
+    reference preproc kernels run per row inside it (the parse stays
+    JVM-side). Rows the vector parse cannot reproduce bit-exactly
+    (non-ASCII, exotic separators, negative derived spans) run through
+    the reference Python kernels and union back in; marker-missing
+    rows drop in both engines. Equivalence with extract_scored_fused
+    is asserted by tests/test_parse_jvm.py on corpora covering every
+    routing class and preprocessing variant."""
     from deepref_spark.operators.encoders import score_entity_flat
     from deepref_spark.operators.parse_jvm import split_jvm_eligible
 
+    kinds = refsem.normalize_preproc(preprocessing or [])
     weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
     clean, py_rows = split_jvm_eligible(sentences)
-    scored = score_entity_flat(spark, clean, weights_bc, max_length)
-    fallback = extract_scored_fused(spark, py_rows, n_relations, max_length=max_length)
+    if kinds:
+        scored = _score_flat_preproc(
+            clean, weights_bc, kinds, entity_replacement, max_length
+        )
+    else:
+        scored = score_entity_flat(spark, clean, weights_bc, max_length)
+    fallback = extract_scored_fused(
+        spark, py_rows, n_relations,
+        preprocessing=preprocessing, entity_replacement=entity_replacement,
+        max_length=max_length,
+    )
     return scored.unionByName(fallback)
+
+
+def _score_flat_preproc(flat: DataFrame, weights_bc, kinds: list[str],
+                        entity_replacement: str, max_length: int) -> DataFrame:
+    """Scoring crossing over the JVM-parsed flat mentions with a
+    preprocessing variant: reconstruct the Mention per row (tags from
+    the memoized rule cascade over the already-lowered tokens — the
+    same tagger(lowered) call build_mention makes), apply the reference
+    preproc kernels, then batch-tokenize. Rows where the kernels raise
+    (the fused operator's skip semantics) drop identically."""
+    from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = get_tagger("ruletag")
+        weights = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if weights is None:
+                weights = mdl.cached_weights(weights_bc)
+            keep = {k: [] for k in ("sent_id", "doc_id", "relation")}
+            h_names, t_names = [], []
+            toks_l, h0_l, h1_l, t0_l, t1_l = [], [], [], [], []
+            for sent_id, doc_id, relation, token, h_name, t_name, h0, h1, t0, t1 in zip(
+                pdf["sent_id"], pdf["doc_id"], pdf["relation"], pdf["token"],
+                pdf["h_name"], pdf["t_name"], pdf["h0"], pdf["h1"], pdf["t0"], pdf["t1"],
+            ):
+                token = list(token)
+                pos_tags, deps, ner = tagger(token)
+                m = refsem.Mention(
+                    token=token,
+                    h={"name": h_name, "pos": [int(h0), int(h1)]},
+                    t={"name": t_name, "pos": [int(t0), int(t1)]},
+                    relation=relation, pos_tags=pos_tags, deps=deps, ner=ner,
+                )
+                try:
+                    m = refsem.apply_preprocessing(m, kinds, entity_replacement)
+                except (ValueError, IndexError, AssertionError):
+                    continue
+                keep["sent_id"].append(sent_id)
+                keep["doc_id"].append(doc_id)
+                keep["relation"].append(relation)
+                h_names.append(m.h["name"])
+                t_names.append(m.t["name"])
+                toks_l.append(m.token)
+                h0_l.append(m.h["pos"][0])
+                h1_l.append(m.h["pos"][1])
+                t0_l.append(m.t["pos"][0])
+                t1_l.append(m.t["pos"][1])
+            if not keep["sent_id"]:
+                continue
+            ids, mask, p1, p2 = bert_entity_tokenize_batch(
+                toks_l, h0_l, h1_l, t0_l, t1_l, max_length=max_length
+            )
+            pred, score = mdl.forward_batch(weights, ids, mask, p1, p2)
+            yield pd.DataFrame({
+                **keep, "h_name": h_names, "t_name": t_names,
+                "pred_id": pred, "score": score,
+            })
+
+    return flat.mapInPandas(run, schema=SCORED_SCHEMA)

@@ -17,7 +17,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from deepref_spark import refsem
 from deepref_spark.operators import convert, linking, parse, preprocess, score, tokenize
 from deepref_spark.portable import RELATION_NAMES
 
@@ -40,18 +39,13 @@ def extract_scored(
     relations = relations or RELATION_NAMES
     sentences = convert.text_sentences(docs)
     rel2id = score.rel2id_from_relations(relations)
-    if fused and not refsem.normalize_preproc(preprocessing or []):
-        # no preprocessing variant: the parse itself runs JVM-side and
-        # the single Python crossing does only batched tokenize+forward
+    if fused:
+        # the parse runs JVM-side; the single Python crossing does the
+        # batched tokenize+forward (plus the reference preproc kernels
+        # per row when a preprocessing variant is active)
         from deepref_spark.operators.fused import extract_scored_jvm
 
         scored = extract_scored_jvm(
-            spark, sentences, n_relations=len(rel2id), max_length=max_length,
-        )
-    elif fused:
-        from deepref_spark.operators.fused import extract_scored_fused
-
-        scored = extract_scored_fused(
             spark, sentences, n_relations=len(rel2id),
             preprocessing=preprocessing, max_length=max_length,
         )

@@ -19,9 +19,13 @@ def spark():
     yield s
 
 
-def _cmp(spark, sentences):
-    a = extract_scored_jvm(spark, sentences, n_relations=N_REL).toPandas()
-    b = extract_scored_fused(spark, sentences, n_relations=N_REL).toPandas()
+def _cmp(spark, sentences, preprocessing=None):
+    a = extract_scored_jvm(
+        spark, sentences, n_relations=N_REL, preprocessing=preprocessing
+    ).toPandas()
+    b = extract_scored_fused(
+        spark, sentences, n_relations=N_REL, preprocessing=preprocessing
+    ).toPandas()
     cols = sorted(a.columns)
     assert cols == sorted(b.columns)
     a = a[cols].sort_values(cols).reset_index(drop=True)
@@ -105,6 +109,38 @@ def test_clean_branch_has_single_python_crossing(spark):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("variant", [
+    ["sw"], ["sw", "d"], ["eb"], ["nb"], ["b", "p"], ["sw", "p", "b", "d", "eb"],
+])
+def test_jvm_parse_equals_python_with_preprocessing(spark, variant):
+    """Preprocessing variants: JVM parse + per-row reference preproc
+    kernels inside the crossing == full Python fused path."""
+    from deepref_spark.operators import convert
+
+    docs = synth.generate_docs(spark, 80, partitions=4)
+    sentences = convert.text_sentences(docs).localCheckpoint()
+    n = _cmp(spark, sentences, preprocessing=variant)
+    assert n > 150
+
+
+def test_jvm_parse_preproc_adversarial(spark):
+    """Bracketed spans, stopwords inside/outside entities, digits,
+    blinding with touching spans — through both engines."""
+    rows = [
+        ("member-collection",
+         "the ( noisy aside ) ENTITYSTART aspirin ENTITYEND with the "
+         "ENTITYOTHERSTART warfarin ENTITYOTHEREND in 1999"),
+        ("entity-origin",
+         "ENTITYSTART the aspirin ENTITYEND ENTITYOTHERSTART warfarin city ENTITYOTHEREND now"),
+        ("message-topic",
+         "( unclosed ENTITYSTART city ENTITYEND more ENTITYOTHERSTART river ENTITYOTHEREND words"),
+        ("Other",
+         "closer ) first ENTITYSTART engine ENTITYEND [ boxy ] ENTITYOTHERSTART company ENTITYOTHEREND"),
+    ]
+    for variant in (["sw"], ["b"], ["d"], ["eb"], ["nb"], ["sw", "p", "b", "d", "nb"]):
+        _cmp(spark, _sent_df(spark, rows), preprocessing=variant)
 
 
 def test_run_pipeline_routes_no_preproc_through_jvm(spark):
