@@ -51,15 +51,19 @@ _COMPILED = [(tag, kind, re.compile(pat) if kind == "regex" else pat) for tag, k
 
 
 _RULE_TAG_MEMO: dict[str, str] = {}
+_RULE_TAG_MEMO_CAP = 500_000
 
 
 def rule_tag_token(token: str) -> str:
     # memoized per process: the rule cascade is ~75% of build_mention's
     # cost and token frequency is Zipf, so after warmup the cascade runs
-    # roughly once per DISTINCT token per worker
+    # roughly once per DISTINCT token per worker; capped because the
+    # distinct-token universe is unbounded at web scale
     hit = _RULE_TAG_MEMO.get(token)
     if hit is not None:
         return hit
+    if len(_RULE_TAG_MEMO) >= _RULE_TAG_MEMO_CAP:
+        _RULE_TAG_MEMO.clear()
     tag = FALLBACK_TAG
     for t, kind, payload in _COMPILED:
         if kind == "regex":

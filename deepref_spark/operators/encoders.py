@@ -22,17 +22,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from deepref_spark import model as mdl
-from deepref_spark import refsem
 
 SCORED_SCHEMA = (
     "sent_id string, doc_id string, relation string, "
     "h_name string, t_name string, pred_id int, score double"
 )
-
-
-def _iter_mentions(pdf: pd.DataFrame):
-    for row in pdf.itertuples(index=False):
-        yield row
 
 
 def score_ebem(spark: SparkSession, mentions: DataFrame, n_relations: int,

@@ -94,10 +94,14 @@ def similarity_edges(pairs: DataFrame, threshold: float = 0.6) -> DataFrame:
 
 
 # Edge count below which CC runs as driver-side union-find. Same design
-# as a broadcast join (which also collects a bounded side to the driver):
-# 2M pairs is tens of MB — far under the 64 MB broadcast threshold the
-# session already accepts. Override with the conf key or the parameter.
-DRIVER_CC_MAX_EDGES = 2_000_000
+# as a broadcast join (which also collects a bounded side to the driver).
+# Sized for PYTHON-HEAP reality, not raw bytes: 200k collected Rows with
+# string ids cost ~50-80 MB transiently (Row objects + parent/comp_min
+# dicts + the output list are each several hundred bytes/entry in
+# CPython — ~10x the serialized size), which keeps a default-sized
+# driver safe. Override with the conf key or the parameter; edge sets
+# above the cap take the pointer-doubling distributed loop.
+DRIVER_CC_MAX_EDGES = 200_000
 
 
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:

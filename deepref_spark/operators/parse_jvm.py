@@ -81,7 +81,10 @@ def split_jvm_eligible(sentences: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("tagged").rlike(r"^[\x00-\x7f]*$")
         & ~F.col("tagged").rlike(r"[\x1c-\x1f]")
     )
-    base = sentences.withColumn("_ascii", ascii_ok)
+    # both outputs (clean flat + python rows) consume this subtree, and
+    # python_rows additionally re-reads `parsed` — stage each shared
+    # node once or the corpus scan/explode upstream runs per branch
+    base = sentences.withColumn("_ascii", ascii_ok).localCheckpoint(eager=False)
 
     parsed = (
         base.where(F.col("_ascii"))
@@ -94,7 +97,7 @@ def split_jvm_eligible(sentences: DataFrame) -> tuple[DataFrame, DataFrame]:
     parsed = parsed.where(F.expr(present)).select(
         "doc_id", "span_idx", "sent_id", "relation", "tagged", "_tt",
         *_get_entities_cols("_tt"),
-    )
+    ).localCheckpoint(eager=False)
     # original = _tt minus the four pair markers, first occurrence each
     # (removal of unrelated markers commutes with first-occurrence pair
     # removal — distinct strings), one staged column per step so the

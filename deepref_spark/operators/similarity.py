@@ -196,10 +196,12 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
     computed as a distributed top-k (orderBy+limit plans as
     TakeOrderedAndProject, no global sort). Then ``lloyd_iters`` Lloyd
     refinements: assign (broadcast argmax) -> element-wise mean per
-    list (posexplode + grouped avg, one shuffle) — the FAISS-style
-    train step, expressed as plain DataFrame aggregation. Components
-    are rounded to 6dp so the SQL oracle reproduces the centroids
-    bit-identically; empty lists keep their seed vector."""
+    list (posexplode + exact 6dp-quantized BIGINT sums, one shuffle) —
+    the FAISS-style train step, expressed as plain DataFrame
+    aggregation. The integer-sum mean is aggregation-order
+    independent, so the SQL oracle reproduces the centroids
+    bit-identically under any partitioning; empty lists keep their
+    seed vector."""
     # seeds is a FULL-CORPUS TakeOrdered referenced twice (the Lloyd
     # broadcast and the empty-list fallback join): without the
     # checkpoint each reference re-scans the corpus — at web scale
@@ -217,13 +219,31 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
     cents = seeds
     for _ in range(lloyd_iters):
         assigned = _assign_to(embeddings, cents.withColumn("cnorm", _norm_col("cvec")))
+        # element mean via exact integer sums: each component is
+        # quantized to 6dp (floor(v*1e6+0.5), IEEE-identical in Spark
+        # and DuckDB) and summed as BIGINT — plain avg(double) is
+        # partial-aggregation-order dependent and can flip the 6dp
+        # rounding of a boundary value between engines/partitionings
+        # (same rule as text_analysis' order-independent rollup)
         newc = (
-            assigned.select("list_id", F.posexplode("embedding").alias("pos", "v"))
+            assigned.select(
+                "list_id",
+                F.posexplode("embedding").alias("pos", "v"),
+            )
             .groupBy("list_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                F.sum(
+                    F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+                ).alias("s"),
+                F.count("v").alias("c"),
+            )
+            .select(
+                "list_id", "pos",
+                F.expr("round(CAST(s AS DOUBLE) / (1000000.0 * c), 6)").alias("m"),
+            )
             .groupBy("list_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("list_id", F.expr("transform(pm, x -> round(x.m, 6))").alias("cvec"))
+            .select("list_id", F.expr("transform(pm, x -> x.m)").alias("cvec"))
         )
         cents = (
             seeds.select("list_id", F.col("cvec").alias("_seed"))

@@ -31,6 +31,11 @@ import pandas as pd
 
 from deepref_spark import refsem
 
+# Per-process memo caches are CAPPED: at web scale the distinct-token
+# universe (URLs, hashes, typos) is unbounded, and a long-lived worker
+# would otherwise grow these dicts forever. clear() at the cap keeps
+# memory bounded (~tens of MB) and the Zipf head re-warms in one batch.
+_WORD_IDS_CAP = 250_000
 _WORD_IDS: dict[str, np.ndarray] = {}
 
 _CLS = refsem.SPECIAL_TOKENS["[CLS]"]
@@ -59,6 +64,8 @@ def _word_ids_lookup(uniques, wp) -> list[np.ndarray]:
     for w in uniques:
         hit = cache.get(w)
         if hit is None:
+            if len(cache) >= _WORD_IDS_CAP:
+                cache.clear()
             hit = _compute_word_ids(w, wp_eff)
             cache[w] = hit
         out.append(hit)
@@ -233,12 +240,16 @@ def ebem_tokenize_batch(
     """Batch K2 (EBEM): element-wise equal to refsem.ebem_tokenize.
 
     The scalar kernel recovers positions with .index() first-occurrence
-    scans; wordpiece output can never contain a literal ``[unusedX]``
-    (brackets are outside the vocab alphabet -> [UNK]), so every marker
-    occurs ONLY at its known insert offsets and first-occurrence is the
-    min over those — including the documented mask_entity shadowing
-    quirk where the entity placeholder [unused4/5] shadows the SK
-    wrapper of the same name (bert_encoder.py:390-404).
+    scans. For almost every row no sentence/SK piece is a literal
+    ``[unusedX]`` string, so each marker occurs ONLY at its known
+    insert offsets and first-occurrence is the min over those —
+    including the documented mask_entity shadowing quirk where the
+    entity placeholder [unused4/5] shadows the SK wrapper of the same
+    name (bert_encoder.py:390-404). The pinned vocab artifact DOES
+    contain the special tokens, so a document that literally says
+    "[unused3]" wordpieces to that exact piece; piece ids 4..11 are
+    reserved for the markers (hashed ids start at 12), so such rows
+    are detected by id range and routed through the scalar kernel.
 
     s1f/s1l/s2f/s2l are the SK father/grandpa strings AFTER the
     empty-fallback (caller substitutes [h_name, h_name])."""
@@ -382,9 +393,29 @@ def ebem_tokenize_batch(
     pos1 = clamp(pos1)
     pos2 = clamp(pos2)
 
-    neg = (h0 < 0) | (h1 < 0) | (t0 < 0) | (t1 < 0)
-    if neg.any():
-        for r in np.flatnonzero(neg):
+    # scalar fallback: negative indexes (Python slice semantics) OR any
+    # literal marker piece (id 4..11) in the row's sentence/SK text —
+    # the .index() scans would find the in-sentence occurrence first
+    slow = (h0 < 0) | (h1 < 0) | (t0 < 0) | (t1 < 0)
+    tok_marker = (flat_ids >= _U0) & (flat_ids <= _U7)
+    if tok_marker.any():
+        word_rows = np.repeat(np.arange(B, dtype=np.int64), n_words)
+        piece_rows = np.repeat(word_rows, pc)
+        slow |= np.bincount(piece_rows[tok_marker], minlength=B).astype(bool)
+    tot_sk = int(sk_pc.sum())
+    if tot_sk:
+        sk_within = np.arange(tot_sk, dtype=np.int64) - np.repeat(
+            np.cumsum(sk_pc) - sk_pc, sk_pc
+        )
+        sk_stream = skU[np.repeat(sk_src, sk_pc) + sk_within]
+        sk_marker = (sk_stream >= _U0) & (sk_stream <= _U7)
+        if sk_marker.any():
+            entry_rows = np.repeat(
+                np.arange(4 * B, dtype=np.int64) % B, sk_pc
+            )
+            slow |= np.bincount(entry_rows[sk_marker], minlength=B).astype(bool)
+    if slow.any():
+        for r in np.flatnonzero(slow):
             out = refsem.ebem_tokenize(
                 list(tokens_list[r]), [int(h0[r]), int(h1[r])],
                 [int(t0[r]), int(t1[r])],
@@ -428,6 +459,8 @@ def word_position_tokenize_batch(
         for i, w in enumerate(uniques):
             v = _WORD_VOCAB_IDS.get(w)
             if v is None:
+                if len(_WORD_VOCAB_IDS) >= _WORD_IDS_CAP:
+                    _WORD_VOCAB_IDS.clear()
                 v = refsem.word_to_id(w)
                 _WORD_VOCAB_IDS[w] = v
             uids[i] = v

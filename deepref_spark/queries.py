@@ -1553,7 +1553,9 @@ assign0 AS (
   ) WHERE r = 1
 ),
 lloyd AS (
-  SELECT list_id, i, round(avg(CAST(e AS DOUBLE)), 6) AS m
+  SELECT list_id, i,
+         round(CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (1000000.0 * count(e)), 6) AS m
   FROM (SELECT list_id, unnest(embedding) AS e,
                unnest(range(len(embedding))) AS i FROM assign0)
   GROUP BY list_id, i

@@ -615,13 +615,21 @@ def load_wp_vocab(path: str | None = None) -> frozenset:
         return frozenset(ln.strip() for ln in f if ln.strip())
 
 
+_WP_MEMO_CAP = 250_000
+
+
 def wordpiece_real(word: str) -> list[str]:
     """THE default tokenizer: greedy longest-match wordpiece over the
     pinned vocab artifact, memoized per word — the Zipf-skewed token
     distribution makes the memo hit rate ~99% inside an Arrow batch,
-    so the greedy scan runs roughly once per DISTINCT word per worker."""
+    so the greedy scan runs roughly once per DISTINCT word per worker.
+    The memo is capped (distinct tokens are unbounded at web scale);
+    clear-at-cap keeps memory bounded and the hot head re-warms in one
+    batch."""
     hit = _WP_MEMO.get(word)
     if hit is None:
+        if len(_WP_MEMO) >= _WP_MEMO_CAP:
+            _WP_MEMO.clear()
         hit = wordpiece_greedy(word, load_wp_vocab())
         _WP_MEMO[word] = hit
     return hit

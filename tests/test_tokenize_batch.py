@@ -8,7 +8,8 @@ from deepref_spark import refsem
 from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
 
 WORDS = ["the", "warfarin", "unaffable", "x1", "interaction", "city,",
-         "pre-dose", "[CLS]", "a b", "", "zzzzzzzzzzzzzzzzzzzzzzzz"]
+         "pre-dose", "[CLS]", "a b", "", "zzzzzzzzzzzzzzzzzzzzzzzz",
+         "[unused0]", "[unused5]"]
 
 
 def _scalar(tokens, hp, tp, ml, mask_entity=False):
@@ -76,7 +77,44 @@ def test_empty_batch():
     assert p1.size == 0 and p2.size == 0
 
 
-SK_STRINGS = ["entity", "warfarin", "city of glass", "", "a b c", "unaffable"]
+SK_STRINGS = ["entity", "warfarin", "city of glass", "", "a b c", "unaffable",
+              "[unused4]", "[unused7] x"]
+
+
+def test_ebem_literal_marker_tokens_fall_back():
+    """The pinned vocab contains the special tokens, so a document that
+    literally says '[unused0]' wordpieces to that exact piece and the
+    scalar .index() finds IT first — the review-confirmed divergence.
+    These rows must route through the scalar kernel."""
+    rows = [
+        (["[unused0]", "likes", "alice", "bob"], [2, 3], [3, 4],
+         ["x", "y", "z", "w"]),
+        (["plain", "words", "alice", "bob"], [2, 3], [3, 4],
+         ["[unused4]", "y", "z", "w"]),
+        (["a", "[unused6]", "b", "c", "d"], [0, 1], [3, 4],
+         ["x", "y", "[unused5]", "w"]),
+    ]
+    from deepref_spark.operators.tokenize_batch import ebem_tokenize_batch
+
+    for mask_entity in (False, True):
+        ids, mask, p1, p2, sk1, sk2 = ebem_tokenize_batch(
+            [r[0] for r in rows],
+            [r[1][0] for r in rows], [r[1][1] for r in rows],
+            [r[2][0] for r in rows], [r[2][1] for r in rows],
+            [r[3][0] for r in rows], [r[3][1] for r in rows],
+            [r[3][2] for r in rows], [r[3][3] for r in rows],
+            max_length=32, mask_entity=mask_entity,
+        )
+        for i, (tokens, hp, tp, sks) in enumerate(rows):
+            exp = refsem.ebem_tokenize(
+                list(tokens), list(hp), list(tp),
+                {"ses1": [sks[0], sks[1]], "ses2": [sks[2], sks[3]]},
+                max_length=32, mask_entity=mask_entity,
+            )
+            assert ids[i].tolist() == exp["ids"], (tokens, mask_entity)
+            assert (p1[i], p2[i]) == (exp["pos1"], exp["pos2"]), (tokens, mask_entity)
+            assert sk1[i].tolist() == exp["sk_pos1"], (tokens, mask_entity)
+            assert sk2[i].tolist() == exp["sk_pos2"], (tokens, mask_entity)
 
 
 @st.composite
