@@ -113,13 +113,30 @@ def extract_scored_jvm(
     from deepref_spark.operators.encoders import score_entity_flat
     from deepref_spark.operators.parse_jvm import split_jvm_eligible
 
+    from pyspark.sql import functions as F
+
+    from deepref_spark.operators.preproc_jvm import (
+        apply_preprocessing_jvm,
+        preproc_eligible_cond,
+    )
+
     kinds = refsem.normalize_preproc(preprocessing or [])
     weights_bc = spark.sparkContext.broadcast(mdl.build_weights(n_relations))
     clean, py_rows = split_jvm_eligible(sentences)
     if kinds:
-        scored = _score_flat_preproc(
-            clean, weights_bc, kinds, entity_replacement, max_length
+        # three tiers: (a) span-safe rows — preprocessing composed as
+        # built-in expressions, zero per-row Python end to end;
+        # (b) span-degenerate rows — JVM parse + per-row reference
+        # preproc kernels in the crossing (their raise-and-skip
+        # semantics preserved); (c) non-ASCII etc. — full Python.
+        safe = F.expr(preproc_eligible_cond())
+        jvm_pre = apply_preprocessing_jvm(
+            clean.where(safe), kinds, entity_replacement
         )
+        scored = score_entity_flat(spark, jvm_pre, weights_bc, max_length)
+        scored = scored.unionByName(_score_flat_preproc(
+            clean.where(~safe), weights_bc, kinds, entity_replacement, max_length
+        ))
     else:
         scored = score_entity_flat(spark, clean, weights_bc, max_length)
     fallback = extract_scored_fused(

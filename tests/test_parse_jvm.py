@@ -143,6 +143,46 @@ def test_jvm_parse_preproc_adversarial(spark):
         _cmp(spark, _sent_df(spark, rows), preprocessing=variant)
 
 
+def test_preproc_jvm_branch_has_no_python(spark):
+    """The composed-preprocessing branch is also pure built-ins."""
+    from deepref_spark import refsem
+    from deepref_spark.operators import convert
+    from deepref_spark.operators.parse_jvm import split_jvm_eligible
+    from deepref_spark.operators.preproc_jvm import (
+        apply_preprocessing_jvm,
+        preproc_eligible_cond,
+    )
+
+    docs = synth.generate_docs(spark, 20, partitions=2)
+    sentences = convert.text_sentences(docs).localCheckpoint()
+    clean, _ = split_jvm_eligible(sentences)
+    out = apply_preprocessing_jvm(
+        clean.where(F.expr(preproc_eligible_cond())),
+        refsem.normalize_preproc(["sw", "p", "b", "d", "eb"]),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_column_rule_tag_matches_python_cascade(spark):
+    """_rule_tag (Column API) == nlp.rule_tag_token for every rule
+    class and the fallthrough — drift guard for the faithful cascade."""
+    from deepref_spark.nlp import rule_tag_token
+    from deepref_spark.operators.preproc_jvm import _rule_tag
+
+    tokens = ["(", ")", "[", "]", ".", ",", ";", "?", "'", '"', "%", "/-",
+              "1999", "1.5", "1,5", "12a",
+              "the", "an", "of", "into", "and", "but", "is", "been",
+              "they", "its", "quickly", "ly", "running", "tested",
+              "famous", "careful", "active", "logical", "warfarin",
+              "x", "", "DIGIT", "ENTITY", "O"]
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    got = {r["tok"]: r["tag"] for r in
+           df.select("tok", _rule_tag(F.col("tok")).alias("tag")).collect()}
+    for t in tokens:
+        assert got[t] == rule_tag_token(t), t
+
+
 def test_run_pipeline_routes_no_preproc_through_jvm(spark):
     """extract_scored with no preprocessing uses the JVM parse and
     still yields class-diverse predictions."""
