@@ -129,6 +129,10 @@ def extract_scored_jvm(
         # (b) span-degenerate rows — JVM parse + per-row reference
         # preproc kernels in the crossing (their raise-and-skip
         # semantics preserved); (c) non-ASCII etc. — full Python.
+        # clean feeds BOTH tiers — stage it or the untag/lower/name
+        # chain recomputes over the full corpus per tier (no
+        # cross-branch CSE in Spark).
+        clean = clean.localCheckpoint(eager=False)
         safe = F.expr(preproc_eligible_cond())
         jvm_pre = apply_preprocessing_jvm(
             clean.where(safe), kinds, entity_replacement

@@ -237,9 +237,19 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
                 ).alias("s"),
                 F.count("v").alias("c"),
             )
+            # engine round() on s/(1e6*c) is NOT portable: the integer
+            # quantization creates systematic .5 ties that Spark
+            # (HALF_UP on shortest-decimal) and DuckDB (IEEE on the
+            # scaled double) round in opposite directions. floor of
+            # (2s+c)/(2c) is tie-free and IEEE-identical (quotients are
+            # rationals with denominator 2c — when not exact they sit
+            # >= 1/(2c) away from an integer, far beyond one ulp), so
+            # both engines produce the same 1e-6-grid value.
             .select(
                 "list_id", "pos",
-                F.expr("round(CAST(s AS DOUBLE) / (1000000.0 * c), 6)").alias("m"),
+                F.expr(
+                    "CAST(floor((2.0 * s + c) / (2.0 * c)) AS DOUBLE) / 1000000.0"
+                ).alias("m"),
             )
             .groupBy("list_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

@@ -402,8 +402,11 @@ def ebem_tokenize_batch(
         word_rows = np.repeat(np.arange(B, dtype=np.int64), n_words)
         piece_rows = np.repeat(word_rows, pc)
         slow |= np.bincount(piece_rows[tok_marker], minlength=B).astype(bool)
+    # cheap unique-level gate first: skU is the deduplicated piece
+    # array, so the common no-literal-marker case skips the full
+    # per-entry stream reconstruction entirely
     tot_sk = int(sk_pc.sum())
-    if tot_sk:
+    if tot_sk and ((skU >= _U0) & (skU <= _U7)).any():
         sk_within = np.arange(tot_sk, dtype=np.int64) - np.repeat(
             np.cumsum(sk_pc) - sk_pc, sk_pc
         )

@@ -1554,8 +1554,8 @@ assign0 AS (
 ),
 lloyd AS (
   SELECT list_id, i,
-         round(CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / (1000000.0 * count(e)), 6) AS m
+         CAST(floor((2.0 * CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     + count(e)) / (2.0 * count(e))) AS DOUBLE) / 1000000.0 AS m
   FROM (SELECT list_id, unnest(embedding) AS e,
                unnest(range(len(embedding))) AS i FROM assign0)
   GROUP BY list_id, i
