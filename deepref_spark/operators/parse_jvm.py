@@ -81,9 +81,12 @@ def split_jvm_eligible(sentences: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("tagged").rlike(r"^[\x00-\x7f]*$")
         & ~F.col("tagged").rlike(r"[\x1c-\x1f]")
     )
-    # both outputs (clean flat + python rows) consume this subtree, and
-    # python_rows additionally re-reads `parsed` — stage each shared
-    # node once or the corpus scan/explode upstream runs per branch
+    # both outputs (clean flat + python rows) consume this subtree —
+    # stage it once or the upstream scan/explode runs per branch.
+    # Measured (30k docs, 8 cores, min-of-3): base-only 3.33s vs
+    # no-checkpoint 3.56s vs base+parsed 3.79s — materializing the
+    # wide `parsed` frame costs more than recomputing its expression
+    # chain for the (tiny) negative-span branch, so only base stages.
     base = sentences.withColumn("_ascii", ascii_ok).localCheckpoint(eager=False)
 
     parsed = (
@@ -97,7 +100,7 @@ def split_jvm_eligible(sentences: DataFrame) -> tuple[DataFrame, DataFrame]:
     parsed = parsed.where(F.expr(present)).select(
         "doc_id", "span_idx", "sent_id", "relation", "tagged", "_tt",
         *_get_entities_cols("_tt"),
-    ).localCheckpoint(eager=False)
+    )
     # original = _tt minus the four pair markers, first occurrence each
     # (removal of unrelated markers commutes with first-occurrence pair
     # removal — distinct strings), one staged column per step so the

@@ -183,13 +183,19 @@ def test_column_rule_tag_matches_python_cascade(spark):
         assert got[t] == rule_tag_token(t), t
 
 
-def test_run_pipeline_routes_no_preproc_through_jvm(spark):
-    """extract_scored with no preprocessing uses the JVM parse and
-    still yields class-diverse predictions."""
+def test_extract_scored_engines_agree(spark):
+    """extract_scored's arrow (default) and jvm engines are
+    row-for-row equal, with and without preprocessing."""
     from deepref_spark.pipeline import extract_scored
 
     docs = synth.generate_docs(spark, 60, partitions=2)
-    scored = extract_scored(spark, docs)
-    pdf = scored.toPandas()
-    assert len(pdf) > 100
-    assert pdf["pred_relation"].nunique() >= 3
+    for pre in (None, ["sw", "d"]):
+        a = extract_scored(spark, docs, preprocessing=pre).toPandas()
+        b = extract_scored(spark, docs, preprocessing=pre, engine="jvm").toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        a["score"] = a["score"].round(9)
+        b["score"] = b["score"].round(9)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 100 and a["pred_relation"].nunique() >= 3
