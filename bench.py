@@ -61,7 +61,12 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     from deepref_spark.queries import REGISTRY
     from deepref_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus)
+    # no console progress bars: they write \r-spam to stderr/stdout and in
+    # round 3 helped push the headline JSON out of the driver's tail capture
+    spark = get_spark(
+        "bench", cores=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # untimed warmup — same protocol the scaling mode documents: force
     # JVM codegen JIT, parquet footer reads, and python-worker spawn so
@@ -91,15 +96,19 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
               for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    return {
+    headline = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "repeats": repeats,
-        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # the per-query spread is diagnostic detail, NOT part of the driver
+    # contract: round 3's headline line carried it inline and overflowed the
+    # driver's tail capture ("parsed": null). Keep it on its own earlier
+    # line; the compact headline must be the FINAL line printed.
+    return headline, spread
 
 
 def _scaling_child(cores: int, n_docs: int) -> None:
@@ -217,4 +226,8 @@ if __name__ == "__main__":
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        print(json.dumps(run_headline(sf_dir, cpus)))
+        headline, spread = run_headline(sf_dir, cpus)
+        # spread first (diagnostic), compact driver-contract JSON LAST
+        print(json.dumps({"spread": spread}))
+        sys.stdout.flush()
+        print(json.dumps(headline))
