@@ -186,28 +186,40 @@ def _assign_to(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
+def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1,
+                  train_sample: int = 256):
     """The coarse-quantizer k-means codebook (broadcast), shared by
     assignment and query probing.
 
-    Seeds: the ``n_lists`` vectors with smallest md5(vec_id) — a
-    uniform pseudo-random sample independent of the id distribution
-    (the round-2 ``vec_id < n_lists`` form assumed dense numeric ids),
-    computed as a distributed top-k (orderBy+limit plans as
-    TakeOrderedAndProject, no global sort). Then ``lloyd_iters`` Lloyd
-    refinements: assign (broadcast argmax) -> element-wise mean per
-    list (posexplode + exact 6dp-quantized BIGINT sums, one shuffle) —
-    the FAISS-style train step, expressed as plain DataFrame
-    aggregation. The integer-sum mean is aggregation-order
-    independent, so the SQL oracle reproduces the centroids
-    bit-identically under any partitioning; empty lists keep their
-    seed vector."""
-    # seeds is a FULL-CORPUS TakeOrdered referenced twice (the Lloyd
-    # broadcast and the empty-list fallback join): without the
-    # checkpoint each reference re-scans the corpus — at web scale
-    # that is an extra 100-TB pass to rebuild 16 rows.
-    seeds = (
+    Training is SAMPLE-BASED (the FAISS discipline: the coarse
+    quantizer trains on ~train_sample vectors per list, not the
+    corpus): one full-corpus TakeOrdered takes the
+    ``train_sample * n_lists`` vectors with smallest md5(vec_id) — a
+    uniform pseudo-random sample independent of the id distribution,
+    planned as TakeOrderedAndProject (no global sort) — and every
+    Lloyd refinement pass runs over that checkpointed sample. The
+    seeds are the first ``n_lists`` rows of the SAME ordering, i.e. a
+    prefix of the sample, so deriving them re-sorts 4k checkpointed
+    rows instead of re-scanning the corpus. Net corpus passes for
+    training: exactly ONE, independent of ``lloyd_iters`` (round 3 ran
+    assignment over the full corpus per iteration — one extra 100-TB
+    pass per refinement to train 16 centroids).
+
+    Each Lloyd pass: assign (broadcast argmax over the sample) ->
+    element-wise mean per list (posexplode + exact 6dp-quantized
+    BIGINT sums, one tiny shuffle). The integer-sum mean is
+    aggregation-order independent, so the SQL oracle reproduces the
+    centroids bit-identically under any partitioning; empty lists keep
+    their seed vector."""
+    sample = (
         embeddings
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(train_sample * n_lists)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        sample
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_lists)
         .select(
@@ -218,7 +230,7 @@ def _ivf_codebook(embeddings: DataFrame, n_lists: int, lloyd_iters: int = 1):
     )
     cents = seeds
     for _ in range(lloyd_iters):
-        assigned = _assign_to(embeddings, cents.withColumn("cnorm", _norm_col("cvec")))
+        assigned = _assign_to(sample, cents.withColumn("cnorm", _norm_col("cvec")))
         # element mean via exact integer sums: each component is
         # quantized to 6dp (floor(v*1e6+0.5), IEEE-identical in Spark
         # and DuckDB) and summed as BIGINT — plain avg(double) is

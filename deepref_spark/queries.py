@@ -1536,10 +1536,16 @@ WITH base AS (
   SELECT vec_id, embedding, sqrt(list_dot_product(embedding, embedding)) AS vnorm
   FROM embeddings
 ),
+sample AS (
+  -- FAISS-style sample-based training: Lloyd refinement runs over the
+  -- 256*n_lists md5-smallest vectors, not the corpus (similarity.py)
+  SELECT vec_id, embedding, vnorm
+  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096
+),
 seeds AS (
   SELECT vec_id AS list_id,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  FROM sample ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
 ),
 seedn AS (
   SELECT list_id, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM seeds
@@ -1549,7 +1555,7 @@ assign0 AS (
     SELECT b.embedding, s.list_id,
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.embedding, s.cvec) / (b.vnorm * s.cnorm) DESC, s.list_id) AS r
-    FROM base b CROSS JOIN seedn s
+    FROM sample b CROSS JOIN seedn s
   ) WHERE r = 1
 ),
 lloyd AS (

@@ -266,3 +266,27 @@ def test_ivf_kmeans_codebook_and_recall(spark):
                for q in exact_sets]
     avg_recall = sum(recalls) / len(recalls)
     assert avg_recall >= 0.4, f"IVF nprobe=2/8 recall too low: {avg_recall:.2f}"
+
+
+def test_ivf_training_is_sample_based(spark):
+    """Round-4 scale fix: Lloyd refinement must depend ONLY on the
+    md5-ordered training sample, never the rest of the corpus — codebook
+    built from the full table equals the codebook built from just the
+    sample rows (so at 100 TB each refinement pass costs a 4k-row scan,
+    not a corpus pass)."""
+    import pyspark.sql.functions as F
+
+    from deepref_spark.operators.similarity import _ivf_codebook
+    from deepref_spark.schemas import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_lists, per_list = 4, 8
+    sample_only = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(per_list * n_lists)
+    )
+    full = {r["list_id"]: r["cvec"] for r in _ivf_codebook(
+        emb, n_lists=n_lists, train_sample=per_list).collect()}
+    sampled = {r["list_id"]: r["cvec"] for r in _ivf_codebook(
+        sample_only, n_lists=n_lists, train_sample=per_list).collect()}
+    assert full == sampled
