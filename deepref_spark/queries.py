@@ -1067,16 +1067,198 @@ def _tokenize_sql(d: str, max_length: int = 128) -> str:
     )
 
 
-@q("kg_tokenize", _oracle_prefix() + f"""
-SELECT doc_id, {_tokenize_sql(DUCK)}
-FROM mentions
-""")
+def _wp_vocab_values() -> str:
+    """The pinned wordpiece vocab artifact (data/wp_vocab.txt) as a
+    DuckDB VALUES relation, so the oracle runs the EXACT production
+    vocabulary — sorted for deterministic SQL text."""
+    vocab = sorted(refsem.load_wp_vocab())
+    rows = ", ".join("('" + p.replace("'", "''") + "')" for p in vocab)
+    return f"(VALUES {rows}) v(piece)"
+
+
+def _greedy_wp_ctes(words_sql: str | None = None) -> str:
+    """Greedy longest-match wordpiece (refsem.wordpiece_greedy /
+    word_piece_tokenizer.py:61-96) over every distinct corpus token, as
+    pure SQL: per (word, start) the longest vocab match (at start 0 any
+    piece incl. literal specials; past 0 only '##' continuations,
+    consuming len(piece)-2 chars), then a recursive walk emitting the
+    piece sequence; any unmatched position or >200 chars makes the whole
+    word [UNK] (the is_bad rule). The per-word piece lists become a MAP
+    so the tokenize select applies them inside list lambdas.
+
+    ``words_sql`` overrides the distinct-word source (tests feed a
+    literal VALUES list of adversarial words)."""
+    if words_sql is None:
+        words_sql = (
+            "SELECT DISTINCT w AS word FROM (SELECT unnest(tokens) AS w FROM mentions)"
+        )
+    return f""",
+words AS (
+  {words_sql}
+),
+wp_positions AS (
+  SELECT word, unnest(range(len(word))) AS start FROM words WHERE len(word) <= 200
+),
+wp_cand AS (
+  SELECT p.word, p.start, v.piece,
+         CASE WHEN p.start = 0 THEN len(v.piece) ELSE len(v.piece) - 2 END AS consumed
+  FROM wp_positions p JOIN {_wp_vocab_values()}
+    ON CASE WHEN p.start = 0
+            THEN substr(p.word, 1, len(v.piece)) = v.piece
+            ELSE v.piece LIKE '##%' AND len(v.piece) > 2
+                 AND substr(p.word, p.start + 1, len(v.piece) - 2) = substr(v.piece, 3)
+       END
+  WHERE (CASE WHEN p.start = 0 THEN len(v.piece) ELSE len(v.piece) - 2 END) >= 1
+),
+wp_best AS (
+  SELECT word, start, arg_max(piece, consumed) AS piece, max(consumed) AS consumed
+  FROM wp_cand GROUP BY word, start
+),
+wp_walk(word, pos, pieces, bad) AS (
+  SELECT word, 0,
+         CASE WHEN len(word) > 200 THEN ['[UNK]'] ELSE CAST([] AS VARCHAR[]) END,
+         len(word) > 200
+  FROM words
+  UNION ALL
+  SELECT w.word,
+         CASE WHEN b.piece IS NULL THEN len(w.word) ELSE w.pos + b.consumed END,
+         CASE WHEN b.piece IS NULL THEN ['[UNK]'] ELSE list_append(w.pieces, b.piece) END,
+         (b.piece IS NULL)
+  FROM wp_walk w LEFT JOIN wp_best b ON b.word = w.word AND b.start = w.pos
+  WHERE w.pos < len(w.word) AND NOT w.bad
+),
+wpmap AS (
+  SELECT map(list(word), list(pieces)) AS mp
+  FROM wp_walk WHERE bad OR pos >= len(word)
+)"""
+
+
+def _piece_ids_real_sql(pieces: str, d: str) -> str:
+    """refsem.piece_to_id exactly: the 12 pinned special ids (the greedy
+    path can emit '[UNK]' and literal special-token matches), everything
+    else hashed into [12, VOCAB_SIZE)."""
+    vocab = refsem.VOCAB_SIZE - 12
+    whens = " ".join(
+        f"WHEN p = '{t}' THEN {i}" for t, i in refsem.SPECIAL_TOKENS.items()
+    )
+    lam = f"p -> CASE {whens} ELSE 12 + {md5_mod('p', vocab)} END"
+    return portable.transform(pieces, lam, d)
+
+
+def _tokenize_real_oracle(max_length: int = 128) -> str:
+    """kg_tokenize oracle over the PRODUCTION greedy wordpiece: same
+    K1 layout algebra as _tokenize_sql, but segment pieces come from
+    the wpmap (greedy over the pinned vocab) and ids from the
+    special-pinned piece_to_id twin."""
+    d = DUCK
+    min0 = "least(h0, t0)"
+    min1 = "CASE WHEN h0 < t0 THEN h1 ELSE t1 END"
+    max0 = "greatest(h0, t0)"
+    max1 = "CASE WHEN h0 < t0 THEN t1 ELSE h1 END"
+    seg = {
+        "s0": portable.arr_slice("tokens", "1", min0, d),
+        "e0": portable.arr_slice("tokens", f"{min0} + 1", f"{min1} - {min0}", d),
+        "s1": portable.arr_slice("tokens", f"{min1} + 1", f"{max0} - {min1}", d),
+        "e1": portable.arr_slice("tokens", f"{max0} + 1", f"{max1} - {max0}", d),
+        "s2": portable.arr_slice("tokens", f"{max1} + 1", f"n - {max1}", d),
+    }
+    p = {k: f"flatten(list_transform({v}, w -> wp.mp[w][1]))" for k, v in seg.items()}
+    ln = {k: f"len({v})" for k, v in p.items()}
+    rev = "(h0 > t0)"
+    m00 = f"CASE WHEN {rev} THEN 6 ELSE 4 END"
+    m01 = f"CASE WHEN {rev} THEN 7 ELSE 5 END"
+    m10 = f"CASE WHEN {rev} THEN 4 ELSE 6 END"
+    m11 = f"CASE WHEN {rev} THEN 5 ELSE 7 END"
+
+    def arr1(x):
+        return f"[{x}]"
+
+    def cat(parts):
+        out = parts[0]
+        for q_ in parts[1:]:
+            out = f"list_concat({out}, {q_})"
+        return out
+
+    ids = cat([
+        arr1("2"), _piece_ids_real_sql(p["s0"], d),
+        arr1(m00), _piece_ids_real_sql(p["e0"], d), arr1(m01),
+        _piece_ids_real_sql(p["s1"], d),
+        arr1(m10), _piece_ids_real_sql(p["e1"], d), arr1(m11),
+        _piece_ids_real_sql(p["s2"], d),
+        arr1("3"),
+    ])
+    pos1 = (
+        f"CASE WHEN {rev} THEN 1 + {ln['s0']} + 2 + {ln['e0']} + {ln['s1']} "
+        f"ELSE 1 + {ln['s0']} END"
+    )
+    pos2 = (
+        f"CASE WHEN {rev} THEN 1 + {ln['s0']} "
+        f"ELSE 1 + {ln['s0']} + 2 + {ln['e0']} + {ln['s1']} END"
+    )
+    total = f"(6 + {ln['s0']} + {ln['e0']} + {ln['s1']} + {ln['e1']} + {ln['s2']})"
+    prefix = portable.arr_slice(ids, "1", f"least(12, {total})", d)
+    body = (
+        f"CAST(least({max_length - 1}, {pos1}) AS INT) AS pos1, "
+        f"CAST(least({max_length - 1}, {pos2}) AS INT) AS pos2, "
+        f"CAST({total} AS INT) AS n_pieces, "
+        f"{portable.arr_join(prefix, d, sep=' ')} AS ids_prefix"
+    )
+    return (
+        _oracle_prefix().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + _greedy_wp_ctes()
+        + f"\nSELECT doc_id, {body}\nFROM mentions CROSS JOIN wpmap wp\n"
+    )
+
+
+@q("kg_tokenize", _tokenize_real_oracle())
 def kg_tokenize(spark, sf_dir):
-    """K1 entity-marker tokenization as built-in array expressions —
-    the oracle-checkable twin of operators/tokenize.py's Arrow kernel
-    (same ids via refsem.piece_to_id's portable hash)."""
-    m = portable_mentions(spark, sf_dir)
-    return m.selectExpr("doc_id", *_split_select(_tokenize_sql(SPARK)))
+    """K1 entity-marker tokenization — the PRODUCTION path itself: the
+    vectorized Arrow batch kernel (operators/tokenize_batch.py) with the
+    default greedy wordpiece over the pinned vocab artifact
+    (refsem.wordpiece_real). The DuckDB oracle reproduces the greedy
+    longest-match algorithm in SQL (recursive walk over the same 885
+    vocab pieces), so the driver's hash gate verifies the tokenizer the
+    flagship actually runs — not a stand-in twin. n_pieces is the
+    UNtruncated piece count (layout algebra); ids_prefix the first
+    min(12, n) ids of the marker stream."""
+    import numpy as np
+
+    from deepref_spark.operators.tokenize_batch import (
+        _flat_word_ids, bert_entity_tokenize_batch,
+    )
+
+    m = portable_mentions(spark, sf_dir).select(
+        "doc_id", "tokens", "h0", "h1", "t0", "t1"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            B = len(pdf)
+            if not B:
+                continue
+            toks = [list(t) for t in pdf["tokens"]]
+            ids, _mask, p1, p2 = bert_entity_tokenize_batch(
+                toks, pdf["h0"], pdf["h1"], pdf["t0"], pdf["t1"],
+            )
+            flat = [w for t in toks for w in t]
+            pc, _U, _src = _flat_word_ids(flat, None)
+            nw = np.fromiter((len(t) for t in toks), dtype=np.int64, count=B)
+            off = np.concatenate(([0], np.cumsum(nw)))
+            cp = np.concatenate(([0], np.cumsum(pc)))
+            total = 6 + cp[off[1:]] - cp[off[:-1]]
+            k = np.minimum(12, total)
+            prefix = [" ".join(map(str, ids[i, : k[i]])) for i in range(B)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "pos1": p1, "pos2": p2,
+                "n_pieces": total, "ids_prefix": prefix,
+            })
+
+    return m.mapInPandas(
+        run,
+        schema="doc_id bigint, pos1 int, pos2 int, n_pieces int, ids_prefix string",
+    )
 
 
 # --- Group B: corpus dedup / text analysis over `documents` -----------------

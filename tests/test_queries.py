@@ -57,3 +57,22 @@ def test_model_queries_rows_only(spark, registry):
     assert pdf["pred"].nunique() >= 2  # class-diverse predictions
     ev = registry["kg_eval_model"]["spark"](spark, SF).collect()[0]
     assert 0.0 <= ev["acc"] <= 1.0 and ev["micro_f1"] == ev["acc"]
+
+
+def test_chunker_tokenize_twin_retired_to_tests(spark, duck):
+    """The fixed-width chunker SQL twin (rounds 1-3's kg_tokenize
+    oracle) stays pinned here: Spark chunker expressions vs the DuckDB
+    chunker formula. The REGISTERED kg_tokenize now verifies the
+    production greedy wordpiece instead."""
+    from deepref_spark.queries import (
+        SPARK, DUCK, _oracle_prefix, _split_select, _tokenize_sql,
+        portable_mentions,
+    )
+
+    def chunker_fn(spark, sf_dir):
+        m = portable_mentions(spark, sf_dir)
+        return m.selectExpr("doc_id", *_split_select(_tokenize_sql(SPARK)))
+
+    oracle = _oracle_prefix() + f"SELECT doc_id, {_tokenize_sql(DUCK)} FROM mentions"
+    ok, detail = compare_query(spark, duck, chunker_fn, oracle, SF)
+    assert ok, detail

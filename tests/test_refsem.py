@@ -325,3 +325,30 @@ def test_wordpiece_real_pinned_vocab_goldens():
         path = f.name
     v = refsem.load_wp_vocab(path)
     assert refsem.wordpiece_greedy("zzztop", vocab=v) == ["zz", "##z", "##top"]
+
+
+def test_greedy_wp_sql_walk_equals_python():
+    """The kg_tokenize oracle's recursive SQL walk reproduces
+    refsem.wordpiece_greedy over the pinned vocab on adversarial words:
+    greedy backoff, is_bad -> [UNK] (out-of-alphabet and >200 chars),
+    literal special-token substrings, and single chars."""
+    import duckdb
+
+    from deepref_spark.queries import _greedy_wp_ctes
+
+    words = [
+        "unaffable", "the", "café", "a" * 201, "a" * 200,
+        "supercalifragilisticexpialidocious", "miscommunication",
+        "x", "(),.", "over9000", "ZZZ", "[unk]", "[UNK]hello",
+        "under", "understand", "reenactment",
+    ]
+    values = ", ".join("('" + w.replace("'", "''") + "')" for w in words)
+    sql = (
+        "WITH RECURSIVE _seed AS (SELECT 1)"
+        + _greedy_wp_ctes(words_sql=f"SELECT word FROM (VALUES {values}) w(word)")
+        + "\nSELECT word, pieces FROM wp_walk WHERE bad OR pos >= len(word)"
+    )
+    got = {w: list(p) for w, p in duckdb.sql(sql).fetchall()}
+    vocab = refsem.load_wp_vocab()
+    want = {w: refsem.wordpiece_greedy(w, vocab) for w in words}
+    assert got == want
