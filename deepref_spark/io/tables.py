@@ -40,12 +40,34 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write-then-rename: fs.create alone is not atomic, and a crash
+    between create and close would leave an empty manifest that marks
+    the stage complete (resume would then skip a stage whose lineage
+    is unreadable). With temp+rename the manifest only ever exists at
+    its final path fully written — rename is atomic on HDFS/file://;
+    S3A turns it into copy+delete, still never a partial object."""
     fs, p = _hadoop_fs(spark, path)
-    out = fs.create(p, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".inprogress")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"manifest rename failed: {path}.inprogress -> {path}")
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def _fs_exists(spark: SparkSession | None, path: str) -> bool:
@@ -82,7 +104,24 @@ def write_stage(df: DataFrame, warehouse: str, stage: str,
 
 def stage_complete(warehouse: str, stage: str,
                    spark: SparkSession | None = None) -> bool:
-    return _fs_exists(spark, os.path.join(stage_path(warehouse, stage), MANIFEST))
+    """Complete = the manifest exists AND parses as JSON. The parse
+    guard covers manifests written before the temp+rename protocol (an
+    existence-only check let a crash-truncated manifest mark a stage
+    complete and corrupt later lineage reads)."""
+    path = os.path.join(stage_path(warehouse, stage), MANIFEST)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    try:
+        if spark is None:  # no JVM at hand: local-path semantics only
+            with open(path) as f:
+                json.load(f)
+        else:
+            if not _fs_exists(spark, path):
+                return False
+            json.loads(_fs_read_text(spark, path))
+        return True
+    except (OSError, ValueError):
+        return False
 
 
 def read_stage(spark: SparkSession, warehouse: str, stage: str) -> DataFrame:

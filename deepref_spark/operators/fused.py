@@ -98,6 +98,7 @@ def extract_scored_jvm(
     preprocessing: list[str] | None = None,
     entity_replacement: str = "ENTITY",
     max_length: int = 128,
+    tagger_backend: str = "ruletag",
 ) -> DataFrame:
     """JVM-parse flagship path: parse runs as built-in expressions
     (operators/parse_jvm.py); the single Arrow crossing does batched
@@ -109,7 +110,19 @@ def extract_scored_jvm(
     the reference Python kernels and union back in; marker-missing
     rows drop in both engines. Equivalence with extract_scored_fused
     is asserted by tests/test_parse_jvm.py on corpora covering every
-    routing class and preprocessing variant."""
+    routing class and preprocessing variant.
+
+    The JVM parse/preproc expressions mirror the ``ruletag`` cascade
+    ONLY — any other ``tagger_backend`` would change preprocessing tag
+    decisions, so those requests route wholesale through the fused
+    Arrow path (same results, per-row tagger) instead of silently
+    running ruletag tags."""
+    if tagger_backend != "ruletag":
+        return extract_scored_fused(
+            spark, sentences, n_relations,
+            preprocessing=preprocessing, entity_replacement=entity_replacement,
+            max_length=max_length, tagger_backend=tagger_backend,
+        )
     from deepref_spark.operators.encoders import score_entity_flat
     from deepref_spark.operators.parse_jvm import split_jvm_eligible
 
@@ -139,20 +152,22 @@ def extract_scored_jvm(
         )
         scored = score_entity_flat(spark, jvm_pre, weights_bc, max_length)
         scored = scored.unionByName(_score_flat_preproc(
-            clean.where(~safe), weights_bc, kinds, entity_replacement, max_length
+            clean.where(~safe), weights_bc, kinds, entity_replacement,
+            max_length, tagger_backend,
         ))
     else:
         scored = score_entity_flat(spark, clean, weights_bc, max_length)
     fallback = extract_scored_fused(
         spark, py_rows, n_relations,
         preprocessing=preprocessing, entity_replacement=entity_replacement,
-        max_length=max_length,
+        max_length=max_length, tagger_backend=tagger_backend,
     )
     return scored.unionByName(fallback)
 
 
 def _score_flat_preproc(flat: DataFrame, weights_bc, kinds: list[str],
-                        entity_replacement: str, max_length: int) -> DataFrame:
+                        entity_replacement: str, max_length: int,
+                        tagger_backend: str = "ruletag") -> DataFrame:
     """Scoring crossing over the JVM-parsed flat mentions with a
     preprocessing variant: reconstruct the Mention per row (tags from
     the memoized rule cascade over the already-lowered tokens — the
@@ -162,7 +177,7 @@ def _score_flat_preproc(flat: DataFrame, weights_bc, kinds: list[str],
     from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tagger = get_tagger("ruletag")
+        tagger = get_tagger(tagger_backend)
         weights = None
         for pdf in batches:
             if not len(pdf):

@@ -164,10 +164,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     converges in ~20 rounds rather than silently exhausting the budget.
     Raises RuntimeError if max_iter rounds still have not converged —
     never returns a half-merged labelling. Lineage cut via
-    localCheckpoint per round (SURVEY.md §4.2)."""
+    localCheckpoint per round (SURVEY.md §4.2).
+
+    Null endpoints are dropped up front: the distributed path would
+    silently lose them in join semantics while the driver union-find's
+    Python ``<`` would raise on None — filtering makes both paths
+    agree (an edge with a null side is no edge)."""
     # the symmetrization union reads `edges` twice — stage it so callers'
     # (possibly expensive) edge pipelines run once
-    edges = edges.select("a", "b").localCheckpoint(eager=False)
+    edges = (
+        edges.select("a", "b")
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     spark = edges.sparkSession
     if driver_max_edges is None:
         driver_max_edges = int(

@@ -199,3 +199,29 @@ def test_extract_scored_engines_agree(spark):
         b["score"] = b["score"].round(9)
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 100 and a["pred_relation"].nunique() >= 3
+
+
+def test_jvm_non_ruletag_tagger_routes_to_fused(spark):
+    """extract_scored_jvm's built-in preproc expressions mirror the
+    ruletag cascade only; any other tagger_backend must route through
+    the fused path (identical results to calling fused directly), not
+    silently preprocess with ruletag tags."""
+    from deepref_spark.operators import convert
+
+    docs = synth.generate_docs(spark, 40, partitions=4)
+    sents = convert.text_sentences(docs).localCheckpoint()
+    for backend in ("ruletag", "spacy"):
+        a = extract_scored_jvm(
+            spark, sents, n_relations=N_REL, preprocessing=["sw", "d"],
+            tagger_backend=backend,
+        ).toPandas()
+        b = extract_scored_fused(
+            spark, sents, n_relations=N_REL, preprocessing=["sw", "d"],
+            tagger_backend=backend,
+        ).toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        a["score"] = a["score"].round(9)
+        b["score"] = b["score"].round(9)
+        pd.testing.assert_frame_equal(a, b)

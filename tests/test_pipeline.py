@@ -195,3 +195,24 @@ def test_checkpoint_resume_reuses_stage_tables(spark, docs, tmp_path):
     # fresh warehouse with the other docs -> genuinely different output
     fresh = run_pipeline(spark, other_docs, warehouse=str(tmp_path / "wh2"))
     assert sorted(key(r) for r in fresh.collect()) != rows1
+
+
+def test_stage_complete_rejects_corrupt_manifest(spark, docs, tmp_path):
+    """A crash-truncated (empty/partial) manifest must NOT mark a stage
+    complete — stage_complete validates the JSON, and the temp+rename
+    write never leaves a partial manifest at the final path."""
+    import os
+
+    from deepref_spark.io.tables import (
+        MANIFEST, stage_complete, stage_path, write_stage,
+    )
+
+    wh = str(tmp_path / "wh")
+    write_stage(docs.limit(5), wh, "probe")
+    assert stage_complete(wh, "probe", spark)
+    mpath = os.path.join(stage_path(wh, "probe"), MANIFEST)
+    assert not os.path.exists(mpath + ".inprogress")  # rename completed
+    with open(mpath, "w"):
+        pass  # simulate the crash-between-create-and-close artifact
+    assert not stage_complete(wh, "probe", spark)
+    assert not stage_complete(wh, "probe", None)

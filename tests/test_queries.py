@@ -76,3 +76,22 @@ def test_chunker_tokenize_twin_retired_to_tests(spark, duck):
     oracle = _oracle_prefix() + f"SELECT doc_id, {_tokenize_sql(DUCK)} FROM mentions"
     ok, detail = compare_query(spark, duck, chunker_fn, oracle, SF)
     assert ok, detail
+
+
+def test_triples_model_golden_hash(spark, registry):
+    """kg_triples_model is rows-only forever (numpy model forward, no
+    SQL oracle by design) — this frozen full-output fixture makes any
+    regression in the tokenize -> score -> CC -> dedup chain fail a
+    test, not just a row count. Hash is over the sorted canonical
+    triples at sf0.001, scores at 6dp."""
+    import hashlib
+
+    df = registry["kg_triples_model"]["spark"](spark, SF)
+    rows = sorted(
+        (r["subj"], r["pred"], r["obj"], r["subj_canon"], r["obj_canon"],
+         f"{r['score']:.6f}", r["n_docs"])
+        for r in df.collect()
+    )
+    h = hashlib.sha256(repr(rows).encode()).hexdigest()
+    assert len(rows) == 447
+    assert h == "82aa080a29e6902feadd89d61af637ffcfd703a57666f4c6186635cdc0fc3a04"
