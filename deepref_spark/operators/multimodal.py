@@ -41,13 +41,45 @@ def fake_decode(payload: bytes) -> np.ndarray:
     portable md5_mod(payload || ':' || i, 2^20) / 2^20 — the exact
     formula a DuckDB oracle evaluates (kg_media_features), so the fake
     keeps batch shapes/dtypes real AND the lane oracle-checkable."""
+    return _fake_decode_batch([payload])[0]
+
+
+def _fake_decode_batch(payloads: list[bytes]) -> np.ndarray:
+    """[B, FEATURE_DIM] float32 for a whole batch: one flat comprehension
+    over the (payload, i) grid — the per-element md5 is the stand-in for
+    a codec's C decode call; everything around it is numpy. Batch
+    decoders with this signature slot into the ``decoder_batch`` hooks."""
     from deepref_spark.refsem import md5_mod_py
 
-    s = payload.decode("utf-8", errors="replace")
-    out = np.empty(FEATURE_DIM, dtype=np.float32)
-    for i in range(FEATURE_DIM):
-        out[i] = md5_mod_py(f"{s}:{i}", 1 << 20) / float(1 << 20)
-    return out
+    scale = 1.0 / float(1 << 20)
+    strs = [p.decode("utf-8", errors="replace") for p in payloads]
+    flat = np.fromiter(
+        (md5_mod_py(f"{s}:{i}", 1 << 20) for s in strs for i in range(FEATURE_DIM)),
+        dtype=np.float64, count=len(strs) * FEATURE_DIM,
+    )
+    return (flat * scale).astype(np.float32).reshape(len(strs), FEATURE_DIM)
+
+
+def _batch_of(decoder):
+    """Adapt a per-payload decoder to the batch signature (identity for
+    the default fake: it already has a vectorized twin)."""
+    if decoder is fake_decode:
+        return _fake_decode_batch
+    return lambda payloads: np.stack([np.asarray(decoder(p)) for p in payloads])
+
+
+def _kinds_of(refs: pd.Series) -> np.ndarray:
+    """Vectorized media_kind_of over a ref column (same rules)."""
+    r = refs.astype(str)
+    return np.select(
+        [
+            r.str.contains("/img/", regex=False) | r.str.endswith((".png", ".jpg")),
+            r.str.contains("/aud/", regex=False) | r.str.endswith((".wav", ".mp3")),
+            r.str.contains("/vid/", regex=False) | r.str.endswith(".mp4"),
+        ],
+        ["image", "audio", "video"],
+        default="blob",
+    )
 
 
 def media_kind_of(ref: str) -> str:
@@ -67,19 +99,23 @@ def extract_media_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     read per batch). One Arrow batch per crossing, numpy stacking
     inside."""
 
+    decode_batch = _batch_of(decoder)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             payloads = [r.encode("utf-8") for r in pdf["media_ref"]]
-            feats = [decoder(p).tolist() for p in payloads]
+            feats = decode_batch(payloads)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "span_idx": pdf["span_idx"],
                 "media_ref": pdf["media_ref"],
-                "media_kind": [media_kind_of(r) for r in pdf["media_ref"]],
-                "n_bytes": [len(p) for p in payloads],
-                "features": feats,
+                "media_kind": _kinds_of(pdf["media_ref"]),
+                "n_bytes": np.fromiter(
+                    (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+                ),
+                "features": list(feats),
             })
 
     return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
@@ -121,26 +157,39 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
     resize in place of the deterministic byte-count model); the schema,
     batching, and metadata flow are production-real."""
 
+    decode_batch = _batch_of(decoder)
+
     def run(batches):
+        from deepref_spark.refsem import md5_mod_py
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = {k: [] for k in ("doc_id", "span_idx", "media_ref", "media_kind",
-                                    "width", "height", "resized_n_bytes", "features")}
-            for r in pdf.itertuples(index=False):
-                payload = r.media_ref.encode("utf-8")
-                w, h = fake_dims(payload)
-                # deterministic byte model: area ratio scales the payload
-                scale = (target_w * target_h) / float(w * h)
-                rows["doc_id"].append(r.doc_id)
-                rows["span_idx"].append(int(r.span_idx))
-                rows["media_ref"].append(r.media_ref)
-                rows["media_kind"].append(media_kind_of(r.media_ref))
-                rows["width"].append(target_w)
-                rows["height"].append(target_h)
-                rows["resized_n_bytes"].append(max(1, int(len(payload) * scale)))
-                rows["features"].append(decoder(payload).tolist())
-            yield pd.DataFrame(rows)
+            B = len(pdf)
+            refs = pdf["media_ref"]
+            payloads = [r.encode("utf-8") for r in refs]
+            dims = np.fromiter(
+                (md5_mod_py(s + sfx, m)
+                 for s in refs for sfx, m in ((":w", 1920), (":h", 1080))),
+                dtype=np.int64, count=2 * B,
+            ).reshape(B, 2) + 64
+            # deterministic byte model: area ratio scales the payload
+            scale = (target_w * target_h) / (dims[:, 0] * dims[:, 1]).astype(np.float64)
+            n_bytes = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=B
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"].astype(np.int32),
+                "media_ref": refs,
+                "media_kind": _kinds_of(refs),
+                "width": np.full(B, target_w, dtype=np.int32),
+                "height": np.full(B, target_h, dtype=np.int32),
+                "resized_n_bytes": np.maximum(
+                    1, (n_bytes * scale).astype(np.int64)
+                ),
+                "features": list(decode_batch(payloads)),
+            })
 
     return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
         run, schema=RESIZED_SCHEMA
@@ -161,28 +210,43 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     shape a real decord/ffmpeg sampler produces. Non-video spans pass
     through with a single frame."""
 
+    decode_batch = _batch_of(decoder)
+
     def run(batches):
         from deepref_spark.refsem import md5_mod_py
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = {k: [] for k in ("doc_id", "span_idx", "media_ref",
-                                    "frame_idx", "frame_ts", "features")}
-            for r in pdf.itertuples(index=False):
-                payload = r.media_ref.encode("utf-8")
-                kind = media_kind_of(r.media_ref)
-                k = n_frames if kind == "video" else 1
-                duration = 1.0 + md5_mod_py(r.media_ref + ":dur", 600)
-                for i in range(k):
-                    rows["doc_id"].append(r.doc_id)
-                    rows["span_idx"].append(int(r.span_idx))
-                    rows["media_ref"].append(r.media_ref)
-                    rows["frame_idx"].append(i)
-                    rows["frame_ts"].append(round(duration * i / max(k, 1), 6))
-                    rows["features"].append(decoder(payload + b":%d" % i).tolist())
-            if rows["doc_id"]:
-                yield pd.DataFrame(rows)
+            B = len(pdf)
+            refs = pdf["media_ref"]
+            k = np.where(_kinds_of(refs) == "video", n_frames, 1).astype(np.int64)
+            dur = 1.0 + np.fromiter(
+                (md5_mod_py(r + ":dur", 600) for r in refs),
+                dtype=np.float64, count=B,
+            )
+            # 1 -> N fan-out as repeat + within-group arange
+            total = int(k.sum())
+            if not total:
+                continue
+            frame_idx = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(k) - k, k
+            )
+            frame_ts = np.round(
+                np.repeat(dur, k) * frame_idx / np.repeat(np.maximum(k, 1), k), 6
+            )
+            payloads = [
+                r.encode("utf-8") + b":%d" % i
+                for r, kk in zip(refs, k) for i in range(kk)
+            ]
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), k),
+                "span_idx": np.repeat(pdf["span_idx"].to_numpy(), k).astype(np.int32),
+                "media_ref": np.repeat(refs.to_numpy(), k),
+                "frame_idx": frame_idx.astype(np.int32),
+                "frame_ts": frame_ts,
+                "features": list(decode_batch(payloads)),
+            })
 
     return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
         run, schema=FRAMES_SCHEMA
