@@ -111,7 +111,7 @@ def run_headline(sf_dir: str, cpus: str) -> dict:
     return headline, spread
 
 
-def _scaling_child(cores: int, n_docs: int) -> None:
+def _scaling_child(cores: int, n_docs: int, engine: str = "arrow") -> None:
     """Child entry: time the flagship docs->triples pipeline, then a
     pure-CPU calibration job with the same partition structure. The
     calibration measures the HOST's achievable parallel speedup
@@ -137,9 +137,11 @@ def _scaling_child(cores: int, n_docs: int) -> None:
     # throughput, not cluster start (one-time costs at either core
     # count; a real cluster amortizes them over hours of work)
     warm = synth.generate_docs(spark, 200, partitions=cores).localCheckpoint()
-    triples_from_scored(extract_scored(spark, warm), canonicalize=False).count()
+    triples_from_scored(
+        extract_scored(spark, warm, engine=engine), canonicalize=False
+    ).count()
     t0 = time.time()
-    scored = extract_scored(spark, docs)
+    scored = extract_scored(spark, docs, engine=engine)
     n = triples_from_scored(scored, canonicalize=False).count()
     dt = time.time() - t0
 
@@ -157,13 +159,13 @@ def _scaling_child(cores: int, n_docs: int) -> None:
     print(json.dumps({
         "cores": cores, "docs": n_docs, "sec": round(dt, 3),
         "docs_per_sec": round(n_docs / dt, 2), "triples": n,
-        "calib_sec": round(calib_dt, 3),
+        "calib_sec": round(calib_dt, 3), "engine": engine,
     }))
     spark.stop()
 
 
 def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
-                repeats: int | None = None) -> dict:
+                repeats: int | None = None, engine: str = "arrow") -> dict:
     """N -> 4N scaling evidence. Default pair (2, 8): both fit the box's
     physical cores, so the ratio measures the SOFTWARE's scaling, not
     SMT/bandwidth saturation (this host exposes 32 hyperthreads over
@@ -186,7 +188,8 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
             env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                        MKL_NUM_THREADS="1")
             r = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cores), str(n_docs)],
+                [sys.executable, __file__, "--scaling-child", str(cores),
+                 str(n_docs), engine],
                 capture_output=True, text=True, env=env, cwd=str(Path(__file__).parent),
             )
             line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
@@ -205,6 +208,7 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
         "metric": f"scaling_efficiency_{low}_to_{high}",
         "value": round(raw_eff, 4),
         "unit": "ratio",
+        "engine": engine,
         f"docs_per_sec_{low}": t_lo,
         f"docs_per_sec_{high}": t_hi,
         "host_envelope_efficiency": round(host_envelope, 4),
@@ -218,11 +222,13 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]),
+                       sys.argv[4] if len(sys.argv) > 4 else "arrow")
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
         low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-        print(json.dumps(run_scaling(n, low=low, high=4 * low)))
+        engine = os.environ.get("SPARK_GRAFT_ENGINE", "arrow")
+        print(json.dumps(run_scaling(n, low=low, high=4 * low, engine=engine)))
     else:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

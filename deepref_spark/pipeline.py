@@ -135,10 +135,13 @@ def triples_from_scored(scored: DataFrame, canonicalize: bool = True,
 
 def run_pipeline(spark: SparkSession, docs: DataFrame,
                  preprocessing: list[str] | None = None,
-                 warehouse: str | None = None) -> DataFrame:
+                 warehouse: str | None = None,
+                 engine: str = "arrow") -> DataFrame:
     """Full extraction; when ``warehouse`` is set, scored mentions and
-    triples persist as resumable stage tables."""
-    scored = extract_scored(spark, docs, preprocessing)
+    triples persist as resumable stage tables. ``engine`` selects the
+    parse/preproc implementation ("arrow" default / "jvm" — see
+    extract_scored for the measured decision rule)."""
+    scored = extract_scored(spark, docs, preprocessing, engine=engine)
     if warehouse:
         from deepref_spark.io import tables
 

@@ -635,6 +635,123 @@ def wordpiece_real(word: str) -> list[str]:
     return hit
 
 
+# ---------------------------------------------------------------------------
+# BasicTokenizer normalization (reference deepref/tokenization/
+# basic_tokenizer.py:29-64 + utils.py:9-148) — the lowercase /
+# accent-strip / punctuation-split / CJK-isolate pass BertTokenizer runs
+# BEFORE wordpiece (bert_tokenizer.py:48-53). The pipeline's default
+# path wordpieces whitespace tokens directly (consistent with the
+# pinned stand-in vocab); swap wordpiece_basic in as ``wp=`` when
+# running a real trained vocab so tokenizations match the vocab's
+# training-time normalization.
+# ---------------------------------------------------------------------------
+
+NEVER_SPLIT = ("[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]")
+
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _is_punct(ch: str) -> bool:
+    # all non-alphanumeric ASCII counts as punctuation (utils.py:32-43)
+    cp = ord(ch)
+    if 33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96 or 123 <= cp <= 126:
+        return True
+    import unicodedata
+
+    return unicodedata.category(ch).startswith("P")
+
+
+def clean_and_isolate(text: str) -> str:
+    """utils.clean_text + tokenize_chinese_chars in one pass: drop NUL /
+    U+FFFD / control chars (\\t\\n\\r count as whitespace, not control),
+    canonicalize whitespace to ' ', and pad every CJK ideograph with
+    spaces so it tokenizes as its own word."""
+    import unicodedata
+
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp in (0, 0xFFFD):
+            continue
+        cat = unicodedata.category(ch)
+        if ch in "\t\n\r" or cat == "Zs":
+            out.append(" ")
+        elif cat.startswith("C"):
+            continue
+        elif _is_cjk(cp):
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def strip_accents(text: str) -> str:
+    """NFD-decompose and drop combining marks (utils.py:134-143)."""
+    import unicodedata
+
+    return "".join(
+        ch for ch in unicodedata.normalize("NFD", text)
+        if unicodedata.category(ch) != "Mn"
+    )
+
+
+def split_on_punctuation(token: str) -> list[str]:
+    """Each punctuation char becomes its own token (utils.py:106-119)."""
+    parts: list[str] = []
+    fresh = True
+    for ch in token:
+        if _is_punct(ch):
+            parts.append(ch)
+            fresh = True
+        else:
+            if fresh:
+                parts.append("")
+                fresh = False
+            parts[-1] += ch
+    return parts
+
+
+def basic_tokenize(text: str, do_lower_case: bool = True,
+                   never_split: tuple = NEVER_SPLIT) -> list[str]:
+    """BasicTokenizer.tokenize minus the position bookkeeping (the
+    pipeline tracks entity spans at the word level upstream): clean +
+    CJK-isolate, whitespace split, then per token (unless never_split)
+    lowercase + accent-strip, then punctuation split. Reference QUIRK
+    preserved: never_split exempts a token from the case/accent pass
+    ONLY — the punctuation split still applies (basic_tokenizer.py:
+    56-61 splits unconditionally), so '[UNK]' shatters to
+    '[', 'UNK', ']' with case intact."""
+    out: list[str] = []
+    for token in clean_and_isolate(text).split():
+        if do_lower_case and token not in never_split:
+            token = strip_accents(token.lower())
+        out.extend(split_on_punctuation(token))
+    return out
+
+
+def wordpiece_basic(word: str, vocab: frozenset | set | None = None) -> list[str]:
+    """wp-compatible kernel composing the reference BertTokenizer
+    (bert_tokenizer.py:48-53): basic normalization first, greedy
+    longest-match wordpiece over each resulting sub-token. Drop-in for
+    ``wp=`` in bert_entity_tokenize / the batch kernels when running a
+    real trained vocab.txt (whose training assumed this
+    normalization)."""
+    vocab = load_wp_vocab() if vocab is None else vocab
+    return [
+        piece
+        for sub in basic_tokenize(word)
+        for piece in wordpiece_greedy(sub, vocab)
+    ]
+
+
 def md5_mod_py(s: str, m: int) -> int:
     """Python twin of portable.md5_mod — the cross-engine hash used by
     every oracle-checked formula (combines the ascii codes of the first

@@ -352,3 +352,42 @@ def test_greedy_wp_sql_walk_equals_python():
     vocab = refsem.load_wp_vocab()
     want = {w: refsem.wordpiece_greedy(w, vocab) for w in words}
     assert got == want
+
+
+def test_basic_tokenize_reference_semantics():
+    """BasicTokenizer normalization (reference basic_tokenizer.py:42-63
+    + utils.py): lowercase, accent-strip, per-char punctuation split,
+    CJK isolation, control-char removal, never_split preservation."""
+    bt = refsem.basic_tokenize
+    assert bt("Hello, World!") == ["hello", ",", "world", "!"]
+    assert bt("Café naïve") == ["cafe", "naive"]          # accents stripped
+    assert bt("don't  stop") == ["don", "'", "t", "stop"]            # punct split + ws runs
+    assert bt("a中国b") == ["a", "中", "国", "b"]    # CJK isolated
+    assert bt("x\x00y�z") == ["xyz"]                            # NUL/replacement dropped
+    assert bt("tab\tsep\nline") == ["tab", "sep", "line"]            # ws canonicalized
+    # reference QUIRK (basic_tokenizer.py:56-61): never_split skips only
+    # the lowercase/accent pass — punctuation split still applies, so
+    # specials shatter but keep their CASE ('UNK' not 'unk')
+    assert bt("[UNK] stays [MASK]") == ["[", "UNK", "]", "stays", "[", "MASK", "]"]
+    assert bt("[unk]") == ["[", "unk", "]"]
+    assert bt("A^B`C") == ["a", "^", "b", "`", "c"]                  # ASCII-sym-as-punct rule
+    assert bt("", do_lower_case=False) == []
+    assert bt("KeepCase", do_lower_case=False) == ["KeepCase"]
+
+
+def test_wordpiece_basic_composition():
+    """wordpiece_basic == basic normalization then greedy wordpiece per
+    sub-token (the BertTokenizer composition, bert_tokenizer.py:48-53),
+    usable as the wp= kernel for real trained vocabs."""
+    vocab = refsem.load_wp_vocab()
+    got = refsem.wordpiece_basic("Unaffable,", vocab)
+    # 'Unaffable,' -> basic: ['unaffable', ','] -> greedy each
+    assert got == refsem.wordpiece_greedy("unaffable", vocab) + refsem.wordpiece_greedy(",", vocab)
+    assert got[:1] == ["un"] and got[-1] == ","
+    # accents normalize BEFORE vocab lookup: 'Café' matches in-alphabet pieces
+    assert refsem.wordpiece_basic("Café", vocab) == refsem.wordpiece_greedy("cafe", vocab)
+    # plugs into the scalar K1 kernel unchanged
+    ids, mask, p1, p2 = refsem.bert_entity_tokenize(
+        ["The", "Café", "serves", "Tea!"], [1, 2], [3, 4], wp=refsem.wordpiece_basic,
+    )
+    assert p1 == 2 and len(ids) == 128 and mask[0] == 1
