@@ -95,3 +95,41 @@ def test_triples_model_golden_hash(spark, registry):
     h = hashlib.sha256(repr(rows).encode()).hexdigest()
     assert len(rows) == 447
     assert h == "82aa080a29e6902feadd89d61af637ffcfd703a57666f4c6186635cdc0fc3a04"
+
+
+def _stable_hash(df):
+    import hashlib
+
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(f"{r[c]:.6f}" if isinstance(r[c], float) else str(r[c]) for c in cols)
+        for r in df.collect()
+    )
+    return hashlib.sha256(repr((cols, rows)).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name,expected", [
+    ("kg_eval_model", "a0ae801f4dad09607ed6ad6d3a363a3abf08f3f76cde664540f2197d28fa73c3"),
+    ("kg_eval_ebem", "8c63e5cf8c8e23c7c0bae5de921711c72c34e30b86e33e4a3320c0e02e8c9e05"),
+    ("kg_eval_cnn_pcnn", "566c2c47042f8ef2afabcbd4f117558a3f9c0e3cebcbc1b5c4115ddb38a67ce8"),
+    ("kg_eval_crcnn_lstm_gru", "a66add333da8480b3252dbef32f952fec2f2727e7a497c6ce199232a6f353558"),
+])
+def test_rows_only_eval_goldens(spark, registry, name, expected):
+    """Every rows-only eval query gets the same treatment as
+    kg_triples_model: the full output frozen as a sha256 at sf0.001 (6dp
+    floats, column/row-order independent), so the numpy model forwards
+    for all seven encoder families are value-pinned, not just shaped."""
+    assert _stable_hash(registry[name]["spark"](spark, SF)) == expected
+
+
+def test_stage_lineage_totals(spark, registry):
+    """kg_stage_lineage's per-partition rows are layout-dependent by
+    design; the per-stage TOTALS are not — pin those."""
+    import pyspark.sql.functions as F
+
+    df = registry["kg_stage_lineage"]["spark"](spark, SF)
+    totals = {
+        r["stage"]: r["total"]
+        for r in df.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert totals == {"documents": 500, "mentions": 490, "scored": 490}
