@@ -391,3 +391,54 @@ def test_wordpiece_basic_composition():
         ["The", "Café", "serves", "Tea!"], [1, 2], [3, 4], wp=refsem.wordpiece_basic,
     )
     assert p1 == 2 and len(ids) == 128 and mask[0] == 1
+
+
+def test_greedy_wp_sql_walk_randomized():
+    """200 seeded pseudo-random words (mixed in/out-of-alphabet chars,
+    lengths 1-24) through the oracle's SQL walk vs the Python greedy
+    matcher in ONE DuckDB call — broad-coverage twin of the
+    hand-picked adversarial cases."""
+    import random
+
+    import duckdb
+
+    from deepref_spark.queries import _greedy_wp_ctes
+
+    rng = random.Random(20260817)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789(),.#éZ[]-"
+    words = sorted({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        for _ in range(200)
+    })
+    values = ", ".join("('" + w.replace("'", "''") + "')" for w in words)
+    sql = (
+        "WITH RECURSIVE _seed AS (SELECT 1)"
+        + _greedy_wp_ctes(words_sql=f"SELECT word FROM (VALUES {values}) w(word)")
+        + "\nSELECT word, pieces FROM wp_walk WHERE bad OR pos >= len(word)"
+    )
+    got = {w: list(p) for w, p in duckdb.sql(sql).fetchall()}
+    vocab = refsem.load_wp_vocab()
+    want = {w: refsem.wordpiece_greedy(w, vocab) for w in words}
+    assert got == want
+
+
+def test_basic_tokenize_invariants():
+    """Structural invariants of the BasicTokenizer pass on seeded random
+    text: no empty tokens, punctuation chars are singleton tokens,
+    lowercase holds outside never_split, and the pass is idempotent on
+    its own space-joined output (the BertTokenizer composition feeds
+    ' '.join(tokens) to wordpiece — a second basic pass must not change
+    it)."""
+    import random
+
+    rng = random.Random(42)
+    chars = "aAbB12 .,!\t()é中\x00-"
+    for _ in range(100):
+        text = "".join(rng.choice(chars) for _ in range(rng.randint(0, 40)))
+        toks = refsem.basic_tokenize(text)
+        assert all(toks), f"empty token from {text!r}"
+        for t in toks:
+            if len(t) > 1:
+                assert not any(refsem._is_punct(c) for c in t), (text, t)
+            assert t == t.lower() or t in refsem.NEVER_SPLIT, (text, t)
+        assert refsem.basic_tokenize(" ".join(toks)) == toks, text
