@@ -288,3 +288,62 @@ def test_multimodal_resize_and_frame_plumbing(spark):
     assert vid[1]["frame_ts"] < vid[2]["frame_ts"] < vid[3]["frame_ts"]
     # per-frame features differ (frame index feeds the decoder)
     assert vid[0]["features"][0] != vid[1]["features"][0]
+
+
+def test_streaming_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Watermark semantics across micro-batches AND a query restart:
+    batch 1 advances the watermark; after a checkpointed restart, a
+    wave-2 event older than the watermark horizon is dropped from its
+    (already-closed) window while an in-horizon wave-2 event still
+    lands. This is the behavior the single-pass availableNow tests
+    cannot show."""
+    from deepref_spark.streaming.stream_ops import streaming_triple_dedup
+
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_wave(rows):
+        spark.createDataFrame(
+            rows, "subj string, pred string, obj string, event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time")).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "late_out")
+
+    def run_pass():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and the restart IS the point of this test
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_triple_dedup(stream, watermark="1 hour")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # wave 1: watermark advances to 12:00 - 1h = 11:00
+    write_wave([("a", "r", "b", "2024-01-01 12:00:00")])
+    run_pass()
+    # wave 2 after restart: a DUPLICATE of (a,r,b) stamped before the
+    # watermark horizon must be treated as late (its dedup state is
+    # still live only within the horizon — the duplicate is dropped
+    # either way); a FRESH key stamped before the horizon is the real
+    # probe: state for it was never seen, and append-mode dedup drops
+    # late rows outright.
+    write_wave([
+        ("late", "r", "x", "2024-01-01 09:00:00"),   # < 11:00 horizon: dropped
+        ("fresh", "r", "y", "2024-01-01 12:30:00"),  # in horizon: emitted
+        ("a", "r", "b", "2024-01-01 12:31:00"),      # duplicate: suppressed
+    ])
+    run_pass()
+    rows = [
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows.count(("a", "r", "b")) == 1          # dedup held across restart
+    assert ("fresh", "r", "y") in rows
+    assert ("late", "r", "x") not in rows            # watermark dropped it
