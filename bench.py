@@ -57,7 +57,7 @@ HEADLINE = [
 ]
 
 
-def run_headline(sf_dir: str, cpus: str) -> dict:
+def run_headline(sf_dir: str, cpus: str) -> tuple[dict, dict]:
     from deepref_spark.queries import REGISTRY
     from deepref_spark.session import get_spark
 
@@ -179,6 +179,8 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
     ONE window otherwise corrupts the ratio; interleaving + best-of
     pairs the two configs' cleanest windows)."""
     assert high == 4 * low, "scaling pair must be N and 4N"
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"unknown engine {engine!r}: expected 'arrow' or 'jvm'")
     if repeats is None:
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     attempts: dict[int, list[dict]] = {low: [], high: []}

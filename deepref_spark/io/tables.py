@@ -46,8 +46,15 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     is unreadable). With temp+rename the manifest only ever exists at
     its final path fully written — rename is atomic on HDFS/file://;
     S3A turns it into copy+delete, still never a partial object."""
+    import uuid
+
     fs, p = _hadoop_fs(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".inprogress")
+    # writer-unique temp name: with a FIXED temp path two concurrent
+    # resumers of the same stage could rename each other's still-open
+    # partial temp into place — exactly the partial-manifest state this
+    # protocol exists to prevent
+    tmp_name = f"{path}.inprogress-{uuid.uuid4().hex}"
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(tmp_name)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -55,7 +62,7 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
     fs.delete(p, False)
     if not fs.rename(tmp, p):
-        raise IOError(f"manifest rename failed: {path}.inprogress -> {path}")
+        raise IOError(f"manifest rename failed: {tmp_name} -> {path}")
 
 
 def _fs_read_text(spark: SparkSession, path: str) -> str:

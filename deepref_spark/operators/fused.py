@@ -176,6 +176,15 @@ def _score_flat_preproc(flat: DataFrame, weights_bc, kinds: list[str],
     (the fused operator's skip semantics) drop identically."""
     from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
 
+    # invariant, not dead generality: the surrounding JVM preproc
+    # expressions mirror the ruletag cascade — extract_scored_jvm's
+    # early return is the only guard, so fail loudly if a refactor
+    # ever loosens it and routes another backend here
+    assert tagger_backend == "ruletag", (
+        f"_score_flat_preproc requires ruletag (JVM preproc tags are "
+        f"ruletag-derived); got {tagger_backend!r}"
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tagger = get_tagger(tagger_backend)
         weights = None

@@ -160,19 +160,18 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
     decode_batch = _batch_of(decoder)
 
     def run(batches):
-        from deepref_spark.refsem import md5_mod_py
-
         for pdf in batches:
             if not len(pdf):
                 continue
             B = len(pdf)
             refs = pdf["media_ref"]
             payloads = [r.encode("utf-8") for r in refs]
+            # dims come from fake_dims itself (single source of truth
+            # with the SQL oracle's formula), batched via fromiter
             dims = np.fromiter(
-                (md5_mod_py(s + sfx, m)
-                 for s in refs for sfx, m in ((":w", 1920), (":h", 1080))),
+                (d for p in payloads for d in fake_dims(p)),
                 dtype=np.int64, count=2 * B,
-            ).reshape(B, 2) + 64
+            ).reshape(B, 2)
             # deterministic byte model: area ratio scales the payload
             scale = (target_w * target_h) / (dims[:, 0] * dims[:, 1]).astype(np.float64)
             n_bytes = np.fromiter(

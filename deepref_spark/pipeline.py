@@ -52,6 +52,10 @@ def extract_scored(
     fused=False: the modular operator chain — same kernels, same
     output, 3 extra Python crossings; kept for stage-level inspection
     and the operator-parity tests."""
+    if engine not in ("arrow", "jvm"):
+        # a typo'd engine must not silently measure/run the arrow path
+        # while evidence records the requested name
+        raise ValueError(f"unknown engine {engine!r}: expected 'arrow' or 'jvm'")
     relations = relations or RELATION_NAMES
     sentences = convert.text_sentences(docs)
     rel2id = score.rel2id_from_relations(relations)

@@ -1133,6 +1133,24 @@ wpmap AS (
 )"""
 
 
+_DUCK_MAP_WRAPS: bool | None = None
+
+
+def _duck_map_value_expr(mp: str, key: str) -> str:
+    """DuckDB bracket extraction on MAP changed across versions (<=1.1
+    returns a LIST wrapping the value; 1.2+ returns the value itself).
+    Probe the INSTALLED duckdb once at oracle-construction time and
+    emit whichever form yields the raw value — the oracle string always
+    matches the engine that will execute it."""
+    global _DUCK_MAP_WRAPS
+    if _DUCK_MAP_WRAPS is None:
+        import duckdb
+
+        probed = duckdb.sql("SELECT map(['k'], [['v1','v2']])['k'] AS v").fetchone()[0]
+        _DUCK_MAP_WRAPS = probed == [["v1", "v2"]]
+    return f"{mp}[{key}][1]" if _DUCK_MAP_WRAPS else f"{mp}[{key}]"
+
+
 def _piece_ids_real_sql(pieces: str, d: str) -> str:
     """refsem.piece_to_id exactly: the 12 pinned special ids (the greedy
     path can emit '[UNK]' and literal special-token matches), everything
@@ -1162,7 +1180,10 @@ def _tokenize_real_oracle(max_length: int = 128) -> str:
         "e1": portable.arr_slice("tokens", f"{max0} + 1", f"{max1} - {max0}", d),
         "s2": portable.arr_slice("tokens", f"{max1} + 1", f"n - {max1}", d),
     }
-    p = {k: f"flatten(list_transform({v}, w -> wp.mp[w][1]))" for k, v in seg.items()}
+    p = {
+        k: f"flatten(list_transform({v}, w -> {_duck_map_value_expr('wp.mp', 'w')}))"
+        for k, v in seg.items()
+    }
     ln = {k: f"len({v})" for k, v in p.items()}
     rev = "(h0 > t0)"
     m00 = f"CASE WHEN {rev} THEN 6 ELSE 4 END"
