@@ -192,3 +192,29 @@ def test_word_position_batch_equals_scalar(rows, ml):
         assert p1[i].tolist() == e_p1, (tokens, hp, tp)
         assert p2[i].tolist() == e_p2, (tokens, hp, tp)
         assert seg[i].tolist() == e_seg, (tokens, hp, tp)
+
+
+def test_batch_kernel_accepts_custom_wp_wordpiece_basic():
+    """A custom wp kernel (wordpiece_basic — BasicTokenizer
+    normalization + greedy wordpiece) flows through the vectorized
+    batch path bit-identically to the scalar kernel, including words
+    the normalization SPLITS (punctuation, accents, case)."""
+    from deepref_spark import refsem
+    from deepref_spark.operators.tokenize_batch import bert_entity_tokenize_batch
+
+    rows = [
+        (["The", "Café,", "serves", "Tea!"], 1, 2, 3, 4),
+        (["Aspirin", "(fast)", "beats", "placebo."], 0, 1, 3, 4),
+        (["a中国b", "meets", "naïve", "U.S.A."], 0, 1, 2, 3),
+    ]
+    toks = [r[0] for r in rows]
+    h0, h1, t0, t1 = ([r[i] for r in rows] for i in (1, 2, 3, 4))
+    ids_b, mask_b, p1_b, p2_b = bert_entity_tokenize_batch(
+        toks, h0, h1, t0, t1, wp=refsem.wordpiece_basic
+    )
+    for i, (tk, a, b, c, d) in enumerate(rows):
+        ids_s, mask_s, p1_s, p2_s = refsem.bert_entity_tokenize(
+            tk, [a, b], [c, d], wp=refsem.wordpiece_basic
+        )
+        assert list(ids_b[i]) == ids_s and list(mask_b[i]) == mask_s
+        assert (p1_b[i], p2_b[i]) == (p1_s, p2_s)
