@@ -133,3 +133,15 @@ def test_stage_lineage_totals(spark, registry):
         for r in df.groupBy("stage").agg(F.sum("rows").alias("total")).collect()
     }
     assert totals == {"documents": 500, "mentions": 490, "scored": 490}
+
+
+def test_driver_window_is_all_oracle_bearing(registry):
+    """The driver's correctness sweep snapshots the first 50 registry
+    entries: every one of them must carry a DuckDB oracle (the
+    module-load assert enforces this; the test makes it visible)."""
+    names = list(registry)
+    assert len(names) >= 50
+    assert all(registry[n]["oracle"] is not None for n in names[:50])
+    # rows-only queries all registered past the window
+    rows_only = [n for n in names if registry[n]["oracle"] is None]
+    assert all(names.index(n) >= 50 for n in rows_only)
