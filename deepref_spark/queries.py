@@ -2346,6 +2346,46 @@ def kg_media_frames(spark, sf_dir):
     )
 
 
+@q("events_session_window", """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(CAST(sum(value) AS DOUBLE), 6) AS session_value
+FROM sess GROUP BY user_id, session_seq
+""")
+def events_session_window(spark, sf_dir):
+    """Native session_window sessionization (streaming/stream_ops.py
+    sessionize_stream) run in batch mode — Spark merges session windows
+    per user under the same 30-minute gap rule the lag+cumsum batch
+    twin (events_sessionize) and its oracle implement. Registered past
+    the driver window (the 50 oracle slots are full); verified by the
+    local test sweep and tests/test_queries parametrization."""
+    from deepref_spark.streaming.stream_ops import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize_stream(ev, gap_minutes=30)
+    return out.select(
+        "user_id", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "session_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

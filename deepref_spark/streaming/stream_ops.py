@@ -72,6 +72,31 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """TRUE streaming sessionization: ``session_window`` grows a
+    per-user window while events keep arriving within the gap and
+    closes it when the watermark passes gap past the last event —
+    Spark's native streaming analogue of the batch ``sessionize``
+    (lag+cumsum), with the same rollup columns. Works on a batch frame
+    too (windows close immediately)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end",
+                "session_value")
+    )
+
+
 def running_entity_counts(scored_stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful streaming operator (SURVEY.md §2.7):
     applyInPandasWithState keeping a running mention count + best score

@@ -347,3 +347,51 @@ def test_streaming_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert rows.count(("a", "r", "b")) == 1          # dedup held across restart
     assert ("fresh", "r", "y") in rows
     assert ("late", "r", "x") not in rows            # watermark dropped it
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """sessionize_stream (native session_window) driven as a REAL
+    stream: sessions close when the watermark passes the gap, and the
+    per-session rollups equal the batch sessionize twin's on the same
+    data (session boundaries are the same gap rule)."""
+    from deepref_spark.streaming.stream_ops import sessionize, sessionize_stream
+
+    src = str(tmp_path / "sess_in")
+    rows = [
+        ("u1", "2024-01-01 10:00:00", 1.0),
+        ("u1", "2024-01-01 10:10:00", 2.0),   # same session (gap 10m < 30m)
+        ("u1", "2024-01-01 12:00:00", 4.0),   # new session (gap 110m)
+        ("u2", "2024-01-01 10:05:00", 8.0),
+        # sentinel tail events: append mode only emits a session once
+        # the watermark (max event time) passes its close; without a
+        # LATER event per user the final session would stay open and
+        # never be emitted by the availableNow pass
+        ("u1", "2024-01-01 15:00:00", 0.0),
+        ("u2", "2024-01-01 15:00:00", 0.0),
+    ]
+    spark.createDataFrame(rows, "user_id string, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("sess_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in sessionize(spark.read.parquet(src), gap_minutes=30).collect()
+    }
+    # every CLOSED session matches the batch twin; the sentinel
+    # sessions (15:00) are the open tails and correctly absent
+    open_tails = {k for k in batch if "15:00:00" in k[1]}
+    assert got == {k: v for k, v in batch.items() if k not in open_tails}
+    assert got[("u1", "2024-01-01 10:00:00")] == (2, 3.0)
+    assert got[("u1", "2024-01-01 12:00:00")] == (1, 4.0)
+    assert got[("u2", "2024-01-01 10:05:00")] == (1, 8.0)
