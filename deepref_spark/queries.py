@@ -2386,6 +2386,87 @@ def events_session_window(spark, sf_dir):
     )
 
 
+_PQ_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e
+  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+cents AS (
+  -- centroid c of subspace j = subvector j of the c-th sample vector
+  SELECT js.j, seeds.c, list_slice(seeds.e, js.j * 8 + 1, js.j * 8 + 8) AS cent
+  FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS j) js
+),
+-- per (vector, subspace): nearest centroid by squared L2, min-c tie-break.
+-- list_reduce = sequential left fold, matching Spark's aggregate() FP order
+dists AS (
+  SELECT b.vec_id, cents.j, cents.c,
+         list_reduce(list_transform(range(8),
+           i -> power(CAST(b.embedding[CAST(cents.j * 8 + i + 1 AS INT)] AS DOUBLE)
+                      - cents.cent[CAST(i + 1 AS INT)], 2)),
+           (a, v) -> a + v) AS d
+  FROM base b CROSS JOIN cents
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r
+    FROM dists
+  ) WHERE r = 1
+),
+qd AS (
+  -- ADC tables per query: subspace dot + centroid norm2, one row per (query, j, c)
+  SELECT q.vec_id AS query_id, cents.j, cents.c,
+         list_reduce(list_transform(range(8),
+           i -> CAST(q.embedding[CAST(cents.j * 8 + i + 1 AS INT)] AS DOUBLE)
+                * cents.cent[CAST(i + 1 AS INT)]),
+           (a, v) -> a + v) AS dot_jc,
+         list_reduce(list_transform(cents.cent, y -> y * y), (a, v) -> a + v) AS n2_jc
+  FROM base q CROSS JOIN cents WHERE {_emb_queries_filter().replace("vec_id", "q.vec_id")}
+),
+qn AS (
+  SELECT vec_id AS query_id, sqrt(list_dot_product(embedding, embedding)) AS q_norm
+  FROM base WHERE {_emb_queries_filter()}
+),
+scored AS (
+  -- j-ordered sequential folds so the sums are FP-identical to Spark's
+  SELECT qd.query_id, k.vec_id AS nbr_id,
+         list_reduce(list(qd.dot_jc ORDER BY qd.j), (a, v) -> a + v) AS adot,
+         list_reduce(list(qd.n2_jc ORDER BY qd.j), (a, v) -> a + v) AS dnorm2
+  FROM codes k JOIN qd ON qd.j = k.j AND qd.c = k.code
+  WHERE k.vec_id <> qd.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.query_id, s.nbr_id,
+         round(s.adot / (qn.q_norm * sqrt(s.dnorm2)), 4) AS cosine,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY round(s.adot / (qn.q_norm * sqrt(s.dnorm2)), 4) DESC, s.nbr_id) AS rank
+  FROM scored s JOIN qn ON s.query_id = qn.query_id
+)
+SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@q("emb_ann_pq", _PQ_ORACLE)
+def emb_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC): corpus stored as 8 sub-codes,
+    query scoring by per-subspace table lookups — the memory-bound
+    scale path next to LSH (hash buckets) and IVF (inverted lists).
+    Codebooks from the md5-ordered deterministic sample (one bounded
+    16-row driver collect, plan-literal-sized); oracle re-derives the
+    identical codebooks, codes, and ADC tables in SQL. Registered past
+    the full 50-slot driver window; verified by the local sweep and
+    tests/test_queries parametrization."""
+    from deepref_spark.operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return pq_ann_topk(emb, qs, k=5, dim=64, m=8, k_sub=16).select(
+        "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

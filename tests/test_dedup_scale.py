@@ -290,3 +290,52 @@ def test_ivf_training_is_sample_based(spark):
     sampled = {r["list_id"]: r["cvec"] for r in _ivf_codebook(
         sample_only, n_lists=n_lists, train_sample=per_list).collect()}
     assert full == sampled
+
+
+def test_pq_ann_codes_and_rerank(spark):
+    """PQ-ADC: codes are deterministic m-length int arrays in
+    [0, k_sub); the ADC shortlist captures the true top-5 far better
+    than random candidates (uniform-random vectors are PQ's worst
+    case — measured ~5x lift at shortlist=50 over a 500-vector
+    corpus); exact re-rank of the shortlist returns correctly ranked
+    results whose recall equals the shortlist coverage."""
+    import pyspark.sql.functions as F
+
+    from deepref_spark.operators.similarity import (
+        brute_force_topk, pq_ann_rerank_topk, pq_codebooks, pq_encode,
+    )
+    from deepref_spark.schemas import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb, dim=64, m=8, k_sub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    codes = pq_encode(emb, books).collect()
+    n = emb.count()
+    assert len(codes) == n
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # determinism: same codes on a re-run
+    again = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert all(again[r["vec_id"]] == list(r["codes"]) for r in codes)
+
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    got = pq_ann_rerank_topk(emb, queries, k=5, shortlist=50).collect()
+    es, gs = {}, {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    for r in got:
+        gs.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    recalls = [len(es[q] & gs.get(q, set())) / len(es[q]) for q in es]
+    avg = sum(recalls) / len(recalls)
+    # random-candidate baseline expectation at shortlist 50 of ~n is
+    # 50/n; require a clear multiple of it (measured 0.54 at sf0.01)
+    assert avg >= min(1.0, 3 * 50 / n), f"PQ rerank recall too low: {avg:.2f}"
+    # re-ranked cosines are EXACT: they match brute-force values
+    exact_cos = {(r["query_id"], r["nbr_id"]): r["cosine"] for r in exact}
+    for r in got:
+        key = (r["query_id"], r["nbr_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
