@@ -9,7 +9,7 @@ portable.py's shared fragments.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from deepref_spark import portable
 from deepref_spark.portable import SPARK
@@ -137,5 +137,43 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
             exact_avg("quality").alias("avg_quality"),
             exact_avg("stopword_ratio").alias("avg_stopword_ratio"),
             F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
+                 n_buckets: int = 32) -> DataFrame:
+    """Concat-and-chop packing placement — the standard LLM-pretraining
+    packing (documents concatenated in a deterministic order, the token
+    stream chopped into fixed ``max_tokens`` training chunks). Emits
+    per-document placement: which bucket stream it lands in, its start
+    offset there, and the first/last chunk indexes its tokens span
+    (a document crossing a chunk boundary contributes to both — the
+    downstream chopper splits it, exactly like GPT-style packing).
+
+    Scale shape: documents are hashed into ``n_buckets`` independent
+    streams (doc_id % n_buckets) and ALL window work is per-bucket —
+    no global ordering or single-partition cumsum; buckets scale out
+    like any grouped aggregation and each one's chunk ids are local to
+    it. Deterministic order within a bucket is doc_id."""
+    toks = F.expr(
+        "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
+            t=portable.norm_tokens("text", SPARK)
+        )
+    )
+    sized = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).alias("bucket"),
+        toks.alias("n_pieces"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        sized
+        .withColumn("start_off", F.sum("n_pieces").over(w) - F.col("n_pieces"))
+        .select(
+            "doc_id", "bucket", "n_pieces", "start_off",
+            F.floor(F.col("start_off") / max_tokens).cast("long").alias("first_chunk"),
+            F.floor((F.col("start_off") + F.greatest(F.col("n_pieces"), F.lit(1)) - 1)
+                    / max_tokens).cast("long").alias("last_chunk"),
         )
     )

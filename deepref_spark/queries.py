@@ -2467,6 +2467,36 @@ def emb_ann_pq(spark, sf_dir):
     )
 
 
+@q("text_pack_chunks", f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % 32 AS bucket,
+         CAST(list_sum(list_transform({_TOKS_DUCK}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, bucket, n_pieces,
+         sum(n_pieces) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_pieces AS start_off
+  FROM sized
+)
+SELECT doc_id, bucket, n_pieces, start_off,
+       CAST(floor(start_off / 2048.0) AS BIGINT) AS first_chunk,
+       CAST(floor((start_off + greatest(n_pieces, 1) - 1) / 2048.0) AS BIGINT) AS last_chunk
+FROM placed
+""")
+def text_pack_chunks(spark, sf_dir):
+    """Sequence packing for LLM pretraining (concat-and-chop): per-doc
+    placement into bucketed token streams chopped at 2048 pieces —
+    bucket, start offset, first/last chunk index. All window work is
+    per-bucket (doc_id % 32), so the plan scales out like a grouped
+    agg; no global cumsum. Registered past the driver window; verified
+    by the local sweep and tests/test_queries parametrization."""
+    from deepref_spark.operators.text_analysis import pack_offsets
+
+    return pack_offsets(documents(spark, sf_dir), max_tokens=2048, n_buckets=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -395,3 +395,30 @@ def test_streaming_session_window(spark, tmp_path):
     assert got[("u1", "2024-01-01 10:00:00")] == (2, 3.0)
     assert got[("u1", "2024-01-01 12:00:00")] == (1, 4.0)
     assert got[("u2", "2024-01-01 10:05:00")] == (1, 8.0)
+
+
+def test_pack_offsets_invariants(spark):
+    """Concat-and-chop packing: per-bucket streams are gapless (each
+    doc starts where the previous ended), chunk spans are consistent
+    with offsets, and bucket chunk counts equal ceil(total/max)."""
+    from deepref_spark.queries import documents
+    from deepref_spark.operators.text_analysis import pack_offsets
+
+    out = pack_offsets(
+        documents(spark, "/root/testdata/sf0.001"), max_tokens=256, n_buckets=8
+    ).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == 8
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows:
+            assert r["start_off"] == off, (b, r)
+            assert r["first_chunk"] == r["start_off"] // 256
+            assert r["last_chunk"] == (r["start_off"] + max(r["n_pieces"], 1) - 1) // 256
+            assert r["first_chunk"] <= r["last_chunk"]
+            off += r["n_pieces"]
+        total = sum(r["n_pieces"] for r in rows)
+        assert rows[-1]["last_chunk"] == (total - 1) // 256
