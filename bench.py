@@ -54,6 +54,10 @@ HEADLINE = [
     "emb_ann_ivf",
     "events_window_agg",
     "events_sessionize",
+    # round-4 additions (compare round-over-round on the subset above)
+    "emb_ann_pq",
+    "events_session_window",
+    "text_pack_chunks",
 ]
 
 
