@@ -473,8 +473,14 @@ def pq_ann_rerank_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     uniform-random vectors (this repo's synthetic corpus) are PQ's
     worst case; on clustered real embeddings the same codebooks cover
     far more of the true top-k per shortlist slot."""
-    short = pq_ann_topk(embeddings, queries, k=shortlist, dim=dim, m=m,
-                        k_sub=k_sub).select("query_id", "nbr_id")
+    # the shortlist is queries x shortlist rows — small by contract —
+    # so the exact-rerank join BROADCASTS it against the corpus scan
+    # (at 100 TB a shuffle join would move the corpus to fetch a few
+    # thousand vectors)
+    short = F.broadcast(
+        pq_ann_topk(embeddings, queries, k=shortlist, dim=dim, m=m,
+                    k_sub=k_sub).select("query_id", "nbr_id")
+    )
     corpus = embeddings.select(
         F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"),
         _norm_col("embedding").alias("nbr_norm"),

@@ -155,7 +155,10 @@ def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
     streams (doc_id % n_buckets) and ALL window work is per-bucket —
     no global ordering or single-partition cumsum; buckets scale out
     like any grouped aggregation and each one's chunk ids are local to
-    it. Deterministic order within a bucket is doc_id."""
+    it. Deterministic order within a bucket is doc_id. ``n_buckets``
+    caps the window parallelism — size it to at least the cluster's
+    shuffle partitions at scale (the 32 default fits local runs; a
+    1000-executor job wants thousands)."""
     toks = F.expr(
         "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
             t=portable.norm_tokens("text", SPARK)
