@@ -180,3 +180,76 @@ def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
                     / max_tokens).cast("long").alias("last_chunk"),
         )
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", App. A1.1 — the repetition family of filters),
+    token-based over the normalized token stream:
+
+      * top_2gram_frac  — tokens covered by the single most frequent
+        bigram (count*2 / n_tokens); boilerplate pages score high;
+      * dup_3gram_frac  — tokens covered by trigrams occurring more
+        than once (sum of duplicated-trigram occurrences * 3, capped at
+        n_tokens, / n_tokens);
+      * dup_sent_frac   — duplicated sentence fraction ('.'-split).
+
+    Shape: one explode per n-gram order, per-doc groupBys — every
+    aggregation keys on (doc_id, gram) so it map-side combines and
+    scales like any grouped count; no cross-document state."""
+    toks = _tokens_col()
+    base = documents.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
+    base = base.localCheckpoint(eager=False)  # feeds 3 consumers once
+    sizes = base.select("doc_id", F.size("t").alias("n_tokens"))
+
+    def gram_counts(n):
+        grams = F.expr(
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> array_join(slice(t, i, {n}), ' '))"
+        )
+        return (
+            base.where(F.size("t") >= n)
+            .select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top2 = (
+        gram_counts(2).groupBy("doc_id")
+        .agg(F.max("c").alias("top2_c"))
+    )
+    dup3 = (
+        gram_counts(3).where(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup3_occ"))
+    )
+    sents = (
+        base.select(
+            "doc_id",
+            F.expr("filter(transform(split(array_join(t, ' '), ' \\\\. '), "
+                   "s -> trim(s)), s -> s != '')").alias("ss"),
+        )
+        .select("doc_id", F.size("ss").alias("n_sents"),
+                F.size(F.array_distinct("ss")).alias("n_uniq_sents"))
+    )
+    return (
+        sizes
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .join(sents, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                F.coalesce(F.col("top2_c") * 2 / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("top_2gram_frac"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("dup3_occ") * 3, F.lit(0)) / F.col("n_tokens"),
+                    F.lit(1.0),
+                ), 6
+            ).alias("dup_3gram_frac"),
+            F.round(
+                (F.col("n_sents") - F.col("n_uniq_sents")) / F.greatest("n_sents", F.lit(1)),
+                6,
+            ).alias("dup_sent_frac"),
+        )
+    )

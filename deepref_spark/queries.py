@@ -2497,6 +2497,59 @@ def text_pack_chunks(spark, sf_dir):
     return pack_offsets(documents(spark, sf_dir), max_tokens=2048, n_buckets=32)
 
 
+@q("text_repetition", f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents WHERE len({_TOKS_DUCK}) >= 1
+),
+sizes AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM base),
+g2 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+             i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 1 AS INT)), ' '))) AS g
+    FROM base WHERE len(t) >= 2
+  ) GROUP BY doc_id, g
+),
+g3 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 2 AS INT)), ' '))) AS g
+    FROM base WHERE len(t) >= 3
+  ) GROUP BY doc_id, g
+),
+top2 AS (SELECT doc_id, max(c) AS top2_c FROM g2 GROUP BY doc_id),
+dup3 AS (SELECT doc_id, sum(c) AS dup3_occ FROM g3 WHERE c > 1 GROUP BY doc_id),
+sents AS (
+  SELECT doc_id, len(ss) AS n_sents, len(list_distinct(ss)) AS n_uniq
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(
+             regexp_split_to_array(array_to_string(t, ' '), ' \\. '),
+             x -> trim(x)), x -> x <> '') AS ss
+    FROM base
+  )
+)
+SELECT s.doc_id, s.n_tokens,
+       round(coalesce(t2.top2_c * 2.0 / s.n_tokens, 0.0), 6) AS top_2gram_frac,
+       round(least(coalesce(d3.dup3_occ * 3.0, 0.0) / s.n_tokens, 1.0), 6) AS dup_3gram_frac,
+       round((se.n_sents - se.n_uniq) * 1.0 / greatest(se.n_sents, 1), 6) AS dup_sent_frac
+FROM sizes s
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup3 d3 USING (doc_id)
+JOIN sents se USING (doc_id)
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-family repetition quality filters (top-bigram fraction,
+    duplicated-trigram token fraction, duplicated-sentence fraction) —
+    the boilerplate/spam signals a 100 TB cleaning run thresholds on.
+    Registered past the driver window; verified by the local sweep and
+    tests/test_queries parametrization."""
+    from deepref_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -422,3 +422,33 @@ def test_pack_offsets_invariants(spark):
             off += r["n_pieces"]
         total = sum(r["n_pieces"] for r in rows)
         assert rows[-1]["last_chunk"] == (total - 1) // 256
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition signals on planted boilerplate: a doc that is
+    one bigram repeated scores top_2gram_frac ~1; duplicated trigram
+    runs are counted; duplicated sentences detected; a clean doc scores
+    0 on all three."""
+    from deepref_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 6),                       # one bigram over and over
+            (2, "alpha beta gamma alpha beta gamma delta"),  # dup trigram run
+            (3, "one clear sentence. one clear sentence. another one."),
+            (4, "all tokens here are fully distinct words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc1: 12 tokens, 'spam ham' occurs 6x -> 12/12 = 1.0
+    assert out[1]["top_2gram_frac"] == 1.0
+    assert out[1]["dup_3gram_frac"] == 1.0  # capped at 1
+    # doc2: 'alpha beta gamma' twice -> 6 tokens covered of 7
+    assert abs(out[2]["dup_3gram_frac"] - round(6 / 7, 6)) < 1e-9
+    # doc3: 3 sentences, one duplicated -> 1/3
+    assert abs(out[3]["dup_sent_frac"] - round(1 / 3, 6)) < 1e-9
+    # clean doc: all zeros
+    assert out[4]["top_2gram_frac"] <= round(2 / 7, 6)  # any single bigram once
+    assert out[4]["dup_3gram_frac"] == 0.0
+    assert out[4]["dup_sent_frac"] == 0.0
