@@ -58,6 +58,7 @@ HEADLINE = [
     "emb_ann_pq",
     "events_session_window",
     "text_pack_chunks",
+    "text_repetition",
 ]
 
 
