@@ -253,3 +253,88 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             ).alias("dup_sent_frac"),
         )
     )
+
+
+def mixing_plan(documents: DataFrame, target: dict | None = None) -> DataFrame:
+    """Source-mixing planner (DoReMi-style rebalancing, deterministic):
+    per-source token shares and the down-sampling rate that moves the
+    mix toward ``target`` (source -> desired share; default uniform
+    across observed sources). rate = min(1, target_share/actual_share)
+    — only down-sampling, never up (duplication is a dedup problem, not
+    a mixer's). One grouped aggregation; the tiny per-source table then
+    gets its rates from a window over the total (source count is
+    bounded by contract — it is the GROUPING key of a curation run)."""
+    toks = F.expr(
+        "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
+            t=portable.norm_tokens("text", SPARK)
+        )
+    )
+    per_src = (
+        documents.select("source", toks.alias("n_pieces"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_pieces").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    # rates divide the RAW share (rounding first would shift the 6th
+    # decimal of the quotient; outputs round at the end only)
+    share_raw = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    shared = per_src.withColumn("_share_raw", share_raw)
+    if target is None:
+        tgt = (F.lit(1.0) / F.count(F.lit(1)).over(w))
+    else:
+        tgt = F.lit(None).cast("double")
+        for src, share in sorted(target.items()):
+            tgt = F.when(F.col("source") == src, F.lit(float(share))).otherwise(tgt)
+        tgt = F.coalesce(tgt, F.lit(0.0))
+    return shared.select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("_share_raw"), 6).alias("token_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(F.least(F.lit(1.0), tgt / F.col("_share_raw")), 6).alias("sample_rate"),
+    )
+
+
+# GPT-3-style eval-contamination screen: the benchmark side is a set of
+# 13-gram keys (hashed with the portable formula so oracles reproduce
+# them); a document is contaminated when any of its 13-grams hits the
+# set. The set broadcasts (benchmarks are small by definition); the
+# corpus side streams its grams through one hash + one broadcast
+# semi-join — no shuffle of corpus data.
+CONTAM_NGRAM = 13
+
+
+def benchmark_gram_keys(benchmark_texts, n: int = CONTAM_NGRAM) -> list:
+    """Portable hash keys of every n-gram in the benchmark texts
+    (driver-side: benchmarks are bounded small)."""
+    from deepref_spark import refsem
+
+    keys = set()
+    for t in benchmark_texts:
+        toks = portable.norm_tokens_py(t)
+        for i in range(max(0, len(toks) - n + 1)):
+            keys.add(refsem.md5_mod_py(" ".join(toks[i:i + n]), 1 << 30))
+    return sorted(keys)
+
+
+def contamination_screen(documents: DataFrame, benchmark_texts,
+                         n: int = CONTAM_NGRAM) -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated): how many of the doc's
+    n-grams appear in the benchmark key set. Keys ride as a plan
+    literal IN-set (kilobytes for real benchmark suites; swap to a
+    broadcast join above ~100k keys)."""
+    keys = benchmark_gram_keys(benchmark_texts, n)
+    toks = portable.norm_tokens("text", SPARK)
+    gram_hash = portable.md5_mod(f"array_join(slice({toks}, i, {n}), ' ')", 1 << 30)
+    # CASE-guard short docs: Spark sequence(1, 0) yields [1, 0] (step
+    # inferred -1), which would feed slice() a 0 start and raise
+    grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), i -> {gram_hash}) "
+        f"ELSE array() END"
+    )
+    inlist = ", ".join(str(k) for k in keys) or "-1"
+    return documents.select(
+        "doc_id",
+        F.expr(f"greatest(0, size({toks}) - {n - 1})").cast("int").alias("n_grams"),
+        F.expr(f"size(filter({grams}, h -> h IN ({inlist})))").alias("n_hits"),
+    ).withColumn("contaminated", F.col("n_hits") > 0)

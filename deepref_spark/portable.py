@@ -148,6 +148,19 @@ def norm_tokens(col: str, d: str) -> str:
     return f"regexp_split_to_array({inner}, ' +')"
 
 
+def norm_tokens_py(text: str) -> list[str]:
+    """Python twin of norm_tokens — same lowercase / punct-isolate /
+    strip / split formula, for driver-side preprocessing of bounded
+    inputs (benchmark texts, fixtures)."""
+    import re
+
+    s = text.lower()
+    for ch in KEPT_PUNCT:
+        s = s.replace(ch, f" {ch} ")
+    s = re.sub(r"[^a-z0-9(),. ]", " ", s).strip()
+    return [w for w in s.split(" ") if w]
+
+
 # ---------------------------------------------------------------------------
 # rule tagger as a CASE cascade (must mirror nlp.TAG_RULES exactly on the
 # token alphabet produced by norm_tokens: [a-z0-9(),.]+ )

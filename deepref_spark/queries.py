@@ -2550,6 +2550,80 @@ def text_repetition(spark, sf_dir):
     return repetition_stats(documents(spark, sf_dir))
 
 
+@q("text_mixing_plan", f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(list_sum(list_transform({_TOKS_DUCK},
+           w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share,
+         round(1.0 / count(*) OVER (), 6) AS target_share,
+         1.0 / count(*) OVER () AS _tgt_raw,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS _share_raw
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens, token_share, target_share,
+       round(least(1.0, _tgt_raw / _share_raw), 6) AS sample_rate
+FROM shared
+""")
+def text_mixing_plan(spark, sf_dir):
+    """Source-mixing planner (DoReMi-style, uniform target): per-source
+    token shares and the down-sampling rate that rebalances the mix.
+    Registered past the driver window; local sweep + pytest verified."""
+    from deepref_spark.operators.text_analysis import mixing_plan
+
+    return mixing_plan(documents(spark, sf_dir))
+
+
+def _contam_oracle() -> str:
+    g13 = "array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 12 AS INT)), ' ')"
+    h = md5_mod(g13, 1 << 30)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+bgrams AS (
+  SELECT DISTINCT {h} AS k
+  FROM (SELECT t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE doc_id < 3 AND len(t) >= 13)
+),
+dgrams AS (
+  SELECT doc_id, {h} AS k
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE len(t) >= 13)
+),
+hits AS (
+  SELECT d.doc_id, CAST(count(*) AS INT) AS n_hits
+  FROM dgrams d JOIN bgrams b ON d.k = b.k
+  GROUP BY d.doc_id
+)
+SELECT toks.doc_id,
+       CAST(greatest(0, len(toks.t) - 12) AS INT) AS n_grams,
+       CAST(coalesce(hits.n_hits, 0) AS INT) AS n_hits,
+       coalesce(hits.n_hits, 0) > 0 AS contaminated
+FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
+"""
+
+
+@q("text_contamination", _contam_oracle())
+def text_contamination(spark, sf_dir):
+    """GPT-3-style eval-contamination screen: 13-gram overlap between
+    the corpus and a benchmark set (here: the texts of doc_id < 3, so
+    the screen's positive path is exercised deterministically — those
+    docs hit their own grams). Benchmark keys are portable md5 hashes
+    carried as a plan literal; the oracle derives the identical key set
+    in SQL. Registered past the driver window."""
+    from deepref_spark.operators.text_analysis import contamination_screen
+
+    bench_texts = [
+        r["text"]
+        for r in documents(spark, sf_dir)
+        .where(F.col("doc_id") < 3).orderBy("doc_id").select("text").collect()
+    ]
+    return contamination_screen(documents(spark, sf_dir), bench_texts).select(
+        "doc_id", "n_grams", "n_hits", "contaminated"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -452,3 +452,46 @@ def test_repetition_stats_planted(spark):
     assert out[4]["top_2gram_frac"] <= round(2 / 7, 6)  # any single bigram once
     assert out[4]["dup_3gram_frac"] == 0.0
     assert out[4]["dup_sent_frac"] == 0.0
+
+
+def test_mixing_plan_and_contamination(spark):
+    """Mixing planner: shares sum to ~1, a custom skewed target caps at
+    rate 1.0 and downsamples the rest. Contamination screen: a doc
+    containing a benchmark 13-gram verbatim is flagged; clean docs are
+    not; short docs (<13 tokens) score 0 grams without erroring."""
+    from deepref_spark.operators.text_analysis import (
+        contamination_screen, mixing_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " * 40, "en", "web"),
+            (2, "beta " * 40, "en", "web"),
+            (3, "gamma " * 120, "en", "books"),
+            (4, "tiny doc", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = {r["source"]: r for r in mixing_plan(docs).collect()}
+    assert abs(sum(r["token_share"] for r in plan.values()) - 1.0) < 1e-4
+    # uniform target: the over-represented source downsamples
+    over = max(plan.values(), key=lambda r: r["token_share"])
+    assert over["sample_rate"] < 1.0
+    skew = mixing_plan(docs, target={"web": 0.9, "books": 0.1}).collect()
+    rates = {r["source"]: r["sample_rate"] for r in skew}
+    assert rates["web"] == 1.0          # target above actual -> capped
+    assert rates["books"] < 1.0
+
+    bench = ["the quick brown fox jumps over the lazy dog again and again today"]
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench[0] + " suffix words"),
+            (2, "a completely different document with no overlap at all here today friend"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_screen(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
