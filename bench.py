@@ -59,6 +59,8 @@ HEADLINE = [
     "events_session_window",
     "text_pack_chunks",
     "text_repetition",
+    "text_mixing_plan",
+    "text_contamination",
 ]
 
 
