@@ -412,7 +412,7 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     codes = pq_encode(embeddings, books, dim).select(
         F.col("vec_id").alias("nbr_id"), "codes"
     )
-    dt_exprs, n2_exprs = [], []
+    dt_exprs = []
     for j, book in enumerate(books):
         lit = _book_literal(book, "spark")
         qv = f"transform(slice(q_emb, {j * sub + 1}, {sub}), x -> CAST(x AS DOUBLE))"
@@ -420,10 +420,20 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             f"transform({lit}, cent -> aggregate(zip_with({qv}, cent, (x, y) -> x * y), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
         )
-        n2_exprs.append(
-            f"transform({lit}, cent -> aggregate(cent, CAST(0.0 AS DOUBLE), "
-            f"(acc, y) -> acc + y * y))"
-        )
+    # centroid norms are QUERY-INDEPENDENT: compute them in Python with
+    # the same sequential 0.0-seeded fold the oracle's list_reduce runs
+    # (IEEE-identical) and embed one literal — round 3 of this file had
+    # them as a per-query-row expression broadcast with every row
+    def _fold_n2(cent):
+        acc = 0.0
+        for y in cent:
+            acc += y * y
+        return acc
+
+    nt2_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({_fold_n2(c)!r} AS DOUBLE)" for c in book) + ")"
+        for book in books
+    ) + ")"
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),
@@ -431,7 +441,6 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             _norm_col("embedding").alias("q_norm"),
         )
         .withColumn("dt", F.expr("array(" + ", ".join(dt_exprs) + ")"))
-        .withColumn("nt2", F.expr("array(" + ", ".join(n2_exprs) + ")"))
         .drop("q_emb")
     )
     m_idx = f"sequence(1, {m})"
@@ -441,7 +450,7 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     dec_norm2 = (
         f"aggregate({m_idx}, CAST(0.0 AS DOUBLE), "
-        f"(acc, j) -> acc + element_at(element_at(nt2, j), element_at(codes, j) + 1))"
+        f"(acc, j) -> acc + element_at(element_at({nt2_lit}, j), element_at(codes, j) + 1))"
     )
     scored = (
         codes.crossJoin(q)

@@ -24,6 +24,17 @@ LANG_MARKERS = {
 }
 
 
+def _pieces_expr() -> str:
+    """The BPE-ish piece-count formula (<=4-char pieces, the refsem
+    wordpiece width) — ONE definition; token_count, pack_offsets, and
+    mixing_plan all reference it so a width change cannot silently
+    desync a subset of the oracle pairs."""
+    return (
+        "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))"
+        .format(t=portable.norm_tokens("text", SPARK))
+    )
+
+
 def _tokens_col() -> F.Column:
     return F.expr(portable.norm_tokens("text", SPARK))
 
@@ -35,11 +46,7 @@ def token_count(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.expr(
-            "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
-                t=portable.norm_tokens("text", SPARK)
-            )
-        ).alias("n_pieces"),
+        F.expr(_pieces_expr()).alias("n_pieces"),
     )
 
 
@@ -159,11 +166,7 @@ def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
     caps the window parallelism — size it to at least the cluster's
     shuffle partitions at scale (the 32 default fits local runs; a
     1000-executor job wants thousands)."""
-    toks = F.expr(
-        "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
-            t=portable.norm_tokens("text", SPARK)
-        )
-    )
+    toks = F.expr(_pieces_expr())
     sized = documents.select(
         "doc_id",
         (F.col("doc_id") % n_buckets).alias("bucket"),
@@ -225,7 +228,11 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     sents = (
         base.select(
             "doc_id",
-            F.expr("filter(transform(split(array_join(t, ' '), ' \\\\. '), "
+            # strip the trailing ' .' first: the separator needs spaces
+            # on both sides, so without this the FINAL sentence keeps a
+            # ' .' suffix and never matches a duplicate of itself
+            F.expr("filter(transform(split(regexp_replace(array_join(t, ' '), "
+                   "' \\\\.$', ''), ' \\\\. '), "
                    "s -> trim(s)), s -> s != '')").alias("ss"),
         )
         .select("doc_id", F.size("ss").alias("n_sents"),
@@ -264,11 +271,7 @@ def mixing_plan(documents: DataFrame, target: dict | None = None) -> DataFrame:
     a mixer's). One grouped aggregation; the tiny per-source table then
     gets its rates from a window over the total (source count is
     bounded by contract — it is the GROUPING key of a curation run)."""
-    toks = F.expr(
-        "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))".format(
-            t=portable.norm_tokens("text", SPARK)
-        )
-    )
+    toks = F.expr(_pieces_expr())
     per_src = (
         documents.select("source", toks.alias("n_pieces"))
         .groupBy("source")
@@ -285,7 +288,17 @@ def mixing_plan(documents: DataFrame, target: dict | None = None) -> DataFrame:
         tgt = F.lit(None).cast("double")
         for src, share in sorted(target.items()):
             tgt = F.when(F.col("source") == src, F.lit(float(share))).otherwise(tgt)
-        tgt = F.coalesce(tgt, F.lit(0.0))
+        # an observed source absent from the target is a caller error,
+        # not an implicit drop: silently coalescing to 0.0 would give it
+        # sample_rate 0 and a downstream sampler would delete the whole
+        # source with no warning
+        tgt = F.coalesce(
+            tgt,
+            F.expr(
+                "CAST(raise_error(concat('mixing_plan: source absent from "
+                "target dict: ', source)) AS DOUBLE)"
+            ),
+        )
     return shared.select(
         "source", "n_docs", "n_tokens",
         F.round(F.col("_share_raw"), 6).alias("token_share"),
@@ -321,20 +334,27 @@ def contamination_screen(documents: DataFrame, benchmark_texts,
     """(doc_id, n_grams, n_hits, contaminated): how many of the doc's
     n-grams appear in the benchmark key set. Keys ride as a plan
     literal IN-set (kilobytes for real benchmark suites; swap to a
-    broadcast join above ~100k keys)."""
+    broadcast join above ~100k keys).
+
+    Tokens are STAGED as a column before the gram lambda — referencing
+    the raw norm_tokens expression inside the per-gram transform would
+    re-run the whole tokenize regex chain once per gram (the lambda
+    re-evaluation trap; measured ~10x+)."""
     keys = benchmark_gram_keys(benchmark_texts, n)
-    toks = portable.norm_tokens("text", SPARK)
-    gram_hash = portable.md5_mod(f"array_join(slice({toks}, i, {n}), ' ')", 1 << 30)
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # pushdown barrier: keep tokenize out of the lambda
+    gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')", 1 << 30)
     # CASE-guard short docs: Spark sequence(1, 0) yields [1, 0] (step
     # inferred -1), which would feed slice() a 0 start and raise
     grams = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n - 1}), i -> {gram_hash}) "
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
         f"ELSE array() END"
     )
     inlist = ", ".join(str(k) for k in keys) or "-1"
-    return documents.select(
+    return staged.select(
         "doc_id",
-        F.expr(f"greatest(0, size({toks}) - {n - 1})").cast("int").alias("n_grams"),
+        F.expr(f"greatest(0, size(t) - {n - 1})").cast("int").alias("n_grams"),
         F.expr(f"size(filter({grams}, h -> h IN ({inlist})))").alias("n_hits"),
     ).withColumn("contaminated", F.col("n_hits") > 0)

@@ -1920,8 +1920,9 @@ def events_window_agg(spark, sf_dir):
     )
 
 
-@q("events_sessionize", """
-WITH marked AS (
+# the 30-minute gap rule, shared by BOTH sessionization oracles so the
+# session definition cannot silently diverge between them
+_SESSION_CTES = """WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
@@ -1933,7 +1934,10 @@ sess AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM marked
-)
+)"""
+
+
+@q("events_sessionize", _SESSION_CTES + """
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(count(*) AS BIGINT) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -2346,20 +2350,7 @@ def kg_media_frames(spark, sf_dir):
     )
 
 
-@q("events_session_window", """
-WITH marked AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-sess AS (
-  SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-  FROM marked
-)
+@q("events_session_window", _SESSION_CTES + """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -2525,7 +2516,8 @@ sents AS (
   FROM (
     SELECT doc_id,
            list_filter(list_transform(
-             regexp_split_to_array(array_to_string(t, ' '), ' \\. '),
+             regexp_split_to_array(
+               regexp_replace(array_to_string(t, ' '), ' \\.$', ''), ' \\. '),
              x -> trim(x)), x -> x <> '') AS ss
     FROM base
   )

@@ -448,6 +448,14 @@ def test_repetition_stats_planted(spark):
     assert abs(out[2]["dup_3gram_frac"] - round(6 / 7, 6)) < 1e-9
     # doc3: 3 sentences, one duplicated -> 1/3
     assert abs(out[3]["dup_sent_frac"] - round(1 / 3, 6)) < 1e-9
+    # trailing-dot regression: the FINAL sentence duplicating an earlier
+    # one must be detected (the separator-needs-spaces quirk previously
+    # left ' .' glued to the last sentence)
+    tail = spark.createDataFrame(
+        [(9, "buy now. buy now.")], "doc_id long, text string"
+    )
+    tr = repetition_stats(tail).collect()[0]
+    assert tr["dup_sent_frac"] == 0.5
     # clean doc: all zeros
     assert out[4]["top_2gram_frac"] <= round(2 / 7, 6)  # any single bigram once
     assert out[4]["dup_3gram_frac"] == 0.0
@@ -481,6 +489,12 @@ def test_mixing_plan_and_contamination(spark):
     rates = {r["source"]: r["sample_rate"] for r in skew}
     assert rates["web"] == 1.0          # target above actual -> capped
     assert rates["books"] < 1.0
+    # an observed source MISSING from the target dict raises (silently
+    # coalescing to rate 0 would delete the source downstream)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="absent from target"):
+        mixing_plan(docs, target={"web": 1.0}).collect()
 
     bench = ["the quick brown fox jumps over the lazy dog again and again today"]
     corpus = spark.createDataFrame(
