@@ -337,26 +337,85 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def pq_codebooks(embeddings: DataFrame, dim: int = 64, m: int = 8,
-                 k_sub: int = 16) -> list:
-    """Per-subspace codebooks: centroid c of subspace j is subvector j
-    of the c-th md5-smallest sample vector (the same deterministic
-    sampling discipline as _ivf_codebook's seeds; a Lloyd refinement
-    per subspace slots in exactly like the IVF one). Returns
-    books[j][c] = list of dim/m rounded floats. ONE bounded driver
-    collect (k_sub rows) — the codebook is plan-literal-sized by
-    construction, like a label map."""
+                 k_sub: int = 16, lloyd_iters: int = 1,
+                 train_sample: int = 256) -> list:
+    """Per-subspace LLOYD-REFINED codebooks (the same sample-based
+    k-means discipline as _ivf_codebook): seeds are subvectors of the
+    k_sub md5-smallest sample vectors; each refinement pass reassigns
+    the ``train_sample * k_sub`` checkpointed sample's subvectors to
+    their nearest centroid (squared L2, min-index tie-break — the
+    pq_encode rule) and recomputes element means with the exact
+    6dp-quantized BIGINT sums + tie-free floor((2s+c)/(2c)) rounding
+    the IVF codebook uses, so the oracle reproduces the refined books
+    bit-identically under any partitioning. Empty clusters keep their
+    seed subvector. Net corpus passes for training: exactly ONE (the
+    sample TakeOrdered); refinement runs over the checkpointed sample.
+    Returns books[j][c] = list of dim/m floats on the 1e-6 grid —
+    plan-literal-sized by construction, like a label map (driver
+    collects: k_sub seed rows + m*k_sub*dim/m refined means)."""
     sub = dim // m
-    rows = (
+    sample = (
         embeddings
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(train_sample * k_sub)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    seed_rows = (
+        sample
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(k_sub)
         .select(F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE), 6))").alias("e"))
         .collect()
     )
-    return [
-        [list(r["e"][j * sub:(j + 1) * sub]) for r in rows]
+    books = [
+        [list(r["e"][j * sub:(j + 1) * sub]) for r in seed_rows]
         for j in range(m)
     ]
+    for _ in range(lloyd_iters):
+        # assign: the sample's per-subspace codes under the current
+        # books (same kernel queries use), then element means per
+        # (subspace, centroid, component) via exact integer sums
+        enc = pq_encode(sample, books, dim)
+        assigned = (
+            sample.join(enc, "vec_id")
+            .select("embedding", F.posexplode("codes").alias("j", "c"))
+            .select(
+                "j", "c",
+                F.posexplode(
+                    F.expr(f"slice(embedding, j * {sub} + 1, {sub})")
+                ).alias("i", "v"),
+            )
+        )
+        means = (
+            assigned.groupBy("j", "c", "i")
+            .agg(
+                F.sum(
+                    F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+                ).alias("s"),
+                F.count("v").alias("n"),
+            )
+            # tie-free portable rounding — see _ivf_codebook's comment
+            .select(
+                "j", "c", "i",
+                F.expr(
+                    "CAST(floor((2.0 * s + n) / (2.0 * n)) AS DOUBLE) / 1000000.0"
+                ).alias("mval"),
+            )
+            .collect()
+        )
+        refined: dict = {}
+        for r in means:
+            refined.setdefault((r["j"], r["c"]), {})[r["i"]] = r["mval"]
+        books = [
+            [
+                [refined[(j, c)][i] for i in range(sub)]
+                if (j, c) in refined else books[j][c]
+                for c in range(k_sub)
+            ]
+            for j in range(m)
+        ]
+    return books
 
 
 def _book_literal(book: list, d: str = "spark") -> str:
@@ -399,19 +458,28 @@ def pq_encode(embeddings: DataFrame, books: list, dim: int = 64) -> DataFrame:
 
 def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 dim: int = 64, m: int = 8, k_sub: int = 16,
-                books: list | None = None) -> DataFrame:
+                books: list | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """PQ-ADC approximate cosine top-k: each query precomputes a
     per-subspace lookup table dt[j][c] = <q_j, centroid_jc> plus the
     centroid norm table; a (query, corpus) pair then costs m array
     lookups (codes -> table), never a full-width dot. Cosine uses the
     DECODED corpus norm (sqrt of summed centroid norms) — the standard
-    ADC approximation. Query side broadcasts; the corpus side streams
-    codes only."""
+    ADC approximation. Query side broadcasts.
+
+    Scan cost as wired: with the default ``codes=None`` the corpus side
+    encodes INLINE from the full-width embeddings (one full-width scan
+    per call — fine for a one-shot query). The memory-bound benefit
+    (~m bytes/vector scanned) applies when the caller persists
+    ``pq_encode`` output once and passes it as ``codes`` — a
+    (vec_id, codes) DataFrame — which serving-style repeated queries
+    should do; ``books`` must then be the same codebooks the codes
+    were encoded with."""
     books = pq_codebooks(embeddings, dim, m, k_sub) if books is None else books
     sub = dim // m
-    codes = pq_encode(embeddings, books, dim).select(
-        F.col("vec_id").alias("nbr_id"), "codes"
-    )
+    if codes is None:
+        codes = pq_encode(embeddings, books, dim)
+    codes = codes.select(F.col("vec_id").alias("nbr_id"), "codes")
     dt_exprs = []
     for j, book in enumerate(books):
         lit = _book_literal(book, "spark")
@@ -472,7 +540,8 @@ def pq_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def pq_ann_rerank_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                        shortlist: int = 50, dim: int = 64, m: int = 8,
-                       k_sub: int = 16) -> DataFrame:
+                       k_sub: int = 16, books: list | None = None,
+                       codes: DataFrame | None = None) -> DataFrame:
     """The production PQ shape: ADC shortlist (cheap, code-table
     lookups over the whole corpus) -> EXACT cosine re-rank of the
     shortlist only (``shortlist`` rows per query fetch their full
@@ -481,14 +550,17 @@ def pq_ann_rerank_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     IVFPQ+refine discipline. Note the quantization-error caveat:
     uniform-random vectors (this repo's synthetic corpus) are PQ's
     worst case; on clustered real embeddings the same codebooks cover
-    far more of the true top-k per shortlist slot."""
+    far more of the true top-k per shortlist slot. Pass persisted
+    ``books``/``codes`` (from pq_codebooks/pq_encode) to avoid the
+    inline full-width encode scan on repeated queries."""
     # the shortlist is queries x shortlist rows — small by contract —
     # so the exact-rerank join BROADCASTS it against the corpus scan
     # (at 100 TB a shuffle join would move the corpus to fetch a few
     # thousand vectors)
     short = F.broadcast(
         pq_ann_topk(embeddings, queries, k=shortlist, dim=dim, m=m,
-                    k_sub=k_sub).select("query_id", "nbr_id")
+                    k_sub=k_sub, books=books, codes=codes)
+        .select("query_id", "nbr_id")
     )
     corpus = embeddings.select(
         F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"),

@@ -108,14 +108,22 @@ def quality_score(documents: DataFrame, carry_cols: tuple = ()) -> DataFrame:
 
 def fingerprint(documents: DataFrame, k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum hash over all
-    k-token shingles (portable md5 formula — identical in DuckDB)."""
-    toks = portable.norm_tokens("text", SPARK)
-    shingle = f"array_join(slice({toks}, i, {k}), ' ')"
-    h = portable.md5_mod(shingle, 1_000_003)
-    return documents.select(
+    k-token shingles (portable md5 formula — identical in DuckDB).
+
+    Tokens are STAGED as a column behind a pushdown barrier before the
+    per-shingle lambda — splicing the raw norm_tokens expression into
+    `slice({toks}, i, k)` re-runs the whole tokenize regex chain once
+    per window position (the lambda re-evaluation trap this repo
+    measured at ~10x+; O(len^2) tokenize per doc on long documents).
+    Same staging discipline as contamination_screen below."""
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # barrier: keep tokenize out of the lambda
+    h = portable.md5_mod(f"array_join(slice(t, i, {k}), ' ')", 1_000_003)
+    return staged.select(
         "doc_id",
         F.expr(
-            f"aggregate(sequence(1, greatest(1, size({toks}) - {k - 1})), "
+            f"aggregate(sequence(1, greatest(1, size(t) - {k - 1})), "
             f"1000003, (acc, i) -> least(acc, {h}))"
         ).alias("fingerprint"),
     )

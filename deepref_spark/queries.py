@@ -1626,12 +1626,13 @@ REGISTRY["text_lang_id"]["oracle"] = _lang_oracle()
 
 
 @q("doc_fingerprint", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents)
 SELECT doc_id,
        list_min(list_transform(
-         list_transform(generate_series(1, greatest(1, len({_TOKS_DUCK}) - 4)),
-                        i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + 4), ' ')),
+         list_transform(generate_series(1, greatest(1, len(t) - 4)),
+                        i -> array_to_string(list_slice(t, i, i + 4), ' ')),
          s -> {md5_mod('s', 1000003)})) AS fingerprint
-FROM documents
+FROM toks
 """)
 def doc_fingerprint(spark, sf_dir):
     from deepref_spark.operators.text_analysis import fingerprint
@@ -2379,15 +2380,58 @@ def events_session_window(spark, sf_dir):
 
 _PQ_ORACLE = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
+sample AS (
+  -- FAISS-style sample-based training: Lloyd runs over the
+  -- train_sample*k_sub = 256*16 md5-smallest vectors (similarity.py)
+  SELECT vec_id, embedding FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096
+),
 seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e
-  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  FROM sample ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
 ),
-cents AS (
-  -- centroid c of subspace j = subvector j of the c-th sample vector
+cents0 AS (
+  -- SEED centroid c of subspace j = subvector j of the c-th sample vector
   SELECT js.j, seeds.c, list_slice(seeds.e, js.j * 8 + 1, js.j * 8 + 8) AS cent
   FROM seeds CROSS JOIN (SELECT unnest(range(8)) AS j) js
+),
+sdists AS (
+  -- Lloyd assignment over the SAMPLE against the seed centroids, same
+  -- sequential-fold squared L2 as the final encode below
+  SELECT b.vec_id, c0.j, c0.c,
+         list_reduce(list_transform(range(8),
+           i -> power(CAST(b.embedding[CAST(c0.j * 8 + i + 1 AS INT)] AS DOUBLE)
+                      - c0.cent[CAST(i + 1 AS INT)], 2)),
+           (a, v) -> a + v) AS d
+  FROM sample b CROSS JOIN cents0 c0
+),
+scodes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS r
+    FROM sdists
+  ) WHERE r = 1
+),
+lloyd AS (
+  -- element means per (subspace, centroid, component): exact
+  -- 6dp-quantized BIGINT sums + tie-free floor((2s+n)/(2n)) rounding
+  -- (the IVF oracle's aggregation-order-independent formula)
+  SELECT j, code AS c, i,
+         CAST(floor((2.0 * CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     + count(*)) / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS m
+  FROM (
+    SELECT sc.j, sc.code,
+           unnest(list_slice(s.embedding, sc.j * 8 + 1, sc.j * 8 + 8)) AS v,
+           unnest(range(8)) AS i
+    FROM scodes sc JOIN sample s ON sc.vec_id = s.vec_id
+  )
+  GROUP BY j, code, i
+),
+newc AS (SELECT j, c, list(m ORDER BY i) AS cent FROM lloyd GROUP BY j, c),
+cents AS (
+  -- refined books; empty clusters keep their seed subvector
+  SELECT c0.j, c0.c, coalesce(n.cent, c0.cent) AS cent
+  FROM cents0 c0 LEFT JOIN newc n ON n.j = c0.j AND n.c = c0.c
 ),
 -- per (vector, subspace): nearest centroid by squared L2, min-c tie-break.
 -- list_reduce = sequential left fold, matching Spark's aggregate() FP order

@@ -339,3 +339,42 @@ def test_pq_ann_codes_and_rerank(spark):
         key = (r["query_id"], r["nbr_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_pq_lloyd_refinement_improves_recall(spark):
+    """The round-5 Lloyd refinement (per-subspace k-means over the
+    md5-ordered checkpointed sample, exactly the _ivf_codebook
+    discipline): refined codebooks must capture at least as much of
+    the brute-force top-5 as the raw seed codebooks they replace
+    (measured 0.24 vs 0.14 at sf0.001 — a real lift even on
+    uniform-random vectors, PQ's worst case), and every refined
+    centroid component sits on the 1e-6 grid (the exact-integer-mean
+    portability contract with the SQL oracle)."""
+    import pyspark.sql.functions as F
+
+    from deepref_spark.operators.similarity import (
+        brute_force_topk, pq_ann_topk, pq_codebooks,
+    )
+    from deepref_spark.schemas import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.where(F.expr("vec_id % 50 = 0"))
+    truth = {}
+    for r in brute_force_topk(emb, qs, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
+
+    def recall(books):
+        got = {}
+        for r in pq_ann_topk(emb, qs, k=5, books=books).collect():
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    raw = pq_codebooks(emb, lloyd_iters=0)
+    refined = pq_codebooks(emb, lloyd_iters=1)
+    assert refined != raw  # the refinement actually moved centroids
+    for book in refined:
+        for cent in book:
+            for v in cent:
+                assert abs(v * 1_000_000 - round(v * 1_000_000)) < 1e-6
+    assert recall(refined) >= recall(raw)

@@ -424,6 +424,23 @@ def test_pack_offsets_invariants(spark):
         assert rows[-1]["last_chunk"] == (total - 1) // 256
 
 
+def test_fingerprint_plan_has_no_lambda_tokenize(spark):
+    """Regression guard for the lambda re-evaluation trap (the repo's
+    measured ~10x): fingerprint must stage the token array behind a
+    pushdown barrier, so the per-shingle aggregate lambda references a
+    plain column — ZERO tokenize regex chains may appear in the plan
+    downstream of the barrier (round 4 spliced norm_tokens into the
+    shingle slice, re-tokenizing once per window position)."""
+    from deepref_spark.queries import documents
+    from deepref_spark.operators.text_analysis import fingerprint
+
+    df = fingerprint(documents(spark, "/root/testdata/sf0.001"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 0, (
+        "tokenize leaked into the per-shingle lambda"
+    )
+
+
 def test_repetition_stats_planted(spark):
     """Gopher repetition signals on planted boilerplate: a doc that is
     one bigram repeated scores top_2gram_frac ~1; duplicated trigram
