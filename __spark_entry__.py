@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from deepref_spark.queries import REGISTRY  # noqa: E402
+from deepref_spark.queries import REGISTRY, oracle_sql_for  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # oracle_sql_for resolves lazily-declared oracles (callables) so
+    # importing the module stays I/O-free
     return {
-        name: spec["oracle"]
+        name: oracle_sql_for(name)
         for name, spec in REGISTRY.items()
         if spec["oracle"] is not None
     }

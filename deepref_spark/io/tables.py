@@ -129,6 +129,15 @@ def stage_complete(warehouse: str, stage: str,
         return True
     except (OSError, ValueError):
         return False
+    except Exception as e:  # noqa: BLE001 — JVM-side read races
+        # a manifest deleted between _fs_exists and _fs_read_text
+        # (exactly the window _fs_write_text's delete-then-rename
+        # opens for a concurrent writer) surfaces as Py4JJavaError,
+        # not OSError — incomplete is the correct answer, same as the
+        # local-path semantics; anything non-IO still propagates
+        if type(e).__name__ == "Py4JJavaError":
+            return False
+        raise
 
 
 def read_stage(spark: SparkSession, warehouse: str, stage: str) -> DataFrame:

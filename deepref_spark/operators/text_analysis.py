@@ -24,14 +24,16 @@ LANG_MARKERS = {
 }
 
 
-def _pieces_expr() -> str:
+def _pieces_expr(tokens: str | None = None) -> str:
     """The BPE-ish piece-count formula (<=4-char pieces, the refsem
     wordpiece width) — ONE definition; token_count, pack_offsets, and
     mixing_plan all reference it so a width change cannot silently
-    desync a subset of the oracle pairs."""
+    desync a subset of the oracle pairs. ``tokens`` names an
+    already-staged token-array column (curate_corpus passes 't' so the
+    whole composition tokenizes once); default tokenizes from text."""
     return (
         "aggregate({t}, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))"
-        .format(t=portable.norm_tokens("text", SPARK))
+        .format(t=tokens or portable.norm_tokens("text", SPARK))
     )
 
 
@@ -74,12 +76,14 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame, carry_cols: tuple = ()) -> DataFrame:
+def quality_score(documents: DataFrame, carry_cols: tuple = (),
+                  tokens_expr: str | None = None) -> DataFrame:
     """Deterministic quality heuristics: length band, alpha ratio,
     stopword ratio, mean word length. score in [0,1]. ``carry_cols``
     pass metadata columns (lang, source, ...) through the projection so
-    downstream rollups need no corpus-wide re-join."""
-    toks = portable.norm_tokens("text", SPARK)
+    downstream rollups need no corpus-wide re-join. ``tokens_expr``
+    names an already-staged token-array column (see _pieces_expr)."""
+    toks = tokens_expr or portable.norm_tokens("text", SPARK)
     sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
     n = F.expr(f"size({toks})").cast("double")
     n_sw = F.expr(f"size(filter({toks}, w -> w IN ({sw})))").cast("double")
@@ -157,7 +161,8 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
 
 
 def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
-                 n_buckets: int = 32) -> DataFrame:
+                 n_buckets: int = 32, pieces_col: str | None = None,
+                 carry_cols: tuple = ()) -> DataFrame:
     """Concat-and-chop packing placement — the standard LLM-pretraining
     packing (documents concatenated in a deterministic order, the token
     stream chopped into fixed ``max_tokens`` training chunks). Emits
@@ -173,19 +178,23 @@ def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
     it. Deterministic order within a bucket is doc_id. ``n_buckets``
     caps the window parallelism — size it to at least the cluster's
     shuffle partitions at scale (the 32 default fits local runs; a
-    1000-executor job wants thousands)."""
-    toks = F.expr(_pieces_expr())
+    1000-executor job wants thousands). ``pieces_col`` reuses an
+    already-computed piece-count column (curate_corpus); ``carry_cols``
+    thread metadata through the placement."""
+    pieces = (F.col(pieces_col) if pieces_col is not None
+              else F.expr(_pieces_expr()))
+    carry = [c for c in (carry_cols or ()) if c in documents.columns]
     sized = documents.select(
-        "doc_id",
+        "doc_id", *carry,
         (F.col("doc_id") % n_buckets).alias("bucket"),
-        toks.alias("n_pieces"),
+        pieces.alias("n_pieces"),
     )
     w = Window.partitionBy("bucket").orderBy("doc_id")
     return (
         sized
         .withColumn("start_off", F.sum("n_pieces").over(w) - F.col("n_pieces"))
         .select(
-            "doc_id", "bucket", "n_pieces", "start_off",
+            "doc_id", *carry, "bucket", "n_pieces", "start_off",
             F.floor(F.col("start_off") / max_tokens).cast("long").alias("first_chunk"),
             F.floor((F.col("start_off") + F.greatest(F.col("n_pieces"), F.lit(1)) - 1)
                     / max_tokens).cast("long").alias("last_chunk"),
@@ -193,45 +202,96 @@ def pack_offsets(documents: DataFrame, max_tokens: int = 2048,
     )
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
-    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
-    Language Models", App. A1.1 — the repetition family of filters),
-    token-based over the normalized token stream:
+# the full Gopher repetition-filter n-gram orders (Rae et al. App. A1.1):
+# top-{2,3,4}-gram and duplicated-{5..10}-gram
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_stats(documents: DataFrame,
+                     tokens_col: str | None = None) -> DataFrame:
+    """The FULL Gopher repetition-filter table (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1), over the normalized token
+    stream (char fractions use the space-joined normalized text, so
+    both engines measure the identical characters):
 
       * top_2gram_frac  — tokens covered by the single most frequent
-        bigram (count*2 / n_tokens); boilerplate pages score high;
+        bigram (count*2 / n_tokens) — kept from round 4;
       * dup_3gram_frac  — tokens covered by trigrams occurring more
-        than once (sum of duplicated-trigram occurrences * 3, capped at
-        n_tokens, / n_tokens);
-      * dup_sent_frac   — duplicated sentence fraction ('.'-split).
+        than once — kept from round 4;
+      * dup_sent_frac   — duplicated sentence fraction ('.'-split);
+      * top_{2,3,4}gram_char_frac — fraction of characters covered by
+        the most frequent n-gram (count * charlen / total chars; the
+        most-frequent pick tie-breaks on (count, charlen), under which
+        the covered-character product is unique);
+      * dup_{5..10}gram_char_frac — fraction of characters in
+        duplicate n-gram occurrences beyond each gram's first
+        ((count-1) * charlen summed over grams with count > 1, capped
+        at 1 — overlapping occurrences can double-count, the standard
+        set-based accounting).
 
-    Shape: one explode per n-gram order, per-doc groupBys — every
-    aggregation keys on (doc_id, gram) so it map-side combines and
-    scales like any grouped count; no cross-document state."""
-    toks = _tokens_col()
-    base = documents.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
-    base = base.localCheckpoint(eager=False)  # feeds 3 consumers once
-    sizes = base.select("doc_id", F.size("t").alias("n_tokens"))
-
-    def gram_counts(n):
-        grams = F.expr(
-            f"transform(sequence(1, size(t) - {n - 1}), "
-            f"i -> array_join(slice(t, i, {n}), ' '))"
-        )
-        return (
-            base.where(F.size("t") >= n)
-            .select("doc_id", F.explode(grams).alias("g"))
-            .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        )
-
-    top2 = (
-        gram_counts(2).groupBy("doc_id")
-        .agg(F.max("c").alias("top2_c"))
+    Shape: ONE generator pass builds (doc, n, gram) rows for all nine
+    orders (9x token-stream row inflation, same total as nine separate
+    explodes but a single corpus scan and ONE map-side-combined
+    groupBy keyed (doc_id, n, gram)); per-doc rollups are conditional
+    aggregations over the tiny per-(doc,n) table. No cross-document
+    state anywhere."""
+    all_ns = sorted(set(REP_TOP_NS) | set(REP_DUP_NS))
+    if tokens_col is None:
+        base = documents.select("doc_id", _tokens_col().alias("t"))
+        base = base.where(F.size("t") >= 1)
+        base = base.localCheckpoint(eager=False)  # feeds 3 consumers once
+    else:
+        # tokens already staged (and checkpointed) by the caller —
+        # re-checkpointing would materialize a second RDD copy
+        base = documents.select(
+            "doc_id", F.col(tokens_col).alias("t")
+        ).where(F.size("t") >= 1)
+    sizes = base.select(
+        "doc_id", F.size("t").alias("n_tokens"),
+        F.length(F.expr("array_join(t, ' ')")).alias("n_chars"),
     )
-    dup3 = (
-        gram_counts(3).where(F.col("c") > 1)
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("dup3_occ"))
+
+    ns_lit = "array(" + ", ".join(str(n) for n in all_ns) + ")"
+    counts = (
+        base.select("doc_id", "t", F.explode(F.expr(ns_lit)).alias("n"))
+        .select(
+            "doc_id", "n",
+            F.explode(
+                # CASE-guard short docs: sequence(1, 0) infers step -1
+                F.expr(
+                    "CASE WHEN size(t) >= n THEN "
+                    "transform(sequence(1, size(t) - n + 1), "
+                    "i -> array_join(slice(t, i, n), ' ')) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("max_c"),
+        # most-frequent gram's covered chars: max over (count, charlen)
+        # then count * charlen — unique under the tie-break
+        F.max(F.struct(F.col("c"), F.length("g").alias("l"))).alias("topcl"),
+        F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("dup_occ"),
+        F.sum(
+            F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g"))
+        ).alias("dup_chars"),
+    )
+
+    def pick(n, col):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    per_doc = per_n.groupBy("doc_id").agg(
+        pick(2, "max_c").alias("top2_c"),
+        pick(3, "dup_occ").alias("dup3_occ"),
+        *[
+            (pick(n, "topcl")["c"] * pick(n, "topcl")["l"]).alias(f"top{n}_chars")
+            for n in REP_TOP_NS
+        ],
+        *[pick(n, "dup_chars").alias(f"dup{n}_chars") for n in REP_DUP_NS],
     )
     sents = (
         base.select(
@@ -246,10 +306,18 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.size("ss").alias("n_sents"),
                 F.size(F.array_distinct("ss")).alias("n_uniq_sents"))
     )
+
+    def char_frac(col):
+        return F.round(
+            F.least(
+                F.coalesce(F.col(col), F.lit(0)) / F.greatest("n_chars", F.lit(1)),
+                F.lit(1.0),
+            ), 6,
+        )
+
     return (
         sizes
-        .join(top2, "doc_id", "left")
-        .join(dup3, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .join(sents, "doc_id", "left")
         .select(
             "doc_id", "n_tokens",
@@ -266,11 +334,20 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
                 (F.col("n_sents") - F.col("n_uniq_sents")) / F.greatest("n_sents", F.lit(1)),
                 6,
             ).alias("dup_sent_frac"),
+            *[
+                char_frac(f"top{n}_chars").alias(f"top_{n}gram_char_frac")
+                for n in REP_TOP_NS
+            ],
+            *[
+                char_frac(f"dup{n}_chars").alias(f"dup_{n}gram_char_frac")
+                for n in REP_DUP_NS
+            ],
         )
     )
 
 
-def mixing_plan(documents: DataFrame, target: dict | None = None) -> DataFrame:
+def mixing_plan(documents: DataFrame, target: dict | None = None,
+                pieces_col: str | None = None) -> DataFrame:
     """Source-mixing planner (DoReMi-style rebalancing, deterministic):
     per-source token shares and the down-sampling rate that moves the
     mix toward ``target`` (source -> desired share; default uniform
@@ -278,8 +355,10 @@ def mixing_plan(documents: DataFrame, target: dict | None = None) -> DataFrame:
     — only down-sampling, never up (duplication is a dedup problem, not
     a mixer's). One grouped aggregation; the tiny per-source table then
     gets its rates from a window over the total (source count is
-    bounded by contract — it is the GROUPING key of a curation run)."""
-    toks = F.expr(_pieces_expr())
+    bounded by contract — it is the GROUPING key of a curation run).
+    ``pieces_col`` reuses an already-computed piece-count column."""
+    toks = (F.col(pieces_col) if pieces_col is not None
+            else F.expr(_pieces_expr()))
     per_src = (
         documents.select("source", toks.alias("n_pieces"))
         .groupBy("source")
@@ -337,21 +416,38 @@ def benchmark_gram_keys(benchmark_texts, n: int = CONTAM_NGRAM) -> list:
     return sorted(keys)
 
 
+# above this many benchmark keys the IN-list plan literal stops being
+# "kilobytes riding the plan" and the screen switches to a broadcast
+# join automatically (the literal bloats plan serialization + codegen;
+# a broadcast hashmap is exactly what IN compiles to anyway, minus the
+# plan bloat)
+CONTAM_JOIN_THRESHOLD = 100_000
+
+
 def contamination_screen(documents: DataFrame, benchmark_texts,
-                         n: int = CONTAM_NGRAM) -> DataFrame:
+                         n: int = CONTAM_NGRAM,
+                         join_threshold: int = CONTAM_JOIN_THRESHOLD,
+                         tokens_col: str | None = None) -> DataFrame:
     """(doc_id, n_grams, n_hits, contaminated): how many of the doc's
-    n-grams appear in the benchmark key set. Keys ride as a plan
-    literal IN-set (kilobytes for real benchmark suites; swap to a
-    broadcast join above ~100k keys).
+    n-gram OCCURRENCES appear in the benchmark key set. Small key sets
+    (<= ``join_threshold``) ride as a plan-literal IN-set; larger ones
+    auto-switch to an exploded-gram broadcast join with identical
+    semantics (each gram hash matches at most one key, so the
+    per-occurrence count is preserved; docs with zero hits are kept by
+    the doc-level left join).
 
     Tokens are STAGED as a column before the gram lambda — referencing
     the raw norm_tokens expression inside the per-gram transform would
     re-run the whole tokenize regex chain once per gram (the lambda
     re-evaluation trap; measured ~10x+)."""
     keys = benchmark_gram_keys(benchmark_texts, n)
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # pushdown barrier: keep tokenize out of the lambda
+    if tokens_col is None:
+        staged = documents.select(
+            "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+        ).localCheckpoint(eager=False)  # barrier: keep tokenize out of the lambda
+    else:
+        # tokens already staged/checkpointed by the caller
+        staged = documents.select("doc_id", F.col(tokens_col).alias("t"))
     gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')", 1 << 30)
     # CASE-guard short docs: Spark sequence(1, 0) yields [1, 0] (step
     # inferred -1), which would feed slice() a 0 start and raise
@@ -360,9 +456,115 @@ def contamination_screen(documents: DataFrame, benchmark_texts,
         f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
         f"ELSE array() END"
     )
-    inlist = ", ".join(str(k) for k in keys) or "-1"
-    return staged.select(
+    base = staged.select(
         "doc_id",
         F.expr(f"greatest(0, size(t) - {n - 1})").cast("int").alias("n_grams"),
-        F.expr(f"size(filter({grams}, h -> h IN ({inlist})))").alias("n_hits"),
-    ).withColumn("contaminated", F.col("n_hits") > 0)
+        F.expr(grams).alias("gh"),
+    )
+    if len(keys) <= join_threshold:
+        inlist = ", ".join(str(k) for k in keys) or "-1"
+        out = base.select(
+            "doc_id", "n_grams",
+            F.expr(f"size(filter(gh, h -> h IN ({inlist})))").alias("n_hits"),
+        )
+    else:
+        spark = documents.sparkSession
+        keys_df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+        hits = (
+            base.select("doc_id", F.explode("gh").alias("h"))
+            .join(F.broadcast(keys_df), F.col("h").cast("long") == F.col("k"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+        )
+        out = (
+            base.select("doc_id", "n_grams")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "n_grams",
+                F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            )
+        )
+    return out.withColumn("contaminated", F.col("n_hits") > 0)
+
+
+def curate_corpus(documents: DataFrame, benchmark_texts,
+                  quality_min: float = 0.5, top2_max: float = 0.2,
+                  dup3_max: float = 0.3, max_tokens: int = 2048,
+                  n_buckets: int = 32, target: dict | None = None) -> DataFrame:
+    """The LLM-curation FLAGSHIP composition — what a 100 TB cleaning
+    run actually executes, as one plan:
+
+      quality filter -> Gopher repetition filter -> 13-gram
+      eval-contamination screen -> near-dup keep_map (LSH -> verify ->
+      connected components) -> source-mixing sample rates ->
+      concat-and-chop packing placement.
+
+    Output: one row per SURVIVING doc with its packing placement
+    (doc_id, source, quality, sample_rate, bucket, n_pieces,
+    start_off, first_chunk, last_chunk).
+
+    Scale shape — single scan for the per-doc stages: documents are
+    tokenized ONCE into a checkpointed (doc_id, source, text, t,
+    n_pieces) stage; quality, repetition, contamination, AND the dedup
+    keep_map all consume that stage (zero re-reads of the source
+    table; the checkpoint is also the pushdown barrier that keeps the
+    tokenize out of every per-gram lambda). The survivor joins are
+    co-partitioned on doc_id; the mixing rates broadcast (per-source
+    table is bounded by contract); sampling is a deterministic
+    portable-hash Bernoulli keep (md5_unit(doc_id) < rate), so the
+    whole composition is reproducible in the SQL oracle row-for-row.
+    The reference analogue is the chained preprocess -> tokenize ->
+    score lifecycle (deepref/framework/train.py:91-124) — here the
+    chained stages are the curation operators."""
+    from deepref_spark.operators.dedup import near_dup_keep_map
+
+    staged = (
+        documents.select(
+            "doc_id", "source", "text",
+            F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+        )
+        .withColumn("n_pieces", F.expr(_pieces_expr("t")))
+        .localCheckpoint(eager=False)  # THE single scan of documents
+    )
+    qual = quality_score(staged, tokens_expr="t").select("doc_id", "quality")
+    rep = repetition_stats(staged, tokens_col="t").select(
+        "doc_id", "top_2gram_frac", "dup_3gram_frac"
+    )
+    con = contamination_screen(staged, benchmark_texts, tokens_col="t").select(
+        "doc_id", "contaminated"
+    )
+    keep = near_dup_keep_map(staged.select("doc_id", "text"))
+    survivors = (
+        staged.select("doc_id", "source", "n_pieces")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(con, "doc_id")
+        .join(keep, "doc_id")
+        .where(
+            (F.col("quality") >= quality_min)
+            & (F.col("top_2gram_frac") <= top2_max)
+            & (F.col("dup_3gram_frac") <= dup3_max)
+            & (~F.col("contaminated"))
+            & (F.col("doc_id") == F.col("keep_doc_id"))
+        )
+        .select("doc_id", "source", "n_pieces", "quality")
+        .localCheckpoint(eager=False)  # feeds the mixer AND the packer
+    )
+    rates = F.broadcast(
+        mixing_plan(survivors, target=target, pieces_col="n_pieces")
+        .select("source", "sample_rate")
+    )
+    sampled = (
+        survivors.join(rates, "source")
+        .where(
+            F.expr(portable.md5_unit("CAST(doc_id AS STRING)"))
+            < F.col("sample_rate")
+        )
+    )
+    return pack_offsets(
+        sampled, max_tokens=max_tokens, n_buckets=n_buckets,
+        pieces_col="n_pieces", carry_cols=("source", "quality", "sample_rate"),
+    ).select(
+        "doc_id", "source", "quality", "sample_rate", "bucket",
+        "n_pieces", "start_off", "first_chunk", "last_chunk",
+    )

@@ -477,6 +477,50 @@ def test_repetition_stats_planted(spark):
     assert out[4]["top_2gram_frac"] <= round(2 / 7, 6)  # any single bigram once
     assert out[4]["dup_3gram_frac"] == 0.0
     assert out[4]["dup_sent_frac"] == 0.0
+    # --- full Gopher char-fraction columns (round-5 extension) ---
+    # doc1 joined text = 'spam ham' x6 = 53 chars; 'spam ham' (8 chars)
+    # occurs 6x -> 48/53 of characters; dup-5grams over-cover (cap 1);
+    # the duplicated 10-gram is 'spam ham' x5 = 44 chars once beyond
+    # its first occurrence
+    assert out[1]["top_2gram_char_frac"] == round(48 / 53, 6)
+    assert out[1]["dup_5gram_char_frac"] == 1.0
+    assert out[1]["dup_10gram_char_frac"] == round(44 / 53, 6)
+    # doc2: 'alpha beta gamma' (16 chars) twice of 39 chars total; no
+    # duplicated 5-gram exists
+    assert out[2]["top_3gram_char_frac"] == round(32 / 39, 6)
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    # clean doc: every dup char fraction is exactly 0
+    for n in (5, 6, 7, 8, 9, 10):
+        assert out[4][f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_contamination_join_path_matches_literal(spark):
+    """The auto-gated key-set representation: forcing the key count
+    over the threshold (join_threshold=0) must switch the screen to
+    the exploded-gram broadcast join and produce IDENTICAL rows to the
+    plan-literal IN-list path — including per-occurrence hit counts
+    and zero-hit docs kept by the left join."""
+    from deepref_spark.operators.text_analysis import contamination_screen
+    from deepref_spark.queries import documents
+
+    docs = documents(spark, "/root/testdata/sf0.001").limit(60)
+    bench = [
+        r["text"] for r in docs.where("doc_id < 3").orderBy("doc_id").collect()
+    ]
+    lit_rows = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in contamination_screen(docs, bench).collect()
+    }
+    joined = contamination_screen(docs, bench, join_threshold=0)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    join_rows = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in joined.collect()
+    }
+    assert join_rows == lit_rows
+    assert any(v[1] > 0 for v in join_rows.values())  # positives exercised
+    assert any(v[1] == 0 for v in join_rows.values())  # zero-hit docs kept
 
 
 def test_mixing_plan_and_contamination(spark):
@@ -526,3 +570,64 @@ def test_mixing_plan_and_contamination(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
     assert not out[2]["contaminated"]
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_curate_pipeline_single_scan_and_drops(spark):
+    """The curation flagship composition: (a) single-scan evidence —
+    every per-doc stage consumes the one staged checkpoint, so the
+    FINAL plan contains zero parquet re-scans of the documents table
+    (the only source scan happens materializing the stage); (b) each
+    filter actually drops its planted offender while clean docs
+    survive, keep the representative of a near-dup pair, and packing
+    is gapless per bucket."""
+    import pyspark.sql.functions as F
+
+    from deepref_spark.operators.text_analysis import curate_corpus
+
+    # stopword-interleaved unique words: every bigram/trigram occurs
+    # once, stopword ratio ~0.5, length > 10 -> passes every filter
+    def clean(prefix, n=30):
+        sws = ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"]
+        return " ".join(f"{sws[i % 10]} {prefix}{i}" for i in range(n))
+
+    bench = "the apple and banana of cherry to date in elder is fig that grape"
+    rows = [
+        # clean survivors, two sources
+        (10, "web", clean("w")),
+        (11, "books", clean("v")),
+        # low quality: short, digit-heavy, no stopwords
+        (12, "web", "z9 q8 7 7"),
+        # boilerplate: one bigram repeated (top_2gram_frac ~1)
+        (13, "web", "spam ham " * 40),
+        # contaminated: contains the benchmark 13-gram verbatim, all
+        # other n-gram / quality filters pass
+        (14, "web", bench + " " + clean("u", 14)),
+        # near-dup pair: 15 should keep, 16 drop (keep = component min)
+        (15, "web", clean("d")),
+        (16, "web", clean("d")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # target = the surviving token shares (web keeps 2 docs, books 1),
+    # so every sample_rate is 1.0 and the drop assertions below
+    # isolate the FILTER stages (the sampler itself is oracle-checked
+    # row-for-row in text_curate_pipeline)
+    out = curate_corpus(docs, [bench], target={"web": 2 / 3, "books": 1 / 3})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), "documents re-scanned past the stage"
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 10 in got and 11 in got, got.keys()
+    assert 12 not in got  # quality filter
+    assert 13 not in got  # repetition filter
+    assert 14 not in got  # contamination screen
+    assert 16 not in got  # near-dup: only the representative survives
+    assert 15 in got
+    # packing placement is gapless within each bucket
+    by_bucket = {}
+    for r in got.values():
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows_b in by_bucket.values():
+        rows_b.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rows_b:
+            assert r["start_off"] == off
+            off += r["n_pieces"]

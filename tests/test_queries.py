@@ -32,8 +32,10 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, duck, registry, name):
+    from deepref_spark.queries import oracle_sql_for
+
     ok, detail = compare_query(
-        spark, duck, registry[name]["spark"], registry[name]["oracle"], SF
+        spark, duck, registry[name]["spark"], oracle_sql_for(name), SF
     )
     assert ok, f"{name}: {detail}"
 
@@ -145,3 +147,22 @@ def test_driver_window_is_all_oracle_bearing(registry):
     # rows-only queries all registered past the window
     rows_only = [n for n in names if registry[n]["oracle"] is None]
     assert all(names.index(n) >= 50 for n in rows_only)
+
+
+def test_queries_import_is_io_free():
+    """`import deepref_spark.queries` must not import duckdb or read
+    the vocab artifact (round-4 advice): oracles needing a duckdb
+    probe or file I/O are declared as callables and resolved lazily
+    by oracle_sql_for."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import sys; import deepref_spark.queries; "
+        "sys.exit(1 if 'duckdb' in sys.modules else 0)"
+    )
+    repo = str(Path(__file__).resolve().parent.parent)
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                       env={"PYTHONPATH": repo, "PATH": "/usr/bin:/bin"})
+    assert r.returncode == 0, "duckdb was imported at queries import time"
