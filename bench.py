@@ -61,8 +61,10 @@ HEADLINE = [
     "text_repetition",
     "text_mixing_plan",
     "text_contamination",
-    # round-5 addition: the composed LLM-curation flagship
+    # round-5 additions: the composed LLM-curation flagship + the
+    # Gopher quality-filter table
     "text_curate_pipeline",
+    "text_gopher_quality",
 ]
 
 

@@ -568,3 +568,74 @@ def curate_corpus(documents: DataFrame, benchmark_texts,
         "doc_id", "source", "quality", "sample_rate", "bucket",
         "n_pieces", "start_off", "first_chunk", "last_chunk",
     )
+
+
+# Gopher non-repetition quality-filter bounds (Rae et al. 2021 App.
+# A1.1, the "quality filtering" family): word count, mean word length,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, minimum stop-word hits
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """The Gopher QUALITY filter table (the non-repetition half of
+    App. A1.1; repetition_stats is the other half): per-doc signals
+    plus the composite pass flag, over RAW whitespace words (Gopher
+    filters run before normalization — token-level stats live in
+    quality_score):
+
+      * n_words, mean_word_len — doc in [50, 100k] words with mean
+        word length in [3, 10];
+      * symbol_ratio — '#' or '...' occurrences per word, < 0.1;
+      * bullet_line_frac / ellipsis_line_frac — lines starting with a
+        bullet (< 90%) / ending with an ellipsis (< 30%);
+      * alpha_word_frac — words containing >= 1 alphabetic char
+        (>= 80%);
+      * stopword_hits — distinct Gopher stop words present (>= 2).
+
+    One projection, all built-in expressions (whole-stage codegen);
+    raw words staged as a column so no split runs inside a lambda."""
+    staged = documents.select(
+        "doc_id", "text",
+        F.expr(r"split(trim(text), '\\s+')").alias("w"),
+        F.expr(r"split(text, '\\n')").alias("lines"),
+    )
+    n = F.greatest(F.size("w"), F.lit(1)).cast("double")
+    n_lines = F.greatest(F.size("lines"), F.lit(1)).cast("double")
+    sw_hits = F.expr(
+        "size(filter(array({}), s -> array_contains(w, s)))".format(
+            ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+        )
+    )
+    symbols = (
+        F.expr("size(split(text, '#')) - 1")
+        + F.expr(r"size(split(text, '\\.\\.\\.')) - 1")
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))") / n, 6
+        ).alias("mean_word_len"),
+        F.round(symbols / n, 6).alias("symbol_ratio"),
+        F.round(
+            F.expr("size(filter(lines, l -> trim(l) rlike '^([*-]|•)'))") / n_lines, 6
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.expr(r"size(filter(lines, l -> trim(l) rlike '\\.\\.\\.$'))") / n_lines, 6
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            F.expr("size(filter(w, x -> x rlike '[A-Za-z]'))") / n, 6
+        ).alias("alpha_word_frac"),
+        sw_hits.cast("int").alias("stopword_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2),
+    )

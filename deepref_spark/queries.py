@@ -2793,6 +2793,59 @@ def _curate_sample_hash() -> str:
     return md5_mod("CAST(doc_id AS VARCHAR)", 100000)
 
 
+def _gopher_quality_oracle() -> str:
+    from deepref_spark.operators.text_analysis import GOPHER_STOPWORDS
+
+    sws = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return r"""
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / greatest(len(w), 1), 6) AS mean_word_len,
+         round((len(string_split(text, '#')) - 1
+                + len(string_split(text, '...')) - 1) * 1.0
+               / greatest(len(w), 1), 6) AS symbol_ratio,
+         round(len(list_filter(lines, l -> regexp_matches(trim(l), '^([*-]|""" + "•" + r""")'))) * 1.0
+               / greatest(len(lines), 1), 6) AS bullet_line_frac,
+         round(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) * 1.0
+               / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+         round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(w), 1), 6) AS alpha_word_frac,
+         CAST(len(list_filter([""" + sws + r"""], s -> list_contains(w, s))) AS INT) AS stopword_hits
+  FROM staged
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1
+        AND bullet_line_frac < 0.9
+        AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS passes
+FROM sig
+"""
+
+
+@q("text_gopher_quality", _gopher_quality_oracle())
+def text_gopher_quality(spark, sf_dir):
+    """The Gopher QUALITY filter table (Rae et al. App. A1.1, the
+    non-repetition half): word-count/mean-word-length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, stop-word presence, and the composite
+    pass flag — per doc, over raw whitespace words. One projection,
+    all JVM expressions."""
+    from deepref_spark.operators.text_analysis import gopher_quality
+
+    return gopher_quality(documents(spark, sf_dir))
+
+
 @q("text_curate_pipeline", _curate_oracle())
 def text_curate_pipeline(spark, sf_dir):
     """The LLM-curation FLAGSHIP composition (curate_corpus): quality
@@ -2839,7 +2892,7 @@ _WINDOW_TAIL = [
     # (parked r5, making room for the six round-4 operators + the
     # round-5 curate flagship): green in the driver artifact r1-r4
     "kg_confusion", "kg_bag_group", "kg_cv_folds", "kg_ablation_summary",
-    "kg_preproc_p", "kg_preproc_d", "kg_auc",
+    "kg_preproc_p", "kg_preproc_d", "kg_auc", "kg_pr_curve",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

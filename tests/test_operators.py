@@ -631,3 +631,31 @@ def test_curate_pipeline_single_scan_and_drops(spark):
         for r in rows_b:
             assert r["start_off"] == off
             off += r["n_pieces"]
+
+
+def test_gopher_quality_planted(spark):
+    """Gopher non-repetition quality filters on planted offenders: a
+    good doc passes; symbol-heavy, bullet-list, ellipsis-heavy,
+    non-alpha, and stopword-free docs each fail their specific rule."""
+    from deepref_spark.operators.text_analysis import gopher_quality
+
+    good = ("the quality of this document is fine and it has words that "
+            "carry meaning with some length to be clear about things "
+            + "extra words keep the count above fifty for the bounds "
+            + " ".join(f"word{i} more of the text and that have with be to" for i in range(4)))
+    rows = [
+        (1, good),
+        (2, "# " * 60 + good),                     # symbol ratio >= 0.1
+        (3, "\n".join("* bullet item here" for _ in range(10))),   # bullets
+        (4, "\n".join("trailing line ..." for _ in range(10))),    # ellipses
+        (5, " ".join("123" for _ in range(60))),   # no alphabetic words
+        (6, " ".join(f"w{i}" for i in range(60))), # no stop words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["passes"], out[1]
+    assert not out[2]["passes"] and out[2]["symbol_ratio"] >= 0.1
+    assert not out[3]["passes"] and out[3]["bullet_line_frac"] >= 0.9
+    assert not out[4]["passes"] and out[4]["ellipsis_line_frac"] >= 0.3
+    assert not out[5]["passes"] and out[5]["alpha_word_frac"] < 0.8
+    assert not out[6]["passes"] and out[6]["stopword_hits"] < 2
