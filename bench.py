@@ -239,8 +239,16 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
     if repeats is None:
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     attempts: dict[int, list[dict]] = {low: [], high: []}
+    child_loads: list[float] = []
     for _ in range(repeats):
         for cores in (low, high):
+            # per-CHILD calm wait (round 5): interleaving + best-of only
+            # de-noises if at least one window per config is actually
+            # calm — on a bursty day every window can be dirty (measured
+            # 1.9x run-to-run spread at the same core count). Bounded
+            # wait before EACH child maximizes clean-window odds; the
+            # observed start loads are recorded in the result.
+            child_loads.append(wait_for_calm()["load_at_start"])
             env = dict(os.environ)
             env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                        MKL_NUM_THREADS="1")
@@ -274,6 +282,9 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
         "repeats": repeats,
         "all_docs_per_sec": {str(c): [d["docs_per_sec"] for d in runs]
                              for c, runs in attempts.items()},
+        # load observed at each child launch (after the bounded calm
+        # wait) — self-interpreting like the headline capture
+        "child_start_loads": child_loads,
     }
 
 

@@ -209,7 +209,9 @@ REP_DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
 def repetition_stats(documents: DataFrame,
-                     tokens_col: str | None = None) -> DataFrame:
+                     tokens_col: str | None = None,
+                     orders: tuple | None = None,
+                     include_sentences: bool = True) -> DataFrame:
     """The FULL Gopher repetition-filter table (Rae et al. 2021,
     "Scaling Language Models", App. A1.1), over the normalized token
     stream (char fractions use the space-joined normalized text, so
@@ -235,8 +237,20 @@ def repetition_stats(documents: DataFrame,
     explodes but a single corpus scan and ONE map-side-combined
     groupBy keyed (doc_id, n, gram)); per-doc rollups are conditional
     aggregations over the tiny per-(doc,n) table. No cross-document
-    state anywhere."""
-    all_ns = sorted(set(REP_TOP_NS) | set(REP_DUP_NS))
+    state anywhere.
+
+    ``orders`` restricts the computed n-gram orders (must include 2
+    and 3; char-fraction columns are emitted only for the retained
+    orders) and ``include_sentences=False`` drops the sentence stage —
+    curate_corpus passes orders=(2, 3) because its filter reads only
+    the two token fractions, cutting the generator inflation from 9x
+    to 2x of the token stream."""
+    all_ns = (sorted(set(REP_TOP_NS) | set(REP_DUP_NS)) if orders is None
+              else sorted(set(orders)))
+    if not {2, 3} <= set(all_ns):
+        raise ValueError("repetition orders must include 2 and 3")
+    top_ns = [n for n in REP_TOP_NS if n in all_ns]
+    dup_ns = [n for n in REP_DUP_NS if n in all_ns]
     if tokens_col is None:
         base = documents.select("doc_id", _tokens_col().alias("t"))
         base = base.where(F.size("t") >= 1)
@@ -289,11 +303,11 @@ def repetition_stats(documents: DataFrame,
         pick(3, "dup_occ").alias("dup3_occ"),
         *[
             (pick(n, "topcl")["c"] * pick(n, "topcl")["l"]).alias(f"top{n}_chars")
-            for n in REP_TOP_NS
+            for n in top_ns
         ],
-        *[pick(n, "dup_chars").alias(f"dup{n}_chars") for n in REP_DUP_NS],
+        *[pick(n, "dup_chars").alias(f"dup{n}_chars") for n in dup_ns],
     )
-    sents = (
+    sents = None if not include_sentences else (
         base.select(
             "doc_id",
             # strip the trailing ' .' first: the separator needs spaces
@@ -315,10 +329,17 @@ def repetition_stats(documents: DataFrame,
             ), 6,
         )
 
+    joined = sizes.join(per_doc, "doc_id", "left")
+    if include_sentences:
+        joined = joined.join(sents, "doc_id", "left")
+    sent_cols = [
+        F.round(
+            (F.col("n_sents") - F.col("n_uniq_sents")) / F.greatest("n_sents", F.lit(1)),
+            6,
+        ).alias("dup_sent_frac"),
+    ] if include_sentences else []
     return (
-        sizes
-        .join(per_doc, "doc_id", "left")
-        .join(sents, "doc_id", "left")
+        joined
         .select(
             "doc_id", "n_tokens",
             F.round(
@@ -330,17 +351,14 @@ def repetition_stats(documents: DataFrame,
                     F.lit(1.0),
                 ), 6
             ).alias("dup_3gram_frac"),
-            F.round(
-                (F.col("n_sents") - F.col("n_uniq_sents")) / F.greatest("n_sents", F.lit(1)),
-                6,
-            ).alias("dup_sent_frac"),
+            *sent_cols,
             *[
                 char_frac(f"top{n}_chars").alias(f"top_{n}gram_char_frac")
-                for n in REP_TOP_NS
+                for n in top_ns
             ],
             *[
                 char_frac(f"dup{n}_chars").alias(f"dup_{n}gram_char_frac")
-                for n in REP_DUP_NS
+                for n in dup_ns
             ],
         )
     )
@@ -527,9 +545,12 @@ def curate_corpus(documents: DataFrame, benchmark_texts,
         .localCheckpoint(eager=False)  # THE single scan of documents
     )
     qual = quality_score(staged, tokens_expr="t").select("doc_id", "quality")
-    rep = repetition_stats(staged, tokens_col="t").select(
-        "doc_id", "top_2gram_frac", "dup_3gram_frac"
-    )
+    # the curation filter reads only the two token fractions: restrict
+    # the repetition stage to orders (2, 3) and skip the sentence pass
+    # — 2x token-stream inflation instead of the full table's 9x
+    rep = repetition_stats(
+        staged, tokens_col="t", orders=(2, 3), include_sentences=False
+    ).select("doc_id", "top_2gram_frac", "dup_3gram_frac")
     con = contamination_screen(staged, benchmark_texts, tokens_col="t").select(
         "doc_id", "contaminated"
     )
