@@ -76,14 +76,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame, carry_cols: tuple = (),
-                  tokens_expr: str | None = None) -> DataFrame:
-    """Deterministic quality heuristics: length band, alpha ratio,
-    stopword ratio, mean word length. score in [0,1]. ``carry_cols``
-    pass metadata columns (lang, source, ...) through the projection so
-    downstream rollups need no corpus-wide re-join. ``tokens_expr``
-    names an already-staged token-array column (see _pieces_expr)."""
-    toks = tokens_expr or portable.norm_tokens("text", SPARK)
+def _quality_cols(toks: str) -> dict:
+    """The quality-heuristic output columns (name -> unaliased Column)
+    over a token-array expression — ONE definition shared by
+    quality_score and curate_corpus, so the flagship composition can
+    compute `quality` INLINE on its staged scan (a projection needs no
+    join) without risking drift from the standalone query."""
     sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
     n = F.expr(f"size({toks})").cast("double")
     n_sw = F.expr(f"size(filter({toks}, w -> w IN ({sw})))").cast("double")
@@ -100,13 +98,27 @@ def quality_score(documents: DataFrame, carry_cols: tuple = (),
         + 0.25 * F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
         + 0.25 * alpha_ratio
     )
+    return {
+        "n_tokens": n.cast("int"),
+        "stopword_ratio": F.round(sw_ratio, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_score(documents: DataFrame, carry_cols: tuple = (),
+                  tokens_expr: str | None = None) -> DataFrame:
+    """Deterministic quality heuristics: length band, alpha ratio,
+    stopword ratio, mean word length. score in [0,1]. ``carry_cols``
+    pass metadata columns (lang, source, ...) through the projection so
+    downstream rollups need no corpus-wide re-join. ``tokens_expr``
+    names an already-staged token-array column (see _pieces_expr)."""
+    toks = tokens_expr or portable.norm_tokens("text", SPARK)
+    cols = _quality_cols(toks)
     carry = [c for c in (carry_cols or ()) if c in documents.columns]
     return documents.select(
         "doc_id", *carry,
-        n.cast("int").alias("n_tokens"),
-        F.round(sw_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality"),
+        *[col.alias(name) for name, col in cols.items()],
     )
 
 
@@ -442,6 +454,22 @@ def benchmark_gram_keys(benchmark_texts, n: int = CONTAM_NGRAM) -> list:
 CONTAM_JOIN_THRESHOLD = 100_000
 
 
+def _contam_hits_expr(t: str, keys, n: int = CONTAM_NGRAM) -> str:
+    """Inline n-hit count over a STAGED token-array column ``t`` for a
+    plan-literal key set — shared by contamination_screen's small-key
+    path and curate_corpus (where inlining makes contamination a
+    projection on the staged scan instead of a corpus-wide join). The
+    CASE guards short docs: sequence(1, 0) infers step -1 and yields
+    [1, 0], feeding slice() an invalid 0 start."""
+    gram_hash = portable.md5_mod(f"array_join(slice({t}, i, {n}), ' ')", 1 << 30)
+    inlist = ", ".join(str(k) for k in keys) or "-1"
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"size(filter(transform(sequence(1, size({t}) - {n - 1}), i -> {gram_hash}), "
+        f"h -> h IN ({inlist}))) ELSE 0 END"
+    )
+
+
 def contamination_screen(documents: DataFrame, benchmark_texts,
                          n: int = CONTAM_NGRAM,
                          join_threshold: int = CONTAM_JOIN_THRESHOLD,
@@ -466,26 +494,26 @@ def contamination_screen(documents: DataFrame, benchmark_texts,
     else:
         # tokens already staged/checkpointed by the caller
         staged = documents.select("doc_id", F.col(tokens_col).alias("t"))
-    gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')", 1 << 30)
-    # CASE-guard short docs: Spark sequence(1, 0) yields [1, 0] (step
-    # inferred -1), which would feed slice() a 0 start and raise
-    grams = (
-        f"CASE WHEN size(t) >= {n} THEN "
-        f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
-        f"ELSE array() END"
-    )
-    base = staged.select(
-        "doc_id",
-        F.expr(f"greatest(0, size(t) - {n - 1})").cast("int").alias("n_grams"),
-        F.expr(grams).alias("gh"),
-    )
     if len(keys) <= join_threshold:
-        inlist = ", ".join(str(k) for k in keys) or "-1"
-        out = base.select(
-            "doc_id", "n_grams",
-            F.expr(f"size(filter(gh, h -> h IN ({inlist})))").alias("n_hits"),
+        out = staged.select(
+            "doc_id",
+            F.expr(f"greatest(0, size(t) - {n - 1})").cast("int").alias("n_grams"),
+            F.expr(_contam_hits_expr("t", keys, n)).alias("n_hits"),
         )
     else:
+        gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')", 1 << 30)
+        # CASE-guard short docs: Spark sequence(1, 0) yields [1, 0]
+        # (step inferred -1), which would feed slice() a 0 start and raise
+        grams = (
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
+            f"ELSE array() END"
+        )
+        base = staged.select(
+            "doc_id",
+            F.expr(f"greatest(0, size(t) - {n - 1})").cast("int").alias("n_grams"),
+            F.expr(grams).alias("gh"),
+        )
         spark = documents.sparkSession
         keys_df = spark.createDataFrame([(int(k),) for k in keys], "k long")
         hits = (
@@ -526,8 +554,14 @@ def curate_corpus(documents: DataFrame, benchmark_texts,
     n_pieces) stage; quality, repetition, contamination, AND the dedup
     keep_map all consume that stage (zero re-reads of the source
     table; the checkpoint is also the pushdown barrier that keeps the
-    tokenize out of every per-gram lambda). The survivor joins are
-    co-partitioned on doc_id; the mixing rates broadcast (per-source
+    tokenize out of every per-gram lambda). Per-doc signals that are
+    pure projections — quality, and contamination when the key set
+    rides as a plan literal — are computed INLINE on the staged scan
+    (zero shuffle; round-4's version built them as separate DataFrames
+    and shuffle-joined the corpus back to itself on doc_id, twice).
+    Only the stages that inherently aggregate or cross documents join
+    back: repetition (grouped agg) and the near-dup keep map, both
+    co-partitioned on doc_id. The mixing rates broadcast (per-source
     table is bounded by contract); sampling is a deterministic
     portable-hash Bernoulli keep (md5_unit(doc_id) < rate), so the
     whole composition is reproducible in the SQL oracle row-for-row.
@@ -544,22 +578,31 @@ def curate_corpus(documents: DataFrame, benchmark_texts,
         .withColumn("n_pieces", F.expr(_pieces_expr("t")))
         .localCheckpoint(eager=False)  # THE single scan of documents
     )
-    qual = quality_score(staged, tokens_expr="t").select("doc_id", "quality")
+    keys = benchmark_gram_keys(benchmark_texts)
+    per_doc = staged.select(
+        "doc_id", "source", "n_pieces",
+        _quality_cols("t")["quality"].alias("quality"),
+        *([(F.expr(_contam_hits_expr("t", keys)) > 0).alias("contaminated")]
+          if len(keys) <= CONTAM_JOIN_THRESHOLD else []),
+    )
+    if len(keys) > CONTAM_JOIN_THRESHOLD:
+        # large key sets need the broadcast-join screen (same auto-gate
+        # as the standalone query); the corpus side is the staged scan
+        per_doc = per_doc.join(
+            contamination_screen(staged, benchmark_texts, tokens_col="t")
+            .select("doc_id", "contaminated"),
+            "doc_id",
+        )
     # the curation filter reads only the two token fractions: restrict
     # the repetition stage to orders (2, 3) and skip the sentence pass
     # — 2x token-stream inflation instead of the full table's 9x
     rep = repetition_stats(
         staged, tokens_col="t", orders=(2, 3), include_sentences=False
     ).select("doc_id", "top_2gram_frac", "dup_3gram_frac")
-    con = contamination_screen(staged, benchmark_texts, tokens_col="t").select(
-        "doc_id", "contaminated"
-    )
     keep = near_dup_keep_map(staged.select("doc_id", "text"))
     survivors = (
-        staged.select("doc_id", "source", "n_pieces")
-        .join(qual, "doc_id")
+        per_doc
         .join(rep, "doc_id")
-        .join(con, "doc_id")
         .join(keep, "doc_id")
         .where(
             (F.col("quality") >= quality_min)
