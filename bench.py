@@ -65,6 +65,8 @@ HEADLINE = [
     # Gopher quality-filter table
     "text_curate_pipeline",
     "text_gopher_quality",
+    "text_c4_filters",
+    "text_pii_mask",
 ]
 
 
@@ -269,6 +271,18 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
     calib_lo = min(d["calib_sec"] for d in attempts[low])
     calib_hi = min(d["calib_sec"] for d in attempts[high])
     host_envelope = calib_lo / (4 * calib_hi)
+    # WITHIN-REPEAT paired ratios: best-of-per-config silently assumes
+    # both configs eventually draw equally clean windows; on a host
+    # with a persistent outside workload the config that catches the
+    # one calm window makes the OTHER config look bad (measured r5:
+    # calm 2-core + dirty 8-core windows -> 0.77 "raw" while every
+    # same-window pair scored 0.79-0.85). A repeat's low/high children
+    # run back-to-back in the same load regime, so the per-repeat
+    # ratio is the less-biased estimate; report best-of those too.
+    paired = [
+        round(h["docs_per_sec"] / (4 * l["docs_per_sec"]), 4)
+        for l, h in zip(attempts[low], attempts[high])
+    ]
     return {
         "metric": f"scaling_efficiency_{low}_to_{high}",
         "value": round(raw_eff, 4),
@@ -278,6 +292,8 @@ def run_scaling(n_docs: int = 20000, low: int = 2, high: int = 8,
         f"docs_per_sec_{high}": t_hi,
         "host_envelope_efficiency": round(host_envelope, 4),
         "pipeline_vs_envelope": round(raw_eff / host_envelope, 4) if host_envelope else None,
+        "paired_ratios": paired,
+        "best_paired": max(paired) if paired else None,
         "docs": n_docs,
         "repeats": repeats,
         "all_docs_per_sec": {str(c): [d["docs_per_sec"] for d in runs]

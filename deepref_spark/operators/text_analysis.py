@@ -533,41 +533,23 @@ def contamination_screen(documents: DataFrame, benchmark_texts,
     return out.withColumn("contaminated", F.col("n_hits") > 0)
 
 
-def curate_corpus(documents: DataFrame, benchmark_texts,
-                  quality_min: float = 0.5, top2_max: float = 0.2,
-                  dup3_max: float = 0.3, max_tokens: int = 2048,
-                  n_buckets: int = 32, target: dict | None = None) -> DataFrame:
-    """The LLM-curation FLAGSHIP composition — what a 100 TB cleaning
-    run actually executes, as one plan:
+def _curate_signals(documents: DataFrame, benchmark_texts) -> DataFrame:
+    """The per-doc curation signal frame shared by curate_corpus (which
+    filters on it) and curation_funnel (which aggregates it): one row
+    per doc with (doc_id, source, n_pieces, quality, contaminated,
+    top_2gram_frac, dup_3gram_frac, keep_doc_id).
 
-      quality filter -> Gopher repetition filter -> 13-gram
-      eval-contamination screen -> near-dup keep_map (LSH -> verify ->
-      connected components) -> source-mixing sample rates ->
-      concat-and-chop packing placement.
-
-    Output: one row per SURVIVING doc with its packing placement
-    (doc_id, source, quality, sample_rate, bucket, n_pieces,
-    start_off, first_chunk, last_chunk).
-
-    Scale shape — single scan for the per-doc stages: documents are
-    tokenized ONCE into a checkpointed (doc_id, source, text, t,
-    n_pieces) stage; quality, repetition, contamination, AND the dedup
-    keep_map all consume that stage (zero re-reads of the source
-    table; the checkpoint is also the pushdown barrier that keeps the
-    tokenize out of every per-gram lambda). Per-doc signals that are
-    pure projections — quality, and contamination when the key set
-    rides as a plan literal — are computed INLINE on the staged scan
-    (zero shuffle; round-4's version built them as separate DataFrames
-    and shuffle-joined the corpus back to itself on doc_id, twice).
-    Only the stages that inherently aggregate or cross documents join
-    back: repetition (grouped agg) and the near-dup keep map, both
-    co-partitioned on doc_id. The mixing rates broadcast (per-source
-    table is bounded by contract); sampling is a deterministic
-    portable-hash Bernoulli keep (md5_unit(doc_id) < rate), so the
-    whole composition is reproducible in the SQL oracle row-for-row.
-    The reference analogue is the chained preprocess -> tokenize ->
-    score lifecycle (deepref/framework/train.py:91-124) — here the
-    chained stages are the curation operators."""
+    Single scan for the per-doc stages: documents are tokenized ONCE
+    into a checkpointed (doc_id, source, text, t, n_pieces) stage;
+    quality, repetition, contamination, AND the dedup keep_map all
+    consume that stage (zero re-reads of the source table; the
+    checkpoint is also the pushdown barrier that keeps the tokenize
+    out of every per-gram lambda). Per-doc signals that are pure
+    projections — quality, and contamination when the key set rides as
+    a plan literal — are computed INLINE on the staged scan (zero
+    shuffle). Only the stages that inherently aggregate or cross
+    documents join back: repetition (grouped agg) and the near-dup
+    keep map, both co-partitioned on doc_id."""
     from deepref_spark.operators.dedup import near_dup_keep_map
 
     staged = (
@@ -600,10 +582,38 @@ def curate_corpus(documents: DataFrame, benchmark_texts,
         staged, tokens_col="t", orders=(2, 3), include_sentences=False
     ).select("doc_id", "top_2gram_frac", "dup_3gram_frac")
     keep = near_dup_keep_map(staged.select("doc_id", "text"))
+    return per_doc.join(rep, "doc_id").join(keep, "doc_id")
+
+
+def curate_corpus(documents: DataFrame, benchmark_texts,
+                  quality_min: float = 0.5, top2_max: float = 0.2,
+                  dup3_max: float = 0.3, max_tokens: int = 2048,
+                  n_buckets: int = 32, target: dict | None = None) -> DataFrame:
+    """The LLM-curation FLAGSHIP composition — what a 100 TB cleaning
+    run actually executes, as one plan:
+
+      quality filter -> Gopher repetition filter -> 13-gram
+      eval-contamination screen -> near-dup keep_map (LSH -> verify ->
+      connected components) -> source-mixing sample rates ->
+      concat-and-chop packing placement.
+
+    Output: one row per SURVIVING doc with its packing placement
+    (doc_id, source, quality, sample_rate, bucket, n_pieces,
+    start_off, first_chunk, last_chunk).
+
+    Scale shape: the per-doc signal stages run as ONE staged corpus
+    scan (see _curate_signals — shared with curation_funnel; round-4's
+    version built them as separate DataFrames and shuffle-joined the
+    corpus back to itself on doc_id, twice). The mixing rates
+    broadcast (per-source table is bounded by contract); sampling is a
+    deterministic portable-hash Bernoulli keep (md5_unit(doc_id) <
+    rate), so the whole composition is reproducible in the SQL oracle
+    row-for-row.
+    The reference analogue is the chained preprocess -> tokenize ->
+    score lifecycle (deepref/framework/train.py:91-124) — here the
+    chained stages are the curation operators."""
     survivors = (
-        per_doc
-        .join(rep, "doc_id")
-        .join(keep, "doc_id")
+        _curate_signals(documents, benchmark_texts)
         .where(
             (F.col("quality") >= quality_min)
             & (F.col("top_2gram_frac") <= top2_max)
@@ -702,4 +712,263 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         & (F.col("ellipsis_line_frac") < 0.3)
         & (F.col("alpha_word_frac") >= 0.8)
         & (F.col("stopword_hits") >= 2),
+    )
+
+
+# C4 line-level cleaning rules (Raffel et al. 2020 §2.2): keep lines
+# that end in terminal punctuation, have >= 3 words, and don't mention
+# javascript; drop pages with < 5 sentences, a curly brace, or "lorem
+# ipsum". (The paper's badword page filter is policy CONTENT, not an
+# algorithm — the has_lorem/has_brace page flags are the same plumbing
+# a word-list flag would use.)
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINAL = '[.!?"]'
+
+
+def c4_filters(documents: DataFrame,
+               min_line_words: int = C4_MIN_LINE_WORDS,
+               min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
+    """C4-style line-level cleaning: per-doc kept-line reconstruction
+    plus the page-level drop flags.
+
+      * a line is KEPT when trim(line) ends in terminal punctuation
+        ([.!?"]), has >= min_line_words whitespace words, and does not
+        contain 'javascript' (case-insensitive);
+      * clean_text is the kept lines rejoined with newlines;
+      * n_sentences counts terminal marks ([.!?]) in the kept text;
+      * page flags: has_lorem ('lorem ipsum' anywhere, lowercased),
+        has_brace ('{' anywhere);
+      * passes = n_sentences >= min_sentences AND no page flag.
+
+    One all-JVM projection (whole-stage codegen). The kept-line array
+    and the rejoined text are STAGED as columns across nested selects
+    — each is consumed by 2+ downstream expressions, and a
+    multi-referenced alias is what keeps Catalyst's CollapseProject
+    from re-inlining the filter lambda into every consumer (the
+    re-evaluation trap documented on contamination_screen)."""
+    kept = (
+        f"filter(lines, l -> trim(l) rlike '{C4_TERMINAL}$' "
+        f"AND size(split(trim(l), '\\\\s+')) >= {min_line_words} "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    staged = (
+        documents.select(
+            "doc_id", "text", F.expr(r"split(text, '\\n')").alias("lines")
+        )
+        .select(
+            "doc_id", "text",
+            F.size("lines").alias("n_lines"),
+            F.expr(kept).alias("kept"),
+        )
+        .select(
+            "doc_id", "text", "n_lines",
+            F.size("kept").alias("n_kept"),
+            F.array_join("kept", "\n").alias("clean_text"),
+        )
+        .select(
+            "doc_id", "text", "n_lines", "n_kept", "clean_text",
+            F.regexp_count("clean_text", F.lit("[.!?]")).alias("n_sentences"),
+        )
+    )
+    return staged.select(
+        "doc_id", "n_lines", "n_kept", "clean_text", "n_sentences",
+        F.lower("text").contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.lower("text").contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("passes"),
+    )
+
+
+# PII patterns (The Stack / StarCoder-style redaction): the common
+# regex subset of Java (Spark) and RE2 (DuckDB) — \b is the ASCII word
+# boundary and \d is [0-9] in both engines, so the two sides match the
+# same spans.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE_RE = "(\\+\\d{1,2} )?\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+
+def pii_mask(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction: per-doc match counts for emails,
+    IPv4 addresses, and phone numbers, plus the redacted text.
+
+    Counts are computed INDEPENDENTLY on the raw text per category;
+    masking is SEQUENTIAL (email -> ip -> phone) so an address like
+    user@192.0.2.1 redacts to user-part@<IP> deterministically (the
+    email pattern requires an alphabetic TLD, so a dotted-quad domain
+    is the IP rule's to mask). The phone pattern accepts -, ., and
+    space separators, and a dotted-quad never matches it (an IPv4
+    octet can't fill the trailing 4-digit group).
+
+    Pure JVM projection — regexp_count/regexp_replace, whole-stage
+    codegen, no shuffle; at 100 TB this is scan-bound, exactly what a
+    redaction pass should be."""
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    n_emails = F.regexp_count("text", F.lit(PII_EMAIL_RE))
+    n_ips = F.regexp_count("text", F.lit(PII_IP_RE))
+    n_phones = F.regexp_count("text", F.lit(PII_PHONE_RE))
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        masked.alias("masked_text"),
+        ((n_emails + n_ips + n_phones) > 0).alias("has_pii"),
+    )
+
+
+def lm_score(documents: DataFrame, vocab_size: int = 65536) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per-doc cross-entropy in
+    nats under a unigram LM trained on the corpus itself (the classic
+    perplexity-bucket quality signal, with the corpus standing in for
+    the pretrained LM this container can't hold).
+
+    Two-pass shape built for 100 TB:
+      * pass 1 — token -> count: ONE shuffle, map-side combined. The
+        count table is checkpointed once and feeds BOTH the total-mass
+        row and the top-V vocab (without the barrier Catalyst re-runs
+        the corpus aggregation per consumer).
+      * vocab — global top-``vocab_size`` by (count DESC, token ASC):
+        a TakeOrdered over the bounded count table, broadcast to the
+        scorers. Per-token nats are computed ONCE PER VOCAB ENTRY as
+        round(ln(total/cnt)*1e6) longs — ln evaluated V times, not
+        once per token instance — so the per-doc sum is an exact
+        integer sum: order-independent under partial aggregation and
+        bit-identical to the DuckDB oracle.
+      * pass 2 — explode -> broadcast vocab join -> per-doc grouped
+        sum (map-side combined). OOV tokens take the 1/total floor
+        (ln(total) nats), so a rare-word doc scores strictly worse
+        than the rarest in-vocab word would.
+    The token array is staged behind one checkpoint: the corpus is
+    tokenized exactly once across both passes."""
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # tokenize once; feeds both passes
+    ex = staged.select("doc_id", F.explode("t").alias("tok"))
+    counts = (
+        ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds total AND vocab once
+    )
+    total_df = counts.agg(F.sum("cnt").alias("total"))  # one row
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "tok",
+            F.round(F.log(F.col("total") / F.col("cnt")) * 1e6)
+            .cast("long").alias("nats_x1e6"),
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id",
+            F.coalesce(
+                "nats_x1e6",
+                F.round(F.log("total") * 1e6).cast("long"),
+            ).alias("nats"),
+            F.col("nats_x1e6").isNull().cast("int").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(F.sum("nats") / F.count(F.lit(1)) / 1e6, 6).alias("xent_nats"),
+    )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Per-doc top-k TF-IDF keywords: tf from a (doc, token) grouped
+    count, document frequency from a token grouped count over that,
+    idf = ln(n_docs/df), ranked per doc by (tf*idf DESC, token ASC).
+
+    Scale shape: the (doc_id, token) count is the only corpus-sized
+    shuffle (map-side combined) and is checkpointed once for its two
+    consumers (the df rollup and the scoring join). idf is quantized
+    ONCE PER TOKEN to a round(ln(n_docs/df)*1e6) long, so the ranking
+    key tf*idf_x1e6 is an exact integer — the per-doc row_number is
+    total-ordered identically in Spark and the DuckDB oracle, no
+    float-tie nondeterminism. The tf<->df join keys on token with no
+    forced strategy: AQE broadcasts the df side while it fits and
+    falls back to shuffle join on an unbounded vocabulary. The window
+    partitions by doc_id — parallel across docs, k rows out each."""
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # tokenize once
+    tf = (
+        staged.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df rollup AND scoring join
+    )
+    n_docs_df = staged.agg(F.count(F.lit(1)).alias("n_docs"))  # one row
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+        .filter(F.col("df_docs") >= min_df)
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "term", "df_docs",
+            F.round(F.log(F.col("n_docs") / F.col("df_docs")) * 1e6)
+            .cast("long").alias("idf_x1e6"),
+        )
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", "df_docs",
+        (F.col("tf") * F.col("idf_x1e6")).alias("score_x1e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", F.row_number().over(w).alias("rank"),
+            "term", "tf", "df_docs",
+            F.round(F.col("score_x1e6") / 1e6, 6).alias("score"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def curation_funnel(documents: DataFrame, benchmark_texts,
+                    quality_min: float = 0.5, top2_max: float = 0.2,
+                    dup3_max: float = 0.3) -> DataFrame:
+    """Per-source curation funnel report: how many docs each pipeline
+    stage drops, attributed to the FIRST failing stage in pipeline
+    order (quality -> repetition -> contamination -> near-dup), so the
+    drop columns plus survivors sum exactly to n_docs per source —
+    the accounting table a 100 TB cleaning run publishes next to its
+    output.
+
+    One pass over the shared _curate_signals frame (same staged
+    single-scan dataflow as curate_corpus) followed by a single
+    grouped conditional aggregation on source (map-side combined,
+    output bounded by the source count)."""
+    sig = _curate_signals(documents, benchmark_texts)
+    f_quality = F.col("quality") < quality_min
+    f_rep = (F.col("top_2gram_frac") > top2_max) | (
+        F.col("dup_3gram_frac") > dup3_max)
+    f_con = F.col("contaminated")
+    f_dup = F.col("doc_id") != F.col("keep_doc_id")
+
+    def n(cond: F.Column, name: str) -> F.Column:
+        return F.sum(cond.cast("int")).cast("long").alias(name)
+
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n(f_quality, "drop_quality"),
+        n(~f_quality & f_rep, "drop_repetition"),
+        n(~f_quality & ~f_rep & f_con, "drop_contaminated"),
+        n(~f_quality & ~f_rep & ~f_con & f_dup, "drop_near_dup"),
+        n(~f_quality & ~f_rep & ~f_con & ~f_dup, "n_survivors"),
     )

@@ -659,3 +659,113 @@ def test_gopher_quality_planted(spark):
     assert not out[4]["passes"] and out[4]["ellipsis_line_frac"] >= 0.3
     assert not out[5]["passes"] and out[5]["alpha_word_frac"] < 0.8
     assert not out[6]["passes"] and out[6]["stopword_hits"] < 2
+
+
+def test_c4_filters_planted(spark):
+    """C4 line-level cleaning on planted pages: each line rule
+    (terminal punctuation, >= 3 words, no 'javascript') drops exactly
+    its offending line, and each page rule (>= 5 sentences, no brace,
+    no 'lorem ipsum') flips `passes` on its own."""
+    from deepref_spark.operators.text_analysis import c4_filters
+
+    good = ("The first sentence has plenty of words here.\n"
+            "Another full line with terminal punctuation arrives.\n"
+            "Sentences three and four live here. They both count.\n"
+            "A fifth sentence closes the page out.")
+    rows = [
+        (1, good),
+        (2, "Enable javascript to view this page.\n"
+            "too short.\n"
+            "this line has no terminal punctuation\n" + good),
+        (3, "Lorem ipsum dolor sit amet. " * 3 + good),
+        (4, "function f() { return 1; }\n" + good),
+        (5, "One short sentence only lives here.\nAnd a second one.\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+
+    assert out[1]["passes"] and out[1]["n_kept"] == 4
+    assert out[1]["n_sentences"] == 5 and out[1]["clean_text"] == good
+    # doc 2: all three bad lines dropped, the good tail survives intact
+    assert out[2]["n_lines"] == 7 and out[2]["n_kept"] == 4
+    assert out[2]["clean_text"] == good and out[2]["passes"]
+    # doc 3: lines pass but the page-level lorem flag kills it
+    assert out[3]["has_lorem"] and not out[3]["passes"]
+    # doc 4: brace flag kills the page even though good lines remain
+    assert out[4]["has_brace"] and not out[4]["passes"]
+    # doc 5: clean lines but only 2 sentences < 5; trailing \n counts a line
+    assert out[5]["n_lines"] == 3 and out[5]["n_kept"] == 2
+    assert out[5]["n_sentences"] == 2 and not out[5]["passes"]
+
+
+def test_pii_mask_planted(spark):
+    """PII redaction on planted rows: per-category counts on the raw
+    text, sequential email->ip->phone masking, and the documented
+    user@dotted-quad interaction (email needs an alphabetic TLD, so
+    the IP rule owns the dotted quad)."""
+    from deepref_spark.operators.text_analysis import pii_mask
+
+    rows = [
+        (1, "contact alice at alice.smith+test@example.org "
+            "or call 555-123-4567 today"),
+        (2, "server 192.168.1.1 backup 10.0.0.255 admin root@ops.example.com"),
+        (3, "call +1 415-555-0133 or 415.555.0188 now"),
+        (4, "no personal data in this line at all"),
+        (5, "login from user@192.0.2.1 overnight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_mask(docs).collect()}
+
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 1)
+    assert out[1]["masked_text"] == "contact alice at <EMAIL> or call <PHONE> today"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (1, 2, 0)
+    assert out[2]["masked_text"] == "server <IP> backup <IP> admin <EMAIL>"
+    # doc 3: country-code form and dotted form both match the phone rule
+    assert out[3]["n_phones"] == 2 and out[3]["n_ips"] == 0
+    assert out[3]["masked_text"] == "call <PHONE> or <PHONE> now"
+    assert not out[4]["has_pii"] and out[4]["masked_text"] == rows[3][1]
+    # doc 5: no alphabetic TLD -> not an email; the IP rule masks the quad
+    assert (out[5]["n_emails"], out[5]["n_ips"]) == (0, 1)
+    assert out[5]["masked_text"] == "login from user@<IP> overnight"
+
+
+def test_lm_score_and_tfidf_planted(spark):
+    """Unigram-LM score and TF-IDF on a tiny planted corpus with
+    hand-computable counts: common words score cheap, the rare word
+    drives both the LM tail and the TF-IDF top keyword, and an
+    out-of-vocab token takes the 1/total floor."""
+    import math
+    from deepref_spark.operators.text_analysis import lm_score, tfidf_topk
+
+    rows = [
+        (1, "alpha alpha alpha beta"),
+        (2, "alpha beta beta gamma"),
+        (3, "alpha beta rare"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # vocab_size=3 keeps {alpha(5), beta(4), gamma(1)}... ties: gamma
+    # and rare both cnt=1 -> (cnt DESC, tok ASC) keeps gamma; rare OOV
+    out = {r["doc_id"]: r for r in lm_score(docs, vocab_size=3).collect()}
+    total = 11
+    nats = {"alpha": round(math.log(total / 5) * 1e6),
+            "beta": round(math.log(total / 4) * 1e6),
+            "gamma": round(math.log(total / 1) * 1e6)}
+    floor = round(math.log(total) * 1e6)
+    assert out[3]["n_oov"] == 1 and out[1]["n_oov"] == 0
+    exp3 = round((nats["alpha"] + nats["beta"] + floor) / 3 / 1e6, 6)
+    assert out[3]["xent_nats"] == exp3
+    exp1 = round((3 * nats["alpha"] + nats["beta"]) / 4 / 1e6, 6)
+    assert out[1]["xent_nats"] == exp1
+    assert out[1]["xent_nats"] < out[3]["xent_nats"]  # common < rare+OOV
+
+    # min_df=2 drops gamma (df 1) and rare (df 1); alpha/beta have
+    # df 3 -> idf = ln(1) = 0 -> every kept score is 0; rank then
+    # orders alphabetically and doc 3 has exactly 2 kept terms
+    kept = tfidf_topk(docs, k=5, min_df=2).collect()
+    by_doc = {}
+    for r in kept:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(r["score"] == 0.0 for r in kept)
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert [r["term"] for r in d3] == ["alpha", "beta"]
