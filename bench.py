@@ -67,6 +67,9 @@ HEADLINE = [
     "text_gopher_quality",
     "text_c4_filters",
     "text_pii_mask",
+    "text_lm_score",
+    "text_tfidf_topk",
+    "text_curation_funnel",
 ]
 
 

@@ -769,3 +769,29 @@ def test_lm_score_and_tfidf_planted(spark):
     assert all(r["score"] == 0.0 for r in kept)
     d3 = sorted(by_doc[3], key=lambda r: r["rank"])
     assert [r["term"] for r in d3] == ["alpha", "beta"]
+
+
+def test_curation_funnel_first_fail_attribution(spark):
+    """Funnel drop accounting on a 5-doc planted corpus where each doc
+    fails exactly one stage (or none): drops land on the FIRST failing
+    stage in pipeline order and sum with survivors to n_docs."""
+    from deepref_spark.operators.text_analysis import curation_funnel
+
+    good = ("the cat sat on the mat with a dog and the bird flew over "
+            "the tree today")
+    bench = ("the quick brown fox jumps over the lazy dog while the sun "
+             "sets behind green hills today")
+    rows = [
+        (1, "s", good),               # survives
+        (2, "s", "zzz"),              # quality 0.5 < 0.6
+        (3, "s", "the spam " * 20),   # top-2gram frac 1.0 > 0.2
+        (4, "s", bench),              # hits the benchmark 13-grams
+        (5, "s", good),               # exact dup of 1 -> keep_doc_id=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curation_funnel(docs, [bench], quality_min=0.6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "s" and r["n_docs"] == 5
+    assert (r["drop_quality"], r["drop_repetition"], r["drop_contaminated"],
+            r["drop_near_dup"], r["n_survivors"]) == (1, 1, 1, 1, 1)
