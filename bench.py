@@ -70,6 +70,9 @@ HEADLINE = [
     "text_lm_score",
     "text_tfidf_topk",
     "text_curation_funnel",
+    "kg_entity_degree",
+    "kg_pagerank",
+    "emb_semdedup",
 ]
 
 

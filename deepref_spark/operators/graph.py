@@ -1,0 +1,122 @@
+"""Graph analytics over the materialized KG (canonical triples).
+
+The reference stops at materializing (subj, pred, obj) triples
+(`deepref/framework/train.py` writes predictions; SURVEY.md §2.8 adds
+the canonicalize/materialize stages). A KG-construction engine at
+100 TB also has to ANSWER questions about the graph it built — degree
+profiles for hub/skew detection (what the salting operator keys on)
+and a centrality measure for entity ranking. Both are expressed as
+plain DataFrame aggregations/joins so Catalyst plans them; PageRank
+iterates a fixed, small number of rounds with lazy localCheckpoints
+between (the connected-components discipline from linking.py: without
+the checkpoint every iteration re-plans and re-runs the whole upstream
+pipeline).
+
+PageRank runs on an INTEGER unit grid (1 pr-point = 1e-9) with
+floor-division contributions, so every aggregation is a BIGINT sum —
+aggregation-order independent and therefore bit-identical between any
+Spark partitioning and a single-threaded SQL oracle (the same
+discipline as _ivf_codebook's quantized centroid means). Plain
+double-precision PageRank sums are partial-aggregation-order dependent
+and can flip a 6dp rounding between engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# one pagerank point = 1e-9: BIGINT headroom is ~9.2e18 units, so the
+# grid supports total graph mass up to ~9.2e9 full points. At a
+# 1e12-node scale, coarsen the grid (1e6 units) or partition the rank
+# computation per graph component; the arithmetic below is unchanged.
+UNIT = 1_000_000_000
+DAMP_NUM, DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def graph_edges(triples: DataFrame, src: str = "subj_canon",
+                dst: str = "obj_canon") -> DataFrame:
+    """Distinct directed (src, dst) entity edges, self-loops dropped —
+    the adjacency view shared by degrees and PageRank."""
+    return (
+        triples.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+
+
+def entity_degrees(edges: DataFrame) -> DataFrame:
+    """(entity, out_deg, in_deg, degree) over the distinct edge set.
+
+    Two map-side-combined counts + one outer join on the (small)
+    per-entity tables; the corpus-sized edge set is scanned twice but
+    never shuffled wider than its key. Degree profiles are what the
+    skew-salting operator (operators/skew.py) keys its hot-entity list
+    on at scale.
+    """
+    out_d = edges.groupBy(F.col("src").alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out_d.join(in_d, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+        .withColumn("degree", (F.col("out_deg") + F.col("in_deg")).cast("long"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank on the integer unit grid.
+
+    Per round: contribution(src->dst) = u(src) div out_deg(src)
+    (BIGINT floor division — deterministic), inflow = BIGINT sum,
+    u'(n) = (1-d)*UNIT + (17*inflow) div 20. Dangling-node mass is
+    dropped (documented simplification — the classic redistribution
+    term needs a global scalar per round; at 100 TB that is one extra
+    tiny agg, omitted here so the oracle stays a pure unrolled CTE).
+
+    Each round is one join + one map-side-combinable sum; the rank
+    table is lazily checkpointed per round so round k+1's plan does
+    not replay rounds 1..k (linking.connected_components discipline).
+    Returns (entity, pagerank DOUBLE) where pagerank = u / UNIT — an
+    exact BIGINT-to-double conversion followed by one IEEE division,
+    identical in any engine.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .union(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN  # (1-d)*UNIT, exact
+    pr = nodes.withColumn("u", F.lit(UNIT).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges
+            .join(pr.withColumnRenamed("entity", "src"), "src")
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.expr("u div out_deg").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("entity").agg(F.sum("c").alias("inflow"))
+        pr = (
+            nodes.join(inflow, "entity", "left")
+            .select(
+                "entity",
+                (F.lit(base)
+                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
+                 ).cast("long").alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "entity", (F.col("u").cast("double") / F.lit(float(UNIT))).alias("pagerank")
+    )

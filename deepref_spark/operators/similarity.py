@@ -327,6 +327,71 @@ def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def semdedup(embeddings: DataFrame, n_lists: int = 16,
+             threshold: float = 0.95) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the corpus with the IVF coarse quantizer, then prune near-duplicate
+    pairs WITHIN each cluster — the clustering bounds the quadratic
+    pairwise term to cluster size, which is the whole scale story
+    (at 100 TB raise ``n_lists`` ~ N/target_cluster_size so clusters
+    stay executor-sized; the codebook still trains on one sampled
+    corpus pass, see _ivf_codebook).
+
+    Keep rule (the paper keeps the member FURTHEST from its centroid
+    to preserve diversity): within a duplicate pair, the vector whose
+    centroid cosine is lower (tie: smaller vec_id) is kept and the
+    other dropped. Expressed as one EXISTS over the within-cluster
+    pair set — no iteration, no driver collect.
+
+    Returns the full corpus as (vec_id, list_id, centroid_sim, keep).
+    """
+    cents = _ivf_codebook(embeddings, n_lists)
+    scored = (
+        embeddings.select("vec_id", "embedding", _norm_col("embedding").alias("vnorm"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", _dot("embedding", "cvec") / (F.col("vnorm") * F.col("cnorm")))
+    )
+    # argmax centroid, carrying the winning csim for the keep order —
+    # same map-side max_by shape as _assign_to
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.expr(
+            "max_by(struct(embedding, vnorm, csim, list_id), struct(csim, -list_id))"
+        ).alias("_w"))
+        .select(
+            "vec_id", F.col("_w.embedding").alias("embedding"),
+            F.col("_w.vnorm").alias("vnorm"), F.col("_w.csim").alias("csim"),
+            F.col("_w.list_id").alias("list_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    left = assign.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"),
+        F.col("vnorm").alias("na"), F.col("csim").alias("ca"), "list_id")
+    right = assign.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"),
+        F.col("vnorm").alias("nb"), F.col("csim").alias("cb"), "list_id")
+    drops = (
+        left.join(right, "list_id")
+        .where(F.col("a") != F.col("b"))
+        .withColumn("cos", F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cos") >= F.lit(threshold))
+        # a is dropped when its neighbor b precedes it in keep order
+        .where((F.col("cb") < F.col("ca"))
+               | ((F.col("cb") == F.col("ca")) & (F.col("b") < F.col("a"))))
+        .select(F.col("a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(drops.withColumn("_d", F.lit(False)), "vec_id", "left")
+        .select(
+            "vec_id", "list_id",
+            F.round("csim", 4).alias("centroid_sim"),
+            F.coalesce("_d", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the memory-bound scale path: each
 # corpus vector is stored as m sub-codes (m small ints instead of dim

@@ -992,6 +992,95 @@ def kg_canonical_triples(spark, sf_dir):
     )
 
 
+# --- Graph analytics over the materialized KG --------------------------------
+# The engine does not stop at writing triples: degree profiles (what the
+# skew-salting operator keys on) and a fixed-iteration PageRank over the
+# canonical entity graph. The oracle rebuilds the same canonical edge
+# set with the kg_canonical_triples CTE chain; PageRank unrolls its
+# rounds as CTEs on the BIGINT unit grid (operators/graph.py) so every
+# sum is aggregation-order independent and bit-identical cross-engine.
+
+def _graph_edges_cte() -> str:
+    """preds/canon/edges CTEs: the kg_canonical_triples derivation
+    reduced to the distinct directed canonical edge set (self-loops
+    dropped), shared by the degree and PageRank oracles."""
+    return f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+),
+edges AS (
+  SELECT DISTINCT c1.canonical AS src, c2.canonical AS dst
+  FROM preds p
+  JOIN canon c1 ON p.h_name = c1.entity
+  JOIN canon c2 ON p.t_name = c2.entity
+  WHERE c1.canonical <> c2.canonical
+)"""
+
+
+def _canonical_edges(spark, sf_dir) -> DataFrame:
+    from deepref_spark.operators.graph import graph_edges
+
+    return graph_edges(REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir))
+
+
+@q("kg_entity_degree", _oracle_prefix() + _graph_edges_cte() + """
+, outd AS (SELECT src AS entity, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS entity, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
+SELECT coalesce(o.entity, i.entity) AS entity,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
+FROM outd o FULL OUTER JOIN ind i ON o.entity = i.entity
+""")
+def kg_entity_degree(spark, sf_dir):
+    """In/out/total degree per canonical entity — the hub profile a
+    100 TB run feeds into skew salting (operators/skew.py)."""
+    from deepref_spark.operators.graph import entity_degrees
+
+    return entity_degrees(_canonical_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    from deepref_spark.operators.graph import DAMP_DEN, DAMP_NUM, UNIT
+
+    base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+in{k} AS (
+  SELECT e.dst AS entity, CAST(sum(p.u // o.out_deg) AS BIGINT) AS inflow
+  FROM edges e JOIN pr{k - 1} p ON e.src = p.entity JOIN od o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr{k} AS (
+  SELECT n.entity,
+         CAST({base} + ({DAMP_NUM} * coalesce(i.inflow, 0)) // {DAMP_DEN} AS BIGINT) AS u
+  FROM nodes n LEFT JOIN in{k} i ON n.entity = i.entity
+)""")
+    return _oracle_prefix() + _graph_edges_cte() + f"""
+, nodes AS (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+pr0 AS (SELECT entity, CAST({UNIT} AS BIGINT) AS u FROM nodes),{",".join(rounds)}
+SELECT entity, CAST(u AS DOUBLE) / {float(UNIT)} AS pagerank FROM pr{iters}
+"""
+
+
+@q("kg_pagerank", _pagerank_oracle())
+def kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the canonical entity graph on the
+    integer unit grid (operators/graph.py): floor-division
+    contributions + BIGINT sums, so the iterate is bit-identical
+    between any Spark partitioning and the single-threaded oracle."""
+    from deepref_spark.operators.graph import pagerank
+
+    return pagerank(_canonical_edges(spark, sf_dir), iters=3)
+
+
 # --- K1 tokenization as portable SQL (oracle-checked) ------------------------
 
 def _wp_sql(word: str, d: str) -> str:
@@ -1751,10 +1840,15 @@ SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE 
 """
 
 
-_IVF_ORACLE = f"""
-WITH base AS (
+def _ivf_assign_sql(src: str = "embeddings") -> str:
+    """The base..assign CTE chain (SQL mirror of
+    similarity._ivf_codebook + _assign_to), shared by the IVF ANN
+    oracle and the SemDeDup oracle. ``assign`` carries the winning
+    centroid cosine (csim) — unused by the ANN ranking, load-bearing
+    for SemDeDup's keep order."""
+    return f"""base AS (
   SELECT vec_id, embedding, sqrt(list_dot_product(embedding, embedding)) AS vnorm
-  FROM embeddings
+  FROM {src}
 ),
 sample AS (
   -- FAISS-style sample-based training: Lloyd refinement runs over the
@@ -1793,13 +1887,18 @@ cents AS (
   FROM seeds s LEFT JOIN newc n USING (list_id)
 ),
 assign AS (
-  SELECT vec_id, embedding, vnorm, list_id FROM (
+  SELECT vec_id, embedding, vnorm, list_id, csim FROM (
     SELECT b.vec_id, b.embedding, b.vnorm, c.list_id,
+           list_dot_product(b.embedding, c.cvec) / (b.vnorm * c.cnorm) AS csim,
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.embedding, c.cvec) / (b.vnorm * c.cnorm) DESC, c.list_id) AS r
     FROM base b CROSS JOIN cents c
   ) WHERE r = 1
-),
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH {_ivf_assign_sql()},
 probes AS (
   SELECT query_id, q_emb, q_norm, list_id FROM (
     SELECT b.vec_id AS query_id, b.embedding AS q_emb, b.vnorm AS q_norm, c.list_id,
@@ -1913,6 +2012,45 @@ def emb_near_dups(spark, sf_dir):
         _planted_near_dup_rows(), schema="vec_id long, embedding array<float>"
     )
     return embedding_near_dups(emb.unionAll(planted), threshold=0.95, n_planes=6)
+
+
+_SEMDEDUP_SRC = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    f"UNION ALL SELECT vec_id, embedding FROM {_planted_near_dups_duck()} planted)"
+)
+
+
+@q("emb_semdedup", f"""
+WITH {_ivf_assign_sql(src=_SEMDEDUP_SRC)},
+pairs AS (
+  SELECT x.vec_id AS a, x.csim AS ca, y.vec_id AS b, y.csim AS cb,
+         round(list_dot_product(x.embedding, y.embedding) / (x.vnorm * y.vnorm), 4) AS cos
+  FROM assign x JOIN assign y ON x.list_id = y.list_id AND x.vec_id <> y.vec_id
+),
+drops AS (
+  SELECT DISTINCT a AS vec_id FROM pairs
+  WHERE cos >= 0.95 AND (cb < ca OR (cb = ca AND b < a))
+)
+SELECT a.vec_id, a.list_id, round(a.csim, 4) AS centroid_sim,
+       (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+""")
+def emb_semdedup(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): IVF
+    k-means clustering bounds the pairwise cosine check to
+    within-cluster; a vector is dropped when a same-cluster neighbor
+    above the threshold precedes it in keep order (lower centroid
+    cosine first — the paper keeps the member furthest from the
+    centroid). Runs over the corpus UNION the planted near-dup set so
+    the driver artifact certifies drops, not just the negative path
+    (the emb_near_dups lesson, round-3 verdict #4)."""
+    from deepref_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = spark.createDataFrame(
+        _planted_near_dup_rows(), schema="vec_id long, embedding array<float>"
+    )
+    return semdedup(emb.unionAll(planted), n_lists=16, threshold=0.95)
 
 
 # --- Group D: events (windowed agg + sessionization) -------------------------
@@ -3173,6 +3311,11 @@ _WINDOW_TAIL = [
     # plus the T8 broadcast lookup, green r1-r4; kg_mentions and
     # kg_tag_sentence stay in-window as the mentions-family reps
     "kg_untag_sentence", "kg_get_entities", "kg_sk_lookup",
+    # (parked r5d, making room for kg_entity_degree + kg_pagerank +
+    # emb_semdedup): green r1-r4; kg_tag_sentence stays as the
+    # tag-family rep, dedup_minhash_pairs / dedup_simhash_pairs stay
+    # as the banding-family reps
+    "kg_parse_tags", "dedup_minhash_bands", "dedup_simhash",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -1,0 +1,73 @@
+"""Unit tests for the graph-analytics operators (operators/graph.py)
+and SemDeDup (operators/similarity.semdedup) on tiny hand-checked
+inputs — exact expected values, independent of the DuckDB oracles."""
+
+import pyspark.sql.functions as F
+
+from deepref_spark.operators.graph import UNIT, entity_degrees, graph_edges, pagerank
+from deepref_spark.operators.similarity import semdedup
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, schema="subj_canon string, obj_canon string")
+    return graph_edges(df)
+
+
+def test_graph_edges_dedup_and_self_loops(spark):
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "a"), ("b", "c")])
+    assert sorted(tuple(r) for r in e.collect()) == [("a", "b"), ("b", "c")]
+
+
+def test_entity_degrees_tiny(spark):
+    # a->b, a->c, b->c: out a=2 b=1 c=0; in a=0 b=1 c=2
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    rows = {r["entity"]: (r["out_deg"], r["in_deg"], r["degree"])
+            for r in entity_degrees(e).collect()}
+    assert rows == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_pagerank_two_node_cycle_conserves_rank(spark):
+    # a<->b: every round each node receives the other's full rank, so
+    # u stays at UNIT for both: base + floor(0.85 * UNIT) = UNIT.
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    rows = {r["entity"]: r["pagerank"] for r in pagerank(e, iters=3).collect()}
+    assert rows == {"a": 1.0, "b": 1.0}
+
+
+def test_pagerank_hand_unrolled_chain(spark):
+    # a->b, b->a, a->c (a splits rank between b and c; c is a sink).
+    # Hand-unroll one round on the integer grid:
+    #   base = UNIT - (17*UNIT)//20
+    #   u1(a) = base + (17 * u0(b)//1) // 20
+    #   u1(b) = u1(c) = base + (17 * (u0(a)//2)) // 20
+    base = UNIT - (17 * UNIT) // 20
+    u1a = base + (17 * UNIT) // 20
+    u1bc = base + (17 * (UNIT // 2)) // 20
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("a", "c")])
+    rows = {r["entity"]: r["pagerank"] for r in pagerank(e, iters=1).collect()}
+    assert rows == {"a": u1a / UNIT, "b": u1bc / UNIT, "c": u1bc / UNIT}
+
+
+def test_semdedup_drops_all_but_one_per_dup_group(spark):
+    # Two tight groups of 3 (pairwise cos ~1 within, ~0 across) plus
+    # one isolated point. n_lists=1 puts everything in one cluster so
+    # EVERY duplicate pair is in the comparison set: the keep order
+    # (lowest centroid cosine first, ties by vec_id — the SemDeDup
+    # keep-furthest rule) must leave exactly one survivor per group
+    # and never touch the isolated point. (With n_lists > 1 a tight
+    # group can straddle a list boundary and keep one member per list
+    # — inherent IVF approximation, not tested here.)
+    rows = []
+    for i, b in enumerate([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]):
+        for j in range(3):
+            v = [x + (0.001 * (j + 1) if k == 2 else 0.0)
+                 for k, x in enumerate(b)]
+            rows.append((i * 10 + j, v))
+    rows.append((99, [0.0, 0.0, 1.0]))
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = semdedup(emb, n_lists=1, threshold=0.95).collect()
+    kept = sorted(r["vec_id"] for r in out if r["keep"])
+    assert len(out) == 7
+    assert 99 in kept
+    assert len(kept) == 3
+    assert {v // 10 for v in kept if v != 99} == {0, 1}
