@@ -64,3 +64,36 @@ def tokenize_mentions(mentions: DataFrame, max_length: int = 128, mask_entity: b
                 yield pd.DataFrame(out)
 
     return mentions.mapInPandas(run, schema=TOKENIZED_SCHEMA)
+
+
+def wordpiece_basic_words(words: DataFrame) -> DataFrame:
+    """(word) -> (word, wp): K5's real-vocab path — BasicTokenizer
+    normalization (refsem.basic_tokenize: lowercase / NFD accent-strip /
+    punctuation-split / CJK-isolate, reference basic_tokenizer.py:29-64
+    + utils.py:9-148) composed with greedy wordpiece over the pinned
+    vocab, space-joined.
+
+    Runs over the DISTINCT-WORD dictionary, not the corpus: at 100 TB
+    the distinct-token table is orders of magnitude smaller than the
+    token stream (Zipf), so normalization executes once per word and
+    the result map-joins back to the corpus — the same shape as the
+    tokenize batch kernels' per-word piece cache. Unicode category /
+    NFD semantics are not expressible in JVM built-ins, so this is a
+    justified Arrow-batched Python kernel on the small side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = refsem.load_wp_vocab()
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue  # Arrow cannot type an empty object column
+            wp = []
+            for w in pdf["word"]:
+                r = memo.get(w)
+                if r is None:
+                    r = memo[w] = " ".join(refsem.wordpiece_basic(w, vocab))
+                wp.append(r)
+            yield pd.DataFrame({"word": pdf["word"], "wp": wp})
+
+    return words.mapInPandas(run, schema="word string, wp string")

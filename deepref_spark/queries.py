@@ -1387,6 +1387,134 @@ def kg_tokenize(spark, sf_dir):
     )
 
 
+# --- K5 real-vocab path: BasicTokenizer normalization + wordpiece -----------
+# kg_tokenize verifies greedy wordpiece over whitespace tokens (the
+# pipeline default). This query verifies the REAL-VOCAB swap-in path
+# (refsem.wordpiece_basic — the reference BertTokenizer's
+# basic_tokenizer.py normalization before wordpiece): lowercase, NFD
+# accent-strip, each-punct-its-own-token, CJK isolation, and the
+# never_split quirk (case/accent exemption only — punct split still
+# applies). Input = the distinct corpus token dictionary UNION a pinned
+# adversarial word list (accents, CJK, control chars, specials), so the
+# driver hash certifies the normalization branches the corpus alone
+# never exercises.
+
+# adversarial words: every normalization branch, one word each
+_WPB_ADV_WORDS = [
+    "Café",              # lowercase + accent strip
+    "RÉSUMÉ",       # uppercase accented
+    "naïve-café",   # accent + hyphen punct split
+    "[UNK]",                   # never_split: case kept, still punct-split
+    "[CLS]extra",              # NOT never_split (not the whole token)
+    "Hello,World!",            # ASCII punct split
+    "a$b+c",                   # ASCII symbols are punct in the reference
+    "ni中文hao",      # CJK chars isolate to their own words
+    "中文",           # pure CJK
+    "x\ty",                    # tab -> whitespace split
+    "\x01ctrl",                # control char dropped
+    "!!!",                     # pure punct
+    "",                        # empty -> empty piece string
+]
+
+
+def _duck_str_lit(s: str) -> str:
+    """A DuckDB expression producing exactly ``s`` — printable-ASCII
+    runs as quoted literals, everything else as chr() so control and
+    non-ASCII chars survive any SQL-text encoding."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf or not parts:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts)
+
+
+# refsem._CJK_RANGES as an RE2 class (NOT \p{Han}: the reference pins
+# explicit blocks, which exclude e.g. Kangxi radicals)
+_CJK_CLASS = ("[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{20000}-\\x{2A6DF}"
+              "\\x{2A700}-\\x{2B73F}\\x{2B740}-\\x{2B81F}\\x{2B820}-\\x{2CEAF}"
+              "\\x{F900}-\\x{FAFF}\\x{2F800}-\\x{2FA1F}]")
+# reference _is_punct: ALL printable non-alnum ASCII (incl. $+<=>^`|~,
+# which are \p{S} not \p{P}) plus unicode category P
+_PUNCT_CLASS = "[!-/:-@\\[-`{-~]|\\p{P}"
+
+
+def _wordpiece_basic_oracle() -> str:
+    """SQL twin of refsem.wordpiece_basic over distinct corpus tokens +
+    the adversarial list: clean_and_isolate as an ordered regex chain
+    (\\t\\n\\r and Zs to space BEFORE \\p{C} removal — same branch
+    order as the per-char kernel), per-token case/accent pass gated on
+    never_split, punct chars padded then split, greedy wordpiece via
+    the shared recursive CTE, pieces reassembled in sub-token order."""
+    adv = ", ".join(f"({_duck_str_lit(w)})" for w in _WPB_ADV_WORDS)
+    never = ", ".join(f"'{t}'" for t in refsem.NEVER_SPLIT)
+    mp = _duck_map_value_expr("wpmap.mp", "sub")
+    return (
+        _oracle_prefix().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+        + f""",
+raw AS (
+  SELECT DISTINCT w AS word FROM (SELECT unnest(tokens) AS w FROM mentions)
+  UNION SELECT word FROM (VALUES {adv}) adv(word)
+),
+normed AS (
+  SELECT word,
+    list_filter(string_split(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        word,
+        '[\\t\\n\\r]', ' ', 'g'),
+        '\\p{{Zs}}', ' ', 'g'),
+        '[\\p{{C}}\\x{{FFFD}}]', '', 'g'),
+        '({_CJK_CLASS})', ' \\1 ', 'g'),
+      ' '), x -> x <> '') AS toks
+  FROM raw
+),
+subs AS (
+  SELECT word, unnest(range(len(toks2))) AS idx, unnest(toks2) AS sub
+  FROM (
+    SELECT word,
+      flatten(list_transform(toks, t ->
+        list_filter(string_split(regexp_replace(
+          CASE WHEN t IN ({never}) THEN t
+               ELSE strip_accents(lower(t)) END,
+          '({_PUNCT_CLASS})', ' \\1 ', 'g'), ' '), x -> x <> ''))) AS toks2
+    FROM normed
+  )
+)"""
+        + _greedy_wp_ctes(words_sql="SELECT DISTINCT sub AS word FROM subs")
+        + f"""
+SELECT r.word, coalesce(a.wp, '') AS wp
+FROM raw r LEFT JOIN (
+  SELECT word, array_to_string(flatten(list({mp} ORDER BY idx)), ' ') AS wp
+  FROM subs CROSS JOIN wpmap GROUP BY word
+) a USING (word)
+"""
+    )
+
+
+@q("kg_wordpiece_basic", _wordpiece_basic_oracle)  # lazy: vocab I/O + probe
+def kg_wordpiece_basic(spark, sf_dir):
+    """K5 real-vocab normalization, driver-gradeable: wordpiece_basic
+    (BasicTokenizer normalization then greedy wordpiece, reference
+    bert_tokenizer.py:48-53) over the distinct corpus token dictionary
+    UNION the pinned adversarial words. Dictionary shape = the 100 TB
+    plan: normalize each distinct word once, map-join back."""
+    from deepref_spark.operators.tokenize import wordpiece_basic_words
+
+    words = (
+        portable_mentions(spark, sf_dir)
+        .select(F.explode("tokens").alias("word"))
+    )
+    adv = spark.createDataFrame([(w,) for w in _WPB_ADV_WORDS], "word string")
+    return wordpiece_basic_words(words.unionAll(adv).distinct())
+
+
 # --- Group B: corpus dedup / text analysis over `documents` -----------------
 
 
@@ -3316,6 +3444,10 @@ _WINDOW_TAIL = [
     # tag-family rep, dedup_minhash_pairs / dedup_simhash_pairs stay
     # as the banding-family reps
     "kg_parse_tags", "dedup_minhash_bands", "dedup_simhash",
+    # (parked r5e, making room for kg_wordpiece_basic): green r1-r4;
+    # dedup_ngram_jaccard_capped stays as the jaccard-family rep (and
+    # is the by-contract production form)
+    "dedup_ngram_jaccard",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",
