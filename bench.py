@@ -73,6 +73,7 @@ HEADLINE = [
     "kg_entity_degree",
     "kg_pagerank",
     "emb_semdedup",
+    "kg_wordpiece_basic",
 ]
 
 
