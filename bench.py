@@ -74,6 +74,9 @@ HEADLINE = [
     "kg_pagerank",
     "emb_semdedup",
     "kg_wordpiece_basic",
+    "events_asof_join",
+    "kg_cooccur_pmi",
+    "text_sample_balanced",
 ]
 
 

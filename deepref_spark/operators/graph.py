@@ -120,3 +120,54 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     return pr.select(
         "entity", (F.col("u").cast("double") / F.lit(float(UNIT))).alias("pagerank")
     )
+
+
+def cooccurrence_pmi(doc_entities: DataFrame, per_doc_cap: int | None = None,
+                     min_count: int = 1) -> DataFrame:
+    """Entity co-occurrence PMI over (doc_id, entity) observations:
+    (e1, e2, n_co, pmi) for unordered pairs seen in the same document,
+    pmi = ln(n_co * n_docs / (c_e1 * c_e2)) over document frequencies.
+
+    The classic KG-enrichment signal (which entity pairs co-occur more
+    than chance — candidate relations the extractor missed). The pair
+    expansion is a self-join on doc_id, quadratic in entities-per-doc,
+    so at web scale ``per_doc_cap`` drops documents mentioning more
+    than cap entities (the same hot-key discipline as the n-gram
+    df-cap in dedup.py) — entity lists per doc are short by contract,
+    the cap guards the adversarial tail. All counts are BIGINT sums
+    (order-independent); the one double, pmi, is a single ln() both
+    engines evaluate identically on identical integer inputs, rounded
+    to 6dp on both sides.
+    """
+    de = doc_entities.select("doc_id", "entity").distinct()
+    if per_doc_cap is not None:
+        sizes = de.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+        de = (
+            de.join(sizes.where(F.col("_n") > per_doc_cap), "doc_id", "left_anti")
+        )
+    de = de.localCheckpoint(eager=False)  # feeds n, c_x AND the self-join
+    n = de.select(F.countDistinct("doc_id").alias("n_docs"))
+    cx = de.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .where(F.col("a.entity") < F.col("b.entity"))
+        .groupBy(F.col("a.entity").alias("e1"), F.col("b.entity").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_count)
+    )
+    return (
+        pairs
+        .join(cx.select(F.col("entity").alias("e1"), F.col("c").alias("c1")), "e1")
+        .join(cx.select(F.col("entity").alias("e2"), F.col("c").alias("c2")), "e2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "e1", "e2", F.col("n_co").cast("long").alias("n_co"),
+            F.round(
+                F.log(
+                    (F.col("n_co").cast("double") * F.col("n_docs"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ), 6,
+            ).alias("pmi"),
+        )
+    )

@@ -1081,6 +1081,43 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(_canonical_edges(spark, sf_dir), iters=3)
 
 
+@q("kg_cooccur_pmi", _oracle_prefix() + """
+, de AS (
+  SELECT DISTINCT doc_id, h_name AS entity FROM mentions
+  UNION
+  SELECT DISTINCT doc_id, t_name FROM mentions
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM de),
+cx AS (SELECT entity, CAST(count(*) AS BIGINT) AS c FROM de GROUP BY entity),
+p AS (
+  SELECT a.entity AS e1, b.entity AS e2, CAST(count(*) AS BIGINT) AS n_co
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+)
+SELECT p.e1, p.e2, p.n_co,
+       round(ln((CAST(p.n_co AS DOUBLE) * n.n_docs)
+                / (CAST(c1.c AS DOUBLE) * c2.c)), 6) AS pmi
+FROM p
+JOIN cx c1 ON p.e1 = c1.entity
+JOIN cx c2 ON p.e2 = c2.entity
+CROSS JOIN n
+""")
+def kg_cooccur_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI over the mention table
+    (operators/graph.cooccurrence_pmi): which entity pairs share
+    documents more than chance — the candidate-relation signal a KG
+    builder mines for links the extractor missed. BIGINT document
+    frequencies; the single ln() rounds to 6dp on both sides."""
+    from deepref_spark.operators.graph import cooccurrence_pmi
+
+    m = portable_mentions(spark, sf_dir)
+    de = (
+        m.select("doc_id", F.col("h_name").alias("entity"))
+        .union(m.select("doc_id", F.col("t_name")))
+    )
+    return cooccurrence_pmi(de)
+
+
 # --- K1 tokenization as portable SQL (oracle-checked) ------------------------
 
 def _wp_sql(word: str, d: str) -> str:
@@ -2500,6 +2537,61 @@ def events_user_running(spark, sf_dir):
     )
 
 
+@q("events_asof_join", """
+WITH u AS (
+  SELECT user_id, ts, event_id, NULL AS value, NULL AS event_type, NULL AS props,
+         0 AS _side,
+         ts AS _r_ts, event_id AS _r_event_id, value AS _r_value
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, ts, event_id, value, event_type, props,
+         1 AS _side,
+         NULL AS _r_ts, NULL AS _r_event_id, NULL AS _r_value
+  FROM events WHERE event_type = 'click'
+),
+c AS (
+  SELECT user_id, ts, event_id, value, _side,
+         last_value(_r_ts IGNORE NULLS) OVER w AS a_ts,
+         last_value(_r_event_id IGNORE NULLS) OVER w AS a_event_id,
+         last_value(_r_value IGNORE NULLS) OVER w AS a_value
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, _side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       value AS click_value,
+       CAST(a_event_id AS BIGINT) AS asof_event_id,
+       strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       a_value AS asof_value
+FROM c WHERE _side = 1
+""")
+def events_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every 'click' event annotated
+    with the most recent prior-or-simultaneous 'error' event of the
+    same user — the shuffle-once union+window formulation, no range
+    join. The oracle is the identical formulation in SQL, so the
+    backward-inclusive / max-tie semantics cannot drift."""
+    from deepref_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        on="ts", by="user_id", tie="event_id", values=("value",),
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("value").alias("click_value"),
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
 @q("dedup_passages", """
 WITH passages AS (
   SELECT DISTINCT doc_id, md5(p) AS passage_hash
@@ -2946,6 +3038,39 @@ def text_mixing_plan(spark, sf_dir):
     from deepref_spark.operators.text_analysis import mixing_plan
 
     return mixing_plan(documents(spark, sf_dir))
+
+
+@q("text_sample_balanced", f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, n_rows,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(min(n_rows) OVER () AS DOUBLE) / n_rows) AS rate
+  FROM c
+),
+s AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE {md5_unit("CAST(doc_id AS VARCHAR)")} < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_rows, round(r.rate, 6) AS rate,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN s ON r.source = s.source
+""")
+def text_sample_balanced(spark, sf_dir):
+    """Balance-to-smallest-source stratified sampling audit
+    (operators/sampling.py): per-source rates from one tiny
+    aggregation, membership from the deterministic portable hash —
+    identical under any partitioning, which is exactly what
+    DataFrame.sampleBy does NOT guarantee."""
+    from deepref_spark.operators.sampling import balanced_sample_summary
+
+    return balanced_sample_summary(
+        documents(spark, sf_dir), strata="source", id_col="doc_id"
+    )
 
 
 def _contam_oracle() -> str:
@@ -3448,6 +3573,12 @@ _WINDOW_TAIL = [
     # dedup_ngram_jaccard_capped stays as the jaccard-family rep (and
     # is the by-contract production form)
     "dedup_ngram_jaccard",
+    # (parked r5f, making room for events_asof_join + kg_cooccur_pmi +
+    # text_sample_balanced): green >= 2 rounds; text_quality stays as
+    # the token-stats rep, emb_ann_lsh as the plane-LSH rep,
+    # events_session_window + events_window_agg + events_user_running
+    # as the events reps
+    "text_token_count", "emb_ann_gaussian", "events_sessionize",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

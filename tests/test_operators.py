@@ -795,3 +795,109 @@ def test_curation_funnel_first_fail_attribution(spark):
     assert r["source"] == "s" and r["n_docs"] == 5
     assert (r["drop_quality"], r["drop_repetition"], r["drop_contaminated"],
             r["drop_near_dup"], r["n_survivors"]) == (1, 1, 1, 1, 1)
+
+
+# --- as-of join (operators/asof.py) -----------------------------------------
+
+def _asof_events(spark):
+    rows = [
+        # user 1: error at t=10 and t=20 (two at t=20: ids 3,4), clicks
+        # at t=5 (no prior error), t=10 (tie: backward-INCLUSIVE),
+        # t=25 (max-tie winner among the t=20 pair must be id 4)
+        (1, 5.0, 101, "click", 1.5),
+        (1, 10.0, 102, "click", 2.5),
+        (1, 10.0, 1, "error", 9.0),
+        (1, 20.0, 3, "error", 7.0),
+        (1, 20.0, 4, "error", 8.0),
+        (1, 25.0, 103, "click", 3.5),
+        # user 2: clicks only — every asof column NULL
+        (2, 7.0, 201, "click", 4.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t double, event_id long, event_type string, value double")
+    return df.withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+
+
+def test_asof_join_semantics(spark):
+    from deepref_spark.operators.asof import asof_join
+
+    ev = _asof_events(spark)
+    out = asof_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        on="ts", by="user_id", tie="event_id", values=("value",),
+    )
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_value"])
+           for r in out.collect()}
+    assert got[101] == (None, None)          # nothing before t=5
+    assert got[102] == (1, 9.0)              # same-instant error visible
+    assert got[103] == (4, 8.0)              # tie at t=20 -> max event_id
+    assert got[201] == (None, None)          # user 2 has no errors
+    assert len(got) == 4                     # every click survives
+
+
+def test_asof_join_tolerance(spark):
+    from deepref_spark.operators.asof import asof_join
+
+    ev = _asof_events(spark)
+    out = asof_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        on="ts", by="user_id", tie="event_id", values=("value",),
+        tolerance_s=4.0,
+    )
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    assert got[102] == 1       # age 0 <= 4s
+    assert got[103] is None    # age 5s > 4s -> voided
+    assert got[101] is None and got[201] is None
+
+
+# --- stratified sampling (operators/sampling.py) -----------------------------
+
+def test_balanced_sample_rates_and_determinism(spark):
+    from deepref_spark.operators.sampling import (
+        balanced_rates, balanced_sample, balanced_sample_summary)
+
+    rows = ([(i, "big") for i in range(40)]
+            + [(i, "small") for i in range(100, 110)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r["source"]: (r["n_rows"], r["rate"])
+             for r in balanced_rates(docs).collect()}
+    assert rates["small"] == (10, 1.0)        # smallest stratum: keep all
+    assert rates["big"] == (40, 10 / 40)      # downsampled toward 10
+
+    kept = sorted(r["doc_id"] for r in balanced_sample(docs).collect())
+    # determinism: membership survives an arbitrary repartition
+    kept2 = sorted(
+        r["doc_id"]
+        for r in balanced_sample(docs.repartition(7, "source")).collect())
+    assert kept == kept2
+    assert set(range(100, 110)) <= set(kept)  # rate-1.0 stratum intact
+
+    summ = {r["source"]: r for r in balanced_sample_summary(docs).collect()}
+    assert summ["small"]["n_sampled"] == 10
+    assert summ["big"]["n_sampled"] == len([k for k in kept if k < 100])
+
+
+# --- co-occurrence PMI (operators/graph.py) ----------------------------------
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from deepref_spark.operators.graph import cooccurrence_pmi
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (1, "a")]  # duplicate observation must not double-count
+    de = spark.createDataFrame(rows, "doc_id long, entity string")
+    got = {(r["e1"], r["e2"]): (r["n_co"], r["pmi"])
+           for r in cooccurrence_pmi(de).collect()}
+    # n_docs=3, c_a=3, c_b=2, c_c=1
+    assert got[("a", "b")] == (2, round(math.log(2 * 3 / (3 * 2)), 6))  # 0.0
+    assert got[("a", "c")] == (1, round(math.log(1 * 3 / (3 * 1)), 6))  # 0.0
+    assert ("b", "c") not in got
+
+    capped = cooccurrence_pmi(de, per_doc_cap=1).collect()
+    assert capped == []  # every doc has >= 2 entities -> all dropped
+
+    min2 = {(r["e1"], r["e2"]) for r in cooccurrence_pmi(de, min_count=2).collect()}
+    assert min2 == {("a", "b")}
