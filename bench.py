@@ -77,6 +77,7 @@ HEADLINE = [
     "events_asof_join",
     "kg_cooccur_pmi",
     "text_sample_balanced",
+    "kg_triangles",
 ]
 
 

@@ -171,3 +171,79 @@ def cooccurrence_pmi(doc_entities: DataFrame, per_doc_cap: int | None = None,
             ).alias("pmi"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation + local clustering coefficient
+    over the undirected view of the edge set: (entity, und_degree,
+    n_triangles, clustering).
+
+    Degree-ordered orientation (the scalable node-iterator variant):
+    every undirected edge is oriented from its lower-(degree, name)
+    endpoint to the higher one, wedges are enumerated at each edge's
+    common LOW endpoint, and a wedge closes iff the oriented edge
+    between its two high endpoints exists — each triangle found exactly
+    once, and hub nodes never enumerate their own neighbor pairs (a
+    degree-d hub's wedges are charged to its lower-degree neighbors),
+    which is what keeps the self-join from exploding on skewed graphs
+    at 100 TB. The (degree, name) tie-break makes the orientation — and
+    therefore the plan-independent BIGINT counts — deterministic, so
+    the DuckDB oracle reproduces them bit-for-bit. clustering =
+    2*T / (d*(d-1)) on the undirected distinct-neighbor degree, one
+    double division rounded to 6dp on both sides.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees AND orientation
+    )
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # feeds orientation AND the output join
+    )
+    j = (
+        und.join(dg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(dg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=False)  # consumed three times below
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .where(F.col("e1.dst") != F.col("e2.dst"))
+        .select(F.col("e1.src").alias("x"),
+                F.col("e1.dst").alias("y"),
+                F.col("e2.dst").alias("z"))
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        dg.join(tcnt, "v", "left")
+        .select(
+            F.col("v").alias("entity"),
+            F.col("d").cast("long").alias("und_degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    (F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)))
+                    / (F.col("d") * (F.col("d") - F.lit(1.0))), 6),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -1118,6 +1118,52 @@ def kg_cooccur_pmi(spark, sf_dir):
     return cooccurrence_pmi(de)
 
 
+@q("kg_triangles", _oracle_prefix() + _graph_edges_cte() + """
+, und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+dg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+),
+-- MATERIALIZED: DuckDB inlines multi-referenced CTEs by default, which
+-- re-evaluates the whole edges->und->dg->o chain once per reference
+-- (o is read three times below) — measured 158 s -> 2.9 s at sf0.001
+o AS MATERIALIZED (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS dst
+  FROM und u JOIN dg da ON u.a = da.v JOIN dg db ON u.b = db.v
+),
+tri AS MATERIALIZED (
+  SELECT w.x, w.y, w.z
+  FROM (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst) w
+  JOIN o e3 ON w.y = e3.src AND w.z = e3.dst
+),
+tcnt AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v
+)
+SELECT dg.v AS entity, dg.d AS und_degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN dg.d >= 2
+            THEN round((2.0 * coalesce(t.n_triangles, 0))
+                       / (dg.d * (dg.d - 1.0)), 6)
+            ELSE 0.0 END AS clustering
+FROM dg LEFT JOIN tcnt t ON dg.v = t.v
+""")
+def kg_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting + local clustering coefficient
+    over the canonical entity graph (operators/graph.triangle_counts):
+    the community-density signal next to degree (hubs) and PageRank
+    (centrality). Orientation makes the count plan-independent and the
+    hub-safe wedge enumeration is the 100 TB shape."""
+    from deepref_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_canonical_edges(spark, sf_dir))
+
+
 # --- K1 tokenization as portable SQL (oracle-checked) ------------------------
 
 def _wp_sql(word: str, d: str) -> str:
@@ -3579,6 +3625,10 @@ _WINDOW_TAIL = [
     # events_session_window + events_window_agg + events_user_running
     # as the events reps
     "text_token_count", "emb_ann_gaussian", "events_sessionize",
+    # (parked r5g, making room for kg_triangles): green r1-r4;
+    # dedup_minhash_pairs stays as the minhash-banding rep and
+    # kg_connected_components as the linking-family rep
+    "kg_minhash_bands",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -901,3 +901,20 @@ def test_cooccurrence_pmi_hand_computed(spark):
 
     min2 = {(r["e1"], r["e2"]) for r in cooccurrence_pmi(de, min_count=2).collect()}
     assert min2 == {("a", "b")}
+
+
+def test_triangle_counts_hand_computed(spark):
+    from deepref_spark.operators.graph import triangle_counts
+
+    # triangle a-b-c, pendant d on a, plus a disconnected edge e-f;
+    # directed duplicates must collapse into the undirected view
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+            ("a", "d"), ("e", "f")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["entity"]: (r["und_degree"], r["n_triangles"], r["clustering"])
+           for r in triangle_counts(edges).collect()}
+    assert got["a"] == (3, 1, round(2 * 1 / (3 * 2), 6))  # 0.333333
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (2, 1, 1.0)
+    assert got["d"] == (1, 0, 0.0)
+    assert got["e"] == (1, 0, 0.0) and got["f"] == (1, 0, 0.0)
