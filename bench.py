@@ -78,6 +78,8 @@ HEADLINE = [
     "kg_cooccur_pmi",
     "text_sample_balanced",
     "kg_triangles",
+    "kg_link_predict",
+    "kg_kcore",
 ]
 
 

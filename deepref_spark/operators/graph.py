@@ -173,6 +173,128 @@ def cooccurrence_pmi(doc_entities: DataFrame, per_doc_cap: int | None = None,
     )
 
 
+def _und_adj(und: DataFrame) -> DataFrame:
+    """Both-direction (v, nbr) adjacency view of an undirected distinct
+    edge set (a < b)."""
+    return und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+
+
+def link_prediction(edges: DataFrame, hub_cap: int | None = None,
+                    min_common: int = 1) -> DataFrame:
+    """Common-neighbor link prediction over the undirected entity graph:
+    (e1, e2, n_common, jaccard, ra) for non-adjacent pairs sharing at
+    least ``min_common`` neighbors — the KG-completion candidate list
+    (edges the extractor plausibly missed, ranked by neighborhood
+    overlap).
+
+    ra is the Resource Allocation index (Zhou, Lü & Zhang 2009),
+    sum over common neighbors v of 1/deg(v), computed on the BIGINT
+    unit grid as sum(UNIT div deg(v)) — exact integer arithmetic, so
+    the score is aggregation-order independent and bit-identical
+    between any Spark partitioning and the single-threaded oracle
+    (Adamic-Adar's 1/ln(deg) weight would make the sum a
+    double-association hazard cross-engine; RA is the same family with
+    exact arithmetic). jaccard = n_common / (d1 + d2 - n_common), one
+    double division rounded to 6dp on both sides.
+
+    Scale shape: candidate pairs are enumerated at their common
+    neighbor (one self-join of the adjacency list on v), so a
+    degree-d hub generates d^2 wedges — ``hub_cap`` excludes common
+    neighbors with degree > cap from enumeration (the per_doc_cap
+    discipline from cooccurrence_pmi; a neighbor shared by everything
+    carries ~zero RA weight anyway, 1/d -> 0). Existing edges drop via
+    one anti-join; everything else is map-side-combinable BIGINT aggs.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds adjacency AND the anti-join
+    )
+    adj = _und_adj(und)
+    dg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d")) \
+        .localCheckpoint(eager=False)  # feeds wedge weights AND output degrees
+    mid = adj.join(dg, "v")
+    if hub_cap is not None:
+        mid = mid.where(F.col("d") <= hub_cap)
+    wedges = (
+        mid.alias("x")
+        .join(mid.alias("y"), "v")
+        .where(F.col("x.nbr") < F.col("y.nbr"))
+        .select(
+            F.col("x.nbr").alias("e1"), F.col("y.nbr").alias("e2"),
+            F.expr(f"{UNIT} div x.d").alias("w"),
+        )
+    )
+    scores = (
+        wedges.groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+             F.sum("w").cast("long").alias("ra_units"))
+        .where(F.col("n_common") >= min_common)
+    )
+    cand = scores.join(
+        und.select(F.col("a").alias("e1"), F.col("b").alias("e2")),
+        ["e1", "e2"], "left_anti",
+    )
+    return (
+        cand
+        .join(dg.select(F.col("v").alias("e1"), F.col("d").alias("d1")), "e1")
+        .join(dg.select(F.col("v").alias("e2"), F.col("d").alias("d2")), "e2")
+        .select(
+            "e1", "e2", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+            F.round(F.col("ra_units").cast("double") / F.lit(float(UNIT)), 6)
+            .alias("ra"),
+        )
+    )
+
+
+def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 16) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    undirected degree < k until fixpoint; return (entity, core_deg)
+    for the surviving nodes with their within-core degree — the dense
+    backbone of the KG (the subgraph entity-resolution and community
+    passes should run on first at 100 TB, because peeling typically
+    drops the long degree-1/2 tail that dominates row count).
+
+    Each round is one degree agg + two anti-joins, eagerly
+    localCheckpoint'ed so round r+1 plans against materialized edges
+    instead of replaying rounds 1..r (the connected-components
+    discipline). Convergence is a per-round isEmpty() on the peeled
+    set — one bounded driver scalar per round, same contract as the
+    CC loop's convergence probe. Raises if ``max_rounds`` is hit
+    before fixpoint, so a truncated decomposition can never be
+    silently reported as the k-core (the oracle unrolls a fixed round
+    count; extra rounds past fixpoint are no-ops on both sides).
+    """
+    surv = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = _und_adj(surv).groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        bad = deg.where(F.col("d") < k).select("v").localCheckpoint()
+        if bad.isEmpty():
+            return (
+                _und_adj(surv).groupBy(F.col("v").alias("entity"))
+                .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            )
+        surv = (
+            surv.join(bad.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"kcore(k={k}) did not converge in {max_rounds} rounds")
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-entity triangle participation + local clustering coefficient
     over the undirected view of the edge set: (entity, und_degree,

@@ -1164,6 +1164,89 @@ def kg_triangles(spark, sf_dir):
     return triangle_counts(_canonical_edges(spark, sf_dir))
 
 
+def _lp_oracle(hub_cap: int) -> str:
+    from deepref_spark.operators.graph import UNIT
+
+    return _oracle_prefix() + _graph_edges_cte() + f"""
+, und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+adj AS MATERIALIZED (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+dg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+mid AS MATERIALIZED (
+  SELECT adj.v, adj.nbr, dg.d FROM adj JOIN dg ON adj.v = dg.v
+  WHERE dg.d <= {hub_cap}
+),
+sc AS MATERIALIZED (
+  SELECT x.nbr AS e1, y.nbr AS e2, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({UNIT} // x.d) AS BIGINT) AS ra_units
+  FROM mid x JOIN mid y ON x.v = y.v AND x.nbr < y.nbr
+  GROUP BY 1, 2
+),
+cand AS (SELECT sc.* FROM sc ANTI JOIN und ON sc.e1 = und.a AND sc.e2 = und.b)
+SELECT c.e1, c.e2, c.n_common,
+       round(CAST(c.n_common AS DOUBLE) / (d1.d + d2.d - c.n_common), 6) AS jaccard,
+       round(CAST(c.ra_units AS DOUBLE) / {float(UNIT)}, 6) AS ra
+FROM cand c JOIN dg d1 ON c.e1 = d1.v JOIN dg d2 ON c.e2 = d2.v
+"""
+
+
+@q("kg_link_predict", _lp_oracle(hub_cap=16))
+def kg_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction over the canonical entity graph
+    (operators/graph.link_prediction): (e1, e2, n_common, jaccard, ra)
+    for non-adjacent pairs — the KG-completion candidate list. RA index
+    on the BIGINT unit grid (exact reciprocals, order-independent);
+    hub_cap=16 exercises the production hot-neighbor guard (the graph's
+    max degree is ~24 at test SFs, so the cap genuinely binds)."""
+    from deepref_spark.operators.graph import link_prediction
+
+    return link_prediction(_canonical_edges(spark, sf_dir), hub_cap=16)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds; the fixpoint is reached well inside
+    ``rounds`` at every test SF (probed: 1 round at sf0.001 and sf0.01)
+    and extra rounds past it are exact no-ops, so the unroll depth only
+    needs to be an upper bound. Every CTE is MATERIALIZED: each round
+    is referenced twice (next round's degrees + anti-join) and DuckDB's
+    default inlining would re-run the whole chain per reference
+    (the kg_triangles lesson: 158 s -> 2.9 s)."""
+    parts = ["s0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+bad{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS v FROM s{r - 1} UNION ALL SELECT b FROM s{r - 1})
+    GROUP BY v
+  ) WHERE d < {k}
+),
+s{r} AS MATERIALIZED (
+  SELECT a, b FROM s{r - 1}
+  WHERE a NOT IN (SELECT v FROM bad{r}) AND b NOT IN (SELECT v FROM bad{r})
+)""")
+    return _oracle_prefix() + _graph_edges_cte() + f"""
+, und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+{",".join(parts)}
+SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS v FROM s{rounds} UNION ALL SELECT b FROM s{rounds})
+GROUP BY v
+"""
+
+
+@q("kg_kcore", _kcore_oracle(k=3, rounds=8))
+def kg_kcore(spark, sf_dir):
+    """3-core membership of the canonical entity graph
+    (operators/graph.kcore): iterative peeling to fixpoint, surviving
+    nodes with their within-core degree — the dense backbone the
+    resolution/community passes should run on first. The Spark side
+    peels until an empty peel set (raising rather than truncating);
+    the oracle unrolls 8 rounds, an upper bound past which peeling is
+    a no-op."""
+    from deepref_spark.operators.graph import kcore
+
+    return kcore(_canonical_edges(spark, sf_dir), k=3)
+
+
 # --- K1 tokenization as portable SQL (oracle-checked) ------------------------
 
 def _wp_sql(word: str, d: str) -> str:
@@ -3629,6 +3712,11 @@ _WINDOW_TAIL = [
     # dedup_minhash_pairs stays as the minhash-banding rep and
     # kg_connected_components as the linking-family rep
     "kg_minhash_bands",
+    # (parked r5h, making room for kg_link_predict + kg_kcore): green
+    # r1-r4; kg_preproc_eb stays as the preproc rep, and the dedup
+    # family keeps minhash/simhash pairs, jaccard_capped, passages and
+    # keep_map in-window
+    "kg_preproc_sw", "dedup_exact",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

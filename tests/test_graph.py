@@ -4,7 +4,11 @@ inputs — exact expected values, independent of the DuckDB oracles."""
 
 import pyspark.sql.functions as F
 
-from deepref_spark.operators.graph import UNIT, entity_degrees, graph_edges, pagerank
+import pytest
+
+from deepref_spark.operators.graph import (
+    UNIT, entity_degrees, graph_edges, kcore, link_prediction, pagerank,
+)
 from deepref_spark.operators.similarity import semdedup
 
 
@@ -46,6 +50,51 @@ def test_pagerank_hand_unrolled_chain(spark):
     e = _edges(spark, [("a", "b"), ("b", "a"), ("a", "c")])
     rows = {r["entity"]: r["pagerank"] for r in pagerank(e, iters=1).collect()}
     assert rows == {"a": u1a / UNIT, "b": u1bc / UNIT, "c": u1bc / UNIT}
+
+
+def test_link_prediction_path_hand_checked(spark):
+    # path a-b-c: the only non-adjacent pair is (a, c), common
+    # neighbor b with deg(b)=2 -> n_common=1, jaccard = 1/(1+1-1)=1,
+    # ra = floor(UNIT/2)/UNIT = 0.5.
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    rows = [tuple(r) for r in link_prediction(e).collect()]
+    assert rows == [("a", "c", 1, 1.0, 0.5)]
+
+
+def test_link_prediction_hub_cap_excludes_hub_wedges(spark):
+    # star h-{a,b,c}: every non-adjacent pair's only common neighbor
+    # is the degree-3 hub; hub_cap=2 excludes it -> no candidates.
+    e = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    assert len(link_prediction(e).collect()) == 3  # (a,b),(a,c),(b,c)
+    assert link_prediction(e, hub_cap=2).isEmpty()
+
+
+def test_link_prediction_existing_edges_dropped(spark):
+    # triangle a-b-c: every pair is already an edge -> no candidates,
+    # even though every pair shares a common neighbor.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert link_prediction(e).isEmpty()
+
+
+def test_kcore_peels_pendant_tail(spark):
+    # triangle a-b-c with pendant chain c-d, d-e: 2-core = the
+    # triangle (two peel rounds: e then d), each member core_deg 2.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("c", "d"), ("d", "e")])
+    rows = {r["entity"]: r["core_deg"] for r in kcore(e, k=2).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_graph_dissolves(spark):
+    # a path has no 2-core: peeling consumes everything.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert kcore(e, k=2).isEmpty()
+
+
+def test_kcore_raises_instead_of_truncating(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(e, k=2, max_rounds=1)
 
 
 def test_semdedup_drops_all_but_one_per_dup_group(spark):
