@@ -80,6 +80,7 @@ HEADLINE = [
     "kg_triangles",
     "kg_link_predict",
     "kg_kcore",
+    "kg_span_integrity",
 ]
 
 

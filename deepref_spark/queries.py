@@ -2862,6 +2862,76 @@ def kg_media_frames(spark, sf_dir):
     )
 
 
+# Deterministic interleaved span construction shared by kg_span_integrity
+# and its oracle: 3-6 spans per doc, media spans interleaved by a
+# (doc_id + i) % 3 rule, text spans carrying real substrings of the doc
+# text. Per-span canonical string = kind|text|media_ref|offset ('' for
+# the inapplicable field, so concat_ws never skips a NULL).
+_SPAN_SEQ_SPARK = """
+transform(sequence(0, CAST(doc_id % 4 AS INT) + 2), i ->
+  CASE WHEN (doc_id + i) % 3 = 1 THEN
+    named_struct(
+      'kind', 'media', 'text', '',
+      'media_ref', concat('media://blob/', CAST(doc_id AS STRING), '/', CAST(i AS STRING)),
+      'offset', i)
+  ELSE
+    named_struct(
+      'kind', 'text',
+      'text', substring(text, CAST(1 + (doc_id * 7 + i * 13) % 40 AS INT), 24),
+      'media_ref', '', 'offset', i)
+  END)
+"""
+
+_SPAN_PARTS_DUCK = """
+list_transform(generate_series(0, CAST(doc_id % 4 AS INT) + 2), i ->
+  CASE WHEN (doc_id + i) % 3 = 1
+    THEN concat('media', '|', '', '|', 'media://blob/', doc_id, '/', i, '|', i)
+    ELSE concat('text', '|', substr(text, CAST(1 + (doc_id * 7 + i * 13) % 40 AS INT), 24), '|', '', '|', i)
+  END)
+"""
+
+
+@q("kg_span_integrity", f"""
+WITH s AS (SELECT doc_id, {_SPAN_PARTS_DUCK} AS parts FROM documents)
+SELECT doc_id,
+       CAST(len(parts) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(parts, p -> p LIKE 'media|%')) AS BIGINT) AS n_media,
+       md5(array_to_string(parts, '#')) AS seq_sha
+FROM s
+""")
+def kg_span_integrity(spark, sf_dir):
+    """The north-rule per-row invariant as a driver-graded check: build
+    interleaved text+media span sequences deterministically from
+    `documents`, push them through the REAL pipeline boundary ops —
+    convert.explode_spans -> a locality-destroying repartition ->
+    convert.reassemble_docs — and emit a per-doc sha over the ordered
+    (kind, text, media_ref, offset) tuples. The oracle computes the
+    same sha directly from the generative formula WITHOUT the
+    round-trip, so any reordering, loss, or mutation inside the
+    explode/shuffle/reassemble path breaks the hash for that row.
+    Complements tests/test_pipeline.py's synth round-trip test by
+    putting the invariant in the driver artifact at every SF."""
+    from deepref_spark.operators import convert
+
+    spans = documents(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SPAN_SEQ_SPARK} AS spans")
+    exploded = convert.explode_spans(spans)
+    # repartition on non-order columns: rows arrive at reassemble in
+    # arbitrary partition/row order, so order recovery is genuinely
+    # exercised rather than inherited from the scan
+    back = convert.reassemble_docs(exploded.repartition(17, "kind", "text"))
+    part = ("concat_ws('|', s.kind, s.text, s.media_ref, "
+            "CAST(s.offset AS STRING))")
+    return back.select(
+        "doc_id",
+        F.expr("size(spans)").cast("long").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'media'))").cast("long")
+        .alias("n_media"),
+        F.expr(f"md5(array_join(transform(spans, s -> {part}), '#'))")
+        .alias("seq_sha"),
+    )
+
+
 @q("events_session_window", _SESSION_CTES + """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -3717,6 +3787,10 @@ _WINDOW_TAIL = [
     # family keeps minhash/simhash pairs, jaccard_capped, passages and
     # keep_map in-window
     "kg_preproc_sw", "dedup_exact",
+    # (parked r5i, making room for kg_span_integrity): green r1-r4;
+    # the ANN family (lsh, ivf, pq, semdedup, near_dups) all stay
+    # in-window — this is the gated brute-force baseline
+    "emb_cosine_topk",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -124,6 +124,38 @@ def test_rows_only_eval_goldens(spark, registry, name, expected):
     assert _stable_hash(registry[name]["spark"](spark, SF)) == expected
 
 
+def test_span_integrity_hash_detects_reorder(spark):
+    """kg_span_integrity is only evidence if a broken round-trip
+    actually changes seq_sha: corrupt the order key after explode
+    (reverse span_idx within each doc) and every doc's hash must flip
+    (every span string embeds its offset, so any reorder is visible)."""
+    import pyspark.sql.functions as F
+
+    from deepref_spark.operators import convert
+    from deepref_spark.queries import _SPAN_SEQ_SPARK, documents
+
+    spans = documents(spark, SF).selectExpr(
+        "doc_id", f"{_SPAN_SEQ_SPARK} AS spans")
+    exploded = convert.explode_spans(spans)
+    part = ("concat_ws('|', s.kind, s.text, s.media_ref, "
+            "CAST(s.offset AS STRING))")
+
+    def sha(ex):
+        back = convert.reassemble_docs(ex)
+        return back.select(
+            "doc_id",
+            F.expr(f"md5(array_join(transform(spans, s -> {part}), '#'))")
+            .alias("seq_sha"),
+        )
+
+    n = F.expr("CAST(doc_id % 4 AS INT) + 3")  # n_spans per the formula
+    corrupted = exploded.withColumn("span_idx", n - 1 - F.col("span_idx"))
+    clean = {r["doc_id"]: r["seq_sha"] for r in sha(exploded).collect()}
+    bad = {r["doc_id"]: r["seq_sha"] for r in sha(corrupted).collect()}
+    assert set(clean) == set(bad)
+    assert all(clean[d] != bad[d] for d in clean)
+
+
 def test_stage_lineage_totals(spark, registry):
     """kg_stage_lineage's per-partition rows are layout-dependent by
     design; the per-stage TOTALS are not — pin those."""
