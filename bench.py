@@ -81,6 +81,7 @@ HEADLINE = [
     "kg_link_predict",
     "kg_kcore",
     "kg_span_integrity",
+    "text_decontam_coverage",
 ]
 
 

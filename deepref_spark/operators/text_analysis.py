@@ -533,6 +533,88 @@ def contamination_screen(documents: DataFrame, benchmark_texts,
     return out.withColumn("contaminated", F.col("n_hits") > 0)
 
 
+def contaminated_coverage(documents: DataFrame, benchmark_texts,
+                          n: int = CONTAM_NGRAM,
+                          join_threshold: int = CONTAM_JOIN_THRESHOLD,
+                          tokens_col: str | None = None) -> DataFrame:
+    """(doc_id, n_tokens, n_hit_grams, n_covered, covered_frac): the
+    decontamination DEPTH signal — how much of each document the
+    benchmark-overlapping n-grams actually cover. The boolean screen
+    (contamination_screen) answers "drop or keep?"; this answers
+    "excise a span or drop the doc?" (a 0.01 coverage doc loses one
+    sentence, a 0.6 coverage doc IS the benchmark).
+
+    Same dataflow as the screen: staged tokens (the lambda
+    re-evaluation trap), hit START positions via a plan-literal IN
+    filter below ``join_threshold`` or an exploded-gram broadcast join
+    above it; coverage = size of the distinct union of [i, i+n-1]
+    ranges — computed per doc from its own hit list (flatten +
+    array_distinct, order-independent), never a corpus-wide shuffle.
+    """
+    keys = benchmark_gram_keys(benchmark_texts, n)
+    if tokens_col is None:
+        staged = documents.select(
+            "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+        ).localCheckpoint(eager=False)  # barrier: keep tokenize out of the lambda
+    else:
+        staged = documents.select("doc_id", F.col(tokens_col).alias("t"))
+    gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')", 1 << 30)
+    if len(keys) <= join_threshold:
+        inlist = ", ".join(str(k) for k in keys) or "-1"
+        starts = (
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"filter(sequence(1, size(t) - {n - 1}), i -> {gram_hash} IN ({inlist})) "
+            f"ELSE array() END"
+        )
+        base = staged.select(
+            "doc_id", F.expr("size(t)").cast("int").alias("n_tokens"),
+            F.expr(starts).alias("starts"),
+        )
+    else:
+        grams = (
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
+            f"ELSE array() END"
+        )
+        spark = documents.sparkSession
+        keys_df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+        pre = staged.select(
+            "doc_id", F.expr("size(t)").cast("int").alias("n_tokens"),
+            F.expr(grams).alias("gh"),
+        ).localCheckpoint(eager=False)  # feeds the hit join AND the doc spine
+        hits = (
+            pre.select("doc_id", F.posexplode("gh").alias("p", "h"))
+            .join(F.broadcast(keys_df), F.col("h").cast("long") == F.col("k"))
+            .groupBy("doc_id")
+            # coverage/count are order-independent aggregates of this
+            # list, so collect_list's nondeterministic order is safe
+            .agg(F.collect_list(F.col("p") + 1).alias("starts"))
+        )
+        base = (
+            pre.select("doc_id", "n_tokens")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("starts", F.expr("array()")).alias("starts"))
+        )
+    covered = (f"size(array_distinct(flatten("
+               f"transform(starts, i -> sequence(i, i + {n - 1})))))")
+    # n_covered is referenced twice downstream (output + frac), which
+    # is exactly what keeps CollapseProject from re-inlining the
+    # flatten/distinct tree into both references (SPARK-36718 guard)
+    staged_cov = base.select(
+        "doc_id", "n_tokens",
+        F.expr("size(starts)").cast("int").alias("n_hit_grams"),
+        F.expr(covered).cast("int").alias("n_covered"),
+    )
+    return staged_cov.select(
+        "doc_id", "n_tokens", "n_hit_grams", "n_covered",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_covered").cast("double") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("covered_frac"),
+    )
+
+
 def _curate_signals(documents: DataFrame, benchmark_texts) -> DataFrame:
     """The per-doc curation signal frame shared by curate_corpus (which
     filters on it) and curation_funnel (which aggregates it): one row

@@ -3319,6 +3319,56 @@ def text_contamination(spark, sf_dir):
     )
 
 
+def _decontam_coverage_oracle() -> str:
+    g13 = "array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 12 AS INT)), ' ')"
+    h = md5_mod(g13, 1 << 30)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+bgrams AS (
+  SELECT DISTINCT {h} AS k
+  FROM (SELECT t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE doc_id < 3 AND len(t) >= 13)
+),
+dgrams AS (
+  SELECT doc_id, i, {h} AS k
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE len(t) >= 13)
+),
+dhits AS (SELECT d.doc_id, d.i FROM dgrams d JOIN bgrams b ON d.k = b.k),
+hitc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit_grams FROM dhits GROUP BY doc_id),
+covc AS (
+  SELECT doc_id, CAST(count(DISTINCT pos) AS INT) AS n_covered
+  FROM (SELECT doc_id, unnest(range(i, i + 13)) AS pos FROM dhits)
+  GROUP BY doc_id
+)
+SELECT toks.doc_id, CAST(len(toks.t) AS INT) AS n_tokens,
+       CAST(coalesce(hitc.n_hit_grams, 0) AS INT) AS n_hit_grams,
+       CAST(coalesce(covc.n_covered, 0) AS INT) AS n_covered,
+       CASE WHEN len(toks.t) > 0
+            THEN round(CAST(coalesce(covc.n_covered, 0) AS DOUBLE) / len(toks.t), 6)
+            ELSE 0.0 END AS covered_frac
+FROM toks
+LEFT JOIN hitc ON toks.doc_id = hitc.doc_id
+LEFT JOIN covc ON toks.doc_id = covc.doc_id
+"""
+
+
+@q("text_decontam_coverage", _decontam_coverage_oracle())
+def text_decontam_coverage(spark, sf_dir):
+    """Contamination DEPTH per doc (text_analysis.contaminated_coverage):
+    the fraction of token positions covered by benchmark-overlapping
+    13-grams — the signal that separates "excise one sentence" from
+    "drop the doc" in a decontamination pass. Benchmark = doc_id < 3
+    texts (the text_contamination convention: those docs self-hit, so
+    the coverage-1.0 path is exercised deterministically)."""
+    from deepref_spark.operators.text_analysis import contaminated_coverage
+
+    bench_texts = [
+        r["text"]
+        for r in documents(spark, sf_dir)
+        .where(F.col("doc_id") < 3).orderBy("doc_id").select("text").collect()
+    ]
+    return contaminated_coverage(documents(spark, sf_dir), bench_texts)
+
+
 def _curate_oracle() -> str:
     """SQL twin of text_analysis.curate_corpus: the whole curation
     composition (quality -> repetition -> contamination -> near-dup
@@ -3791,6 +3841,10 @@ _WINDOW_TAIL = [
     # the ANN family (lsh, ivf, pq, semdedup, near_dups) all stay
     # in-window — this is the gated brute-force baseline
     "emb_cosine_topk",
+    # (parked r5j, making room for text_decontam_coverage): green
+    # r1-r4; kg_media_features stays as the multimodal rep (same
+    # decode-stub kernel family)
+    "kg_media_frames",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

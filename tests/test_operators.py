@@ -523,6 +523,62 @@ def test_contamination_join_path_matches_literal(spark):
     assert any(v[1] == 0 for v in join_rows.values())  # zero-hit docs kept
 
 
+def test_contaminated_coverage_planted_overlap(spark):
+    """Hand-checked coverage arithmetic: doc 10 = 'x' + 13*'a' + 'y z'
+    (16 tokens) against a benchmark of 13*'a' -> exactly one hit gram
+    starting at position 2, covering positions 2..14 -> 13/16. Doc 11
+    is benchmark-free -> all-zero row. Doc 12 repeats the benchmark
+    with one token between -> two OVERLAPPING hit windows whose union
+    (not sum) is the covered count."""
+    from deepref_spark.operators.text_analysis import contaminated_coverage
+
+    bench = [" ".join(["aa"] * 13)]
+    docs = spark.createDataFrame(
+        [
+            (10, "xx " + " ".join(["aa"] * 13) + " yy zz"),
+            (11, " ".join(f"w{i}" for i in range(20))),
+            # 13 a's, separator, 12 a's: hits start at 1 (a*13) and at
+            # 15..? -> only windows fully inside an 'aa' run of >= 13;
+            # the second run has 12, so the extra hits come from
+            # positions 2 (a*12+sep? no — sep breaks it). Just overlap
+            # within one run of 15 a's: starts 1,2,3.
+            (12, " ".join(["aa"] * 15)),
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in contaminated_coverage(docs, bench).collect()}
+    assert (rows[10]["n_tokens"], rows[10]["n_hit_grams"],
+            rows[10]["n_covered"]) == (16, 1, 13)
+    assert rows[10]["covered_frac"] == round(13 / 16, 6)
+    assert (rows[11]["n_hit_grams"], rows[11]["n_covered"],
+            rows[11]["covered_frac"]) == (0, 0, 0.0)
+    # 15-token run: hit starts 1,2,3; union covers all 15 positions
+    assert (rows[12]["n_tokens"], rows[12]["n_hit_grams"],
+            rows[12]["n_covered"], rows[12]["covered_frac"]) == (15, 3, 15, 1.0)
+
+
+def test_contaminated_coverage_join_path_matches_literal(spark):
+    """The auto-gate must hold for the coverage operator too: forcing
+    join_threshold=0 switches to the exploded-gram broadcast join and
+    must reproduce the IN-list rows exactly (collect_list order
+    nondeterminism must not leak into the order-independent outputs)."""
+    from deepref_spark.operators.text_analysis import contaminated_coverage
+    from deepref_spark.queries import documents
+
+    docs = documents(spark, "/root/testdata/sf0.001").limit(60)
+    bench = [
+        r["text"] for r in docs.where("doc_id < 3").orderBy("doc_id").collect()
+    ]
+    lit_rows = {r["doc_id"]: tuple(r)[1:]
+                for r in contaminated_coverage(docs, bench).collect()}
+    joined = contaminated_coverage(docs, bench, join_threshold=0)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    join_rows = {r["doc_id"]: tuple(r)[1:] for r in joined.collect()}
+    assert join_rows == lit_rows
+    assert any(v[2] > 0 for v in join_rows.values())  # covered > 0 somewhere
+
+
 def test_mixing_plan_and_contamination(spark):
     """Mixing planner: shares sum to ~1, a custom skewed target caps at
     rate 1.0 and downsamples the rest. Contamination screen: a doc
