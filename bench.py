@@ -82,6 +82,7 @@ HEADLINE = [
     "kg_kcore",
     "kg_span_integrity",
     "text_decontam_coverage",
+    "events_attribution_join",
 ]
 
 

@@ -2721,6 +2721,46 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+@q("events_attribution_join", """
+SELECT t.user_id,
+       CAST(t.event_id AS BIGINT) AS trigger_id,
+       CAST(a.event_id AS BIGINT) AS action_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS trigger_ts,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS action_ts,
+       -- per-side floor: Spark's timestamp->long cast truncates each
+       -- timestamp to whole seconds BEFORE subtracting
+       CAST(floor(epoch(a.ts)) - floor(epoch(t.ts)) AS BIGINT) AS lag_seconds,
+       a.value AS action_value
+FROM (SELECT * FROM events WHERE event_type = 'view') t
+JOIN (SELECT * FROM events WHERE event_type = 'click') a
+  ON t.user_id = a.user_id
+ AND a.ts >= t.ts AND a.ts <= t.ts + INTERVAL 30 MINUTE
+""")
+def events_attribution_join(spark, sf_dir):
+    """Stream-stream interval join run in batch mode
+    (streaming/stream_ops.attribution_join_stream): every 'click'
+    attributed to each same-user 'view' within a 30-minute horizon.
+    The streaming execution of the SAME expression (watermarked both
+    sides, state bounded by the time-range condition) is pinned
+    against this batch result in tests/test_operators.py."""
+    from deepref_spark.streaming.stream_ops import attribution_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = attribution_join_stream(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "click"),
+        horizon_minutes=30,
+    )
+    return out.select(
+        "user_id",
+        F.col("trigger_id").cast("long").alias("trigger_id"),
+        F.col("action_id").cast("long").alias("action_id"),
+        F.date_format("trigger_ts", "yyyy-MM-dd HH:mm:ss").alias("trigger_ts"),
+        F.date_format("action_ts", "yyyy-MM-dd HH:mm:ss").alias("action_ts"),
+        "lag_seconds", "action_value",
+    )
+
+
 @q("dedup_passages", """
 WITH passages AS (
   SELECT DISTINCT doc_id, md5(p) AS passage_hash
@@ -3845,6 +3885,10 @@ _WINDOW_TAIL = [
     # r1-r4; kg_media_features stays as the multimodal rep (same
     # decode-stub kernel family)
     "kg_media_frames",
+    # (parked r5k, making room for events_attribution_join): green
+    # r1-r4; events_session_window stays as the windowed-agg streaming
+    # rep, events_user_running as the stateful rep
+    "events_window_agg",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

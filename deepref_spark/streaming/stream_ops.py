@@ -97,6 +97,51 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     )
 
 
+def attribution_join_stream(triggers: DataFrame, actions: DataFrame,
+                            horizon_minutes: int = 30,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each action
+    event to every trigger event of the same user whose timestamp lies
+    in [trigger_ts, trigger_ts + horizon] — the view->click attribution
+    shape. On streams this is Spark's canonical stream-stream join
+    (both sides watermarked + a time-range condition bounds the join
+    state, so buffered rows age out instead of accumulating); the
+    identical expression runs on batch frames, which is what the
+    oracle-checked registry query and the batch half of the streaming
+    test execute.
+
+    The join shuffles both sides on user_id only; the time range is
+    evaluated within the co-partitioned pairs. lag_seconds is BIGINT
+    (epoch-second difference), order-independent."""
+    t = triggers.select(
+        F.col("user_id"),
+        F.col("event_id").alias("trigger_id"),
+        F.col("ts").cast("timestamp").alias("trigger_ts"),
+    )
+    a = actions.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("action_id"),
+        F.col("ts").cast("timestamp").alias("action_ts"),
+        F.col("value").alias("action_value"),
+    )
+    if t.isStreaming:
+        t = t.withWatermark("trigger_ts", watermark)
+    if a.isStreaming:
+        a = a.withWatermark("action_ts", watermark)
+    cond = (
+        (t["user_id"] == a["a_user"])
+        & (a["action_ts"] >= t["trigger_ts"])
+        & (a["action_ts"] <= t["trigger_ts"]
+           + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return t.join(a, cond).select(
+        "user_id", "trigger_id", "action_id", "trigger_ts", "action_ts",
+        (F.col("action_ts").cast("long") - F.col("trigger_ts").cast("long"))
+        .cast("long").alias("lag_seconds"),
+        "action_value",
+    )
+
+
 def running_entity_counts(scored_stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful streaming operator (SURVEY.md §2.7):
     applyInPandasWithState keeping a running mention count + best score

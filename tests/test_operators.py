@@ -205,6 +205,44 @@ def test_streaming_triple_dedup(spark, tmp_path):
     assert rows == {("a", "r", "b"), ("c", "r", "d")}
 
 
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """TRUE stream-stream join: both sides file-source streams with
+    watermarks + the time-range condition (Spark requires both for
+    bounded state), driven with processAllAvailable and pinned
+    row-for-row against the batch execution of the same expression."""
+    from deepref_spark.schemas import load_table
+    from deepref_spark.streaming.stream_ops import attribution_join_stream
+
+    src = str(tmp_path / "events_in")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    t_stream = spark.readStream.schema(schema).parquet(src).where(
+        "event_type = 'view'")
+    a_stream = spark.readStream.schema(schema).parquet(src).where(
+        "event_type = 'click'")
+    q = (
+        attribution_join_stream(t_stream, a_stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("attr_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch_df = attribution_join_stream(
+        spark.read.parquet(src).where("event_type = 'view'"),
+        spark.read.parquet(src).where("event_type = 'click'"),
+    )
+    key = lambda r: (r["user_id"], r["trigger_id"], r["action_id"])
+    got = {key(r): (str(r["trigger_ts"]), str(r["action_ts"]),
+                    r["lag_seconds"], r["action_value"])
+           for r in spark.sql("SELECT * FROM attr_out").collect()}
+    expect = {key(r): (str(r["trigger_ts"]), str(r["action_ts"]),
+                       r["lag_seconds"], r["action_value"])
+              for r in batch_df.collect()}
+    assert got == expect
+    assert len(got) > 0
+    assert all(0 <= v[2] <= 1800 for v in got.values())
+
+
 def test_stateful_running_entity_counts(spark, tmp_path):
     """applyInPandasWithState over a file-source stream: running
     per-entity mention counts + best score (update mode)."""
