@@ -83,6 +83,8 @@ HEADLINE = [
     "kg_span_integrity",
     "text_decontam_coverage",
     "events_attribution_join",
+    "kg_triple_merge",
+    "kg_multihop",
 ]
 
 

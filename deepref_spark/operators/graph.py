@@ -295,6 +295,85 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 16) -> DataFrame:
     raise RuntimeError(f"kcore(k={k}) did not converge in {max_rounds} rounds")
 
 
+def merge_triples(existing: DataFrame, incoming: DataFrame,
+                  keys: tuple = ("subj_canon", "pred", "obj_canon")) -> DataFrame:
+    """Incremental KG maintenance: fold a new batch of canonical
+    triples into the existing graph table — the engine-neutral form of
+    the MERGE INTO a partitioned Iceberg graph table that a continuous
+    construction run executes per ingest batch (io/tables.py's
+    parquet fallback gets identical semantics). Evidence counts ADD,
+    scores MAX, and every output row is labeled ``new`` (first seen in
+    this batch), ``updated`` (seen in both), or ``existing``
+    (untouched by this batch) — the audit column an incremental run
+    publishes with its lineage rows.
+
+    One full-outer shuffle on the triple key; both aggregates are
+    order-independent (BIGINT sum, max), so the merged table is
+    bit-identical under any partitioning. At scale the existing side
+    is bucketed by the same key, which turns this into a co-located
+    join with no re-shuffle of the big side."""
+    ks = list(keys)
+    e = existing.select(
+        *ks, F.col("n_docs").alias("e_docs"), F.col("max_score").alias("e_score"))
+    i = incoming.select(
+        *ks, F.col("n_docs").alias("i_docs"), F.col("max_score").alias("i_score"))
+    return (
+        e.join(i, ks, "full_outer")
+        .select(
+            *ks,
+            (F.coalesce("e_docs", F.lit(0)) + F.coalesce("i_docs", F.lit(0)))
+            .cast("long").alias("n_docs"),
+            F.round(
+                F.greatest(F.coalesce("e_score", "i_score"),
+                           F.coalesce("i_score", "e_score")), 6
+            ).alias("max_score"),
+            F.when(F.col("e_docs").isNull(), F.lit("new"))
+            .when(F.col("i_docs").isNull(), F.lit("existing"))
+            .otherwise(F.lit("updated")).alias("status"),
+        )
+    )
+
+
+def multihop(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded multi-hop reachability with exact path counts over the
+    directed canonical edge set: (src, dst, min_hops, n_paths) for
+    every pair connected by a directed path of length <= ``max_hops``
+    — the KG-inference primitive behind "A relates to C via B"
+    candidate facts. Rows with src = dst are directed cycles through
+    the node (min_hops = cycle length).
+
+    hop-k paths = hop-(k-1) paths joined to edges at the frontier
+    node, path counts MULTIPLY along the join and SUM per (src, dst) —
+    all BIGINT, so counts are plan-independent. Each expansion is one
+    shuffle on the frontier key; the per-hop frames are lazily
+    checkpointed so hop k+1 plans against hop k's result, not the
+    whole chain (the CC/pagerank discipline). At web scale run this
+    from a landmark/seed set (filter src first — the join then only
+    expands the seeds' frontier) and salt hub frontier keys; the
+    all-pairs form below is the test-scale shape."""
+    edges = edges.localCheckpoint(eager=False)
+    hop = edges.select(
+        "src", "dst", F.lit(1).cast("long").alias("n_paths")
+    ).localCheckpoint(eager=False)
+    by_hops = [hop.withColumn("hops", F.lit(1))]
+    for k in range(2, max_hops + 1):
+        hop = (
+            hop.withColumnRenamed("dst", "mid")
+            .join(edges.withColumnRenamed("src", "mid"), "mid")
+            .groupBy("src", "dst")
+            .agg(F.sum("n_paths").cast("long").alias("n_paths"))
+            .localCheckpoint(eager=False)
+        )
+        by_hops.append(hop.withColumn("hops", F.lit(k)))
+    allk = by_hops[0]
+    for h in by_hops[1:]:
+        allk = allk.unionByName(h)
+    return allk.groupBy("src", "dst").agg(
+        F.min("hops").cast("int").alias("min_hops"),
+        F.sum("n_paths").cast("long").alias("n_paths"),
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-entity triangle participation + local clustering coefficient
     over the undirected view of the edge set: (entity, und_degree,

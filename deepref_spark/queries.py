@@ -968,9 +968,18 @@ def kg_canonical_triples(spark, sf_dir):
     key-normalization canonicalizer (strip non-alnum) — the
     deterministic stand-in whose oracle is pure SQL; the LSH+CC
     canonicalizer is exercised by kg_connected_components."""
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    return _canon_triples_from(p)
+
+
+def _canon_triples_from(p: DataFrame) -> DataFrame:
+    """Canonical (subj_canon, pred, obj_canon, n_docs, max_score)
+    triples from a filtered predictions frame — the
+    kg_canonical_triples derivation parameterized by input batch,
+    shared with kg_triple_merge's per-batch builds."""
     # three consumers (ents x2 + final join): materialize the filtered
     # predictions once instead of re-parsing the corpus per consumer
-    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other").localCheckpoint(eager=False)
+    p = p.localCheckpoint(eager=False)
     ents = (
         p.select(F.col("h_name").alias("entity"))
         .union(p.select(F.col("t_name").alias("entity")))
@@ -1164,6 +1173,57 @@ def kg_triangles(spark, sf_dir):
     return triangle_counts(_canonical_edges(spark, sf_dir))
 
 
+def _batch_canon_cte(pfx: str, parity: int) -> str:
+    """The kg_canonical_triples CTE chain restricted to one doc_id
+    parity — the merge oracle builds the 'existing' and 'incoming'
+    sides from the two halves of the corpus."""
+    return f"""
+{pfx}preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation,
+         round({_score_expr()}, 6) AS score
+  FROM mentions WHERE {_pred_expr()} <> 'Other' AND doc_id % 2 = {parity}
+),
+{pfx}canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM {pfx}preds UNION SELECT DISTINCT t_name FROM {pfx}preds)
+),
+{pfx}tri AS (
+  SELECT c1.canonical AS subj_canon, pred_relation AS pred, c2.canonical AS obj_canon,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, round(max(score), 6) AS max_score
+  FROM {pfx}preds p
+  JOIN {pfx}canon c1 ON p.h_name = c1.entity
+  JOIN {pfx}canon c2 ON p.t_name = c2.entity
+  GROUP BY 1, 2, 3
+)"""
+
+
+@q("kg_triple_merge", _oracle_prefix() + "," + _batch_canon_cte("e", 0)
+   + "," + _batch_canon_cte("i", 1) + """
+SELECT subj_canon, pred, obj_canon,
+       CAST(coalesce(e.n_docs, 0) + coalesce(i.n_docs, 0) AS BIGINT) AS n_docs,
+       round(greatest(coalesce(e.max_score, i.max_score),
+                      coalesce(i.max_score, e.max_score)), 6) AS max_score,
+       CASE WHEN e.n_docs IS NULL THEN 'new'
+            WHEN i.n_docs IS NULL THEN 'existing'
+            ELSE 'updated' END AS status
+FROM etri e FULL OUTER JOIN itri i USING (subj_canon, pred, obj_canon)
+""")
+def kg_triple_merge(spark, sf_dir):
+    """Incremental KG maintenance (operators/graph.merge_triples): the
+    graph table built from the even-doc_id half of the corpus merged
+    with the delta extracted from the odd half — counts add, scores
+    max, every row labeled new/updated/existing. Each batch
+    canonicalizes over its own entity set (canonical drift between
+    batches is inherent to incremental construction and preserved
+    identically by the oracle's per-batch CTE chains)."""
+    from deepref_spark.operators.graph import merge_triples
+
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    existing = _canon_triples_from(p.where(F.col("doc_id") % 2 == 0))
+    incoming = _canon_triples_from(p.where(F.col("doc_id") % 2 == 1))
+    return merge_triples(existing, incoming)
+
+
 def _lp_oracle(hub_cap: int) -> str:
     from deepref_spark.operators.graph import UNIT
 
@@ -1231,6 +1291,35 @@ SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_deg
 FROM (SELECT a AS v FROM s{rounds} UNION ALL SELECT b FROM s{rounds})
 GROUP BY v
 """
+
+
+@q("kg_multihop", _oracle_prefix() + _graph_edges_cte() + """
+, p1 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS n_paths FROM edges),
+p2 AS MATERIALIZED (
+  SELECT a.src, e.dst, CAST(sum(a.n_paths) AS BIGINT) AS n_paths
+  FROM p1 a JOIN edges e ON a.dst = e.src GROUP BY 1, 2
+),
+p3 AS MATERIALIZED (
+  SELECT a.src, e.dst, CAST(sum(a.n_paths) AS BIGINT) AS n_paths
+  FROM p2 a JOIN edges e ON a.dst = e.src GROUP BY 1, 2
+),
+u AS (SELECT src, dst, 1 AS hops, n_paths FROM p1
+      UNION ALL SELECT src, dst, 2, n_paths FROM p2
+      UNION ALL SELECT src, dst, 3, n_paths FROM p3)
+SELECT src, dst, CAST(min(hops) AS INT) AS min_hops,
+       CAST(sum(n_paths) AS BIGINT) AS n_paths
+FROM u GROUP BY 1, 2
+""")
+def kg_multihop(spark, sf_dir):
+    """Bounded 3-hop reachability with exact path counts over the
+    canonical entity graph (operators/graph.multihop) — the multi-hop
+    inference primitive (A->B->C candidate facts). BIGINT path counts
+    multiply along joins and sum per pair, so the result is
+    plan-independent; the oracle unrolls the three hops as
+    MATERIALIZED CTEs."""
+    from deepref_spark.operators.graph import multihop
+
+    return multihop(_canonical_edges(spark, sf_dir), max_hops=3)
 
 
 @q("kg_kcore", _kcore_oracle(k=3, rounds=8))
@@ -3889,6 +3978,11 @@ _WINDOW_TAIL = [
     # r1-r4; events_session_window stays as the windowed-agg streaming
     # rep, events_user_running as the stateful rep
     "events_window_agg",
+    # (parked r5l, making room for kg_triple_merge + kg_multihop):
+    # green r1-r4; text_quality stays as the token-stats rep (the
+    # by-source rollup is the same signal family), and the ANN family
+    # keeps ivf/pq/semdedup/near_dups in-window (plane-LSH parks)
+    "text_quality_by_source", "emb_ann_lsh",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

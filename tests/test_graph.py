@@ -7,7 +7,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from deepref_spark.operators.graph import (
-    UNIT, entity_degrees, graph_edges, kcore, link_prediction, pagerank,
+    UNIT, entity_degrees, graph_edges, kcore, link_prediction,
+    merge_triples, multihop, pagerank,
 )
 from deepref_spark.operators.similarity import semdedup
 
@@ -95,6 +96,53 @@ def test_kcore_raises_instead_of_truncating(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(e, k=2, max_rounds=1)
+
+
+_TRIPLE_SCHEMA = ("subj_canon string, pred string, obj_canon string, "
+                  "n_docs long, max_score double")
+
+
+def test_merge_triples_add_max_and_status(spark):
+    ex = spark.createDataFrame(
+        [("a", "r", "b", 2, 0.5), ("c", "r", "d", 1, 0.9)], _TRIPLE_SCHEMA)
+    inc = spark.createDataFrame(
+        [("a", "r", "b", 3, 0.7), ("e", "r", "f", 1, 0.1)], _TRIPLE_SCHEMA)
+    rows = {(r["subj_canon"], r["pred"], r["obj_canon"]):
+            (r["n_docs"], r["max_score"], r["status"])
+            for r in merge_triples(ex, inc).collect()}
+    assert rows == {
+        ("a", "r", "b"): (5, 0.7, "updated"),
+        ("c", "r", "d"): (1, 0.9, "existing"),
+        ("e", "r", "f"): (1, 0.1, "new"),
+    }
+
+
+def _dedges(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src string, dst string")
+
+
+def test_multihop_chain_and_diamond(spark):
+    # chain a->b->c->d plus the diamond shortcut a->x->d:
+    # (a,d) reachable in 3 (via b,c) and via x in 2 -> min_hops 2,
+    # n_paths 2 (one 3-hop + one 2-hop path).
+    e = _dedges(spark, [("a", "b"), ("b", "c"), ("c", "d"),
+                        ("a", "x"), ("x", "d")])
+    rows = {(r["src"], r["dst"]): (r["min_hops"], r["n_paths"])
+            for r in multihop(e, max_hops=3).collect()}
+    assert rows[("a", "d")] == (2, 2)
+    assert rows[("a", "c")] == (2, 1)
+    assert rows[("b", "d")] == (2, 1)
+    assert rows[("a", "b")] == (1, 1)
+
+
+def test_multihop_cycle_counts_revisits(spark):
+    # 2-cycle a<->b: (a,a) and (b,b) close in 2 hops; (a,b) has the
+    # direct edge plus the 3-hop a->b->a->b walk -> n_paths 2.
+    e = _dedges(spark, [("a", "b"), ("b", "a")])
+    rows = {(r["src"], r["dst"]): (r["min_hops"], r["n_paths"])
+            for r in multihop(e, max_hops=3).collect()}
+    assert rows[("a", "a")] == (2, 1)
+    assert rows[("a", "b")] == (1, 2)
 
 
 def test_semdedup_drops_all_but_one_per_dup_group(spark):
