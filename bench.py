@@ -85,6 +85,7 @@ HEADLINE = [
     "events_attribution_join",
     "kg_triple_merge",
     "kg_multihop",
+    "emb_centroid_classify",
 ]
 
 

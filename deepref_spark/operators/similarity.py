@@ -646,3 +646,61 @@ def pq_ann_rerank_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification over the labeled embedding table
+# ---------------------------------------------------------------------------
+
+def centroid_classify(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier over the labeled embedding
+    table: per-label mean centroids on the exact 1e-6 integer grid (the
+    _ivf_codebook discipline — quantize floor(v*1e6+0.5), BIGINT sums,
+    tie-free floor((2s+c)/(2c)) mean), then every vector assigned to
+    its nearest centroid by squared L2 computed ENTIRELY in BIGINT
+    arithmetic — every intermediate exact, so assignments (and the
+    deterministic lowest-label tie-break) are plan- and
+    partitioning-independent. Output = confusion counts
+    (label, pred_label, n): the embedding-space class-separability
+    audit a labeling/distillation pipeline publishes.
+
+    Scale shape: training is one posexplode shuffle keyed
+    (label, pos) — map-side combinable, output n_labels x dim rows;
+    the centroid table broadcasts for scoring (one scan, no corpus
+    self-join). The 2s+c double hop inside the mean stays exact while
+    per-(label, dim) counts < ~4.5e9; past that swap the mean to pure
+    HUGE-int SQL/decimal on both sides."""
+    q = embeddings.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, v -> "
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)  # feeds centroid training AND scoring
+    cents = (
+        q.select("label", F.posexplode("qv").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(F.sum("e").alias("s"), F.count("e").alias("c"))
+        .select(
+            "label", "pos",
+            F.expr("CAST(floor((2.0 * s + c) / (2.0 * c)) AS BIGINT)").alias("m"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("label").alias("c_label"),
+                F.expr("transform(pm, x -> x.m)").alias("cv"))
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "c_label",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("d2"),
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "c_label")).alias("b"))
+    return (
+        best.select("label", F.col("b.c_label").alias("pred_label"))
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

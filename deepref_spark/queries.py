@@ -1197,6 +1197,45 @@ def _batch_canon_cte(pfx: str, parity: int) -> str:
 )"""
 
 
+@q("emb_centroid_classify", """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cm AS (
+  SELECT label, i,
+         CAST(floor((2.0 * sum(e) + count(e)) / (2.0 * count(e))) AS BIGINT) AS m
+  FROM (SELECT label, unnest(qv) AS e, unnest(range(len(qv))) AS i FROM q)
+  GROUP BY label, i
+),
+cents AS (SELECT label AS c_label, list(m ORDER BY i) AS cv FROM cm GROUP BY label),
+sc AS (
+  SELECT q.vec_id, q.label, c.c_label,
+         list_sum(list_transform(range(len(q.qv)),
+           j -> (q.qv[j + 1] - c.cv[j + 1]) * (q.qv[j + 1] - c.cv[j + 1]))) AS d2
+  FROM q CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS r
+  FROM sc
+)
+SELECT label, c_label AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE r = 1 GROUP BY 1, 2
+""")
+def emb_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification over the labeled embedding table
+    (operators/similarity.centroid_classify): integer-grid per-label
+    centroids, all-BIGINT squared-L2 assignment, confusion counts out —
+    exact arithmetic end to end, so Spark and the oracle agree
+    bit-for-bit on every assignment including ties."""
+    from deepref_spark.operators.similarity import centroid_classify
+
+    return centroid_classify(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("kg_triple_merge", _oracle_prefix() + "," + _batch_canon_cte("e", 0)
    + "," + _batch_canon_cte("i", 1) + """
 SELECT subj_canon, pred, obj_canon,
@@ -3983,6 +4022,9 @@ _WINDOW_TAIL = [
     # by-source rollup is the same signal family), and the ANN family
     # keeps ivf/pq/semdedup/near_dups in-window (plane-LSH parks)
     "text_quality_by_source", "emb_ann_lsh",
+    # (parked r5m, making room for emb_centroid_classify): green
+    # r1-r4; kg_mentions stays as the mentions-family rep
+    "kg_tag_sentence",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -10,7 +10,7 @@ from deepref_spark.operators.graph import (
     UNIT, entity_degrees, graph_edges, kcore, link_prediction,
     merge_triples, multihop, pagerank,
 )
-from deepref_spark.operators.similarity import semdedup
+from deepref_spark.operators.similarity import centroid_classify, semdedup
 
 
 def _edges(spark, pairs):
@@ -143,6 +143,28 @@ def test_multihop_cycle_counts_revisits(spark):
             for r in multihop(e, max_hops=3).collect()}
     assert rows[("a", "a")] == (2, 1)
     assert rows[("a", "b")] == (1, 2)
+
+
+def test_centroid_classify_separable_and_tie_break(spark):
+    # separable pair of classes on the x axis: everything classifies
+    # to its own label -> diagonal confusion counts.
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [0.2, 0.0], 0),
+         (3, [1.0, 0.0], 1), (4, [0.8, 0.0], 1)],
+        schema="vec_id long, embedding array<float>, label int")
+    rows = {(r["label"], r["pred_label"]): r["n"]
+            for r in centroid_classify(emb).collect()}
+    assert rows == {(0, 0): 2, (1, 1): 2}
+    # identical centroids (label 1's y components cancel exactly) ->
+    # every vector ties on d2 and the deterministic lowest-label
+    # tie-break sends ALL of them to label 0.
+    emb2 = spark.createDataFrame(
+        [(1, [0.4, 0.0], 0), (2, [0.6, 0.0], 0),
+         (3, [0.5, 0.9], 1), (4, [0.5, -0.9], 1)],
+        schema="vec_id long, embedding array<float>, label int")
+    rows2 = {(r["label"], r["pred_label"]): r["n"]
+             for r in centroid_classify(emb2).collect()}
+    assert rows2 == {(0, 0): 2, (1, 0): 2}
 
 
 def test_semdedup_drops_all_but_one_per_dup_group(spark):
