@@ -86,6 +86,7 @@ HEADLINE = [
     "kg_triple_merge",
     "kg_multihop",
     "emb_centroid_classify",
+    "kg_graph_report",
 ]
 
 

@@ -1037,15 +1037,22 @@ def _canonical_edges(spark, sf_dir) -> DataFrame:
     return graph_edges(REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir))
 
 
-@q("kg_entity_degree", _oracle_prefix() + _graph_edges_cte() + """
-, outd AS (SELECT src AS entity, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
-ind AS (SELECT dst AS entity, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
-SELECT coalesce(o.entity, i.entity) AS entity,
+def _deg_sql() -> tuple:
+    """(ctes, final_select) for the degree profile over ``edges`` —
+    shared by kg_entity_degree and the composed kg_graph_report."""
+    ctes = """outd AS (SELECT src AS entity, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS entity, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)"""
+    final = """SELECT coalesce(o.entity, i.entity) AS entity,
        CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
        CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
        CAST(coalesce(o.out_deg, 0) + coalesce(i.in_deg, 0) AS BIGINT) AS degree
-FROM outd o FULL OUTER JOIN ind i ON o.entity = i.entity
-""")
+FROM outd o FULL OUTER JOIN ind i ON o.entity = i.entity"""
+    return ctes, final
+
+
+@q("kg_entity_degree",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _deg_sql()[0] + "\n"
+   + _deg_sql()[1])
 def kg_entity_degree(spark, sf_dir):
     """In/out/total degree per canonical entity — the hub profile a
     100 TB run feeds into skew salting (operators/skew.py)."""
@@ -1054,7 +1061,9 @@ def kg_entity_degree(spark, sf_dir):
     return entity_degrees(_canonical_edges(spark, sf_dir))
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
+def _pagerank_sql(iters: int = 3) -> tuple:
+    """(ctes, final_select) for fixed-iteration PageRank over ``edges``
+    — shared by kg_pagerank and the composed kg_graph_report."""
     from deepref_spark.operators.graph import DAMP_DEN, DAMP_NUM, UNIT
 
     base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
@@ -1071,15 +1080,16 @@ pr{k} AS (
          CAST({base} + ({DAMP_NUM} * coalesce(i.inflow, 0)) // {DAMP_DEN} AS BIGINT) AS u
   FROM nodes n LEFT JOIN in{k} i ON n.entity = i.entity
 )""")
-    return _oracle_prefix() + _graph_edges_cte() + f"""
-, nodes AS (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+    ctes = f"""nodes AS (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
 od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
-pr0 AS (SELECT entity, CAST({UNIT} AS BIGINT) AS u FROM nodes),{",".join(rounds)}
-SELECT entity, CAST(u AS DOUBLE) / {float(UNIT)} AS pagerank FROM pr{iters}
-"""
+pr0 AS (SELECT entity, CAST({UNIT} AS BIGINT) AS u FROM nodes),{",".join(rounds)}"""
+    final = f"SELECT entity, CAST(u AS DOUBLE) / {float(UNIT)} AS pagerank FROM pr{iters}"
+    return ctes, final
 
 
-@q("kg_pagerank", _pagerank_oracle())
+@q("kg_pagerank",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _pagerank_sql(3)[0] + "\n"
+   + _pagerank_sql(3)[1])
 def kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the canonical entity graph on the
     integer unit grid (operators/graph.py): floor-division
@@ -1127,15 +1137,18 @@ def kg_cooccur_pmi(spark, sf_dir):
     return cooccurrence_pmi(de)
 
 
-@q("kg_triangles", _oracle_prefix() + _graph_edges_cte() + """
-, und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+def _tri_sql() -> tuple:
+    """(ctes, final_select) for degree-ordered triangle counting over
+    ``edges`` — shared by kg_triangles and the composed
+    kg_graph_report. Every CTE is MATERIALIZED: DuckDB inlines
+    multi-referenced CTEs by default, re-evaluating the whole
+    edges->und->dg->o chain once per reference (o is read three times)
+    — measured 158 s -> 2.9 s at sf0.001."""
+    ctes = """und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
 dg AS MATERIALIZED (
   SELECT v, CAST(count(*) AS BIGINT) AS d
   FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
 ),
--- MATERIALIZED: DuckDB inlines multi-referenced CTEs by default, which
--- re-evaluates the whole edges->und->dg->o chain once per reference
--- (o is read three times below) — measured 158 s -> 2.9 s at sf0.001
 o AS MATERIALIZED (
   SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
               THEN u.a ELSE u.b END AS src,
@@ -1153,15 +1166,20 @@ tcnt AS (
   SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
   FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
         UNION ALL SELECT z FROM tri) GROUP BY v
-)
-SELECT dg.v AS entity, dg.d AS und_degree,
+)"""
+    final = """SELECT dg.v AS entity, dg.d AS und_degree,
        CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
        CASE WHEN dg.d >= 2
             THEN round((2.0 * coalesce(t.n_triangles, 0))
                        / (dg.d * (dg.d - 1.0)), 6)
             ELSE 0.0 END AS clustering
-FROM dg LEFT JOIN tcnt t ON dg.v = t.v
-""")
+FROM dg LEFT JOIN tcnt t ON dg.v = t.v"""
+    return ctes, final
+
+
+@q("kg_triangles",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _tri_sql()[0] + "\n"
+   + _tri_sql()[1])
 def kg_triangles(spark, sf_dir):
     """Degree-ordered triangle counting + local clustering coefficient
     over the canonical entity graph (operators/graph.triangle_counts):
@@ -1301,15 +1319,18 @@ def kg_link_predict(spark, sf_dir):
     return link_prediction(_canonical_edges(spark, sf_dir), hub_cap=16)
 
 
-def _kcore_oracle(k: int, rounds: int) -> str:
-    """Unrolled peeling rounds; the fixpoint is reached well inside
-    ``rounds`` at every test SF (probed: 1 round at sf0.001 and sf0.01)
-    and extra rounds past it are exact no-ops, so the unroll depth only
-    needs to be an upper bound. Every CTE is MATERIALIZED: each round
-    is referenced twice (next round's degrees + anti-join) and DuckDB's
-    default inlining would re-run the whole chain per reference
-    (the kg_triangles lesson: 158 s -> 2.9 s)."""
-    parts = ["s0 AS MATERIALIZED (SELECT a, b FROM und)"]
+def _kcore_sql(k: int, rounds: int, src: str = "und") -> tuple:
+    """(ctes, final_select) for unrolled k-core peeling from the
+    undirected edge CTE ``src`` — shared by kg_kcore (which defines its
+    own und) and kg_graph_report (which reuses the triangles' und).
+    The fixpoint is reached well inside ``rounds`` at every test SF
+    (probed: 1 round at sf0.001 and sf0.01) and extra rounds past it
+    are exact no-ops, so the unroll depth only needs to be an upper
+    bound. Every CTE is MATERIALIZED: each round is referenced twice
+    (next round's degrees + anti-join) and DuckDB's default inlining
+    would re-run the whole chain per reference (the kg_triangles
+    lesson: 158 s -> 2.9 s)."""
+    parts = [f"s0 AS MATERIALIZED (SELECT a, b FROM {src})"]
     for r in range(1, rounds + 1):
         parts.append(f"""
 bad{r} AS MATERIALIZED (
@@ -1323,13 +1344,14 @@ s{r} AS MATERIALIZED (
   SELECT a, b FROM s{r - 1}
   WHERE a NOT IN (SELECT v FROM bad{r}) AND b NOT IN (SELECT v FROM bad{r})
 )""")
-    return _oracle_prefix() + _graph_edges_cte() + f"""
-, und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
-{",".join(parts)}
-SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_deg
+    final = f"""SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_deg
 FROM (SELECT a AS v FROM s{rounds} UNION ALL SELECT b FROM s{rounds})
-GROUP BY v
-"""
+GROUP BY v"""
+    return ",".join(parts), final
+
+
+_UND_CTE = ("und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM edges)")
 
 
 @q("kg_multihop", _oracle_prefix() + _graph_edges_cte() + """
@@ -1361,7 +1383,9 @@ def kg_multihop(spark, sf_dir):
     return multihop(_canonical_edges(spark, sf_dir), max_hops=3)
 
 
-@q("kg_kcore", _kcore_oracle(k=3, rounds=8))
+@q("kg_kcore",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _UND_CTE + ",\n"
+   + _kcore_sql(k=3, rounds=8)[0] + "\n" + _kcore_sql(k=3, rounds=8)[1])
 def kg_kcore(spark, sf_dir):
     """3-core membership of the canonical entity graph
     (operators/graph.kcore): iterative peeling to fixpoint, surviving
@@ -1373,6 +1397,48 @@ def kg_kcore(spark, sf_dir):
     from deepref_spark.operators.graph import kcore
 
     return kcore(_canonical_edges(spark, sf_dir), k=3)
+
+
+def _graph_report_oracle() -> str:
+    """The composed graph-analytics oracle: the four per-analytic CTE
+    chains (degrees, PageRank, triangles, k-core) assembled over ONE
+    edges CTE — the SQL mirror of graph_report's shared-edge-set
+    composition. Built from the same (ctes, final) fragments the
+    individual queries verify, so the composition is checked
+    row-for-row, not just its pieces."""
+    return (
+        _oracle_prefix() + _graph_edges_cte() + ",\n"
+        + _deg_sql()[0] + ",\n"
+        + _pagerank_sql(3)[0] + ",\n"
+        + _tri_sql()[0] + ",\n"
+        + _kcore_sql(3, 8, src="und")[0] + f""",
+degf AS ({_deg_sql()[1]}),
+prf AS ({_pagerank_sql(3)[1]}),
+trif AS ({_tri_sql()[1]}),
+coref AS ({_kcore_sql(3, 8)[1]})
+SELECT d.entity, d.out_deg, d.in_deg, d.degree, p.pagerank,
+       CAST(coalesce(t.und_degree, 0) AS BIGINT) AS und_degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       coalesce(t.clustering, 0.0) AS clustering,
+       CAST(coalesce(c.core_deg, 0) AS BIGINT) AS core_deg,
+       c.core_deg IS NOT NULL AS in_kcore
+FROM degf d JOIN prf p ON d.entity = p.entity
+LEFT JOIN trif t ON d.entity = t.entity
+LEFT JOIN coref c ON d.entity = c.entity
+""")
+
+
+@q("kg_graph_report", _graph_report_oracle())
+def kg_graph_report(spark, sf_dir):
+    """The composed per-entity graph-analytics report
+    (operators/graph.graph_report): degrees + PageRank + triangle/
+    clustering + 3-core membership in ONE plan over ONE checkpointed
+    edge set — what a KG build publishes next to its triples, and the
+    graph-lane composition evidence (the curate_corpus single-scan
+    discipline applied to graph analytics)."""
+    from deepref_spark.operators.graph import graph_report
+
+    return graph_report(_canonical_edges(spark, sf_dir), k=3, pr_iters=3)
 
 
 # --- K1 tokenization as portable SQL (oracle-checked) ------------------------
@@ -4025,6 +4091,11 @@ _WINDOW_TAIL = [
     # (parked r5m, making room for emb_centroid_classify): green
     # r1-r4; kg_mentions stays as the mentions-family rep
     "kg_tag_sentence",
+    # (parked r5n, making room for kg_graph_report — which jointly
+    # re-verifies the degree/pagerank/triangles/kcore formulas every
+    # sweep): green r1-r4; text_quality stays as the per-doc
+    # token-stats rep
+    "text_lang_id",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -7,8 +7,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from deepref_spark.operators.graph import (
-    UNIT, entity_degrees, graph_edges, kcore, link_prediction,
-    merge_triples, multihop, pagerank,
+    UNIT, entity_degrees, graph_edges, graph_report, kcore,
+    link_prediction, merge_triples, multihop, pagerank,
 )
 from deepref_spark.operators.similarity import centroid_classify, semdedup
 
@@ -143,6 +143,29 @@ def test_multihop_cycle_counts_revisits(spark):
             for r in multihop(e, max_hops=3).collect()}
     assert rows[("a", "a")] == (2, 1)
     assert rows[("a", "b")] == (1, 2)
+
+
+def test_graph_report_composes_all_four_analytics(spark):
+    # triangle a-b-c with pendant c->d: the report must agree with the
+    # individual analytics — triangle members have clustering 1.0 and
+    # sit in the 2-core; the pendant d has degree 1, no triangles, and
+    # is outside the core (zero defaults, flag false).
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    rows = {r["entity"]: r for r in graph_report(e, k=2).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    for v in ("a", "b"):
+        assert rows[v]["n_triangles"] == 1 and rows[v]["clustering"] == 1.0
+        assert rows[v]["in_kcore"] and rows[v]["core_deg"] == 2
+    assert rows["c"]["und_degree"] == 3 and rows["c"]["in_kcore"]
+    assert rows["d"] ["n_triangles"] == 0 and not rows["d"]["in_kcore"]
+    assert rows["d"]["core_deg"] == 0 and rows["d"]["clustering"] == 0.0
+    # pagerank column is the pagerank() output verbatim
+    pr = {r["entity"]: r["pagerank"] for r in pagerank(graph_edges(
+        spark.createDataFrame([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+                              schema="subj_canon string, obj_canon string")
+    ), iters=3).collect()}
+    for v, r in rows.items():
+        assert r["pagerank"] == pr[v]
 
 
 def test_centroid_classify_separable_and_tie_break(spark):
