@@ -87,6 +87,8 @@ HEADLINE = [
     "kg_multihop",
     "emb_centroid_classify",
     "kg_graph_report",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+cohort retention — the behavioral rollups a 100 TB event store serves
+next to the sessionization/as-of operators (streaming/stream_ops.py,
+operators/asof.py).
+
+Both operators are pure built-in DataFrame ops shaped for scale:
+
+  * ``funnel`` — per-step agg + equi-join chain on user_id (each step
+    is one map-side-combinable min + one join against the previous
+    step's tiny per-user frame), never a window over the full event
+    stream;
+  * ``retention`` — one per-user min (the cohort anchor) joined back
+    to the stream once, then a single grouped count-distinct.
+
+Everything is BIGINT counts / min-timestamps (order-independent), so
+results are bit-identical between any Spark partitioning and the
+single-threaded SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def funnel(events: DataFrame, steps: list, ts_col: str = "ts",
+           user_col: str = "user_id", type_col: str = "event_type") -> DataFrame:
+    """Ordered sequential funnel: for each prefix of ``steps``, how many
+    users completed it IN ORDER — step k counts users with an event of
+    type steps[k] strictly after their earliest completion of the
+    k-1 prefix. Returns (step_idx, step, n_users), one row per step
+    even when a step drops to zero users (funnel reports must show the
+    zero, not omit the row).
+
+    Each step is one filtered min-aggregation on user_id joined to the
+    previous step's per-user anchor — the anchor frames shrink
+    monotonically, so at scale every join after the first is a
+    broadcast against a frame bounded by the rarest preceding step.
+    Strictly-after (>) semantics: simultaneous events do not satisfy
+    the next step (deterministic regardless of event_id ordering)."""
+    spark = events.sparkSession
+    anchor = None
+    rows = []
+    for idx, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step)
+        if anchor is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                ev.join(anchor.withColumnRenamed("_t", "_prev"), user_col)
+                .where(F.col(ts_col) > F.col("_prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        cur = cur.localCheckpoint(eager=False)  # feeds the count AND step k+1
+        rows.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.lit(idx + 1).cast("int").alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users")
+        )
+        anchor = cur
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention(events: DataFrame, horizon_days: int = 7,
+              ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Classic cohort retention: each user's cohort day is the date of
+    their first event; for every (cohort_date, day_offset) with
+    0 <= offset <= ``horizon_days``, count the distinct cohort users
+    active that day. Returns (cohort_date, day_offset, n_active);
+    day 0 is the cohort size (every user is active on their first day
+    by construction).
+
+    One per-user min (map-side combinable), one join back to the
+    stream on user_id, one grouped count-distinct — the day_offset
+    filter prunes the joined frame before the shuffle. Dates via
+    to_date: timezone handling pinned by the session (UTC), identical
+    in the oracle's CAST(ts AS DATE)."""
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(F.col(ts_col).cast("timestamp"))).alias("cohort_date"))
+    joined = events.select(
+        user_col, F.to_date(F.col(ts_col).cast("timestamp")).alias("_d")
+    ).join(first, user_col)
+    return (
+        joined
+        .withColumn("day_offset", F.datediff("_d", "cohort_date").cast("int"))
+        .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= horizon_days))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
+    )

@@ -2955,6 +2955,67 @@ def events_attribution_join(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_steps_oracle() -> str:
+    ctes, prev = [], None
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{step}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN s{i - 1} p ON e.user_id = p.user_id AND e.ts > p.t "
+                f"WHERE e.event_type = '{step}' GROUP BY 1)")
+        prev = step
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step_idx, '{step}' AS step, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, step in enumerate(_FUNNEL_STEPS, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@q("events_funnel", _funnel_steps_oracle())
+def events_funnel(spark, sf_dir):
+    """Ordered sequential funnel (operators/events.funnel):
+    signup -> view -> click -> purchase, each step counting users with
+    an event strictly after their earliest completion of the previous
+    prefix. Per-step min-agg + join chain on user_id — the anchor
+    frames shrink monotonically, so post-first joins broadcast at
+    scale."""
+    from deepref_spark.operators.events import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+@q("events_retention", """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, f.cohort_date, CAST(e.ts AS DATE) AS d
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_date, CAST(d - cohort_date AS INT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM j WHERE d - cohort_date BETWEEN 0 AND 7
+GROUP BY 1, 2
+""")
+def events_retention(spark, sf_dir):
+    """Cohort retention (operators/events.retention): cohort day =
+    date of each user's first event; per (cohort_date, day_offset <= 7)
+    distinct active users. One per-user min + one join back + one
+    grouped count-distinct."""
+    from deepref_spark.operators.events import retention
+
+    return retention(load_table(spark, sf_dir, "events"), horizon_days=7)
+
+
 @q("dedup_passages", """
 WITH passages AS (
   SELECT DISTINCT doc_id, md5(p) AS passage_hash
@@ -4096,6 +4157,10 @@ _WINDOW_TAIL = [
     # sweep): green r1-r4; text_quality stays as the per-doc
     # token-stats rep
     "text_lang_id",
+    # (parked r5o, making room for events_funnel + events_retention):
+    # green r1-r4; dedup_minhash_pairs stays as the LSH-banding rep,
+    # doc_fingerprint's r5 staging fix is pinned by its plan test
+    "dedup_simhash_pairs", "doc_fingerprint",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -205,6 +205,60 @@ def test_streaming_triple_dedup(spark, tmp_path):
     assert rows == {("a", "r", "b"), ("c", "r", "d")}
 
 
+def test_funnel_ordered_semantics(spark):
+    """Hand-checked ordered funnel: user 1 completes all four steps in
+    order; user 2 clicks BEFORE viewing (out of order -> stops at
+    view); user 3 only signs up; a view with no prior signup never
+    counts. Zero-user steps still emit a row."""
+    from deepref_spark.operators.events import funnel
+
+    rows = [
+        (1, "signup", "2024-01-01 00:00:00"), (1, "view", "2024-01-01 01:00:00"),
+        (1, "click", "2024-01-01 02:00:00"), (1, "purchase", "2024-01-01 03:00:00"),
+        (2, "signup", "2024-01-01 00:00:00"), (2, "click", "2024-01-01 00:30:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        (3, "signup", "2024-01-02 00:00:00"),
+        (4, "view", "2024-01-02 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["step"]: (r["step_idx"], r["n_users"])
+           for r in funnel(ev, ["signup", "view", "click", "purchase"]).collect()}
+    # user 2's click at 00:30 precedes their view at 01:00 -> no click-
+    # after-view, so only user 1 reaches click and purchase
+    assert out == {"signup": (1, 3), "view": (2, 2),
+                   "click": (3, 1), "purchase": (4, 1)}
+
+
+def test_funnel_strictly_after_excludes_simultaneous(spark):
+    from deepref_spark.operators.events import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "signup", "2024-01-01 00:00:00"), (1, "view", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["step"]: r["n_users"] for r in funnel(ev, ["signup", "view"]).collect()}
+    assert out == {"signup": 1, "view": 0}
+
+
+def test_retention_hand_checked(spark):
+    """User 1 active on days 0, 1, 3 of their cohort; user 2 (same
+    cohort date) only day 0; activity past the horizon is excluded."""
+    from deepref_spark.operators.events import retention
+
+    rows = [
+        (1, "2024-01-01 08:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-04 10:00:00"), (1, "2024-01-20 00:00:00"),
+        (2, "2024-01-01 23:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r["cohort_date"]), r["day_offset"]): r["n_active"]
+           for r in retention(ev, horizon_days=7).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 3): 1}
+
+
 def test_stream_stream_attribution_join(spark, tmp_path):
     """TRUE stream-stream join: both sides file-source streams with
     watermarks + the time-range condition (Spark requires both for
