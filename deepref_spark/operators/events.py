@@ -20,7 +20,7 @@ single-threaded SQL oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def funnel(events: DataFrame, steps: list, ts_col: str = "ts",
@@ -90,4 +90,36 @@ def retention(events: DataFrame, horizon_days: int = 7,
         .where((F.col("day_offset") >= 0) & (F.col("day_offset") <= horizon_days))
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
+    )
+
+
+def topk_trending(events: DataFrame, k: int = 3, ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Per tumbling hour, the top-``k`` event types by count — the
+    "what's trending now" rollup an event store serves from the same
+    windowed counts the streaming aggregation maintains.
+
+    One grouped count on (hour, type), then a row_number window
+    PARTITIONED BY THE HOUR over the (already tiny) per-window type
+    table — the window never touches the raw stream, so the only
+    stream-sized shuffle is the map-side-combined count. Ties break by
+    event_type ascending (total order, so rank — and therefore the
+    emitted row set — is deterministic in any engine)."""
+    cnt = (
+        events
+        .select(F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+                F.col(type_col).alias("event_type"))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n", "rnk",
+        )
     )

@@ -1054,3 +1054,39 @@ def curation_funnel(documents: DataFrame, benchmark_texts,
         n(~f_quality & ~f_rep & ~f_con & f_dup, "drop_near_dup"),
         n(~f_quality & ~f_rep & ~f_con & ~f_dup, "n_survivors"),
     )
+
+
+def length_quantiles(documents: DataFrame,
+                     pcts: tuple = (25, 50, 75, 90, 99)) -> DataFrame:
+    """Exact per-source token-length quantiles (type-1 / inverted-CDF:
+    the value at sorted position ceil(q*n) — no interpolation, so the
+    answer is an observed integer and cross-engine comparison never
+    hinges on float interpolation semantics).
+
+    Shape for scale: the stream-sized work is ONE grouped count on
+    (source, n_tokens) — a histogram whose row count is bounded by the
+    distinct-length support, not the corpus. The cumulative window and
+    the per-percentile min run on that histogram. This is the exact
+    analogue of percentile_approx's sketch path, except the histogram
+    is exact (token lengths have small support; for unbounded-support
+    metrics swap in percentile_approx and drop the oracle to
+    rows-only). Position arithmetic is integer: pos = ceil(p*n/100) =
+    (p*n + 99) div 100."""
+    lens = documents.select(
+        "source", F.size(_tokens_col()).cast("long").alias("n_tokens"))
+    hist = lens.groupBy("source", "n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = (Window.partitionBy("source").orderBy("n_tokens")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("c").over(w).cast("long"))
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
+    pq = tot.select(
+        "source", "n_docs",
+        F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct"),
+    ).withColumn("pos", F.expr("(pct * n_docs + 99) DIV 100").cast("long"))
+    return (
+        cum.join(pq, "source")
+        .where(F.col("cum") >= F.col("pos"))
+        .groupBy("source", F.col("pct").cast("int").alias("pct"), "n_docs")
+        .agg(F.min("n_tokens").cast("long").alias("value"))
+    )

@@ -4074,6 +4074,222 @@ def text_curation_funnel(spark, sf_dir):
     return curation_funnel(docs, bench, quality_min=_FUNNEL_QMIN)
 
 
+# --- KG quality / maintenance over the materialized triples -----------------
+# (operators/kgquality.py): predicate functionality profiles, conflict
+# candidates under near-functional predicates, B-cubed evaluation of the
+# canonicalizer, and filtered negative sampling for KG-embedding training.
+
+
+def _trip_cte() -> str:
+    """preds/canon/trip CTEs: the kg_canonical_triples derivation
+    reduced to the distinct (subj, pred, obj) set — shared by the
+    predicate-profile, conflicts, and negative-sampling oracles."""
+    return _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+),
+trip AS MATERIALIZED (
+  SELECT DISTINCT c1.canonical AS subj, pred_relation AS pred, c2.canonical AS obj
+  FROM preds p
+  JOIN canon c1 ON p.h_name = c1.entity
+  JOIN canon c2 ON p.t_name = c2.entity
+)"""
+
+
+def _canon_spo(spark, sf_dir) -> DataFrame:
+    """kg_canonical_triples projected to the (subj, pred, obj) columns
+    the kgquality operators consume."""
+    return kg_canonical_triples(spark, sf_dir).select(
+        "subj_canon", "pred", "obj_canon")
+
+
+@q("kg_pred_profile", _trip_cte() + """
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       round(CAST(count(DISTINCT subj) AS DOUBLE) / count(*), 6) AS functionality,
+       round(CAST(count(DISTINCT obj) AS DOUBLE) / count(*), 6) AS inv_functionality
+FROM trip GROUP BY pred
+""")
+def kg_pred_profile(spark, sf_dir):
+    """Predicate cardinality/functionality profile over the canonical
+    triples (kgquality.predicate_profile) — the dim-table signal a KG
+    cleaner uses to decide which relations should behave functionally.
+    Ratios are one double division of two BIGINTs, rounded 6dp."""
+    from deepref_spark.operators.kgquality import predicate_profile
+
+    return predicate_profile(_canon_spo(spark, sf_dir))
+
+
+@q("kg_conflicts", _trip_cte() + """
+, prof AS (SELECT pred, count(*) AS nt, count(DISTINCT subj) AS ns FROM trip GROUP BY pred),
+fx AS (SELECT pred FROM prof WHERE ns * 4 >= nt * 3)
+SELECT subj, t.pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       string_agg(DISTINCT obj, '|' ORDER BY obj) AS objs
+FROM trip t JOIN fx USING (pred)
+GROUP BY subj, t.pred
+HAVING count(DISTINCT obj) >= 2
+""")
+def kg_conflicts(spark, sf_dir):
+    """Contradiction candidates (kgquality.functional_conflicts):
+    subjects with >=2 distinct objects under predicates whose
+    functionality >= 3/4. The threshold test is the exact integer
+    cross-product n_subj*4 >= n_triples*3 (never a rounded-double
+    comparison), and the qualifying-predicate set is a broadcast
+    semi-join. 3/4 genuinely binds on this corpus (1 of 5 predicates
+    qualifies at sf0.001)."""
+    from deepref_spark.operators.kgquality import functional_conflicts
+
+    return functional_conflicts(
+        _canon_spo(spark, sf_dir), func_num=3, func_den=4)
+
+
+_NS_KEY = "concat(subj, '#', pred, '#', obj, '#', slot)"
+
+
+@q("kg_negative_sample", _trip_cte() + f"""
+, ents AS (SELECT DISTINCT subj AS entity FROM trip UNION SELECT DISTINCT obj FROM trip),
+ring0 AS (SELECT entity, {md5_mod('entity', 16)} AS bucket FROM ents),
+ring AS (SELECT entity, bucket,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY entity) - 1 AS BIGINT) AS rk
+         FROM ring0),
+cnts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bcnt FROM ring GROUP BY bucket),
+exp AS (
+  SELECT subj, pred, obj, slot, {md5_mod(_NS_KEY, 16)} AS bucket
+  FROM trip CROSS JOIN (SELECT unnest([0, 1]) AS slot)
+),
+exp2 AS (
+  SELECT e.subj, e.pred, e.obj, e.slot, e.bucket,
+         CAST({md5_mod(f"concat({_NS_KEY}, '#r')", 'bcnt')} AS BIGINT) AS rk
+  FROM exp e JOIN cnts c USING (bucket)
+)
+SELECT e.subj, e.pred, e.obj, CAST(e.slot AS INT) AS slot, r.entity AS neg_obj
+FROM exp2 e JOIN ring r ON e.bucket = r.bucket AND e.rk = r.rk
+WHERE NOT EXISTS (SELECT 1 FROM trip t
+                  WHERE t.subj = e.subj AND t.pred = e.pred AND t.obj = r.entity)
+""")
+def kg_negative_sample(spark, sf_dir):
+    """Filtered negative sampling for KG-embedding training
+    (kgquality.negative_sample): per canonical triple and slot, a
+    hash-chosen corrupted object from the PBG-style bucketed entity
+    ring (rank WITHIN md5 bucket — no global entity sort), with true
+    triples filtered by one left-anti join. Every pick is a pure
+    function of the triple text, so the sample is bit-identical in any
+    partitioning and in the SQL oracle."""
+    from deepref_spark.operators.kgquality import negative_sample
+
+    spo = _canon_spo(spark, sf_dir)
+    ents = (
+        spo.select(F.col("subj_canon").alias("entity"))
+        .union(spo.select(F.col("obj_canon")))
+        .distinct()
+    )
+    return negative_sample(spo, ents, k=2, n_buckets=16)
+
+
+_B3_GRID = 1_000_000_000
+
+
+@q("kg_b3_eval", lambda: f"""
+WITH assign AS (
+  SELECT entity AS item, component AS pc,
+         regexp_replace(entity, '[^a-z0-9]', '', 'g') AS gc
+  FROM ({oracle_sql_for('kg_connected_components')})
+),
+cells AS (SELECT pc, gc, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY pc, gc),
+ps AS (SELECT pc, CAST(count(*) AS BIGINT) AS psz FROM assign GROUP BY pc),
+gs AS (SELECT gc, CAST(count(*) AS BIGINT) AS gsz FROM assign GROUP BY gc),
+sums AS (
+  SELECT CAST(sum((n * n * {_B3_GRID}) // psz) AS BIGINT) AS sp,
+         CAST(sum((n * n * {_B3_GRID}) // gsz) AS BIGINT) AS sr,
+         CAST(sum(n) AS BIGINT) AS n_items
+  FROM cells JOIN ps USING (pc) JOIN gs USING (gc)
+)
+SELECT n_items,
+       round(CAST(sp AS DOUBLE) / (n_items * {_B3_GRID}), 6) AS b3_precision,
+       round(CAST(sr AS DOUBLE) / (n_items * {_B3_GRID}), 6) AS b3_recall,
+       round(CASE WHEN (CAST(sp AS DOUBLE) / (n_items * {_B3_GRID}))
+                     + (CAST(sr AS DOUBLE) / (n_items * {_B3_GRID})) > 0
+                  THEN 2.0 * (CAST(sp AS DOUBLE) / (n_items * {_B3_GRID}))
+                           * (CAST(sr AS DOUBLE) / (n_items * {_B3_GRID}))
+                       / ((CAST(sp AS DOUBLE) / (n_items * {_B3_GRID}))
+                          + (CAST(sr AS DOUBLE) / (n_items * {_B3_GRID})))
+                  ELSE 0.0 END, 6) AS b3_f1
+FROM sums
+""")
+def kg_b3_eval(spark, sf_dir):
+    """B-cubed P/R/F1 (Bagga & Baldwin 1998) of the LSH+CC
+    canonicalizer's clusters against the key-normalization gold
+    clustering (kgquality.b3_eval) — the evaluation the linking stage
+    ships with. Per-(pred, gold) cell sums ride the BIGINT unit grid
+    (n*n*UNIT div size) so B3 P/R are partial-aggregation-order
+    independent; the final F1 is a constant number of IEEE double ops
+    on identical BIGINTs."""
+    from deepref_spark.operators.kgquality import b3_eval
+
+    cc = kg_connected_components(spark, sf_dir)
+    assign = cc.select(
+        F.col("entity").alias("item"),
+        F.col("component").alias("pc"),
+        F.regexp_replace("entity", "[^a-z0-9]", "").alias("gc"),
+    )
+    return b3_eval(assign)
+
+
+@q("events_topk", """
+WITH cnt AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type) AS INT) AS rnk
+FROM cnt QUALIFY rnk <= 3
+""")
+def events_topk(spark, sf_dir):
+    """Top-3 trending event types per tumbling hour
+    (operators/events.topk_trending): the only stream-sized shuffle is
+    the map-side-combined (hour, type) count; the rank window runs on
+    the tiny per-window type table. Ties break by event_type so the
+    emitted rows are deterministic."""
+    from deepref_spark.operators.events import topk_trending
+
+    return topk_trending(load_table(spark, sf_dir, "events"), k=3)
+
+
+@q("text_length_quantiles", f"""
+WITH lens AS (SELECT source, CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens FROM documents),
+hist AS (SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY 1, 2),
+cum AS (SELECT source, n_tokens,
+        CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM hist),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY source),
+pq AS (SELECT source, n_docs, pct, CAST((pct * n_docs + 99) // 100 AS BIGINT) AS pos
+       FROM tot CROSS JOIN (SELECT unnest([25, 50, 75, 90, 99]) AS pct))
+SELECT c2.source, CAST(pq.pct AS INT) AS pct, pq.n_docs,
+       CAST(min(c2.n_tokens) AS BIGINT) AS value
+FROM cum c2 JOIN pq ON c2.source = pq.source
+WHERE c2.cum >= pq.pos
+GROUP BY 1, 2, 3
+""")
+def text_length_quantiles(spark, sf_dir):
+    """Exact per-source token-length quantiles at the 25/50/75/90/99th
+    percentiles (text_analysis.length_quantiles, type-1 inverted-CDF —
+    an observed integer, no interpolation). The stream-sized work is
+    one grouped histogram count; the cumulative window and the
+    per-percentile min run on the histogram."""
+    from deepref_spark.operators.text_analysis import length_quantiles
+
+    return length_quantiles(documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4161,6 +4377,18 @@ _WINDOW_TAIL = [
     # green r1-r4; dedup_minhash_pairs stays as the LSH-banding rep,
     # doc_fingerprint's r5 staging fix is pinned by its plan test
     "dedup_simhash_pairs", "doc_fingerprint",
+    # (parked r5p, making room for the kgquality tier — kg_pred_profile,
+    # kg_conflicts, kg_negative_sample, kg_b3_eval — plus events_topk and
+    # text_length_quantiles): all green r1-r4. kg_canonical_triples stays
+    # as the triple-materialize rep (hashpred is its unscored precursor);
+    # the skew-salting plan is pinned by its own plan test; kg_mentions
+    # stays as the mention-detection rep; the metrics family (micro
+    # parked last — macro/confusion/auc/pr parked earlier) is fully
+    # stable since r1 and covered by the local sweep; dedup_keep_map
+    # stays as the LSH-composition rep; text_gopher_quality stays as the
+    # token-stats quality rep
+    "kg_triples_hashpred", "kg_skew_salted_agg", "kg_candidate_pairs",
+    "kg_eval_micro", "dedup_minhash_pairs", "text_quality",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -1,0 +1,131 @@
+"""Planted-semantics tests for the KG-quality tier
+(operators/kgquality.py) plus the trending/quantile additions — each
+pin the exact rows a hand-checkable input must produce, independent of
+the DuckDB oracle sweep (tests/test_queries.py covers cross-engine
+equality; these pin the SEMANTICS)."""
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from deepref_spark.operators.kgquality import (
+    b3_eval, functional_conflicts, negative_sample, predicate_profile,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj_canon string, pred string, obj_canon string")
+
+
+def test_predicate_profile_exact_ratios(spark):
+    # p1: 3 triples, 2 subjects, 3 objects -> functionality 2/3
+    # p2: 2 triples, 2 subjects, 1 object  -> functionality 1.0, inv 0.5
+    t = _triples(spark, [
+        ("a", "p1", "x"), ("a", "p1", "y"), ("b", "p1", "z"),
+        ("a", "p2", "x"), ("b", "p2", "x"),
+    ])
+    got = {r["pred"]: r.asDict() for r in predicate_profile(t).collect()}
+    assert got["p1"]["n_triples"] == 3 and got["p1"]["n_subj"] == 2
+    assert got["p1"]["functionality"] == pytest.approx(0.666667)
+    assert got["p1"]["inv_functionality"] == 1.0
+    assert got["p2"]["functionality"] == 1.0
+    assert got["p2"]["inv_functionality"] == 0.5
+
+
+def test_predicate_profile_distincts_input(spark):
+    # duplicate (s,p,o) rows must not inflate counts
+    t = _triples(spark, [("a", "p", "x")] * 3)
+    row = predicate_profile(t).collect()[0]
+    assert (row["n_triples"], row["n_subj"], row["n_obj"]) == (1, 1, 1)
+
+
+def test_functional_conflicts_threshold_binds(spark):
+    # p_good: functionality 3/4 (qualifies at >= 3/4), one subject with
+    # two objects -> exactly one conflict row with sorted objs.
+    # p_bad: functionality 1/2 < 3/4 -> its multi-object subject is
+    # EXCLUDED even though it conflicts harder.
+    t = _triples(spark, [
+        ("s1", "p_good", "o2"), ("s1", "p_good", "o1"),
+        ("s2", "p_good", "o3"), ("s3", "p_good", "o4"),
+        ("s9", "p_bad", "a"), ("s9", "p_bad", "b"),
+        ("s9", "p_bad", "c"), ("s9", "p_bad", "d"),
+        ("s8", "p_bad", "a"), ("s8", "p_bad", "b"),
+        ("s7", "p_bad", "a"), ("s7", "p_bad", "b"),
+    ])
+    rows = functional_conflicts(t, func_num=3, func_den=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subj"], r["pred"], r["n_obj"], r["objs"]) == (
+        "s1", "p_good", 2, "o1|o2")
+
+
+def test_negative_sample_filtered_and_deterministic(spark):
+    t = _triples(spark, [
+        ("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"),
+        ("c", "q", "y"), ("d", "q", "z"),
+    ])
+    ents = t.select(F.col("subj_canon").alias("entity")).union(
+        t.select("obj_canon")).distinct()
+    out1 = sorted(map(tuple, negative_sample(t, ents, k=3, n_buckets=4).collect()))
+    out2 = sorted(map(tuple, negative_sample(t, ents, k=3, n_buckets=4).collect()))
+    assert out1 == out2 and len(out1) > 0
+    known = {(r[0], r[1], r[2]) for r in t.collect()}
+    pool = {r[0] for r in ents.collect()}
+    for subj, pred, obj, slot, neg in out1:
+        # the filtered protocol: no emitted corruption is a true triple
+        assert (subj, pred, neg) not in known
+        assert neg in pool and 0 <= slot < 3
+    # at most k corruptions per positive (fewer only via the filter)
+    from collections import Counter
+    per_trip = Counter((s, p, o) for s, p, o, _, _ in out1)
+    assert all(v <= 3 for v in per_trip.values())
+
+
+def test_b3_perfect_clustering_is_all_ones(spark):
+    a = spark.createDataFrame(
+        [("m1", "c1", "g1"), ("m2", "c1", "g1"), ("m3", "c2", "g2")],
+        "item string, pc string, gc string")
+    r = b3_eval(a).collect()[0]
+    assert (r["n_items"], r["b3_precision"], r["b3_recall"], r["b3_f1"]) == (
+        3, 1.0, 1.0, 1.0)
+
+
+def test_b3_known_example(spark):
+    # one predicted cluster merging two gold clusters of sizes 2 and 1:
+    # precision per item: 2/3, 2/3, 1/3 -> P = 5/9; recall = 1.0
+    a = spark.createDataFrame(
+        [("m1", "c", "g1"), ("m2", "c", "g1"), ("m3", "c", "g2")],
+        "item string, pc string, gc string")
+    r = b3_eval(a).collect()[0]
+    assert r["b3_precision"] == pytest.approx(5 / 9, abs=1e-6)
+    assert r["b3_recall"] == 1.0
+    p, q = 5 / 9, 1.0
+    assert r["b3_f1"] == pytest.approx(2 * p * q / (p + q), abs=1e-6)
+
+
+def test_topk_trending_rank_and_tiebreak(spark):
+    from deepref_spark.operators.events import topk_trending
+
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 10:%02d:00" % i, t) for i, t in enumerate(
+            ["a"] * 3 + ["b"] * 3 + ["c"] * 2 + ["d"])],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r["event_type"]: r for r in topk_trending(ev, k=3).collect()}
+    # a and b tie at 3 -> a wins rank 1 by type ascending; d (n=1) cut
+    assert rows["a"]["rnk"] == 1 and rows["b"]["rnk"] == 2
+    assert rows["c"]["rnk"] == 3 and "d" not in rows
+    assert rows["a"]["window_start"] == "2024-01-01 10:00:00"
+
+
+def test_length_quantiles_type1_positions(spark):
+    from deepref_spark.operators.text_analysis import length_quantiles
+
+    # 4 docs with 1, 2, 3, 10 tokens: type-1 quantile = value at
+    # position ceil(q*n): p25 -> pos 1 -> 1; p50 -> pos 2 -> 2;
+    # p75 -> pos 3 -> 3; p90/p99 -> pos 4 -> 10.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n), "s") for i, n in enumerate([1, 2, 3, 10])],
+        "doc_id long, text string, source string")
+    got = {r["pct"]: r["value"] for r in length_quantiles(docs).collect()}
+    assert got == {25: 1, 50: 2, 75: 3, 90: 10, 99: 10}
