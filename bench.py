@@ -89,6 +89,15 @@ HEADLINE = [
     "kg_graph_report",
     "events_funnel",
     "events_retention",
+    # third-sitting additions: KG-quality/mining tier + trending/quantiles
+    "kg_pred_profile",
+    "kg_conflicts",
+    "kg_negative_sample",
+    "kg_b3_eval",
+    "kg_rule_mining",
+    "kg_inverse_detect",
+    "events_topk",
+    "text_length_quantiles",
 ]
 
 

@@ -205,3 +205,130 @@ def b3_eval(assign: DataFrame, item: str = "item", pred_col: str = "pc",
             6,
         ).alias("b3_f1"),
     )
+
+
+def mine_path_rules(triples: DataFrame, min_support: int = 2,
+                    hub_cap: int | None = None, subj: str = "subj_canon",
+                    pred: str = "pred", obj: str = "obj_canon") -> DataFrame:
+    """AMIE-style length-2 horn-rule mining (Galárraga et al. 2013 —
+    public paper): candidate rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) with
+    support   = #distinct (x,z) satisfying body AND head,
+    body_supp = #distinct (x,z) satisfying the body,
+    confidence = support / body_supp (the "std" confidence),
+    head_coverage = support / #p3 triples.
+    Reflexive instantiations (x = z) are excluded — they manufacture
+    trivial rules through round-trips.
+
+    Plan shape: one self-join at the shared entity y (the only
+    stream-sized shuffle, keyed on the entity id — exactly the shape
+    AQE's skew handling targets), a distinct body projection, one join
+    of the body against the head triples on (x, z), and grouped counts.
+    ``hub_cap`` is the deterministic skew guard for web-scale graphs:
+    entities whose in-count × out-count exceeds the cap are EXCLUDED
+    from the y position (never sampled — exclusion is reproducible
+    under any partitioning; AMIE's own scale story samples instead).
+    At 10^12-triple scale run with a cap (popular entities otherwise
+    quadratically dominate the wedge join); the emitted rules are then
+    a documented under-count, the same contract as
+    link_prediction(hub_cap=...). Ratios are one double division of
+    two BIGINTs, rounded 6dp.
+    """
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().localCheckpoint(eager=False)
+    left, right = spo, spo
+    if hub_cap is not None:
+        in_c = spo.groupBy(F.col("obj").alias("y")).agg(
+            F.count(F.lit(1)).cast("long").alias("ic"))
+        out_c = spo.groupBy(F.col("subj").alias("y")).agg(
+            F.count(F.lit(1)).cast("long").alias("oc"))
+        hot = (
+            in_c.join(out_c, "y")
+            .where(F.col("ic") * F.col("oc") > hub_cap)
+            .select("y")
+        )
+        left = spo.join(F.broadcast(hot.withColumnRenamed("y", "obj")),
+                        "obj", "left_anti")
+        right = spo.join(F.broadcast(hot.withColumnRenamed("y", "subj")),
+                         "subj", "left_anti")
+    body = (
+        left.alias("t1")
+        .join(right.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
+        .where(F.col("t1.subj") != F.col("t2.obj"))
+        .select(
+            F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
+            F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bodies = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("body_supp"))
+    matched = (
+        body.join(
+            spo.select(F.col("subj").alias("x"), F.col("pred").alias("p3"),
+                       F.col("obj").alias("z")),
+            ["x", "z"],
+        )
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    head_sz = spo.groupBy(F.col("pred").alias("p3")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_head"))
+    return (
+        matched.where(F.col("support") >= min_support)
+        .join(bodies, ["p1", "p2"])
+        .join(F.broadcast(head_sz), "p3")
+        .select(
+            "p1", "p2", "p3", "support", "body_supp", "n_head",
+            F.round(F.col("support").cast("double") / F.col("body_supp"), 6)
+            .alias("confidence"),
+            F.round(F.col("support").cast("double") / F.col("n_head"), 6)
+            .alias("head_coverage"),
+        )
+    )
+
+
+def inverse_symmetry(triples: DataFrame, subj: str = "subj_canon",
+                     pred: str = "pred",
+                     obj: str = "obj_canon") -> DataFrame:
+    """Inverse-predicate and symmetry detection: for predicate pairs
+    (a <= b), the ordered-pair overlap |{(x,y): a(x,y) ∧ b(y,x)}| and
+    score = overlap / min(n_a, n_b). The diagonal rows (a = b) measure
+    each predicate's symmetry fraction; off-diagonal rows flag inverse
+    pairs — the schema-alignment signal a KG merger uses before fusing
+    two extractors' outputs.
+
+    One self-join on the reversed (subj, obj) key (the only
+    stream-sized shuffle), grouped to the tiny predicate-pair table,
+    plus a broadcast of per-predicate counts. Overlap counts ORDERED
+    pairs (a symmetric x<->y pair under one predicate contributes 2 on
+    the diagonal — documented, and identical in the oracle).
+    """
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().localCheckpoint(eager=False)
+    ov = (
+        spo.alias("a")
+        .join(spo.alias("b"),
+              (F.col("a.subj") == F.col("b.obj"))
+              & (F.col("a.obj") == F.col("b.subj")))
+        .where(F.col("a.pred") <= F.col("b.pred"))
+        .groupBy(F.col("a.pred").alias("pred_a"),
+                 F.col("b.pred").alias("pred_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    sz = spo.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ov.join(F.broadcast(sz.select(F.col("pred").alias("pred_a"),
+                                      F.col("n").alias("n_a"))), "pred_a")
+        .join(F.broadcast(sz.select(F.col("pred").alias("pred_b"),
+                                    F.col("n").alias("n_b"))), "pred_b")
+        .select(
+            "pred_a", "pred_b", "n_overlap", "n_a", "n_b",
+            F.round(F.col("n_overlap").cast("double")
+                    / F.least("n_a", "n_b").cast("double"), 6).alias("score"),
+        )
+    )

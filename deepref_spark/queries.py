@@ -4290,6 +4290,62 @@ def text_length_quantiles(spark, sf_dir):
     return length_quantiles(documents(spark, sf_dir))
 
 
+@q("kg_rule_mining", _trip_cte() + """
+, body AS MATERIALIZED (
+  SELECT DISTINCT t1.subj AS x, t1.pred AS p1, t2.pred AS p2, t2.obj AS z
+  FROM trip t1 JOIN trip t2 ON t1.obj = t2.subj
+  WHERE t1.subj <> t2.obj
+),
+bodies AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS body_supp FROM body GROUP BY p1, p2),
+matched AS (
+  SELECT b.p1, b.p2, t3.pred AS p3, CAST(count(*) AS BIGINT) AS support
+  FROM body b JOIN trip t3 ON b.x = t3.subj AND b.z = t3.obj
+  GROUP BY 1, 2, 3
+),
+head_sz AS (SELECT pred AS p3, CAST(count(*) AS BIGINT) AS n_head FROM trip GROUP BY pred)
+SELECT m.p1, m.p2, m.p3, m.support, bo.body_supp, h.n_head,
+       round(CAST(m.support AS DOUBLE) / bo.body_supp, 6) AS confidence,
+       round(CAST(m.support AS DOUBLE) / h.n_head, 6) AS head_coverage
+FROM matched m JOIN bodies bo USING (p1, p2) JOIN head_sz h USING (p3)
+WHERE m.support >= 2
+""")
+def kg_rule_mining(spark, sf_dir):
+    """AMIE-style length-2 horn rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) over
+    the canonical triples (kgquality.mine_path_rules): support, body
+    support, std confidence, head coverage; reflexive instantiations
+    excluded, min_support=2. The wedge join at the shared entity is
+    the only stream-sized shuffle; the hub_cap skew guard is exercised
+    by its unit test (not binding at these SFs, so the oracle stays
+    uncapped)."""
+    from deepref_spark.operators.kgquality import mine_path_rules
+
+    return mine_path_rules(_canon_spo(spark, sf_dir), min_support=2)
+
+
+@q("kg_inverse_detect", _trip_cte() + """
+, ov AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM trip a JOIN trip b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred <= b.pred
+  GROUP BY 1, 2
+),
+sz AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM trip GROUP BY pred)
+SELECT ov.pred_a, ov.pred_b, ov.n_overlap, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(ov.n_overlap AS DOUBLE) / least(sa.n, sb.n), 6) AS score
+FROM ov JOIN sz sa ON ov.pred_a = sa.pred JOIN sz sb ON ov.pred_b = sb.pred
+""")
+def kg_inverse_detect(spark, sf_dir):
+    """Inverse-predicate / symmetry detection over the canonical
+    triples (kgquality.inverse_symmetry): ordered-pair overlap
+    |{(x,y): a(x,y) ∧ b(y,x)}| per predicate pair (a <= b) with
+    score = overlap / min(n_a, n_b). Diagonal rows are per-predicate
+    symmetry fractions; off-diagonal rows flag inverse pairs — the
+    schema-alignment signal for fusing two extractors' graphs."""
+    from deepref_spark.operators.kgquality import inverse_symmetry
+
+    return inverse_symmetry(_canon_spo(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4389,6 +4445,12 @@ _WINDOW_TAIL = [
     # token-stats quality rep
     "kg_triples_hashpred", "kg_skew_salted_agg", "kg_candidate_pairs",
     "kg_eval_micro", "dedup_minhash_pairs", "text_quality",
+    # (parked r5q, making room for kg_rule_mining + kg_inverse_detect):
+    # kg_mentions' derivation is the CTE prefix EVERY window oracle
+    # embeds, so it stays transitively verified by all 50 rows;
+    # kg_preproc_eb's delete-kernel family is green r1-r4 with the
+    # refsem pytest goldens pinning every kernel combination
+    "kg_mentions", "kg_preproc_eb",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -129,3 +129,65 @@ def test_length_quantiles_type1_positions(spark):
         "doc_id long, text string, source string")
     got = {r["pct"]: r["value"] for r in length_quantiles(docs).collect()}
     assert got == {25: 1, 50: 2, 75: 3, 90: 10, 99: 10}
+
+
+def test_rule_mining_exact_confidence(spark):
+    from deepref_spark.operators.kgquality import mine_path_rules
+
+    # body p(x,y) ∧ q(y,z) holds for (a,c), (b,d), (e,g);
+    # head r(x,z) holds for (a,c) and (b,d) only -> support 2,
+    # body_supp 3, confidence 2/3; head r has 3 triples -> hc 2/3.
+    t = _triples(spark, [
+        ("a", "p", "m"), ("m", "q", "c"),
+        ("b", "p", "n"), ("n", "q", "d"),
+        ("e", "p", "o"), ("o", "q", "g"),
+        ("a", "r", "c"), ("b", "r", "d"), ("z", "r", "w"),
+    ])
+    rows = mine_path_rules(t, min_support=2).collect()
+    got = {(r["p1"], r["p2"], r["p3"]): r for r in rows}
+    r = got[("p", "q", "r")]
+    assert (r["support"], r["body_supp"], r["n_head"]) == (2, 3, 3)
+    assert r["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["head_coverage"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_rule_mining_excludes_reflexive_and_caps_hubs(spark):
+    from deepref_spark.operators.kgquality import mine_path_rules
+
+    # every 2-hop path here is a round-trip (x == z), so reflexive
+    # exclusion leaves no body row and no rule at all.
+    t = _triples(spark, [
+        ("a", "p", "m"), ("m", "q", "a"),
+        ("b", "p", "n"), ("n", "q", "b"),
+    ])
+    assert mine_path_rules(t, min_support=1).count() == 0
+
+    # hub guard: y='h' has in*out = 2*2 = 4 > cap 3 -> excluded from
+    # the wedge position, killing both rules through it.
+    t2 = _triples(spark, [
+        ("a", "p", "h"), ("b", "p", "h"),
+        ("h", "q", "c"), ("h", "q", "d"),
+        ("a", "r", "c"), ("b", "r", "d"),
+    ])
+    uncapped = mine_path_rules(t2, min_support=1).count()
+    capped = mine_path_rules(t2, min_support=1, hub_cap=3).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_inverse_symmetry_scores(spark):
+    from deepref_spark.operators.kgquality import inverse_symmetry
+
+    # p and q are perfect inverses (2 pairs); s is symmetric on one
+    # x<->y pair (ordered count 2, n_s = 2 -> score 1.0).
+    t = _triples(spark, [
+        ("a", "p", "b"), ("c", "p", "d"),
+        ("b", "q", "a"), ("d", "q", "c"),
+        ("x", "s", "y"), ("y", "s", "x"),
+    ])
+    got = {(r["pred_a"], r["pred_b"]): r for r in inverse_symmetry(t).collect()}
+    inv = got[("p", "q")]
+    assert (inv["n_overlap"], inv["n_a"], inv["n_b"]) == (2, 2, 2)
+    assert inv["score"] == 1.0
+    sym = got[("s", "s")]
+    assert sym["n_overlap"] == 2 and sym["score"] == 1.0
+    assert ("p", "p") not in got  # p alone has no reversed pairs
