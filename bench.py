@@ -96,6 +96,7 @@ HEADLINE = [
     "kg_b3_eval",
     "kg_rule_mining",
     "kg_inverse_detect",
+    "kg_maintenance_report",
     "events_topk",
     "text_length_quantiles",
 ]

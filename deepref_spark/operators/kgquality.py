@@ -332,3 +332,66 @@ def inverse_symmetry(triples: DataFrame, subj: str = "subj_canon",
                     / F.least("n_a", "n_b").cast("double"), 6).alias("score"),
         )
     )
+
+
+def maintenance_report(triples: DataFrame, min_support: int = 2,
+                       subj: str = "subj_canon", pred: str = "pred",
+                       obj: str = "obj_canon") -> DataFrame:
+    """The composed per-predicate KG-maintenance report a build
+    publishes next to its triples: cardinality profile, conflict
+    pressure, symmetry, and mined-rule support in ONE plan over ONE
+    shared (s, p, o) materialization — the graph_report composition
+    discipline applied to the predicate lane. A 100 TB run amortizes
+    the expensive canonical-triples derivation across all four
+    analytics instead of replaying it per query.
+
+    Columns: pred, n_triples, n_subj, n_obj, functionality,
+    inv_functionality, n_conflict_subjects (subjects with >=2 objects —
+    unthresholded, the raw pressure number), sym_overlap (ordered
+    self-inverse pairs), n_rules_as_head and best_confidence (mined
+    length-2 rules concluding in this predicate). Left joins keep
+    rule-less/conflict-free predicates with explicit zero defaults.
+    """
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().localCheckpoint(eager=False)
+    prof = predicate_profile(spo, "subj", "pred", "obj")
+    conf = (
+        functional_conflicts(spo, func_num=0, func_den=1,
+                             subj="subj", pred="pred", obj="obj")
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conflict_subjects"))
+    )
+    sym = (
+        inverse_symmetry(spo, "subj", "pred", "obj")
+        .where(F.col("pred_a") == F.col("pred_b"))
+        .select(F.col("pred_a").alias("pred"),
+                F.col("n_overlap").alias("sym_overlap"))
+    )
+    rules = (
+        mine_path_rules(spo, min_support=min_support,
+                        subj="subj", pred="pred", obj="obj")
+        .groupBy(F.col("p3").alias("pred"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rules_as_head"),
+            F.max("confidence").alias("best_confidence"),
+        )
+    )
+    return (
+        prof.join(conf, "pred", "left")
+        .join(sym, "pred", "left")
+        .join(rules, "pred", "left")
+        .select(
+            "pred", "n_triples", "n_subj", "n_obj", "functionality",
+            "inv_functionality",
+            F.coalesce("n_conflict_subjects", F.lit(0)).cast("long")
+            .alias("n_conflict_subjects"),
+            F.coalesce("sym_overlap", F.lit(0)).cast("long")
+            .alias("sym_overlap"),
+            F.coalesce("n_rules_as_head", F.lit(0)).cast("long")
+            .alias("n_rules_as_head"),
+            F.coalesce("best_confidence", F.lit(0.0))
+            .alias("best_confidence"),
+        )
+    )

@@ -4290,8 +4290,12 @@ def text_length_quantiles(spark, sf_dir):
     return length_quantiles(documents(spark, sf_dir))
 
 
-@q("kg_rule_mining", _trip_cte() + """
-, body AS MATERIALIZED (
+def _rules_ctes() -> str:
+    """body/bodies/matched/head_sz CTEs over ``trip`` — shared by
+    kg_rule_mining and the composed kg_maintenance_report (the _tri_sql
+    fragment-reuse discipline: one formula text, two verifying
+    queries)."""
+    return """body AS MATERIALIZED (
   SELECT DISTINCT t1.subj AS x, t1.pred AS p1, t2.pred AS p2, t2.obj AS z
   FROM trip t1 JOIN trip t2 ON t1.obj = t2.subj
   WHERE t1.subj <> t2.obj
@@ -4302,13 +4306,17 @@ matched AS (
   FROM body b JOIN trip t3 ON b.x = t3.subj AND b.z = t3.obj
   GROUP BY 1, 2, 3
 ),
-head_sz AS (SELECT pred AS p3, CAST(count(*) AS BIGINT) AS n_head FROM trip GROUP BY pred)
-SELECT m.p1, m.p2, m.p3, m.support, bo.body_supp, h.n_head,
+head_sz AS (SELECT pred AS p3, CAST(count(*) AS BIGINT) AS n_head FROM trip GROUP BY pred)"""
+
+
+_RULES_FINAL = """SELECT m.p1, m.p2, m.p3, m.support, bo.body_supp, h.n_head,
        round(CAST(m.support AS DOUBLE) / bo.body_supp, 6) AS confidence,
        round(CAST(m.support AS DOUBLE) / h.n_head, 6) AS head_coverage
 FROM matched m JOIN bodies bo USING (p1, p2) JOIN head_sz h USING (p3)
-WHERE m.support >= 2
-""")
+WHERE m.support >= 2"""
+
+
+@q("kg_rule_mining", _trip_cte() + ", " + _rules_ctes() + "\n" + _RULES_FINAL)
 def kg_rule_mining(spark, sf_dir):
     """AMIE-style length-2 horn rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) over
     the canonical triples (kgquality.mine_path_rules): support, body
@@ -4344,6 +4352,59 @@ def kg_inverse_detect(spark, sf_dir):
     from deepref_spark.operators.kgquality import inverse_symmetry
 
     return inverse_symmetry(_canon_spo(spark, sf_dir))
+
+
+@q("kg_maintenance_report", _trip_cte() + ", " + _rules_ctes() + f"""
+, prof AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+         round(CAST(count(DISTINCT subj) AS DOUBLE) / count(*), 6) AS functionality,
+         round(CAST(count(DISTINCT obj) AS DOUBLE) / count(*), 6) AS inv_functionality
+  FROM trip GROUP BY pred
+),
+conf AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_conflict_subjects
+  FROM (SELECT subj, pred FROM trip GROUP BY subj, pred
+        HAVING count(DISTINCT obj) >= 2)
+  GROUP BY pred
+),
+symd AS (
+  SELECT a.pred, CAST(count(*) AS BIGINT) AS sym_overlap
+  FROM trip a JOIN trip b
+    ON a.subj = b.obj AND a.obj = b.subj AND a.pred = b.pred
+  GROUP BY a.pred
+),
+rh AS (
+  SELECT p3 AS pred, CAST(count(*) AS BIGINT) AS n_rules_as_head,
+         max(round(CAST(support AS DOUBLE) / body_supp, 6)) AS best_confidence
+  FROM (SELECT m.p3, m.support, bo.body_supp
+        FROM matched m JOIN bodies bo USING (p1, p2)
+        WHERE m.support >= 2)
+  GROUP BY p3
+)
+SELECT p.pred, p.n_triples, p.n_subj, p.n_obj, p.functionality,
+       p.inv_functionality,
+       CAST(coalesce(c.n_conflict_subjects, 0) AS BIGINT) AS n_conflict_subjects,
+       CAST(coalesce(s.sym_overlap, 0) AS BIGINT) AS sym_overlap,
+       CAST(coalesce(r.n_rules_as_head, 0) AS BIGINT) AS n_rules_as_head,
+       coalesce(r.best_confidence, 0.0) AS best_confidence
+FROM prof p
+LEFT JOIN conf c ON p.pred = c.pred
+LEFT JOIN symd s ON p.pred = s.pred
+LEFT JOIN rh r ON p.pred = r.pred
+""")
+def kg_maintenance_report(spark, sf_dir):
+    """The composed per-predicate maintenance report
+    (kgquality.maintenance_report): profile + conflict pressure +
+    symmetry + mined-rule support in ONE plan over ONE checkpointed
+    (s, p, o) set — jointly re-verifying the tier's formulas every
+    sweep, the kg_graph_report discipline applied to the predicate
+    lane. The rule CTEs are the same fragment text kg_rule_mining
+    verifies standalone."""
+    from deepref_spark.operators.kgquality import maintenance_report
+
+    return maintenance_report(_canon_spo(spark, sf_dir), min_support=2)
 
 
 # ---------------------------------------------------------------------------
@@ -4451,6 +4512,11 @@ _WINDOW_TAIL = [
     # kg_preproc_eb's delete-kernel family is green r1-r4 with the
     # refsem pytest goldens pinning every kernel combination
     "kg_mentions", "kg_preproc_eb",
+    # (parked r5r, making room for kg_maintenance_report — which jointly
+    # re-verifies the profile/conflict/symmetry/rule formulas every
+    # sweep): kg_media_features green r1-r4; the multimodal batch
+    # kernels stay pinned by their vectorized pytest goldens
+    "kg_media_features",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

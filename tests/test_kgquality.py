@@ -191,3 +191,40 @@ def test_inverse_symmetry_scores(spark):
     sym = got[("s", "s")]
     assert sym["n_overlap"] == 2 and sym["score"] == 1.0
     assert ("p", "p") not in got  # p alone has no reversed pairs
+
+
+def test_maintenance_report_composes_standalone_formulas(spark):
+    from deepref_spark.operators.kgquality import (
+        inverse_symmetry, maintenance_report, mine_path_rules,
+    )
+
+    t = _triples(spark, [
+        ("a", "p", "m"), ("m", "q", "c"), ("a", "r", "c"),
+        ("b", "p", "n"), ("n", "q", "d"), ("b", "r", "d"),
+        ("x", "s", "y"), ("y", "s", "x"),
+        ("k", "r", "v"), ("k", "r", "w"),
+    ])
+    rep = {r["pred"]: r.asDict() for r in maintenance_report(t).collect()}
+    # profile columns agree with the standalone operator
+    prof = {r["pred"]: r.asDict() for r in
+            __import__("deepref_spark.operators.kgquality",
+                       fromlist=["predicate_profile"])
+            .predicate_profile(t).collect()}
+    for p, row in prof.items():
+        for c in ("n_triples", "n_subj", "n_obj", "functionality"):
+            assert rep[p][c] == row[c], (p, c)
+    # rule p∧q⇒r (support 2) lands on head predicate r
+    rules = mine_path_rules(t, min_support=2).collect()
+    assert rep["r"]["n_rules_as_head"] == sum(1 for x in rules if x["p3"] == "r")
+    assert rep["r"]["best_confidence"] == max(
+        x["confidence"] for x in rules if x["p3"] == "r")
+    # symmetry diagonal matches inverse_symmetry's (s, s) row
+    diag = {r["pred_a"]: r["n_overlap"] for r in
+            inverse_symmetry(t).collect() if r["pred_a"] == r["pred_b"]}
+    assert rep["s"]["sym_overlap"] == diag["s"] == 2
+    # conflict pressure: k holds v and w under r -> one conflict subject
+    assert rep["r"]["n_conflict_subjects"] == 1
+    # zero defaults where nothing fires
+    assert rep["p"]["n_rules_as_head"] == 0
+    assert rep["p"]["best_confidence"] == 0.0
+    assert rep["p"]["sym_overlap"] == 0
