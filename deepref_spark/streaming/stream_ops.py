@@ -170,3 +170,67 @@ def running_entity_counts(scored_stream: DataFrame, timeout: str = "NoTimeout") 
             timeoutConf=timeout,
         )
     )
+
+
+GRAPH_SNAPSHOT_SCHEMA = (
+    "subj_canon string, pred string, obj_canon string, "
+    "n_docs long, max_score double"
+)
+
+
+def kg_ingest_stream(docs_stream: DataFrame, snapshot_dir: str,
+                     checkpoint_dir: str, preprocessing=None,
+                     query_name: str = "kg_ingest"):
+    """Continuous KG construction: per micro-batch, extract canonical
+    triples from the incoming document stream (the stateless fused
+    extraction — mapInPandas runs unchanged under Structured
+    Streaming) and MERGE them into the persistent graph snapshot via
+    graph.merge_triples. foreachBatch is the load-bearing choice: the
+    merge is a keyed UPSERT into a table, not an append, which is
+    exactly the documented Structured Streaming pattern for MERGE INTO
+    an Iceberg/Delta graph table; in this engine the same batch
+    DataFrame goes through io/tables.py's parquet fallback.
+
+    Each batch is materialized (eager localCheckpoint) BEFORE the
+    snapshot overwrite — reading and overwriting one path inside a
+    single plan is the classic self-overwrite trap. Counts ADD across
+    batches (doc_ids are unique across batches, so the folded n_docs
+    equals the global count), scores MAX, and canonicalization is
+    per-batch (the merge_triples canonical-drift contract: a
+    continuous run periodically re-canonicalizes offline; see
+    operators/graph.merge_triples). Returns the StreamingQuery —
+    callers trigger availableNow or processAllAvailable.
+
+    At scale: the extraction is embarrassingly parallel per batch; the
+    merge's full-outer join co-locates when the snapshot is bucketed
+    by the triple key, and the snapshot write is the only serial
+    boundary per batch (an Iceberg MERGE commits the same way).
+    """
+    from deepref_spark.operators.graph import merge_triples
+    from deepref_spark.pipeline import extract_scored, triples_from_scored
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        scored = extract_scored(spark, batch_df, preprocessing=preprocessing)
+        t = triples_from_scored(scored)
+        incoming = t.select(
+            "subj_canon", "pred", "obj_canon", "n_docs",
+            F.col("score").alias("max_score"),
+        )
+        try:
+            existing = spark.read.parquet(snapshot_dir).select(
+                "subj_canon", "pred", "obj_canon", "n_docs", "max_score")
+        except Exception:
+            existing = spark.createDataFrame([], GRAPH_SNAPSHOT_SCHEMA)
+        merged = merge_triples(existing, incoming).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(snapshot_dir)
+
+    return (
+        docs_stream.writeStream
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge_batch)
+        .start()
+    )

@@ -1066,3 +1066,69 @@ def test_triangle_counts_hand_computed(spark):
     assert got["c"] == (2, 1, 1.0)
     assert got["d"] == (1, 0, 0.0)
     assert got["e"] == (1, 0, 0.0) and got["f"] == (1, 0, 0.0)
+
+
+def test_kg_ingest_stream_matches_sequential_batch_merge(spark, tmp_path):
+    """Continuous KG construction (stream_ops.kg_ingest_stream): a
+    2-file document stream folded through foreachBatch merge_triples
+    must equal the SAME two batches folded sequentially in batch mode
+    — counts add, scores max, per-batch canonicalization preserved
+    (the merge_triples canonical-drift contract)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from deepref_spark import synth
+    from deepref_spark.operators.graph import merge_triples
+    from deepref_spark.pipeline import extract_scored, triples_from_scored
+    from deepref_spark.streaming.stream_ops import (
+        GRAPH_SNAPSHOT_SCHEMA, kg_ingest_stream,
+    )
+
+    docs = synth.generate_docs(spark, 40, partitions=2)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    dnum = F.expr("CAST(substr(doc_id, 2) AS INT)")  # synth ids: d%09d
+    for i, (lo, hi) in enumerate([(0, 20), (20, 40)]):
+        part_dir = tmp_path / f"part{i}"
+        docs.where((dnum >= lo) & (dnum < hi)) \
+            .coalesce(1).write.parquet(str(part_dir))
+        pf = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = src / f"{i}.parquet"
+        shutil.copy(part_dir / pf, dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    snap = str(tmp_path / "snapshot")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = kg_ingest_stream(stream, snap, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["subj_canon"], r["pred"], r["obj_canon"], r["n_docs"],
+         round(r["max_score"], 6))
+        for r in spark.read.parquet(snap).collect()
+    }
+
+    def incoming(batch_path):
+        d = spark.read.parquet(str(batch_path))
+        t = triples_from_scored(extract_scored(spark, d))
+        return t.select("subj_canon", "pred", "obj_canon", "n_docs",
+                        F.col("score").alias("max_score"))
+
+    folded = spark.createDataFrame([], GRAPH_SNAPSHOT_SCHEMA)
+    for i in range(2):
+        folded = merge_triples(folded, incoming(src / f"{i}.parquet")) \
+            .select("subj_canon", "pred", "obj_canon", "n_docs", "max_score") \
+            .localCheckpoint(eager=True)
+    want = {
+        (r["subj_canon"], r["pred"], r["obj_canon"], r["n_docs"],
+         round(r["max_score"], 6))
+        for r in folded.collect()
+    }
+    assert got == want and len(got) > 0
+    # the status audit column survives in the snapshot
+    assert "status" in spark.read.parquet(snap).columns
