@@ -99,6 +99,7 @@ HEADLINE = [
     "kg_maintenance_report",
     "events_topk",
     "text_length_quantiles",
+    "events_rate_anomaly",
 ]
 
 

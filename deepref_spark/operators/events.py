@@ -123,3 +123,48 @@ def topk_trending(events: DataFrame, k: int = 3, ts_col: str = "ts",
             "event_type", "n", "rnk",
         )
     )
+
+
+def rate_anomaly(events: DataFrame, horizon_hours: int = 24,
+                 min_base: int = 10, ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Per (hour, event_type) spike detection against the trailing
+    ``horizon_hours`` baseline — the rate-anomaly rollup an event
+    store runs next to its windowed counts.
+
+    Baseline = the trailing sum over a RANGE frame on epoch seconds
+    (gap hours implicitly count as zero — silence lowers the baseline
+    instead of being skipped, which a ROWS frame would get wrong), and
+    the current hour is excluded. deviation_ppm is exact integer
+    arithmetic: (n*h - trail) * 1e6 div max(trail, 1) — parts-per-
+    million above/below the trailing hourly mean without a float
+    division, so any engine agrees bit-for-bit. is_spike is the exact
+    cross-product test n*h > 2*trail (at least double the trailing
+    mean) gated on trail >= min_base (never flag on silence).
+
+    The only stream-sized shuffle is the (hour, type) count; the range
+    window runs per type over the tiny hourly table.
+    """
+    cnt = (
+        events
+        .select(F.date_trunc("hour", F.col(ts_col)).alias("h"),
+                F.col(type_col).alias("event_type"))
+        .groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("epoch", F.unix_timestamp("h").cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("epoch")
+        .rangeBetween(-horizon_hours * 3600, -3600)
+    )
+    out = cnt.withColumn(
+        "trail", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
+    hh = F.lit(horizon_hours).cast("long")
+    return out.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "trail",
+        F.expr(f"(n * {horizon_hours} - trail) * 1000000 DIV greatest(trail, 1)")
+        .cast("long").alias("deviation_ppm"),
+        ((F.col("n") * hh > F.lit(2).cast("long") * F.col("trail"))
+         & (F.col("trail") >= F.lit(min_base))).alias("is_spike"),
+    )

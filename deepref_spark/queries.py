@@ -4407,6 +4407,36 @@ def kg_maintenance_report(spark, sf_dir):
     return maintenance_report(_canon_spo(spark, sf_dir), min_support=2)
 
 
+@q("events_rate_anomaly", """
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT h, event_type, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY ep
+              RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING), 0) AS BIGINT) AS trail
+  FROM cnt
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n, trail,
+       CAST((n * 24 - trail) * 1000000 // greatest(trail, 1) AS BIGINT) AS deviation_ppm,
+       (n * 24 > 2 * trail AND trail >= 10) AS is_spike
+FROM tr
+""")
+def events_rate_anomaly(spark, sf_dir):
+    """Per-hour spike detection vs the trailing 24 h baseline
+    (operators/events.rate_anomaly): RANGE frame on epoch seconds so
+    gap hours count as zero baseline, current hour excluded;
+    deviation in exact integer parts-per-million and an exact
+    cross-product spike test (n*24 > 2*trail, trail >= 10) — no float
+    division anywhere, so any engine agrees bit-for-bit."""
+    from deepref_spark.operators.events import rate_anomaly
+
+    return rate_anomaly(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4517,6 +4547,11 @@ _WINDOW_TAIL = [
     # sweep): kg_media_features green r1-r4; the multimodal batch
     # kernels stay pinned by their vectorized pytest goldens
     "kg_media_features",
+    # (parked r5s, making room for events_rate_anomaly): green r3-r4;
+    # dedup_keep_map and dedup_passages stay as the dedup-composition
+    # reps, and the capped-jaccard contract is pinned by its own
+    # map-side df-cap tests
+    "dedup_ngram_jaccard_capped",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -228,3 +228,40 @@ def test_maintenance_report_composes_standalone_formulas(spark):
     assert rep["p"]["n_rules_as_head"] == 0
     assert rep["p"]["best_confidence"] == 0.0
     assert rep["p"]["sym_overlap"] == 0
+
+
+def test_rate_anomaly_gap_aware_baseline_and_exact_ppm(spark):
+    from deepref_spark.operators.events import rate_anomaly
+
+    # type 'e': 12 events at hour 0, NOTHING for 22 hours, then 30 at
+    # hour 23. Trailing 24h sum at hour 23 = 12 (gap hours count as
+    # zero baseline); n*24 = 720 > 2*12 and trail >= 10 -> spike.
+    rows = [(i, "2024-01-01 00:00:%02d" % i, "e") for i in range(12)]
+    rows += [(100 + i, "2024-01-01 23:00:%02d" % i, "e") for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["window_start"]: r for r in rate_anomaly(ev).collect()}
+    first = got["2024-01-01 00:00:00"]
+    # no preceding hours: trail 0, never a spike (min_base gate)
+    assert (first["trail"], bool(first["is_spike"])) == (0, False)
+    spike = got["2024-01-01 23:00:00"]
+    assert (spike["n"], spike["trail"]) == (30, 12)
+    # exact ppm: (30*24 - 12) * 1e6 // 12 = 59_000_000
+    assert spike["deviation_ppm"] == 59_000_000
+    assert bool(spike["is_spike"]) is True
+
+
+def test_rate_anomaly_horizon_excludes_old_hours(spark):
+    from deepref_spark.operators.events import rate_anomaly
+
+    # 25 hours apart: the old burst is OUTSIDE the trailing 24h frame,
+    # so trail = 0 and min_base suppresses the flag.
+    rows = [(i, "2024-01-01 00:00:%02d" % i, "e") for i in range(40)]
+    rows += [(100 + i, "2024-01-02 01:00:%02d" % i, "e") for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["window_start"]: r for r in rate_anomaly(ev).collect()}
+    late = got["2024-01-02 01:00:00"]
+    assert late["trail"] == 0 and bool(late["is_spike"]) is False
