@@ -100,6 +100,8 @@ HEADLINE = [
     "events_topk",
     "text_length_quantiles",
     "events_rate_anomaly",
+    "kg_pred_alignment",
+    "kg_degree_hist",
 ]
 
 

@@ -395,3 +395,77 @@ def maintenance_report(triples: DataFrame, min_support: int = 2,
             .alias("best_confidence"),
         )
     )
+
+
+def implication(triples: DataFrame, min_overlap: int = 2,
+                subj: str = "subj_canon", pred: str = "pred",
+                obj: str = "obj_canon") -> DataFrame:
+    """Subsumption/implication detection between predicates: for each
+    ordered pair (a, b), the count of (x, y) pairs carrying BOTH a and
+    b in the SAME direction and confidence = overlap / n_a (the
+    fraction of a's pairs that also hold b — a ⇒ b when it nears 1).
+    The length-1 rule complement of mine_path_rules' length-2 wedges
+    and inverse_symmetry's reversed overlap; together they cover the
+    AMIE rule templates expressible without a fresh variable.
+
+    One self-join on the (subj, obj) pair key (the only stream-sized
+    shuffle), predicate-pair grouped counts, broadcast per-predicate
+    sizes. Emits both orders (confidence is direction-specific);
+    a = b rows are excluded (trivially confidence 1).
+    """
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().localCheckpoint(eager=False)
+    ov = (
+        spo.alias("a")
+        .join(spo.alias("b"),
+              (F.col("a.subj") == F.col("b.subj"))
+              & (F.col("a.obj") == F.col("b.obj"))
+              & (F.col("a.pred") != F.col("b.pred")))
+        .groupBy(F.col("a.pred").alias("pred_a"),
+                 F.col("b.pred").alias("pred_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    sz = spo.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ov.join(F.broadcast(sz.select(F.col("pred").alias("pred_a"),
+                                      F.col("n").alias("n_a"))), "pred_a")
+        .select(
+            "pred_a", "pred_b", "n_overlap", "n_a",
+            F.round(F.col("n_overlap").cast("double") / F.col("n_a"), 6)
+            .alias("confidence"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Log2-bucketed degree distribution over the entity graph — the
+    skew-monitoring rollup the salting operator's hot-key threshold is
+    calibrated against (a heavy tail here = salt / cap before the
+    next join). Buckets: floor(log2(degree)), exact via BIGINT bit
+    length (never float log), so bucket edges are engine-identical.
+
+    Two stream-sized grouped counts (out per src, in per dst, unioned
+    before one combine) then a tiny per-bucket count.
+    """
+    deg = (
+        edges.select(F.col(src).alias("v"))
+        .union(edges.select(F.col(dst).alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # floor(log2(d)) for d >= 1 as (bit length - 1): exact integer via
+    # bin(), which both Spark and DuckDB expose with identical output —
+    # never float log2, whose boundary rounding is library-dependent.
+    bucket = F.expr("CAST(length(bin(degree)) - 1 AS INT)")
+    return (
+        deg.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )

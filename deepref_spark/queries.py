@@ -4437,6 +4437,92 @@ def events_rate_anomaly(spark, sf_dir):
     return rate_anomaly(load_table(spark, sf_dir, "events"))
 
 
+# a second, independent hash extractor: the stand-in for fusing two
+# extraction models' outputs (the alignment use case). Same relation
+# vocabulary, different hash — disagreements are plentiful and
+# deterministic.
+def _pred_expr_b() -> str:
+    return portable.relation_case(
+        md5_mod("concat(h_name, '|2|', t_name)", 997))
+
+
+@q("kg_pred_alignment", lambda: _oracle_prefix() + f"""
+, pa AS (
+  SELECT DISTINCT h_name AS subj, 'a:' || {_pred_expr()} AS pred, t_name AS obj
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+pb AS (
+  SELECT DISTINCT h_name AS subj, 'b:' || {_pred_expr_b()} AS pred, t_name AS obj
+  FROM mentions WHERE {_pred_expr_b()} <> 'Other'
+),
+trip AS (SELECT * FROM pa UNION ALL SELECT * FROM pb),
+ov AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM trip a JOIN trip b
+    ON a.subj = b.subj AND a.obj = b.obj AND a.pred <> b.pred
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sz AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM trip GROUP BY pred)
+SELECT ov.pred_a, ov.pred_b, ov.n_overlap, sa.n AS n_a,
+       round(CAST(ov.n_overlap AS DOUBLE) / sa.n, 6) AS confidence
+FROM ov JOIN sz sa ON ov.pred_a = sa.pred
+""")
+def kg_pred_alignment(spark, sf_dir):
+    """Cross-extractor predicate alignment (kgquality.implication over
+    the prefixed union of two extractors' triples): for ordered label
+    pairs, the same-direction (subj, obj) overlap and confidence =
+    overlap / n_a ≈ P(other extractor says q | this one says p) — the
+    schema-alignment matrix a KG merger computes before fusing two
+    models' graphs. The second extractor is an independent hash
+    stand-in over the same mentions (non-vacuous by construction: 50
+    aligned pairs, 618 overlaps at sf0.001). Within one extractor a
+    pair carries exactly one label, so every emitted row is a genuine
+    cross-extractor cell; both directions emitted (confidence is
+    direction-specific)."""
+    from deepref_spark.operators.kgquality import implication
+
+    m = portable_mentions(spark, sf_dir)
+    rel_a, rel_b = F.expr(_pred_expr()), F.expr(_pred_expr_b())
+
+    def side(rel, tag):
+        return (
+            m.where(rel != F.lit("Other"))
+            .select(
+                F.col("h_name").alias("subj"),
+                F.concat(F.lit(tag), rel).alias("pred"),
+                F.col("t_name").alias("obj"),
+            )
+            .distinct()
+        )
+
+    return implication(side(rel_a, "a:").union(side(rel_b, "b:")),
+                       min_overlap=2, subj="subj", pred="pred", obj="obj")
+
+
+@q("kg_degree_hist", _oracle_prefix() + _graph_edges_cte() + """
+, deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY v
+)
+SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(min(degree) AS BIGINT) AS min_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1
+""")
+def kg_degree_hist(spark, sf_dir):
+    """Log2-bucketed degree distribution over the canonical entity
+    graph (kgquality.degree_histogram) — the skew-monitoring rollup
+    the salting threshold is calibrated against. Buckets via exact
+    BIGINT bit length (bin(), identical in both engines), never float
+    log2."""
+    from deepref_spark.operators.kgquality import degree_histogram
+
+    return degree_histogram(_canonical_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4552,6 +4638,12 @@ _WINDOW_TAIL = [
     # reps, and the capped-jaccard contract is pinned by its own
     # map-side df-cap tests
     "dedup_ngram_jaccard_capped",
+    # (parked r5t, making room for kg_pred_alignment + kg_degree_hist):
+    # dedup_passages green r2-r4 (dedup_keep_map stays as the dedup
+    # composition rep); kg_tokenize's current real-wordpiece oracle
+    # green r4 with the kernel additionally pinned by the
+    # kg_wordpiece_basic window row and the tokenize_batch goldens
+    "dedup_passages", "kg_tokenize",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",

@@ -265,3 +265,35 @@ def test_rate_anomaly_horizon_excludes_old_hours(spark):
     got = {r["window_start"]: r for r in rate_anomaly(ev).collect()}
     late = got["2024-01-02 01:00:00"]
     assert late["trail"] == 0 and bool(late["is_spike"]) is False
+
+
+def test_implication_directional_confidence(spark):
+    from deepref_spark.operators.kgquality import implication
+
+    # p holds on 4 pairs, q on 2 of the SAME pairs -> q ⇒ p with
+    # confidence 1.0; p ⇒ q only 0.5. Reversed pairs never count.
+    t = _triples(spark, [
+        ("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"), ("g", "p", "h"),
+        ("a", "q", "b"), ("c", "q", "d"),
+        ("b", "r", "a"),  # reverse direction of p(a,b): no overlap
+    ])
+    got = {(r["pred_a"], r["pred_b"]): r for r in
+           implication(t, min_overlap=2).collect()}
+    assert got[("q", "p")]["confidence"] == 1.0
+    assert got[("p", "q")]["confidence"] == 0.5
+    assert got[("p", "q")]["n_overlap"] == 2 and got[("p", "q")]["n_a"] == 4
+    assert ("r", "p") not in got and ("p", "r") not in got
+
+
+def test_degree_histogram_log2_buckets(spark):
+    from deepref_spark.operators.kgquality import degree_histogram
+
+    # star: hub h has degree 5 (bucket 2); each leaf degree 1 (bucket
+    # 0); plus one chain node of degree 2 (bucket 1).
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)] + [("l0", "m")],
+        "src string, dst string")
+    got = {r["bucket"]: r for r in degree_histogram(edges).collect()}
+    assert got[0]["n_entities"] == 5  # l1..l4 and m at degree 1
+    assert (got[1]["min_degree"], got[1]["max_degree"]) == (2, 2)  # l0
+    assert (got[2]["n_entities"], got[2]["min_degree"]) == (1, 5)  # hub
