@@ -102,6 +102,8 @@ HEADLINE = [
     "events_rate_anomaly",
     "kg_pred_alignment",
     "kg_degree_hist",
+    "kg_blocking_quality",
+    "kg_discovery_curve",
 ]
 
 

@@ -4198,7 +4198,7 @@ _B3_GRID = 1_000_000_000
 @q("kg_b3_eval", lambda: f"""
 WITH assign AS (
   SELECT entity AS item, component AS pc,
-         regexp_replace(entity, '[^a-z0-9]', '', 'g') AS gc
+         split_part(entity, ' ', 1) AS gc
   FROM ({oracle_sql_for('kg_connected_components')})
 ),
 cells AS (SELECT pc, gc, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY pc, gc),
@@ -4224,8 +4224,10 @@ FROM sums
 """)
 def kg_b3_eval(spark, sf_dir):
     """B-cubed P/R/F1 (Bagga & Baldwin 1998) of the LSH+CC
-    canonicalizer's clusters against the key-normalization gold
-    clustering (kgquality.b3_eval) — the evaluation the linking stage
+    canonicalizer's clusters against the head-token gold clustering
+    (kgquality.b3_eval; strip-non-alnum keys are all singletons on
+    this corpus, which would pin recall at 1.0 — the head-token gold
+    is non-degenerate: 30 clusters over ~250 entities) — the evaluation the linking stage
     ships with. Per-(pred, gold) cell sums ride the BIGINT unit grid
     (n*n*UNIT div size) so B3 P/R are partial-aggregation-order
     independent; the final F1 is a constant number of IEEE double ops
@@ -4236,7 +4238,7 @@ def kg_b3_eval(spark, sf_dir):
     assign = cc.select(
         F.col("entity").alias("item"),
         F.col("component").alias("pc"),
-        F.regexp_replace("entity", "[^a-z0-9]", "").alias("gc"),
+        F.expr("split_part(entity, ' ', 1)").alias("gc"),
     )
     return b3_eval(assign)
 
@@ -4523,6 +4525,128 @@ def kg_degree_hist(spark, sf_dir):
     return degree_histogram(_canonical_edges(spark, sf_dir))
 
 
+@q("kg_blocking_quality", _entities_cte(DUCK) + f"""
+, sigs AS (SELECT entity, split_part(entity, ' ', 1) AS gk,
+                  {_band_sql(DUCK)} FROM entities),
+cand AS (
+  SELECT a.entity AS a, b.entity AS b, (a.gk = b.gk) AS hit
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+),
+gold AS (
+  SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS n_gold
+  FROM (SELECT gk, count(*) AS n FROM sigs GROUP BY gk)
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+  FROM cand
+)
+SELECT c.n_cand, g.n_gold, c.n_hit,
+       round(CAST(c.n_hit AS DOUBLE) / greatest(c.n_cand, 1), 6) AS pair_precision,
+       round(CAST(c.n_hit AS DOUBLE) / greatest(g.n_gold, 1), 6) AS pair_recall
+FROM c CROSS JOIN gold g
+""")
+def kg_blocking_quality(spark, sf_dir):
+    """Pair-level evaluation of the MinHash-LSH blocker against the
+    head-token gold clustering (non-degenerate: ~10k gold pairs at
+    both test SFs): candidate pairs (any shared band), gold pairs
+    (sum of C(n,2) per gold key — never enumerated),
+    and their intersection, with pair precision/recall. This is THE
+    tuning metric for the blocking stage (band count trades recall
+    against candidate volume); it complements kg_b3_eval's
+    cluster-level view. Exact BIGINT counts, single-division 6dp
+    ratios; the blocking self-join is the identical banded shape
+    kg_connected_components executes."""
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = (
+        ents.selectExpr(
+            "entity",
+            "split_part(entity, ' ', 1) AS gk",
+            *_split_select(_band_sql(SPARK)),
+        ).localCheckpoint(eager=False)
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    cand = a.join(b, cond).select(
+        (F.col("a.gk") == F.col("b.gk")).alias("hit"))
+    c = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.when(F.col("hit"), 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("n_hit"),
+    )
+    g = (
+        sigs.groupBy("gk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(
+            F.sum(F.expr("(n * (n - 1)) DIV 2")), F.lit(0)).cast("long")
+            .alias("n_gold"))
+    )
+    return c.crossJoin(g).select(
+        "n_cand", "n_gold", "n_hit",
+        F.round(F.col("n_hit").cast("double")
+                / F.greatest("n_cand", F.lit(1).cast("long")), 6)
+        .alias("pair_precision"),
+        F.round(F.col("n_hit").cast("double")
+                / F.greatest("n_gold", F.lit(1).cast("long")), 6)
+        .alias("pair_recall"),
+    )
+
+
+@q("kg_discovery_curve", _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name AS subj, {_pred_expr()} AS pred, t_name AS obj
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+first_seen AS (
+  SELECT subj, pred, obj, CAST(min(doc_id) // 100 AS BIGINT) AS bucket
+  FROM preds GROUP BY 1, 2, 3
+),
+per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY bucket
+)
+SELECT bucket, n_new,
+       CAST(sum(n_new) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_triples
+FROM per_bucket
+""")
+def kg_discovery_curve(spark, sf_dir):
+    """Triple discovery curve: distinct (subj, pred, obj) first seen
+    per 100-document bucket plus the running total — the saturation
+    signal a corpus-sizing decision reads (flattening curve = more
+    docs stop adding triples). First-seen = one min-agg per triple
+    (order-independent); the cumulative window runs over the tiny
+    per-bucket table."""
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    first = (
+        p.groupBy(
+            F.col("h_name").alias("subj"),
+            F.col("pred_relation").alias("pred"),
+            F.col("t_name").alias("obj"),
+        )
+        .agg(F.expr("CAST(min(doc_id) DIV 100 AS BIGINT)").alias("bucket"))
+    )
+    per = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per.select(
+        "bucket", "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_triples"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4644,6 +4768,12 @@ _WINDOW_TAIL = [
     # green r4 with the kernel additionally pinned by the
     # kg_wordpiece_basic window row and the tokenize_batch goldens
     "dedup_passages", "kg_tokenize",
+    # (parked r5u, making room for kg_blocking_quality +
+    # kg_discovery_curve): emb_near_dups green r4 with its planted
+    # positives pinned by pytest; emb_ann_ivf green r2-r4 (emb_ann_pq +
+    # emb_semdedup stay as the IVF-family window reps and both embed
+    # the same sampled-Lloyd codebook formula)
+    "emb_near_dups", "emb_ann_ivf",
     # rows-only model/lineage queries (no SQL oracle by design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",
