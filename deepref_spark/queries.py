@@ -4647,6 +4647,38 @@ def kg_discovery_curve(spark, sf_dir):
     )
 
 
+@q("kg_ingest_snapshot", None)  # streaming side-effect fold: rows-only by design
+def kg_ingest_snapshot(spark, sf_dir):
+    """Continuous-ingest round trip as a driver-runnable query
+    (stream_ops.kg_ingest_stream): stream the sf documents through the
+    foreachBatch extract+MERGE fold (availableNow) and return the
+    resulting graph snapshot. No SQL oracle — the fold's equality with
+    the sequential batch merge is pinned by
+    tests/test_operators.py::test_kg_ingest_stream_matches_sequential_batch_merge."""
+    import tempfile
+
+    from deepref_spark import synth
+    from deepref_spark.streaming.stream_ops import kg_ingest_stream
+
+    # the deterministic synth interleaved corpus (labeled text spans —
+    # the raw `documents` text carries no taggable entities, so the
+    # extraction would be vacuous over it); size scales with sf via the
+    # documents row count, capped for sweep friendliness
+    n = min(500, max(50, documents(spark, sf_dir).count() // 2))
+    d = synth.generate_docs(spark, n, partitions=8)
+    work = tempfile.mkdtemp(prefix="kg_ingest_q_")
+    src = f"{work}/src"
+    d.write.parquet(src)
+    snap, ckpt = f"{work}/snapshot", f"{work}/ckpt"
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    qy = kg_ingest_stream(stream, snap, ckpt)
+    qy.processAllAvailable()
+    qy.stop()
+    return spark.read.parquet(snap).select(
+        "subj_canon", "pred", "obj_canon", "n_docs",
+        F.round("max_score", 6).alias("max_score"), "status")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -4774,9 +4806,11 @@ _WINDOW_TAIL = [
     # emb_semdedup stay as the IVF-family window reps and both embed
     # the same sampled-Lloyd codebook formula)
     "emb_near_dups", "emb_ann_ivf",
-    # rows-only model/lineage queries (no SQL oracle by design) — last
+    # rows-only model/lineage/streaming queries (no SQL oracle by
+    # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
     "kg_eval_cnn_pcnn", "kg_eval_crcnn_lstm_gru", "kg_stage_lineage",
+    "kg_ingest_snapshot",
 ]
 _reordered = {n: REGISTRY[n] for n in REGISTRY if n not in _WINDOW_TAIL}
 _reordered.update({n: REGISTRY[n] for n in _WINDOW_TAIL})
