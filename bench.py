@@ -104,6 +104,8 @@ HEADLINE = [
     "kg_degree_hist",
     "kg_blocking_quality",
     "kg_discovery_curve",
+    "events_markov",
+    "kg_cc_stats",
 ]
 
 

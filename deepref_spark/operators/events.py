@@ -168,3 +168,40 @@ def rate_anomaly(events: DataFrame, horizon_hours: int = 24,
         ((F.col("n") * hh > F.lit(2).cast("long") * F.col("trail"))
          & (F.col("trail") >= F.lit(min_base))).alias("is_spike"),
     )
+
+
+def transition_matrix(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id", tie: str = "event_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-order event-transition matrix over per-user ordered
+    streams: for each (from_type, to_type), the count of consecutive
+    pairs and P(to | from) — the behavior model a funnel/sessionization
+    lane publishes next to its counts.
+
+    One window per user (the natural stream key — the same single
+    shuffle the as-of join uses) ordered by (ts, tie) so simultaneous
+    events have a total order and the pair set is deterministic; then
+    one grouped count on the tiny type-pair table. The probability is
+    one double division of two BIGINTs (pair count / from-row total),
+    rounded 6dp.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tie))
+    pairs = (
+        events
+        .select(F.col(user_col), F.col(ts_col), F.col(tie),
+                F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n", "n_from",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6)
+            .alias("prob"),
+        )
+    )

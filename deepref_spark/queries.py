@@ -4647,6 +4647,62 @@ def kg_discovery_curve(spark, sf_dir):
     )
 
 
+@q("events_markov", """
+WITH pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS prob
+FROM pairs p JOIN tot t USING (from_type)
+""")
+def events_markov(spark, sf_dir):
+    """First-order event-transition matrix (operators/events.
+    transition_matrix): P(next type | current type) over per-user
+    streams ordered by (ts, event_id) — the total order makes the
+    pair set deterministic under simultaneous events. One user-keyed
+    window shuffle + one grouped count on the tiny type-pair table."""
+    from deepref_spark.operators.events import transition_matrix
+
+    return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_cc_stats", lambda: f"""
+WITH comp AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS csize
+  FROM ({oracle_sql_for('kg_connected_components')})
+  GROUP BY component
+)
+SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(csize) AS BIGINT) AS n_entities
+FROM comp GROUP BY csize
+""")
+def kg_cc_stats(spark, sf_dir):
+    """Component-size distribution of the RAW band-OR LSH CC — the
+    over-merge monitor read next to kg_b3_eval and
+    kg_blocking_quality. On this corpus it shows exactly what it
+    should: one giant 249-entity component + 2 singletons at sf0.001,
+    i.e. unverified banding chains unrelated surface forms (B3
+    precision 0.045 agrees). The PRODUCTION canonicalizer
+    (linking.canonical_map, used by triples_from_scored) never ships
+    this shape: it exact-verifies candidate pairs at threshold 0.6
+    before CC. Two grouped counts over the per-entity component
+    table."""
+    cc = kg_connected_components(spark, sf_dir)
+    comp = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"))
+    return comp.groupBy("csize").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("csize").cast("long").alias("n_entities"),
+    )
+
+
 @q("kg_ingest_snapshot", None)  # streaming side-effect fold: rows-only by design
 def kg_ingest_snapshot(spark, sf_dir):
     """Continuous-ingest round trip as a driver-runnable query
@@ -4806,6 +4862,11 @@ _WINDOW_TAIL = [
     # emb_semdedup stay as the IVF-family window reps and both embed
     # the same sampled-Lloyd codebook formula)
     "emb_near_dups", "emb_ann_ivf",
+    # (parked r5v, making room for events_markov + kg_cc_stats):
+    # text_pack_chunks and text_mixing_plan green r4 AND their
+    # packing/mixing formulas are re-verified every sweep inside
+    # text_curate_pipeline's composed oracle (which stays in-window)
+    "text_pack_chunks", "text_mixing_plan",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

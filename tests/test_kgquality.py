@@ -297,3 +297,31 @@ def test_degree_histogram_log2_buckets(spark):
     assert got[0]["n_entities"] == 5  # l1..l4 and m at degree 1
     assert (got[1]["min_degree"], got[1]["max_degree"]) == (2, 2)  # l0
     assert (got[2]["n_entities"], got[2]["min_degree"]) == (1, 5)  # hub
+
+
+def test_transition_matrix_exact_probs_and_tie_order(spark):
+    from deepref_spark.operators.events import transition_matrix
+
+    # user 1: a -> b -> a -> c (pairs ab, ba, ac); user 2: b -> b.
+    # Two simultaneous events for user 1 at 10:02 break ties by
+    # event_id (2 before 3), pinning the a->c pair.
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (2, "2024-01-01 10:01:00", 1, "b"),
+        (3, "2024-01-01 10:02:00", 1, "a"),   # event_id 3
+        (4, "2024-01-01 10:02:00", 1, "c"),   # same ts, id 4 -> after
+        (5, "2024-01-01 09:00:00", 2, "b"),
+        (6, "2024-01-01 09:05:00", 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, u, t) for eid, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["from_type"], r["to_type"]): r
+           for r in transition_matrix(ev).collect()}
+    assert got[("a", "b")]["n"] == 1 and got[("a", "c")]["n"] == 1
+    assert got[("a", "b")]["n_from"] == 2
+    assert got[("a", "b")]["prob"] == 0.5
+    assert got[("b", "a")]["prob"] == 0.5 and got[("b", "b")]["prob"] == 0.5
+    # no cross-user pair: user 2's first event never follows user 1's
+    assert ("c", "b") not in got
