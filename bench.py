@@ -106,6 +106,7 @@ HEADLINE = [
     "kg_discovery_curve",
     "events_markov",
     "kg_cc_stats",
+    "kg_blocking_curve",
 ]
 
 

@@ -4647,6 +4647,100 @@ def kg_discovery_curve(spark, sf_dir):
     )
 
 
+@q("kg_blocking_curve", _entities_cte(DUCK) + f"""
+, sigs AS (SELECT entity, split_part(entity, ' ', 1) AS gk,
+                  {_band_sql(DUCK)} FROM entities),
+cand AS (
+  SELECT CASE WHEN a.band_0 = b.band_0 THEN 1
+              WHEN a.band_1 = b.band_1 THEN 2
+              WHEN a.band_2 = b.band_2 THEN 3
+              ELSE 4 END AS min_k,
+         (a.gk = b.gk) AS hit
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+),
+per_k AS (
+  SELECT min_k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_h
+  FROM cand GROUP BY min_k
+),
+gold AS (
+  SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS n_gold
+  FROM (SELECT gk, count(*) AS n FROM sigs GROUP BY gk)
+),
+ks AS (SELECT unnest([1, 2, 3, 4]) AS k)
+SELECT k, CAST(coalesce(sum(p.n), 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(sum(p.n_h), 0) AS BIGINT) AS n_hit,
+       any_value(g.n_gold) AS n_gold,
+       round(CAST(coalesce(sum(p.n_h), 0) AS DOUBLE)
+             / greatest(coalesce(sum(p.n), 0), 1), 6) AS pair_precision,
+       round(CAST(coalesce(sum(p.n_h), 0) AS DOUBLE)
+             / greatest(any_value(g.n_gold), 1), 6) AS pair_recall
+FROM ks CROSS JOIN gold g LEFT JOIN per_k p ON p.min_k <= ks.k
+GROUP BY k
+""")
+def kg_blocking_curve(spark, sf_dir):
+    """The band-count trade-off curve behind kg_blocking_quality: pair
+    precision/recall when blocking on the FIRST k bands only, for
+    k = 1..4, from ONE banded self-join — each candidate pair carries
+    its minimum matching band index (the CASE cascade), so the per-k
+    numbers are cumulative sums over a <=4-row table. This is the
+    table a blocking-tuning decision actually reads: recall climbs
+    with k while precision falls, and the marginal pairs per extra
+    band are explicit."""
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = ents.selectExpr(
+        "entity", "split_part(entity, ' ', 1) AS gk",
+        *_split_select(_band_sql(SPARK)),
+    ).localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    cand = a.join(b, cond).select(
+        F.when(F.col("a.band_0") == F.col("b.band_0"), 1)
+        .when(F.col("a.band_1") == F.col("b.band_1"), 2)
+        .when(F.col("a.band_2") == F.col("b.band_2"), 3)
+        .otherwise(4).alias("min_k"),
+        (F.col("a.gk") == F.col("b.gk")).alias("hit"),
+    )
+    per_k = cand.groupBy("min_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_h"),
+    )
+    gold = (
+        sigs.groupBy("gk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(F.expr("(n * (n - 1)) DIV 2")), F.lit(0))
+             .cast("long").alias("n_gold"))
+    )
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    joined = (
+        ks.crossJoin(F.broadcast(gold))
+        .join(F.broadcast(per_k), per_k["min_k"] <= ks["k"], "left")
+    )
+    return joined.groupBy("k").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum("n_h"), F.lit(0)).cast("long").alias("n_hit"),
+        F.first("n_gold").cast("long").alias("n_gold"),
+        F.round(F.coalesce(F.sum("n_h"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.sum("n"), F.lit(0)),
+                             F.lit(1).cast("long")), 6)
+        .alias("pair_precision"),
+        F.round(F.coalesce(F.sum("n_h"), F.lit(0)).cast("double")
+                / F.greatest(F.first("n_gold"), F.lit(1).cast("long")), 6)
+        .alias("pair_recall"),
+    )
+
+
 @q("events_markov", """
 WITH pairs AS (
   SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
@@ -4867,6 +4961,11 @@ _WINDOW_TAIL = [
     # packing/mixing formulas are re-verified every sweep inside
     # text_curate_pipeline's composed oracle (which stays in-window)
     "text_pack_chunks", "text_mixing_plan",
+    # (parked r5w, making room for kg_blocking_curve): text_contamination
+    # green r4 and its 13-gram screen formula is re-verified every sweep
+    # inside text_curate_pipeline + text_curation_funnel (both in-window);
+    # text_decontam_coverage stays as the contamination window rep
+    "text_contamination",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
