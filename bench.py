@@ -107,6 +107,7 @@ HEADLINE = [
     "events_markov",
     "kg_cc_stats",
     "kg_blocking_curve",
+    "text_corpus_cube",
 ]
 
 

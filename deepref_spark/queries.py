@@ -4647,6 +4647,48 @@ def kg_discovery_curve(spark, sf_dir):
     )
 
 
+@q("text_corpus_cube", f"""
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       CAST(grouping(source) * 2 + grouping(lang) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS sum_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+""")
+def text_corpus_cube(spark, sf_dir):
+    """Corpus profile at every (source, lang) granularity in ONE pass:
+    GROUP BY CUBE — per-cell, per-source, per-lang, and grand-total
+    rows with an explicit grouping_id, the multi-granularity report a
+    curation dashboard reads without four separate scans (Spark plans
+    CUBE as a single Expand + one aggregation; partial aggregation
+    still applies map-side). Rollup cells are BIGINT counts/sums and
+    exact min/max only — order-independent. NULL grouping markers are
+    coalesced to '(all)' so a real NULL value could never collide with
+    a rollup row (gid disambiguates regardless)."""
+    toks = F.expr(portable.norm_tokens("text", SPARK))
+    d = documents(spark, sf_dir).select(
+        "source", "lang", F.size(toks).cast("long").alias("n_toks"),
+        "n_chars")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "gid", "n_docs", "sum_tokens", "min_chars", "max_chars",
+        )
+    )
+
+
 @q("kg_blocking_curve", _entities_cte(DUCK) + f"""
 , sigs AS (SELECT entity, split_part(entity, ' ', 1) AS gk,
                   {_band_sql(DUCK)} FROM entities),
@@ -4966,6 +5008,11 @@ _WINDOW_TAIL = [
     # inside text_curate_pipeline + text_curation_funnel (both in-window);
     # text_decontam_coverage stays as the contamination window rep
     "text_contamination",
+    # (parked r5x, making room for text_corpus_cube): text_lm_score
+    # green in the r5-to-date local sweeps since its first sitting and
+    # a pure per-doc projection; text_tfidf_topk stays as the heavier
+    # corpus-statistic rep
+    "text_lm_score",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
