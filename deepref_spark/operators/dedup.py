@@ -412,3 +412,44 @@ def near_dup_keep_map(documents: DataFrame, n_bands: int = 8,
         ids.join(comps.withColumnRenamed("entity", "doc_id"), "doc_id", "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("keep_doc_id"))
     )
+
+
+def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Exact-substring dedup stats (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token window of
+    length ``k`` that occurs anywhere else in the corpus marks its
+    covering positions as duplicated. The paper builds a corpus suffix
+    array; the distributed re-expression is the fixed-window rolling
+    form ES-Dedup uses at scale — every k-token window is hashed, a
+    window hash with total corpus frequency > 1 is "duplicated", and
+    each doc reports the fraction of its windows that are duplicated
+    (the cleaning pass drops or trims docs above a threshold).
+
+    Shape at 100 TB: ONE corpus scan emits ~n_tokens window hashes
+    (md5 of the joined window, same formula as the shingle family so
+    the DuckDB oracle reproduces the numbers); a map-side-combined
+    groupBy counts each hash; the flag join back to windows shuffles
+    both sides on the same key (AQE handles hash skew from boilerplate
+    windows); the final per-doc rollup is a second combineable agg.
+    No suffix array, no global sort, nothing quadratic.
+    """
+    wins = (
+        _with_shingles(documents, k)
+        .select("doc_id", F.posexplode("shingles").alias("pos", "sh"))
+        .select("doc_id", "pos", F.expr("md5(sh)").alias("whash"))
+        .localCheckpoint(eager=False)  # feeds both the freq agg and the flag join
+    )
+    freq = wins.groupBy("whash").agg(F.count(F.lit(1)).cast("long").alias("wfreq"))
+    return (
+        wins.join(freq, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("wfreq") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6),
+        )
+    )

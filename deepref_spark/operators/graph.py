@@ -481,3 +481,102 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def id_map_triples(triples: DataFrame,
+                   subj: str = "subj_canon", pred: str = "pred",
+                   obj: str = "obj_canon") -> DataFrame:
+    """KG-embedding training prep (the TransE / PyTorch-BigGraph input
+    contract): dense integer ids for entities and relations plus the
+    id-mapped triple list. Ids are row_number()-1 over the SORTED
+    distinct entity (resp. relation) sets — the same deterministic
+    convention as rel2id (SURVEY §2.5 A1, `deepref` sorts label maps),
+    so the mapping is reproducible across runs and engines.
+
+    Scale shape: the entity map is one distinct + one global sort —
+    a real but legitimate shuffle (the id space must be dense and
+    total-ordered once); at 1e9+ entities this is the same sort every
+    embedding trainer's importer performs. The two mapping joins hash
+    on entity strings; the relation map is tiny and broadcasts.
+    """
+    from pyspark.sql import Window
+
+    ents = (
+        triples.select(F.col(subj).alias("entity"))
+        .union(triples.select(F.col(obj).alias("entity")))
+        .distinct()
+        .withColumn(
+            "ent_id",
+            (F.row_number().over(Window.orderBy("entity")) - 1).cast("long"),
+        )
+    )
+    rels = (
+        triples.select(F.col(pred).alias("rel")).distinct()
+        .withColumn(
+            "rel_id",
+            (F.row_number().over(Window.orderBy("rel")) - 1).cast("long"),
+        )
+    )
+    return (
+        triples.select(F.col(subj).alias("subj"), F.col(pred).alias("rel"),
+                       F.col(obj).alias("obj"))
+        .join(ents.select(F.col("entity").alias("subj"),
+                          F.col("ent_id").alias("h_id")), "subj")
+        .join(F.broadcast(rels), "rel")
+        .join(ents.select(F.col("entity").alias("obj"),
+                          F.col("ent_id").alias("t_id")), "obj")
+        .select("h_id", "rel_id", "t_id", "subj", "rel", "obj")
+    )
+
+
+def snapshot_at(oplog: DataFrame, cutoff: int) -> DataFrame:
+    """Point-in-time KG state from an assert/retract audit log — the
+    time-travel read a temporal graph table serves (Iceberg snapshot
+    semantics re-expressed over an explicit op log, for engines whose
+    history is a log rather than manifests). A triple is LIVE at
+    ``cutoff`` iff the latest op with ts <= cutoff on its key is an
+    'assert'.
+
+    One map-side-combinable groupBy on the triple key: max(struct(ts,
+    op)) picks the latest op (ties broken by op, 'retract' > 'assert',
+    i.e. retract wins a same-timestamp race — deterministic either
+    way). No window function, no per-key sort — the same plan shape at
+    any scale.
+    """
+    latest = (
+        oplog.where(F.col("ts") <= F.lit(cutoff))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max(F.struct("ts", "op")).alias("last"))
+    )
+    return (
+        latest.where(F.col("last.op") == "assert")
+        .select("subj", "pred", "obj",
+                F.col("last.ts").cast("long").alias("valid_from"))
+    )
+
+
+def export_ntriples(triples: DataFrame,
+                    subj: str = "subj_canon", pred: str = "pred",
+                    obj: str = "obj_canon") -> DataFrame:
+    """Materialize the graph as W3C N-Triples lines, partitioned by
+    predicate — the interchange export a downstream triple store bulk-
+    loads. Entity/relation keys become IRIs under a stable urn scheme
+    with RFC-3986 percent-encoding of the only non-IRI-safe character
+    the canonicalizer can emit (space; subj/obj are stripped to
+    [a-z0-9 ] upstream, predicates are fixed label strings with '-').
+
+    Pure per-row string projection — no shuffle at all; the sink
+    partitions output files by ``pred`` exactly like
+    io/tables.write_graph_table partitions the parquet graph table.
+    """
+    def iri(ns: str, col: str) -> F.Column:
+        return F.concat(F.lit(f"<urn:kg:{ns}:"),
+                        F.expr(f"replace({col}, ' ', '%20')"), F.lit(">"))
+
+    return triples.select(
+        F.col(pred).alias("pred"),
+        F.concat(
+            iri("e", subj), F.lit(" "), iri("p", pred), F.lit(" "),
+            iri("e", obj), F.lit(" ."),
+        ).alias("line"),
+    )

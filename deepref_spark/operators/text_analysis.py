@@ -1090,3 +1090,82 @@ def length_quantiles(documents: DataFrame,
         .groupBy("source", F.col("pct").cast("int").alias("pct"), "n_docs")
         .agg(F.min("n_tokens").cast("long").alias("value"))
     )
+
+
+def chunk_overlap(documents: DataFrame, size: int = 12,
+                  overlap: int = 4) -> DataFrame:
+    """RAG / long-context chunking: split every document's token
+    stream into chunks of ``size`` tokens that overlap by ``overlap``
+    (stride = size - overlap), the standard retrieval-index prep that
+    complements pack_offsets (which concatenates-and-chops WITHOUT
+    overlap for pretraining). Chunk starts are 1, 1+stride, 1+2*stride
+    ... while start <= n, so every token is covered and the final
+    chunk may be short.
+
+    Tokens are staged behind a checkpoint barrier (the repo's lambda
+    re-evaluation discipline — the per-chunk slice must not re-run the
+    tokenizer per chunk index), then ONE posexplode emits the chunk
+    rows: a single corpus scan, no shuffle at all until a consumer
+    aggregates. Per-chunk md5 gives the retrieval layer a stable chunk
+    key for incremental re-embedding.
+    """
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_overlap needs overlap < size")
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).withColumn("n", F.size("t")).localCheckpoint(eager=False)
+    chunks = staged.select(
+        "doc_id", "n",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(1, n), {stride}), "
+                   f"s -> array_join(slice(t, s, {size}), ' '))")
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * stride).alias("start0"),
+        F.least(F.lit(size),
+                F.col("n").cast("long") - F.col("chunk_idx") * stride)
+        .cast("long").alias("chunk_len"),
+        F.expr("md5(chunk_text)").alias("chunk_hash"),
+    )
+
+
+def zipf_profile(documents: DataFrame) -> DataFrame:
+    """Per-source vocabulary profile on the Zipf axis: token
+    frequencies bucketed by floor(log2(freq)) — the exact-integer
+    bit-length bucketing shared with kgquality.degree_histogram (never
+    float log2: boundary rounding is library-dependent). Per (source,
+    bucket): distinct vocabulary size, total occurrence mass, and
+    within-source share in ppm (integer arithmetic, order-
+    independent). Bucket 0 is the hapax band — the single-occurrence
+    tail whose share drives vocabulary-growth (Heaps-law)
+    extrapolation and tokenizer-vocab sizing for a 100 TB corpus.
+
+    Two map-side-combinable groupBys (token counts, then bucket
+    rollup over the vocabulary-sized intermediate) and a broadcast
+    join of the tiny per-source totals — no window, no collect.
+    """
+    toks = documents.select("source", F.explode(_tokens_col()).alias("tok"))
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"))
+    buckets = (
+        freq.withColumn("bucket", F.expr("CAST(length(bin(freq)) - 1 AS INT)"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("occurrences"),
+            F.min("freq").cast("long").alias("min_freq"),
+            F.max("freq").cast("long").alias("max_freq"),
+        )
+    )
+    total = buckets.groupBy("source").agg(
+        F.sum("occurrences").cast("long").alias("_tot"))
+    return (
+        buckets.join(F.broadcast(total), "source")
+        .withColumn("share_ppm",
+                    F.expr("CAST((occurrences * 1000000) DIV _tot AS BIGINT)"))
+        .drop("_tot")
+    )

@@ -4871,6 +4871,171 @@ def kg_ingest_snapshot(spark, sf_dir):
         F.round("max_score", 6).alias("max_score"), "status")
 
 
+# --- Group L: round-5 final sitting — substring dedup, KG-embedding prep,
+# temporal snapshot, RAG chunking, N-Triples export, Zipf profile ----------
+
+@q("dedup_substring", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(1, len(t) - 4)),
+                               i -> md5(array_to_string(list_slice(t, i, i + 4), ' ')))) AS whash
+  FROM toks
+),
+freq AS (SELECT whash, CAST(count(*) AS BIGINT) AS wfreq FROM wins GROUP BY whash)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN wfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(CAST(sum(CASE WHEN wfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM wins JOIN freq USING (whash)
+GROUP BY doc_id
+""")
+def dedup_substring(spark, sf_dir):
+    """Exact-substring dedup stats (Lee et al. 2022) — per-doc fraction
+    of 5-token windows whose hash occurs more than once in the corpus.
+    The distributed re-expression of the paper's suffix-array pass:
+    window hashes + one combineable freq agg + a co-keyed flag join,
+    nothing quadratic, no global sort."""
+    from deepref_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(documents(spark, sf_dir), k=5)
+
+
+_OPLOG_KEY = "concat(subj, '|', pred, '|', obj)"
+_OPLOG_RETRACT_GATE = md5_mod("concat(obj, subj)", 4)
+_OPLOG_DELTA = md5_mod("concat(pred, subj)", 600)
+
+
+@q("kg_snapshot_at", _trip_cte() + f"""
+, log AS (
+  SELECT subj, pred, obj,
+         CAST({md5_mod(_OPLOG_KEY, 700)} AS BIGINT) AS ts, 'assert' AS op
+  FROM trip
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST({md5_mod(_OPLOG_KEY, 700)} + 1 + {_OPLOG_DELTA} AS BIGINT) AS ts,
+         'retract' AS op
+  FROM trip WHERE {_OPLOG_RETRACT_GATE} = 0
+),
+latest AS (
+  SELECT subj, pred, obj, arg_max(op, ts) AS last_op,
+         CAST(max(ts) AS BIGINT) AS valid_from
+  FROM log WHERE ts <= 500 GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, valid_from FROM latest WHERE last_op = 'assert'
+""")
+def kg_snapshot_at(spark, sf_dir):
+    """Temporal KG time-travel read (graph.snapshot_at): point-in-time
+    state from a deterministic assert/retract op log derived from the
+    canonical triples (assert at md5-derived ts in [0,700), a quarter
+    of the keys retracted at a strictly later md5-derived ts), read as
+    of ts=500. One combineable max(struct(ts,op)) groupBy — the log
+    form of an Iceberg snapshot read."""
+    from deepref_spark.operators.graph import snapshot_at
+
+    spo = _canon_spo(spark, sf_dir).select(
+        F.col("subj_canon").alias("subj"), "pred",
+        F.col("obj_canon").alias("obj"))
+    asserts = spo.select(
+        "subj", "pred", "obj",
+        F.expr(md5_mod(_OPLOG_KEY, 700)).cast("long").alias("ts"),
+        F.lit("assert").alias("op"))
+    retracts = spo.where(F.expr(f"{_OPLOG_RETRACT_GATE} = 0")).select(
+        "subj", "pred", "obj",
+        (F.expr(md5_mod(_OPLOG_KEY, 700)) + 1 + F.expr(_OPLOG_DELTA))
+        .cast("long").alias("ts"),
+        F.lit("retract").alias("op"))
+    return snapshot_at(asserts.union(retracts), cutoff=500)
+
+
+@q("kg_entity2id", _trip_cte() + """
+, ents AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS ent_id
+  FROM (SELECT DISTINCT subj AS entity FROM trip UNION SELECT DISTINCT obj FROM trip)
+),
+rels AS (
+  SELECT rel, CAST(row_number() OVER (ORDER BY rel) - 1 AS BIGINT) AS rel_id
+  FROM (SELECT DISTINCT pred AS rel FROM trip)
+)
+SELECT e1.ent_id AS h_id, r.rel_id AS rel_id, e2.ent_id AS t_id,
+       t.subj AS subj, t.pred AS rel, t.obj AS obj
+FROM trip t
+JOIN ents e1 ON t.subj = e1.entity
+JOIN rels r  ON t.pred = r.rel
+JOIN ents e2 ON t.obj  = e2.entity
+""")
+def kg_entity2id(spark, sf_dir):
+    """KG-embedding training prep (graph.id_map_triples): dense sorted
+    entity/relation ids + the id-mapped triple list — the TransE /
+    PyTorch-BigGraph importer contract, same sorted-map convention as
+    rel2id (A1)."""
+    from deepref_spark.operators.graph import id_map_triples
+
+    return id_map_triples(_canon_spo(spark, sf_dir))
+
+
+@q("text_chunk_overlap", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+starts AS (
+  SELECT doc_id, len(t) AS n, t,
+         unnest(generate_series(1, greatest(1, len(t)), 8)) AS s
+  FROM toks
+)
+SELECT doc_id, CAST((s - 1) // 8 AS INT) AS chunk_idx,
+       CAST(s - 1 AS BIGINT) AS start0,
+       CAST(least(12, n - s + 1) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_slice(t, s, s + 11), ' ')) AS chunk_hash
+FROM starts
+""")
+def text_chunk_overlap(spark, sf_dir):
+    """RAG chunking with overlap (text_analysis.chunk_overlap): 12-token
+    chunks, stride 8 — staged tokens, one posexplode, stable per-chunk
+    md5 keys for incremental re-embedding."""
+    from deepref_spark.operators.text_analysis import chunk_overlap
+
+    return chunk_overlap(documents(spark, sf_dir), size=12, overlap=4)
+
+
+@q("kg_export_ntriples", _trip_cte() + """
+SELECT pred,
+       '<urn:kg:e:' || replace(subj, ' ', '%20') || '> <urn:kg:p:' ||
+       replace(pred, ' ', '%20') || '> <urn:kg:e:' ||
+       replace(obj, ' ', '%20') || '> .' AS line
+FROM trip
+""")
+def kg_export_ntriples(spark, sf_dir):
+    """W3C N-Triples export of the canonical graph (graph.
+    export_ntriples), partitioned by predicate — pure per-row
+    projection, the bulk-load interchange a triple store ingests."""
+    from deepref_spark.operators.graph import export_ntriples
+
+    return export_ntriples(kg_canonical_triples(spark, sf_dir))
+
+
+@q("text_zipf", f"""
+WITH toks AS (SELECT source, unnest({_TOKS_DUCK}) AS tok FROM documents),
+freq AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1, 2),
+b AS (
+  SELECT source, CAST(length(bin(freq)) - 1 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(freq) AS BIGINT) AS occurrences,
+         CAST(min(freq) AS BIGINT) AS min_freq,
+         CAST(max(freq) AS BIGINT) AS max_freq
+  FROM freq GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(occurrences) AS t FROM b GROUP BY source)
+SELECT b.source AS source, bucket, n_tokens, occurrences, min_freq, max_freq,
+       CAST((occurrences * 1000000) // t AS BIGINT) AS share_ppm
+FROM b JOIN tot ON b.source = tot.source
+""")
+def text_zipf(spark, sf_dir):
+    """Zipf/Heaps vocabulary profile (text_analysis.zipf_profile):
+    log2-bucketed per-source token frequencies with exact bit-length
+    buckets and integer ppm shares."""
+    from deepref_spark.operators.text_analysis import zipf_profile
+
+    return zipf_profile(documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -5013,6 +5178,22 @@ _WINDOW_TAIL = [
     # a pure per-doc projection; text_tfidf_topk stays as the heavier
     # corpus-statistic rep
     "text_lm_score",
+    # (parked r5y, making room for dedup_substring + kg_snapshot_at +
+    # kg_entity2id + text_chunk_overlap): the four were green in the
+    # DRIVER artifact in r4 (the only current-window queries with that
+    # standing — everything else in-window is r5-new), so they are the
+    # longest-proven rotation candidates. dedup_keep_map's composition
+    # is pinned by its equality-with-exact fixture test and
+    # kg_connected_components' CC kernel stays transitively verified
+    # inside dedup_keep_map's recursive-CTE oracle in the local sweep;
+    # kg_canonical_triples' derivation is the trip/edges CTE embedded
+    # in EVERY in-window graph/kgquality oracle; events_user_running's
+    # stateful kernel keeps its cross-restart pytest. The two remaining
+    # round-5y queries (kg_export_ntriples, text_zipf — pure
+    # projections/rollups) park just past the window by registration
+    # order and are covered by the local sweep + tests.
+    "kg_connected_components", "kg_canonical_triples",
+    "events_user_running", "dedup_keep_map",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
