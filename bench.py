@@ -108,6 +108,14 @@ HEADLINE = [
     "kg_cc_stats",
     "kg_blocking_curve",
     "text_corpus_cube",
+    # final-sitting additions: substring dedup, KG-embedding prep,
+    # temporal snapshot, RAG chunking, N-Triples export, Zipf profile
+    "dedup_substring",
+    "kg_entity2id",
+    "kg_snapshot_at",
+    "text_chunk_overlap",
+    "kg_export_ntriples",
+    "text_zipf",
 ]
 
 
