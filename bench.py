@@ -116,6 +116,9 @@ HEADLINE = [
     "text_chunk_overlap",
     "kg_export_ntriples",
     "text_zipf",
+    "dedup_incremental",
+    "kg_communities",
+    "text_bpe_pairs",
 ]
 
 

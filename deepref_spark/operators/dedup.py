@@ -453,3 +453,52 @@ def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
             F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6),
         )
     )
+
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame,
+                      n_bands: int = 8, rows_per_band: int = 2,
+                      k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Ingest-time dedup gate: for each NEW document, is it a near-dup
+    of anything already in the corpus? The continuous-ingest analogue
+    of near_dup_keep_map — instead of clustering the whole corpus, a
+    new batch's band keys probe the existing corpus's band keys and
+    only cross-corpus candidates are verified.
+
+    Shape at 100 TB: the corpus band table is the PERSISTED artifact a
+    production pipeline maintains (bucketed by (band, sig)); per
+    ingest only the batch side is hashed, the candidate join touches
+    matching buckets alone, and verification cost is bounded by
+    candidate count times document length (candidate_pair_jaccard).
+    Batch band keys are typically small enough to broadcast against
+    the bucketed corpus table — zero shuffle of the big side.
+
+    Returns one row per batch doc: (doc_id, dup_of, jaccard, is_dup)
+    — dup_of = the smallest corpus doc_id among verified matches
+    (ties on the same doc impossible; the struct-min picks the
+    (dup_of, jaccard) pair atomically), NULL if the doc is novel.
+    """
+    docs = (
+        corpus.select("doc_id", "text").union(batch.select("doc_id", "text"))
+        .localCheckpoint(eager=False)  # shingle sets shared by both pair sides
+    )
+    kb = minhash_band_keys(batch, n_bands, rows_per_band, k)
+    kc = minhash_band_keys(corpus, n_bands, rows_per_band, k)
+    cands = (
+        kb.select(F.col("doc_id").alias("a"), "band", "sig")
+        .join(kc.select(F.col("doc_id").alias("b"), "band", "sig"),
+              ["band", "sig"])
+        .select("a", "b").distinct()
+    )
+    verified = candidate_pair_jaccard(docs, cands, k=k, threshold=threshold)
+    best = (
+        verified.groupBy("a")
+        .agg(F.min(F.struct("b", "jaccard")).alias("m"))
+        .select(F.col("a").alias("doc_id"),
+                F.col("m.b").alias("dup_of"),
+                F.col("m.jaccard").alias("jaccard"))
+    )
+    return (
+        batch.select("doc_id").join(best, "doc_id", "left")
+        .select("doc_id", "dup_of", "jaccard",
+                F.col("dup_of").isNotNull().alias("is_dup"))
+    )

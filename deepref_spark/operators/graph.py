@@ -580,3 +580,48 @@ def export_ntriples(triples: DataFrame,
             iri("e", obj), F.lit(" ."),
         ).alias("line"),
     )
+
+
+def label_prop(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected
+    entity graph, ``iters`` fixed rounds: every node starts labeled
+    with itself; each round it adopts the most frequent label among
+    its neighbors (tie -> lexicographically LARGEST label, so the
+    whole update is deterministic and engine-portable); isolated
+    update targets keep their current label. Two rounds already merge
+    the dense cores a KG curator eyeballs for duplicate-entity
+    neighborhoods; connected_components (linking.py) remains the
+    exact-partition operator.
+
+    Per round: one grouped neighbor-label count (map-side combined),
+    one per-node max-count reduction, one max-label pick among the
+    tied — three combineable aggs on the same key, NO window function
+    and no per-node sort. Each round's label table is
+    localCheckpoint'ed (the linking.py iteration discipline — without
+    it round k re-plans and re-runs rounds 1..k-1).
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("src").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        nbr = (
+            und.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), "lbl")
+        )
+        cnt = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        mx = cnt.groupBy("v").agg(F.max("c").alias("mc"))
+        labels = (
+            cnt.join(mx, "v")
+            .where(F.col("c") == F.col("mc"))
+            .groupBy("v").agg(F.max("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("v").alias("entity"), F.col("lbl").alias("community"))

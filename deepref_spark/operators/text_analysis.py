@@ -1169,3 +1169,33 @@ def zipf_profile(documents: DataFrame) -> DataFrame:
                     F.expr("CAST((occurrences * 1000000) DIV _tot AS BIGINT)"))
         .drop("_tot")
     )
+
+
+def bpe_merge_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """The BPE vocabulary-induction primitive at corpus scale: global
+    frequencies of ADJACENT token pairs — each greedy BPE round merges
+    the current top pair, so this table IS one iteration of the Gage /
+    Sennrich training loop re-expressed as a distributed agg (the
+    per-round merge application is a per-doc map; the corpus-wide
+    reduction is the part that needs the cluster). Returned: the
+    ``top_k`` pairs under the deterministic total order (count DESC,
+    pair ASC — unique boundary, so LIMIT is engine-stable).
+
+    One staged-token scan -> one posexplode-free transform+explode ->
+    one map-side-combined count -> TakeOrderedAndProject for the
+    top-k (never a single-partition rank window).
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).withColumn("n", F.size("t")).localCheckpoint(eager=False)
+    pairs = staged.where(F.col("n") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, n - 1), "
+                   "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )

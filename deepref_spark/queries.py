@@ -5036,6 +5036,114 @@ def text_zipf(spark, sf_dir):
     return zipf_profile(documents(spark, sf_dir))
 
 
+@q("dedup_incremental", _minhash_duck() + f"""
+, cand AS (
+  SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b
+  FROM keyed k1 JOIN keyed k2 ON k1.band = k2.band AND k1.sig = k2.sig
+  WHERE k1.doc_id % 5 = 0 AND k2.doc_id % 5 <> 0
+),
+sets AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sets GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common
+  FROM cand c JOIN sets x ON c.a = x.doc_id JOIN sets y ON c.b = y.doc_id
+  WHERE x.shingle = y.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT a, b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.a = sa.doc_id
+  JOIN sizes sb ON common.b = sb.doc_id
+  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
+),
+best AS (SELECT a AS doc_id, min(b) AS dup_of FROM ver GROUP BY a),
+bestj AS (
+  SELECT best.doc_id, best.dup_of, v.jaccard
+  FROM best JOIN ver v ON best.doc_id = v.a AND best.dup_of = v.b
+)
+SELECT d.doc_id, bestj.dup_of, bestj.jaccard,
+       bestj.dup_of IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN bestj ON d.doc_id = bestj.doc_id
+""")
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup gate (dedup.incremental_dedup): every 5th doc
+    plays the NEW batch, the rest the existing corpus; batch band keys
+    probe the corpus band table, only cross-corpus candidates are
+    Jaccard-verified, each batch doc reports its smallest matched
+    corpus doc (NULL = novel)."""
+    from deepref_spark.operators.dedup import incremental_dedup
+
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    return incremental_dedup(
+        d.where(F.col("doc_id") % 5 != 0), d.where(F.col("doc_id") % 5 == 0))
+
+
+def _label_prop_sql(iters: int = 2) -> str:
+    """Unrolled CTE rounds for the deterministic sync LPA twin over
+    ``edges`` (directed, distinct, no self-loops). Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    round references both `und` and the previous round — without the
+    hints the mentions->edges chain re-runs exponentially in the round
+    count (the kg_triangles lesson: 158 s -> 2.9 s at sf0.001)."""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+cnt{r} AS MATERIALIZED (
+  SELECT u.src AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM und u JOIN lp{r - 1} l ON u.dst = l.v
+  GROUP BY 1, 2
+),
+mx{r} AS (SELECT v, max(c) AS mc FROM cnt{r} GROUP BY v),
+lp{r} AS MATERIALIZED (
+  SELECT c.v, max(c.lbl) AS lbl
+  FROM cnt{r} c JOIN mx{r} m ON c.v = m.v AND c.c = m.mc
+  GROUP BY c.v
+)""")
+    return f"""
+, und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+lp0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM und),{",".join(rounds)}"""
+
+
+@q("kg_communities",
+   _oracle_prefix() + _graph_edges_cte() + _label_prop_sql(2) + """
+SELECT v AS entity, lbl AS community FROM lp2
+""")
+def kg_communities(spark, sf_dir):
+    """Label-propagation communities over the canonical entity graph
+    (graph.label_prop, 2 sync rounds, deterministic max-label
+    tie-break) — the duplicate-entity-neighborhood view a KG curator
+    reads next to the exact connected components."""
+    from deepref_spark.operators.graph import label_prop
+
+    return label_prop(_canonical_edges(spark, sf_dir), iters=2)
+
+
+@q("text_bpe_pairs", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+""")
+def text_bpe_pairs(spark, sf_dir):
+    """The BPE vocabulary-induction primitive
+    (text_analysis.bpe_merge_pairs): global adjacent-token-pair
+    frequencies, top-20 under the deterministic (count DESC, pair ASC)
+    total order — one greedy merge round's corpus-wide reduction."""
+    from deepref_spark.operators.text_analysis import bpe_merge_pairs
+
+    return bpe_merge_pairs(documents(spark, sf_dir), top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -5194,6 +5302,16 @@ _WINDOW_TAIL = [
     # order and are covered by the local sweep + tests.
     "kg_connected_components", "kg_canonical_triples",
     "events_user_running", "dedup_keep_map",
+    # (parked r5z, making room for kg_export_ntriples + text_zipf +
+    # dedup_incremental + kg_communities): the four standalone graph
+    # analytics park because kg_graph_report — which stays in-window —
+    # embeds and jointly re-verifies the degree/pagerank/triangles/
+    # kcore formulas against its composed oracle every sweep (the r5n
+    # argument, now applied to the whole family); each also keeps its
+    # hand-unrolled pytest goldens. text_bpe_pairs (a 20-row top-k,
+    # trivially auditable) parks just past the window by registration
+    # order, covered by the local sweep + tests.
+    "kg_entity_degree", "kg_pagerank", "kg_triangles", "kg_kcore",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -1,8 +1,9 @@
 """Unit tests for the round-5 final-sitting operators — exact expected
 values on tiny hand-checked inputs, independent of the DuckDB oracles:
 exact-substring dedup stats (Lee et al. windows), TransE id mapping,
-temporal snapshot reads, N-Triples export, overlap chunking, and the
-Zipf vocabulary profile."""
+temporal snapshot reads, N-Triples export, overlap chunking, the Zipf
+vocabulary profile, the incremental ingest-dedup gate, label-propagation
+communities, and the BPE merge-pair table."""
 
 import hashlib
 
@@ -141,3 +142,67 @@ def test_zipf_profile_share_is_within_source(spark):
     out = {(r["source"], r["bucket"]): r["share_ppm"]
            for r in zipf_profile(docs).collect()}
     assert out == {("s1", 1): 1000000, ("s2", 0): 1000000}
+
+
+# --- incremental_dedup --------------------------------------------------------
+
+def test_incremental_dedup_flags_known_dup(spark):
+    from deepref_spark.operators.dedup import incremental_dedup
+
+    corpus = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content about spark shuffles and joins",
+    ])
+    # batch doc 100 = near-identical to corpus doc 0; doc 101 novel
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today", "s1"),
+         (101, "nothing like anything in the existing corpus at all xyz", "s1")],
+        schema="doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: (r["dup_of"], r["is_dup"])
+            for r in incremental_dedup(corpus, batch).collect()}
+    assert rows[100] == (0, True)
+    assert rows[101] == (None, False)
+
+
+# --- label_prop ---------------------------------------------------------------
+
+def test_label_prop_two_rounds_deterministic(spark):
+    from deepref_spark.operators.graph import label_prop
+
+    # triangle a-b-c plus isolated pair x-y; hand-walked rounds
+    # (neighbor labels only, max-label tie-break):
+    #   nbrs(a)={b,c} -> counts {b:1,c:1} -> max lbl 'c'
+    #   nbrs(b)={a,c} -> 'c'; nbrs(c)={a,b} -> 'b'
+    #   nbrs(x)={y} -> 'y'; nbrs(y)={x} -> 'x'
+    # Round 2 on (a:'c', b:'c', c:'b', x:'y', y:'x'):
+    #   a: lbls of {b,c} = {'c','b'} -> 'c'
+    #   b: lbls of {a,c} = {'c','b'} -> 'c'
+    #   c: lbls of {a,b} = {'c','c'} -> 'c'
+    #   x: lbl of y = 'x'; y: lbl of x = 'y'
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        schema="src string, dst string",
+    )
+    rows = {r["entity"]: r["community"]
+            for r in label_prop(edges, iters=2).collect()}
+    assert rows == {"a": "c", "b": "c", "c": "c", "x": "x", "y": "y"}
+
+
+# --- bpe_merge_pairs ----------------------------------------------------------
+
+def test_bpe_merge_pairs_counts_and_order(spark):
+    from deepref_spark.operators.text_analysis import bpe_merge_pairs
+
+    rows = [(r["pair"], r["cnt"]) for r in bpe_merge_pairs(
+        _docs(spark, ["a b a b a", "z a b"]), top_k=3).collect()]
+    # pairs doc0: (a b),(b a),(a b),(b a); doc1: (z a),(a b)
+    # counts: 'a b'=3, 'b a'=2, 'z a'=1; order (cnt DESC, pair ASC)
+    assert rows == [("a b", 3), ("b a", 2), ("z a", 1)]
+
+
+def test_bpe_merge_pairs_skips_single_token_docs(spark):
+    from deepref_spark.operators.text_analysis import bpe_merge_pairs
+
+    rows = bpe_merge_pairs(_docs(spark, ["solo", "x y"]), top_k=5).collect()
+    assert [(r["pair"], r["cnt"]) for r in rows] == [("x y", 1)]
