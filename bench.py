@@ -119,6 +119,8 @@ HEADLINE = [
     "dedup_incremental",
     "kg_communities",
     "text_bpe_pairs",
+    "kg_hits",
+    "events_user_growth",
 ]
 
 

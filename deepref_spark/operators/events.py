@@ -205,3 +205,31 @@ def transition_matrix(events: DataFrame, ts_col: str = "ts",
             .alias("prob"),
         )
     )
+
+
+def user_growth(events: DataFrame, ts_col: str = "ts",
+                user_col: str = "user_id",
+                segment_col: str | None = None) -> DataFrame:
+    """Cumulative distinct-user growth curve: per day (and optionally
+    per ``segment_col`` — e.g. event_type for feature-adoption
+    curves), how many NEW users appeared and how many distinct users
+    have EVER been seen. Computed without any corpus-wide
+    distinct-per-day recount: one per-(user[, segment]) min (the
+    first-seen anchor, map-side combinable), one tiny per-day count of
+    anchors, and a cumulative window over the DAY table (a few
+    thousand rows per segment regardless of event volume — the same
+    histogram-sized-window discipline as length_quantiles).
+    """
+    seg = [segment_col] if segment_col else []
+    first_seen = (
+        events.groupBy(user_col, *seg)
+        .agg(F.min(F.to_date(ts_col)).alias("day"))
+    )
+    per_day = first_seen.groupBy(*seg, "day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = (Window.partitionBy(*seg).orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_day.select(
+        *seg, "day", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )

@@ -625,3 +625,71 @@ def label_prop(edges: DataFrame, iters: int = 2) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("v").alias("entity"), F.col("lbl").alias("community"))
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities on the integer unit grid
+    (Kleinberg 1999): per round, authority(v) = sum of hub over
+    in-neighbors, hub(v) = sum of authority over out-neighbors, each
+    L1-normalized back onto the grid. Normalization is the pure-BIGINT
+    two-stage division ``raw div greatest(1, total div UNIT)`` — never
+    ``raw * UNIT div total``, whose intermediate product overflows
+    BIGINT once raw exceeds ~9.2 (the grid headroom); the two-stage
+    form carries a bounded relative bias <= UNIT/total (~0.3% on the
+    test graph), identical in both engines because the ORACLE runs the
+    same formula — determinism and cross-engine parity are the
+    contract, not the last float digit of the classic L2 variant.
+
+    Per round: two joins + two map-side-combinable sums + two scalar
+    totals (1-row broadcast each); score tables lazily checkpointed
+    per round (the pagerank/linking discipline).
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .union(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum(col).cast("long").alias("_t"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "entity",
+                F.expr(f"{col} div greatest(1L, _t div {UNIT})")
+                .cast("long").alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    auth = nodes.withColumn("a", F.lit(UNIT).cast("long"))
+    hub = nodes.withColumn("h", F.lit(UNIT).cast("long"))
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, "entity", "left")
+            .select("entity", F.coalesce("a", F.lit(0)).cast("long").alias("a")),
+            "a")
+        h_raw = (
+            edges.join(auth.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"))
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, "entity", "left")
+            .select("entity", F.coalesce("h", F.lit(0)).cast("long").alias("h")),
+            "h")
+    return (
+        auth.join(hub, "entity")
+        .select(
+            "entity",
+            F.round(F.col("a").cast("double") / F.lit(float(UNIT)), 6).alias("authority"),
+            F.round(F.col("h").cast("double") / F.lit(float(UNIT)), 6).alias("hub"),
+        )
+    )

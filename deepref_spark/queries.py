@@ -5144,6 +5144,94 @@ def text_bpe_pairs(spark, sf_dir):
     return bpe_merge_pairs(documents(spark, sf_dir), top_k=20)
 
 
+def _hits_sql(iters: int = 2) -> str:
+    """Unrolled CTE rounds for the HITS twin over ``edges`` — the same
+    pure-BIGINT two-stage normalization as graph.hits (raw div
+    greatest(1, total div UNIT)); raw CTEs MATERIALIZED because each is
+    referenced twice (projection + scalar-total subquery)."""
+    from deepref_spark.operators.graph import UNIT
+
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+ar{r} AS MATERIALIZED (
+  SELECT n.entity, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS entity, sum(h.h) AS v
+    FROM edges e JOIN h{r - 1} h ON e.src = h.entity GROUP BY e.dst
+  ) s ON n.entity = s.entity
+),
+a{r} AS MATERIALIZED (
+  SELECT entity,
+         CAST(a // greatest(1, (SELECT sum(a) FROM ar{r}) // {UNIT}) AS BIGINT) AS a
+  FROM ar{r}
+),
+hr{r} AS MATERIALIZED (
+  SELECT n.entity, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS entity, sum(a.a) AS v
+    FROM edges e JOIN a{r} a ON e.dst = a.entity GROUP BY e.src
+  ) s ON n.entity = s.entity
+),
+h{r} AS MATERIALIZED (
+  SELECT entity,
+         CAST(h // greatest(1, (SELECT sum(h) FROM hr{r}) // {UNIT}) AS BIGINT) AS h
+  FROM hr{r}
+)""")
+    return f"""
+, nodes AS MATERIALIZED (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT entity, CAST({UNIT} AS BIGINT) AS h FROM nodes),{",".join(rounds)}"""
+
+
+def _hits_oracle() -> str:
+    from deepref_spark.operators.graph import UNIT
+
+    return _oracle_prefix() + _graph_edges_cte() + _hits_sql(2) + f"""
+SELECT a2.entity AS entity,
+       round(CAST(a2.a AS DOUBLE) / {float(UNIT)}, 6) AS authority,
+       round(CAST(h2.h AS DOUBLE) / {float(UNIT)}, 6) AS hub
+FROM a2 JOIN h2 ON a2.entity = h2.entity
+"""
+
+
+@q("kg_hits", _hits_oracle)
+def kg_hits(spark, sf_dir):
+    """HITS hubs/authorities over the canonical entity graph
+    (graph.hits, 2 rounds, BIGINT unit grid, two-stage L1
+    normalization) — the directional complement to PageRank: which
+    entities POINT AT the important ones vs which ARE pointed at."""
+    from deepref_spark.operators.graph import hits
+
+    return hits(_canonical_edges(spark, sf_dir), iters=2)
+
+
+@q("events_user_growth", """
+WITH fs AS (
+  SELECT user_id, event_type, min(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY 1, 2
+),
+pd AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+  FROM fs GROUP BY 1, 2
+)
+SELECT event_type, day, new_users,
+       CAST(sum(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS total_users
+FROM pd
+""")
+def events_user_growth(spark, sf_dir):
+    """Cumulative distinct-user adoption curve per event type
+    (events.user_growth): per-(user, type) first-seen anchor (one
+    combineable min), per-day new-user counts, cumulative window over
+    the day-sized table only."""
+    from deepref_spark.operators.events import user_growth
+
+    return user_growth(load_table(spark, sf_dir, "events"),
+                       segment_col="event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -3,7 +3,7 @@ values on tiny hand-checked inputs, independent of the DuckDB oracles:
 exact-substring dedup stats (Lee et al. windows), TransE id mapping,
 temporal snapshot reads, N-Triples export, overlap chunking, the Zipf
 vocabulary profile, the incremental ingest-dedup gate, label-propagation
-communities, and the BPE merge-pair table."""
+communities, the BPE merge-pair table, HITS, and user-growth curves."""
 
 import hashlib
 
@@ -206,3 +206,48 @@ def test_bpe_merge_pairs_skips_single_token_docs(spark):
 
     rows = bpe_merge_pairs(_docs(spark, ["solo", "x y"]), top_k=5).collect()
     assert [(r["pair"], r["cnt"]) for r in rows] == [("x y", 1)]
+
+
+# --- hits ---------------------------------------------------------------------
+
+def test_hits_two_hubs_one_authority(spark):
+    from deepref_spark.operators.graph import hits
+
+    # a->c, b->c. Hand-walk on the unit grid U with the two-stage
+    # normalization (raw div greatest(1, total div U)):
+    #  round 1: a_raw(c)=2U, total 2U -> auth c=U, a=b=0;
+    #           h_raw(a)=h_raw(b)=U, total 2U -> hub a=b=U/2, c=0.
+    #  round 2: a_raw(c)=U, total U -> auth c=U;
+    #           h_raw(a)=h_raw(b)=U, total 2U -> hub a=b=U/2.
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], schema="src string, dst string")
+    rows = {r["entity"]: (r["authority"], r["hub"])
+            for r in hits(edges, iters=2).collect()}
+    assert rows == {"a": (0.0, 0.5), "b": (0.0, 0.5), "c": (1.0, 0.0)}
+
+
+# --- user_growth --------------------------------------------------------------
+
+def test_user_growth_cumulative_and_segmented(spark):
+    import datetime
+
+    from deepref_spark.operators.events import user_growth
+
+    d1, d2 = datetime.datetime(2024, 1, 1, 9), datetime.datetime(2024, 1, 2, 9)
+    ev = spark.createDataFrame(
+        [(1, d1, "view"), (2, d1, "view"), (1, d2, "view"),  # u1 returns: not new
+         (3, d2, "view"),
+         (1, d2, "click")],                                   # u1 adopts click on day 2
+        schema="user_id long, ts timestamp, event_type string",
+    )
+    rows = {(r["event_type"], str(r["day"])): (r["new_users"], r["total_users"])
+            for r in user_growth(ev, segment_col="event_type").collect()}
+    assert rows == {
+        ("view", "2024-01-01"): (2, 2),
+        ("view", "2024-01-02"): (1, 3),
+        ("click", "2024-01-02"): (1, 1),
+    }
+
+    global_rows = {str(r["day"]): (r["new_users"], r["total_users"])
+                   for r in user_growth(ev).collect()}
+    assert global_rows == {"2024-01-01": (2, 2), "2024-01-02": (1, 3)}
