@@ -233,3 +233,63 @@ def user_growth(events: DataFrame, ts_col: str = "ts",
         *seg, "day", "new_users",
         F.sum("new_users").over(w).cast("long").alias("total_users"),
     )
+
+
+def count_min_topk(events: DataFrame, depth: int = 3, width: int = 64,
+                   k: int = 10, type_col: str = "event_type") -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    next to their exact counts: the sketch is ``depth`` hash rows of
+    ``width`` counters; a key's estimate is the MIN over its ``depth``
+    buckets, always >= the exact count (collisions only ever inflate).
+    Emitting estimate AND exact per key makes the collision bias
+    visible — the calibration read a 100 TB deployment does at small
+    scale before trusting sketch-only counts from executors.
+
+    Scale shape: the sketch build is ONE map-side-combinable grouped
+    count onto depth*width cells — the sketch table is 192 rows here
+    REGARDLESS of stream size, the whole point of the operator; at
+    scale it is the fixed-size state each executor merges. The exact
+    side is a grouped count on the (tiny, by contract) key vocabulary;
+    estimates come from a broadcast join of the key table against the
+    sketch cells. Top-k via TakeOrdered, never a global sort.
+    """
+    from deepref_spark.portable import md5_mod
+
+    cell = F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(md5_mod(f"concat('cm{j}|', {type_col})", width))
+            .cast("int").alias("bucket"),
+        ) for j in range(depth)
+    ])).alias("cell")
+    sketch = (
+        events.select(cell)
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = events.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    probes = exact.select(
+        "event_type", "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(md5_mod(f"concat('cm{j}|', event_type)", width))
+                .cast("int").alias("bucket"),
+            ) for j in range(depth)
+        ])).alias("p"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch),
+                    (F.col("p.j") == F.col("j")) & (F.col("p.bucket") == F.col("bucket")))
+        .groupBy("event_type", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+    return (
+        est.select(
+            "event_type", "exact_cnt", "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
+        .limit(k)
+    )

@@ -693,3 +693,86 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
             F.round(F.col("h").cast("double") / F.lit(float(UNIT)), 6).alias("hub"),
         )
     )
+
+
+def transe_energy(triples: DataFrame,
+                  subj: str = "subj_canon", pred: str = "pred",
+                  obj: str = "obj_canon",
+                  dims: int = 8, m: int = 1000) -> DataFrame:
+    """TransE plausibility scoring (Bordes et al. 2013) over the
+    materialized triples: energy(h, r, t) = ||h + r - t||_1, lower =
+    more plausible. This is the scoring half of the KG-embedding lane
+    (id_map_triples prepares trainer input; negative_sample corrupts;
+    this ranks) — with embeddings standing in as deterministic hash-grid
+    vectors (dimension j of a role = a 4-hex slice of its md5, mod
+    ``m``), the same swap-in convention as the model tier: a real
+    trained embedding table would arrive as a broadcast join keyed by
+    ent_id/rel_id, and ONLY the vector source changes.
+
+    Scale shape: a pure per-row projection — three md5s per row staged
+    as columns, the energy an unrolled integer expression over their
+    slices. No joins, no shuffle, whole-stage codegen end to end; at
+    10^12 triples this is scan-bound.
+    """
+    from deepref_spark.portable import transe_energy_expr
+
+    staged = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+        F.expr("md5(concat('e|', " + subj + "))").alias("hh"),
+        F.expr("md5(concat('r|', " + pred + "))").alias("rh"),
+        F.expr("md5(concat('e|', " + obj + "))").alias("th"),
+    )
+    return staged.select(
+        "subj", "pred", "obj",
+        F.expr(transe_energy_expr("hh", "rh", "th", dims, m)).alias("energy"),
+    )
+
+
+def community_quality(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community quality profile (conductance) for a community
+    assignment ``labels`` (entity, community) over the directed edge
+    set — the acceptance gate a KG curator runs on label_prop output
+    before merging duplicate-entity neighborhoods.
+
+    Over the symmetric closure ``und`` (each undirected edge counted
+    once per direction):
+      vol(c)       = directed rows whose src is in c  (degree sum)
+      internal(c)  = directed rows with BOTH endpoints in c
+      cut(c)       = vol(c) - internal(c)
+      conductance  = cut / min(vol, total_vol - vol)   (ppm BIGINT)
+
+    Scale shape: two hash joins tagging each und row with src/dst
+    communities (labels is entity-sized, same key distribution as the
+    edge list), then map-side-combinable grouped sums; the total-volume
+    row broadcasts. conductance_ppm is floor-divided on BIGINTs — no
+    double appears until nothing is left to aggregate.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the tag join and total_vol once
+    )
+    lab_s = labels.select(F.col("entity").alias("src"), F.col("community").alias("c_src"))
+    lab_d = labels.select(F.col("entity").alias("dst"), F.col("community").alias("c_dst"))
+    tagged = und.join(lab_s, "src").join(lab_d, "dst")
+    per_c = tagged.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum((F.col("c_src") == F.col("c_dst")).cast("long")).cast("long").alias("internal"),
+    )
+    n_nodes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    total = und.agg(F.count(F.lit(1)).cast("long").alias("_tv"))  # one row
+    return (
+        per_c.join(n_nodes, "community")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community", "n_nodes", "vol",
+            F.expr("internal div 2").cast("long").alias("internal_edges"),
+            (F.col("vol") - F.col("internal")).alias("cut"),
+            F.expr("(vol - internal) * 1000000 div "
+                   "greatest(1L, least(vol, _tv - vol))")
+            .cast("long").alias("conductance_ppm"),
+        )
+    )

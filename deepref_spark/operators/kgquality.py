@@ -469,3 +469,70 @@ def degree_histogram(edges: DataFrame, src: str = "src",
             F.max("degree").cast("long").alias("max_degree"),
         )
     )
+
+
+def type_induction(triples: DataFrame, subj: str = "subj_canon",
+                   pred: str = "pred", obj: str = "obj_canon") -> DataFrame:
+    """Schema induction by predicate signature: each entity's "type" is
+    the sorted set of (direction, predicate) roles it plays — 'S:born_in
+    O:capital_of' — and entities sharing a signature form an induced
+    class. The schema-discovery pass an ontology-free KG runs to
+    propose classes before any manual typing (cf. statistical schema
+    induction over SPO triples); downstream, conflicts/negative
+    sampling can then be scoped per induced class.
+
+    Scale shape: one distinct on (entity, role) — map-side combined —
+    then two grouped aggs. collect_set is bounded by 2x the predicate
+    vocabulary (tiny by contract), never by corpus size. The signature
+    groupBy keys on the signature string; skewed mega-classes (every
+    entity with the same lone role) are a single combineable count, not
+    a row explosion.
+    """
+    roles = (
+        triples.select(F.col(subj).alias("entity"),
+                       F.concat(F.lit("S:"), F.col(pred)).alias("role"))
+        .union(triples.select(F.col(obj).alias("entity"),
+                              F.concat(F.lit("O:"), F.col(pred)).alias("role")))
+        .distinct()
+    )
+    sig = roles.groupBy("entity").agg(
+        F.array_join(F.array_sort(F.collect_set("role")), " ").alias("signature"))
+    return sig.groupBy("signature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.min("entity").alias("exemplar"),
+    )
+
+
+def fuse_extractors(triples: DataFrame, n_extractors: int = 3,
+                    subj: str = "subj_canon", pred: str = "pred",
+                    obj: str = "obj_canon") -> DataFrame:
+    """Multi-extractor confidence fusion (the Knowledge-Vault move:
+    one triple, k independent extractor confidences, one fused belief):
+    per triple, ``n_extractors`` per-extractor confidences are fused by
+    noisy-or ``1 - prod(1 - p_i)`` on the ppm integer grid, plus a
+    majority vote count at the 0.5 line. Extractor confidences stand in
+    as deterministic per-(triple, extractor) hashes — the swap-in is a
+    join against real per-extractor score tables keyed by (s, p, o,
+    extractor_id); only the p_i column sources change.
+
+    Scale shape: a pure per-row projection (the k confidences are
+    staged columns, the noisy-or an unrolled BIGINT expression that
+    floors back to the ppm grid after every multiply — overflow-safe
+    for any k). No shuffle; whole-stage codegen end to end.
+    """
+    from deepref_spark.portable import SPARK, noisy_or_ppm_expr
+
+    key = f"concat({subj}, '|', {pred}, '|', {obj}, '|ex', "
+    staged = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+        *[F.expr("CAST(" + md5_mod(key + str(i) + ")", 1000000) + " AS BIGINT)")
+          .alias(f"p{i}") for i in range(1, n_extractors + 1)],
+    )
+    ps = [f"p{i}" for i in range(1, n_extractors + 1)]
+    votes = " + ".join(f"(CASE WHEN {p} >= 500000 THEN 1 ELSE 0 END)" for p in ps)
+    return staged.select(
+        "subj", "pred", "obj", *ps,
+        F.expr(noisy_or_ppm_expr(ps, SPARK)).alias("fused_ppm"),
+        F.expr(f"CAST({votes} AS INT)").alias("votes"),
+    )

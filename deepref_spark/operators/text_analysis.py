@@ -1199,3 +1199,84 @@ def bpe_merge_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def ccnet_buckets(documents: DataFrame, vocab_size: int = 65536) -> DataFrame:
+    """CCNet head/middle/tail quality split (Wenzek et al. 2020): per
+    SOURCE, rank documents by unigram-LM cross-entropy and cut the
+    distribution into exact tertiles — head = cleanest third, the slice
+    CCNet keeps unconditionally. Returns one row per (source, bucket)
+    with the doc count and the integer cut value that bounded it.
+
+    The per-doc score is the lm_score sum on the integer grid, kept as
+    ``sum(nats_x1e6) div n_tokens`` (floor mean, BIGINT) so bucket
+    comparisons never touch a double. Bucketing avoids CCNet's global
+    per-source sort: a (source, score) histogram (the
+    length_quantiles discipline) yields the two tertile cuts — the
+    cumulative window runs over the HISTOGRAM, whose size is bounded by
+    distinct integer scores, not the corpus — and docs bucket by
+    comparing to their source's broadcast cuts. Corpus-sized work is
+    exactly lm_score's two passes plus one grouped count.
+    """
+    staged = documents.select(
+        "doc_id", "source",
+        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+    ).localCheckpoint(eager=False)  # tokenize once; feeds both passes
+    ex = staged.select("doc_id", "source", F.explode("t").alias("tok"))
+    counts = (
+        ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total_df = counts.agg(F.sum("cnt").alias("total"))  # one row
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "tok",
+            F.round(F.log(F.col("total") / F.col("cnt")) * 1e6)
+            .cast("long").alias("nats_x1e6"),
+        )
+    )
+    doc = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "doc_id", "source",
+            F.coalesce(
+                "nats_x1e6",
+                F.round(F.log("total") * 1e6).cast("long"),
+            ).alias("nats"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(nats) div count(1)").cast("long").alias("score"))
+        .localCheckpoint(eager=False)  # feeds the histogram AND the bucket join
+    )
+    hist = doc.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("source").orderBy("score") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(w))  # histogram-sized window
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
+    cuts = (
+        cum.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("score")))
+            .alias("cut1"),
+            F.min(F.when(F.col("cum") * 3 >= F.col("n_docs") * 2, F.col("score")))
+            .alias("cut2"),
+        )
+    )
+    bucketed = doc.join(F.broadcast(cuts), "source").select(
+        "source",
+        F.when(F.col("score") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("score") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+        "cut1", "cut2",
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("cut1").cast("long").alias("cut1"),
+        F.max("cut2").cast("long").alias("cut2"),
+    )

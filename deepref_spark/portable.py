@@ -369,3 +369,40 @@ def bit_xor(a: str, b: str, d: str) -> str:
 def popcount(expr: str, d: str) -> str:
     """Number of set bits (both engines ship bit_count over BIGINT)."""
     return f"bit_count({expr})"
+
+
+def idiv(a: str, b: str, d: str) -> str:
+    """BIGINT floor division, dialect-aware: Spark spells it ``div``,
+    DuckDB ``//`` (plain ``/`` is double division in both)."""
+    return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
+
+
+def transe_energy_expr(hh: str, rh: str, th: str,
+                       dims: int = 8, m: int = 1000) -> str:
+    """L1 TransE energy ``sum_j |h_j + r_j - t_j|`` over deterministic
+    hash-grid embeddings: dimension j of a role is a 4-hex-char slice
+    of that role's ALREADY-computed md5 column (one md5 per role feeds
+    all ``dims`` dimensions — the md5_slice_mod discipline). With the
+    32-hex digest, dims <= 8. Dialect-independent text (ascii/substr/
+    abs are identical in Spark SQL and DuckDB)."""
+    if dims > 8:
+        raise ValueError("a 32-hex md5 digest carries at most 8 4-char slices")
+    terms = [
+        f"abs({md5_slice_mod(hh, 4 * j, m)} + {md5_slice_mod(rh, 4 * j, m)}"
+        f" - {md5_slice_mod(th, 4 * j, m)})"
+        for j in range(dims)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def noisy_or_ppm_expr(ps: list, d: str) -> str:
+    """Noisy-or fusion of ppm-scaled probabilities in pure BIGINT:
+    ``1e6 * (1 - prod_i (1 - p_i))`` with the running product floored
+    back to the ppm grid after every multiply, so the intermediate
+    never exceeds 1e12 (BIGINT-safe for any number of extractors) and
+    the result is bit-identical across engines and aggregation orders.
+    ``ps`` are ppm integer expressions in [0, 1e6)."""
+    acc = f"(1000000 - {ps[0]})"
+    for p in ps[1:]:
+        acc = idiv(f"({acc} * (1000000 - {p}))", "1000000", d)
+    return f"CAST((1000000 - {acc}) AS BIGINT)"

@@ -1,0 +1,192 @@
+"""Unit tests for the round-5 second final batch — exact expected
+values on tiny hand-checked inputs, independent of the DuckDB oracles:
+TransE hash-grid energy, community conductance, predicate-signature
+type induction, noisy-or extractor fusion, CCNet tertile buckets, and
+count-min heavy hitters."""
+
+import hashlib
+
+from deepref_spark.operators.events import count_min_topk
+from deepref_spark.operators.graph import community_quality, transe_energy
+from deepref_spark.operators.kgquality import fuse_extractors, type_induction
+from deepref_spark.operators.text_analysis import ccnet_buckets
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="subj_canon string, pred string, obj_canon string")
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, schema="src string, dst string")
+
+
+def _md5_slice_mod(s: str, offset: int, m: int = 1000) -> int:
+    h = hashlib.md5(s.encode()).hexdigest()
+    return (ord(h[offset]) * 131071 + ord(h[offset + 1]) * 8191
+            + ord(h[offset + 2]) * 127 + ord(h[offset + 3])) % m
+
+
+def _md5_mod(s: str, m: int) -> int:
+    return _md5_slice_mod(s, 0, m)
+
+
+# --- transe_energy -----------------------------------------------------------
+
+def test_transe_energy_matches_hand_hash(spark):
+    out = transe_energy(_triples(spark, [("a", "r", "b")])).collect()
+    assert len(out) == 1
+    row = out[0]
+    expect = sum(
+        abs(_md5_slice_mod("e|a", 4 * j) + _md5_slice_mod("r|r", 4 * j)
+            - _md5_slice_mod("e|b", 4 * j))
+        for j in range(8)
+    )
+    assert (row["subj"], row["pred"], row["obj"]) == ("a", "r", "b")
+    assert row["energy"] == expect
+
+
+def test_transe_energy_is_a_pure_projection(spark):
+    # no Exchange in the plan: per-row scoring must not shuffle
+    plan = transe_energy(
+        _triples(spark, [("a", "r", "b"), ("c", "r", "d")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- community_quality --------------------------------------------------------
+
+def test_community_quality_two_cliques_one_bridge(spark):
+    # triangle {a,b,c} + edge {x,y}, bridged by c-x; labels split them.
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                           ("x", "y"), ("c", "x")])
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"), ("y", "X")],
+        schema="entity string, community string")
+    out = {r["community"]: r for r in
+           community_quality(edges, labels).collect()}
+    # und has 10 directed rows; community A: vol 7 (deg a=2,b=2,c=3),
+    # internal 6 (3 undirected edges x2), cut 1.
+    a = out["A"]
+    assert (a["n_nodes"], a["vol"], a["internal_edges"], a["cut"]) == (3, 7, 3, 1)
+    assert a["conductance_ppm"] == 1_000_000 // 3  # 1e6 div min(7, 3)
+    x = out["X"]
+    assert (x["n_nodes"], x["vol"], x["internal_edges"], x["cut"]) == (2, 3, 1, 1)
+    assert x["conductance_ppm"] == 1_000_000 // 3
+
+
+def test_community_quality_isolated_community_zero_cut(spark):
+    edges = _edges(spark, [("p", "q")])
+    labels = spark.createDataFrame([("p", "P"), ("q", "P")],
+                                   schema="entity string, community string")
+    out = community_quality(edges, labels).collect()
+    assert len(out) == 1
+    r = out[0]
+    # vol == total_vol -> denominator floor greatest(1, min(2, 0)) = 1
+    assert (r["cut"], r["conductance_ppm"]) == (0, 0)
+
+
+# --- type_induction -----------------------------------------------------------
+
+def test_type_induction_signatures_and_exemplar(spark):
+    t = _triples(spark, [
+        ("paris", "capital_of", "france"),
+        ("rome", "capital_of", "italy"),
+        ("france", "member_of", "eu"),
+        ("italy", "member_of", "eu"),
+    ])
+    out = {r["signature"]: (r["n_entities"], r["exemplar"])
+           for r in type_induction(t).collect()}
+    assert out == {
+        "S:capital_of": (2, "paris"),
+        "O:capital_of S:member_of": (2, "france"),
+        "O:member_of": (1, "eu"),
+    }
+
+
+def test_type_induction_role_set_is_distinct(spark):
+    # the same role twice must not duplicate the signature entry
+    t = _triples(spark, [("a", "r", "b"), ("a", "r", "c")])
+    out = {r["signature"]: r["n_entities"]
+           for r in type_induction(t).collect()}
+    assert out == {"S:r": 1, "O:r": 2}
+
+
+# --- fuse_extractors ----------------------------------------------------------
+
+def test_fuse_extractors_noisy_or_and_votes(spark):
+    out = fuse_extractors(_triples(spark, [("s", "p", "o")])).collect()[0]
+    ps = [_md5_mod(f"s|p|o|ex{i}", 1_000_000) for i in (1, 2, 3)]
+    assert [out["p1"], out["p2"], out["p3"]] == ps
+    acc = 1_000_000 - ps[0]
+    for p in ps[1:]:
+        acc = (acc * (1_000_000 - p)) // 1_000_000
+    assert out["fused_ppm"] == 1_000_000 - acc
+    assert out["votes"] == sum(p >= 500_000 for p in ps)
+    # noisy-or never decreases belief below the strongest extractor
+    assert out["fused_ppm"] >= max(ps)
+
+
+def test_fuse_extractors_pure_projection(spark):
+    plan = fuse_extractors(
+        _triples(spark, [("s", "p", "o")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- ccnet_buckets ------------------------------------------------------------
+
+def test_ccnet_buckets_tertiles_exact(spark):
+    # 6 docs, one source: 2 docs of the common token (cheapest), 2 mixed,
+    # 2 of the rare token (most expensive) -> 2/2/2 head/middle/tail.
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa", "s"), (1, "aa aa aa", "s"),
+         (2, "aa bb aa", "s"), (3, "aa bb aa", "s"),
+         (4, "bb bb bb", "s"), (5, "bb bb bb", "s")],
+        schema="doc_id long, text string, source string")
+    out = {r["bucket"]: r["n_docs"]
+           for r in ccnet_buckets(docs, vocab_size=16).collect()}
+    assert out == {"head": 2, "middle": 2, "tail": 2}
+
+
+def test_ccnet_buckets_cuts_are_per_source(spark):
+    # source A is uniform (everything lands in head); source B splits.
+    docs = spark.createDataFrame(
+        [(0, "zz zz", "A"), (1, "zz zz", "A"),
+         (2, "zz zz", "B"), (3, "qq qq", "B"), (4, "rr rr", "B")],
+        schema="doc_id long, text string, source string")
+    out = {(r["source"], r["bucket"]): r["n_docs"]
+           for r in ccnet_buckets(docs, vocab_size=16).collect()}
+    assert out[("A", "head")] == 2
+    assert ("A", "tail") not in out
+    assert sum(n for (s, _), n in out.items() if s == "B") == 3
+
+
+# --- count_min_topk -----------------------------------------------------------
+
+def test_count_min_estimate_bounds_and_order(spark):
+    rows = [(i, "click") for i in range(5)] + [(5, "view")] * 3 + [(8, "buy")]
+    ev = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)],
+        schema="event_id long, event_type string")
+    out = count_min_topk(ev, k=10).collect()
+    # ordered by exact desc, type asc
+    assert [r["event_type"] for r in out] == ["click", "view", "buy"]
+    assert [r["exact_cnt"] for r in out] == [5, 3, 1]
+    for r in out:
+        assert r["cm_estimate"] >= r["exact_cnt"]  # sketch only overcounts
+        assert r["overcount"] == r["cm_estimate"] - r["exact_cnt"]
+
+
+def test_count_min_exact_when_no_collisions(spark):
+    ev = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")],
+        schema="event_id long, event_type string")
+    out = {r["event_type"]: (r["exact_cnt"], r["cm_estimate"])
+           for r in count_min_topk(ev).collect()}
+    # two keys in 64 buckets x 3 rows: min over rows is exact unless all
+    # three hash pairs collide — verify directly against the hash
+    collide = all(
+        _md5_mod(f"cm{j}|a", 64) == _md5_mod(f"cm{j}|b", 64) for j in range(3))
+    assert out["a"] == (2, 2) or collide
+    assert out["b"] == (1, 1) or collide
