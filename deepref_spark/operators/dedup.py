@@ -502,3 +502,80 @@ def incremental_dedup(corpus: DataFrame, batch: DataFrame,
         .select("doc_id", "dup_of", "jaccard",
                 F.col("dup_of").isNotNull().alias("is_dup"))
     )
+
+
+def minhash_signature(documents: DataFrame, n_bands: int = 8,
+                      rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): the raw b*r minhash row values as
+    one vector — the estimator view of the banding in
+    minhash_band_keys (same salted-md5 hex32 hash family, same
+    staging), for signature-similarity estimation rather than
+    bucketing."""
+    from deepref_spark.portable import hex32
+
+    n_funcs = n_bands * rows_per_band
+    n_md5 = (n_funcs + 3) // 4
+    sh = _with_shingles(documents, k)
+    hash_cols = [
+        F.expr(f"transform(shingles, s -> md5(concat('{t}:', s)))").alias(f"_h{t}")
+        for t in range(n_md5)
+    ]
+    staged = sh.select("doc_id", *hash_cols)
+
+    def mh(f: int) -> str:
+        t, slot = divmod(f, 4)
+        return f"array_min(transform(_h{t}, h -> {hex32('h', slot * 8, SPARK)}))"
+
+    return staged.selectExpr(
+        "doc_id",
+        "array({}) AS sig".format(", ".join(mh(f) for f in range(n_funcs))),
+    )
+
+
+def minhash_calibration(documents: DataFrame, n_bands: int = 8,
+                        rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """MinHash-estimate vs exact Jaccard per LSH candidate pair — the
+    calibration read that justifies trusting signature similarity at
+    scale: est_ppm = (matching minhash rows) / (b*r) on the ppm grid,
+    next to the exact distinct-shingle Jaccard, plus the signed error.
+    Run at small SF before a 100 TB sweep relies on estimate-only
+    thresholds (the events_heavy_hitters discipline applied to the
+    dedup lane).
+
+    Scale shape: candidates come from the banding (never all pairs);
+    signatures are fixed-width vectors (b*r longs) and shingle sets are
+    per-doc bounded, so the per-pair verify is O(doc length) — the
+    keep-map's bounded-verify contract with an estimator column added.
+    """
+    docs = documents.localCheckpoint(eager=False)  # shingled 3x below
+    pairs = minhash_lsh_pairs(docs, n_bands, rows_per_band, k)
+    sigs = minhash_signature(docs, n_bands, rows_per_band, k) \
+        .localCheckpoint(eager=False)  # feeds both pair sides
+    sets = (
+        _with_shingles(docs, k)
+        .select("doc_id", F.array_distinct("shingles").alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
+    n_funcs = n_bands * rows_per_band
+    return (
+        pairs
+        .join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .join(sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("sh_a")), "a")
+        .join(sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("sh_b")), "b")
+        .select(
+            "a", "b",
+            F.expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), "
+                   "0L, (acc, v) -> acc + v)").cast("long").alias("est_matches"),
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").alias("inter"),
+            F.expr("CAST(size(array_union(sh_a, sh_b)) AS BIGINT)").alias("uni"),
+        )
+        .select(
+            "a", "b", "est_matches",
+            F.expr(f"est_matches * 1000000 div {n_funcs}").cast("long").alias("est_ppm"),
+            F.expr("inter * 1000000 div greatest(1L, uni)").cast("long").alias("exact_ppm"),
+            F.expr(f"est_matches * 1000000 div {n_funcs} "
+                   "- inter * 1000000 div greatest(1L, uni)")
+            .cast("long").alias("err_ppm"),
+        )
+    )

@@ -776,3 +776,104 @@ def community_quality(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .cast("long").alias("conductance_ppm"),
         )
     )
+
+
+def personalized_pagerank(edges: DataFrame, n_seeds: int = 3,
+                          iters: int = 3) -> DataFrame:
+    """Personalized PageRank (fixed rounds, integer unit grid): the
+    restart mass returns to a SEED SET instead of spreading uniformly —
+    the entity-relatedness score a KG serves for "entities related to
+    X" queries (Page et al.'s personalization vector; the standard
+    KG-proximity ranker). Seeds are the ``n_seeds`` highest-degree
+    entities (ties by entity ASC) — the hubs a curator actually asks
+    about — picked via one bounded TakeOrdered (n_seeds rows on the
+    driver, the label-set collect pattern).
+
+    Per round: u'(n) = (seed ? (1-d)*UNIT : 0) + d * inflow(n), same
+    floor-division contribution discipline as ``pagerank``; the seed
+    flag rides the node table (one broadcast-sized join at build time,
+    then checkpointed). Non-seed nodes with no inflow decay to exactly
+    0 on the grid — mass concentrates around the seeds, which is the
+    point.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .union(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("entity"))
+        .union(edges.select(F.col("dst").alias("entity")))
+        .groupBy("entity").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    seed_rows = deg.orderBy(F.col("degree").desc(), F.col("entity").asc()) \
+        .limit(n_seeds).select("entity").collect()  # bounded: n_seeds rows
+    seed_names = sorted(r["entity"] for r in seed_rows)
+    flagged = nodes.withColumn(
+        "is_seed", F.col("entity").isin(seed_names).cast("int")
+    ).localCheckpoint(eager=False)
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN  # (1-d)*UNIT, exact
+    pr = flagged.withColumn(
+        "u", (F.col("is_seed") * F.lit(UNIT)).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges
+            .join(pr.select(F.col("entity").alias("src"), "u"), "src")
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("entity"),
+                    F.expr("u div out_deg").alias("c"))
+        )
+        inflow = contrib.groupBy("entity").agg(F.sum("c").alias("inflow"))
+        pr = (
+            flagged.join(inflow, "entity", "left")
+            .select(
+                "entity", "is_seed",
+                (F.col("is_seed") * F.lit(base)
+                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
+                 ).cast("long").alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.where(F.col("u") > 0).select(
+        "entity", F.col("is_seed").cast("int").alias("is_seed"),
+        (F.col("u").cast("double") / F.lit(float(UNIT))).alias("ppr"),
+    )
+
+
+def path_query_2hop(triples: DataFrame,
+                    subj: str = "subj_canon", pred: str = "pred",
+                    obj: str = "obj_canon") -> DataFrame:
+    """Bound-predicate 2-hop path query — the SPARQL basic-graph-pattern
+    ``?a p1 ?x . ?x p2 ?b`` served over the materialized triples, with
+    (p1, p2) bound to the two most frequent predicates (count DESC,
+    pred ASC — deterministic). This is the read side of the engine: a
+    KG is built to be queried, and the 2-hop BGP is the canonical
+    pattern a triple store optimizes for.
+
+    Scale shape: the predicate ranking is one tiny grouped count +
+    bounded TakeOrdered (2 rows); each bound predicate becomes a
+    LITERAL equality filter pushed into the triple scan (partition
+    pruning on a pred-partitioned graph table — the export_ntriples
+    layout — turns each side into a single-partition read). The hop is
+    one equi-join mid-entity hash join; a != b drops trivial loops.
+    """
+    spo = triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                         F.col(obj).alias("o")).localCheckpoint(eager=False)
+    top = spo.groupBy("p").agg(F.count(F.lit(1)).alias("n")) \
+        .orderBy(F.col("n").desc(), F.col("p").asc()).limit(2).collect()
+    if len(top) < 2:
+        raise ValueError("path_query_2hop needs >= 2 distinct predicates")
+    p1, p2 = top[0]["p"], top[1]["p"]
+    hop1 = spo.where(F.col("p") == p1).select(
+        F.col("s").alias("a"), F.col("o").alias("x"))
+    hop2 = spo.where(F.col("p") == p2).select(
+        F.col("s").alias("x"), F.col("o").alias("b"))
+    return (
+        hop1.join(hop2, "x")
+        .where(F.col("a") != F.col("b"))
+        .select("a", F.lit(p1).alias("p1"), "x", F.lit(p2).alias("p2"), "b")
+        .distinct()
+    )

@@ -1280,3 +1280,63 @@ def ccnet_buckets(documents: DataFrame, vocab_size: int = 65536) -> DataFrame:
         F.min("cut1").cast("long").alias("cut1"),
         F.max("cut2").cast("long").alias("cut2"),
     )
+
+
+def dsir_weights(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.
+    2023: hashed n-gram features, importance = target-vs-raw likelihood
+    ratio): the TARGET distribution is the lexicographically smallest
+    source (deterministic stand-in for "the high-quality domain"); the
+    RAW distribution is the whole corpus. Each token hashes into one of
+    ``n_buckets`` feature buckets; a document's score is the mean
+    per-token bucket ratio.
+
+    Integer-grid surrogate for the log-ratio: per bucket,
+    ``ratio_ppm = tgt_ppm * 1e6 div max(1, raw_ppm)`` where tgt_ppm /
+    raw_ppm are the bucket's ppm shares of the target / raw token mass
+    (BIGINT throughout; cnt*1e6 is BIGINT-safe to ~9e12 tokens per
+    side — coarsen the grid past that). Ratio > 1e6 means the bucket
+    is target-enriched; the per-doc mean is a floor-divided BIGINT so
+    partial-aggregation order cannot flip a rounding.
+
+    Scale shape: tokenize once (staged + checkpointed), ONE corpus
+    explode feeding (a) the 256-row bucket table (two map-side-combined
+    counts) and (b) the per-doc scorer; the bucket table broadcasts.
+    """
+    staged = documents.select(
+        "doc_id", "source",
+        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+    ).localCheckpoint(eager=False)  # tokenize once
+    tgt_src = staged.agg(F.min("source").alias("s"))  # one row
+    ex = staged.select(
+        "doc_id", "source",
+        F.explode("t").alias("tok"),
+    ).select(
+        "doc_id", "source",
+        F.expr(portable.md5_mod("tok", n_buckets)).cast("int").alias("bucket"),
+    ).localCheckpoint(eager=False)  # feeds the bucket table AND the scorer
+    ex_flag = ex.crossJoin(F.broadcast(tgt_src)).select(
+        "doc_id", "bucket", (F.col("source") == F.col("s")).cast("long").alias("is_tgt"))
+    buckets = ex_flag.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("raw_cnt"),
+        F.sum("is_tgt").cast("long").alias("tgt_cnt"),
+    )
+    totals = buckets.agg(F.sum("raw_cnt").alias("raw_tot"),
+                         F.sum("tgt_cnt").alias("tgt_tot"))  # one row
+    ratios = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr("(tgt_cnt * 1000000 div greatest(1L, tgt_tot)) * 1000000 "
+                   "div greatest(1L, raw_cnt * 1000000 div raw_tot)")
+            .cast("long").alias("ratio_ppm"),
+        )
+    )
+    return (
+        ex_flag.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr("sum(ratio_ppm) div count(1)").cast("long").alias("dsir_ppm"),
+        )
+    )
