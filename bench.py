@@ -121,6 +121,20 @@ HEADLINE = [
     "text_bpe_pairs",
     "kg_hits",
     "events_user_growth",
+    # fifth-sitting additions: KG-embedding scoring/fusion, schema
+    # induction, community quality, CCNet tertiles, count-min sketch,
+    # personalized PageRank, 2-hop path query, DSIR, MinHash calibration
+    "kg_transe_score",
+    "kg_conductance",
+    "kg_type_induction",
+    "kg_fusion",
+    "text_ccnet_buckets",
+    "events_heavy_hitters",
+    "kg_ppr",
+    "kg_path_2hop",
+    "text_dsir",
+    "dedup_mh_calibration",
+    "emb_recall_eval",
 ]
 
 

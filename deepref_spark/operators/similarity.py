@@ -704,3 +704,36 @@ def centroid_classify(embeddings: DataFrame) -> DataFrame:
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def ann_recall_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+    """Recall@k of the IVF ANN against exact brute-force top-k, per
+    query — the quality gate an ANN deployment runs at small SF before
+    trusting approximate neighbors at 100 TB (the companion of the
+    dedup lane's minhash_calibration). Returns (query_id, k, n_hits,
+    recall_ppm) with recall on the ppm integer grid.
+
+    Both ranked lists use the same deterministic total order (cosine
+    rounded 4dp DESC, nbr_id ASC), so the set intersection is
+    reproducible across engines and partitionings. Cost: the
+    brute-force side is the by-contract calibration scan (broadcast
+    query side, one corpus pass); the IVF side is the production path.
+    """
+    bf = brute_force_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id")
+    ivf = ivf_ann_topk(embeddings, queries, k=k,
+                       n_lists=n_lists, nprobe=nprobe) \
+        .select("query_id", "nbr_id", F.lit(1).alias("_hit"))
+    return (
+        bf.join(ivf, ["query_id", "nbr_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id", "k", "n_hits",
+            F.expr(f"n_hits * 1000000 div {k}").cast("long").alias("recall_ppm"),
+        )
+    )

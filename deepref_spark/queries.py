@@ -2385,9 +2385,10 @@ assign AS (
 )"""
 
 
-_IVF_ORACLE = f"""
-WITH {_ivf_assign_sql()},
-probes AS (
+def _ivf_ranked_ctes() -> str:
+    """probes/scored/ranked CTE fragment of the IVF oracle (nprobe=2,
+    ranking un-limited) — shared by emb_ann_ivf and the recall eval."""
+    return f"""probes AS (
   SELECT query_id, q_emb, q_norm, list_id FROM (
     SELECT b.vec_id AS query_id, b.embedding AS q_emb, b.vnorm AS q_norm, c.list_id,
            row_number() OVER (PARTITION BY b.vec_id
@@ -2406,7 +2407,12 @@ ranked AS (
   SELECT query_id, nbr_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
   FROM scored
-)
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()}
 SELECT query_id, nbr_id, cosine, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
 """
 
@@ -5590,6 +5596,50 @@ FROM calib
 """
 
 
+def _recall_oracle() -> str:
+    return f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()},
+ivf AS (SELECT query_id, nbr_id FROM ranked WHERE rank <= 5),
+bfq AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, vnorm AS q_norm
+  FROM base WHERE {_emb_queries_filter()}
+),
+bf_scored AS (
+  SELECT q.query_id, b.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, b.embedding) / (q.q_norm * b.vnorm), 4) AS cosine
+  FROM base b CROSS JOIN bfq q WHERE b.vec_id <> q.query_id
+),
+bf AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS rank
+    FROM bf_scored
+  ) WHERE rank <= 5
+)
+SELECT b.query_id, CAST(5 AS BIGINT) AS k,
+       CAST(count(i.nbr_id) AS BIGINT) AS n_hits,
+       CAST(count(i.nbr_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+FROM bf b LEFT JOIN ivf i ON b.query_id = i.query_id AND b.nbr_id = i.nbr_id
+GROUP BY b.query_id
+"""
+
+
+@q("emb_recall_eval", _recall_oracle)
+def emb_recall_eval(spark, sf_dir):
+    """Recall@5 of the IVF ANN vs exact brute-force top-5 per query
+    (similarity.ann_recall_eval) — the ANN-lane quality gate, same
+    calibration discipline as dedup_mh_calibration / the count-min
+    overcount column. Both rankings share the deterministic
+    (cosine 4dp DESC, nbr_id ASC) total order."""
+    from deepref_spark.operators.similarity import ann_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return ann_recall_eval(emb, qs, k=5, n_lists=16, nprobe=2)
+
+
 @q("dedup_mh_calibration", _mh_calib_oracle)
 def dedup_mh_calibration(spark, sf_dir):
     """MinHash-estimate vs exact Jaccard per LSH candidate pair
@@ -5797,6 +5847,11 @@ _WINDOW_TAIL = [
     # the kgquality tier keep the graph lane represented in-window.
     "kg_multihop", "kg_link_predict", "kg_triple_merge",
     "emb_centroid_classify",
+    # (parked r5ac, making room for emb_recall_eval): kg_cooccur_pmi is
+    # the longest-stable remaining in-window query (green every sweep
+    # since it landed, exact PMI golden in test_graph.py); the graph
+    # lane keeps kg_graph_report/kg_conductance/kg_ppr in-window.
+    "kg_cooccur_pmi",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -136,3 +136,34 @@ def test_minhash_calibration_estimate_tracks_partial_overlap(spark):
         assert 0 < r["exact_ppm"] < 1_000_000
         assert 0 <= r["est_ppm"] <= 1_000_000
         assert r["err_ppm"] == r["est_ppm"] - r["exact_ppm"]
+
+
+# --- ann_recall_eval ------------------------------------------------------------
+
+def test_ann_recall_eval_perfect_on_tiny_corpus(spark):
+    # 8 well-separated vectors, 1 query, n_lists=1 -> IVF searches the
+    # whole corpus, so recall@k must be exactly 1.0 (1e6 ppm).
+    import math
+    from deepref_spark.operators.similarity import ann_recall_eval
+
+    rows = [(i, [math.cos(i / 3.0), math.sin(i / 3.0), float(i % 2), 1.0])
+            for i in range(8)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = emb.where("vec_id = 0")
+    out = ann_recall_eval(emb, qs, k=3, n_lists=1, nprobe=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["query_id"], r["k"], r["n_hits"], r["recall_ppm"]) == (0, 3, 3, 1_000_000)
+
+
+def test_ann_recall_eval_partial_recall_bounded(spark):
+    # many lists + nprobe=1 on a clustered corpus: recall can drop but
+    # stays on the exact ppm grid n_hits * 1e6 div k.
+    from deepref_spark.operators.similarity import ann_recall_eval
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = emb.where("vec_id = 0")
+    out = ann_recall_eval(emb, qs, k=4, n_lists=4, nprobe=1).collect()[0]
+    assert 0 <= out["n_hits"] <= 4
+    assert out["recall_ppm"] == out["n_hits"] * 1_000_000 // 4
