@@ -135,6 +135,7 @@ HEADLINE = [
     "text_dsir",
     "dedup_mh_calibration",
     "emb_recall_eval",
+    "kg_pairwise_eval",
 ]
 
 

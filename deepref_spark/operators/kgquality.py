@@ -536,3 +536,47 @@ def fuse_extractors(triples: DataFrame, n_extractors: int = 3,
         F.expr(noisy_or_ppm_expr(ps, SPARK)).alias("fused_ppm"),
         F.expr(f"CAST({votes} AS INT)").alias("votes"),
     )
+
+
+def pairwise_eval(assign: DataFrame, item: str = "item", pred_col: str = "pc",
+                  gold_col: str = "gc") -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering against a
+    gold clustering — the second standard entity-resolution metric next
+    to B-cubed (b3_eval): a pair of items counts as true-positive when
+    BOTH clusterings co-cluster it. Pair counts are C(n,2) sums over
+    the (pred, gold) contingency cells and the per-cluster size tables
+    — pairs are COUNTED by formula, never enumerated, so a mega-cluster
+    costs one row, not C(n,2) rows (the kg_blocking_quality
+    discipline).
+
+    All counts are BIGINTs; P/R/F1 are a constant number of IEEE double
+    ops on identical BIGINTs, rounded 6dp — bit-identical cross-engine.
+    Same three map-side-combined shuffles as b3_eval.
+    """
+    a = assign.select(
+        F.col(item).alias("item"), F.col(pred_col).alias("pc"),
+        F.col(gold_col).alias("gc"),
+    ).localCheckpoint(eager=False)
+    tp = a.groupBy("pc", "gc").agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("tp_pairs"),
+             F.sum("n").cast("long").alias("n_items"))
+    pp = a.groupBy("pc").agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pred_pairs"))
+    gp = a.groupBy("gc").agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("gold_pairs"))
+    joined = tp.crossJoin(F.broadcast(pp)).crossJoin(F.broadcast(gp))
+    p0 = F.when(F.col("pred_pairs") > 0,
+                F.col("tp_pairs").cast("double") / F.col("pred_pairs")) \
+        .otherwise(F.lit(0.0))
+    r0 = F.when(F.col("gold_pairs") > 0,
+                F.col("tp_pairs").cast("double") / F.col("gold_pairs")) \
+        .otherwise(F.lit(0.0))
+    return joined.select(
+        "n_items", "tp_pairs", "pred_pairs", "gold_pairs",
+        F.round(p0, 6).alias("pair_precision"),
+        F.round(r0, 6).alias("pair_recall"),
+        F.round(
+            F.when(p0 + r0 > 0, 2.0 * p0 * r0 / (p0 + r0)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pair_f1"),
+    )

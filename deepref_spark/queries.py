@@ -5596,6 +5596,59 @@ FROM calib
 """
 
 
+@q("kg_pairwise_eval", lambda: f"""
+WITH assign AS (
+  SELECT entity AS item, component AS pc,
+         split_part(entity, ' ', 1) AS gc
+  FROM ({oracle_sql_for('kg_connected_components')})
+),
+tp AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp_pairs,
+         CAST(sum(n) AS BIGINT) AS n_items
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY pc, gc)
+),
+pp AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY pc)
+),
+gp AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS gold_pairs
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY gc)
+)
+SELECT n_items, tp_pairs, pred_pairs, gold_pairs,
+       round(CASE WHEN pred_pairs > 0
+                  THEN CAST(tp_pairs AS DOUBLE) / pred_pairs ELSE 0.0 END, 6)
+         AS pair_precision,
+       round(CASE WHEN gold_pairs > 0
+                  THEN CAST(tp_pairs AS DOUBLE) / gold_pairs ELSE 0.0 END, 6)
+         AS pair_recall,
+       round(CASE WHEN (CASE WHEN pred_pairs > 0
+                             THEN CAST(tp_pairs AS DOUBLE) / pred_pairs ELSE 0.0 END)
+                     + (CASE WHEN gold_pairs > 0
+                             THEN CAST(tp_pairs AS DOUBLE) / gold_pairs ELSE 0.0 END) > 0
+                  THEN 2.0 * (CAST(tp_pairs AS DOUBLE) / pred_pairs)
+                           * (CAST(tp_pairs AS DOUBLE) / gold_pairs)
+                       / ((CAST(tp_pairs AS DOUBLE) / pred_pairs)
+                          + (CAST(tp_pairs AS DOUBLE) / gold_pairs))
+                  ELSE 0.0 END, 6) AS pair_f1
+FROM tp CROSS JOIN pp CROSS JOIN gp
+""")
+def kg_pairwise_eval(spark, sf_dir):
+    """Pairwise P/R/F1 of the LSH+CC canonicalizer against the
+    head-token gold clustering (kgquality.pairwise_eval) — the second
+    standard ER metric next to kg_b3_eval, pairs counted by C(n,2)
+    formula over contingency cells, never enumerated."""
+    from deepref_spark.operators.kgquality import pairwise_eval
+
+    cc = kg_connected_components(spark, sf_dir)
+    assign = cc.select(
+        F.col("entity").alias("item"),
+        F.col("component").alias("pc"),
+        F.expr("split_part(entity, ' ', 1)").alias("gc"),
+    )
+    return pairwise_eval(assign)
+
+
 def _recall_oracle() -> str:
     return f"""
 WITH {_ivf_assign_sql()},
@@ -5852,6 +5905,11 @@ _WINDOW_TAIL = [
     # since it landed, exact PMI golden in test_graph.py); the graph
     # lane keeps kg_graph_report/kg_conductance/kg_ppr in-window.
     "kg_cooccur_pmi",
+    # (parked r5ad, making room for kg_pairwise_eval): the stream-stream
+    # interval join parks — stable since it landed, cross-restart
+    # streaming tests pin it, and the events family keeps asof/funnel/
+    # retention/topk/rate_anomaly/heavy_hitters in-window.
+    "events_attribution_join",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

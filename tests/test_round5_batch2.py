@@ -190,3 +190,34 @@ def test_count_min_exact_when_no_collisions(spark):
         _md5_mod(f"cm{j}|a", 64) == _md5_mod(f"cm{j}|b", 64) for j in range(3))
     assert out["a"] == (2, 2) or collide
     assert out["b"] == (1, 1) or collide
+
+
+# --- pairwise_eval --------------------------------------------------------------
+
+def test_pairwise_eval_hand_contingency(spark):
+    # pred clusters: {a,b,c} {d}; gold: {a,b} {c,d}
+    # tp cells: (P1,G1)=2 -> 1 pair; (P1,G2)=1, (P2,G2)=1 -> 0
+    # pred_pairs = C(3,2)=3; gold_pairs = C(2,2)+C(2,2) = 2
+    from deepref_spark.operators.kgquality import pairwise_eval
+
+    assign = spark.createDataFrame(
+        [("a", "P1", "G1"), ("b", "P1", "G1"), ("c", "P1", "G2"),
+         ("d", "P2", "G2")],
+        schema="item string, pc string, gc string")
+    r = pairwise_eval(assign).collect()[0]
+    assert (r["n_items"], r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (4, 1, 3, 2)
+    assert r["pair_precision"] == round(1 / 3, 6)
+    assert r["pair_recall"] == 0.5
+    p, q = 1 / 3, 0.5
+    assert r["pair_f1"] == round(2 * p * q / (p + q), 6)
+
+
+def test_pairwise_eval_all_singletons_zero_denominators(spark):
+    from deepref_spark.operators.kgquality import pairwise_eval
+
+    assign = spark.createDataFrame(
+        [("a", "P1", "G1"), ("b", "P2", "G2")],
+        schema="item string, pc string, gc string")
+    r = pairwise_eval(assign).collect()[0]
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (0, 0, 0)
+    assert (r["pair_precision"], r["pair_recall"], r["pair_f1"]) == (0.0, 0.0, 0.0)
