@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_mh_calibration",
     "emb_recall_eval",
     "kg_pairwise_eval",
+    "kg_wl_colors",
 ]
 
 

@@ -877,3 +877,62 @@ def path_query_2hop(triples: DataFrame,
         .select("a", F.lit(p1).alias("p1"), "x", F.lit(p2).alias("p2"), "b")
         .distinct()
     )
+
+
+def wl_refine(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement (structural-role
+    discovery): nodes start colored by degree; each round a node's new
+    color hashes (previous color, aggregate of neighbor colors).
+    Entities sharing a final color occupy isomorphic local
+    neighborhoods up to ``iters`` hops — the structural complement of
+    type_induction's predicate signatures (same grouped output shape:
+    color classes with size + exemplar).
+
+    The neighbor multiset is combined COMMUTATIVELY — per neighbor a
+    bounded integer hash of its color, then (sum, count) — instead of
+    the textbook sorted-multiset concat, so the round is one join + one
+    map-side-combinable grouped sum with NO collect_list: a 1e6-degree
+    hub costs one combineable aggregate row, not a 1e6-element array on
+    one executor. (Sum+count of per-color hashes distinguishes
+    multisets up to hash collisions in a 2^~37 space per round —
+    the standard WL-hashing trade, cf. Shervashidze et al. 2011's
+    hashed label compression.) Per-round color tables are lazily
+    checkpointed (the pagerank/linking discipline).
+    """
+    from deepref_spark.portable import md5_mod
+
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    colors = (
+        und.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .select("v", F.expr("md5(concat('d', CAST(d AS STRING)))").alias("color"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        nbr = (
+            und.join(colors.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"),
+                    F.expr("CAST(" + md5_mod("color", 1_000_000) + " AS BIGINT)")
+                    .alias("h"))
+        )
+        agg = nbr.groupBy("v").agg(
+            F.sum("h").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"))
+        colors = (
+            colors.join(agg, "v", "left")
+            .select(
+                "v",
+                F.expr("md5(concat(color, '|', CAST(coalesce(s, 0) AS STRING), "
+                       "'|', CAST(coalesce(c, 0) AS STRING)))").alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return colors.groupBy(F.col("color").alias("wl_color")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.min("v").alias("exemplar"),
+    )

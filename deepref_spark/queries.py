@@ -5649,6 +5649,43 @@ def kg_pairwise_eval(spark, sf_dir):
     return pairwise_eval(assign)
 
 
+def _wl_oracle(iters: int = 2) -> str:
+    h = md5_mod("l.color", 1_000_000)
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+agg{r} AS (
+  SELECT u.src AS v, CAST(sum({h}) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM und u JOIN wl{r - 1} l ON u.dst = l.v GROUP BY u.src
+),
+wl{r} AS MATERIALIZED (
+  SELECT w.v, md5(w.color || '|' || CAST(coalesce(a.s, 0) AS VARCHAR)
+                  || '|' || CAST(coalesce(a.c, 0) AS VARCHAR)) AS color
+  FROM wl{r - 1} w LEFT JOIN agg{r} a ON w.v = a.v
+)""")
+    return _oracle_prefix() + _graph_edges_cte() + f""",
+und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg0 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+wl0 AS MATERIALIZED (SELECT v, md5('d' || CAST(d AS VARCHAR)) AS color FROM deg0),{",".join(rounds)}
+SELECT color AS wl_color, CAST(count(*) AS BIGINT) AS n_entities,
+       min(v) AS exemplar
+FROM wl{iters} GROUP BY color
+"""
+
+
+@q("kg_wl_colors", _wl_oracle)
+def kg_wl_colors(spark, sf_dir):
+    """1-WL color refinement over the canonical entity graph
+    (graph.wl_refine, 2 rounds): structural-role classes — entities
+    whose 2-hop neighborhoods are WL-indistinguishable share a color.
+    The neighbor multiset combines commutatively (per-color bounded
+    hash -> sum+count), so each round is one join + one combineable
+    grouped sum, hub-safe with no collect_list."""
+    from deepref_spark.operators.graph import wl_refine
+
+    return wl_refine(_canonical_edges(spark, sf_dir), iters=2)
+
+
 def _recall_oracle() -> str:
     return f"""
 WITH {_ivf_assign_sql()},
@@ -5910,6 +5947,12 @@ _WINDOW_TAIL = [
     # streaming tests pin it, and the events family keeps asof/funnel/
     # retention/topk/rate_anomaly/heavy_hitters in-window.
     "events_attribution_join",
+    # (parked r5ae, making room for kg_wl_colors): the stratified
+    # sampler parks — stable since it landed, and its deterministic
+    # md5-hash sampling discipline is re-verified every sweep inside
+    # in-window text_curate_pipeline's composed oracle (the Bernoulli
+    # sampling stage uses the same hash-threshold form).
+    "text_sample_balanced",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

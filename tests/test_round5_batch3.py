@@ -167,3 +167,30 @@ def test_ann_recall_eval_partial_recall_bounded(spark):
     out = ann_recall_eval(emb, qs, k=4, n_lists=4, nprobe=1).collect()[0]
     assert 0 <= out["n_hits"] <= 4
     assert out["recall_ppm"] == out["n_hits"] * 1_000_000 // 4
+
+
+# --- wl_refine ------------------------------------------------------------------
+
+def test_wl_refine_distinguishes_roles(spark):
+    # path a - b - c - d (undirected): ends {a, d} share a color,
+    # middles {b, c} share another after 2 rounds... actually b and c
+    # differ at round 2? b's neighbors: a(end), c(middle); c's: b(middle),
+    # d(end) -> same multiset {end, middle} -> same color. 2 classes.
+    from deepref_spark.operators.graph import wl_refine
+
+    out = wl_refine(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+                    iters=2).collect()
+    classes = {r["exemplar"]: r["n_entities"] for r in out}
+    assert sorted(classes.values()) == [2, 2]
+    assert classes.get("a") == 2  # ends class, exemplar = min(a, d)
+    assert classes.get("b") == 2  # middles class, exemplar = min(b, c)
+
+
+def test_wl_refine_star_two_classes(spark):
+    # star hub->3 leaves: hub vs leaves stay two classes at any depth
+    from deepref_spark.operators.graph import wl_refine
+
+    out = wl_refine(_edges(spark, [("h", "a"), ("h", "b"), ("h", "c")]),
+                    iters=2).collect()
+    classes = sorted((r["n_entities"], r["exemplar"]) for r in out)
+    assert classes == [(1, "h"), (3, "a")]
