@@ -137,6 +137,7 @@ HEADLINE = [
     "emb_recall_eval",
     "kg_pairwise_eval",
     "kg_wl_colors",
+    "events_hll_distinct",
 ]
 
 

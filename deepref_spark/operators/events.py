@@ -293,3 +293,67 @@ def count_min_topk(events: DataFrame, depth: int = 3, width: int = 64,
         .orderBy(F.col("exact_cnt").desc(), F.col("event_type").asc())
         .limit(k)
     )
+
+
+def hll_distinct(events: DataFrame, m: int = 64,
+                 key_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """HyperLogLog-style distinct-key estimate per event type next to
+    the exact distinct count (Flajolet et al. 2007, raw estimator, no
+    small/large-range correction — the exact column makes the bias
+    visible, the count_min_topk calibration discipline applied to
+    cardinality). Registers: bucket = hash(key) mod m, register value =
+    max leading-zero rank of an independent 32-bit hash.
+
+    Cross-engine determinism: the harmonic sum rides an INTEGER dyadic
+    grid — each register contributes ``2^(33 - M)`` as a BIGINT
+    (absent registers contribute 2^33), so the per-type sum is exact
+    under any aggregation order; the estimate is then ONE double
+    division of two exact integers (alpha_m * m^2 * 2^33 / sum).
+
+    Scale shape: the register table is one map-side-combinable grouped
+    max onto at most m cells per type — fixed-size mergeable state, the
+    point of the sketch; the exact side is one count-distinct on the
+    same grouped key. At 10^12 events only the sketch side survives;
+    the exact column is the small-SF calibration.
+    """
+    from deepref_spark.portable import hex32, md5_mod
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard HLL bias constant
+    staged = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(key_col).alias("k"),
+        F.expr("md5(concat('hll|', CAST(" + key_col + " AS STRING)))").alias("h"),
+    ).select(
+        "event_type", "k",
+        F.expr(md5_mod("h", m)).cast("int").alias("bucket"),
+        F.expr(hex32("h", 8, "spark")).alias("v"),
+    )
+    regs = (
+        staged
+        .select("event_type", "bucket",
+                # rank = leading zeros of the 32-bit value + 1
+                #      = 33 - bit_length(v); v = 0 -> 33
+                F.expr("CASE WHEN v = 0 THEN 33 "
+                       "ELSE 33 - length(bin(v)) END").cast("int").alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("mr"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(pow(2, 33 - mr) AS BIGINT)")).cast("long").alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    exact = events.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct"))
+    two33 = 1 << 33
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type", "exact_distinct", "n_regs",
+            F.round(
+                F.lit(alpha * m * m * float(two33))
+                / (F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(two33))
+                .cast("double"), 2,
+            ).alias("hll_estimate"),
+        )
+    )

@@ -5649,6 +5649,56 @@ def kg_pairwise_eval(spark, sf_dir):
     return pairwise_eval(assign)
 
 
+def _hll_oracle(m: int = 64) -> str:
+    from deepref_spark.portable import hex32
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << 33))  # same double literal as Spark
+    two33 = 1 << 33
+    return f"""
+WITH staged AS (
+  SELECT event_type, user_id, md5('hll|' || CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+vals AS (
+  SELECT event_type, {md5_mod("h", m)} AS bucket, {hex32("h", 8, DUCK)} AS v
+  FROM staged
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS mr
+  FROM vals GROUP BY 1, 2
+),
+pt AS (
+  SELECT event_type,
+         CAST(sum(CAST(pow(2, 33 - mr) AS BIGINT)) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT pt.event_type, ex.exact_distinct, pt.n_regs,
+       round({num} / CAST(pt.s_present + ({m} - pt.n_regs) * {two33} AS DOUBLE), 2)
+         AS hll_estimate
+FROM pt JOIN ex USING (event_type)
+"""
+
+
+@q("events_hll_distinct", _hll_oracle)
+def events_hll_distinct(spark, sf_dir):
+    """HLL-style distinct-user estimate per event type next to the
+    exact count (events.hll_distinct, m=64 registers) — the
+    cardinality sketch completing the family (count-min = frequency,
+    MinHash = similarity). The harmonic sum rides an exact dyadic
+    BIGINT grid; the estimate is one IEEE division of two exact
+    numbers, identical cross-engine."""
+    from deepref_spark.operators.events import hll_distinct
+
+    return hll_distinct(load_table(spark, sf_dir, "events"))
+
+
 def _wl_oracle(iters: int = 2) -> str:
     h = md5_mod("l.color", 1_000_000)
     rounds = []
@@ -5953,6 +6003,12 @@ _WINDOW_TAIL = [
     # in-window text_curate_pipeline's composed oracle (the Bernoulli
     # sampling stage uses the same hash-threshold form).
     "text_sample_balanced",
+    # (parked r5af, making room for events_hll_distinct): SemDeDup
+    # parks — stable since r5d, keep-order pytest goldens, and its
+    # heaviest shared derivation (the IVF base/sample/cents/assign
+    # chain) is re-verified every sweep inside in-window
+    # emb_recall_eval's oracle, which embeds the identical CTE text.
+    "emb_semdedup",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -221,3 +221,39 @@ def test_pairwise_eval_all_singletons_zero_denominators(spark):
     r = pairwise_eval(assign).collect()[0]
     assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (0, 0, 0)
     assert (r["pair_precision"], r["pair_recall"], r["pair_f1"]) == (0.0, 0.0, 0.0)
+
+
+# --- hll_distinct ---------------------------------------------------------------
+
+def test_hll_estimate_near_exact_and_deterministic(spark):
+    from deepref_spark.operators.events import hll_distinct
+
+    # 200 distinct users, one type: raw HLL @ m=64 should land within
+    # the textbook ~1.04/sqrt(64) = 13% band (generous 35% assert);
+    # repeated evaluation must be bit-identical.
+    ev = spark.createDataFrame(
+        [(i, i, "t") for i in range(200)],
+        schema="event_id long, user_id long, event_type string")
+    r1 = hll_distinct(ev).collect()[0]
+    r2 = hll_distinct(ev).collect()[0]
+    assert r1["exact_distinct"] == 200
+    assert abs(r1["hll_estimate"] - 200) / 200 < 0.35
+    assert r1["hll_estimate"] == r2["hll_estimate"]
+    assert 1 <= r1["n_regs"] <= 64
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from deepref_spark.operators.events import hll_distinct
+
+    # the same 5 users repeated 40x: registers saturate identically,
+    # so the estimate equals the 5-distinct-user run exactly.
+    once = spark.createDataFrame(
+        [(i, i % 5, "t") for i in range(5)],
+        schema="event_id long, user_id long, event_type string")
+    many = spark.createDataFrame(
+        [(i, i % 5, "t") for i in range(200)],
+        schema="event_id long, user_id long, event_type string")
+    e1 = hll_distinct(once).collect()[0]
+    e2 = hll_distinct(many).collect()[0]
+    assert (e1["exact_distinct"], e2["exact_distinct"]) == (5, 5)
+    assert e1["hll_estimate"] == e2["hll_estimate"]
