@@ -138,6 +138,7 @@ HEADLINE = [
     "kg_pairwise_eval",
     "kg_wl_colors",
     "events_hll_distinct",
+    "kg_train_split",
 ]
 
 

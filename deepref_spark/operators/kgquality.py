@@ -580,3 +580,48 @@ def pairwise_eval(assign: DataFrame, item: str = "item", pred_col: str = "pc",
             6,
         ).alias("pair_f1"),
     )
+
+
+def train_split(triples: DataFrame, train_pct: int = 80, val_pct: int = 10,
+                subj: str = "subj_canon", pred: str = "pred",
+                obj: str = "obj_canon") -> DataFrame:
+    """Deterministic train/valid/test split for KG-embedding training
+    with the standard coverage guarantee: every entity AND every
+    relation appears in train (an eval triple whose entity was never
+    trained is unscorable — the FB15k/WN18 protocol). Base assignment
+    hashes the triple key into [0, 100); the guarantee is single-pass,
+    not iterative: each entity's (and relation's) md5-minimal triple is
+    FORCED into train, overriding its hash bucket.
+
+    Scale shape: one roles explode (3 rows per triple) -> grouped min
+    (map-side combined) -> one semi-join back on (group, key). The
+    forced set is at most #entities + #relations rows; everything else
+    is a pure hash projection. Deterministic under any partitioning:
+    ties inside a group cannot happen (the key embeds s|p|o, distinct
+    by construction).
+    """
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().withColumn(
+        "k", F.expr("md5(concat(subj, '|', pred, '|', obj))")
+    ).localCheckpoint(eager=False)  # feeds roles AND the final projection
+    roles = (
+        spo.select(F.concat(F.lit("e:"), F.col("subj")).alias("g"), "k")
+        .union(spo.select(F.concat(F.lit("e:"), F.col("obj")).alias("g"), "k"))
+        .union(spo.select(F.concat(F.lit("r:"), F.col("pred")).alias("g"), "k"))
+    )
+    forced = roles.groupBy("g").agg(F.min("k").alias("k")) \
+        .select("k").distinct()
+    bucket = F.expr("CAST(" + md5_mod("k", 100) + " AS INT)")
+    return (
+        spo.join(forced.withColumn("_f", F.lit(1)), "k", "left")
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("_f").isNotNull(), F.lit("train"))
+            .when(bucket < train_pct, F.lit("train"))
+            .when(bucket < train_pct + val_pct, F.lit("valid"))
+            .otherwise(F.lit("test")).alias("split"),
+            F.col("_f").isNotNull().cast("int").alias("forced"),
+        )
+    )

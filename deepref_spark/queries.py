@@ -5649,6 +5649,37 @@ def kg_pairwise_eval(spark, sf_dir):
     return pairwise_eval(assign)
 
 
+@q("kg_train_split", _trip_cte() + f"""
+, spo AS MATERIALIZED (
+  SELECT subj, pred, obj, md5(concat(subj, '|', pred, '|', obj)) AS k
+  FROM trip
+),
+roles AS (
+  SELECT 'e:' || subj AS g, k FROM spo
+  UNION ALL SELECT 'e:' || obj, k FROM spo
+  UNION ALL SELECT 'r:' || pred, k FROM spo
+),
+forced AS (SELECT DISTINCT k FROM (SELECT g, min(k) AS k FROM roles GROUP BY g))
+SELECT s.subj, s.pred, s.obj,
+       CASE WHEN f.k IS NOT NULL THEN 'train'
+            WHEN {md5_mod("s.k", 100)} < 80 THEN 'train'
+            WHEN {md5_mod("s.k", 100)} < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS forced
+FROM spo s LEFT JOIN forced f ON s.k = f.k
+""")
+def kg_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split with the
+    FB15k-style coverage guarantee (kgquality.train_split): every
+    entity and relation appears in train because its md5-minimal
+    triple is forced there — single-pass, no iteration. Completes the
+    KG-embedding prep lane (entity2id -> split -> negative_sample ->
+    TransE scoring)."""
+    from deepref_spark.operators.kgquality import train_split
+
+    return train_split(_canon_spo(spark, sf_dir))
+
+
 def _hll_oracle(m: int = 64) -> str:
     from deepref_spark.portable import hex32
 
@@ -6009,6 +6040,11 @@ _WINDOW_TAIL = [
     # chain) is re-verified every sweep inside in-window
     # emb_recall_eval's oracle, which embeds the identical CTE text.
     "emb_semdedup",
+    # (parked r5ag, making room for kg_train_split): the ordered funnel
+    # parks — stable since it landed with exact step-count pytest
+    # goldens; the events family keeps retention/topk/rate_anomaly/
+    # heavy_hitters/hll_distinct in-window.
+    "events_funnel",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -257,3 +257,32 @@ def test_hll_duplicates_do_not_inflate(spark):
     e2 = hll_distinct(many).collect()[0]
     assert (e1["exact_distinct"], e2["exact_distinct"]) == (5, 5)
     assert e1["hll_estimate"] == e2["hll_estimate"]
+
+
+# --- train_split ----------------------------------------------------------------
+
+def test_train_split_coverage_guarantee(spark):
+    from deepref_spark.operators.kgquality import train_split
+
+    rows = [(f"e{i}", f"r{i % 4}", f"e{(i * 7) % 40}") for i in range(60)]
+    out = train_split(_triples(spark, rows)).collect()
+    train = [r for r in out if r["split"] == "train"]
+    train_ents = {r["subj"] for r in train} | {r["obj"] for r in train}
+    train_rels = {r["pred"] for r in train}
+    all_ents = {r["subj"] for r in out} | {r["obj"] for r in out}
+    all_rels = {r["pred"] for r in out}
+    assert train_ents == all_ents  # every entity reachable at train time
+    assert train_rels == all_rels
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    # forced rows are exactly the rows flagged forced, and all train
+    assert all(r["split"] == "train" for r in out if r["forced"] == 1)
+
+
+def test_train_split_deterministic_and_exhaustive(spark):
+    from deepref_spark.operators.kgquality import train_split
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")]
+    out1 = sorted(tuple(r) for r in train_split(_triples(spark, rows)).collect())
+    out2 = sorted(tuple(r) for r in train_split(_triples(spark, rows)).collect())
+    assert out1 == out2
+    assert len(out1) == 3  # every distinct triple assigned exactly once
