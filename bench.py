@@ -139,6 +139,7 @@ HEADLINE = [
     "kg_wl_colors",
     "events_hll_distinct",
     "kg_train_split",
+    "kg_lp_eval",
 ]
 
 

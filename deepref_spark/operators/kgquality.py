@@ -625,3 +625,72 @@ def train_split(triples: DataFrame, train_pct: int = 80, val_pct: int = 10,
             F.col("_f").isNotNull().cast("int").alias("forced"),
         )
     )
+
+
+def lp_rank_eval(triples: DataFrame, subj: str = "subj_canon",
+                 pred: str = "pred", obj: str = "obj_canon") -> DataFrame:
+    """Link-prediction evaluation of the TransE scorer on the held-out
+    test split — the standard KG-embedding protocol (Bordes et al.
+    2013, FILTERED setting): for each test triple (s, p, o), every
+    entity is scored as a candidate tail, candidates that form a
+    DIFFERENT true triple are filtered out, and the true tail's rank
+    (energy ASC, entity ASC tie-break — fully deterministic on the
+    integer energy grid) yields mean rank, MRR and Hits@{1,3,10}.
+    Completes the embedding lane: id maps -> split -> negatives ->
+    scoring -> THIS.
+
+    Scale shape: candidates broadcast (the entity dimension; at 1e9+
+    entities swap in negative_sample's bucketed ring — only the
+    candidate source changes); the filter is one left-anti join against
+    the true-triple set; ranks are one grouped count per test triple
+    (e_cand < e_true, ties by name). MRR rides the ppm integer grid
+    (sum of 1e6 div rank), aggregation-order independent.
+    """
+    from deepref_spark.portable import transe_energy_expr
+
+    split = train_split(triples, subj=subj, pred=pred, obj=obj) \
+        .localCheckpoint(eager=False)  # feeds test AND the filter set
+    ents = (
+        split.select(F.col("subj").alias("cand"))
+        .union(split.select(F.col("obj").alias("cand")))
+        .distinct()
+        .withColumn("ch", F.expr("md5(concat('e|', cand))"))
+        .localCheckpoint(eager=False)
+    )
+    test = split.where(F.col("split") == "test").select(
+        "subj", "pred", "obj",
+        F.expr("md5(concat('e|', subj))").alias("hh"),
+        F.expr("md5(concat('r|', pred))").alias("rh"),
+        F.expr("md5(concat('e|', obj))").alias("th"),
+    ).withColumn("e_true", F.expr(transe_energy_expr("hh", "rh", "th")))
+    pairs = (
+        test.crossJoin(F.broadcast(ents))
+        .withColumn("e_cand", F.expr(transe_energy_expr("hh", "rh", "ch")))
+        # filtered protocol: drop candidates forming a DIFFERENT true
+        # triple (the anti join also drops cand == obj, which the rank
+        # count never includes anyway)
+        .join(split.select(F.col("subj"), F.col("pred"),
+                           F.col("obj").alias("cand")),
+              ["subj", "pred", "cand"], "left_anti")
+    )
+    better = (
+        pairs.groupBy("subj", "pred", "obj")
+        .agg(F.sum(
+            ((F.col("e_cand") < F.col("e_true"))
+             | ((F.col("e_cand") == F.col("e_true"))
+                & (F.col("cand") < F.col("obj")))).cast("long")
+        ).alias("n_better"))
+    )
+    # left join back: a test triple whose every candidate was filtered
+    # still ranks 1, it must not vanish from the aggregate
+    ranks = test.select("subj", "pred", "obj").join(
+        better, ["subj", "pred", "obj"], "left"
+    ).select((F.lit(1) + F.coalesce("n_better", F.lit(0))).cast("long").alias("rank"))
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("rank").cast("long").alias("sum_rank"),
+        F.expr("sum(1000000 div rank) div count(1)").cast("long").alias("mrr_ppm"),
+        F.sum((F.col("rank") <= 1).cast("long")).cast("long").alias("hits1"),
+        F.sum((F.col("rank") <= 3).cast("long")).cast("long").alias("hits3"),
+        F.sum((F.col("rank") <= 10).cast("long")).cast("long").alias("hits10"),
+    )

@@ -286,3 +286,52 @@ def test_train_split_deterministic_and_exhaustive(spark):
     out2 = sorted(tuple(r) for r in train_split(_triples(spark, rows)).collect())
     assert out1 == out2
     assert len(out1) == 3  # every distinct triple assigned exactly once
+
+
+# --- lp_rank_eval ---------------------------------------------------------------
+
+def test_lp_rank_eval_hand_rank_on_tiny_graph(spark):
+    from deepref_spark.operators.kgquality import lp_rank_eval, train_split
+
+    # enough triples that the 80/10/10 split yields >= 1 test row
+    rows = [(f"e{i}", "p", f"e{(i + 1) % 30}") for i in range(30)]
+    t = _triples(spark, rows)
+    split = {(r["subj"], r["pred"], r["obj"]): r["split"]
+             for r in train_split(t).collect()}
+    tests = [k for k, v in split.items() if v == "test"]
+    out = lp_rank_eval(t).collect()[0]
+    assert out["n_test"] == len(tests)
+    if tests:
+        # replicate the filtered rank of one test triple in python
+        s, p, o = tests[0]
+        ents = sorted({a for a, _, _ in rows} | {c for _, _, c in rows})
+        true_tails = {c for a, q, c in rows if a == s and q == p}
+
+        def energy(h, r_, t_):
+            return sum(
+                abs(_md5_slice_mod(f"e|{h}", 4 * j) + _md5_slice_mod(f"r|{r_}", 4 * j)
+                    - _md5_slice_mod(f"e|{t_}", 4 * j)) for j in range(8))
+
+        e_true = energy(s, p, o)
+        n_better = sum(
+            1 for c in ents if c not in true_tails
+            and (energy(s, p, c) < e_true
+                 or (energy(s, p, c) == e_true and c < o)))
+        expected_rank = 1 + n_better
+        # with a single test triple we can pin sum_rank directly
+        if len(tests) == 1:
+            assert out["sum_rank"] == expected_rank
+        assert out["sum_rank"] >= out["n_test"]  # every rank >= 1
+        assert out["hits1"] <= out["hits3"] <= out["hits10"] <= out["n_test"]
+        assert out["mrr_ppm"] <= 1_000_000
+
+
+def test_lp_rank_eval_rank_one_when_only_candidate(spark):
+    from deepref_spark.operators.kgquality import lp_rank_eval
+
+    # 3 triples over 3 entities: whatever lands in test, the filtered
+    # candidate set is tiny and every rank is within [1, 3]
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")])
+    out = lp_rank_eval(t).collect()[0]
+    assert out["sum_rank"] >= out["n_test"]
+    assert out["sum_rank"] <= out["n_test"] * 3
