@@ -140,6 +140,7 @@ HEADLINE = [
     "events_hll_distinct",
     "kg_train_split",
     "kg_lp_eval",
+    "doc_winnow",
 ]
 
 

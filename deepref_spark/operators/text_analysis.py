@@ -1340,3 +1340,57 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
             F.expr("sum(ratio_ppm) div count(1)").cast("long").alias("dsir_ppm"),
         )
     )
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): from each sliding window of ``w``
+    consecutive k-gram hashes, select the minimum (RIGHTMOST position
+    on ties, the paper's robustness rule), then emit the distinct
+    selected (position, hash) pairs per document. Guarantees every
+    match of length >= w+k-1 shares a fingerprint while storing ~2/(w+1)
+    of the hashes — the principled subset doc_fingerprint's plain
+    k-gram set does not give.
+
+    All built-ins: the k-gram hash array is staged as a multi-referenced
+    column (the _with_shingles CollapseProject discipline — tokenize and
+    hash once per document, not once per window); window selection is a
+    transform over index sequences with array_min + reversed
+    array_position for the rightmost tie-break. One explode + one
+    distinct; no joins, no corpus-wide state.
+    """
+    from deepref_spark.portable import hex32
+
+    toks = portable.norm_tokens("text", SPARK)
+    staged = documents.select("doc_id", F.expr(toks).alias("_toks")) \
+        .withColumn("_n", F.size("_toks"))
+    hashed = staged.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(1, _n - {k - 1})), "
+            f"i -> md5(array_join(slice(_toks, i, {k}), ' ')))"
+        ).alias("_hs"),
+    ).withColumn("_m", F.size("_hs")).select(
+        "doc_id",
+        F.expr(f"transform(_hs, h -> {hex32('h', 0, SPARK)})").alias("hv"),
+        F.col("_m"),
+    )
+    # per window i: v = min(slice), pos = i + rightmost index of v - 1
+    sel = hashed.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(1, _m - {w - 1})), i -> "
+            f"named_struct("
+            f"'fp', array_min(slice(hv, i, {w})), "
+            f"'pos', i + size(slice(hv, i, {w})) "
+            f"      - array_position(reverse(slice(hv, i, {w})), "
+            f"                       array_min(slice(hv, i, {w})))"
+            f"))"
+        )).alias("s"),
+    )
+    return (
+        sel.select("doc_id",
+                   F.col("s.pos").cast("int").alias("pos"),
+                   F.col("s.fp").cast("long").alias("fp"))
+        .distinct()
+    )

@@ -5689,6 +5689,49 @@ def kg_train_split(spark, sf_dir):
     return train_split(_canon_spo(spark, sf_dir))
 
 
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    from deepref_spark.portable import hex32
+
+    sl = f"list_slice(hv, i, i + {w - 1})"
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, greatest(1, len(t) - {k - 1})),
+                          i -> md5(array_to_string(list_slice(t, i, i + {k - 1}), ' '))),
+           h -> {hex32('h', 0, DUCK)}) AS hv
+  FROM staged
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(1, len(hv) - {w - 1})), i ->
+           struct_pack(
+             fp := list_min({sl}),
+             pos := i + len({sl})
+                    - list_position(list_reverse({sl}), list_min({sl}))
+           ))) AS s
+  FROM hashed
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
+FROM sel
+"""
+
+
+@q("doc_winnow", _winnow_oracle)
+def doc_winnow(spark, sf_dir):
+    """Robust winnowing fingerprints (MOSS; text_analysis.
+    winnow_fingerprints): min-of-window k-gram hash selection with the
+    rightmost tie-break — guaranteed-coverage near-dup fingerprints at
+    ~2/(w+1) the storage of the plain k-gram set (doc_fingerprint).
+    Tokenize+hash staged once per doc; one explode + one distinct."""
+    from deepref_spark.operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(documents(spark, sf_dir), k=5, w=4)
+
+
 def _lp_eval_oracle() -> str:
     e_true = portable.transe_energy_expr("t.hh", "t.rh", "t.th")
     e_cand = portable.transe_energy_expr("t.hh", "t.rh", "e.ch")
@@ -6124,6 +6167,12 @@ _WINDOW_TAIL = [
     # formula itself keeps its hand-derived pytest golden
     # (test_kgquality).
     "kg_b3_eval",
+    # (parked r5ai, making room for doc_winnow): the plain k-gram
+    # fingerprint parks — in-window doc_winnow is its strict superset
+    # (same staged k-gram hash chain, plus the min-of-window selection);
+    # the staging discipline both share is also pinned by the
+    # lambda-trap regression tests.
+    "doc_fingerprint",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -194,3 +194,40 @@ def test_wl_refine_star_two_classes(spark):
                     iters=2).collect()
     classes = sorted((r["n_entities"], r["exemplar"]) for r in out)
     assert classes == [(1, "h"), (3, "a")]
+
+
+# --- winnow_fingerprints ----------------------------------------------------------
+
+def test_winnow_coverage_guarantee(spark):
+    # the winnowing guarantee: two docs sharing a run of >= w+k-1
+    # tokens share at least one fingerprint
+    from deepref_spark.operators.text_analysis import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+5-1
+    docs = spark.createDataFrame(
+        [(0, "xx yy " + shared), (1, shared + " pp qq rr")],
+        schema="doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, w=4).collect()
+    fps = {0: set(), 1: set()}
+    for r in out:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[0] & fps[1]  # guaranteed shared fingerprint
+
+
+def test_winnow_selects_sparse_subset_rightmost_ties(spark):
+    from deepref_spark.operators.text_analysis import winnow_fingerprints
+
+    # a 12-token doc: 8 5-gram hashes, 5 windows of 4 -> at most 5
+    # selected positions, and strictly fewer rows than the hash count
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l")],
+        schema="doc_id long, text string")
+    out = winnow_fingerprints(docs, k=5, w=4).collect()
+    assert 1 <= len(out) <= 5
+    assert all(1 <= r["pos"] <= 8 for r in out)
+    # identical repeated tokens: every hash equal -> rightmost tie-break
+    # means window i selects position i+w-1; distinct positions survive
+    rep = spark.createDataFrame([(1, "q q q q q q q q q q q q")],
+                                schema="doc_id long, text string")
+    rout = winnow_fingerprints(rep, k=5, w=4).collect()
+    assert sorted(r["pos"] for r in rout) == [4, 5, 6, 7, 8]
