@@ -141,6 +141,9 @@ HEADLINE = [
     "kg_train_split",
     "kg_lp_eval",
     "doc_winnow",
+    "kg_validity",
+    "kg_assortativity",
+    "text_langid_eval",
 ]
 
 

@@ -936,3 +936,84 @@ def wl_refine(edges: DataFrame, iters: int = 2) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_entities"),
         F.min("v").alias("exemplar"),
     )
+
+
+def validity_intervals(oplog: DataFrame) -> DataFrame:
+    """Bitemporal validity intervals from an assert/retract op log —
+    the interval complement of ``snapshot_at``'s point read: every
+    'assert' opens an interval [valid_from, valid_to) closed by the
+    next 'retract' on the same key (NULL valid_to = still live). A
+    same-timestamp assert+retract pair orders (ts, op) so the retract
+    follows and closes an empty interval — consistent with
+    snapshot_at's retract-wins-tie rule.
+
+    The window runs PER TRIPLE KEY over that key's op sequence —
+    bounded by the key's version count (short by contract: a triple's
+    edit history, not the corpus), so the sort inside each window is
+    tiny regardless of log size; the partition hash is the same
+    (s, p, o) shuffle every other triple groupBy uses.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("subj", "pred", "obj")
+        .orderBy("ts", "op")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    closed = oplog.withColumn(
+        "valid_to",
+        F.min(F.when(F.col("op") == "retract", F.col("ts"))).over(w),
+    )
+    return (
+        closed.where(F.col("op") == "assert")
+        .select("subj", "pred", "obj",
+                F.col("ts").cast("long").alias("valid_from"),
+                F.col("valid_to").cast("long").alias("valid_to"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge rows — one
+    number saying whether hubs attach to hubs (>0) or to leaves (<0),
+    the standard structural-health read next to the degree histogram.
+
+    All five moment sums ride DECIMAL(38,0) (exact integer arithmetic
+    in both engines — BIGINT would overflow silently at deg~1e6 hubs
+    since sxy sums deg^2 terms); the coefficient is a constant number
+    of double ops on the exact sums, rounded 6dp. One degree groupBy +
+    two label joins + one global agg.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    xy = (
+        und.join(deg.select(F.col("v").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("y")), "dst")
+    )
+    dec = "decimal(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        # cast BEFORE multiplying: a LONG product of two ~1e6 hub
+        # degrees is fine, but the discipline must survive 1e9 degrees
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_edge_rows"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("assortativity"),
+    )

@@ -5689,6 +5689,126 @@ def kg_train_split(spark, sf_dir):
     return train_split(_canon_spo(spark, sf_dir))
 
 
+_OPLOG_SQL = f"""
+, log AS (
+  SELECT subj, pred, obj,
+         CAST({md5_mod(_OPLOG_KEY, 700)} AS BIGINT) AS ts, 'assert' AS op
+  FROM trip
+  UNION ALL
+  SELECT subj, pred, obj,
+         CAST({md5_mod(_OPLOG_KEY, 700)} + 1 + {_OPLOG_DELTA} AS BIGINT) AS ts,
+         'retract' AS op
+  FROM trip WHERE {_OPLOG_RETRACT_GATE} = 0
+)"""
+
+
+def _derived_oplog(spark, sf_dir) -> DataFrame:
+    """The deterministic assert/retract op log over the canonical
+    triples — shared by kg_snapshot_at (point read) and kg_validity
+    (interval read)."""
+    spo = _canon_spo(spark, sf_dir).select(
+        F.col("subj_canon").alias("subj"), "pred",
+        F.col("obj_canon").alias("obj"))
+    asserts = spo.select(
+        "subj", "pred", "obj",
+        F.expr(md5_mod(_OPLOG_KEY, 700)).cast("long").alias("ts"),
+        F.lit("assert").alias("op"))
+    retracts = spo.where(F.expr(f"{_OPLOG_RETRACT_GATE} = 0")).select(
+        "subj", "pred", "obj",
+        (F.expr(md5_mod(_OPLOG_KEY, 700)) + 1 + F.expr(_OPLOG_DELTA))
+        .cast("long").alias("ts"),
+        F.lit("retract").alias("op"))
+    return asserts.union(retracts)
+
+
+@q("kg_validity", _trip_cte() + _OPLOG_SQL + """
+, iv AS (
+  SELECT subj, pred, obj, ts, op,
+         min(CASE WHEN op = 'retract' THEN ts END) OVER (
+           PARTITION BY subj, pred, obj ORDER BY ts, op
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS valid_to
+  FROM log
+)
+SELECT subj, pred, obj, CAST(ts AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to
+FROM iv WHERE op = 'assert'
+""")
+def kg_validity(spark, sf_dir):
+    """Bitemporal validity intervals (graph.validity_intervals) over
+    the same deterministic op log kg_snapshot_at reads at a point:
+    every assert opens [valid_from, valid_to), closed by the next
+    retract on its key (NULL = still live). The window runs per triple
+    key over that key's short version history, never the corpus."""
+    from deepref_spark.operators.graph import validity_intervals
+
+    return validity_intervals(_derived_oplog(spark, sf_dir))
+
+
+@q("kg_assortativity",
+   _oracle_prefix() + _graph_edges_cte() + """
+, und AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+xy AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM und u JOIN deg dx ON u.src = dx.v JOIN deg dy ON u.dst = dy.v
+),
+sums AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_edge_rows,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS assortativity
+FROM sums
+""")
+def kg_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (graph.degree_assortativity,
+    Newman 2002) over the canonical entity graph — do hubs attach to
+    hubs (>0) or to leaves (<0)? Moment sums ride DECIMAL(38,0)
+    (BIGINT would overflow silently on deg^2 terms at 1e6-degree
+    hubs); the coefficient is constant double ops on exact sums."""
+    from deepref_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_canonical_edges(spark, sf_dir))
+
+
+def _langid_eval_oracle() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle()})
+SELECT d.lang AS lang_gold, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
+@q("text_langid_eval", _langid_eval_oracle)
+def text_langid_eval(spark, sf_dir):
+    """Language-ID confusion counts: the marker-based lang_id
+    prediction against the documents table's gold ``lang`` column —
+    the eval loop for the curation lane's cheapest classifier (same
+    calibration discipline as the sketch/ANN evals). One join on
+    doc_id + one grouped count."""
+    from deepref_spark.operators.text_analysis import lang_id
+
+    docs = documents(spark, sf_dir)
+    preds = lang_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_gold"))
+        .join(preds.select("doc_id", "lang_pred"), "doc_id")
+        .groupBy("lang_gold", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def _winnow_oracle(k: int = 5, w: int = 4) -> str:
     from deepref_spark.portable import hex32
 
@@ -6173,6 +6293,15 @@ _WINDOW_TAIL = [
     # the staging discipline both share is also pinned by the
     # lambda-trap regression tests.
     "doc_fingerprint",
+    # (parked r5aj, making room for kg_validity + kg_assortativity +
+    # text_langid_eval): kg_snapshot_at parks — in-window kg_validity
+    # reads the IDENTICAL derived op log and the point read is a
+    # restriction of the interval read; text_lang_id parks — in-window
+    # text_langid_eval embeds the full lang_id oracle verbatim as its
+    # CTE and re-verifies every prediction against gold; retention
+    # parks with exact cohort pytest goldens (events keeps topk/
+    # rate_anomaly/heavy_hitters/hll_distinct in-window).
+    "kg_snapshot_at", "text_lang_id", "events_retention",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

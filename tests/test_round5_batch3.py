@@ -231,3 +231,50 @@ def test_winnow_selects_sparse_subset_rightmost_ties(spark):
                                 schema="doc_id long, text string")
     rout = winnow_fingerprints(rep, k=5, w=4).collect()
     assert sorted(r["pos"] for r in rout) == [4, 5, 6, 7, 8]
+
+
+# --- validity_intervals -----------------------------------------------------------
+
+def test_validity_intervals_pairing(spark):
+    from deepref_spark.operators.graph import validity_intervals
+
+    log = spark.createDataFrame(
+        [("a", "p", "b", 10, "assert"), ("a", "p", "b", 20, "retract"),
+         ("a", "p", "b", 30, "assert"),                      # re-asserted, live
+         ("c", "p", "d", 5, "assert")],                      # never retracted
+        schema="subj string, pred string, obj string, ts long, op string")
+    out = sorted(tuple(r) for r in validity_intervals(log).collect())
+    assert out == [("a", "p", "b", 10, 20), ("a", "p", "b", 30, None),
+                   ("c", "p", "d", 5, None)]
+
+
+def test_validity_same_ts_retract_closes_empty_interval(spark):
+    from deepref_spark.operators.graph import validity_intervals
+
+    log = spark.createDataFrame(
+        [("a", "p", "b", 7, "assert"), ("a", "p", "b", 7, "retract")],
+        schema="subj string, pred string, obj string, ts long, op string")
+    out = validity_intervals(log).collect()
+    assert [(r["valid_from"], r["valid_to"]) for r in out] == [(7, 7)]
+
+
+# --- degree_assortativity ---------------------------------------------------------
+
+def test_assortativity_star_is_negative(spark):
+    # star: hub(deg 3) pairs with leaves(deg 1) -> strongly disassortative
+    from deepref_spark.operators.graph import degree_assortativity
+
+    out = degree_assortativity(
+        _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")])).collect()[0]
+    assert out["n_edge_rows"] == 6
+    assert out["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_degenerate_zero(spark):
+    # 4-cycle: every degree 2 -> zero variance -> defined as 0.0
+    from deepref_spark.operators.graph import degree_assortativity
+
+    out = degree_assortativity(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    ).collect()[0]
+    assert out["assortativity"] == 0.0
