@@ -144,6 +144,7 @@ HEADLINE = [
     "kg_validity",
     "kg_assortativity",
     "text_langid_eval",
+    "kg_media_context",
 ]
 
 

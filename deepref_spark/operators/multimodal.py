@@ -250,3 +250,45 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     return media.select("doc_id", "span_idx", "media_ref").mapInPandas(
         run, schema=FRAMES_SCHEMA
     )
+
+
+def media_context(spans_df: DataFrame) -> DataFrame:
+    """Caption-candidate pairing over interleaved documents: for every
+    MEDIA span, the nearest preceding and following TEXT spans by
+    offset — the alignment read a multimodal training pipeline serves
+    (image+caption pairs from interleaved web documents, cf. the
+    interleaved-corpus format of Flamingo/OBELICS-style datasets).
+    Media spans flow through untouched (the north-rule invariant);
+    only their textual neighborhood is attached.
+
+    Input: (doc_id, spans array<struct<kind,text,media_ref,offset>>).
+    One explode + two IGNORE NULLS window functions PER DOCUMENT
+    (ordered by offset) — the window is bounded by the document's span
+    count, never the corpus; the shuffle key is doc_id, the same
+    distribution every per-doc stage uses.
+    """
+    from pyspark.sql import Window
+
+    ex = spans_df.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id", F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    w_prev = Window.partitionBy("doc_id").orderBy("offset") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.partitionBy("doc_id").orderBy("offset") \
+        .rowsBetween(1, Window.unboundedFollowing)
+    ctx = ex.withColumn(
+        "prev_text", F.last(txt, ignorenulls=True).over(w_prev)
+    ).withColumn(
+        "next_text", F.first(txt, ignorenulls=True).over(w_next)
+    )
+    return (
+        ctx.where(F.col("kind") == "media")
+        .select("doc_id", F.col("offset").cast("int").alias("offset"),
+                "media_ref", "prev_text", "next_text")
+    )

@@ -5809,6 +5809,51 @@ def text_langid_eval(spark, sf_dir):
     )
 
 
+_SPAN_STRUCTS_DUCK = """
+list_transform(generate_series(0, CAST(doc_id % 4 AS INT) + 2), i ->
+  CASE WHEN (doc_id + i) % 3 = 1
+    THEN struct_pack(kind := 'media', txt := '',
+                     media_ref := concat('media://blob/', doc_id, '/', i),
+                     off := i)
+    ELSE struct_pack(kind := 'text',
+                     txt := substr(text, CAST(1 + (doc_id * 7 + i * 13) % 40 AS INT), 24),
+                     media_ref := '', off := i)
+  END)
+"""
+
+
+@q("kg_media_context", f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_SPAN_STRUCTS_DUCK}) AS sp FROM documents
+),
+w AS (
+  SELECT doc_id, sp.kind AS kind, sp.media_ref AS media_ref,
+         sp.off AS off,
+         last_value(CASE WHEN sp.kind = 'text' THEN sp.txt END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY sp.off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_text,
+         first_value(CASE WHEN sp.kind = 'text' THEN sp.txt END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY sp.off
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_text
+  FROM ex
+)
+SELECT doc_id, CAST(off AS INT) AS offset, media_ref, prev_text, next_text
+FROM w WHERE kind = 'media'
+""")
+def kg_media_context(spark, sf_dir):
+    """Caption-candidate pairing for interleaved documents
+    (multimodal.media_context): each media span with its nearest
+    preceding/following text spans by offset — the image+caption
+    alignment read of an interleaved multimodal corpus. Same
+    deterministic span derivation as kg_span_integrity; the windows
+    run per document, bounded by its span count."""
+    from deepref_spark.operators.multimodal import media_context
+
+    spans = documents(spark, sf_dir).selectExpr(
+        "doc_id", f"{_SPAN_SEQ_SPARK} AS spans")
+    return media_context(spans)
+
+
 def _winnow_oracle(k: int = 5, w: int = 4) -> str:
     from deepref_spark.portable import hex32
 
@@ -6302,6 +6347,11 @@ _WINDOW_TAIL = [
     # parks with exact cohort pytest goldens (events keeps topk/
     # rate_anomaly/heavy_hitters/hll_distinct in-window).
     "kg_snapshot_at", "text_lang_id", "events_retention",
+    # (parked r5ak, making room for kg_media_context): the plain token
+    # count parks — its formula (len of the shared norm-tokens
+    # expression) is embedded verbatim in a dozen in-window oracles
+    # (quality, lm_score, dsir, zipf, quantiles, the curate flagship).
+    "text_token_count",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -278,3 +278,32 @@ def test_assortativity_regular_graph_degenerate_zero(spark):
         _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
     ).collect()[0]
     assert out["assortativity"] == 0.0
+
+
+# --- media_context ----------------------------------------------------------------
+
+def test_media_context_nearest_text_neighbors(spark):
+    from deepref_spark.operators.multimodal import media_context
+
+    spans = spark.createDataFrame(
+        [(1, [("text", "intro", "", 0),
+              ("media", "", "media://a", 1),
+              ("text", "caption", "", 2),
+              ("media", "", "media://b", 3)])],
+        schema="doc_id long, spans array<struct<kind string, text string, "
+               "media_ref string, offset int>>")
+    out = {r["media_ref"]: (r["prev_text"], r["next_text"])
+           for r in media_context(spans).collect()}
+    assert out == {"media://a": ("intro", "caption"),
+                   "media://b": ("caption", None)}
+
+
+def test_media_context_leading_media_has_no_prev(spark):
+    from deepref_spark.operators.multimodal import media_context
+
+    spans = spark.createDataFrame(
+        [(2, [("media", "", "media://x", 0), ("text", "after", "", 1)])],
+        schema="doc_id long, spans array<struct<kind string, text string, "
+               "media_ref string, offset int>>")
+    out = media_context(spans).collect()[0]
+    assert (out["prev_text"], out["next_text"]) == (None, "after")
