@@ -1,0 +1,68 @@
+"""Scan-level efficiency pins: predicate pushdown and column pruning
+must reach the parquet scan (the .explain checks a 100 TB deployment
+lives by, frozen as regression tests). A scan that reads all columns
+for a two-column projection, or filters after the scan, is a plan bug
+even when results stay correct."""
+
+import deepref_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scan_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_documents_filter_pushed_to_parquet_scan(spark):
+    df = Q.load_table(spark, SF, "documents").where("doc_id < 10") \
+        .select("doc_id")
+    plan = _scan_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(doc_id,10)" in plan.replace(" ", "").replace(
+        "LessThan(doc_id,10)", "LessThan(doc_id,10)")
+    # the pushed-filter list must not be empty
+    assert "PushedFilters: []" not in plan
+
+
+def test_documents_projection_prunes_columns(spark):
+    # a doc_id+text projection must NOT read lang/source/n_chars
+    df = Q.load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = _scan_plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    for col in ("lang", "source", "n_chars"):
+        assert col not in read_schema, f"unpruned column {col}: {read_schema}"
+
+
+def test_registry_query_prunes_unused_document_columns(spark):
+    # doc_winnow consumes only (doc_id, text): its parquet scan must
+    # not read the other three columns
+    plan = _scan_plan(Q.REGISTRY["doc_winnow"]["spark"](spark, SF))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for ln in scans:
+        rs = ln.split("ReadSchema:")[1]
+        assert "n_chars" not in rs and "lang" not in rs
+
+
+def test_events_filter_pushdown_on_type(spark):
+    df = Q.load_table(spark, SF, "events").where("event_type = 'click'") \
+        .select("event_id")
+    plan = _scan_plan(df)
+    assert "PushedFilters: []" not in plan
+    assert "EqualTo(event_type,click)" in plan.replace(" ", "")
+
+
+def test_path_query_pushes_bound_predicate_literals(spark):
+    # the 2-hop path query binds (p1, p2) as literal equality filters;
+    # they must appear as Filter conditions in the executed plan, not
+    # as a post-join predicate on the full triple set
+    plan = _scan_plan(Q.REGISTRY["kg_path_2hop"]["spark"](spark, SF))
+    flat = plan.replace(" ", "")
+    assert "p#" in flat or "pred" in flat  # sanity: plan mentions the col
+    # two single-predicate filters exist (one per hop side)
+    n_eq = flat.count("=member-collection") + flat.count("=entity-origin") \
+        + flat.count("=component-whole") + flat.count("=product-producer") \
+        + flat.count("=cause-effect")
+    assert n_eq >= 2, plan[:2000]
