@@ -582,7 +582,23 @@ def export_ntriples(triples: DataFrame,
     )
 
 
-def label_prop(edges: DataFrame, iters: int = 2) -> DataFrame:
+def sym_closure(edges: DataFrame) -> DataFrame:
+    """Distinct symmetric closure of a directed edge set, lazily
+    checkpointed — the shared `und` view label_prop / community_quality
+    / wl_refine / degree_assortativity all start from. Callers that
+    feed SEVERAL of those operators compute it ONCE and pass it via
+    their ``und=`` parameter instead of paying the distinct shuffle per
+    operator (kg_conductance does this)."""
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def label_prop(edges: DataFrame, iters: int = 2,
+               und: DataFrame | None = None) -> DataFrame:
     """Synchronous label-propagation communities over the undirected
     entity graph, ``iters`` fixed rounds: every node starts labeled
     with itself; each round it adopts the most frequent label among
@@ -600,12 +616,8 @@ def label_prop(edges: DataFrame, iters: int = 2) -> DataFrame:
     localCheckpoint'ed (the linking.py iteration discipline — without
     it round k re-plans and re-runs rounds 1..k-1).
     """
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if und is None:
+        und = sym_closure(edges)
     labels = (
         und.select(F.col("src").alias("v")).distinct()
         .withColumn("lbl", F.col("v"))
@@ -729,7 +741,8 @@ def transe_energy(triples: DataFrame,
     )
 
 
-def community_quality(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def community_quality(edges: DataFrame, labels: DataFrame,
+                      und: DataFrame | None = None) -> DataFrame:
     """Per-community quality profile (conductance) for a community
     assignment ``labels`` (entity, community) over the directed edge
     set — the acceptance gate a KG curator runs on label_prop output
@@ -748,12 +761,8 @@ def community_quality(edges: DataFrame, labels: DataFrame) -> DataFrame:
     row broadcasts. conductance_ppm is floor-divided on BIGINTs — no
     double appears until nothing is left to aggregate.
     """
-    und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds the tag join and total_vol once
-    )
+    if und is None:
+        und = sym_closure(edges)  # feeds the tag join and total_vol once
     lab_s = labels.select(F.col("entity").alias("src"), F.col("community").alias("c_src"))
     lab_d = labels.select(F.col("entity").alias("dst"), F.col("community").alias("c_dst"))
     tagged = und.join(lab_s, "src").join(lab_d, "dst")

@@ -5293,10 +5293,14 @@ def kg_conductance(spark, sf_dir):
     runs on kg_communities output before merging duplicate-entity
     neighborhoods. BIGINT volumes/cuts, ppm floor-divided conductance;
     the total-volume row broadcasts."""
-    from deepref_spark.operators.graph import community_quality, label_prop
+    from deepref_spark.operators.graph import (
+        community_quality, label_prop, sym_closure,
+    )
 
-    edges = _canonical_edges(spark, sf_dir)
-    return community_quality(edges, label_prop(edges, iters=2))
+    edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = sym_closure(edges)  # ONE closure shuffle feeds LPA and the profile
+    return community_quality(
+        edges, label_prop(edges, iters=2, und=und), und=und)
 
 
 @q("kg_type_induction", _trip_cte() + """

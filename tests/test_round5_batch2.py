@@ -335,3 +335,22 @@ def test_lp_rank_eval_rank_one_when_only_candidate(spark):
     out = lp_rank_eval(t).collect()[0]
     assert out["sum_rank"] >= out["n_test"]
     assert out["sum_rank"] <= out["n_test"] * 3
+
+
+# --- sym_closure sharing ----------------------------------------------------------
+
+def test_shared_closure_matches_default_paths(spark):
+    from deepref_spark.operators.graph import (
+        community_quality, label_prop, sym_closure,
+    )
+
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")])
+    und = sym_closure(edges)
+    lbl_default = {tuple(r) for r in label_prop(edges, iters=2).collect()}
+    lbl_shared = {tuple(r) for r in label_prop(edges, iters=2, und=und).collect()}
+    assert lbl_default == lbl_shared
+    labels = label_prop(edges, iters=2, und=und)
+    cq_default = {tuple(r) for r in community_quality(edges, labels).collect()}
+    cq_shared = {tuple(r) for r in
+                 community_quality(edges, labels, und=und).collect()}
+    assert cq_default == cq_shared
