@@ -372,8 +372,12 @@ def popcount(expr: str, d: str) -> str:
 
 
 def idiv(a: str, b: str, d: str) -> str:
-    """BIGINT floor division, dialect-aware: Spark spells it ``div``,
-    DuckDB ``//`` (plain ``/`` is double division in both)."""
+    """BIGINT integer division, dialect-aware: Spark spells it ``div``,
+    DuckDB ``//`` (plain ``/`` is double division in both). Both
+    engines TRUNCATE TOWARD ZERO on negative operands (pinned by the
+    hypothesis suite) — cross-engine consistent, but NOT Python's
+    floor; every grid in this repo divides non-negative quantities,
+    where the two coincide."""
     return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
 
 
@@ -401,8 +405,12 @@ def noisy_or_ppm_expr(ps: list, d: str) -> str:
     back to the ppm grid after every multiply, so the intermediate
     never exceeds 1e12 (BIGINT-safe for any number of extractors) and
     the result is bit-identical across engines and aggregation orders.
-    ``ps`` are ppm integer expressions in [0, 1e6)."""
-    acc = f"(1000000 - {ps[0]})"
+    ``ps`` are ppm integer expressions in [0, 1e6). Every complement
+    term is CAST to BIGINT before multiplying: with INT32 inputs (e.g.
+    plain DuckDB literals) the raw (1e6 - p) * (1e6 - p) product
+    overflows 32 bits — found by the hypothesis property suite."""
+    acc = f"CAST((1000000 - {ps[0]}) AS BIGINT)"
     for p in ps[1:]:
-        acc = idiv(f"({acc} * (1000000 - {p}))", "1000000", d)
+        acc = idiv(
+            f"({acc} * CAST((1000000 - {p}) AS BIGINT))", "1000000", d)
     return f"CAST((1000000 - {acc}) AS BIGINT)"
