@@ -145,6 +145,7 @@ HEADLINE = [
     "kg_assortativity",
     "text_langid_eval",
     "kg_media_context",
+    "events_hll_stream",
 ]
 
 

@@ -6002,6 +6002,53 @@ FROM pt JOIN ex USING (event_type)
 """
 
 
+def _hll_stream_oracle(m: int = 64) -> str:
+    # the streamed register fold must equal the batch sketch exactly
+    # (max is commutative/associative/idempotent), so its oracle is the
+    # batch oracle minus the exact-distinct calibration column
+    full = _hll_oracle(m)
+    head, _, _ = full.rpartition("SELECT")
+    return head + """SELECT pt.event_type, pt.n_regs,
+       round({num} / CAST(pt.s_present + ({m} - pt.n_regs) * {two33} AS DOUBLE), 2)
+         AS hll_estimate
+FROM pt
+""".format(num=repr((0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 33)),
+           m=m, two33=1 << 33)
+
+
+@q("events_hll_stream", _hll_stream_oracle)
+def events_hll_stream(spark, sf_dir):
+    """The STREAMED HLL register fold, hash-verified against the batch
+    DuckDB oracle: the sf events table is re-played as a 2-file
+    Structured Streaming source through stream_ops.hll_stream's
+    foreachBatch max-merge, and the resulting persistent registers are
+    read back into the estimate. Because register max is commutative,
+    associative and idempotent, ANY batch split folds to the batch
+    sketch exactly — so this streaming query carries a full SQL oracle,
+    not just a rows-only check."""
+    import tempfile
+
+    from deepref_spark.streaming.stream_ops import (
+        hll_estimate_from_registers, hll_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="hll_stream_q_")
+    src = f"{work}/src"
+    # two files -> at least two micro-batches under maxFilesPerTrigger=1
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    regs, ckpt = f"{work}/regs", f"{work}/ckpt"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    qy = hll_stream(stream, regs, ckpt)
+    qy.processAllAvailable()
+    qy.stop()
+    return hll_estimate_from_registers(spark.read.parquet(regs))
+
+
 @q("events_hll_distinct", _hll_oracle)
 def events_hll_distinct(spark, sf_dir):
     """HLL-style distinct-user estimate per event type next to the
@@ -6356,6 +6403,18 @@ _WINDOW_TAIL = [
     # expression) is embedded verbatim in a dozen in-window oracles
     # (quality, lm_score, dsir, zipf, quantiles, the curate flagship).
     "text_token_count",
+    # (parked r5al, restoring dedup_mh_calibration / emb_recall_eval /
+    # kg_wl_colors / events_hll_distinct to the window after the last
+    # registrations pushed them past slot 50): four stable
+    # first-sitting queries park, each leaving a family rep in-window —
+    # tfidf's term-weighting family keeps text_zipf + text_bpe_pairs;
+    # events_topk leaves rate_anomaly/heavy_hitters/user_growth/
+    # hll_stream; the discovery-curve and pred-alignment diagnostics
+    # leave kg_cc_stats/kg_blocking_quality and the composed
+    # kg_maintenance_report (which re-verifies the symmetry/overlap
+    # fragment family every sweep).
+    "text_tfidf_topk", "events_topk", "kg_discovery_curve",
+    "kg_pred_alignment",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -234,3 +234,91 @@ def kg_ingest_stream(docs_stream: DataFrame, snapshot_dir: str,
         .foreachBatch(_merge_batch)
         .start()
     )
+
+
+def hll_stream(events_stream: DataFrame, registers_dir: str,
+               checkpoint_dir: str, m: int = 64,
+               key_col: str = "user_id", type_col: str = "event_type",
+               query_name: str = "hll_stream"):
+    """Continuous distinct-count sketching: per micro-batch, build the
+    batch's HLL register table (events.hll_distinct's grid) and MERGE
+    it into a persistent register snapshot by per-cell MAX — the
+    mergeability that makes HLL the canonical streaming cardinality
+    sketch: max() is commutative, associative and idempotent, so ANY
+    batch split of the stream folds to the SAME registers as one batch
+    over the union (pinned by the stream-vs-batch equality test).
+    foreachBatch for the same reason as kg_ingest_stream: the merge is
+    a keyed upsert, not an append.
+
+    State is depth-bounded: the register snapshot holds at most
+    m cells PER EVENT TYPE regardless of stream length — the
+    fixed-size mergeable state a 100 TB deployment keeps per key
+    instead of a distinct set.
+    """
+    from deepref_spark.portable import hex32, md5_mod
+
+    def _batch_registers(batch_df: DataFrame) -> DataFrame:
+        staged = batch_df.select(
+            F.col(type_col).alias("event_type"),
+            F.expr(f"md5(concat('hll|', CAST({key_col} AS STRING)))").alias("h"),
+        ).select(
+            "event_type",
+            F.expr(md5_mod("h", m)).cast("int").alias("bucket"),
+            F.expr(hex32("h", 8, "spark")).alias("v"),
+        )
+        return (
+            staged.select(
+                "event_type", "bucket",
+                F.expr("CASE WHEN v = 0 THEN 33 "
+                       "ELSE 33 - length(bin(v)) END").cast("int").alias("r"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("mr"))
+        )
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        incoming = _batch_registers(batch_df)
+        try:
+            existing = spark.read.parquet(registers_dir).select(
+                "event_type", "bucket", "mr")
+        except Exception:
+            existing = spark.createDataFrame(
+                [], "event_type string, bucket int, mr int")
+        merged = (
+            existing.unionByName(incoming)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("mr").cast("int").alias("mr"))
+            .localCheckpoint(eager=True)  # never read+overwrite in one plan
+        )
+        merged.write.mode("overwrite").parquet(registers_dir)
+
+    return (
+        events_stream.writeStream
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_merge_batch)
+        .start()
+    )
+
+
+def hll_estimate_from_registers(registers: DataFrame, m: int = 64) -> DataFrame:
+    """(event_type, n_regs, hll_estimate) from a register snapshot —
+    the read side of hll_stream, same exact dyadic BIGINT grid and
+    bias constant as events.hll_distinct so a streamed register table
+    and a batch run over the same rows estimate IDENTICALLY."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two33 = 1 << 33
+    per_type = registers.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(pow(2, 33 - mr) AS BIGINT)")).cast("long").alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    return per_type.select(
+        "event_type", "n_regs",
+        F.round(
+            F.lit(alpha * m * m * float(two33))
+            / (F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(two33))
+            .cast("double"), 2,
+        ).alias("hll_estimate"),
+    )

@@ -4,6 +4,7 @@ personalized PageRank, the bound-predicate 2-hop path query, DSIR
 importance scores, and MinHash-vs-exact Jaccard calibration."""
 
 import pytest
+import pyspark.sql.functions as F
 
 from deepref_spark.operators.dedup import (
     minhash_calibration, minhash_signature,
@@ -307,3 +308,56 @@ def test_media_context_leading_media_has_no_prev(spark):
                "media_ref string, offset int>>")
     out = media_context(spans).collect()[0]
     assert (out["prev_text"], out["next_text"]) == (None, "after")
+
+
+# --- hll_stream -------------------------------------------------------------------
+
+def test_hll_stream_registers_equal_batch_run(spark, tmp_path):
+    """Streamed HLL register merge (stream_ops.hll_stream): a 2-file
+    event stream folded through foreachBatch max-merge must produce
+    EXACTLY the registers (and therefore the estimate) of one batch
+    hll_distinct over the union — the mergeability contract of the
+    sketch."""
+    import os
+    import shutil
+
+    from deepref_spark.operators.events import hll_distinct
+    from deepref_spark.streaming.stream_ops import (
+        hll_estimate_from_registers, hll_stream,
+    )
+
+    rows = [(i, (i * 13) % 150, "click" if i % 3 else "view")
+            for i in range(300)]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, event_type string")
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300)]):
+        part_dir = tmp_path / f"part{i}"
+        ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)) \
+            .coalesce(1).write.parquet(str(part_dir))
+        pf = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = src / f"{i}.parquet"
+        shutil.copy(part_dir / pf, dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    regs_dir = str(tmp_path / "regs")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = hll_stream(stream, regs_dir, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    streamed_est = {
+        (r["event_type"], r["n_regs"], r["hll_estimate"])
+        for r in hll_estimate_from_registers(
+            spark.read.parquet(regs_dir)).collect()
+    }
+    batch_est = {
+        (r["event_type"], r["n_regs"], r["hll_estimate"])
+        for r in hll_distinct(ev).select(
+            "event_type", "n_regs", "hll_estimate").collect()
+    }
+    assert streamed_est == batch_est
