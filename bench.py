@@ -146,6 +146,7 @@ HEADLINE = [
     "text_langid_eval",
     "kg_media_context",
     "events_hll_stream",
+    "kg_incremental_cc",
 ]
 
 

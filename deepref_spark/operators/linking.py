@@ -282,3 +282,51 @@ def size_gated_broadcast(df: DataFrame, conf_key: str = "deepref.broadcast.max_e
     if n <= limit:
         return F.broadcast(df), n
     return df, n
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           max_iter: int = 20) -> DataFrame:
+    """Incremental connected-components maintenance: fold a NEW batch
+    of undirected edges into an EXISTING (entity, component) labelling
+    WITHOUT re-running CC over the full edge history — the continuous-
+    ingest complement of connected_components, the same role
+    dedup.incremental_dedup plays for the keep-map.
+
+    The union graph's components equal the components of the CONTRACTED
+    graph: collapse every existing component to its label, rewrite each
+    new edge endpoint to its component label (entities unseen so far
+    keep their own name — singleton components), and solve CC on that
+    contracted edge set. The contracted graph is bounded by the NEW
+    batch size (one edge per new edge), never the accumulated history;
+    the rewrite is two hash joins against the label table — the same
+    keyed lookup an ingest pipeline already pays. Expansion back is one
+    join of the old labelling onto the contracted result. Equality with
+    full-history CC is pinned by test (and follows from contraction
+    preserving connectivity).
+    """
+    labels = labels.localCheckpoint(eager=False)  # rewrite + expansion
+    la = labels.select(F.col("entity").alias("a"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("entity").alias("b"), F.col("component").alias("cb"))
+    contracted = (
+        new_edges.select("a", "b")
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .join(la, "a", "left").join(lb, "b", "left")
+        .select(F.coalesce("ca", F.col("a")).alias("a"),
+                F.coalesce("cb", F.col("b")).alias("b"))
+    )
+    merged = connected_components(contracted, max_iter=max_iter)
+    # expand: every old member follows its old component's new label;
+    # old components untouched by the batch keep their label (left join)
+    old = (
+        labels.join(
+            merged.select(F.col("entity").alias("component"),
+                          F.col("component").alias("new_c")),
+            "component", "left")
+        .select("entity", F.coalesce("new_c", F.col("component")).alias("component"))
+    )
+    # new entities first seen in this batch (not in the old labelling)
+    new_only = (
+        merged.join(labels.select(F.col("entity")), "entity", "left_anti")
+        .select("entity", "component")
+    )
+    return old.union(new_only)

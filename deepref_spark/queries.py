@@ -6002,6 +6002,48 @@ FROM pt JOIN ex USING (event_type)
 """
 
 
+@q("kg_incremental_cc", lambda: oracle_sql_for("kg_connected_components"))
+def kg_incremental_cc(spark, sf_dir):
+    """Incremental connected-components maintenance, hash-verified
+    against the FULL recompute (linking.incremental_components): the
+    LSH-candidate edge set splits by an md5 gate into an 'accumulated
+    history' (~2/3, solved once into a base labelling) and a 'new
+    batch' (~1/3, folded in via the contracted graph — bounded by the
+    batch size, never the history). The oracle is literally
+    kg_connected_components' recursive-CTE oracle over ALL edges: the
+    incremental fold must equal the full recompute exactly."""
+    from deepref_spark.operators import linking
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sigs AND the final left join
+    )
+    sigs = ents.selectExpr(
+        "entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    edges = a.join(b, cond).select(
+        F.col("a.entity").alias("a"), F.col("b.entity").alias("b"),
+    ).localCheckpoint(eager=False)  # feeds both splits once
+    gate = F.expr(md5_mod("concat(a, '~', b)", 3))
+    existing, batch = edges.where(gate != 0), edges.where(gate == 0)
+    base = linking.connected_components(existing)
+    inc = linking.incremental_components(base, batch)
+    return (
+        ents.join(inc, "entity", "left")
+        .select("entity",
+                F.coalesce("component", F.col("entity")).alias("component"))
+    )
+
+
 def _hll_stream_oracle(m: int = 64) -> str:
     # the streamed register fold must equal the batch sketch exactly
     # (max is commutative/associative/idempotent), so its oracle is the
@@ -6415,6 +6457,13 @@ _WINDOW_TAIL = [
     # fragment family every sweep).
     "text_tfidf_topk", "events_topk", "kg_discovery_curve",
     "kg_pred_alignment",
+    # (parked r5am, making room for kg_incremental_cc): the CC
+    # component-size diagnostic parks — in-window kg_incremental_cc's
+    # oracle IS the full kg_connected_components recursive-CTE
+    # recompute over the identical edge derivation, so the CC formula
+    # stays under the driver hash gate; cc_stats keeps its rollup
+    # pytest coverage.
+    "kg_cc_stats",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

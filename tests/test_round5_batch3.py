@@ -361,3 +361,50 @@ def test_hll_stream_registers_equal_batch_run(spark, tmp_path):
             "event_type", "n_regs", "hll_estimate").collect()
     }
     assert streamed_est == batch_est
+
+
+# --- incremental_components ---------------------------------------------------------
+
+def test_incremental_cc_bridges_and_new_entities(spark):
+    from deepref_spark.operators.linking import (
+        connected_components, incremental_components,
+    )
+
+    # history: {a,b} and {c,d} as two components
+    hist = spark.createDataFrame([("a", "b"), ("c", "d")], "a string, b string")
+    labels = connected_components(hist)
+    # batch: bridge b-c (merging both) + brand-new pair x-y
+    batch = spark.createDataFrame([("b", "c"), ("x", "y")], "a string, b string")
+    got = {r["entity"]: r["component"]
+           for r in incremental_components(labels, batch).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    from deepref_spark.operators.linking import (
+        connected_components, incremental_components,
+    )
+
+    rows = [(f"e{i}", f"e{(i * 3 + 1) % 17}") for i in range(17)]
+    full = spark.createDataFrame(rows, "a string, b string")
+    hist = full.where("a < b")        # arbitrary split
+    batch = full.where("a >= b")
+    inc = incremental_components(connected_components(hist), batch)
+    want = {tuple(r) for r in connected_components(full).collect()}
+    got = {tuple(r) for r in inc.collect()}
+    assert got == want
+
+
+def test_incremental_cc_untouched_components_keep_labels(spark):
+    from deepref_spark.operators.linking import (
+        connected_components, incremental_components,
+    )
+
+    hist = spark.createDataFrame([("p", "q"), ("r", "s")], "a string, b string")
+    labels = connected_components(hist)
+    batch = spark.createDataFrame([("z1", "z2")], "a string, b string")
+    got = {r["entity"]: r["component"]
+           for r in incremental_components(labels, batch).collect()}
+    assert got["p"] == got["q"] == "p"
+    assert got["r"] == got["s"] == "r"
+    assert got["z1"] == got["z2"] == "z1"
