@@ -147,6 +147,10 @@ HEADLINE = [
     "kg_media_context",
     "events_hll_stream",
     "kg_incremental_cc",
+    "text_bm25_topk",
+    "kg_ktruss",
+    "kg_bfs_dist",
+    "kg_random_walks",
 ]
 
 

@@ -24,7 +24,9 @@ and can flip a 6dp rounding between engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+
+from deepref_spark import portable
 
 # one pagerank point = 1e-9: BIGINT headroom is ~9.2e18 units, so the
 # grid supports total graph mass up to ~9.2e9 full points. At a
@@ -1026,3 +1028,216 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)), 6,
         ).alias("assortativity"),
     )
+
+
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """k-truss decomposition membership: iteratively drop undirected
+    edges whose triangle support (count of common neighbors) is below
+    k-2 until fixpoint; return the surviving edges as (e1, e2, support)
+    with e1 < e2 and the support measured in the FINAL truss — the
+    cohesive relation backbone a 100 TB KG run feeds to downstream
+    community/ER passes (a strictly stronger filter than k-core:
+    every edge, not just every node, must sit in k-2 triangles).
+
+    Per-round support reuses triangle_counts' degree-ordered
+    orientation: wedges are enumerated at each edge's low-(degree,name)
+    endpoint, so hub nodes never expand their own neighbor pairs and
+    the wedge self-join stays bounded by sum-of-min-degree — the only
+    shape that survives skewed entity graphs at scale. Each round's
+    survivor set is eagerly localCheckpoint'ed (the connected-components
+    discipline) so round r+1 plans against materialized edges; the
+    convergence probe is one bounded isEmpty per round. Raises if
+    ``max_rounds`` is hit before fixpoint so a truncated decomposition
+    is never silently reported (the oracle unrolls a fixed round count;
+    rounds past fixpoint are no-ops on both sides).
+    """
+    surv = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sup = _edge_support(surv).localCheckpoint()
+        dropped = sup.where(F.col("support") < k - 2)
+        if dropped.isEmpty():
+            return sup.select(
+                F.col("a").alias("e1"), F.col("b").alias("e2"),
+                F.col("support").cast("long").alias("support"),
+            )
+        surv = (
+            sup.where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"ktruss(k={k}) did not converge in {max_rounds} rounds")
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support |N(a) ∩ N(b)| over an undirected
+    distinct edge set (a < b), via degree-ordered oriented wedges so
+    each triangle is found once and charged to all three of its edges.
+    Returns (a, b, support) for EVERY input edge (support 0 kept)."""
+    dg = (
+        _und_adj(und).groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    j = (
+        und.join(dg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(dg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=False)  # wedge sides + closure probe
+    tri = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .where(F.col("e1.dst") < F.col("e2.dst"))
+        .select(F.col("e1.src").alias("x"),
+                F.col("e1.dst").alias("y"),
+                F.col("e2.dst").alias("z"))
+        .join(o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+              .unionAll(o.select(F.col("dst").alias("y"), F.col("src").alias("z"))),
+              ["y", "z"])
+    )
+    # each triangle (x,y,z) supports its three undirected edges
+    tri_edges = (
+        tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .unionAll(tri.select(F.least("x", "z").alias("a"),
+                             F.greatest("x", "z").alias("b")))
+        .unionAll(tri.select(F.least("y", "z").alias("a"),
+                             F.greatest("y", "z").alias("b")))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        und.join(tri_edges, ["a", "b"], "left")
+        .select("a", "b",
+                F.coalesce(F.col("support"), F.lit(0)).cast("long")
+                .alias("support"))
+    )
+
+
+def bfs_distances(edges: DataFrame, n_seeds: int = 3,
+                  max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS over the undirected view: hop distance from
+    every reachable entity to its NEAREST seed, seeds being the
+    ``n_seeds`` (md5(entity), entity)-smallest nodes — the
+    deterministic stand-in for a curated seed list. Returns
+    (entity, dist) for nodes within ``max_hops``; unreached nodes are
+    absent (distance-to-seed is the standard KG-neighborhood scoping
+    primitive: restrict an expensive pass to the k-hop ball around
+    entities of interest before running it corpus-wide).
+
+    Frontier-style iteration: each hop expands ONLY the newly-reached
+    frontier through the symmetric adjacency and anti-joins the known
+    set — per-round work is proportional to the frontier's edge
+    boundary, not the reached set (the relax-everything variant
+    re-expands the whole ball every round and is quadratic on small-
+    diameter graphs). Frontier + known are eagerly localCheckpoint'ed
+    per round; one bounded isEmpty probe per round for early exit.
+    """
+    sym = _und_adj(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint()
+    nodes = sym.select(F.col("v").alias("entity")).distinct()
+    seeds = (
+        nodes.orderBy(F.md5(F.col("entity")), F.col("entity"))
+        .limit(n_seeds)
+    )
+    known = seeds.select("entity", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["entity"] == sym["v"])
+            .select(F.col("nbr").alias("entity"))
+            .distinct()
+            .join(known.select("entity"), "entity", "left_anti")
+            .select("entity", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        known = known.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return known.select("entity", F.col("dist").cast("int").alias("dist"))
+
+
+# walk-corpus defaults: enough to exercise mid-walk dead-end handling
+# at every SF while keeping the output a small multiple of node count
+WALKS_PER_NODE = 2
+WALK_LEN = 3
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = WALKS_PER_NODE,
+                 walk_len: int = WALK_LEN) -> DataFrame:
+    """DeepWalk-style walk corpus over the DIRECTED edge set: from
+    every node, ``walks_per_node`` deterministic walks of up to
+    ``walk_len`` steps; returns (walk_id, step, entity) rows — the
+    training-sequence table a KG-embedding run (node2vec/DeepWalk)
+    consumes. Walks stop early at out-degree-0 nodes.
+
+    Determinism without RNG state: the out-neighbors of each node are
+    ranked once by (md5(dst), dst), and step s of walk w picks rank
+    md5_int(walk_id || '|' || s) % out_deg — a pure column expression,
+    so the same corpus is produced under any partitioning AND by the
+    SQL oracle (seeded samplers are partition-order dependent; hash
+    choosers are the distributed-reproducibility discipline used
+    across this repo). Per-step work is ONE equi-join of the frontier
+    against the ranked adjacency on (node, rank) — no per-row Python,
+    no grouped collect of neighbor lists; the ranked adjacency is
+    checkpointed once and reused by all steps. walk_len is a literal
+    loop bound (plans stay walk_len-deep, no convergence probe
+    needed); frontiers are eagerly checkpointed so step s+1 plans
+    against materialized rows.
+    """
+    adj = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            "src", "dst",
+            (F.row_number().over(
+                Window.partitionBy("src").orderBy(F.md5(F.col("dst")), F.col("dst"))
+            ) - 1).alias("rnk"),
+        )
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .unionAll(edges.select(F.col("dst").alias("entity")))
+        .where(F.col("entity").isNotNull())
+        .distinct()
+    )
+    starts = nodes.select(
+        F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)])).alias("w"),
+        "entity",
+    ).select(
+        F.concat(F.col("entity"), F.lit("#"), F.col("w").cast("string"))
+        .alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("entity"),
+    )
+    out = starts.localCheckpoint()
+    frontier = out
+    for s in range(1, walk_len + 1):
+        pick = F.expr(
+            portable.md5_int(f"concat(walk_id, '|', '{s}')")
+        ) % F.col("out_deg")
+        nxt = (
+            frontier.join(deg, frontier["entity"] == deg["src"])
+            .select("walk_id", pick.alias("pick"), F.col("entity").alias("cur"))
+            .join(adj, (F.col("cur") == adj["src"]) & (F.col("pick") == adj["rnk"]))
+            .select("walk_id", F.lit(s).alias("step"), F.col("dst").alias("entity"))
+            .localCheckpoint()
+        )
+        out = out.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return out.select("walk_id", F.col("step").cast("int").alias("step"), "entity")

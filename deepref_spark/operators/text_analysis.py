@@ -1394,3 +1394,107 @@ def winnow_fingerprints(documents: DataFrame, k: int = 5, w: int = 4) -> DataFra
                    F.col("s.fp").cast("long").alias("fp"))
         .distinct()
     )
+
+
+# default BM25 retrieval benchmark queries over the synthetic corpus
+# vocabulary — literal (query_id, text) pairs so both engines embed the
+# identical term sets as plan constants
+BM25_QUERIES = (
+    ("q1", "spark join filter"),
+    ("q2", "window merge sort"),
+    ("q3", "fast table scan customer"),
+)
+# k1 = 1.2, b = 0.75 as exact rationals: score term
+#   idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+# with avgdl = TL/N multiplied through by 10*TL becomes the all-integer
+#   idf_x1e6 * 22*tf*TL // (10*tf*TL + 3*TL + 9*dl*N)
+# (numerators below; see bm25_topk for the overflow budget)
+
+
+def bm25_topk(documents: DataFrame, queries=BM25_QUERIES,
+              k: int = 5, min_should_match: int = 1) -> DataFrame:
+    """Per-query BM25 top-k document retrieval (Robertson/Sparck Jones
+    idf, k1=1.2, b=0.75) — the relevance-ranking primitive a curation
+    pipeline uses for targeted corpus slicing (pull the top documents
+    for each probe query before an expensive human/model review pass).
+    Returns (query_id, rank, doc_id, n_hit_terms, score).
+
+    Exact-integer discipline: idf is quantized once per term to
+    round(ln((N-df+0.5)/(df+0.5)+1)*1e6) BIGINT, and the per-(doc,term)
+    contribution is the floor-divided micro-score
+    idf_x1e6*22*tf*TL // (10*tf*TL + 3*TL + 9*dl*N) — k1/b multiplied
+    through by 10*TL so the denominator is integral. Per-doc totals
+    are BIGINT sums (aggregation-order independent), the top-k
+    row_number orders on (total DESC, doc_id) with no float ties, and
+    the one double division (score = total/1e6) happens after ranking.
+    Overflow budget: idf_x1e6 ≤ ~21e6 (ln caps near e^?·N), so the
+    numerator stays under 2^63 while tf·TL < ~2e13 — beyond that
+    (≳10^12 corpus tokens) coarsen the grid to x1e3 or compute the
+    contribution in DOUBLE and drop the oracle to rows-only.
+
+    Scale shape: tokenize once behind a checkpoint barrier, ONE
+    corpus-sized (doc,term) grouped count semi-joined down to query
+    terms immediately (the df/dl/N/TL statistics are computed on the
+    full corpus, but the scoring join only ever carries query-term
+    postings), query terms broadcast, totals one grouped sum bounded
+    by n_queries × corpus hits, and the ranking window partitions by
+    query_id over ≤ hit-count rows."""
+    qterms = [
+        (qid, t)
+        for qid, text in queries
+        for t in sorted(set(portable.norm_tokens_py(text)))
+    ]
+    spark = documents.sparkSession
+    qt = F.broadcast(spark.createDataFrame(qterms, "query_id string, term string"))
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # tokenize once for tf AND dl
+    tf = (
+        staged.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df stats AND scoring join
+    )
+    dl = staged.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = F.broadcast(
+        dl.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("dl").alias("tl"))
+    )  # one row
+    dfreq = (
+        tf.join(qt.select("term").distinct(), "term", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+        .crossJoin(corpus)
+        .select(
+            "term",
+            F.round(F.log(
+                (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+                / (F.col("df_docs") + F.lit(0.5)) + F.lit(1.0)
+            ) * 1e6).cast("long").alias("idf_x1e6"),
+        )
+    )
+    hits = (
+        qt.join(tf, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(corpus)
+        .select(
+            "query_id", "doc_id",
+            F.expr(portable.idiv(
+                "(idf_x1e6 * 22 * tf * tl)",
+                "(10 * tf * tl + 3 * tl + 9 * dl * n_docs)", SPARK,
+            )).alias("micro"),
+        )
+    )
+    totals = hits.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        F.sum("micro").cast("long").alias("total"),
+    ).where(F.col("n_hit_terms") >= min_should_match)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("total").desc(), F.col("doc_id").asc())
+    return (
+        totals.select(
+            "query_id", F.row_number().over(w).alias("rank"),
+            "doc_id", "n_hit_terms",
+            F.round(F.col("total") / 1e6, 6).alias("score"),
+        )
+        .where(F.col("rank") <= k)
+    )

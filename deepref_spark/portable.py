@@ -85,6 +85,19 @@ def md5_mod(expr: str, m: int) -> str:
     )
 
 
+def md5_int(expr: str) -> str:
+    """Deterministic cross-engine hash of a string expression into a
+    small non-negative integer (< ~1.43e7) WITHOUT a modulus — for
+    callers that reduce modulo a per-row COLUMN (e.g. the random-walk
+    step chooser's `md5_int(key) % out_deg`), where md5_mod's literal
+    modulus can't apply. Same ascii-combination as md5_mod."""
+    h = f"md5({expr})"
+    return (
+        f"(ascii(substr({h},1,1))*131071 + ascii(substr({h},2,1))*8191 "
+        f"+ ascii(substr({h},3,1))*127 + ascii(substr({h},4,1)))"
+    )
+
+
 def md5_unit(expr: str) -> str:
     """Deterministic cross-engine pseudo-uniform double in [0,1).
 

@@ -6197,6 +6197,201 @@ def dedup_mh_calibration(spark, sf_dir):
     return minhash_calibration(documents(spark, sf_dir).select("doc_id", "text"))
 
 
+# --- Round-5 batch: BM25 retrieval, k-truss, BFS scoping, walk corpus ------
+
+def _bm25_oracle() -> str:
+    from deepref_spark.operators.text_analysis import BM25_QUERIES
+
+    pairs = [
+        (qid, t)
+        for qid, text in BM25_QUERIES
+        for t in sorted(set(portable.norm_tokens_py(text)))
+    ]
+    values = ", ".join(f"('{qid}', '{t}')" for qid, t in pairs)
+    return f"""
+WITH qt AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+btok AS (SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents),
+btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM btok GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS dl FROM documents),
+bcorpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS tl FROM bdl),
+bdf AS (
+  SELECT term,
+         CAST(round(ln((n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0)
+                    * 1e6) AS BIGINT) AS idf_x1e6
+  FROM btf, bcorpus
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY term, n_docs
+),
+bhits AS (
+  SELECT q.query_id, t.doc_id,
+         (f.idf_x1e6 * 22 * t.tf * c.tl)
+           // (10 * t.tf * c.tl + 3 * c.tl + 9 * d.dl * c.n_docs) AS micro
+  FROM qt q
+  JOIN btf t USING (term)
+  JOIN bdf f USING (term)
+  JOIN bdl d ON t.doc_id = d.doc_id
+  CROSS JOIN bcorpus c
+),
+btot AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(micro) AS BIGINT) AS total
+  FROM bhits GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY total DESC, doc_id) AS INT) AS rank,
+       doc_id, n_hit_terms,
+       round(CAST(total AS DOUBLE) / 1e6, 6) AS score
+FROM btot
+QUALIFY rank <= 5
+"""
+
+
+@q("text_bm25_topk", _bm25_oracle)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-5 retrieval for the three literal probe queries
+    (text_analysis.bm25_topk): Robertson idf on the x1e6 BIGINT grid,
+    k1=1.2 / b=0.75 multiplied through to an all-integer per-term
+    micro-score, ranked (total DESC, doc_id) with the one double
+    division after ranking — targeted corpus slicing for curation
+    review, next to tf-idf's unsupervised keywording."""
+    from deepref_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(documents(spark, sf_dir))
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss rounds over ``edges`` (same fixed-round
+    discipline as the kcore oracle: rounds past fixpoint are no-ops;
+    the Spark side raises if the round budget is exhausted, so a
+    truncated decomposition surfaces as an execution error, never as
+    silently-wrong rows)."""
+    ctes = ["""tr0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+)"""]
+    for r in range(rounds):
+        ctes.append(f"""trs{r} AS MATERIALIZED (
+  SELECT a, b FROM tr{r} UNION ALL SELECT b AS a, a AS b FROM tr{r}
+)""")
+        ctes.append(f"""sup{r} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(count(s2.b) AS BIGINT) AS support
+  FROM tr{r} e
+  LEFT JOIN trs{r} s1 ON s1.a = e.a
+  LEFT JOIN trs{r} s2 ON s2.a = e.b AND s2.b = s1.b
+  GROUP BY e.a, e.b
+)""")
+        ctes.append(f"""tr{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM sup{r} WHERE support >= {k - 2}
+)""")
+    final = (f"SELECT a AS e1, b AS e2, support FROM sup{rounds - 1} "
+             f"WHERE support >= {k - 2}")
+    return ",\n".join(ctes) + "\n" + final
+
+
+@q("kg_ktruss",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _ktruss_sql(3, 4))
+def kg_ktruss(spark, sf_dir):
+    """3-truss of the canonical entity graph (graph.ktruss): every
+    surviving edge sits in >= 1 triangle of the surviving subgraph,
+    support measured at fixpoint — the edge-level cohesion filter
+    (strictly stronger than k-core) a 100 TB run applies before
+    expensive community/ER passes. Oriented-wedge support per round,
+    checkpointed survivor sets, bounded isEmpty convergence probes."""
+    from deepref_spark.operators.graph import ktruss
+
+    return ktruss(_canonical_edges(spark, sf_dir), k=3, max_rounds=4)
+
+
+def _bfs_sql(n_seeds: int, hops: int) -> str:
+    ctes = [f"""bund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+bsym AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM bund UNION ALL SELECT b AS v, a AS nbr FROM bund
+),
+bseeds AS (
+  SELECT entity FROM (SELECT DISTINCT v AS entity FROM bsym)
+  ORDER BY md5(entity), entity LIMIT {n_seeds}
+),
+bd0 AS MATERIALIZED (SELECT entity, 0 AS dist FROM bseeds)"""]
+    for r in range(1, hops + 1):
+        ctes.append(f"""bd{r} AS MATERIALIZED (
+  SELECT entity, min(dist) AS dist FROM (
+    SELECT entity, dist FROM bd{r - 1}
+    UNION ALL
+    SELECT s.nbr AS entity, d.dist + 1 AS dist
+    FROM bd{r - 1} d JOIN bsym s ON s.v = d.entity
+  ) u GROUP BY entity
+)""")
+    return (",\n".join(ctes)
+            + f"\nSELECT entity, CAST(dist AS INT) AS dist FROM bd{hops}")
+
+
+@q("kg_bfs_dist",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _bfs_sql(3, 4))
+def kg_bfs_dist(spark, sf_dir):
+    """Hop distance to the nearest of 3 deterministic seed entities
+    within 4 hops over the undirected canonical graph
+    (graph.bfs_distances) — the k-hop-ball scoping primitive that
+    bounds expensive passes to the neighborhood of entities of
+    interest. Frontier-style expansion (per-round cost proportional to
+    the frontier's edge boundary, not the reached ball)."""
+    from deepref_spark.operators.graph import bfs_distances
+
+    return bfs_distances(_canonical_edges(spark, sf_dir), n_seeds=3, max_hops=4)
+
+
+def _walks_sql(walks_per_node: int, walk_len: int) -> str:
+    ctes = [f"""wk_adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY md5(dst), dst)
+              - 1 AS BIGINT) AS rnk
+  FROM edges
+),
+wk_deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM wk_adj GROUP BY src
+),
+wk0 AS MATERIALIZED (
+  SELECT concat(entity, '#', CAST(w AS VARCHAR)) AS walk_id, 0 AS step, entity
+  FROM (SELECT DISTINCT entity FROM
+        (SELECT src AS entity FROM edges UNION ALL SELECT dst FROM edges) un)
+  CROSS JOIN (SELECT unnest(range({walks_per_node})) AS w) ws
+)"""]
+    for s in range(1, walk_len + 1):
+        pick = portable.md5_int(f"concat(f.walk_id, '|', '{s}')")
+        ctes.append(f"""wk{s} AS MATERIALIZED (
+  SELECT f.walk_id, {s} AS step, a.dst AS entity
+  FROM wk{s - 1} f
+  JOIN wk_deg o ON f.entity = o.src
+  JOIN wk_adj a ON a.src = f.entity AND a.rnk = ({pick} % o.out_deg)
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, entity FROM wk{s}"
+        for s in range(walk_len + 1))
+    return (",\n".join(ctes)
+            + f"\nSELECT walk_id, CAST(step AS INT) AS step, entity"
+              f" FROM (\n  {union}\n) allsteps")
+
+
+@q("kg_random_walks",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _walks_sql(2, 3))
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk-style training corpus over the directed canonical
+    graph (graph.random_walks): 2 walks per node, up to 3 steps,
+    dead-ends stop early. Step choices are pure hash expressions
+    (md5_int(walk_id|step) % out_deg over a (md5(dst), dst)-ranked
+    adjacency), so the corpus is identical under any partitioning and
+    in the SQL twin — the sequence table a node2vec/DeepWalk embedding
+    trainer consumes."""
+    from deepref_spark.operators.graph import random_walks
+
+    return random_walks(_canonical_edges(spark, sf_dir),
+                        walks_per_node=2, walk_len=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -6464,6 +6659,17 @@ _WINDOW_TAIL = [
     # stays under the driver hash gate; cc_stats keeps its rollup
     # pytest coverage.
     "kg_cc_stats",
+    # (parked r5an, making room for text_bm25_topk + kg_ktruss +
+    # kg_bfs_dist + kg_random_walks): kg_transe_score parks because
+    # in-window kg_lp_eval's oracle embeds the identical
+    # transe_energy_expr formula (it is re-verified every sweep);
+    # text_zipf parks leaving text_bpe_pairs + text_dsir as the
+    # term-statistics reps; kg_path_2hop parks because kg_bfs_dist is
+    # its k-hop generalization over the same canonical-edge CTE (and
+    # kg_ppr stays as the weighted-traversal rep); events_user_growth
+    # parks leaving six events reps in-window (session_window, asof,
+    # rate_anomaly, heavy_hitters, hll_stream, hll_distinct).
+    "kg_transe_score", "text_zipf", "kg_path_2hop", "events_user_growth",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
