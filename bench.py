@@ -151,6 +151,8 @@ HEADLINE = [
     "kg_ktruss",
     "kg_bfs_dist",
     "kg_random_walks",
+    "kg_media_phash_dedup",
+    "events_enriched_agg",
 ]
 
 

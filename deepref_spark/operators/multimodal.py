@@ -292,3 +292,92 @@ def media_context(spans_df: DataFrame) -> DataFrame:
         .select("doc_id", F.col("offset").cast("int").alias("offset"),
                 "media_ref", "prev_text", "next_text")
     )
+
+
+def phash16(features: F.Column) -> F.Column:
+    """16-bit perceptual hash of a FEATURE_DIM feature vector: bit i is
+    set iff feature i >= 0.5. Pure JVM expression (transform +
+    aggregate) over the decoder's output — with the deterministic fake
+    decoder every feature is an exactly-representable v/2^20 float32,
+    so the >= 0.5 threshold is bit-identical to the SQL oracle's
+    integer comparison (v >= 524288)."""
+    bits = F.expr(
+        "aggregate(transform(features, (f, i) -> "
+        "IF(f >= CAST(0.5 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    return bits
+
+
+def media_dedup_groups(media_features: DataFrame,
+                       min_copies: int = 2) -> DataFrame:
+    """Exact perceptual dedup of media assets: group occurrences by
+    their 16-bit phash and report groups with >= min_copies members as
+    (phash, n_copies, keep_doc_id, exemplar_ref) — keep the
+    numerically-smallest doc, drop the rest (the media twin of
+    dedup_exact's hash-groupBy keep rule).
+
+    Scale shape: ONE map-side-combinable groupBy on a 16-bit key whose
+    distinct support is bounded at 65,536 regardless of corpus size —
+    no pairwise join anywhere, so a 100 TB media lane reduces to a
+    bounded-cardinality rollup (near-dup banding, if needed, runs on
+    the DISTINCT-phash table, which this bound keeps trivially small;
+    see phash_near_pairs). The phash itself is computed inside the
+    feature-extract projection — no extra pass over the decoded
+    features."""
+    return (
+        media_features
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "media_ref", phash16(F.col("features")).alias("phash"))
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"),
+             F.min("doc_id").alias("keep_doc_id"),
+             F.min("media_ref").alias("exemplar_ref"))
+        .where(F.col("n_copies") >= min_copies)
+    )
+
+
+def phash_near_pairs(media_features: DataFrame,
+                     max_hamming: int = 2) -> DataFrame:
+    """Near-dup phash pairs (phash_a < phash_b, hamming <= max_hamming)
+    with per-side occurrence counts — the banded NEAR variant next to
+    media_dedup_groups' exact grouping. The pair join runs on the
+    DISTINCT phash table (<= 65,536 rows by construction, independent
+    of corpus size), banded on the four 4-bit sub-bands so a pair is
+    only compared when at least one band agrees (hamming <= 3 pairs
+    always share a band by pigeonhole; max_hamming <= 3 keeps the
+    guarantee exact)."""
+    if max_hamming > 3:
+        raise ValueError("4-band/4-bit blocking is exact only for hamming <= 3")
+    ph = (
+        media_features
+        .select(phash16(F.col("features")).alias("phash"))
+        .groupBy("phash").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .localCheckpoint(eager=False)  # bounded table, feeds both join sides
+    )
+    banded = ph.select(
+        "phash", "n_occ",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{b}:"),
+                     F.shiftright(F.col("phash"), 4 * b).bitwiseAND(F.lit(15))
+                     .cast("string"))
+            for b in range(4)
+        ])).alias("band_key"),
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band_key") == F.col("y.band_key"))
+              & (F.col("x.phash") < F.col("y.phash")))
+        .select(F.col("x.phash").alias("phash_a"),
+                F.col("y.phash").alias("phash_b"),
+                F.col("x.n_occ").alias("n_occ_a"),
+                F.col("y.n_occ").alias("n_occ_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b")))
+    return (
+        pairs.select("phash_a", "phash_b", "n_occ_a", "n_occ_b",
+                     ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -6392,6 +6392,94 @@ def kg_random_walks(spark, sf_dir):
                         walks_per_node=2, walk_len=3)
 
 
+# bucketed media refs: ref is a pure function of doc_id % 200, so the
+# same asset recurs across docs at every SF — planted exact-dup groups
+# for the perceptual-dedup lane (the kind prefix keys off the BUCKET,
+# not doc_id, so recurrences share the full ref text)
+_MEDIA_BUCKET_CASE = (
+    "CASE CAST((doc_id % 200) % 3 AS INT) "
+    "WHEN 0 THEN concat('/img/', CAST(doc_id % 200 AS {s}), '.png') "
+    "WHEN 1 THEN concat('/aud/', CAST(doc_id % 200 AS {s}), '.wav') "
+    "ELSE concat('/vid/', CAST(doc_id % 200 AS {s}), '.mp4') END"
+)
+
+
+def _phash_duck() -> str:
+    terms = []
+    for i in range(16):
+        h = md5_mod(f"concat(media_ref, ':{i}')", 1 << 20)
+        terms.append(f"(CASE WHEN {h} >= 524288 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@q("kg_media_phash_dedup", f"""
+WITH bmedia AS (
+  SELECT doc_id, {_MEDIA_BUCKET_CASE.format(s="VARCHAR")} AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+bph AS (
+  SELECT doc_id, media_ref, {_phash_duck()} AS phash FROM bmedia
+)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       min(media_ref) AS exemplar_ref
+FROM bph GROUP BY phash HAVING count(*) >= 2
+""")
+def kg_media_phash_dedup(spark, sf_dir):
+    """Exact perceptual dedup of media assets: the REAL Arrow
+    mapInPandas feature-extract kernel (deterministic fake decoder) ->
+    16-bit phash (JVM transform/aggregate, multimodal.phash16) -> one
+    map-side-combinable groupBy whose key support is bounded at 65,536
+    regardless of corpus size. The bucketed refs plant recurring
+    assets at every SF; the oracle recomputes every phash bit with the
+    shared portable md5 formula."""
+    from deepref_spark.operators.multimodal import (
+        extract_media_features, media_dedup_groups,
+    )
+
+    media = (
+        documents(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 0)
+        .selectExpr(
+            "CAST(doc_id AS STRING) AS doc_id",
+            "CAST(1 AS INT) AS span_idx",
+            _MEDIA_BUCKET_CASE.format(s="STRING") + " AS media_ref",
+        )
+    )
+    return media_dedup_groups(extract_media_features(media))
+
+
+@q("events_enriched_agg", """
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       n.n_name,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(e.value) AS DOUBLE), 6) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""")
+def events_enriched_agg(spark, sf_dir):
+    """Stream-static enrichment (batch twin of
+    streaming/stream_ops.enriched_window_revenue): purchase events
+    joined to the broadcast customer->nation dimension, tumbling-window
+    revenue per nation. The streaming path (stream-static inner join
+    before a watermarked windowed agg, dimension re-broadcast per
+    micro-batch) is pinned by a stream-vs-batch equality test."""
+    from deepref_spark.streaming.stream_ops import enriched_window_revenue
+
+    out = enriched_window_revenue(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_name", "n_purchases", "total_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -6670,6 +6758,14 @@ _WINDOW_TAIL = [
     # parks leaving six events reps in-window (session_window, asof,
     # rate_anomaly, heavy_hitters, hll_stream, hll_distinct).
     "kg_transe_score", "text_zipf", "kg_path_2hop", "events_user_growth",
+    # (parked r5ao, making room for kg_media_phash_dedup +
+    # events_enriched_agg): kg_hits parks — kg_ppr and the composed
+    # kg_graph_report (PageRank) stay as the centrality reps and the
+    # hits normalized-iterate formula keeps its pytest goldens;
+    # kg_conductance parks — kg_communities stays in-window over the
+    # same symmetric-closure edge derivation and conductance keeps its
+    # hand-derived cut-ratio goldens.
+    "kg_hits", "kg_conductance",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

