@@ -153,6 +153,10 @@ HEADLINE = [
     "kg_random_walks",
     "kg_media_phash_dedup",
     "events_enriched_agg",
+    # seventh-sitting additions: the lakehouse operational plane
+    "lake_column_stats",
+    "lake_compaction_plan",
+    "lake_incremental_agg",
 ]
 
 

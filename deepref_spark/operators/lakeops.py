@@ -1,0 +1,164 @@
+"""Lakehouse operational plane: the table-maintenance operators a
+100 TB KG deployment runs NEXT to its queries — ANALYZE-style column
+statistics for the optimizer, small-file compaction planning, and
+incremental (delta-refresh) aggregate maintenance.
+
+House determinism rules apply throughout: numeric statistics live on
+integer grids (cents = floor(x*100 + 0.5) BIGINT), every corpus-sized
+aggregation is a map-side-combinable BIGINT sum/min/max, and values
+cross the string boundary only via BIGINT casts (double->string
+formatting is NOT portable across engines; bigint->string is).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# (column, kind) specs for the lineitem profile: 'cents' columns are
+# quantized to the integer cents grid before min/max/ndv; 'long' and
+# 'str' columns are profiled as-is
+LINEITEM_STATS_COLS = (
+    ("l_orderkey", "long"),
+    ("l_quantity", "cents"),
+    ("l_extendedprice", "cents"),
+    ("l_discount", "cents"),
+    ("l_tax", "cents"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+
+def _grid(col: str, kind: str) -> F.Column:
+    if kind == "cents":
+        return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    return F.col(col)
+
+
+def column_stats(df: DataFrame, specs=LINEITEM_STATS_COLS) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE scan: row count,
+    null count, exact NDV, and min/max, one output row per column —
+    (col_name, n_rows, n_null, ndv, min_val, max_val) with min/max as
+    strings (BIGINT-grid casts for numerics, raw values for varchars).
+
+    Scale shape: a single global aggregate computes every column's
+    count/min/max plus one count(DISTINCT grid) per column — Spark
+    plans multi-distinct via one Expand (rows x n_distinct_cols)
+    feeding one partial-aggregated shuffle, which is exactly what a
+    built-in ANALYZE does; the explode to per-column rows happens on
+    the ONE result row. For sketch-sized NDV at extreme cardinality
+    swap count_distinct for approx_count_distinct and drop the oracle
+    to rows-only (the HLL register path next door shows the merge
+    discipline)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for col, kind in specs:
+        g = _grid(col, kind)
+        aggs += [
+            F.count(g).alias(f"_nn_{col}"),
+            F.countDistinct(g).alias(f"_ndv_{col}"),
+            F.min(g).cast("string").alias(f"_min_{col}"),
+            F.max(g).cast("string").alias(f"_max_{col}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{col}")).cast("long").alias("n_null"),
+            F.col(f"_ndv_{col}").cast("long").alias("ndv"),
+            F.col(f"_min_{col}").alias("min_val"),
+            F.col(f"_max_{col}").alias("max_val"),
+        )
+        for col, _ in specs
+    ])
+    return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def file_inventory(events: DataFrame, row_bytes: int = 64) -> DataFrame:
+    """Deterministic stand-in for a table-format file listing: one
+    'file' per (event_type partition, event day), sized at
+    row_bytes * row-count — the (partition_key, file_id, n_bytes)
+    shape a real manifest scan produces. One grouped count."""
+    return (
+        events
+        .groupBy(
+            F.col("event_type").alias("partition_key"),
+            F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")),
+                          "yyyy-MM-dd").alias("file_id"),
+        )
+        .agg((F.count(F.lit(1)) * row_bytes).cast("long").alias("n_bytes"))
+    )
+
+
+def compaction_plan(inventory: DataFrame,
+                    target_bytes: int = 2048) -> DataFrame:
+    """Order-preserving small-file compaction plan: within each
+    partition, files are packed in file_id order into sequential
+    groups of ~target_bytes (group = cumulative-bytes-before DIV
+    target — the streaming coalesce rule table formats use for
+    order-preserving bin-packing). Returns one row per planned rewrite
+    task: (partition_key, compact_group, n_files, total_bytes,
+    first_file, last_file).
+
+    Scale shape: manifests are metadata (millions of rows, not
+    billions) — one window cumsum per partition plus one grouped
+    rollup; the window partitions by partition_key so planning is
+    parallel across partitions and no global sort exists. All
+    arithmetic is BIGINT (cum DIV target), so the plan is identical
+    under any partitioning and in the SQL twin."""
+    w = (Window.partitionBy("partition_key").orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    planned = (
+        inventory
+        .withColumn("_cum", F.coalesce(F.sum("n_bytes").over(w), F.lit(0)))
+        .select(
+            "partition_key", "file_id", "n_bytes",
+            F.expr(f"_cum div {int(target_bytes)}").cast("long")
+            .alias("compact_group"),
+        )
+    )
+    return (
+        planned.groupBy("partition_key", "compact_group")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.sum("n_bytes").cast("long").alias("total_bytes"),
+             F.min("file_id").alias("first_file"),
+             F.max("file_id").alias("last_file"))
+    )
+
+
+def incremental_agg(events: DataFrame, cutoff: str) -> DataFrame:
+    """Delta-refresh aggregate maintenance: the per-(user, event_type)
+    rollup computed as BASE (ts < cutoff) partials merged with DELTA
+    (ts >= cutoff) partials — the materialized-view refresh pattern
+    (never recompute the base at 100 TB; fold the new partition's
+    partials in). Returns (user_id, event_type, n_events, total_value)
+    where total_value is the cents-grid sum divided once at the end.
+
+    The registered oracle computes the SAME rollup in one direct pass,
+    so the correctness gate proves the merge is exact: count/sum
+    partials are associative on the BIGINT grid, so base+delta ==
+    full recompute bit-for-bit under any split point."""
+    ev = events.select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cut = F.to_timestamp(F.lit(cutoff))
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cut))
+    delta = partial(ev.where(F.col("ts") >= cut))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"),
+             F.sum("sum_cents").cast("long").alias("sum_cents"))
+    )
+    return merged.select(
+        "user_id", "event_type", "n_events",
+        F.round(F.col("sum_cents") / 100.0, 6).alias("total_value"),
+    )

@@ -6480,6 +6480,93 @@ def events_enriched_agg(spark, sf_dir):
     )
 
 
+def _colstats_oracle() -> str:
+    """UNION ALL of one tiny aggregate per profiled column, generated
+    from the SAME spec table the Spark operator reads so the two can
+    never drift. Cents columns are quantized to the BIGINT cents grid
+    before ndv/min/max; min/max cross to VARCHAR via BIGINT casts."""
+    from deepref_spark.operators.lakeops import LINEITEM_STATS_COLS
+
+    parts = []
+    for col, kind in LINEITEM_STATS_COLS:
+        g = (f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+             if kind == "cents" else col)
+        parts.append(
+            f"SELECT '{col}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({g}) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {g}) AS BIGINT) AS ndv, "
+            f"CAST(min({g}) AS VARCHAR) AS min_val, "
+            f"CAST(max({g}) AS VARCHAR) AS max_val FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q("lake_column_stats", _colstats_oracle)
+def lake_column_stats(spark, sf_dir):
+    """ANALYZE-style table statistics in ONE scan (lakeops.column_stats):
+    per-column row/null counts, exact NDV, and grid min/max over
+    lineitem. Spark plans the multi-distinct as one Expand feeding a
+    single partially-aggregated shuffle — the built-in ANALYZE shape;
+    the per-column explode happens on the one result row."""
+    from deepref_spark.operators.lakeops import column_stats
+
+    return column_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@q("lake_compaction_plan", """
+WITH inv AS (
+  SELECT event_type AS partition_key,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS file_id,
+         CAST(count(*) * 64 AS BIGINT) AS n_bytes
+  FROM events GROUP BY 1, 2
+),
+planned AS (
+  SELECT partition_key, file_id, n_bytes,
+         CAST(coalesce(sum(n_bytes) OVER (
+             PARTITION BY partition_key ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+           AS BIGINT) AS compact_group
+  FROM inv
+)
+SELECT partition_key, compact_group, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM planned GROUP BY 1, 2
+""")
+def lake_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (lakeops.compaction_plan) over a
+    deterministic manifest stand-in (one 'file' per event-type
+    partition x day, 64 bytes/row): files pack in file_id order into
+    ~2 KiB groups via cumulative-bytes-before DIV target — the
+    order-preserving streaming coalesce rule. Planning is a per-
+    partition window over metadata-sized input; no global sort."""
+    from deepref_spark.operators.lakeops import (
+        compaction_plan, file_inventory,
+    )
+
+    return compaction_plan(
+        file_inventory(load_table(spark, sf_dir, "events")))
+
+
+@q("lake_incremental_agg", """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def lake_incremental_agg(spark, sf_dir):
+    """Delta-refresh aggregate maintenance (lakeops.incremental_agg):
+    the per-(user, event_type) rollup computed as BASE (ts < cutoff)
+    partials merged with DELTA partials — the materialized-view
+    refresh pattern. The oracle recomputes the rollup in one direct
+    pass, so the gate proves base+delta merge == full recompute
+    bit-for-bit on the BIGINT cents grid under any split point."""
+    from deepref_spark.operators.lakeops import incremental_agg
+
+    return incremental_agg(load_table(spark, sf_dir, "events"),
+                           "2024-01-15 00:00:00")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -6766,6 +6853,20 @@ _WINDOW_TAIL = [
     # same symmetric-closure edge derivation and conductance keeps its
     # hand-derived cut-ratio goldens.
     "kg_hits", "kg_conductance",
+    # (parked r5ap, making room for the lakeops tier lake_column_stats +
+    # lake_compaction_plan + lake_incremental_agg): three of the
+    # longest-stable remaining in-window queries park, each green in
+    # every local sweep since its first sitting with exact pytest
+    # goldens, each leaving family reps in-window — kg_entity2id's
+    # sorted-rank id assignment feeds the in-window TransE lane
+    # (kg_train_split / kg_lp_eval / kg_negative_sample all join
+    # through it); dedup_substring leaves dedup_incremental +
+    # dedup_mh_calibration + doc_winnow as the dedup-lane reps (winnow
+    # shares the identical staged k-gram hash-chain discipline);
+    # text_chunk_overlap is a per-doc projection whose
+    # token/boundary arithmetic family keeps text_length_quantiles and
+    # the curate flagship's packing formula in-window.
+    "kg_entity2id", "dedup_substring", "text_chunk_overlap",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
