@@ -157,6 +157,9 @@ HEADLINE = [
     "lake_column_stats",
     "lake_compaction_plan",
     "lake_incremental_agg",
+    "lake_constraint_check",
+    "lake_zorder_buckets",
+    "text_textrank",
 ]
 
 

@@ -162,3 +162,107 @@ def incremental_agg(events: DataFrame, cutoff: str) -> DataFrame:
         "user_id", "event_type", "n_events",
         F.round(F.col("sum_cents") / 100.0, 6).alias("total_value"),
     )
+
+
+# the lineitem data-quality suite: each check is one row of the verify
+# report. metric grids per kind: completeness/uniqueness/set-membership
+# are ppm (parts-per-million, BIGINT floor division), bound checks are
+# the cents-grid extreme itself.
+PPM = 1_000_000
+
+
+def constraint_check(df: DataFrame) -> DataFrame:
+    """Deequ-style data-quality verification in ONE scan: the whole
+    constraint suite evaluates as a single global aggregate (every
+    primitive is a count / countDistinct / grid min-max / conditional
+    sum — all map-side combinable), and the per-constraint report rows
+    explode from the one result row. Returns
+    (check_name, metric, passed) with metric BIGINT (ppm or cents per
+    the suite table) and passed as BIGINT 0/1.
+
+    Suite: l_orderkey completeness == 1; (l_orderkey, l_linenumber)
+    uniqueness == 1; min(l_quantity) >= 1.00; max(l_discount) <= 0.10;
+    l_returnflag within {A, N, R}."""
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count("l_orderkey").cast("long").alias("_nn_ok"),
+        F.countDistinct(
+            F.expr("l_orderkey * 100 + l_linenumber")).cast("long")
+        .alias("_ndv_ol"),
+        F.min(_grid("l_quantity", "cents")).cast("long").alias("_min_qty"),
+        F.max(_grid("l_discount", "cents")).cast("long").alias("_max_disc"),
+        F.sum(F.when(F.col("l_returnflag").isin("A", "N", "R"), 1)
+              .otherwise(0)).cast("long").alias("_n_flag_ok"),
+    )
+    checks = [
+        ("complete_l_orderkey", f"(_nn_ok * {PPM}) div _n", f">= {PPM}"),
+        ("unique_order_line", f"(_ndv_ol * {PPM}) div _n", f">= {PPM}"),
+        ("min_l_quantity_cents", "_min_qty", ">= 100"),
+        ("max_l_discount_cents", "_max_disc", "<= 10"),
+        ("set_l_returnflag", f"(_n_flag_ok * {PPM}) div _n", f">= {PPM}"),
+    ]
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.expr(metric).cast("long").alias("metric"),
+            F.expr(f"CAST(CASE WHEN ({metric}) {cond} THEN 1 ELSE 0 END "
+                   "AS BIGINT)").alias("passed"),
+        )
+        for name, metric, cond in checks
+    ])
+    return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def zorder_expr(x: str, y: str, bits: int, dialect: str) -> str:
+    """Morton (Z-order) bit interleave of two grid keys in [0, 2^bits)
+    as pure div/mod arithmetic — identical text in both engines, so
+    the clustering key is bit-reproducible: bit i of x lands at 2i,
+    bit i of y at 2i+1."""
+    from deepref_spark.portable import idiv
+
+    terms = []
+    for i in range(bits):
+        terms.append(f"({idiv(x, str(1 << i), dialect)} % 2) * {1 << (2 * i)}")
+        terms.append(f"({idiv(y, str(1 << i), dialect)} % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_buckets(df: DataFrame, xcol: str = "l_orderkey",
+                   ycol: str = "l_partkey", bits: int = 8,
+                   bucket_shift: int = 8) -> DataFrame:
+    """Z-order clustering layout plan: normalize two BIGINT keys onto a
+    2^bits grid (rank-free: (key * 2^bits) div (max + 1), maxes from
+    one tiny broadcast agg), Morton-interleave them, and report the
+    per-bucket row counts and key envelopes — the data-skipping
+    diagnostic for a space-filling-curve rewrite (each bucket's
+    min/max envelope on BOTH keys is what a zone map prunes on).
+
+    Scale shape: one 2-value global agg broadcast back (no collect),
+    one stateless projection, one map-side-combinable groupBy over at
+    most 2^(2*bits - bucket_shift) buckets."""
+    from deepref_spark.portable import SPARK
+
+    maxes = df.agg(F.max(xcol).cast("long").alias("_mx"),
+                   F.max(ycol).cast("long").alias("_my"))
+    grid = 1 << bits
+    keyed = (
+        df.select(F.col(xcol).cast("long").alias("x"),
+                  F.col(ycol).cast("long").alias("y"))
+        .crossJoin(F.broadcast(maxes))
+        .select(
+            "x", "y",
+            F.expr(f"(x * {grid}) div (_mx + 1)").alias("xn"),
+            F.expr(f"(y * {grid}) div (_my + 1)").alias("yn"),
+        )
+        .select(
+            "x", "y",
+            F.expr(zorder_expr("xn", "yn", bits, SPARK)).alias("z"),
+        )
+    )
+    return (
+        keyed.groupBy(F.expr(f"z div {1 << bucket_shift}").cast("long")
+                      .alias("z_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+             F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+    )

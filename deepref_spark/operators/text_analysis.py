@@ -1498,3 +1498,49 @@ def bm25_topk(documents: DataFrame, queries=BM25_QUERIES,
         )
         .where(F.col("rank") <= k)
     )
+
+
+def textrank_keywords(documents: DataFrame, min_len: int = 4,
+                      iters: int = 3, k: int = 20) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, adjacency
+    window = 2): content words (length >= min_len) become nodes, an
+    undirected edge links words adjacent in any document, and the
+    fixed-iteration integer-grid PageRank (operators/graph.pagerank)
+    ranks them. Returns the corpus top-k: (rank, word, score).
+
+    Scale shape: tokens are STAGED behind a lazy localCheckpoint (the
+    lambda re-evaluation trap), adjacency pairs are built inline from
+    the array (no position self-join), the edge set is distinct-ed to
+    vocab^2-bounded size, and the PageRank iterate is the shared
+    checkpointed-loop operator. The final top-k window runs on the
+    vocab-sized rank table, never on corpus rows."""
+    from deepref_spark.operators.graph import pagerank
+
+    staged = (
+        documents
+        .select("doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = staged.select(
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+            "ELSE array() END"
+        )).alias("p")
+    ).select("p.a", "p.b").where(
+        (F.length("a") >= min_len) & (F.length("b") >= min_len)
+        & (F.col("a") != F.col("b"))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=iters)
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("entity").asc())
+    return (
+        pr.select(F.row_number().over(w).cast("long").alias("rank"),
+                  F.col("entity").alias("word"),
+                  F.round("pagerank", 6).alias("score"))
+        .where(F.col("rank") <= k)
+    )

@@ -6567,6 +6567,120 @@ def lake_incremental_agg(spark, sf_dir):
                            "2024-01-15 00:00:00")
 
 
+def _textrank_oracle() -> str:
+    """TextRank = the shared _pagerank_sql iterate over a word-adjacency
+    edge CTE (content words, undirected via both-direction union)."""
+    toks = portable.norm_tokens("text", DUCK)
+    ctes, final = _pagerank_sql(3)
+    return f"""
+WITH staged AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+adj AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM staged)
+  ) WHERE length(a) >= 4 AND length(b) >= 4 AND a <> b
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM adj
+  UNION
+  SELECT b AS src, a AS dst FROM adj
+),
+{ctes},
+pr_final AS ({final})
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pagerank DESC, entity ASC)
+              AS BIGINT) AS rank,
+         entity AS word, round(pagerank, 6) AS score
+  FROM pr_final
+) WHERE rank <= 20
+"""
+
+
+@q("text_textrank", _textrank_oracle)
+def text_textrank(spark, sf_dir):
+    """TextRank keyword extraction (text_analysis.textrank_keywords):
+    adjacency-window word graph over staged tokens -> the shared
+    integer-grid PageRank operator (operators/graph.pagerank) -> corpus
+    top-20. The oracle composes the identical unrolled PageRank CTE
+    kg_pagerank uses over a word-adjacency edge CTE, so the rank
+    iterate is hash-verified on a SECOND graph shape every sweep."""
+    from deepref_spark.operators.text_analysis import textrank_keywords
+
+    return textrank_keywords(documents(spark, sf_dir))
+
+
+def _constraint_oracle() -> str:
+    ppm = 1_000_000
+    cents = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+    rows = [
+        ("complete_l_orderkey",
+         f"(count(l_orderkey) * {ppm}) // count(*)", f">= {ppm}"),
+        ("unique_order_line",
+         f"(count(DISTINCT l_orderkey * 100 + l_linenumber) * {ppm}) "
+         f"// count(*)", f">= {ppm}"),
+        ("min_l_quantity_cents",
+         f"min({cents.format(c='l_quantity')})", ">= 100"),
+        ("max_l_discount_cents",
+         f"max({cents.format(c='l_discount')})", "<= 10"),
+        ("set_l_returnflag",
+         f"(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)"
+         f" * {ppm}) // count(*)", f">= {ppm}"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS check_name, CAST({metric} AS BIGINT) AS metric, "
+        f"CAST(CASE WHEN ({metric}) {cond} THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS passed FROM lineitem"
+        for name, metric, cond in rows
+    )
+
+
+@q("lake_constraint_check", _constraint_oracle)
+def lake_constraint_check(spark, sf_dir):
+    """Deequ-style data-quality suite (lakeops.constraint_check): the
+    whole constraint set — completeness, key uniqueness, grid bounds,
+    set membership — evaluates as ONE global aggregate over lineitem
+    and explodes to per-constraint report rows (check_name, metric,
+    passed). Metrics on the ppm / cents integer grids."""
+    from deepref_spark.operators.lakeops import constraint_check
+
+    return constraint_check(load_table(spark, sf_dir, "lineitem"))
+
+
+def _zorder_oracle() -> str:
+    from deepref_spark.operators.lakeops import zorder_expr
+
+    z = zorder_expr("xn", "yn", 8, DUCK)
+    return f"""
+WITH m AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mx,
+                  CAST(max(l_partkey) AS BIGINT) AS my FROM lineitem),
+keyed AS (
+  SELECT x, y, {z} AS z FROM (
+    SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y,
+           (l_orderkey * 256) // (mx + 1) AS xn,
+           (l_partkey * 256) // (my + 1) AS yn
+    FROM lineitem, m
+  )
+)
+SELECT CAST(z // 256 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM keyed GROUP BY 1
+"""
+
+
+@q("lake_zorder_buckets", _zorder_oracle)
+def lake_zorder_buckets(spark, sf_dir):
+    """Z-order clustering layout plan (lakeops.zorder_buckets): Morton
+    interleave of (l_orderkey, l_partkey) on a 256x256 grid via pure
+    div/mod arithmetic (the SAME expression text in both engines),
+    bucketed to 256 curve segments with per-bucket key envelopes — the
+    zone-map diagnostic for a space-filling-curve rewrite."""
+    from deepref_spark.operators.lakeops import zorder_buckets
+
+    return zorder_buckets(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -6867,6 +6981,17 @@ _WINDOW_TAIL = [
     # token/boundary arithmetic family keeps text_length_quantiles and
     # the curate flagship's packing formula in-window.
     "kg_entity2id", "dedup_substring", "text_chunk_overlap",
+    # (parked r5aq, making room for text_textrank + lake_constraint_check
+    # + lake_zorder_buckets): events_asof_join parks — green every sweep
+    # since the first r5 sitting with exact point-in-time pytest goldens,
+    # and the events family keeps six reps in-window (session_window,
+    # rate_anomaly, heavy_hitters, hll_stream, hll_distinct,
+    # enriched_agg); text_c4_filters and text_pii_mask park — per-doc
+    # regex projections green since the second sitting with exact pytest
+    # goldens, while text_gopher_quality stays as the quality-filter
+    # window rep and the curate flagship re-verifies the filter
+    # composition discipline every sweep.
+    "events_asof_join", "text_c4_filters", "text_pii_mask",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -108,3 +108,114 @@ def test_incremental_agg_cutoff_outside_range(spark):
     rows = incremental_agg(ev, "2024-01-01 00:00:00").collect()
     assert [(r["user_id"], r["event_type"], r["n_events"], r["total_value"])
             for r in rows] == [(7, "x", 2, 3.0)]
+
+
+# --- constraint_check ---------------------------------------------------------
+
+_LI_SCHEMA = ("l_orderkey long, l_linenumber int, l_quantity double, "
+              "l_discount double, l_returnflag string")
+
+
+def test_constraint_check_all_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5.0, 0.05, "A"), (1, 2, 2.0, 0.10, "N"), (2, 1, 1.0, 0.0, "R")],
+        schema=_LI_SCHEMA,
+    )
+    from deepref_spark.operators.lakeops import constraint_check
+    out = {r["check_name"]: (r["metric"], r["passed"])
+           for r in constraint_check(df).collect()}
+    assert out == {
+        "complete_l_orderkey": (1_000_000, 1),
+        "unique_order_line": (1_000_000, 1),
+        "min_l_quantity_cents": (100, 1),
+        "max_l_discount_cents": (10, 1),
+        "set_l_returnflag": (1_000_000, 1),
+    }
+
+
+def test_constraint_check_each_violation_detected(spark):
+    # null key, duplicate (orderkey, linenumber), qty 0.5 < 1,
+    # discount 0.2 > 0.1, flag 'X' outside the set — all five fail
+    df = spark.createDataFrame(
+        [(None, 1, 0.5, 0.20, "X"), (2, 1, 5.0, 0.0, "A"),
+         (2, 1, 5.0, 0.0, "A"), (3, 1, 5.0, 0.0, "N")],
+        schema=_LI_SCHEMA,
+    )
+    from deepref_spark.operators.lakeops import constraint_check
+    out = {r["check_name"]: (r["metric"], r["passed"])
+           for r in constraint_check(df).collect()}
+    assert out["complete_l_orderkey"] == (750_000, 0)
+    # distinct keys: (null->201? no: null*100+1 is NULL, excluded by
+    # countDistinct) -> {201, 301} of 4 rows = 500000 ppm
+    assert out["unique_order_line"] == (500_000, 0)
+    assert out["min_l_quantity_cents"] == (50, 0)
+    assert out["max_l_discount_cents"] == (20, 0)
+    assert out["set_l_returnflag"] == (750_000, 0)
+
+
+# --- zorder -------------------------------------------------------------------
+
+def _morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_expr_matches_python_morton(spark):
+    from deepref_spark.operators.lakeops import zorder_expr
+    from deepref_spark.portable import SPARK as SP
+    rows = spark.sql(
+        "SELECT xn, yn, " + zorder_expr("xn", "yn", 4, SP) + " AS z FROM "
+        "(SELECT id % 16 AS xn, id div 16 AS yn FROM range(256))"
+    ).collect()
+    assert len(rows) == 256
+    for r in rows:
+        assert r["z"] == _morton(r["xn"], r["yn"], 4)
+
+
+def test_zorder_buckets_envelopes(spark):
+    # keys already on the grid: max=255 -> xn = x*256 div 256 = x.
+    # bucket = z div 256 -> for (x<16, y<16) z < 256 -> all in bucket 0
+    from deepref_spark.operators.lakeops import zorder_buckets
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 15) for y in (0, 15)] + [(255, 255)],
+        schema="k1 long, k2 long",
+    )
+    out = {r["z_bucket"]: (r["n_rows"], r["min_x"], r["max_x"])
+           for r in zorder_buckets(df, "k1", "k2").collect()}
+    assert out[0] == (4, 0, 15)                  # the four small points
+    assert out[(_morton(255, 255, 8)) // 256] == (1, 255, 255)
+    assert sum(v[0] for v in out.values()) == 5
+
+
+# --- textrank -----------------------------------------------------------------
+
+def test_textrank_path_graph_center_ranks_first(spark):
+    # word graph alpha-beta-gamma (beta is the hub): hand-unrolled
+    # 3-round integer-grid PageRank gives beta u=1741625000,
+    # alpha=gamma u=629187500; tie broken alphabetically
+    from deepref_spark.operators.text_analysis import textrank_keywords
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta alpha")],
+        schema="doc_id long, text string",
+    )
+    rows = textrank_keywords(docs).collect()
+    assert [(r["rank"], r["word"]) for r in rows] == [
+        (1, "beta"), (2, "alpha"), (3, "gamma")]
+    assert rows[0]["score"] == 1.741625
+    assert rows[1]["score"] == rows[2]["score"]
+
+
+def test_textrank_short_words_and_short_docs_excluded(spark):
+    # "of" and "a" fall below min_len; a 1-token doc yields no pairs
+    from deepref_spark.operators.text_analysis import textrank_keywords
+    docs = spark.createDataFrame(
+        [(0, "quick of brown a quick brown"), (1, "solo")],
+        schema="doc_id long, text string",
+    )
+    words = {r["word"] for r in textrank_keywords(docs).collect()}
+    # adjacency is WITHIN the raw token stream: quick-of / of-brown etc.
+    # drop (short word), quick-brown survives from positions 4-5
+    assert words == {"quick", "brown"}
