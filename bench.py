@@ -160,6 +160,8 @@ HEADLINE = [
     "lake_constraint_check",
     "lake_zorder_buckets",
     "text_textrank",
+    "events_incident_overlap",
+    "emb_sq_error",
 ]
 
 

@@ -357,3 +357,60 @@ def hll_distinct(events: DataFrame, m: int = 64,
             ).alias("hll_estimate"),
         )
     )
+
+
+def incident_overlap(events: DataFrame, gap_minutes: int = 30,
+                     num: int = 13, den: int = 10) -> DataFrame:
+    """Interval-overlap join: each user session (sessionize's
+    [min ts, max ts] envelope) joined to the incident hours it
+    overlaps — hours whose error-event count is >= num/den of the mean
+    hourly error count (an integer cross-multiply, c * n_hours * den
+    >= num * total, so the rule is exact at any scale and in the SQL
+    twin). Returns (user_id, session_seq, incident_hour epoch BIGINT,
+    overlap_secs BIGINT).
+
+    Scale shape: the standard interval-join decomposition — NO range
+    self-join. Sessions explode into the hour grid they cover
+    (sequence over epoch-hour BIGINTs, bounded by session length) and
+    equi-join the tiny incident-hour table on the hour key; the
+    overlap arithmetic is pure BIGINT least/greatest on epoch seconds.
+    The incident rule's corpus total is a broadcast 1-row agg, never a
+    collect."""
+    from deepref_spark.streaming.stream_ops import sessionize
+
+    hour = F.expr(
+        "(CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600) * 3600")
+    hc = (
+        events.where(F.col("event_type") == "error")
+        .groupBy(hour.alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = hc.agg(F.sum("c").cast("long").alias("t"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+    incidents = (
+        hc.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * F.col("n") * den >= num * F.col("t"))
+        .select("h", F.col("c").alias("n_errors"))
+    )
+    sess = sessionize(events, gap_minutes=gap_minutes).select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("session_start").cast("timestamp").cast("long").alias("s0"),
+        F.col("session_end").cast("timestamp").cast("long").alias("s1"),
+    )
+    covered = sess.select(
+        "user_id", "session_seq", "s0", "s1",
+        F.explode(F.expr("sequence((s0 div 3600) * 3600, "
+                         "(s1 div 3600) * 3600, 3600)")).alias("h"),
+    )
+    return (
+        covered.join(incidents, "h")
+        .select(
+            "user_id", "session_seq",
+            F.col("h").alias("incident_hour"),
+            (F.least(F.col("s1"), F.col("h") + 3600)
+             - F.greatest(F.col("s0"), F.col("h"))).cast("long")
+            .alias("overlap_secs"),
+            "n_errors",
+        )
+    )

@@ -737,3 +737,73 @@ def ann_recall_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             F.expr(f"n_hits * 1000000 div {k}").cast("long").alias("recall_ppm"),
         )
     )
+
+
+def sq8_error(embeddings: DataFrame, scale_bits: int = 30) -> DataFrame:
+    """SQ8 scalar quantization (the FAISS ScalarQuantizer discipline
+    next to the IVF/PQ lanes above): per-dimension [min, max] trained
+    in one corpus pass, each component encoded to an 8-bit cell
+    (floor((x - mn) * 255 / rng), clamped), reconstructed at the cell
+    midpoint, and the per-vector reconstruction error reported on the
+    2^scale_bits integer grid. Returns
+    (vec_id, code_sum, err_units, mse_x1e9) — all BIGINT, so the
+    result is bit-identical under any partitioning and in the twin.
+
+    Scale shape: training is ONE posexplode + a dim-sized min/max agg
+    (map-side combined) collapsed to a 1-row array pair that joins
+    back as a broadcast; encode + error are per-row zip_with/aggregate
+    array expressions — the corpus pass has NO shuffle and NO row
+    explosion. Order-independence: per-dim error units are BIGINTs
+    summed inside the array (fixed order), never a float sum across a
+    shuffle."""
+    ex = embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    d = (
+        ex.select(F.posexplode("e").alias("j", "x"))
+        .groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = d.agg(
+        F.expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)")
+        .alias("mins"),
+        F.expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)")
+        .alias("maxs"),
+    )
+    unit = 1 << scale_bits
+    # staged array transforms: (x, mn, mx) -> +code -> +diff -> (c, u);
+    # each stage names the previous stage's fields, so no expression is
+    # spliced into another (the lambda re-evaluation trap does not
+    # apply inside one row's array pipeline, but clarity does)
+    zip3 = ("zip_with(zip_with(e, mins, (x, mn) -> "
+            "named_struct('x', x, 'mn', mn)), maxs, (s, mx) -> "
+            "named_struct('x', s.x, 'mn', s.mn, 'mx', mx))")
+    coded = (
+        f"transform({zip3}, t -> named_struct('x', t.x, 'mn', t.mn, "
+        f"'mx', t.mx, 'c', CASE WHEN t.mx = t.mn THEN 0L ELSE "
+        f"least(255L, greatest(0L, CAST(floor((t.x - t.mn) * 255 "
+        f"/ (t.mx - t.mn)) AS BIGINT))) END))"
+    )
+    diffed = (
+        f"transform({coded}, t -> named_struct('c', t.c, 'd', "
+        f"t.x - (t.mn + (CAST(t.c AS DOUBLE) + 0.5d) * (t.mx - t.mn) / 256)))"
+    )
+    pair = (
+        f"transform({diffed}, t -> named_struct('c', t.c, "
+        f"'u', CAST(floor(t.d * t.d * {unit} + 0.5) AS BIGINT)))"
+    )
+    return (
+        ex.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.expr(pair).alias("p"), F.size("e").alias("dim"))
+        .select(
+            "vec_id",
+            F.expr("aggregate(p, 0L, (a, s) -> a + s.c)").alias("code_sum"),
+            F.expr("aggregate(p, 0L, (a, s) -> a + s.u)").alias("err_units"),
+            "dim",
+        )
+        .select(
+            "vec_id", "code_sum", "err_units",
+            F.expr(f"(err_units * 1000000000L) div ({unit}L * dim)")
+            .alias("mse_x1e9"),
+        )
+    )

@@ -6567,6 +6567,92 @@ def lake_incremental_agg(spark, sf_dir):
                            "2024-01-15 00:00:00")
 
 
+@q("events_incident_overlap", _SESSION_CTES + """,
+senv AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s0,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS s1
+  FROM sess GROUP BY 1, 2
+),
+hc AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+        FROM hc),
+inc AS (SELECT h, c AS n_errors FROM hc, tot WHERE c * n * 10 >= 13 * t),
+covered AS (
+  SELECT user_id, session_seq, s0, s1,
+         unnest(generate_series((s0 // 3600) * 3600,
+                                (s1 // 3600) * 3600, 3600)) AS h
+  FROM senv
+)
+SELECT user_id, session_seq, h AS incident_hour,
+       CAST(least(s1, h + 3600) - greatest(s0, h) AS BIGINT) AS overlap_secs,
+       n_errors
+FROM covered JOIN inc USING (h)
+""")
+def events_incident_overlap(spark, sf_dir):
+    """Interval-overlap join (events.incident_overlap): user sessions
+    x incident hours (hours whose error count >= 1.3x the hourly mean,
+    an exact integer cross-multiply) via the standard interval-join
+    decomposition — sessions explode onto the epoch-hour grid they
+    cover and equi-join the tiny incident table; NO range self-join.
+    The shared _SESSION_CTES gap rule keeps the session definition
+    identical to events_sessionize's."""
+    from deepref_spark.operators.events import incident_overlap
+
+    return incident_overlap(load_table(spark, sf_dir, "events"))
+
+
+@q("emb_sq_error", """
+WITH ex AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+d AS (
+  SELECT j, min(x) AS mn, max(x) AS mx
+  FROM (SELECT unnest(e) AS x, unnest(range(len(e))) AS j FROM ex)
+  GROUP BY j
+),
+s AS (SELECT list(mn ORDER BY j) AS mins, list(mx ORDER BY j) AS maxs FROM d),
+terms AS (
+  SELECT vec_id, dim, e[j + 1] AS x, mins[j + 1] AS mn, maxs[j + 1] AS mx
+  FROM (SELECT vec_id, e, len(e) AS dim, unnest(range(len(e))) AS j FROM ex), s
+),
+coded AS (
+  SELECT vec_id, dim, x, mn, mx,
+         CASE WHEN mx = mn THEN 0 ELSE least(255, greatest(0,
+           CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT))) END AS c
+  FROM terms
+),
+u AS (
+  SELECT vec_id, dim, c,
+         CAST(floor(
+           (x - (mn + (CAST(c AS DOUBLE) + 0.5) * (mx - mn) / 256))
+           * (x - (mn + (CAST(c AS DOUBLE) + 0.5) * (mx - mn) / 256))
+           * 1073741824 + 0.5) AS BIGINT) AS eu
+  FROM coded
+)
+SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+       CAST(sum(eu) AS BIGINT) AS err_units,
+       CAST((sum(eu) * 1000000000) // (1073741824 * CAST(max(dim) AS BIGINT))
+            AS BIGINT) AS mse_x1e9
+FROM u GROUP BY vec_id
+""")
+def emb_sq_error(spark, sf_dir):
+    """SQ8 scalar-quantization reconstruction error
+    (similarity.sq8_error): per-dim [min, max] trained in one corpus
+    pass (dim-sized agg broadcast back as array literals), 8-bit
+    midpoint codes, per-vector error on the 2^30 integer grid — all
+    BIGINT outputs, bit-identical under any partitioning. The
+    FAISS-style SQ lane next to IVF/PQ."""
+    from deepref_spark.operators.similarity import sq8_error
+
+    return sq8_error(load_table(spark, sf_dir, "embeddings"))
+
+
 def _textrank_oracle() -> str:
     """TextRank = the shared _pagerank_sql iterate over a word-adjacency
     edge CTE (content words, undirected via both-direction union)."""
@@ -6992,6 +7078,17 @@ _WINDOW_TAIL = [
     # window rep and the curate flagship re-verifies the filter
     # composition discipline every sweep.
     "events_asof_join", "text_c4_filters", "text_pii_mask",
+    # (parked r5ar, making room for events_incident_overlap +
+    # emb_sq_error): text_curation_funnel parks — in-window
+    # text_curate_pipeline embeds the IDENTICAL per-doc signal chain
+    # (_curate_signals: quality/repetition/contamination/dedup) every
+    # sweep and the funnel's cumulative drop rollup keeps its exact
+    # step-count pytest goldens; events_rate_anomaly parks — new
+    # in-window events_incident_overlap derives the SAME hourly
+    # error-count table (the hc groupBy) under the driver hash gate,
+    # and the trailing-baseline RANGE-frame formula keeps its
+    # hand-derived pytest goldens.
+    "text_curation_funnel", "events_rate_anomaly",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
