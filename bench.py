@@ -162,6 +162,9 @@ HEADLINE = [
     "text_textrank",
     "events_incident_overlap",
     "emb_sq_error",
+    "kg_calibration",
+    "text_vocab_growth",
+    "dedup_bloom_gate",
 ]
 
 

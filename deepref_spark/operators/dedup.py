@@ -579,3 +579,68 @@ def minhash_calibration(documents: DataFrame, n_bands: int = 8,
             .cast("long").alias("err_ppm"),
         )
     )
+
+
+def bloom_gate(documents: DataFrame, m_words: int = 64,
+               k: int = 3) -> DataFrame:
+    """Bloom-filter membership gate (the sketch lane's third member,
+    next to HLL distinct-count and count-min frequency): texts of the
+    even-doc_id half are indexed into an m_words x 63-bit filter (k
+    md5-derived bit positions each — the shared portable hash, so the
+    filter is bit-identical in the SQL twin), then EVERY document
+    probes it. Returns (doc_id, bloom_hit, exact_hit) with the exact
+    side from a semi-join — the false-positive accounting a dedup
+    pre-gate is tuned by.
+
+    Scale shape: the filter builds as one groupBy over at most m_words
+    keys (bit_or is commutative — map-side combined) and joins to the
+    probe side as a BROADCAST (the filter is m_words rows no matter
+    the corpus size); probes explode to k rows each, roll back up with
+    one grouped count. The exact side is the one shuffle join, present
+    only because the operator REPORTS the filter's error; a production
+    gate drops it. Bits use 63-bit words so no mask ever touches the
+    sign bit."""
+    m_bits = m_words * 63
+
+    def bit_cols(df: DataFrame) -> DataFrame:
+        per_hash = []
+        for i in range(k):
+            h = md5_mod(f"concat(text, ':b{i}')", m_bits)
+            per_hash.append(
+                f"named_struct('w', {h} div 63, 'p', {h} % 63)")
+        return df.select(
+            "*", F.explode(F.expr("array(" + ", ".join(per_hash) + ")"))
+            .alias("b")
+        ).select("*", F.col("b.w").alias("w"), F.col("b.p").alias("p"))
+
+    indexed = documents.where(F.expr("doc_id % 2 = 0")).select("text").distinct()
+    bloom = (
+        bit_cols(indexed)
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, p))").alias("bits"))
+    )
+    probes = bit_cols(documents.select("doc_id", "text"))
+    probed = (
+        probes.join(F.broadcast(bloom), "w", "left")
+        .select(
+            "doc_id",
+            F.when((F.coalesce(F.col("bits"), F.lit(0))
+                    .bitwiseAND(F.expr("shiftleft(1L, p)"))) != 0, F.lit(1))
+            .otherwise(F.lit(0)).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.when(F.sum("hit") == k, F.lit(1)).otherwise(F.lit(0))
+             .cast("long").alias("bloom_hit"))
+    )
+    exact = (
+        documents.select("doc_id", "text")
+        .join(indexed.withColumnRenamed("text", "_it"),
+              F.col("text") == F.col("_it"), "left_semi")
+        .select("doc_id", F.lit(1).cast("long").alias("exact_hit"))
+    )
+    return (
+        probed.join(exact, "doc_id", "left")
+        .select("doc_id", "bloom_hit",
+                F.coalesce("exact_hit", F.lit(0)).cast("long")
+                .alias("exact_hit"))
+    )

@@ -230,3 +230,47 @@ def cv_splits(df: DataFrame, k: int = 5, seed: int = 42,
     return df.withColumn(
         "fold", F.pmod(F.hash(F.col(id_col), F.lit(seed)), F.lit(k))
     )
+
+
+def calibration_bins(scored: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + ECE over a scored prediction table
+    (relation, pred_relation, score in [0, 1]): per confidence bin,
+    count / accuracy / mean confidence / |acc - conf| gap, plus one
+    summary row (bin = -1) whose gap_ppm is the Expected Calibration
+    Error — all on the ppm integer grid (confidence enters as
+    floor(score * 1e6 + 0.5) BIGINT, so every sum is order-independent
+    and one integer division finishes each ratio).
+
+    Scale shape: ONE map-side-combinable groupBy over the corpus to
+    n_bins keys; the ECE rollup runs on the n_bins-row table."""
+    ppm = 1_000_000
+    per_row = scored.select(
+        F.expr(f"least({n_bins - 1}L, CAST(floor(score * {n_bins}) "
+               "AS BIGINT))").alias("bin"),
+        F.expr(f"CAST(floor(score * {ppm} + 0.5) AS BIGINT)").alias("conf_ppm"),
+        F.when(F.col("relation") == F.col("pred_relation"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("correct"),
+    )
+    bins = (
+        per_row.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("correct").cast("long").alias("n_correct"),
+             F.sum("conf_ppm").cast("long").alias("sum_conf"))
+        .select(
+            "bin", "n",
+            F.expr(f"(n_correct * {ppm}) div n").alias("acc_ppm"),
+            F.expr("sum_conf div n").alias("conf_ppm"),
+            F.expr(f"abs((n_correct * {ppm}) div n - sum_conf div n)")
+            .alias("gap_ppm"),
+            "n_correct", "sum_conf",
+        )
+    )
+    total = bins.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n").cast("long").alias("n"),
+        F.expr(f"(sum(n_correct) * {ppm}) div sum(n)").alias("acc_ppm"),
+        F.expr("sum(sum_conf) div sum(n)").alias("conf_ppm"),
+        F.expr("sum(n * gap_ppm) div sum(n)").alias("gap_ppm"),
+    )
+    cols = ["bin", "n", "acc_ppm", "conf_ppm", "gap_ppm"]
+    return bins.select(*cols).unionAll(total.select(*cols))

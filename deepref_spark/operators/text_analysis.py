@@ -1544,3 +1544,49 @@ def textrank_keywords(documents: DataFrame, min_len: int = 4,
                   F.round("pagerank", 6).alias("score"))
         .where(F.col("rank") <= k)
     )
+
+
+def vocab_growth(documents: DataFrame, bucket_docs: int = 100) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: per doc_id bucket of
+    ``bucket_docs`` documents, the running total tokens seen and the
+    running distinct vocabulary — the (N, V) pairs a tokenizer-sizing
+    or corpus-scaling analysis fits Heaps' V = K*N^beta against.
+    Returns (bucket, n_docs, n_tokens, n_tokens_cum, new_terms,
+    vocab_cum).
+
+    Scale shape: token totals are sum(size(tokens)) grouped per bucket
+    (no explode); the vocabulary side explodes once but immediately
+    min-aggregates to one row per distinct term (first_bucket, the
+    kg_discovery_curve discipline — order-independent min), then
+    counts per bucket. Both cumulative windows run on the tiny bucket
+    table only."""
+    staged = (
+        documents
+        .select("doc_id",
+                F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    bucket = F.expr(f"doc_id div {bucket_docs}").alias("bucket")
+    totals = staged.groupBy(bucket).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("n_tokens"),
+    )
+    first_seen = (
+        staged.select(bucket, F.explode("t").alias("term"))
+        .groupBy("term").agg(F.min("bucket").alias("first_bucket"))
+        .groupBy(F.col("first_bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        totals.join(first_seen, "bucket", "left")
+        .select("bucket", "n_docs", "n_tokens",
+                F.coalesce("new_terms", F.lit(0)).cast("long")
+                .alias("new_terms"))
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("n_tokens_cum"),
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
+        )
+    )

@@ -6567,6 +6567,138 @@ def lake_incremental_agg(spark, sf_dir):
                            "2024-01-15 00:00:00")
 
 
+@q("kg_calibration", _oracle_prefix() + f"""
+, preds AS (
+  SELECT relation, {_pred_expr()} AS pred_relation,
+         round({_score_expr()}, 6) AS score
+  FROM mentions
+),
+pr AS (
+  SELECT least(CAST(9 AS BIGINT), CAST(floor(score * 10) AS BIGINT)) AS bin,
+         CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS conf_ppm,
+         CASE WHEN relation = pred_relation THEN 1 ELSE 0 END AS correct
+  FROM preds
+),
+binned AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(correct) AS BIGINT) AS n_correct,
+         CAST(sum(conf_ppm) AS BIGINT) AS sum_conf
+  FROM pr GROUP BY bin
+),
+bx AS (
+  SELECT bin, n,
+         (n_correct * 1000000) // n AS acc_ppm,
+         sum_conf // n AS conf_ppm,
+         abs((n_correct * 1000000) // n - sum_conf // n) AS gap_ppm,
+         n_correct, sum_conf
+  FROM binned
+)
+SELECT bin, n, CAST(acc_ppm AS BIGINT) AS acc_ppm,
+       CAST(conf_ppm AS BIGINT) AS conf_ppm,
+       CAST(gap_ppm AS BIGINT) AS gap_ppm
+FROM bx
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST((sum(n_correct) * 1000000) // sum(n) AS BIGINT),
+       CAST(sum(sum_conf) // sum(n) AS BIGINT),
+       CAST(sum(n * gap_ppm) // sum(n) AS BIGINT)
+FROM bx
+""")
+def kg_calibration(spark, sf_dir):
+    """Reliability diagram + Expected Calibration Error over the
+    hash-predicate scored mentions (metrics.calibration_bins): 10
+    confidence bins with count/accuracy/mean-confidence/gap on the ppm
+    integer grid, plus a bin = -1 summary row whose gap_ppm IS the
+    ECE. The model-evaluation lane's calibration counterpart to
+    kg_pr_curve/kg_auc."""
+    from deepref_spark.operators.metrics import calibration_bins
+
+    return calibration_bins(
+        _hash_preds(spark, sf_dir)
+        .select("relation", "pred_relation", "score"))
+
+
+def _vocab_growth_oracle() -> str:
+    toks = portable.norm_tokens("text", DUCK)
+    return f"""
+WITH staged AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+totals AS (
+  SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM staged GROUP BY 1
+),
+fs AS (
+  SELECT term, min(bucket) AS first_bucket
+  FROM (SELECT doc_id // 100 AS bucket, unnest(t) AS term FROM staged)
+  GROUP BY term
+),
+nt AS (SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+       FROM fs GROUP BY 1)
+SELECT t.bucket, n_docs, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS n_tokens_cum,
+       CAST(coalesce(new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(sum(coalesce(new_terms, 0)) OVER (ORDER BY t.bucket) AS BIGINT)
+         AS vocab_cum
+FROM totals t LEFT JOIN nt ON t.bucket = nt.bucket
+"""
+
+
+@q("text_vocab_growth", _vocab_growth_oracle)
+def text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth (text_analysis.vocab_growth):
+    running (tokens seen, distinct vocabulary) per 100-doc bucket —
+    the corpus-scaling curve a tokenizer-sizing analysis fits V=K*N^b
+    against. First-seen buckets via order-independent min (the
+    kg_discovery_curve discipline); cumulative windows only on the
+    tiny bucket table."""
+    from deepref_spark.operators.text_analysis import vocab_growth
+
+    return vocab_growth(documents(spark, sf_dir))
+
+
+def _bloom_oracle() -> str:
+    m_bits = 64 * 63
+    hs = [md5_mod(f"concat(text, ':b{i}')", m_bits) for i in range(3)]
+    ibits = " UNION ALL ".join(
+        f"SELECT ({h}) // 63 AS w, ({h}) % 63 AS p FROM idx" for h in hs)
+    pbits = " UNION ALL ".join(
+        f"SELECT doc_id, ({h}) // 63 AS w, ({h}) % 63 AS p FROM documents"
+        for h in hs)
+    return f"""
+WITH idx AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+ibits AS ({ibits}),
+bloom AS (SELECT w, bit_or(CAST(1 AS BIGINT) << p) AS bits
+          FROM ibits GROUP BY w),
+pbits AS ({pbits}),
+probed AS (
+  SELECT doc_id,
+         CASE WHEN (coalesce(bits, 0) & (CAST(1 AS BIGINT) << p)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pbits LEFT JOIN bloom USING (w)
+),
+ph AS (SELECT doc_id, CASE WHEN sum(hit) = 3 THEN 1 ELSE 0 END AS bloom_hit
+       FROM probed GROUP BY doc_id)
+SELECT d.doc_id, CAST(ph.bloom_hit AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN i.text IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS exact_hit
+FROM documents d JOIN ph ON d.doc_id = ph.doc_id
+LEFT JOIN idx i ON d.text = i.text
+"""
+
+
+@q("dedup_bloom_gate", _bloom_oracle)
+def dedup_bloom_gate(spark, sf_dir):
+    """Bloom-filter membership gate (dedup.bloom_gate): the sketch
+    lane's third member next to HLL (distinct) and count-min
+    (frequency). Even-doc texts index a 64x63-bit filter via the
+    shared portable md5 bits; every document probes it; the exact
+    semi-join reports the false-positive accounting. The filter
+    builds map-side (bit_or) and broadcasts to probes."""
+    from deepref_spark.operators.dedup import bloom_gate
+
+    return bloom_gate(documents(spark, sf_dir))
+
+
 @q("events_incident_overlap", _SESSION_CTES + """,
 senv AS (
   SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
@@ -7089,6 +7221,17 @@ _WINDOW_TAIL = [
     # and the trailing-baseline RANGE-frame formula keeps its
     # hand-derived pytest goldens.
     "text_curation_funnel", "events_rate_anomaly",
+    # (parked r5as, making room for kg_calibration + text_vocab_growth +
+    # dedup_bloom_gate): text_bpe_pairs parks (the r5aa argument — a
+    # 20-row trivially-auditable top-k with exact pytest goldens; the
+    # term-statistics family keeps text_dsir + text_bm25_topk
+    # in-window); dedup_incremental parks — its ingest-gate logic keeps
+    # the stream-vs-batch equality pytest and the dedup lane keeps
+    # dedup_mh_calibration + doc_winnow + the new bloom gate in-window;
+    # kg_communities parks — label propagation keeps its hand-unrolled
+    # goldens and the graph lane keeps ktruss/bfs/walks/wl_colors/
+    # incremental_cc in-window over the same symmetric-closure edges.
+    "text_bpe_pairs", "dedup_incremental", "kg_communities",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -77,3 +77,78 @@ def test_sq8_error_grid_is_order_independent(spark):
     ra = sorted(tuple(r) for r in sq8_error(a).collect())
     rb = sorted(tuple(r) for r in sq8_error(b).collect())
     assert ra == rb
+
+
+# --- calibration_bins ---------------------------------------------------------
+
+def test_calibration_bins_hand_unrolled(spark):
+    from deepref_spark.operators.metrics import calibration_bins
+    scored = spark.createDataFrame(
+        [("a", "a", 0.95), ("a", "b", 0.90), ("x", "x", 0.05)],
+        schema="relation string, pred_relation string, score double",
+    )
+    out = {r["bin"]: (r["n"], r["acc_ppm"], r["conf_ppm"], r["gap_ppm"])
+           for r in calibration_bins(scored).collect()}
+    assert out[9] == (2, 500_000, 925_000, 425_000)
+    assert out[0] == (1, 1_000_000, 50_000, 950_000)
+    # summary row: ECE = (2*425000 + 1*950000) div 3 = 600000
+    assert out[-1] == (3, 666_666, 633_333, 600_000)
+
+
+def test_calibration_perfectly_calibrated_gap_zero(spark):
+    from deepref_spark.operators.metrics import calibration_bins
+    # two rows at conf 0.5, exactly one correct -> acc == conf, gap 0
+    scored = spark.createDataFrame(
+        [("a", "a", 0.5), ("a", "b", 0.5)],
+        schema="relation string, pred_relation string, score double",
+    )
+    out = {r["bin"]: r["gap_ppm"] for r in calibration_bins(scored).collect()}
+    assert out[5] == 0 and out[-1] == 0
+
+
+# --- vocab_growth -------------------------------------------------------------
+
+def test_vocab_growth_first_seen_and_cumulatives(spark):
+    from deepref_spark.operators.text_analysis import vocab_growth
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "cc"), (100, "bb dd")],
+        schema="doc_id long, text string",
+    )
+    rows = {r["bucket"]: (r["n_docs"], r["n_tokens"], r["n_tokens_cum"],
+                          r["new_terms"], r["vocab_cum"])
+            for r in vocab_growth(docs).collect()}
+    assert rows == {0: (2, 4, 4, 3, 3), 1: (1, 2, 6, 1, 4)}
+
+
+# --- bloom_gate ---------------------------------------------------------------
+
+def _md5_mod_py(s: str, m: int) -> int:
+    import hashlib
+    h = hashlib.md5(s.encode()).hexdigest()
+    return (ord(h[0]) * 131071 + ord(h[1]) * 8191
+            + ord(h[2]) * 127 + ord(h[3])) % m
+
+
+def _bloom_py(texts_indexed, text_probe, m_words=64, k=3) -> int:
+    bits = set()
+    for t in texts_indexed:
+        for i in range(k):
+            bits.add(_md5_mod_py(f"{t}:b{i}", m_words * 63))
+    return int(all(_md5_mod_py(f"{text_probe}:b{i}", m_words * 63) in bits
+                   for i in range(k)))
+
+
+def test_bloom_gate_matches_python_replica(spark):
+    from deepref_spark.operators.dedup import bloom_gate
+    texts = {0: "the quick fox", 1: "the quick fox", 2: "lazy dog",
+             3: "unique probe text", 4: "another indexed", 5: "odd only"}
+    docs = spark.createDataFrame(
+        sorted(texts.items()), schema="doc_id long, text string")
+    indexed = [texts[i] for i in (0, 2, 4)]
+    out = {r["doc_id"]: (r["bloom_hit"], r["exact_hit"])
+           for r in bloom_gate(docs).collect()}
+    for did, text in texts.items():
+        exact = int(text in indexed)
+        assert out[did] == (_bloom_py(indexed, text), exact), did
+        # a Bloom filter NEVER false-negatives
+        assert out[did][0] >= exact
