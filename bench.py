@@ -165,6 +165,8 @@ HEADLINE = [
     "kg_calibration",
     "text_vocab_growth",
     "dedup_bloom_gate",
+    "emb_mmr_rerank",
+    "events_interarrival",
 ]
 
 

@@ -414,3 +414,31 @@ def incident_overlap(events: DataFrame, gap_minutes: int = 30,
             "n_errors",
         )
     )
+
+
+def interarrival_hist(events: DataFrame) -> DataFrame:
+    """Inter-arrival burstiness histogram: within each (user,
+    event_type) stream (ordered by ts then event_id), the gap to the
+    previous event, log2-bucketed as floor(log2(gap_secs + 1)) — exact
+    via BIGINT bit length (the degree_histogram discipline, never
+    float log). Returns (event_type, bucket, n) — the heavy-tail
+    monitor that separates periodic telemetry from bursty user
+    behavior per stream type.
+
+    One user-keyed window shuffle over the stream, then one
+    map-side-combinable grouped count to (type x ~40 bucket) keys."""
+    ep = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "event_type", "ts", "event_id", ep.alias("ep"))
+        .withColumn("gap", F.col("ep") - F.lag("ep").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.select(
+            "event_type",
+            F.expr("CAST(length(bin(gap + 1)) - 1 AS INT)").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

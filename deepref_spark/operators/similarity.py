@@ -807,3 +807,88 @@ def sq8_error(embeddings: DataFrame, scale_bits: int = 30) -> DataFrame:
             .alias("mse_x1e9"),
         )
     )
+
+
+def mmr_rerank(embeddings: DataFrame, queries: DataFrame,
+               n_shortlist: int = 8, n_select: int = 4,
+               lam_num: int = 7, lam_den: int = 10) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse re-ranking (Carbonell &
+    Goldstein 1998) — the serving-side diversity pass after any ANN
+    lane: per query, greedily pick n_select of the exact top
+    n_shortlist, each round maximizing lam*relevance -
+    (1-lam)*max-similarity-to-already-picked. Scores live on the ppm
+    integer grid scaled by lam_den (7*rel_ppm - 3*maxsim_ppm for the
+    default 0.7), ties break on nbr_id, so every pick is deterministic
+    and SQL-twin-exact. Returns (query_id, pick, nbr_id, mmr_u).
+
+    Scale shape: the ONLY corpus-sized work is the shortlist pass
+    (brute_force_topk here by contract — swap in the IVF/PQ lanes for
+    recall/latency trades); everything after operates on
+    queries x n_shortlist rows: one self-join for pairwise sims and
+    n_select - 1 join+window rounds on that tiny table. Greedy
+    selection is inherently sequential in ROUNDS, but each round is a
+    full-width DataFrame op — never a per-query driver loop."""
+    short = (
+        brute_force_topk(embeddings, queries, k=n_shortlist)
+        .select("query_id", "nbr_id",
+                F.expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)")
+                .alias("rel_ppm"))
+    )
+    semb = short.join(
+        embeddings.select(F.col("vec_id").alias("nbr_id"),
+                          F.col("embedding").alias("emb"),
+                          _norm_col("embedding").alias("nrm")),
+        "nbr_id",
+    )
+    a = semb.select("query_id", F.col("nbr_id").alias("a"),
+                    F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = semb.select("query_id", F.col("nbr_id").alias("b"),
+                    F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "b",
+            F.expr("CAST(floor(round(aggregate(zip_with(ea, eb, (x, y) -> "
+                   "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0d, "
+                   "(acc, v) -> acc + v) / (na * nb), 4) * 1000000 + 0.5) "
+                   "AS BIGINT)").alias("sim_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_ppm").desc(), F.col("nbr_id").asc())
+    sel = (
+        short.withColumn("_rn", F.row_number().over(w_rel))
+        .where(F.col("_rn") == 1)
+        .select("query_id", "nbr_id",
+                (F.col("rel_ppm") * lam_num).cast("long").alias("mmr_u"),
+                F.lit(1).cast("long").alias("pick"))
+    )
+    for r in range(2, n_select + 1):
+        cand = short.join(sel.select("query_id", "nbr_id"),
+                          ["query_id", "nbr_id"], "left_anti")
+        picked = sel.select("query_id", F.col("nbr_id").alias("_pb"))
+        s = sims.select(F.col("query_id").alias("_q"),
+                        F.col("a").alias("_a"), F.col("b").alias("_b"),
+                        "sim_ppm")
+        ms = (
+            cand.join(picked, "query_id")
+            .join(s, (F.col("query_id") == F.col("_q"))
+                  & (F.col("nbr_id") == F.col("_a"))
+                  & (F.col("_pb") == F.col("_b")))
+            .groupBy("query_id", "nbr_id", "rel_ppm")
+            .agg(F.max("sim_ppm").alias("ms"))
+        )
+        score = (F.col("rel_ppm") * lam_num
+                 - F.col("ms") * (lam_den - lam_num)).cast("long")
+        w = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.col("nbr_id").asc())
+        pick = (
+            ms.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("query_id", "nbr_id", score.alias("mmr_u"),
+                    F.lit(r).cast("long").alias("pick"))
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=False)
+    return sel.select("query_id", "pick", "nbr_id", "mmr_u")

@@ -6785,6 +6785,119 @@ def emb_sq_error(spark, sf_dir):
     return sq8_error(load_table(spark, sf_dir, "embeddings"))
 
 
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: shared brute-force cosine CTE -> shortlist
+    -> pairwise sims -> n_select join+window rounds, all on the ppm
+    integer grid with nbr_id tie-breaks (deterministic picks)."""
+    rounds = []
+    for r in range(2, 5):
+        rounds.append(f""",
+cand{r} AS (
+  SELECT s.query_id, s.nbr_id, s.rel_ppm
+  FROM short s LEFT JOIN sel{r - 1} e
+    ON s.query_id = e.query_id AND s.nbr_id = e.nbr_id
+  WHERE e.nbr_id IS NULL
+),
+ms{r} AS (
+  SELECT c.query_id, c.nbr_id, c.rel_ppm, max(m.sim_ppm) AS ms
+  FROM cand{r} c JOIN sel{r - 1} p ON c.query_id = p.query_id
+  JOIN sims m ON m.query_id = c.query_id AND m.a = c.nbr_id
+             AND m.b = p.nbr_id
+  GROUP BY 1, 2, 3
+),
+pick{r} AS (
+  SELECT query_id, nbr_id, CAST(7 * rel_ppm - 3 * ms AS BIGINT) AS mmr_u,
+         CAST({r} AS BIGINT) AS pick
+  FROM (SELECT query_id, nbr_id, rel_ppm, ms,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY 7 * rel_ppm - 3 * ms DESC, nbr_id) AS rn
+        FROM ms{r})
+  WHERE rn = 1
+),
+sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})""")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE {_emb_queries_filter()}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+           AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+short AS MATERIALIZED (
+  SELECT query_id, nbr_id,
+         CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+  FROM (SELECT query_id, nbr_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nbr_id) AS rank
+        FROM scored)
+  WHERE rank <= 8
+),
+semb AS (
+  SELECT s.query_id, s.nbr_id, e.embedding AS emb
+  FROM short s JOIN embeddings e ON s.nbr_id = e.vec_id
+),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.nbr_id AS a, b.nbr_id AS b,
+         CAST(floor(round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 4) * 1000000
+               + 0.5) AS BIGINT) AS sim_ppm
+  FROM semb a JOIN semb b
+    ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id
+),
+sel1 AS (
+  SELECT query_id, nbr_id, CAST(7 * rel_ppm AS BIGINT) AS mmr_u,
+         CAST(1 AS BIGINT) AS pick
+  FROM (SELECT query_id, nbr_id, rel_ppm,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_ppm DESC, nbr_id) AS rn
+        FROM short)
+  WHERE rn = 1
+){"".join(rounds)}
+SELECT query_id, pick, nbr_id, mmr_u FROM sel4
+"""
+
+
+@q("emb_mmr_rerank", _mmr_oracle)
+def emb_mmr_rerank(spark, sf_dir):
+    """MMR diverse re-ranking (similarity.mmr_rerank): greedy
+    4-of-top-8 selection per query maximizing 0.7*relevance -
+    0.3*max-sim-to-picked on the ppm grid, nbr_id tie-breaks. The only
+    corpus-sized work is the shortlist pass; selection rounds run on
+    the queries x 8 table. The serving-side diversity pass after any
+    ANN lane."""
+    from deepref_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.where(F.expr(_emb_queries_filter())))
+
+
+@q("events_interarrival", """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(length(bin(gap + 1)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+""")
+def events_interarrival(spark, sf_dir):
+    """Inter-arrival burstiness histogram (events.interarrival_hist):
+    per (user, event_type) stream gaps, log2-bucketed exactly via
+    BIGINT bit length (the degree_histogram discipline — never float
+    log). One user-keyed window shuffle, one combine to (type x
+    bucket) keys."""
+    from deepref_spark.operators.events import interarrival_hist
+
+    return interarrival_hist(load_table(spark, sf_dir, "events"))
+
+
 def _textrank_oracle() -> str:
     """TextRank = the shared _pagerank_sql iterate over a word-adjacency
     edge CTE (content words, undirected via both-direction union)."""
@@ -7232,6 +7345,15 @@ _WINDOW_TAIL = [
     # goldens and the graph lane keeps ktruss/bfs/walks/wl_colors/
     # incremental_cc in-window over the same symmetric-closure edges.
     "text_bpe_pairs", "dedup_incremental", "kg_communities",
+    # (parked r5at, making room for emb_mmr_rerank +
+    # events_interarrival): text_length_quantiles parks — the exact
+    # integer-position quantile keeps its hand-derived pytest goldens
+    # and the histogram+cumulative-window family keeps text_vocab_growth
+    # (new, same tiny-table cumulative discipline) in-window;
+    # kg_assortativity parks — its degree base is the identical
+    # derivation in-window kg_graph_report re-verifies every sweep and
+    # the Pearson-on-integer-grid formula keeps its hand goldens.
+    "text_length_quantiles", "kg_assortativity",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

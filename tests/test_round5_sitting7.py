@@ -152,3 +152,53 @@ def test_bloom_gate_matches_python_replica(spark):
         assert out[did] == (_bloom_py(indexed, text), exact), did
         # a Bloom filter NEVER false-negatives
         assert out[did][0] >= exact
+
+
+# --- mmr_rerank ---------------------------------------------------------------
+
+def test_mmr_skips_duplicate_for_diverse_pick(spark):
+    from deepref_spark.operators.similarity import mmr_rerank
+    # a (id 1) and b (id 2) point the same way (b is a scaled dup);
+    # c (id 3) is less relevant but diverse. Greedy MMR at lambda 0.7:
+    # pick1 = a (top rel, id tiebreak vs its dup), pick2 = c (the dup's
+    # sim-to-a penalty 3e6 ppm outweighs its relevance edge), pick3 = b
+    rows = [(100, [1.0, 0.0]), (1, [0.95, 0.31]), (2, [1.90, 0.62]),
+            (3, [0.90, -0.436])]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = mmr_rerank(emb, emb.where("vec_id = 100"),
+                     n_shortlist=8, n_select=3).collect()
+    picks = {r["pick"]: r["nbr_id"] for r in out}
+    assert picks == {1: 1, 2: 3, 3: 2}
+    assert all(r["query_id"] == 100 for r in out)
+
+
+def test_mmr_first_pick_is_pure_relevance(spark):
+    from deepref_spark.operators.similarity import mmr_rerank
+    rows = [(0, [1.0, 0.0]), (5, [0.5, 0.5]), (6, [0.9, 0.1])]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = {r["pick"]: (r["nbr_id"], r["mmr_u"])
+           for r in mmr_rerank(emb, emb.where("vec_id = 0"),
+                               n_shortlist=4, n_select=2).collect()}
+    # pick 1 carries mmr_u = 7 * rel_ppm (no similarity penalty yet)
+    nbr, u = out[1]
+    assert nbr == 6 and u % 7 == 0 and u > 0
+
+
+# --- interarrival_hist --------------------------------------------------------
+
+def test_interarrival_buckets_hand_unrolled(spark):
+    from deepref_spark.operators.events import interarrival_hist
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "A", 0.0),
+         (2, "2024-01-01 00:00:01", 1, "A", 0.0),   # gap 1 -> bucket 1
+         (3, "2024-01-01 00:00:03", 1, "A", 0.0),   # gap 2 -> bucket 1
+         (4, "2024-01-01 00:00:10", 1, "A", 0.0),   # gap 7 -> bucket 3
+         (5, "2024-01-01 00:00:00", 2, "A", 0.0),   # lone event: no gap
+         (6, "2024-01-01 00:00:00", 1, "B", 0.0),
+         (7, "2024-01-01 00:00:00", 1, "B", 0.0)],  # gap 0 -> bucket 0
+        schema="event_id long, ts string, user_id long, "
+               "event_type string, value double",
+    )
+    out = {(r["event_type"], r["bucket"]): r["n"]
+           for r in interarrival_hist(ev).collect()}
+    assert out == {("A", 1): 2, ("A", 3): 1, ("B", 0): 1}
