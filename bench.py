@@ -167,6 +167,9 @@ HEADLINE = [
     "dedup_bloom_gate",
     "emb_mmr_rerank",
     "events_interarrival",
+    "events_late_audit",
+    "emb_hamming_topk",
+    "kg_block_editdist",
 ]
 
 

@@ -442,3 +442,44 @@ def interarrival_hist(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def late_audit(events: DataFrame, watermark_secs: int = 1800,
+               bucket_events: int = 1000) -> DataFrame:
+    """Watermark-lateness audit (batch twin of the streaming drop
+    rule): using event_id as the arrival order, an event is late-
+    beyond-watermark if the max event-time of all PRIOR arrival
+    buckets exceeds its own event-time by more than watermark_secs —
+    the count a pipeline owner reads before choosing the streaming
+    watermark. Returns (bucket, n_events, n_late, max_lateness_secs).
+
+    Scale shape: the two-level decomposition a global running-max
+    would otherwise serialize — per-bucket max (map-side combinable),
+    a cumulative-max window on the TINY bucket table only, broadcast
+    back to the stream for the per-event comparison, then one grouped
+    count. No global sort of the event stream."""
+    ep = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    ev = events.select(
+        F.expr(f"event_id div {bucket_events}").alias("bucket"),
+        ep.alias("ep"),
+    )
+    bmax = ev.groupBy("bucket").agg(F.max("ep").alias("bmax"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bmax.select(
+        "bucket", F.max("bmax").over(w).alias("wm")  # high-water mark BEFORE this bucket
+    )
+    return (
+        ev.join(F.broadcast(cum), "bucket")
+        .select(
+            "bucket",
+            F.greatest(F.coalesce(F.col("wm") - F.col("ep"), F.lit(0)),
+                       F.lit(0)).cast("long").alias("lateness"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("lateness") > watermark_secs, 1).otherwise(0))
+            .cast("long").alias("n_late"),
+            F.max("lateness").cast("long").alias("max_lateness_secs"),
+        )
+    )

@@ -330,3 +330,21 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
         .select("entity", "component")
     )
     return old.union(new_only)
+
+
+def editdist_verify(candidates: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Edit-distance verification of blocked candidate pairs — the ER
+    verify stage for surface forms whose variation is typographic
+    rather than token-level (where shingle-Jaccard under-scores short
+    names). Input: (a, b) candidate pairs from the banded self-join;
+    output: (a, b, dist) for levenshtein(a, b) <= max_dist.
+
+    Scale shape: levenshtein is O(len^2) per pair, so it runs ONLY on
+    the LSH-blocked candidates (the same contract as similarity_edges)
+    — never a corpus cross product. Both engines expose the identical
+    built-in, so the verify is SQL-twin-exact."""
+    return (
+        candidates.select("a", "b",
+                          F.levenshtein("a", "b").cast("int").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )

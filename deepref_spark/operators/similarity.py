@@ -892,3 +892,63 @@ def mmr_rerank(embeddings: DataFrame, queries: DataFrame,
         )
         sel = sel.unionAll(pick).localCheckpoint(eager=False)
     return sel.select("query_id", "pick", "nbr_id", "mmr_u")
+
+
+def sign_words_expr(dim: int, dialect: str = "spark") -> str:
+    """Pack the sign bits of a ``dim``-wide double array column ``e``
+    into ceil(dim/63) BIGINT words (63 bits per word — the sign bit is
+    never touched) as one literal arithmetic expression, identical
+    logic in both dialects."""
+    n_words = (dim + 62) // 63
+    words = []
+    for w in range(n_words):
+        terms = []
+        for i in range(min(63, dim - w * 63)):
+            idx = w * 63 + i + 1
+            el = f"element_at(e, {idx})" if dialect == "spark" else f"e[{idx}]"
+            terms.append(f"CASE WHEN {el} >= 0 THEN {1 << i} ELSE 0 END")
+        words.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    if dialect == "spark":
+        return "array(" + ", ".join(words) + ")"
+    return "[" + ", ".join(words) + "]"
+
+
+def hamming_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 5) -> DataFrame:
+    """Binary-embedding retrieval: sign-binarize every vector into
+    63-bit BIGINT words and rank by Hamming distance
+    (sum of bit_count(xor) over the words) — the cheap first-stage
+    retrieval lane next to cosine/IVF/PQ/SQ (1 bit per dimension
+    scanned instead of 4 bytes). Returns
+    (query_id, nbr_id, hamming, rank); ties break on nbr_id, all
+    arithmetic BIGINT.
+
+    Scale shape: codes are a per-row literal-arithmetic projection
+    (no train pass at all); the query side broadcasts; distance is a
+    fixed n_words-step integer fold inside whole-stage codegen."""
+    pack = sign_words_expr(dim, "spark")
+
+    def coded(df: DataFrame, id_alias: str, w_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+        ).select(id_alias, F.expr(pack).alias(w_alias))
+
+    corpus = coded(embeddings, "nbr_id", "cw")
+    q = F.broadcast(coded(queries, "query_id", "qw"))
+    scored = (
+        corpus.crossJoin(q)
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id", "nbr_id",
+            F.expr("aggregate(zip_with(qw, cw, (x, y) -> "
+                   "CAST(bit_count(x ^ y) AS BIGINT)), 0L, (a, v) -> a + v)")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -6785,6 +6785,139 @@ def emb_sq_error(spark, sf_dir):
     return sq8_error(load_table(spark, sf_dir, "embeddings"))
 
 
+# deterministic late-data plant for the watermark audit: ~10% of events
+# carry an event-time pushed 600..7799 s into the past (md5-derived, so
+# the identical delays appear in the SQL twin); arrival order stays
+# event_id. Without the plant the synth stream is perfectly ordered and
+# the audit is trivially all-zero.
+_LATE_GATE = md5_mod("concat(CAST(event_id AS {s}), ':late')", 10)
+_LATE_AMT = md5_mod("concat(CAST(event_id AS {s}), ':amt')", 7200)
+
+
+def _late_delay(s: str) -> str:
+    return (f"CASE WHEN {_LATE_GATE.format(s=s)} = 0 "
+            f"THEN 600 + {_LATE_AMT.format(s=s)} ELSE 0 END")
+
+
+@q("events_late_audit", f"""
+WITH ev AS (
+  SELECT event_id // 1000 AS bucket,
+         CAST(floor(epoch(ts)) AS BIGINT) - ({_late_delay('VARCHAR')}) AS ep
+  FROM events
+),
+bmax AS (SELECT bucket, max(ep) AS bmax FROM ev GROUP BY 1),
+cum AS (
+  SELECT bucket, max(bmax) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM bmax
+),
+l AS (
+  SELECT ev.bucket, greatest(coalesce(wm - ep, 0), 0) AS lateness
+  FROM ev JOIN cum ON ev.bucket = cum.bucket
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_secs
+FROM l GROUP BY bucket
+""")
+def events_late_audit(spark, sf_dir):
+    """Watermark-lateness audit (events.late_audit) over the synth
+    stream with a deterministic md5-planted late tail (~10% of events
+    pushed 600-7799 s into the past): per 1000-event arrival bucket,
+    how many events a 1800 s watermark would drop and the worst skew.
+    Two-level decomposition — per-bucket max, cumulative max on the
+    tiny bucket table broadcast back — never a global event sort."""
+    from deepref_spark.operators.events import late_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("timestamp_seconds(CAST(CAST(ts AS TIMESTAMP) AS LONG) - ("
+               + _late_delay("STRING") + "))").alias("ts"),
+    )
+    return late_audit(ev)
+
+
+def _hamming_oracle() -> str:
+    from deepref_spark.operators.similarity import sign_words_expr
+
+    return f"""
+WITH ex AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c AS (SELECT vec_id, {sign_words_expr(64, 'duck')} AS wds FROM ex),
+q AS (SELECT vec_id AS query_id, wds AS qw FROM c
+      WHERE {_emb_queries_filter()}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS nbr_id,
+         CAST(list_sum(list_transform(range(len(qw)),
+              j -> bit_count(xor(qw[j + 1], c.wds[j + 1])))) AS BIGINT)
+           AS hamming
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, nbr_id, hamming, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, nbr_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, nbr_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@q("emb_hamming_topk", _hamming_oracle)
+def emb_hamming_topk(spark, sf_dir):
+    """Binary-embedding Hamming retrieval (similarity.hamming_topk):
+    sign bits packed into 63-bit BIGINT words by a literal arithmetic
+    projection (no train pass), distance = bit_count(xor) folded over
+    the words — the 1-bit-per-dimension first-stage lane next to
+    cosine/IVF/PQ/SQ. All-BIGINT, deterministic ties."""
+    from deepref_spark.operators.similarity import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, emb.where(F.expr(_emb_queries_filter())), dim=64)
+
+
+@q("kg_block_editdist", _entities_cte(DUCK) + f"""
+, sigs AS (SELECT entity, {_band_sql(DUCK)} FROM entities),
+cand AS (
+  SELECT a.entity AS a, b.entity AS b
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+        OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+)
+SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist
+FROM cand WHERE levenshtein(a, b) <= 2
+""")
+def kg_block_editdist(spark, sf_dir):
+    """Edit-distance verification of the LSH-blocked candidate pairs
+    (linking.editdist_verify): the typo-level ER verify stage next to
+    shingle-Jaccard (similarity_edges) — levenshtein runs ONLY on the
+    banded candidates, never a corpus cross product; both engines
+    expose the identical built-in."""
+    from deepref_spark.operators.linking import editdist_verify
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = ents.selectExpr(
+        "entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    cands = a.join(b, cond).select(
+        F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
+    return editdist_verify(cands)
+
+
 def _mmr_oracle() -> str:
     """Unrolled greedy MMR: shared brute-force cosine CTE -> shortlist
     -> pairwise sims -> n_select join+window rounds, all on the ppm
@@ -7354,6 +7487,18 @@ _WINDOW_TAIL = [
     # derivation in-window kg_graph_report re-verifies every sweep and
     # the Pearson-on-integer-grid formula keeps its hand goldens.
     "text_length_quantiles", "kg_assortativity",
+    # (parked r5au, restoring text_textrank / lake_constraint_check /
+    # lake_zorder_buckets to the window after the late-audit/hamming/
+    # editdist registrations pushed them past slot 50): kg_train_split
+    # parks — the TransE-prep lane keeps kg_lp_eval + kg_negative_sample
+    # in-window and the split's coverage guarantee keeps its pytest
+    # goldens; kg_media_context parks — kg_media_phash_dedup stays as
+    # the media-lane window rep and the pairing projection keeps its
+    # hand goldens; kg_type_induction parks — its head/tail type table
+    # derives from the same canonical-triple CTE every in-window
+    # kgquality oracle re-derives, and the induction rollup keeps its
+    # pytest goldens.
+    "kg_train_split", "kg_media_context", "kg_type_induction",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

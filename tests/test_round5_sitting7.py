@@ -202,3 +202,79 @@ def test_interarrival_buckets_hand_unrolled(spark):
     out = {(r["event_type"], r["bucket"]): r["n"]
            for r in interarrival_hist(ev).collect()}
     assert out == {("A", 1): 2, ("A", 3): 1, ("B", 0): 1}
+
+
+# --- late_audit ---------------------------------------------------------------
+
+def test_late_audit_two_level_watermark(spark):
+    from deepref_spark.operators.events import late_audit
+    # bucket 0: ts 100, 200 (sets wm=200); bucket 1: ts 50 (150 s late)
+    # and ts 300 (on time). watermark 100 s -> exactly one drop.
+    base = "2024-01-01 00:0{m}:{s:02d}"
+    ev = spark.createDataFrame(
+        [(0, "2024-01-01 00:01:40"),   # epoch offset 100
+         (1, "2024-01-01 00:03:20"),   # 200
+         (2, "2024-01-01 00:00:50"),   # 50 -> lateness 150
+         (3, "2024-01-01 00:05:00")],  # 300
+        schema="event_id long, ts string",
+    )
+    out = {r["bucket"]: (r["n_events"], r["n_late"], r["max_lateness_secs"])
+           for r in late_audit(ev, watermark_secs=100,
+                               bucket_events=2).collect()}
+    assert out == {0: (2, 0, 0), 1: (2, 1, 150)}
+
+
+def test_late_audit_first_bucket_never_late(spark):
+    from deepref_spark.operators.events import late_audit
+    ev = spark.createDataFrame(
+        [(0, "2024-01-01 09:00:00"), (1, "2024-01-01 08:00:00")],
+        schema="event_id long, ts string",
+    )
+    rows = late_audit(ev, watermark_secs=60, bucket_events=10).collect()
+    assert [(r["bucket"], r["n_late"]) for r in rows] == [(0, 0)]
+
+
+# --- hamming_topk -------------------------------------------------------------
+
+def test_hamming_topk_sign_bits(spark):
+    from deepref_spark.operators.similarity import hamming_topk
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [1.0, 1.0]), (2, [-1.0, -1.0]),
+         (3, [2.0, -3.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = [(r["nbr_id"], r["hamming"], r["rank"])
+           for r in hamming_topk(emb, emb.where("vec_id = 0"), dim=2)
+           .orderBy("rank").collect()]
+    # 3 is a sign-exact dup (ham 0); 1 and 2 each differ in one bit
+    assert out == [(3, 0, 1), (1, 1, 2), (2, 1, 3)]
+
+
+def test_sign_words_spark_duck_same_packing(spark):
+    import duckdb
+    from deepref_spark.operators.similarity import sign_words_expr
+    vec = [0.5, -0.25, 0.0, -1.0] * 20  # dim 80 -> 2 words
+    s = spark.sql(
+        "SELECT " + sign_words_expr(80, "spark") + " AS w FROM (SELECT "
+        f"array({', '.join(f'CAST({v} AS DOUBLE)' for v in vec)}) AS e)"
+    ).collect()[0]["w"]
+    d = duckdb.sql(
+        "SELECT " + sign_words_expr(80, "duck") + " AS w FROM (SELECT "
+        f"[{', '.join(str(v) for v in vec)}]::DOUBLE[] AS e)"
+    ).fetchone()[0]
+    assert list(s) == list(d)
+
+
+# --- editdist_verify ----------------------------------------------------------
+
+def test_editdist_verify_threshold(spark):
+    from deepref_spark.operators.linking import editdist_verify
+    pairs = spark.createDataFrame(
+        [("color", "colour"), ("alpha", "omega"), ("same", "same"),
+         ("ab", "ba")],
+        schema="a string, b string",
+    )
+    out = {(r["a"], r["b"]): r["dist"]
+           for r in editdist_verify(pairs, max_dist=2).collect()}
+    assert out == {("color", "colour"): 1, ("same", "same"): 0,
+                   ("ab", "ba"): 2}
