@@ -170,6 +170,8 @@ HEADLINE = [
     "events_late_audit",
     "emb_hamming_topk",
     "kg_block_editdist",
+    "events_conversion_time",
+    "text_readability",
 ]
 
 

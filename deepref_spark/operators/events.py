@@ -483,3 +483,37 @@ def late_audit(events: DataFrame, watermark_secs: int = 1800,
             F.max("lateness").cast("long").alias("max_lateness_secs"),
         )
     )
+
+
+def conversion_time(events: DataFrame, from_type: str = "signup",
+                    to_type: str = "purchase") -> DataFrame:
+    """Time-to-convert distribution: per user, the gap from their FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it (the funnel operator's strictly-after anchor semantics),
+    log2-bucketed exactly via BIGINT bit length. Returns
+    (bucket, n_users, min_secs, max_secs) — the latency histogram a
+    growth team reads next to the funnel counts.
+
+    Two per-user min aggregations joined once (both map-side
+    combinable), then one combine to ~40 bucket keys."""
+    ep = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)")
+    first_a = (
+        events.where(F.col("event_type") == from_type)
+        .select("user_id", ep.alias("ep"))
+        .groupBy("user_id").agg(F.min("ep").alias("t0"))
+    )
+    conv = (
+        events.where(F.col("event_type") == to_type)
+        .select("user_id", ep.alias("ep"))
+        .join(first_a, "user_id")
+        .where(F.col("ep") > F.col("t0"))
+        .groupBy("user_id").agg(F.min(F.col("ep") - F.col("t0")).alias("gap"))
+    )
+    return (
+        conv.select(F.expr("CAST(length(bin(gap + 1)) - 1 AS INT)")
+                    .alias("bucket"), "gap")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+             F.min("gap").cast("long").alias("min_secs"),
+             F.max("gap").cast("long").alias("max_secs"))
+    )

@@ -1590,3 +1590,32 @@ def vocab_growth(documents: DataFrame, bucket_docs: int = 100) -> DataFrame:
             F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
         )
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease on the milli integer grid: words = the
+    shared norm-tokens count, sentences = terminator runs ([.!?]+,
+    min 1), syllables = vowel-group runs — all via regexp_extract_all
+    counts (simple character classes, identical semantics in Java and
+    RE2 regex engines). flesch_milli = 206835
+    - (1015 * words) div sentences - (84600 * syllables) div words,
+    so the score is bit-identical in the SQL twin. Returns
+    (doc_id, n_words, n_sentences, n_syllables, flesch_milli) — the
+    classic quality signal next to the Gopher/C4 filter tables.
+
+    Pure JVM single-scan projection; each regex runs once per document
+    (no per-token lambda)."""
+    toks = portable.norm_tokens("text", SPARK)
+    return documents.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+               " AS BIGINT)").alias("n_sentences"),
+        F.expr("CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) "
+               "AS BIGINT)").alias("n_syllables"),
+    ).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr("CAST(206835 - (1015 * n_words) div n_sentences "
+               "- (84600 * n_syllables) div greatest(n_words, 1) AS BIGINT)")
+        .alias("flesch_milli"),
+    )

@@ -6785,6 +6785,67 @@ def emb_sq_error(spark, sf_dir):
     return sq8_error(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("events_conversion_time", """
+WITH fa AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         min(CAST(floor(epoch(e.ts)) AS BIGINT) - fa.t0) AS gap
+  FROM events e JOIN fa ON e.user_id = fa.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > fa.t0
+  GROUP BY e.user_id
+)
+SELECT CAST(length(bin(gap + 1)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(gap) AS BIGINT) AS min_secs,
+       CAST(max(gap) AS BIGINT) AS max_secs
+FROM conv GROUP BY 1
+""")
+def events_conversion_time(spark, sf_dir):
+    """Signup-to-purchase latency distribution
+    (events.conversion_time): per-user first-signup anchor, first
+    strictly-later purchase, gap log2-bucketed via exact BIGINT bit
+    length. Two map-side-combined per-user mins + one tiny combine."""
+    from deepref_spark.operators.events import conversion_time
+
+    return conversion_time(load_table(spark, sf_dir, "events"))
+
+
+def _readability_oracle() -> str:
+    toks = portable.norm_tokens("text", DUCK)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+            - (84600 * n_syllables) // greatest(n_words, 1)
+         AS BIGINT) AS flesch_milli
+FROM base
+"""
+
+
+@q("text_readability", _readability_oracle)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease (text_analysis.readability) on the milli
+    integer grid — words / sentence-terminator runs / vowel-group
+    syllable estimate, one regex pass each per document, single-scan
+    JVM projection. The classic readability signal next to the
+    Gopher/C4 quality tables."""
+    from deepref_spark.operators.text_analysis import readability
+
+    return readability(documents(spark, sf_dir))
+
+
 # deterministic late-data plant for the watermark audit: ~10% of events
 # carry an event-time pushed 600..7799 s into the past (md5-derived, so
 # the identical delays appear in the SQL twin); arrival order stays
@@ -7499,6 +7560,15 @@ _WINDOW_TAIL = [
     # kgquality oracle re-derives, and the induction rollup keeps its
     # pytest goldens.
     "kg_train_split", "kg_media_context", "kg_type_induction",
+    # (parked r5av, making room for events_conversion_time +
+    # text_readability): events_hll_stream parks — in-window
+    # events_hll_distinct hash-verifies the IDENTICAL register
+    # derivation every sweep and the streaming merge keeps its
+    # cross-restart pytest; dedup_mh_calibration parks — its band
+    # derivation is the same _band_sql fragment in-window
+    # kg_blocking_quality and kg_block_editdist re-verify every sweep,
+    # and the collision-probability table keeps its hand goldens.
+    "events_hll_stream", "dedup_mh_calibration",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -278,3 +278,48 @@ def test_editdist_verify_threshold(spark):
            for r in editdist_verify(pairs, max_dist=2).collect()}
     assert out == {("color", "colour"): 1, ("same", "same"): 0,
                    ("ab", "ba"): 2}
+
+
+# --- conversion_time ----------------------------------------------------------
+
+def test_conversion_time_strictly_after_anchor(spark):
+    from deepref_spark.operators.events import conversion_time
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "signup", 0.0),
+         (2, "2024-01-01 00:00:03", 1, "purchase", 0.0),   # gap 3 -> b2
+         (3, "2024-01-01 00:05:00", 1, "purchase", 0.0),   # not first
+         (4, "2024-01-01 00:00:10", 2, "purchase", 0.0),   # before signup
+         (5, "2024-01-01 00:00:20", 2, "signup", 0.0),
+         (6, "2024-01-01 00:00:21", 2, "purchase", 0.0),   # gap 1 -> b1
+         (7, "2024-01-01 00:00:00", 3, "signup", 0.0)],    # never converts
+        schema="event_id long, ts string, user_id long, "
+               "event_type string, value double",
+    )
+    out = {r["bucket"]: (r["n_users"], r["min_secs"], r["max_secs"])
+           for r in conversion_time(ev).collect()}
+    assert out == {2: (1, 3, 3), 1: (1, 1, 1)}
+
+
+# --- readability --------------------------------------------------------------
+
+def test_readability_hand_counts(spark):
+    from deepref_spark.operators.text_analysis import readability
+    docs = spark.createDataFrame(
+        [(0, "The cat sat. It sat!")],
+        schema="doc_id long, text string",
+    )
+    r = readability(docs).collect()[0]
+    # words = the shared norm-tokens count, which keeps '.' as a token:
+    # the/cat/sat/./it/sat = 6 ('!' is stripped); sentences: '.' '!' = 2;
+    # vowel groups: e, a, a, i, a = 5
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 5)
+    # flesch_milli = 206835 - (1015*6) div 2 - (84600*5) div 6
+    assert r["flesch_milli"] == 206835 - 3045 - 70500
+
+
+def test_readability_no_terminator_counts_one_sentence(spark):
+    from deepref_spark.operators.text_analysis import readability
+    docs = spark.createDataFrame(
+        [(0, "no punctuation here")], schema="doc_id long, text string")
+    r = readability(docs).collect()[0]
+    assert r["n_sentences"] == 1 and r["n_words"] == 3
