@@ -172,6 +172,8 @@ HEADLINE = [
     "kg_block_editdist",
     "events_conversion_time",
     "text_readability",
+    "kg_anf_hyperball",
+    "lake_skipping_eval",
 ]
 
 

@@ -1241,3 +1241,95 @@ def random_walks(edges: DataFrame, walks_per_node: int = WALKS_PER_NODE,
         out = out.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return out.select("walk_id", F.col("step").cast("int").alias("step"), "entity")
+
+
+def anf_hyperball(edges: DataFrame, m: int = 16, hops: int = 2) -> DataFrame:
+    """Approximate Neighborhood Function via HyperBall (Boldi & Vigna
+    2013): every node carries an m-register HLL sketch of its h-hop
+    ball, grown per round by element-wise max-merging each neighbor's
+    registers — distinct-ball-size estimates for EVERY node in h
+    rounds of join+combine, where the exact computation is an
+    all-pairs BFS. Registers use the events.hll_distinct discipline
+    (md5 bucket, 33 - bit-length rank, dyadic 2^(33-M) BIGINT harmonic
+    sum, ONE double division at the end). Returns
+    (entity, ball_exact, n_regs, anf_estimate) — ball_exact is the
+    small-SF calibration column (counts the node itself), computed by
+    literal 2-hop expansion; at 10^12 edges only the sketch survives.
+
+    Correctness leverage: HyperBall's invariant — register state after
+    h max-merge rounds EQUALS the HLL of the exact h-ball membership —
+    lets the SQL twin compute the registers directly from the ball
+    set, so the oracle verifies the distributed merge propagation
+    through a completely different computation path.
+
+    Scale shape: per round ONE equi-join (registers to neighbors) +
+    ONE map-side-combinable grouped max onto at most m cells per node;
+    register tables are localCheckpoint'ed per round (iterated-operator
+    house rule)."""
+    from deepref_spark.portable import hex32, md5_mod
+
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+    )
+    adj = _und_adj(und).localCheckpoint(eager=False)
+    nodes = adj.select(F.col("v").alias("entity")).distinct()
+    seeded = nodes.select(
+        "entity",
+        F.expr("md5(concat('anf|', entity))").alias("h"),
+    ).select(
+        "entity",
+        F.expr(md5_mod("h", m)).cast("int").alias("bucket"),
+        F.expr(hex32("h", 8, "spark")).alias("v32"),
+    ).select(
+        "entity", "bucket",
+        F.expr("CASE WHEN v32 = 0 THEN 33 ELSE 33 - length(bin(v32)) END")
+        .cast("int").alias("mr"),
+    )
+    regs = seeded.localCheckpoint(eager=False)
+    for _ in range(hops):
+        from_nbrs = (
+            adj.join(regs.withColumnRenamed("entity", "nbr"), "nbr")
+            .select(F.col("v").alias("entity"), "bucket", "mr")
+        )
+        regs = (
+            regs.unionAll(from_nbrs)
+            .groupBy("entity", "bucket")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=False)
+        )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two33 = 1 << 33
+    est = regs.groupBy("entity").agg(
+        F.sum(F.expr("CAST(pow(2, 33 - mr) AS BIGINT)")).cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    # exact h-ball (calibration column): literal frontier expansion,
+    # pairs (v, member) distinct-counted per v
+    pairs = nodes.select(F.col("entity").alias("v"),
+                         F.col("entity").alias("member"))
+    frontier = pairs
+    for _ in range(hops):
+        frontier = (
+            frontier.join(adj.withColumnRenamed("v", "member"), "member")
+            .select("v", F.col("nbr").alias("member"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        pairs = pairs.unionAll(frontier).distinct().localCheckpoint(eager=False)
+    exact = pairs.groupBy(F.col("v").alias("entity")).agg(
+        F.countDistinct("member").cast("long").alias("ball_exact"))
+    return (
+        est.join(exact, "entity")
+        .select(
+            "entity", "ball_exact", "n_regs",
+            F.round(
+                (F.lit(alpha * m * m * float(two33))
+                 / (F.col("s_present")
+                    + (F.lit(m) - F.col("n_regs")) * F.lit(two33))
+                 ).cast("double"), 2,
+            ).alias("anf_estimate"),
+        )
+    )

@@ -266,3 +266,60 @@ def zorder_buckets(df: DataFrame, xcol: str = "l_orderkey",
              F.min("x").alias("min_x"), F.max("x").alias("max_x"),
              F.min("y").alias("min_y"), F.max("y").alias("max_y"))
     )
+
+
+def skipping_eval(df: DataFrame, xcol: str = "l_orderkey",
+                  ycol: str = "l_partkey", bits: int = 8,
+                  bucket_shift: int = 8, n_probes: int = 7) -> DataFrame:
+    """Data-skipping effectiveness: for point predicates on ``ycol``,
+    how many file buckets a zone map must scan under (a) the natural
+    layout (bucketed by ``xcol`` — the secondary key's envelopes are
+    full-range, so nothing prunes) versus (b) the Z-order layout from
+    zorder_buckets (both keys cluster, so most envelopes exclude the
+    probe). Probe keys are the deterministic grid
+    (max_y * i) div (n_probes + 1), i = 1..n_probes. Returns
+    (probe_key, natural_scanned, zorder_scanned, total_buckets) — the
+    quantified argument for a space-filling-curve rewrite.
+
+    Scale shape: both envelope tables are metadata-sized (<= 2^(2*bits
+    - bucket_shift) rows); probes are a literal sequence exploded from
+    the broadcast 1-row max — the corpus is scanned exactly twice (once
+    per layout's grouped envelope), never per probe."""
+    from deepref_spark.portable import SPARK
+
+    grid = 1 << bits
+    maxes = df.agg(F.max(xcol).cast("long").alias("_mx"),
+                   F.max(ycol).cast("long").alias("_my"))
+    natural = (
+        df.select(F.col(xcol).cast("long").alias("x"),
+                  F.col(ycol).cast("long").alias("y"))
+        .crossJoin(F.broadcast(maxes))
+        .groupBy(F.expr(f"(x * {grid}) div (_mx + 1)").cast("long")
+                 .alias("nb"))
+        .agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+    )
+    zb = zorder_buckets(df, xcol, ycol, bits, bucket_shift).select(
+        "z_bucket", "min_y", "max_y")
+    probes = maxes.select(
+        F.explode(F.expr(
+            f"transform(sequence(1, {n_probes}), "
+            f"i -> (_my * i) div {n_probes + 1})")).alias("probe_key"))
+    nat = (
+        probes.join(natural, (F.col("min_y") <= F.col("probe_key"))
+                    & (F.col("probe_key") <= F.col("max_y")), "left")
+        .groupBy("probe_key")
+        .agg(F.count("nb").cast("long").alias("natural_scanned"))
+    )
+    zod = (
+        probes.join(zb, (F.col("min_y") <= F.col("probe_key"))
+                    & (F.col("probe_key") <= F.col("max_y")), "left")
+        .groupBy("probe_key")
+        .agg(F.count("z_bucket").cast("long").alias("zorder_scanned"))
+    )
+    totals = (
+        natural.agg(F.count(F.lit(1)).alias("_tn"))
+        .crossJoin(zb.agg(F.count(F.lit(1)).alias("_tz")))
+        .select((F.col("_tn") + F.col("_tz")).cast("long")
+                .alias("total_buckets"))
+    )
+    return nat.join(zod, "probe_key").crossJoin(F.broadcast(totals))

@@ -6785,6 +6785,103 @@ def emb_sq_error(spark, sf_dir):
     return sq8_error(load_table(spark, sf_dir, "embeddings"))
 
 
+def _anf_oracle() -> str:
+    from deepref_spark.portable import hex32
+
+    m = 16
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << 33))
+    v = hex32("h", 8, DUCK)
+    return (_oracle_prefix() + _graph_edges_cte() + f""",
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS v, b AS nbr FROM und
+                     UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT DISTINCT v AS entity FROM adj),
+p0 AS (SELECT entity AS v, entity AS member FROM nodes),
+p1 AS MATERIALIZED (SELECT v, member FROM p0
+      UNION SELECT p.v, a.nbr FROM p0 p JOIN adj a ON p.member = a.v),
+p2 AS MATERIALIZED (SELECT v, member FROM p1
+      UNION SELECT p.v, a.nbr FROM p1 p JOIN adj a ON p.member = a.v),
+hh AS (SELECT v, md5(concat('anf|', member)) AS h FROM p2),
+rk AS (
+  SELECT v, {md5_mod("h", m)} AS bucket,
+         CASE WHEN {v} = 0 THEN 33 ELSE 33 - length(bin({v})) END AS mr
+  FROM hh
+),
+regs AS (SELECT v, bucket, max(mr) AS mr FROM rk GROUP BY 1, 2),
+est AS (
+  SELECT v, CAST(sum(CAST(pow(2, 33 - mr) AS BIGINT)) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY v
+),
+ex AS (SELECT v, CAST(count(DISTINCT member) AS BIGINT) AS ball_exact
+       FROM p2 GROUP BY v)
+SELECT est.v AS entity, ball_exact, n_regs,
+       round({num} / CAST(s_present + ({m} - n_regs) * {1 << 33} AS DOUBLE), 2)
+         AS anf_estimate
+FROM est JOIN ex ON est.v = ex.v
+""")
+
+
+@q("kg_anf_hyperball", _anf_oracle)
+def kg_anf_hyperball(spark, sf_dir):
+    """HyperBall ANF (graph.anf_hyperball): per-entity 2-hop ball-size
+    estimates via register max-merge rounds along the canonical graph's
+    edges, with the exact 2-ball as the small-SF calibration column.
+    The oracle exploits HyperBall's invariant — registers after h
+    rounds == the HLL of the exact h-ball — so it computes the sketch
+    from the ball MEMBERSHIP, verifying the distributed merge
+    propagation through a different computation path."""
+    from deepref_spark.operators.graph import anf_hyperball
+
+    return anf_hyperball(_canonical_edges(spark, sf_dir), m=16, hops=2)
+
+
+def _skipping_oracle() -> str:
+    # lazy: _zorder_keyed_ctes is defined further down in the module
+    return f"""
+WITH {_zorder_keyed_ctes()},
+zb AS (
+  SELECT z // 256 AS z_bucket, min(y) AS min_y, max(y) AS max_y
+  FROM keyed GROUP BY 1
+),
+natlay AS (
+  SELECT (x * 256) // (mx + 1) AS nb, min(y) AS min_y, max(y) AS max_y
+  FROM keyed, m GROUP BY 1
+),
+probes AS (SELECT (my * unnest(range(1, 8))) // 8 AS probe_key FROM m),
+nat AS (
+  SELECT probe_key, CAST(count(n.nb) AS BIGINT) AS natural_scanned
+  FROM probes p LEFT JOIN natlay n
+    ON n.min_y <= p.probe_key AND p.probe_key <= n.max_y
+  GROUP BY 1
+),
+zod AS (
+  SELECT probe_key, CAST(count(z.z_bucket) AS BIGINT) AS zorder_scanned
+  FROM probes p LEFT JOIN zb z
+    ON z.min_y <= p.probe_key AND p.probe_key <= z.max_y
+  GROUP BY 1
+),
+tot AS (SELECT CAST((SELECT count(*) FROM natlay)
+                    + (SELECT count(*) FROM zb) AS BIGINT) AS total_buckets)
+SELECT nat.probe_key, natural_scanned, zorder_scanned, total_buckets
+FROM nat JOIN zod ON nat.probe_key = zod.probe_key, tot
+"""
+
+
+@q("lake_skipping_eval", _skipping_oracle)
+def lake_skipping_eval(spark, sf_dir):
+    """Data-skipping effectiveness (lakeops.skipping_eval): zone-map
+    bucket counts for point predicates on l_partkey under the natural
+    l_orderkey layout versus the Z-order layout — the quantified
+    argument for a space-filling-curve rewrite. Both envelope tables
+    are metadata-sized; the corpus is scanned exactly twice."""
+    from deepref_spark.operators.lakeops import skipping_eval
+
+    return skipping_eval(load_table(spark, sf_dir, "lineitem"))
+
+
 @q("events_conversion_time", """
 WITH fa AS (
   SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
@@ -7171,12 +7268,13 @@ def lake_constraint_check(spark, sf_dir):
     return constraint_check(load_table(spark, sf_dir, "lineitem"))
 
 
-def _zorder_oracle() -> str:
+def _zorder_keyed_ctes() -> str:
+    """Shared m + keyed CTEs for the Z-order lane (lake_zorder_buckets
+    and lake_skipping_eval embed the identical derivation)."""
     from deepref_spark.operators.lakeops import zorder_expr
 
     z = zorder_expr("xn", "yn", 8, DUCK)
-    return f"""
-WITH m AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mx,
+    return f"""m AS (SELECT CAST(max(l_orderkey) AS BIGINT) AS mx,
                   CAST(max(l_partkey) AS BIGINT) AS my FROM lineitem),
 keyed AS (
   SELECT x, y, {z} AS z FROM (
@@ -7185,7 +7283,12 @@ keyed AS (
            (l_partkey * 256) // (my + 1) AS yn
     FROM lineitem, m
   )
-)
+)"""
+
+
+def _zorder_oracle() -> str:
+    return f"""
+WITH {_zorder_keyed_ctes()}
 SELECT CAST(z // 256 AS BIGINT) AS z_bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
@@ -7569,6 +7672,16 @@ _WINDOW_TAIL = [
     # kg_blocking_quality and kg_block_editdist re-verify every sweep,
     # and the collision-probability table keeps its hand goldens.
     "events_hll_stream", "dedup_mh_calibration",
+    # (parked r5aw, making room for kg_anf_hyperball +
+    # lake_skipping_eval): kg_bfs_dist parks — the new in-window
+    # kg_anf_hyperball oracle performs the IDENTICAL frontier expansion
+    # over the same symmetric adjacency (its exact 2-ball is the
+    # distance<=2 set), and the 4-hop frontier discipline keeps its
+    # pytest goldens; kg_random_walks parks — a pure hash-expression
+    # projection over the ranked adjacency, stable since it landed with
+    # exact walk-sequence goldens, and the graph lane keeps
+    # graph_report/ppr/ktruss/wl_colors/incremental_cc/anf in-window.
+    "kg_bfs_dist", "kg_random_walks",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -323,3 +323,72 @@ def test_readability_no_terminator_counts_one_sentence(spark):
         [(0, "no punctuation here")], schema="doc_id long, text string")
     r = readability(docs).collect()[0]
     assert r["n_sentences"] == 1 and r["n_words"] == 3
+
+
+# --- anf_hyperball ------------------------------------------------------------
+
+def test_anf_exact_ball_on_path_graph(spark):
+    from deepref_spark.operators.graph import anf_hyperball
+    # path a-b-c-d-e: 2-balls: a:{a,b,c}=3, b:{a,b,c,d}=4, c:all 5,
+    # d:4, e:3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        schema="src string, dst string",
+    )
+    out = {r["entity"]: (r["ball_exact"], r["n_regs"])
+           for r in anf_hyperball(edges, m=16, hops=2).collect()}
+    assert {k: v[0] for k, v in out.items()} == {
+        "a": 3, "b": 4, "c": 5, "d": 4, "e": 3}
+    # registers can never exceed ball members or m
+    for k, (ball, nregs) in out.items():
+        assert 1 <= nregs <= min(ball, 16)
+
+
+def test_anf_estimate_matches_direct_hll_of_ball(spark):
+    # HyperBall invariant: the merged registers equal the HLL of the
+    # exact ball membership — recompute one node's estimate in python
+    import hashlib
+    from deepref_spark.operators.graph import anf_hyperball
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], schema="src string, dst string")
+    out = {r["entity"]: r["anf_estimate"]
+           for r in anf_hyperball(edges, m=16, hops=2).collect()}
+
+    def md5_mod(s, m):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return (ord(h[0]) * 131071 + ord(h[1]) * 8191
+                + ord(h[2]) * 127 + ord(h[3])) % m
+
+    def rank(s):
+        # hex32(h, 8): hex chars 9..16 of the md5 (offset-8 slice)
+        h = hashlib.md5(s.encode()).hexdigest()
+        v = int(h[8:16], 16)
+        return 33 if v == 0 else 33 - v.bit_length()
+
+    regs = {}
+    for member in ("a", "b", "c"):  # node b's exact 2-ball
+        h1 = hashlib.md5(f"anf|{member}".encode()).hexdigest()
+        b = md5_mod(h1, 16)   # md5_mod re-hashes its argument
+        regs[b] = max(regs.get(b, 0), rank(f"anf|{member}"))
+    s = sum(2 ** (33 - mr) for mr in regs.values())
+    s += (16 - len(regs)) * (1 << 33)
+    alpha = 0.7213 / (1.0 + 1.079 / 16)
+    assert out["b"] == round(alpha * 256 * float(1 << 33) / s, 2)
+
+
+# --- skipping_eval ------------------------------------------------------------
+
+def test_skipping_eval_zorder_prunes_natural_does_not(spark):
+    from deepref_spark.operators.lakeops import skipping_eval
+    # y == x: under the x-bucketed natural layout each bucket's y
+    # envelope is tight too (perfect correlation), so both layouts
+    # prune; the assertion checks the zone-map containment logic and
+    # the total bookkeeping, not the (data-dependent) win ratio.
+    df = spark.createDataFrame(
+        [(i, i) for i in range(256)], schema="k1 long, k2 long")
+    rows = skipping_eval(df, "k1", "k2", n_probes=3).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 1 <= r["natural_scanned"]
+        assert 1 <= r["zorder_scanned"]
+        assert r["total_buckets"] == rows[0]["total_buckets"] > 0
