@@ -517,3 +517,72 @@ def conversion_time(events: DataFrame, from_type: str = "signup",
              F.min("gap").cast("long").alias("min_secs"),
              F.max("gap").cast("long").alias("max_secs"))
     )
+
+
+def sequence_trigrams(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id", tie: str = "event_id",
+                      type_col: str = "event_type",
+                      min_count: int = 2) -> DataFrame:
+    """Consecutive event-type trigram mining over per-user ordered
+    streams — the sequential-pattern step up from transition_matrix's
+    bigrams: for each (t1, t2, t3) of three consecutive events in a
+    user's stream, the corpus-wide count, filtered to patterns seen at
+    least ``min_count`` times (the support threshold of a
+    sequential-pattern miner restricted to contiguous windows).
+
+    Same single user-keyed window shuffle as transition_matrix
+    (ordered by (ts, tie) for a deterministic total order), two leads
+    instead of one, then one combineable grouped count on the tiny
+    type-trigram table. At 100 TB the window is per-user (bounded
+    stream length), never corpus-global, and the output is |types|^3
+    max regardless of event volume.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tie))
+    tri = (
+        events
+        .select(F.col(user_col), F.col(ts_col), F.col(tie),
+                F.col(type_col).alias("t1"))
+        .withColumn("t2", F.lead("t1", 1).over(w))
+        .withColumn("t3", F.lead("t1", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tri.where(F.col("n") >= min_count)
+
+
+def rolling_distinct_users(events: DataFrame, window_days: int = 7,
+                           ts_col: str = "ts",
+                           user_col: str = "user_id") -> DataFrame:
+    """Rolling WAU next to DAU: for every day observed in the stream,
+    the exact count of distinct users active that day (dau) and in the
+    trailing ``window_days``-day window ending that day (wau) — the
+    serving-side activity rollup every event warehouse publishes.
+
+    Exact rolling distinct cannot be a window SUM (distinct does not
+    re-aggregate), so: dedup to (day, user) pairs first (ONE shuffle,
+    map-side combinable, collapses the event volume to active-pairs),
+    explode each pair to the <= window_days window-end days it
+    contributes to (a bounded x7 expansion of the already-tiny pair
+    table — never of the raw events), semi-join to observed days, and
+    count distinct per window end. For wide windows at 100 TB the
+    sketch form is events_hll_distinct's register lane; this is the
+    exact form whose expansion factor IS the window length.
+    """
+    ud = (events.select(F.to_date(ts_col).alias("day"),
+                        F.col(user_col).alias("u"))
+          .distinct()
+          .localCheckpoint(eager=False))  # feeds dau, wau AND the day list
+    days = ud.select("day").distinct()
+    contrib = (
+        ud.select(
+            F.explode(F.expr(
+                f"sequence(day, date_add(day, {int(window_days) - 1}))"
+            )).alias("day"), "u")
+        .join(days, "day", "left_semi")
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("u").cast("long").alias(f"wau_{int(window_days)}d"))
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("u").cast("long").alias("dau"))
+    return dau.join(wau, "day").orderBy("day")

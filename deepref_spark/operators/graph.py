@@ -1333,3 +1333,198 @@ def anf_hyperball(edges: DataFrame, m: int = 16, hops: int = 2) -> DataFrame:
             ).alias("anf_estimate"),
         )
     )
+
+
+def snapshot_diff(oplog: DataFrame, t1: int, t2: int) -> DataFrame:
+    """Row-level diff between two point-in-time states of the op log —
+    the change query an incremental consumer runs between two table
+    snapshots (Iceberg changelog semantics over the explicit log):
+    every triple live at t1 or t2, tagged 'added' (live only at t2),
+    'removed' (live only at t1) or 'kept'.
+
+    Two snapshot_at reads (each ONE combineable groupBy on the triple
+    key) full-outer-joined on the same key — co-partitioned by the
+    shuffle, so the join adds no extra exchange beyond the two
+    aggregations. Output is bounded by the union of the two live sets,
+    never the log length.
+    """
+    s1 = snapshot_at(oplog, t1).select(
+        "subj", "pred", "obj", F.lit(1).alias("in1"))
+    s2 = snapshot_at(oplog, t2).select(
+        "subj", "pred", "obj", F.lit(1).alias("in2"))
+    return (
+        s1.join(s2, ["subj", "pred", "obj"], "full_outer")
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("in1").isNull(), F.lit("added"))
+            .when(F.col("in2").isNull(), F.lit("removed"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )
+
+
+def taxonomy_closure(parent_edges: DataFrame,
+                     max_rounds: int = 40) -> DataFrame:
+    """Transitive ancestor closure of an acyclic (child, parent)
+    hierarchy by SEMI-NAIVE datalog iteration — the ontology-closure
+    primitive (rdfs:subClassOf*) a KG-construction run applies to its
+    type taxonomy before domain/range type inference.
+
+    Each round joins only the DELTA (paths discovered last round)
+    against the base edges, so total work is O(|closure|), not
+    O(rounds x |closure|) — the semi-naive guarantee; rounds = the
+    hierarchy depth (log n for a balanced taxonomy, ~tens for real
+    ontologies), each from a localCheckpoint'ed delta so the lineage
+    never compounds. On a tree every (descendant, ancestor) path is
+    unique, so no dedup is needed; for DAG inputs callers dedup per
+    round (documented, not silently assumed: this function asserts
+    per-round uniqueness is the caller's contract via min-depth
+    semantics being equal either way on trees).
+
+    Raises after ``max_rounds`` instead of returning a silently
+    truncated closure.
+    """
+    base = (parent_edges.select("child", "parent")
+            .localCheckpoint(eager=False))
+    acc = base.select("child", F.col("parent").alias("anc"),
+                      F.lit(1).cast("int").alias("depth"))
+    acc = acc.localCheckpoint(eager=False)
+    delta = acc
+    for _ in range(max_rounds):
+        delta = (
+            delta.alias("d")
+            .join(base.alias("e"), F.col("d.anc") == F.col("e.child"))
+            .select(F.col("d.child").alias("child"),
+                    F.col("e.parent").alias("anc"),
+                    (F.col("d.depth") + F.lit(1)).cast("int").alias("depth"))
+            .localCheckpoint()
+        )
+        if delta.count() == 0:
+            return acc
+        acc = acc.unionAll(delta).localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"taxonomy_closure did not converge in {max_rounds} rounds")
+
+
+def scc(edges: DataFrame, max_outer: int = 24,
+        max_inner: int = 64) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge set by the
+    distributed trim + forward-coloring + backward-within-color
+    algorithm (the Pregel/FW-BW-MS family, Slota et al.) — the cycle
+    detector a KG quality pass runs on directed relation graphs
+    (is-part-of loops, circular ownership), where the undirected
+    connected_components operator is blind to direction. Returns
+    (entity, scc_id, scc_size) with scc_id = min member, so membership
+    is algorithm-independent and oracle-checkable.
+
+    Per outer round, on the still-unassigned subgraph:
+
+      1. TRIM to fixpoint: nodes with no in-edge or no out-edge cannot
+         sit on a cycle -> singleton SCCs, removed immediately. This
+         peels entire DAG regions in O(longest chain) cheap rounds and
+         is what keeps the outer loop count low on real KGs (mostly
+         acyclic + a few knots).
+      2. FORWARD coloring to fixpoint: c(v) = min node id that reaches
+         v (min-label propagation along edge direction, the same
+         combineable groupBy-min iterate as connected_components).
+      3. BACKWARD sweep within each color class from its root r
+         (c(r) = r): every node of color r that reaches r through
+         same-colored nodes is in SCC(r) — correctness: any node on a
+         v->r path with c(v) = r is itself colored r (a smaller label
+         reaching it would reach r and dethrone it), so restricting
+         the sweep to the color class loses nothing.
+
+    Extracted SCCs leave the node set; remaining nodes recurse. Every
+    driver-side action is a scalar count(); every per-round frame is
+    localCheckpoint'ed so lineage stays flat. All shuffles key on the
+    node id. Raises instead of truncating if the round budgets are
+    exceeded.
+    """
+    E0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")) \
+        .distinct().localCheckpoint(eager=False)
+    remaining = (E0.select(F.col("src").alias("v"))
+                 .union(E0.select(F.col("dst").alias("v")))
+                 .distinct().localCheckpoint())
+    parts = []
+
+    def _restrict(er, rem):
+        return (er.join(rem.select(F.col("v").alias("src")), "src")
+                  .join(rem.select(F.col("v").alias("dst")), "dst")
+                  .select("src", "dst").localCheckpoint())
+
+    for _ in range(max_outer):
+        if remaining.count() == 0:
+            return _scc_sized(parts)
+        er = _restrict(E0, remaining)
+        # 1. trim to fixpoint
+        for _ in range(max_inner):
+            core = (er.select(F.col("src").alias("v")).distinct()
+                    .join(er.select(F.col("dst").alias("v")).distinct(), "v")
+                    .localCheckpoint())
+            trimmed = remaining.join(core, "v", "left_anti").localCheckpoint()
+            if trimmed.count() == 0:
+                break
+            parts.append(trimmed.select(F.col("v").alias("entity"),
+                                        F.col("v").alias("scc_id")))
+            remaining = core.join(remaining, "v", "left_semi") \
+                .localCheckpoint()
+            er = _restrict(er, remaining)
+        else:
+            raise RuntimeError("scc: trim did not converge")
+        if remaining.count() == 0:
+            return _scc_sized(parts)
+        # 2. forward min-label coloring to fixpoint
+        lab = remaining.select("v", F.col("v").alias("c")).localCheckpoint()
+        for _ in range(max_inner):
+            pushed = (er.join(lab.select(F.col("v").alias("src"),
+                                         F.col("c").alias("cs")), "src")
+                      .groupBy(F.col("dst").alias("v"))
+                      .agg(F.min("cs").alias("cin")))
+            new = (lab.join(pushed, "v", "left")
+                   .select("v", F.least(
+                       F.col("c"),
+                       F.coalesce(F.col("cin"), F.col("c"))).alias("c"))
+                   .localCheckpoint())
+            improved = (new.alias("n")
+                        .join(lab.alias("o"), "v")
+                        .where(F.col("n.c") < F.col("o.c")).count())
+            lab = new
+            if improved == 0:
+                break
+        else:
+            raise RuntimeError("scc: coloring did not converge")
+        # 3. backward sweep within color classes
+        ec = (er.join(lab.select(F.col("v").alias("src"),
+                                 F.col("c").alias("c1")), "src")
+              .join(lab.select(F.col("v").alias("dst"),
+                               F.col("c").alias("c2")), "dst")
+              .where(F.col("c1") == F.col("c2"))
+              .select("src", "dst", F.col("c1").alias("c"))
+              .localCheckpoint())
+        marked = lab.where(F.col("v") == F.col("c")).localCheckpoint()
+        for _ in range(max_inner):
+            step = (ec.join(marked.select(F.col("v").alias("dst"),
+                                          F.col("c").alias("mc")), "dst")
+                    .where(F.col("c") == F.col("mc"))
+                    .select(F.col("src").alias("v"), "c"))
+            grown = marked.unionAll(step).distinct().localCheckpoint()
+            if grown.count() == marked.count():
+                break
+            marked = grown
+        else:
+            raise RuntimeError("scc: backward sweep did not converge")
+        parts.append(marked.select(F.col("v").alias("entity"),
+                                   F.col("c").alias("scc_id")))
+        remaining = remaining.join(marked, "v", "left_anti").localCheckpoint()
+    raise RuntimeError(f"scc did not converge in {max_outer} outer rounds")
+
+
+def _scc_sized(parts) -> DataFrame:
+    if not parts:
+        raise ValueError("scc: empty edge set")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    sizes = out.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size"))
+    return out.join(sizes, "scc_id").select("entity", "scc_id", "scc_size")

@@ -7309,6 +7309,200 @@ def lake_zorder_buckets(spark, sf_dir):
     return zorder_buckets(load_table(spark, sf_dir, "lineitem"))
 
 
+@q("events_seq_trigrams", """
+WITH g AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM g WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+""")
+def events_seq_trigrams(spark, sf_dir):
+    """Contiguous sequential-pattern mining (events.sequence_trigrams):
+    corpus counts of consecutive event-type trigrams per user stream
+    with support >= 2 — the order-3 step up from events_markov's
+    transition bigrams. One user-keyed window shuffle (two leads), one
+    combineable grouped count on the tiny |types|^3 pattern table."""
+    from deepref_spark.operators.events import sequence_trigrams
+
+    return sequence_trigrams(load_table(spark, sf_dir, "events"))
+
+
+@q("events_rolling_wau", """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT ud.day + CAST(t.o AS INT) AS day, user_id
+  FROM ud, range(0, 7) t(o)
+),
+wau AS (
+  SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau_7d
+  FROM contrib c JOIN days d ON c.day = d.day GROUP BY 1
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+)
+SELECT a.day AS day, a.dau, w.wau_7d
+FROM dau a JOIN wau w ON a.day = w.day
+""")
+def events_rolling_wau(spark, sf_dir):
+    """Exact rolling 7-day active users next to daily actives
+    (events.rolling_distinct_users): dedup the stream to (day, user)
+    pairs once, expand each pair to the <= 7 window-end days it serves
+    (a bounded x7 blowup of the tiny pair table, never the raw
+    events), and count distinct per end day. The sketch twin for wide
+    windows is events_hll_distinct."""
+    from deepref_spark.operators.events import rolling_distinct_users
+
+    return rolling_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_snapshot_diff", _trip_cte() + _OPLOG_SQL + """
+, s1 AS (
+  SELECT subj, pred, obj FROM (
+    SELECT subj, pred, obj, arg_max(op, ts) AS last_op
+    FROM log WHERE ts <= 300 GROUP BY 1, 2, 3
+  ) WHERE last_op = 'assert'
+),
+s2 AS (
+  SELECT subj, pred, obj FROM (
+    SELECT subj, pred, obj, arg_max(op, ts) AS last_op
+    FROM log WHERE ts <= 500 GROUP BY 1, 2, 3
+  ) WHERE last_op = 'assert'
+)
+SELECT coalesce(a.subj, b.subj) AS subj,
+       coalesce(a.pred, b.pred) AS pred,
+       coalesce(a.obj, b.obj) AS obj,
+       CASE WHEN a.subj IS NULL THEN 'added'
+            WHEN b.subj IS NULL THEN 'removed'
+            ELSE 'kept' END AS status
+FROM s1 a FULL OUTER JOIN s2 b
+  ON a.subj = b.subj AND a.pred = b.pred AND a.obj = b.obj
+""")
+def kg_snapshot_diff(spark, sf_dir):
+    """Snapshot-to-snapshot changelog read (graph.snapshot_diff): the
+    row-level diff between the KG states as of ts=300 and ts=500 of
+    the same deterministic op log kg_snapshot_at reads — every triple
+    live at either point tagged added / removed / kept (Iceberg
+    changelog semantics over the explicit log). Two combineable
+    latest-op groupBys full-outer-joined on the co-partitioned triple
+    key."""
+    from deepref_spark.operators.graph import snapshot_diff
+
+    return snapshot_diff(_derived_oplog(spark, sf_dir), t1=300, t2=500)
+
+
+@q("kg_taxonomy_closure", _trip_cte() + """
+, ents AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) AS BIGINT) AS r
+  FROM (SELECT DISTINCT subj AS entity FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+),
+tax AS MATERIALIZED (
+  SELECT c.entity AS child, p.entity AS parent
+  FROM ents c JOIN ents p ON p.r = c.r // 2
+  WHERE c.r >= 2
+),
+closure AS (
+  WITH RECURSIVE walk(child, anc, depth) AS (
+    SELECT child, parent, 1 FROM tax
+    UNION ALL
+    SELECT w.child, t.parent, w.depth + 1
+    FROM walk w JOIN tax t ON w.anc = t.child
+  )
+  SELECT child, anc, CAST(depth AS INT) AS depth FROM walk
+)
+SELECT child, anc, depth FROM closure
+""")
+def kg_taxonomy_closure(spark, sf_dir):
+    """Ontology ancestor closure (graph.taxonomy_closure): rdfs:
+    subClassOf* materialized by SEMI-NAIVE datalog iteration — each
+    round joins only last round's delta against the base hierarchy, so
+    total join work is O(|closure|) and rounds = taxonomy depth (log n
+    here: the hierarchy is the deterministic rank-halving binary tree
+    over canonical entities, parent(r) = r DIV 2 — a balanced stand-in
+    for a real type taxonomy, which is a small dimension table at any
+    corpus scale). The oracle recomputes the closure with a recursive
+    CTE; depths must match exactly, pinning the delta bookkeeping."""
+    from deepref_spark.operators.graph import taxonomy_closure
+
+    spo = _canon_spo(spark, sf_dir)
+    ents = (
+        spo.select(F.col("subj_canon").alias("entity"))
+        .union(spo.select(F.col("obj_canon").alias("entity")))
+        .distinct()
+        .select("entity", F.row_number().over(
+            Window.orderBy("entity")).cast("long").alias("r"))
+    )
+    tax = (
+        ents.alias("c")
+        .join(ents.alias("p"),
+              F.col("p.r") == F.expr("c.r DIV 2"))
+        .where(F.col("c.r") >= 2)
+        .select(F.col("c.entity").alias("child"),
+                F.col("p.entity").alias("parent"))
+    )
+    return taxonomy_closure(tax)
+
+
+def _scc_aug_gate() -> str:
+    return md5_mod("concat(src, '|', dst)", 3)
+
+
+@q("kg_scc", _oracle_prefix() + _graph_edges_cte() + f"""
+, aug AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE {_scc_aug_gate()} = 0
+),
+nodes AS (SELECT DISTINCT src AS v FROM aug UNION SELECT DISTINCT dst FROM aug),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM aug
+    UNION
+    SELECT r.src, e.dst FROM r JOIN aug e ON r.dst = e.src
+  )
+  SELECT src, dst FROM r
+),
+mut AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+sid AS (
+  SELECT n.v AS entity, least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+  FROM nodes n LEFT JOIN mut m ON n.v = m.v
+  GROUP BY n.v
+)
+SELECT entity, scc_id,
+       CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+FROM sid
+""")
+def kg_scc(spark, sf_dir):
+    """Strongly connected components (graph.scc) of the DIRECTED
+    canonical relation graph, deterministically augmented with reverse
+    edges on an md5-gated third of the edge set so the test graph has
+    real cycles — the directed-cycle detector (ownership loops,
+    circular part-of chains) the undirected kg_connected_components
+    cannot see. Spark runs the distributed trim + forward-coloring +
+    backward-within-color algorithm (Slota et al. FW-BW-MS family);
+    the oracle computes mutual reachability from a recursive-CTE
+    transitive closure — SCC membership is unique, so any correct
+    algorithm hash-matches. scc_id = min member."""
+    from deepref_spark.operators.graph import scc
+
+    e = _canonical_edges(spark, sf_dir)
+    aug = e.union(
+        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return scc(aug)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -7682,6 +7876,19 @@ _WINDOW_TAIL = [
     # exact walk-sequence goldens, and the graph lane keeps
     # graph_report/ppr/ktruss/wl_colors/incremental_cc/anf in-window.
     "kg_bfs_dist", "kg_random_walks",
+    # (parked r5ax, making room for the sitting-8 additions —
+    # events_seq_trigrams, events_rolling_wau, kg_snapshot_diff,
+    # kg_taxonomy_closure, kg_scc): kg_ppr parks (the pagerank iterate
+    # stays re-verified in-window by kg_graph_report and
+    # text_textrank), text_vocab_growth parks (text_readability +
+    # text_gopher_quality keep the token-stats lane), dedup_bloom_gate
+    # parks (events_hll_distinct keeps the sketch lane),
+    # events_incident_overlap parks (heavy_hitters / late_audit /
+    # interarrival / conversion_time keep the events lane), and
+    # kg_block_editdist parks (kg_blocking_quality +
+    # kg_media_phash_dedup keep the blocking-verify lane)
+    "kg_ppr", "text_vocab_growth", "dedup_bloom_gate",
+    "events_incident_overlap", "kg_block_editdist",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -1,0 +1,178 @@
+"""Unit tests for the eighth-sitting operators — exact expected values
+on tiny hand-checked inputs, independent of the DuckDB oracles:
+event-trigram mining, rolling distinct users, snapshot diff, semi-naive
+taxonomy closure, and directed SCC."""
+
+import pytest
+
+from deepref_spark.operators.events import (rolling_distinct_users,
+                                            sequence_trigrams)
+from deepref_spark.operators.graph import scc, snapshot_diff, taxonomy_closure
+
+_EV_SCHEMA = ("event_id long, ts string, user_id long, "
+              "event_type string, value double")
+
+
+def test_sequence_trigrams_hand_counts(spark):
+    # user 1: a b a b a -> trigrams (a,b,a) x2, (b,a,b) x1
+    # user 2: a b a     -> (a,b,a) x1
+    # support >= 2 keeps only (a,b,a) with n=3
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 1, "a", 0.0),
+         (2, "2024-01-01 00:00:02", 1, "b", 0.0),
+         (3, "2024-01-01 00:00:03", 1, "a", 0.0),
+         (4, "2024-01-01 00:00:04", 1, "b", 0.0),
+         (5, "2024-01-01 00:00:05", 1, "a", 0.0),
+         (6, "2024-01-01 00:00:01", 2, "a", 0.0),
+         (7, "2024-01-01 00:00:02", 2, "b", 0.0),
+         (8, "2024-01-01 00:00:03", 2, "a", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    rows = sequence_trigrams(ev).collect()
+    assert [(r["t1"], r["t2"], r["t3"], r["n"]) for r in rows] == \
+        [("a", "b", "a", 3)]
+    # min_count=1 also surfaces (b,a,b)
+    all_rows = {(r["t1"], r["t2"], r["t3"]): r["n"]
+                for r in sequence_trigrams(ev, min_count=1).collect()}
+    assert all_rows == {("a", "b", "a"): 3, ("b", "a", "b"): 1}
+
+
+def test_sequence_trigrams_tie_break_is_event_id(spark):
+    # same-ts events order by event_id: stream is x, y, z
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "x", 0.0),
+         (2, "2024-01-01 00:00:00", 1, "y", 0.0),
+         (3, "2024-01-01 00:00:00", 1, "z", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    rows = sequence_trigrams(ev, min_count=1).collect()
+    assert [(r["t1"], r["t2"], r["t3"], r["n"]) for r in rows] == \
+        [("x", "y", "z", 1)]
+
+
+def test_rolling_distinct_users_hand_window(spark):
+    # day 1: users {1, 2}; day 2: {2}; day 9: {3}
+    # dau: d1=2, d2=1, d9=1
+    # wau_7d (trailing 7 days ending that day):
+    #   d1 = {1,2} -> 2; d2 = {1,2} -> 2; d9 = {3} -> 1 (d1/d2 expired)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "a", 0.0),
+         (2, "2024-01-01 11:00:00", 2, "a", 0.0),
+         (3, "2024-01-01 12:00:00", 2, "a", 0.0),
+         (4, "2024-01-02 10:00:00", 2, "a", 0.0),
+         (5, "2024-01-09 10:00:00", 3, "a", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    out = {str(r["day"]): (r["dau"], r["wau_7d"])
+           for r in rolling_distinct_users(ev).collect()}
+    assert out == {"2024-01-01": (2, 2),
+                   "2024-01-02": (1, 2),
+                   "2024-01-09": (1, 1)}
+
+
+def test_rolling_distinct_users_window_edge(spark):
+    # day 8 is exactly 7 days after day 1 -> day 1's users are OUT of
+    # the [day 2, day 8] window; day 7 still holds them ([d1, d7]).
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "a", 0.0),
+         (2, "2024-01-07 10:00:00", 2, "a", 0.0),
+         (3, "2024-01-08 10:00:00", 2, "a", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    out = {str(r["day"]): r["wau_7d"]
+           for r in rolling_distinct_users(ev).collect()}
+    assert out == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 1}
+
+
+_LOG_SCHEMA = "subj string, pred string, obj string, ts long, op string"
+
+
+def test_snapshot_diff_three_statuses(spark):
+    log = spark.createDataFrame(
+        [("a", "p", "x", 100, "assert"),                # live both -> kept
+         ("b", "p", "x", 400, "assert"),                # only at t2 -> added
+         ("c", "p", "x", 100, "assert"),
+         ("c", "p", "x", 350, "retract"),               # only at t1 -> removed
+         ("d", "p", "x", 600, "assert"),                # live at neither
+         ("e", "p", "x", 100, "assert"),
+         ("e", "p", "x", 200, "retract"),               # dead before t1
+         ("e", "p", "x", 450, "assert")],               # re-asserted -> added
+        schema=_LOG_SCHEMA,
+    )
+    out = {r["subj"]: r["status"]
+           for r in snapshot_diff(log, t1=300, t2=500).collect()}
+    assert out == {"a": "kept", "b": "added", "c": "removed", "e": "added"}
+
+
+_TAX_SCHEMA = "child string, parent string"
+
+
+def test_taxonomy_closure_depths(spark):
+    #       a
+    #      / \
+    #     b   c
+    #    / \
+    #   d   e
+    tax = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "b"), ("e", "b")],
+        schema=_TAX_SCHEMA,
+    )
+    out = {(r["child"], r["anc"]): r["depth"]
+           for r in taxonomy_closure(tax).collect()}
+    assert out == {("b", "a"): 1, ("c", "a"): 1, ("d", "b"): 1,
+                   ("e", "b"): 1, ("d", "a"): 2, ("e", "a"): 2}
+
+
+def test_taxonomy_closure_raises_on_cycle(spark):
+    tax = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], schema=_TAX_SCHEMA)
+    with pytest.raises(RuntimeError, match="converge"):
+        taxonomy_closure(tax, max_rounds=4)
+
+
+_EDGE_SCHEMA = "src string, dst string"
+
+
+def test_scc_hand_graph(spark):
+    # cycle {a,b,c}, bridge c->d->e, cycle {e,f}, stray edge g->h
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("d", "e"),
+         ("e", "f"), ("f", "e"),
+         ("g", "h")],
+        schema=_EDGE_SCHEMA,
+    )
+    out = {r["entity"]: (r["scc_id"], r["scc_size"])
+           for r in scc(edges).collect()}
+    assert out == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+                   "d": ("d", 1),
+                   "e": ("e", 2), "f": ("e", 2),
+                   "g": ("g", 1), "h": ("h", 1)}
+
+
+def test_scc_acyclic_all_singletons(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        schema=_EDGE_SCHEMA,
+    )
+    rows = scc(edges).collect()
+    assert all(r["scc_size"] == 1 and r["scc_id"] == r["entity"]
+               for r in rows)
+    assert {r["entity"] for r in rows} == {"a", "b", "c", "d"}
+
+
+def test_scc_two_knots_sharing_a_dag(spark):
+    # two separate 2-cycles joined by a DAG path; the coloring round
+    # must NOT merge them (forward-min alone would color both with the
+    # global min — the backward sweep is what separates them)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"),          # knot {a,b}
+         ("b", "m"), ("m", "y"),          # DAG bridge
+         ("y", "z"), ("z", "y")],         # knot {y,z}
+        schema=_EDGE_SCHEMA,
+    )
+    out = {r["entity"]: (r["scc_id"], r["scc_size"])
+           for r in scc(edges).collect()}
+    assert out == {"a": ("a", 2), "b": ("a", 2),
+                   "m": ("m", 1),
+                   "y": ("y", 2), "z": ("y", 2)}
