@@ -1528,3 +1528,63 @@ def _scc_sized(parts) -> DataFrame:
     sizes = out.groupBy("scc_id").agg(
         F.count(F.lit(1)).cast("long").alias("scc_size"))
     return out.join(sizes, "scc_id").select("entity", "scc_id", "scc_size")
+
+
+def harmonic_centrality(edges: DataFrame, n_seeds: int = 3,
+                        max_hops: int = 4) -> DataFrame:
+    """Harmonic centrality restricted to a deterministic seed set —
+    the landmark form used at scale (exact all-pairs harmonic is
+    quadratic; landmark/pivot estimates with a curated seed list are
+    the standard production compromise, cf. HyperBall for the sketch
+    form): for every entity, sum of 1/d(entity, seed) over the
+    ``n_seeds`` (md5, name)-smallest seed entities reachable within
+    ``max_hops`` undirected hops.
+
+    Per-seed frontier BFS keyed by (seed, entity) — same frontier
+    discipline as bfs_distances (per-round work ~ frontier edge
+    boundary, anti-join against the known set, eager localCheckpoint
+    per round). The reciprocal sum is EXACT: distances live in
+    [1, max_hops], so 1/d is summed as lcm(1..max_hops)/d integer
+    units (h_units), and the double ``harmonic`` is one final IEEE
+    division by the lcm — aggregation-order independent, bit-identical
+    to the SQL oracle.
+    """
+    import math
+
+    grid = math.lcm(*range(1, max_hops + 1))
+    sym = _und_adj(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint()
+    nodes = sym.select(F.col("v").alias("entity")).distinct()
+    seeds = (
+        nodes.orderBy(F.md5(F.col("entity")), F.col("entity"))
+        .limit(n_seeds)
+    )
+    known = seeds.select(
+        F.col("entity").alias("s"), F.col("entity").alias("v"),
+        F.lit(0).alias("d")).localCheckpoint()
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["v"])
+            .select(frontier["s"], F.col("nbr").alias("v"))
+            .distinct()
+            .join(known.select("s", "v"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(hop).alias("d"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        known = known.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        known.where(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("entity"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+             F.sum(F.expr(f"{grid} DIV d")).cast("long").alias("h_units"))
+        .withColumn("harmonic",
+                    F.col("h_units").cast("double") / F.lit(float(grid)))
+    )

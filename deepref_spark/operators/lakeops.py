@@ -323,3 +323,56 @@ def skipping_eval(df: DataFrame, xcol: str = "l_orderkey",
                 .alias("total_buckets"))
     )
     return nat.join(zod, "probe_key").crossJoin(F.broadcast(totals))
+
+
+def quantile_hist(df: DataFrame, col: str = "l_extendedprice",
+                  width_cents: int = 100000,
+                  pcts: tuple = (50, 95, 99)) -> DataFrame:
+    """Mergeable-histogram quantile estimation — the distributed
+    ANALYZE-percentile pattern: bucket every value on the exact cents
+    grid into fixed-width bins (per-partition partials combine
+    MAP-SIDE — the whole reason production quantiles are
+    histogram/sketch shaped), then read each requested percentile off
+    the cumulative bin table. Estimates are deterministic integers
+    (bin lower bound), unlike percentile_approx whose sketch is
+    merge-order dependent — that non-determinism is exactly what this
+    operator exists to avoid, and why the SQL oracle can hash-match
+    it.
+
+    The cumulative window runs over the tiny histogram table (bounded
+    by value range / width, independent of row count); the quantile
+    rule is integer-exact: smallest bucket with cum*100 >= pct*total.
+    """
+    width = int(width_cents)
+    hist = (
+        df.select(F.expr(
+            f"CAST(floor({col} * 100.0 + 0.5) AS BIGINT) DIV {width}"
+        ).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds cum, total AND the final join
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("bucket", "n",
+                      F.sum("n").over(wc).cast("long").alias("cum"))
+    total = hist.agg(F.sum("n").cast("long").alias("total"))
+    pvals = ", ".join(str(int(p)) for p in pcts)
+    p = df.sparkSession.range(1).select(
+        F.explode(F.expr(f"array({pvals})")).alias("pct")
+    ).select(F.col("pct").cast("int").alias("pct"))
+    sel = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(p))
+        .where(F.col("cum") * 100 >= F.col("pct").cast("long") * F.col("total"))
+        .groupBy("pct")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        sel.join(cum, "bucket")
+        .crossJoin(F.broadcast(total))
+        .select("pct", "bucket",
+                (F.col("bucket") * width).cast("long").alias("est_lo_cents"),
+                F.col("cum").alias("cum_rows"),
+                F.col("total").alias("total_rows"))
+    )

@@ -952,3 +952,51 @@ def hamming_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_quality(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """Clustering-quality report for the IVF coarse quantizer — the
+    ANALYZE step a serving lane runs before trusting an index build:
+    per inverted list, the member count and the mean / worst member
+    cosine to the winning centroid (the cosine analogue of k-means
+    inertia — this codebook assigns by max cosine, so cohesion is
+    measured on the same functional).
+
+    One corpus pass: the same broadcast-codebook argmax as
+    ivf_assignments but keeping the winning csim, then ONE combineable
+    groupBy on the tiny list table. Each csim is quantized to the 1e-6
+    grid as BIGINT before summing (floor(x*1e6+0.5), IEEE-identical in
+    Spark and DuckDB), so mean and min are aggregation-order
+    independent — the same integer-grid discipline as _ivf_codebook's
+    Lloyd means.
+    """
+    cents = _ivf_codebook(embeddings, n_lists)
+    scored = (
+        embeddings.select("vec_id", "embedding",
+                          _norm_col("embedding").alias("vnorm"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", _dot("embedding", "cvec")
+                    / (F.col("vnorm") * F.col("cnorm")))
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.expr(
+            "max_by(struct(csim, list_id), struct(csim, -list_id))").alias("w"))
+        .select(
+            F.col("w.list_id").alias("list_id"),
+            F.expr("CAST(floor(CAST(w.csim AS DOUBLE) * 1000000.0 + 0.5) "
+                   "AS BIGINT)").alias("u"),
+        )
+    )
+    return (
+        best.groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+             F.sum("u").alias("_s"),
+             F.min("u").alias("_m"))
+        .select(
+            "list_id", "n_members",
+            F.expr("CAST(floor((2.0 * _s + n_members) / (2.0 * n_members)) "
+                   "AS DOUBLE) / 1000000.0").alias("mean_csim"),
+            (F.col("_m").cast("double") / F.lit(1000000.0)).alias("min_csim"),
+        )
+    )

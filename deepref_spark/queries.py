@@ -7503,6 +7503,104 @@ def kg_scc(spark, sf_dir):
     return scc(aug)
 
 
+@q("emb_ivf_quality", f"""
+WITH {_ivf_assign_sql()}
+SELECT list_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(floor((2.0 * CAST(sum(CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   + count(*)) / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS mean_csim,
+       CAST(min(CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 1000000.0 AS min_csim
+FROM assign GROUP BY list_id
+""")
+def emb_ivf_quality(spark, sf_dir):
+    """Index-build quality report for the IVF coarse quantizer
+    (similarity.ivf_quality): per inverted list, member count and
+    mean/worst member-to-centroid cosine (the cosine analogue of
+    k-means inertia — the ANALYZE a serving lane runs before trusting
+    an index). One broadcast-codebook corpus pass, one combineable
+    groupBy; cosines quantized to the 1e-6 BIGINT grid before summing
+    so mean and min are partition-order independent."""
+    from deepref_spark.operators.similarity import ivf_quality
+
+    return ivf_quality(load_table(spark, sf_dir, "embeddings"), n_lists=16)
+
+
+def _harmonic_sql(n_seeds: int, hops: int, grid: int) -> str:
+    ctes = [f"""bund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+bsym AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM bund UNION ALL SELECT b AS v, a AS nbr FROM bund
+),
+bseeds AS (
+  SELECT entity FROM (SELECT DISTINCT v AS entity FROM bsym)
+  ORDER BY md5(entity), entity LIMIT {n_seeds}
+),
+hb0 AS MATERIALIZED (SELECT entity AS s, entity AS v, 0 AS d FROM bseeds)"""]
+    for r in range(1, hops + 1):
+        ctes.append(f"""hb{r} AS MATERIALIZED (
+  SELECT s, v, min(d) AS d FROM (
+    SELECT s, v, d FROM hb{r - 1}
+    UNION ALL
+    SELECT h.s, y.nbr AS v, h.d + 1 AS d
+    FROM hb{r - 1} h JOIN bsym y ON y.v = h.v
+  ) u GROUP BY s, v
+)""")
+    return (",\n".join(ctes) + f"""
+SELECT v AS entity, CAST(count(*) AS BIGINT) AS n_seeds_reached,
+       CAST(sum({grid} // d) AS BIGINT) AS h_units,
+       CAST(sum({grid} // d) AS DOUBLE) / {grid}.0 AS harmonic
+FROM hb{hops} WHERE s <> v GROUP BY v""")
+
+
+@q("kg_harmonic_centrality",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _harmonic_sql(3, 4, 12))
+def kg_harmonic_centrality(spark, sf_dir):
+    """Landmark harmonic centrality (graph.harmonic_centrality): sum
+    of 1/d to the 3 deterministic seed entities within 4 undirected
+    hops — the exact landmark form of the centrality kg_anf_hyperball
+    sketches. Per-seed frontier BFS; the reciprocal sum is EXACT
+    integer arithmetic (lcm(1..4)=12 units per 1/d), one IEEE division
+    at the end, so any partitioning hash-matches the unrolled oracle."""
+    from deepref_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_canonical_edges(spark, sf_dir),
+                               n_seeds=3, max_hops=4)
+
+
+@q("lake_quantile_hist", """
+WITH h AS (
+  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) // 100000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  FROM h
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+p AS (SELECT CAST(unnest([50, 95, 99]) AS INT) AS pct),
+sel AS (
+  SELECT pct, min(bucket) AS bucket
+  FROM c, t, p WHERE cum * 100 >= pct * total GROUP BY pct
+)
+SELECT s.pct, s.bucket, CAST(s.bucket * 100000 AS BIGINT) AS est_lo_cents,
+       c.cum AS cum_rows, t.total AS total_rows
+FROM sel s JOIN c ON s.bucket = c.bucket CROSS JOIN t
+""")
+def lake_quantile_hist(spark, sf_dir):
+    """Mergeable-histogram percentiles (lakeops.quantile_hist): P50/
+    P95/P99 of l_extendedprice read off a fixed-width cents-grid
+    histogram — map-side-combinable bin partials (the distributed
+    quantile pattern), cumulative window over the TINY bin table only,
+    integer-exact selection rule (smallest bin with cum*100 >=
+    pct*total) — deterministic where percentile_approx's sketch is
+    merge-order dependent."""
+    from deepref_spark.operators.lakeops import quantile_hist
+
+    return quantile_hist(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -7889,6 +7987,15 @@ _WINDOW_TAIL = [
     # kg_media_phash_dedup keep the blocking-verify lane)
     "kg_ppr", "text_vocab_growth", "dedup_bloom_gate",
     "events_incident_overlap", "kg_block_editdist",
+    # (parked r5ay, making room for emb_ivf_quality +
+    # kg_harmonic_centrality + lake_quantile_hist): kg_validity parks
+    # (the oplog lane is re-verified in-window by kg_snapshot_diff,
+    # which reads the same derived log at TWO cutoffs),
+    # text_ccnet_buckets parks (text_gopher_quality +
+    # text_curate_pipeline keep the quality lane), kg_wl_colors parks
+    # (the iterate-to-fixpoint graph lane keeps kg_anf_hyperball,
+    # kg_scc and kg_taxonomy_closure in-window)
+    "kg_validity", "text_ccnet_buckets", "kg_wl_colors",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

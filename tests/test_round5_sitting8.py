@@ -176,3 +176,60 @@ def test_scc_two_knots_sharing_a_dag(spark):
     assert out == {"a": ("a", 2), "b": ("a", 2),
                    "m": ("m", 1),
                    "y": ("y", 2), "z": ("y", 2)}
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path a-b-c, all 3 nodes are seeds (n_seeds=3), grid lcm(1..4)=12:
+    # H(a) = 12/1 (b) + 12/2 (c) = 18; H(b) = 12 + 12 = 24; H(c) = 18
+    from deepref_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], schema=_EDGE_SCHEMA)
+    out = {r["entity"]: (r["n_seeds_reached"], r["h_units"], r["harmonic"])
+           for r in harmonic_centrality(edges, n_seeds=3).collect()}
+    assert out == {"a": (2, 18, 1.5), "b": (2, 24, 2.0), "c": (2, 18, 1.5)}
+
+
+def test_harmonic_centrality_disconnected(spark):
+    # two components; unreachable seeds contribute nothing
+    from deepref_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], schema=_EDGE_SCHEMA)
+    out = {r["entity"]: (r["n_seeds_reached"], r["h_units"])
+           for r in harmonic_centrality(edges, n_seeds=4).collect()}
+    assert out == {"a": (1, 12), "b": (1, 12), "c": (1, 12), "d": (1, 12)}
+
+
+def test_quantile_hist_hand_buckets(spark):
+    from deepref_spark.operators.lakeops import quantile_hist
+
+    df = spark.createDataFrame(
+        [(0.50,), (1.50,), (2.50,), (3.50,)],
+        schema="l_extendedprice double")
+    out = {r["pct"]: (r["bucket"], r["est_lo_cents"], r["cum_rows"],
+                      r["total_rows"])
+           for r in quantile_hist(df, width_cents=100).collect()}
+    # cum: b0=1, b1=2, b2=3, b3=4; rule cum*100 >= pct*4
+    assert out == {50: (1, 100, 2, 4),
+                   95: (3, 300, 4, 4),
+                   99: (3, 300, 4, 4)}
+
+
+def test_ivf_quality_consistent_with_assignments(spark):
+    # n_members must reproduce the ivf_assignments list sizes exactly,
+    # and cohesion stats must be sane cosines with min <= mean
+    from deepref_spark.operators.similarity import (ivf_assignments,
+                                                    ivf_quality)
+    from deepref_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qual = {r["list_id"]: r for r in ivf_quality(emb, n_lists=16).collect()}
+    sizes = {r["list_id"]: r["n"]
+             for r in ivf_assignments(emb, n_lists=16)
+             .groupBy("list_id").count().withColumnRenamed("count", "n")
+             .collect()}
+    assert {k: v["n_members"] for k, v in qual.items()} == sizes
+    assert sum(v["n_members"] for v in qual.values()) == emb.count()
+    for v in qual.values():
+        assert -1.0 <= v["min_csim"] <= v["mean_csim"] <= 1.0
