@@ -586,3 +586,49 @@ def rolling_distinct_users(events: DataFrame, window_days: int = 7,
     dau = ud.groupBy("day").agg(
         F.countDistinct("u").cast("long").alias("dau"))
     return dau.join(wau, "day").orderBy("day")
+
+
+def cohort_matrix(events: DataFrame, ts_col: str = "ts",
+                  user_col: str = "user_id") -> DataFrame:
+    """Weekly cohort-retention matrix — the full triangle behind the
+    single-horizon ``retention`` operator: users are cohorted by
+    first-seen week, and for every (cohort_week, age_weeks) cell the
+    matrix reports how many cohort members were active that many weeks
+    later, plus the retention rate on the exact ppm integer grid.
+
+    Week index = days-since-epoch DIV 7 (pure integer arithmetic, no
+    locale/week-of-year semantics to disagree on). One per-user min
+    (the cohort anchor, map-side combinable), one distinct on
+    (user, week) pairs, one join back on the user key, then a grouped
+    count on the tiny cohort x age grid; cohort sizes broadcast.
+    """
+    wk = lambda c: F.expr(f"datediff({c}, DATE '1970-01-01') DIV 7")
+    first = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.to_date(ts_col)).alias("d0"))
+        .select("u", wk("d0").alias("cohort_week"))
+        .localCheckpoint(eager=False)  # feeds sizes AND the activity join
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("u").cast("long").alias("cohort_size"))
+    active = (
+        events.select(F.col(user_col).alias("u"),
+                      wk(f"to_date({ts_col})").alias("week"))
+        .distinct()
+    )
+    cells = (
+        active.join(first, "u")
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(F.countDistinct("u").cast("long").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "n_active", "cohort_size",
+            F.expr("n_active * 1000000 DIV cohort_size").cast("long")
+            .alias("retention_ppm"),
+        )
+    )

@@ -694,3 +694,67 @@ def lp_rank_eval(triples: DataFrame, subj: str = "subj_canon",
         F.sum((F.col("rank") <= 3).cast("long")).cast("long").alias("hits3"),
         F.sum((F.col("rank") <= 10).cast("long")).cast("long").alias("hits10"),
     )
+
+
+def domain_range_audit(triples: DataFrame, subj: str = "subj_canon",
+                       pred: str = "pred",
+                       obj: str = "obj_canon") -> DataFrame:
+    """RDFS-style domain/range audit over INDUCED types: each entity's
+    type is its predicate-signature (the same derivation as
+    type_induction); each predicate's expected domain (resp. range) is
+    the majority subject (resp. object) signature; every triple whose
+    subject/object deviates counts as a violation — the schema-
+    conformance report a KG-construction run publishes before
+    accepting an extractor's output (SHACL's sh:class check, with
+    classes induced rather than declared).
+
+    Scale shape: the signature table is one distinct + one grouped
+    agg (collect_set bounded by 2x the predicate vocabulary); it joins
+    the triple set twice on the entity key; the majority pick and the
+    violation rollup are combineable aggs on (pred[, signature]) —
+    cardinality bounded by |preds| x |signatures|, never corpus-sized.
+    Majority tie-break is deterministic: max (n, signature).
+    """
+    roles = (
+        triples.select(F.col(subj).alias("entity"),
+                       F.concat(F.lit("S:"), F.col(pred)).alias("role"))
+        .union(triples.select(F.col(obj).alias("entity"),
+                              F.concat(F.lit("O:"), F.col(pred)).alias("role")))
+        .distinct()
+    )
+    sig = roles.groupBy("entity").agg(
+        F.array_join(F.array_sort(F.collect_set("role")), " ")
+        .alias("signature")).localCheckpoint(eager=False)
+    typed = (
+        triples.select(F.col(pred).alias("pred"),
+                       F.col(subj).alias("s_ent"),
+                       F.col(obj).alias("o_ent"))
+        .join(sig.select(F.col("entity").alias("s_ent"),
+                         F.col("signature").alias("s_sig")), "s_ent")
+        .join(sig.select(F.col("entity").alias("o_ent"),
+                         F.col("signature").alias("o_sig")), "o_ent")
+        .localCheckpoint(eager=False)  # feeds the majority AND the audit
+    )
+
+    def _major(col):
+        return (
+            typed.groupBy("pred", col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("pred")
+            .agg(F.expr(f"max_by({col}, struct(n, {col}))").alias(col[0] + "_major"))
+        )
+    audit = (
+        typed.join(F.broadcast(_major("s_sig")), "pred")
+        .join(F.broadcast(_major("o_sig")), "pred")
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.sum(F.when(F.col("s_sig") != F.col("s_major"), 1)
+                  .otherwise(0)).cast("long").alias("n_domain_viol"),
+            F.sum(F.when(F.col("o_sig") != F.col("o_major"), 1)
+                  .otherwise(0)).cast("long").alias("n_range_viol"),
+            F.min("s_major").alias("domain_sig"),
+            F.min("o_major").alias("range_sig"),
+        )
+    )
+    return audit

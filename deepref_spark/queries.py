@@ -7601,6 +7601,98 @@ def lake_quantile_hist(spark, sf_dir):
     return quantile_hist(load_table(spark, sf_dir, "lineitem"))
 
 
+@q("kg_domain_range_audit", _trip_cte() + """
+, roles AS (
+  SELECT entity, role FROM (
+    SELECT subj AS entity, concat('S:', pred) AS role FROM trip
+    UNION
+    SELECT obj AS entity, concat('O:', pred) AS role FROM trip
+  )
+),
+sig AS MATERIALIZED (
+  SELECT entity, array_to_string(list_sort(list(DISTINCT role)), ' ') AS signature
+  FROM roles GROUP BY entity
+),
+typed AS MATERIALIZED (
+  SELECT t.pred, ss.signature AS s_sig, os.signature AS o_sig
+  FROM trip t
+  JOIN sig ss ON t.subj = ss.entity
+  JOIN sig os ON t.obj = os.entity
+),
+smaj AS (
+  SELECT pred, s_sig AS s_major FROM (
+    SELECT pred, s_sig,
+           row_number() OVER (PARTITION BY pred ORDER BY n DESC, s_sig DESC) AS r
+    FROM (SELECT pred, s_sig, count(*) AS n FROM typed GROUP BY 1, 2)
+  ) WHERE r = 1
+),
+omaj AS (
+  SELECT pred, o_sig AS o_major FROM (
+    SELECT pred, o_sig,
+           row_number() OVER (PARTITION BY pred ORDER BY n DESC, o_sig DESC) AS r
+    FROM (SELECT pred, o_sig, count(*) AS n FROM typed GROUP BY 1, 2)
+  ) WHERE r = 1
+)
+SELECT t.pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CASE WHEN t.s_sig <> sm.s_major THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_domain_viol,
+       CAST(sum(CASE WHEN t.o_sig <> om.o_major THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_range_viol,
+       min(sm.s_major) AS domain_sig,
+       min(om.o_major) AS range_sig
+FROM typed t JOIN smaj sm USING (pred) JOIN omaj om USING (pred)
+GROUP BY t.pred
+""")
+def kg_domain_range_audit(spark, sf_dir):
+    """SHACL-style domain/range conformance report over INDUCED types
+    (kgquality.domain_range_audit): entity type = predicate signature
+    (kg_type_induction's derivation), expected domain/range = the
+    majority signature per predicate (deterministic (n, sig)
+    tie-break), violations counted per predicate — the schema audit a
+    KG run publishes before accepting extractor output. Two entity-key
+    joins + tiny grouped aggs; majorities broadcast."""
+    from deepref_spark.operators.kgquality import domain_range_audit
+
+    return domain_range_audit(_canon_spo(spark, sf_dir))
+
+
+@q("events_cohort_matrix", """
+WITH f AS (
+  SELECT user_id,
+         (min(CAST(ts AS DATE)) - DATE '1970-01-01') // 7 AS cohort_week
+  FROM events GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM f GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week
+  FROM events
+),
+cells AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS age_weeks,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM a JOIN f USING (user_id) GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       c.n_active, s.cohort_size,
+       CAST(c.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+FROM cells c JOIN sizes s USING (cohort_week)
+""")
+def events_cohort_matrix(spark, sf_dir):
+    """Weekly cohort-retention matrix (events.cohort_matrix) — the
+    full cohort x age triangle behind events_retention's single
+    horizon. Week = days-since-epoch DIV 7 (pure integer arithmetic),
+    retention on the exact ppm grid; one per-user min anchor, one
+    (user, week) distinct, one grouped count on the tiny grid."""
+    from deepref_spark.operators.events import cohort_matrix
+
+    return cohort_matrix(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -7996,6 +8088,13 @@ _WINDOW_TAIL = [
     # (the iterate-to-fixpoint graph lane keeps kg_anf_hyperball,
     # kg_scc and kg_taxonomy_closure in-window)
     "kg_validity", "text_ccnet_buckets", "kg_wl_colors",
+    # (parked r5az, making room for kg_domain_range_audit +
+    # events_cohort_matrix): events_heavy_hitters parks (the sketch
+    # lane keeps events_hll_distinct in-window; count-min keeps its
+    # local sweep + pytest goldens), kg_lp_eval parks (ranking-eval
+    # lane keeps emb_recall_eval, blocking-eval keeps
+    # kg_blocking_quality)
+    "events_heavy_hitters", "kg_lp_eval",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

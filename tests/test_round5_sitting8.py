@@ -233,3 +233,46 @@ def test_ivf_quality_consistent_with_assignments(spark):
     assert sum(v["n_members"] for v in qual.values()) == emb.count()
     for v in qual.values():
         assert -1.0 <= v["min_csim"] <= v["mean_csim"] <= 1.0
+
+
+def test_domain_range_audit_hand_majority(spark):
+    from deepref_spark.operators.kgquality import domain_range_audit
+
+    # p's subjects: a, a2 share signature 'S:p'; z has 'O:q S:p'
+    # -> domain majority 'S:p' (n=2), z is the one domain violation.
+    # p's objects: x, y, w all have signature 'O:p' -> no range viol.
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a2", "p", "y"), ("z", "p", "w"),
+         ("q_s", "q", "z")],
+        schema="subj_canon string, pred string, obj_canon string")
+    out = {r["pred"]: r for r in domain_range_audit(t).collect()}
+    assert out["p"]["n_triples"] == 3
+    assert out["p"]["n_domain_viol"] == 1
+    assert out["p"]["n_range_viol"] == 0
+    assert out["p"]["domain_sig"] == "S:p"
+    assert out["p"]["range_sig"] == "O:p"
+    # q has a single triple: its own sig is the majority, no violations
+    assert out["q"]["n_domain_viol"] == 0 and out["q"]["n_range_viol"] == 0
+
+
+def test_cohort_matrix_hand_triangle(spark):
+    from deepref_spark.operators.events import cohort_matrix
+
+    # epoch weeks: 1970-01-01..07 = week 0, 08..14 = week 1, 15.. = 2
+    # user 1 first week 0, active weeks {0, 1}; user 2 first week 0,
+    # active {0}; user 3 first week 1, active {1, 2}
+    ev = spark.createDataFrame(
+        [(1, "1970-01-02 00:00:00", 1, "a", 0.0),
+         (2, "1970-01-09 00:00:00", 1, "a", 0.0),
+         (3, "1970-01-03 00:00:00", 2, "a", 0.0),
+         (4, "1970-01-10 00:00:00", 3, "a", 0.0),
+         (5, "1970-01-16 00:00:00", 3, "a", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    out = {(r["cohort_week"], r["age_weeks"]):
+           (r["n_active"], r["cohort_size"], r["retention_ppm"])
+           for r in cohort_matrix(ev).collect()}
+    assert out == {(0, 0): (2, 2, 1000000),
+                   (0, 1): (1, 2, 500000),
+                   (1, 0): (1, 1, 1000000),
+                   (1, 1): (1, 1, 1000000)}
