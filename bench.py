@@ -174,6 +174,17 @@ HEADLINE = [
     "text_readability",
     "kg_anf_hyperball",
     "lake_skipping_eval",
+    # sitting-8 additions
+    "events_seq_trigrams",
+    "events_rolling_wau",
+    "kg_snapshot_diff",
+    "kg_taxonomy_closure",
+    "kg_scc",
+    "emb_ivf_quality",
+    "kg_harmonic_centrality",
+    "lake_quantile_hist",
+    "kg_domain_range_audit",
+    "events_cohort_matrix",
 ]
 
 

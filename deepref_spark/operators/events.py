@@ -632,3 +632,49 @@ def cohort_matrix(events: DataFrame, ts_col: str = "ts",
             .alias("retention_ppm"),
         )
     )
+
+
+def gap_fill_locf(events: DataFrame, ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Hourly date-spine gap fill with last-observation-carried-forward
+    — the time-series regularization every metrics warehouse runs
+    before charting or joining series: per event type, one row for
+    EVERY hour between that type's first and last event, missing hours
+    flagged and their value carried forward from the latest observed
+    hour.
+
+    One grouped agg to the hourly grain (value summed on the exact
+    cents grid — order independent), a per-type sequence() explode for
+    the spine (cardinality = types x hour-range, independent of event
+    volume), a co-keyed left join, and one per-type window whose
+    last(ignorenulls) does the LOCF — the window runs over the tiny
+    spine, never the raw stream.
+    """
+    cents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+    hourly = (
+        events.groupBy(F.col(type_col).alias("event_type"),
+                       F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(F.sum(F.expr(cents)).cast("long").alias("v_cents"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds bounds AND the fill join
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("event_type",
+                F.explode(F.expr("sequence(lo, hi, interval 1 hour)"))
+                .alias("h"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.last("v_cents", ignorenulls=True).over(w).cast("long")
+            .alias("v_cents_locf"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+    )

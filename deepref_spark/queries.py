@@ -7693,6 +7693,44 @@ def events_cohort_matrix(spark, sf_dir):
     return cohort_matrix(load_table(spark, sf_dir, "events"))
 
 
+@q("events_gap_fill", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, s.h, hy.v_cents, coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(last_value(v_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS v_cents_locf,
+       CAST(n = 0 AS INT) AS is_gap
+FROM j
+""")
+def events_gap_fill(spark, sf_dir):
+    """Hourly date-spine gap fill with LOCF (events.gap_fill_locf):
+    per event type, every hour between first and last event, missing
+    hours flagged and values carried forward — the series
+    regularization step before charting/joining metrics. Value sums on
+    the exact cents grid; the spine explode and the LOCF window run
+    over the tiny types x hours table, never the raw stream."""
+    from deepref_spark.operators.events import gap_fill_locf
+
+    return gap_fill_locf(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8095,6 +8133,11 @@ _WINDOW_TAIL = [
     # lane keeps emb_recall_eval, blocking-eval keeps
     # kg_blocking_quality)
     "events_heavy_hitters", "kg_lp_eval",
+    # (parked r5ba, making room for events_gap_fill): text_dsir parks
+    # (the mixing lane's in-window rep is the composed
+    # text_curate_pipeline, which embeds the same per-source
+    # sample-rate arithmetic)
+    "text_dsir",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -276,3 +276,22 @@ def test_cohort_matrix_hand_triangle(spark):
                    (0, 1): (1, 2, 500000),
                    (1, 0): (1, 1, 1000000),
                    (1, 1): (1, 1, 1000000)}
+
+
+def test_gap_fill_locf_hand_spine(spark):
+    from deepref_spark.operators.events import gap_fill_locf
+
+    # type 'a': hours 00 (v=1.50+0.50=2.00) and 03 (v=1.00);
+    # hours 01, 02 are gaps carrying 200 cents forward
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1, "a", 1.50),
+         (2, "2024-01-01 00:40:00", 2, "a", 0.50),
+         (3, "2024-01-01 03:20:00", 1, "a", 1.00)],
+        schema=_EV_SCHEMA,
+    )
+    out = {r["hour"]: (r["n"], r["v_cents_locf"], r["is_gap"])
+           for r in gap_fill_locf(ev).collect()}
+    assert out == {"2024-01-01 00:00:00": (2, 200, 0),
+                   "2024-01-01 01:00:00": (0, 200, 1),
+                   "2024-01-01 02:00:00": (0, 200, 1),
+                   "2024-01-01 03:00:00": (1, 100, 0)}
