@@ -185,6 +185,9 @@ HEADLINE = [
     "lake_quantile_hist",
     "kg_domain_range_audit",
     "events_cohort_matrix",
+    "events_gap_fill",
+    "kg_scc_condensation",
+    "kg_validity_lookup",
 ]
 
 

@@ -1588,3 +1588,112 @@ def harmonic_centrality(edges: DataFrame, n_seeds: int = 3,
         .withColumn("harmonic",
                     F.col("h_units").cast("double") / F.lit(float(grid)))
     )
+
+
+def scc_condensation(edges: DataFrame, labels: DataFrame | None = None,
+                     max_rounds: int = 64) -> DataFrame:
+    """Condensation DAG of a directed graph: collapse every SCC (from
+    ``scc``) to one node and compute, per component, its member count,
+    inter-component in/out degree, and LONGEST-PATH topological level
+    — the cycle-free quotient view downstream topological processing
+    (dependency ordering, stratified datalog, incremental recompute
+    waves) runs on after the cycle detector has done its work.
+
+    Quotient edges = the original edges mapped through the SCC labels
+    (two co-keyed joins + distinct, self-edges dropped — guaranteed
+    acyclic by SCC maximality). Levels by iterative longest-path
+    relaxation: level(v) = max(0, 1 + max level of predecessors),
+    repeated to fixpoint — rounds = DAG depth, each from a
+    localCheckpoint'ed frame, one scalar count per round, raises
+    rather than truncating. The SQL oracle recomputes levels with a
+    recursive CTE, so the relaxation bookkeeping is hash-verified.
+    """
+    lab = scc(edges).select("entity", "scc_id") if labels is None else labels
+    lab = lab.localCheckpoint(eager=False)
+    ced = (
+        edges.join(lab.select(F.col("entity").alias("src"),
+                              F.col("scc_id").alias("a")), "src")
+        .join(lab.select(F.col("entity").alias("dst"),
+                         F.col("scc_id").alias("b")), "dst")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint()
+    )
+    comps = lab.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    lev = comps.select(F.col("scc_id").alias("v"),
+                       F.lit(0).alias("level")).localCheckpoint()
+    for _ in range(max_rounds):
+        relaxed = (
+            ced.join(lev.select(F.col("v").alias("a"),
+                                F.col("level").alias("la")), "a")
+            .groupBy(F.col("b").alias("v"))
+            .agg((F.max("la") + 1).alias("lin"))
+        )
+        new = (
+            lev.join(relaxed, "v", "left")
+            .select("v", F.greatest(
+                F.col("level"),
+                F.coalesce(F.col("lin"), F.col("level"))).alias("level"))
+            .localCheckpoint()
+        )
+        changed = (new.alias("n").join(lev.alias("o"), "v")
+                   .where(F.col("n.level") > F.col("o.level")).count())
+        lev = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"scc_condensation levels did not converge in {max_rounds} "
+            "rounds (cycle in the quotient graph?)")
+    outd = ced.groupBy(F.col("a").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_edges"))
+    ind = ced.groupBy(F.col("b").alias("scc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_edges"))
+    return (
+        comps.join(outd, "scc_id", "left").join(ind, "scc_id", "left")
+        .join(lev.select(F.col("v").alias("scc_id"), "level"), "scc_id")
+        .select(
+            "scc_id", "n_members",
+            F.coalesce("out_edges", F.lit(0)).cast("long").alias("out_edges"),
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+            F.col("level").cast("int").alias("topo_level"),
+        )
+    )
+
+
+def validity_lookup(oplog: DataFrame, probes: DataFrame) -> DataFrame:
+    """As-of dimension lookup against the bitemporal validity table —
+    the SCD2 point read every event-time join runs: for each probe
+    (subj, pred, obj, probe_ts), the version live at that instant
+    (valid_from <= ts < valid_to, open intervals unbounded) or a dead
+    marker.
+
+    This is an EQUI join on the triple key (at most a handful of
+    versions per key), then a per-row interval filter — no range join,
+    no grid decomposition needed (contrast incident_overlap, where no
+    equi key exists and the epoch-hour grid does that job). Disjoint
+    intervals per key guarantee at most one match, so the left join
+    preserves probe cardinality exactly.
+    """
+    iv = validity_intervals(oplog).select(
+        "subj", "pred", "obj",
+        F.col("valid_from").alias("v_from"),
+        F.col("valid_to").alias("v_to"))
+    hit = (
+        probes.join(iv, ["subj", "pred", "obj"])
+        .where((F.col("v_from") <= F.col("probe_ts"))
+               & (F.col("v_to").isNull()
+                  | (F.col("probe_ts") < F.col("v_to"))))
+        .select("subj", "pred", "obj", "probe_ts",
+                F.col("v_from").alias("valid_from"))
+    )
+    return (
+        probes.join(hit, ["subj", "pred", "obj", "probe_ts"], "left")
+        .select(
+            "subj", "pred", "obj",
+            F.col("probe_ts").cast("long").alias("probe_ts"),
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("valid_from").isNotNull().cast("int").alias("live"),
+        )
+    )

@@ -7454,7 +7454,11 @@ def _scc_aug_gate() -> str:
     return md5_mod("concat(src, '|', dst)", 3)
 
 
-@q("kg_scc", _oracle_prefix() + _graph_edges_cte() + f"""
+def _scc_sql() -> str:
+    """aug/nodes/reach/mut/sid CTE chain (directed augmented graph ->
+    per-entity SCC id via recursive-CTE mutual reachability) — shared
+    by kg_scc and kg_scc_condensation."""
+    return f"""
 , aug AS MATERIALIZED (
   SELECT src, dst FROM edges
   UNION
@@ -7473,11 +7477,14 @@ mut AS (
   SELECT a.src AS v, a.dst AS u
   FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
 ),
-sid AS (
+sid AS MATERIALIZED (
   SELECT n.v AS entity, least(n.v, coalesce(min(m.u), n.v)) AS scc_id
   FROM nodes n LEFT JOIN mut m ON n.v = m.v
   GROUP BY n.v
-)
+)"""
+
+
+@q("kg_scc", _oracle_prefix() + _graph_edges_cte() + _scc_sql() + """
 SELECT entity, scc_id,
        CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
 FROM sid
@@ -7729,6 +7736,97 @@ def events_gap_fill(spark, sf_dir):
     from deepref_spark.operators.events import gap_fill_locf
 
     return gap_fill_locf(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_scc_condensation",
+   _oracle_prefix() + _graph_edges_cte() + _scc_sql() + """
+, ced AS MATERIALIZED (
+  SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+  FROM aug e
+  JOIN sid sa ON e.src = sa.entity
+  JOIN sid sb ON e.dst = sb.entity
+  WHERE sa.scc_id <> sb.scc_id
+),
+comps AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members FROM sid GROUP BY 1),
+lp AS (
+  WITH RECURSIVE l(v, d) AS (
+    SELECT scc_id, 0 FROM comps
+    UNION
+    SELECT e.b, l.d + 1 FROM l JOIN ced e ON l.v = e.a
+  )
+  SELECT v, max(d) AS level FROM l GROUP BY v
+),
+outd AS (SELECT a AS scc_id, CAST(count(*) AS BIGINT) AS out_edges FROM ced GROUP BY 1),
+ind AS (SELECT b AS scc_id, CAST(count(*) AS BIGINT) AS in_edges FROM ced GROUP BY 1)
+SELECT c.scc_id, c.n_members,
+       CAST(coalesce(o.out_edges, 0) AS BIGINT) AS out_edges,
+       CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(l.level AS INT) AS topo_level
+FROM comps c
+LEFT JOIN outd o USING (scc_id)
+LEFT JOIN ind i USING (scc_id)
+JOIN lp l ON c.scc_id = l.v
+""")
+def kg_scc_condensation(spark, sf_dir):
+    """Condensation DAG of the augmented directed graph
+    (graph.scc_condensation): SCCs collapsed to quotient nodes with
+    member counts, inter-component in/out degrees, and LONGEST-PATH
+    topological levels by iterative relaxation (rounds = DAG depth) —
+    the cycle-free view downstream dependency ordering runs on after
+    kg_scc's detector. The oracle recomputes levels with a recursive
+    CTE over the same quotient edges, hash-verifying the relaxation."""
+    from deepref_spark.operators.graph import scc_condensation
+
+    e = _canonical_edges(spark, sf_dir)
+    aug = e.union(
+        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return scc_condensation(aug)
+
+
+_PROBE_TS = md5_mod("concat(subj, '|', pred, '|', obj, '|probe')", 1300)
+
+
+@q("kg_validity_lookup", _trip_cte() + _OPLOG_SQL + f"""
+, iv AS (
+  SELECT subj, pred, obj, ts, op,
+         min(CASE WHEN op = 'retract' THEN ts END) OVER (
+           PARTITION BY subj, pred, obj ORDER BY ts, op
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS valid_to
+  FROM log
+),
+vers AS (
+  SELECT subj, pred, obj, CAST(ts AS BIGINT) AS v_from,
+         CAST(valid_to AS BIGINT) AS v_to
+  FROM iv WHERE op = 'assert'
+),
+probes AS (
+  SELECT subj, pred, obj, CAST({_PROBE_TS} AS BIGINT) AS probe_ts FROM trip
+)
+SELECT p.subj, p.pred, p.obj, p.probe_ts,
+       v.v_from AS valid_from,
+       CAST(v.v_from IS NOT NULL AS INT) AS live
+FROM probes p LEFT JOIN vers v
+  ON p.subj = v.subj AND p.pred = v.pred AND p.obj = v.obj
+ AND v.v_from <= p.probe_ts AND (v.v_to IS NULL OR p.probe_ts < v.v_to)
+""")
+def kg_validity_lookup(spark, sf_dir):
+    """SCD2 as-of point lookup (graph.validity_lookup): every triple
+    key probed at a deterministic md5-derived instant against the
+    bitemporal validity table — the event-time dimension read. Pure
+    EQUI join on the triple key plus a per-row interval filter
+    (disjoint versions per key => at most one match, probe cardinality
+    preserved); no range join, no grid decomposition."""
+    from deepref_spark.operators.graph import validity_lookup
+
+    spo = _canon_spo(spark, sf_dir).select(
+        F.col("subj_canon").alias("subj"), "pred",
+        F.col("obj_canon").alias("obj"))
+    probes = spo.select(
+        "subj", "pred", "obj",
+        F.expr(_PROBE_TS).cast("long").alias("probe_ts"))
+    return validity_lookup(_derived_oplog(spark, sf_dir), probes)
 
 
 # ---------------------------------------------------------------------------
@@ -8138,6 +8236,12 @@ _WINDOW_TAIL = [
     # text_curate_pipeline, which embeds the same per-source
     # sample-rate arithmetic)
     "text_dsir",
+    # (parked r5bb, making room for kg_scc_condensation +
+    # kg_validity_lookup): text_langid_eval and kg_pairwise_eval park
+    # — both eval-lane queries whose formulas are pinned by pytest
+    # goldens, with kg_calibration and emb_recall_eval keeping the
+    # eval lane in-window
+    "text_langid_eval", "kg_pairwise_eval",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

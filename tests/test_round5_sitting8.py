@@ -295,3 +295,47 @@ def test_gap_fill_locf_hand_spine(spark):
                    "2024-01-01 01:00:00": (0, 200, 1),
                    "2024-01-01 02:00:00": (0, 200, 1),
                    "2024-01-01 03:00:00": (1, 100, 0)}
+
+
+def test_scc_condensation_hand_dag(spark):
+    from deepref_spark.operators.graph import scc_condensation
+
+    # SCCs: A={a,b,c}, {d}, E={e,f}, {g}, {h}
+    # quotient edges: a->d, d->e, g->h; levels a=0,g=0,d=1,h=1,e=2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("d", "e"),
+         ("e", "f"), ("f", "e"),
+         ("g", "h")],
+        schema=_EDGE_SCHEMA,
+    )
+    out = {r["scc_id"]: (r["n_members"], r["out_edges"], r["in_edges"],
+                         r["topo_level"])
+           for r in scc_condensation(edges).collect()}
+    assert out == {"a": (3, 1, 0, 0), "d": (1, 1, 1, 1),
+                   "e": (2, 0, 1, 2), "g": (1, 1, 0, 0),
+                   "h": (1, 0, 1, 1)}
+
+
+def test_validity_lookup_hand_versions(spark):
+    from deepref_spark.operators.graph import validity_lookup
+
+    log = spark.createDataFrame(
+        [("a", "p", "x", 100, "assert"),
+         ("a", "p", "x", 300, "retract"),
+         ("a", "p", "x", 500, "assert"),
+         ("b", "p", "x", 200, "assert")],
+        schema=_LOG_SCHEMA,
+    )
+    probes = spark.createDataFrame(
+        [("a", "p", "x", 150),   # inside [100, 300) -> live, from 100
+         ("a", "p", "x", 400),   # in the retracted hole -> dead
+         ("a", "p", "x", 600),   # open tail [500, inf) -> live, from 500
+         ("b", "p", "x", 100),   # before first assert -> dead
+         ("c", "p", "x", 100)],  # never asserted -> dead
+        schema="subj string, pred string, obj string, probe_ts long")
+    out = {(r["subj"], r["probe_ts"]): (r["live"], r["valid_from"])
+           for r in validity_lookup(log, probes).collect()}
+    assert out == {("a", 150): (1, 100), ("a", 400): (0, None),
+                   ("a", 600): (1, 500), ("b", 100): (0, None),
+                   ("c", 100): (0, None)}
