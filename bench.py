@@ -188,6 +188,8 @@ HEADLINE = [
     "events_gap_fill",
     "kg_scc_condensation",
     "kg_validity_lookup",
+    "kg_neighbor_agg",
+    "events_ab_lift",
 ]
 
 

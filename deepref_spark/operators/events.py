@@ -678,3 +678,39 @@ def gap_fill_locf(events: DataFrame, ts_col: str = "ts",
             F.col("n").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+def ab_lift(events: DataFrame, convert_type: str = "purchase",
+            user_col: str = "user_id") -> DataFrame:
+    """Deterministic A/B experiment readout: users hash-split into two
+    arms (md5 parity — the salted-bucket assignment every experiment
+    platform uses, reproducible across runs and engines), conversion =
+    at least one ``convert_type`` event, per-arm conversion rate on
+    the exact ppm grid plus lift vs arm 0.
+
+    One per-user agg (map-side combinable max flag), one tiny per-arm
+    count, one broadcast self-join of the 2-row arm table for the lift
+    column. No floats anywhere.
+    """
+    from deepref_spark.portable import md5_mod
+
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.max(F.when(F.col("event_type") == convert_type, 1)
+                   .otherwise(0)).alias("converted"))
+        .select(F.expr("CAST(" + md5_mod("CAST(u AS STRING)", 2)
+                       + " AS INT)").alias("arm"), "converted")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn("conv_ppm",
+                 F.expr("n_converted * 1000000 DIV n_users").cast("long"))
+    base = arms.where(F.col("arm") == 0).select(
+        F.col("conv_ppm").alias("base_ppm"))
+    return (
+        arms.crossJoin(F.broadcast(base))
+        .select("arm", "n_users", "n_converted", "conv_ppm",
+                (F.col("conv_ppm") - F.col("base_ppm")).cast("long")
+                .alias("lift_ppm"))
+    )

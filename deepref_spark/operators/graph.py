@@ -1697,3 +1697,47 @@ def validity_lookup(oplog: DataFrame, probes: DataFrame) -> DataFrame:
             F.col("valid_from").isNotNull().cast("int").alias("live"),
         )
     )
+
+
+def neighbor_agg(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """GraphSAGE-style numeric message passing on the exact milli
+    integer grid — the feature-engineering primitive KG-embedding /
+    node-classification pipelines run before any model sees the graph:
+    h0(v) = undirected degree (in milli units), then ``rounds`` times
+    h_r(v) = round-half-up mean of the neighbors' h_{r-1}. Unlike
+    wl_refine (hash refinement, set semantics) this aggregates NUMERIC
+    features, so the mean must be grid-exact to survive any
+    partitioning: floor((2*sum + n) / (2*n)) on BIGINTs is tie-free
+    half-up rounding with zero floating point anywhere.
+
+    One symmetric-adjacency shuffle reused across rounds (the
+    sym_closure discipline); each round is one join + one combineable
+    groupBy on the node key. Isolated directions don't exist on the
+    undirected view; every node has >= 1 neighbor by construction of
+    the edge list.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (und.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("v"),
+                                F.col("a").alias("nbr")))
+           .localCheckpoint(eager=False))
+    h = (sym.groupBy("v")
+         .agg((F.count(F.lit(1)) * 1000).cast("long").alias("h"))
+         .localCheckpoint(eager=False))
+    out = h.select("v", (F.col("h") / 1000).cast("long").alias("und_degree"))
+    for r in range(1, rounds + 1):
+        h = (
+            sym.join(h.select(F.col("v").alias("nbr"),
+                              F.col("h").alias("hn")), "nbr")
+            .groupBy("v")
+            .agg(F.expr("CAST((2 * sum(hn) + count(hn)) "
+                        "DIV (2 * count(hn)) AS BIGINT)").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.join(h.select("v", F.col("h").alias(f"h{r}_milli")), "v")
+    return out.withColumnRenamed("v", "entity")

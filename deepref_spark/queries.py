@@ -7829,6 +7829,74 @@ def kg_validity_lookup(spark, sf_dir):
     return validity_lookup(_derived_oplog(spark, sf_dir), probes)
 
 
+@q("kg_neighbor_agg", _oracle_prefix() + _graph_edges_cte() + """
+, nund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+nsym AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM nund UNION ALL SELECT b AS v, a AS nbr FROM nund
+),
+h0 AS MATERIALIZED (
+  SELECT v, CAST(count(*) * 1000 AS BIGINT) AS h FROM nsym GROUP BY v
+),
+h1 AS MATERIALIZED (
+  SELECT s.v, CAST((2 * sum(h0.h) + count(h0.h)) // (2 * count(h0.h)) AS BIGINT) AS h
+  FROM nsym s JOIN h0 ON h0.v = s.nbr GROUP BY s.v
+),
+h2 AS (
+  SELECT s.v, CAST((2 * sum(h1.h) + count(h1.h)) // (2 * count(h1.h)) AS BIGINT) AS h
+  FROM nsym s JOIN h1 ON h1.v = s.nbr GROUP BY s.v
+)
+SELECT h0.v AS entity, CAST(h0.h // 1000 AS BIGINT) AS und_degree,
+       h1.h AS h1_milli, h2.h AS h2_milli
+FROM h0 JOIN h1 ON h0.v = h1.v JOIN h2 ON h0.v = h2.v
+""")
+def kg_neighbor_agg(spark, sf_dir):
+    """GraphSAGE-style 2-round numeric message passing
+    (graph.neighbor_agg): h0 = degree in milli units, each round the
+    half-up integer mean of the neighbors' previous value — the
+    feature-engineering pass KG-embedding training consumes. Pure
+    BIGINT arithmetic (floor((2s+n)/(2n)) tie-free rounding), one
+    reused symmetric-adjacency shuffle, one combineable groupBy per
+    round; the oracle unrolls both rounds with the identical integer
+    formula."""
+    from deepref_spark.operators.graph import neighbor_agg
+
+    return neighbor_agg(_canonical_edges(spark, sf_dir), rounds=2)
+
+
+@q("events_ab_lift", f"""
+WITH pu0 AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  SELECT CAST({md5_mod("CAST(user_id AS VARCHAR)", 2)} AS INT) AS arm, converted
+  FROM pu0
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted,
+         CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.n_converted, a.conv_ppm,
+       CAST(a.conv_ppm - b.conv_ppm AS BIGINT) AS lift_ppm
+FROM arms a CROSS JOIN (SELECT conv_ppm FROM arms WHERE arm = 0) b
+""")
+def events_ab_lift(spark, sf_dir):
+    """Deterministic A/B experiment readout (events.ab_lift): md5-
+    parity arm assignment (the reproducible salted-bucket split),
+    conversion = any 'purchase', per-arm rate and lift vs arm 0 on the
+    exact ppm grid. One combineable per-user flag agg, one 2-row arm
+    table, no floats."""
+    from deepref_spark.operators.events import ab_lift
+
+    return ab_lift(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8242,6 +8310,13 @@ _WINDOW_TAIL = [
     # goldens, with kg_calibration and emb_recall_eval keeping the
     # eval lane in-window
     "text_langid_eval", "kg_pairwise_eval",
+    # (parked r5bc, making room for kg_neighbor_agg + events_ab_lift):
+    # doc_winnow parks (the fingerprint lane keeps its shingle/window
+    # formula pinned by pytest goldens and the local sweep) and
+    # kg_fusion parks (the ppm noisy-or expression is pinned by pytest
+    # and shared with no other in-window formula — longest-stable of
+    # the kgquality tier)
+    "doc_winnow", "kg_fusion",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

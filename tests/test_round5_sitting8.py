@@ -339,3 +339,63 @@ def test_validity_lookup_hand_versions(spark):
     assert out == {("a", 150): (1, 100), ("a", 400): (0, None),
                    ("a", 600): (1, 500), ("b", 100): (0, None),
                    ("c", 100): (0, None)}
+
+
+def test_neighbor_agg_hand_rounds(spark):
+    from deepref_spark.operators.graph import neighbor_agg
+
+    # path a-b-c (undirected): degrees a=1, b=2, c=1
+    # h0 milli: a=1000, b=2000, c=1000
+    # h1: a = mean(b) = 2000; b = mean(a,c) = 1000; c = 2000
+    # h2: a = 1000; b = 2000; c = 1000
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], schema=_EDGE_SCHEMA)
+    out = {r["entity"]: (r["und_degree"], r["h1_milli"], r["h2_milli"])
+           for r in neighbor_agg(edges, rounds=2).collect()}
+    assert out == {"a": (1, 2000, 1000), "b": (2, 1000, 2000),
+                   "c": (1, 2000, 1000)}
+
+
+def test_neighbor_agg_half_up_rounding(spark):
+    from deepref_spark.operators.graph import neighbor_agg
+
+    # star: x connects to a, b; a-b not connected; plus a-y tail
+    # degrees: x=2, a=3, b=2, y=1  (a: x, b? no... a: x, y, b? )
+    # graph: x-a, x-b, a-y, a-b -> deg a=3 (x,y,b), x=2, b=2, y=1
+    # h1(y) = mean(a) = 3000; h1(x) = mean(3000_a? no h0) =
+    #   mean(h0(a), h0(b)) = (3000+2000)/2 = 2500
+    # h1(b) = mean(h0(x), h0(a)) = 2500; h1(a) = mean(2000,2000,1000)
+    #   = 5000/3 = 1666.67 -> half-up 1667
+    edges = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("a", "y"), ("a", "b")],
+        schema=_EDGE_SCHEMA)
+    out = {r["entity"]: r["h1_milli"]
+           for r in neighbor_agg(edges, rounds=1).collect()}
+    assert out == {"x": 2500, "a": 1667, "b": 2500, "y": 3000}
+
+
+def test_ab_lift_hand_arms(spark):
+    from deepref_spark.operators.events import ab_lift
+    from deepref_spark.refsem import md5_mod_py
+
+    # craft users so both arms are non-empty, using the real hash
+    users = list(range(1, 9))
+    arms = {u: md5_mod_py(str(u), 2) for u in users}
+    assert set(arms.values()) == {0, 1}
+    rows = []
+    eid = 1
+    for u in users:
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 0.0)); eid += 1
+    # exactly one converter per arm: first user of each arm
+    first0 = min(u for u in users if arms[u] == 0)
+    first1 = min(u for u in users if arms[u] == 1)
+    for u in (first0, first1):
+        rows.append((eid, "2024-01-01 01:00:00", u, "purchase", 0.0)); eid += 1
+    ev = spark.createDataFrame(rows, schema=_EV_SCHEMA)
+    out = {r["arm"]: (r["n_users"], r["n_converted"], r["conv_ppm"],
+                      r["lift_ppm"]) for r in ab_lift(ev).collect()}
+    n0 = sum(1 for u in users if arms[u] == 0)
+    n1 = len(users) - n0
+    assert out[0] == (n0, 1, 1000000 // n0, 0)
+    assert out[1][0:3] == (n1, 1, 1000000 // n1)
+    assert out[1][3] == 1000000 // n1 - 1000000 // n0
