@@ -1501,16 +1501,25 @@ def scc(edges: DataFrame, max_outer: int = 24,
               .where(F.col("c1") == F.col("c2"))
               .select("src", "dst", F.col("c1").alias("c"))
               .localCheckpoint())
+        # frontier-style: each round expands only the newly-marked set
+        # through the reversed same-color edges and anti-joins the known
+        # set (per-round work ~ the frontier's edge boundary, the same
+        # discipline as bfs_distances — never a re-dedup of the whole
+        # marked set)
         marked = lab.where(F.col("v") == F.col("c")).localCheckpoint()
+        bfrontier = marked
         for _ in range(max_inner):
-            step = (ec.join(marked.select(F.col("v").alias("dst"),
-                                          F.col("c").alias("mc")), "dst")
+            step = (ec.join(bfrontier.select(F.col("v").alias("dst"),
+                                             F.col("c").alias("mc")), "dst")
                     .where(F.col("c") == F.col("mc"))
-                    .select(F.col("src").alias("v"), "c"))
-            grown = marked.unionAll(step).distinct().localCheckpoint()
-            if grown.count() == marked.count():
+                    .select(F.col("src").alias("v"), "c")
+                    .distinct()
+                    .join(marked.select("v"), "v", "left_anti")
+                    .localCheckpoint())
+            if step.count() == 0:
                 break
-            marked = grown
+            marked = marked.unionAll(step).localCheckpoint()
+            bfrontier = step
         else:
             raise RuntimeError("scc: backward sweep did not converge")
         parts.append(marked.select(F.col("v").alias("entity"),
