@@ -190,6 +190,9 @@ HEADLINE = [
     "kg_validity_lookup",
     "kg_neighbor_agg",
     "events_ab_lift",
+    "text_hash_features",
+    "text_boilerplate",
+    "emb_knn_graph",
 ]
 
 

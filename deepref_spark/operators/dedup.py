@@ -644,3 +644,43 @@ def bloom_gate(documents: DataFrame, m_words: int = 64,
                 F.coalesce("exact_hit", F.lit(0)).cast("long")
                 .alias("exact_hit"))
     )
+
+
+def boilerplate_stats(documents: DataFrame, min_words: int = 4,
+                      df_threshold: int = 3) -> DataFrame:
+    """Per-document boilerplate fraction — the CLEANING side of
+    passage_dedup's frequency index (CCNet's line-dedup pass, reported
+    per doc instead of applied destructively): a passage is boilerplate
+    when it appears in >= ``df_threshold`` distinct docs; each doc
+    reports its passage count, boilerplate count, and fraction on the
+    exact ppm grid.
+
+    Same passage derivation as passage_dedup (split on sentence
+    boundaries, normalize, hash — one map-side-combined distinct), one
+    grouped doc-frequency agg, one co-keyed join back on the passage
+    hash, one per-doc rollup. Strictly linear; the frequency table is
+    bounded by distinct passages, never total occurrences.
+    """
+    passages = documents.select(
+        "doc_id",
+        F.explode(F.expr("split(text, '[.!?]')")).alias("raw"),
+    ).select(
+        "doc_id",
+        F.expr("trim(regexp_replace(lower(raw), '[^a-z0-9 ]', ' '))").alias("p"),
+    ).where(
+        F.expr(f"size(split(p, ' +')) >= {min_words}")
+    ).select("doc_id", F.expr("md5(p)").alias("passage_hash")).distinct() \
+        .localCheckpoint(eager=False)  # feeds the df agg AND the rollup
+    df_tab = passages.groupBy("passage_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        passages.join(df_tab, "passage_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.sum(F.when(F.col("n_docs") >= df_threshold, 1).otherwise(0))
+            .cast("long").alias("n_boiler"),
+        )
+        .withColumn("boiler_ppm",
+                    F.expr("n_boiler * 1000000 DIV n_passages").cast("long"))
+    )

@@ -1000,3 +1000,48 @@ def ivf_quality(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
             (F.col("_m").cast("double") / F.lit(1000000.0)).alias("min_csim"),
         )
     )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 3,
+              n_planes: int = 4) -> DataFrame:
+    """Mutual k-NN graph construction over LSH buckets — the
+    embedding-to-graph bridge (kNN graph -> community detection /
+    label propagation is the standard clustering pipeline at corpus
+    scale): each vector keeps its ``k`` highest-cosine IN-BUCKET
+    neighbors (candidate-graph semantics: the bucket bounds the
+    quadratic term exactly as in embedding_near_dups), and an edge
+    survives only if BOTH endpoints keep each other (the mutual filter
+    that prunes hub attachments).
+
+    One bucketed self-join (per-bucket quadratic, bucket count 2^n_planes
+    — at 100 TB raise n_planes so buckets stay executor-sized), one
+    per-node top-k window over the candidate rows, one self-join for
+    mutuality. Cosines on the 4dp grid with (cosine DESC, nbr ASC)
+    tie-break, so the graph is deterministic under any partitioning.
+    """
+    b = (sign_lsh_buckets(embeddings, n_planes)
+         .withColumn("vnorm", _norm_col("embedding"))
+         .localCheckpoint(eager=False))  # both sides of the self-join
+    pairs = (
+        b.alias("x").join(b.alias("y"),
+                          (F.col("x.bucket") == F.col("y.bucket"))
+                          & (F.col("x.vec_id") != F.col("y.vec_id")))
+        .select(
+            F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"),
+            F.round(_dot("x.embedding", "y.embedding")
+                    / (F.col("x.vnorm") * F.col("y.vnorm")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    topk = (pairs.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("src", "dst", "cosine")
+            .localCheckpoint(eager=False))  # both sides of the mutual join
+    return (
+        topk.alias("f").join(
+            topk.select(F.col("src").alias("dst"),
+                        F.col("dst").alias("src")).alias("r"),
+            ["src", "dst"])
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
+    )

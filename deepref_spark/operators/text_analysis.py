@@ -1619,3 +1619,29 @@ def readability(documents: DataFrame) -> DataFrame:
                "- (84600 * n_syllables) div greatest(n_words, 1) AS BIGINT)")
         .alias("flesch_milli"),
     )
+
+
+def hash_features(documents: DataFrame, dim: int = 32) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors — the
+    fixed-width featurization (Weinberger et al. 2009) a scalable ML
+    prep stage uses instead of a vocabulary dictionary: every token
+    hashes to one of ``dim`` feature indexes and the doc's vector is
+    the per-index count, emitted as sparse (doc_id, feat, cnt) rows.
+
+    No vocabulary state anywhere (the whole point at 100 TB: no
+    dictionary build, no broadcast, new tokens never resize anything);
+    one explode + one map-side-combinable grouped count. The md5-based
+    index is the repo's cross-engine hash, so the oracle reproduces
+    every bucket exactly.
+    """
+    from deepref_spark.portable import SPARK, md5_mod, norm_tokens
+
+    toks = norm_tokens("text", SPARK)
+    return (
+        documents.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .select("doc_id",
+                F.expr("CAST(" + md5_mod("tok", dim) + " AS INT)")
+                .alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -7897,6 +7897,137 @@ def events_ab_lift(spark, sf_dir):
     return ab_lift(load_table(spark, sf_dir, "events"))
 
 
+def _hash_feat_expr(d: str) -> str:
+    return md5_mod("tok", 32)
+
+
+@q("text_hash_features", f"""
+SELECT doc_id, CAST({_hash_feat_expr(DUCK)} AS INT) AS feat,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest({portable.norm_tokens('text', DUCK)}) AS tok
+      FROM documents)
+GROUP BY 1, 2
+""")
+def text_hash_features(spark, sf_dir):
+    """Feature-hashing document vectors (text_analysis.hash_features,
+    Weinberger et al. 2009): every token md5-hashes into 32 feature
+    buckets, per-doc counts emitted as sparse rows — the
+    vocabulary-free featurization (no dictionary build, no broadcast,
+    new tokens never resize anything). One explode + one combineable
+    grouped count."""
+    from deepref_spark.operators.text_analysis import hash_features
+
+    return hash_features(documents(spark, sf_dir), dim=32)
+
+
+# planted boilerplate docs: the synthetic corpus has no repeated
+# passage at any SF (every df = 1), so without a plant the boilerplate
+# query would certify only the all-zero negative path (the
+# emb_near_dups precedent, round-3 verdict #4). Three docs share one
+# passage (df=3, AT the threshold), two share another (df=2, just
+# below), and each carries a unique tail — so the artifact proves the
+# detection, the cut, and the negative path together.
+_BOILER_DOCS = [
+    (1000001, "The common navigation footer appears here. "
+              "Shared pair sentence below threshold line. "
+              "Unique alpha tail one"),
+    (1000002, "The common navigation footer appears here. "
+              "Shared pair sentence below threshold line. "
+              "Unique beta tail two"),
+    (1000003, "The common navigation footer appears here. "
+              "Unique gamma tail three"),
+]
+
+
+def _boiler_docs_duck() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BOILER_DOCS)
+    return f"(VALUES {vals}) pl(doc_id, text)"
+
+
+@q("text_boilerplate", f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM {_boiler_docs_duck()}
+),
+passages AS (
+  SELECT DISTINCT doc_id, md5(p) AS passage_hash FROM (
+    SELECT doc_id,
+           trim(regexp_replace(lower(raw), '[^a-z0-9 ]', ' ', 'g')) AS p
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]')) AS raw
+          FROM docs)
+  ) WHERE len(regexp_split_to_array(p, ' +')) >= 4
+),
+dfreq AS (
+  SELECT passage_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM passages GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS boiler_ppm
+FROM passages JOIN dfreq USING (passage_hash)
+GROUP BY doc_id
+""")
+def text_boilerplate(spark, sf_dir):
+    """Per-doc boilerplate fraction (dedup.boilerplate_stats) — the
+    CCNet line-dedup cleaning pass as a report: passages appearing in
+    >= 3 distinct docs are boilerplate; each doc reports its count and
+    ppm fraction. Run over the corpus UNION three planted docs sharing
+    passages at df=3 (boiler) and df=2 (just below the cut), so the
+    artifact certifies detection, threshold, and the all-zero negative
+    path together."""
+    from deepref_spark.operators.dedup import boilerplate_stats
+
+    planted = spark.createDataFrame(
+        _BOILER_DOCS, schema="doc_id long, text string")
+    docs = documents(spark, sf_dir).select("doc_id", "text") \
+        .unionAll(planted)
+    return boilerplate_stats(docs, min_words=4, df_threshold=3)
+
+
+def _knn_bucket_duck() -> str:
+    return " || ".join(
+        f"(CASE WHEN CAST(list_element(embedding, {i + 1}) AS DOUBLE) >= 0 "
+        "THEN '1' ELSE '0' END)" for i in range(4))
+
+
+@q("emb_knn_graph", f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_knn_bucket_duck()} AS bucket,
+         sqrt(list_dot_product(embedding, embedding)) AS vnorm
+  FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         round(list_dot_product(x.embedding, y.embedding)
+               / (x.vnorm * y.vnorm), 4) AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+),
+t AS (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst) AS r
+    FROM p
+  ) WHERE r <= 3
+)
+SELECT f.src AS a, f.dst AS b, f.cosine
+FROM t f JOIN t r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst
+""")
+def emb_knn_graph(spark, sf_dir):
+    """Mutual 3-NN graph construction (similarity.knn_graph): in-bucket
+    top-k by 4dp cosine with deterministic tie-break, edges kept only
+    when both endpoints keep each other — the embedding-to-graph
+    bridge feeding community detection. Bucketed self-join bounds the
+    quadratic term; raise n_planes at scale so buckets stay
+    executor-sized."""
+    from deepref_spark.operators.similarity import knn_graph
+
+    return knn_graph(load_table(spark, sf_dir, "embeddings"),
+                     k=3, n_planes=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8317,6 +8448,16 @@ _WINDOW_TAIL = [
     # and shared with no other in-window formula — longest-stable of
     # the kgquality tier)
     "doc_winnow", "kg_fusion",
+    # (parked r5bd, making room for text_hash_features +
+    # text_boilerplate + emb_knn_graph): kg_incremental_cc parks (the
+    # contraction formula keeps its equality-with-full-recompute
+    # pytest gate; kg_scc/kg_scc_condensation/kg_taxonomy_closure keep
+    # the iterative-graph lane in-window), kg_ktruss parks
+    # (kg_graph_report re-verifies the triangle-support machinery via
+    # the shared edges derivation; kcore stays pinned by its pytest
+    # peel goldens), emb_recall_eval parks (the ANN lane keeps
+    # emb_ivf_quality + emb_knn_graph + emb_ann_pq in-window)
+    "kg_incremental_cc", "kg_ktruss", "emb_recall_eval",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

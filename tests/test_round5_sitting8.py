@@ -399,3 +399,48 @@ def test_ab_lift_hand_arms(spark):
     assert out[0] == (n0, 1, 1000000 // n0, 0)
     assert out[1][0:3] == (n1, 1, 1000000 // n1)
     assert out[1][3] == 1000000 // n1 - 1000000 // n0
+
+
+def test_boilerplate_stats_hand_docs(spark):
+    from deepref_spark.operators.dedup import boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [(1, "common footer sentence shared here. unique alpha tail one"),
+         (2, "common footer sentence shared here. unique beta tail two"),
+         (3, "common footer sentence shared here. unique gamma tail three"),
+         (4, "a lonely document sentence only")],
+        schema="doc_id long, text string")
+    out = {r["doc_id"]: (r["n_passages"], r["n_boiler"], r["boiler_ppm"])
+           for r in boilerplate_stats(docs, df_threshold=3).collect()}
+    assert out == {1: (2, 1, 500000), 2: (2, 1, 500000),
+                   3: (2, 1, 500000), 4: (1, 0, 0)}
+
+
+def test_hash_features_hand_counts(spark):
+    from deepref_spark.operators.text_analysis import hash_features
+    from deepref_spark.refsem import md5_mod_py
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana")], schema="doc_id long, text string")
+    out = {(r["doc_id"], r["feat"]): r["cnt"]
+           for r in hash_features(docs, dim=32).collect()}
+    fa, fb = md5_mod_py("apple", 32), md5_mod_py("banana", 32)
+    expected = {}
+    expected[(1, fa)] = expected.get((1, fa), 0) + 2
+    expected[(1, fb)] = expected.get((1, fb), 0) + 1
+    assert out == expected
+
+
+def test_knn_graph_mutual_filter(spark):
+    from deepref_spark.operators.similarity import knn_graph
+
+    # all three share bucket '1111'; with k=1: 1 keeps 2, 2 keeps 1,
+    # 3 keeps 2 but 2 does not keep 3 -> only the (1,2) edge survives
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.01, 0.01, 0.01]),
+         (2, [1.0, 0.02, 0.01, 0.01]),
+         (3, [0.01, 1.0, 0.01, 0.01])],
+        schema="vec_id long, embedding array<float>")
+    rows = knn_graph(emb, k=1, n_planes=4).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["cosine"] > 0.99
