@@ -193,6 +193,7 @@ HEADLINE = [
     "text_hash_features",
     "text_boilerplate",
     "emb_knn_graph",
+    "emb_knn_communities",
 ]
 
 

@@ -8028,6 +8028,58 @@ def emb_knn_graph(spark, sf_dir):
                      k=3, n_planes=4)
 
 
+@q("emb_knn_communities", f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_knn_bucket_duck()} AS bucket,
+         sqrt(list_dot_product(embedding, embedding)) AS vnorm
+  FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         round(list_dot_product(x.embedding, y.embedding)
+               / (x.vnorm * y.vnorm), 4) AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+),
+t AS (
+  SELECT src, dst, cosine FROM (
+    SELECT src, dst, cosine,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst) AS r
+    FROM p
+  ) WHERE r <= 3
+),
+edges AS MATERIALIZED (
+  SELECT f.src, f.dst FROM t f JOIN t r ON f.src = r.dst AND f.dst = r.src
+  WHERE f.src < f.dst
+)""" + _label_prop_sql(2) + """
+SELECT v AS vec_id, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM lp2
+""")
+def emb_knn_communities(spark, sf_dir):
+    """The composed embedding-clustering pipeline — mutual 3-NN graph
+    (similarity.knn_graph) fed straight into label-propagation
+    communities (graph.label_prop, 2 sync rounds): the standard
+    corpus-scale clustering recipe (kNN graph -> graph clustering)
+    verified END-TO-END as one oracle query, so the stage fusion
+    between the ANN lane and the graph lane is itself under the hash
+    gate (the text_curate_pipeline precedent, applied to embeddings).
+    Only nodes with >= 1 mutual edge participate, matching label_prop's
+    edge-driven node set."""
+    from deepref_spark.operators.graph import label_prop
+    from deepref_spark.operators.similarity import knn_graph
+
+    g = knn_graph(load_table(spark, sf_dir, "embeddings"),
+                  k=3, n_planes=4)
+    lp = label_prop(
+        g.select(F.col("a").alias("src"), F.col("b").alias("dst")), iters=2)
+    sizes = lp.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size"))
+    return (lp.join(sizes, "community")
+            .select(F.col("entity").alias("vec_id"), "community",
+                    "community_size"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8458,6 +8510,11 @@ _WINDOW_TAIL = [
     # peel goldens), emb_recall_eval parks (the ANN lane keeps
     # emb_ivf_quality + emb_knn_graph + emb_ann_pq in-window)
     "kg_incremental_cc", "kg_ktruss", "emb_recall_eval",
+    # (parked r5be, making room for emb_knn_communities): emb_sq_error
+    # parks (the quantization lane keeps emb_ann_pq + emb_ivf_quality
+    # in-window; SQ8's encode/error formula stays pinned by its
+    # midpoint-reconstruction pytest golden)
+    "emb_sq_error",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
