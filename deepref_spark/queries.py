@@ -8080,10 +8080,28 @@ def emb_knn_communities(spark, sf_dir):
                     "community_size"))
 
 
-@q("kg_alias_dict", _trip_cte() + """
+# planted alias surfaces: the testdata mention surfaces never differ
+# only by punctuation/spacing at any SF (every alias group is a
+# singleton), so without a plant this query would certify only the
+# no-collapse negative path. Three spellings of one entity collapse
+# under the canon key (the emb_near_dups / text_boilerplate planting
+# precedent).
+_ALIAS_PLANT = ["spark sql", "spark-sql", "sparksql"]
+
+
+@q("kg_alias_dict", _trip_cte() + f"""
+, ents2 AS (
+  SELECT entity FROM canon
+  UNION SELECT unnest({_ALIAS_PLANT!r}) AS entity
+),
+canon2 AS (
+  SELECT entity,
+         min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM ents2
+)
 SELECT canonical, CAST(count(DISTINCT entity) AS BIGINT) AS n_aliases,
        array_to_string(list_sort(list(DISTINCT entity)), ' | ') AS aliases
-FROM canon GROUP BY canonical
+FROM canon2 GROUP BY canonical
 """)
 def kg_alias_dict(spark, sf_dir):
     """Entity alias dictionary — the surface-form lookup table a KG
@@ -8091,12 +8109,17 @@ def kg_alias_dict(spark, sf_dir):
     it): per canonical entity, the count and sorted list of raw
     surface forms that canonicalization collapsed into it. Exactly the
     canon derivation kg_canonical_triples uses (min surface over the
-    normalized key), rolled up once; collect_set bounded by the alias
+    normalized key), rolled up once over the corpus surfaces UNION a
+    three-spelling planted entity, so the artifact certifies both the
+    collapse and the singleton path; collect_set bounded by the alias
     fan-in of one entity, never the corpus."""
     m = portable_mentions(spark, sf_dir)
     preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    planted = spark.createDataFrame(
+        [(s,) for s in _ALIAS_PLANT], schema="entity string")
     ents = (preds.select(F.col("h_name").alias("entity"))
             .union(preds.select(F.col("t_name").alias("entity")))
+            .union(planted)
             .distinct())
     w = Window.partitionBy(
         F.expr("regexp_replace(entity, '[^a-z0-9]', '')"))
