@@ -196,6 +196,7 @@ HEADLINE = [
     "emb_knn_communities",
     "kg_alias_dict",
     "lake_skew_report",
+    "emb_rrf_hybrid",
 ]
 
 

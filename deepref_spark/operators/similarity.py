@@ -1045,3 +1045,35 @@ def knn_graph(embeddings: DataFrame, k: int = 3,
         .where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cosine")
     )
+
+
+def rrf_fuse(lists: list, k: int = 5, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
+    combiner every modern retrieval stack runs over its lexical +
+    vector lanes: each candidate's fused score is the sum over input
+    lists of 1/(c + rank), here on the exact ppm integer grid
+    (1000000 DIV (c + rank)) so the fusion is deterministic and
+    oracle-checkable; ties break toward the smaller neighbor id.
+
+    Inputs are (query_id, nbr_id, rank) top-k frames from ANY
+    retrieval lane (BM25, LSH, IVF, PQ ...). One unionAll + one
+    combineable grouped sum + one per-query window over <= |lists|*k
+    candidate rows — the fusion cost is bounded by the shortlists,
+    never the corpus.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    u = None
+    for df in lists:
+        part = df.select(
+            "query_id", "nbr_id",
+            F.expr(f"1000000 DIV ({int(c)} + rank)").cast("long").alias("w"))
+        u = part if u is None else u.unionAll(part)
+    fused = u.groupBy("query_id", "nbr_id").agg(
+        F.sum("w").cast("long").alias("rrf_ppm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("nbr_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "rrf_ppm",
+                    F.col("rank").cast("long").alias("rank")))

@@ -8171,6 +8171,75 @@ def lake_skew_report(spark, sf_dir):
     return out
 
 
+def _lsh_ranked_ctes() -> str:
+    """lshb/lshq/lshscored/lshranked CTE chain — the emb_ann_lsh oracle
+    with lane-prefixed names so it composes next to the IVF chain in
+    the RRF fusion oracle."""
+    bucket = " || ".join(
+        f"(CASE WHEN CAST(list_element(embedding, {i + 1}) AS DOUBLE) >= 0 "
+        "THEN '1' ELSE '0' END)" for i in range(8))
+    return f"""lshb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+lshq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+         FROM lshb WHERE {_emb_queries_filter()}),
+lshscored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM lshb e JOIN lshq q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+lshranked AS (
+  SELECT query_id, nbr_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id) AS rank
+  FROM lshscored
+)"""
+
+
+@q("emb_rrf_hybrid", f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()},
+{_lsh_ranked_ctes()},
+u AS (
+  SELECT query_id, nbr_id, CAST(1000000 // (60 + rank) AS BIGINT) AS w
+  FROM ranked WHERE rank <= 5
+  UNION ALL
+  SELECT query_id, nbr_id, CAST(1000000 // (60 + rank) AS BIGINT) AS w
+  FROM lshranked WHERE rank <= 5
+),
+f AS (
+  SELECT query_id, nbr_id, CAST(sum(w) AS BIGINT) AS rrf_ppm
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, nbr_id, rrf_ppm, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, nbr_id, rrf_ppm,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_ppm DESC, nbr_id) AS rank
+  FROM f
+) WHERE rank <= 5
+""")
+def emb_rrf_hybrid(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (similarity.rrf_fuse,
+    Cormack et al. 2009): the IVF lane's and the sign-LSH lane's top-5
+    lists fused by exact-ppm 1/(60+rank) sums — the combiner every
+    hybrid search stack runs over its lexical + vector lanes, here
+    verified end-to-end with BOTH input lanes' full derivations inside
+    one oracle. Fusion cost bounded by the shortlists (<= 2k rows per
+    query), never the corpus."""
+    from deepref_spark.operators.similarity import (ivf_ann_topk,
+                                                    lsh_ann_topk, rrf_fuse)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return rrf_fuse([
+        ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2),
+        lsh_ann_topk(emb, qs, k=5, n_planes=8),
+    ], k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8613,6 +8682,10 @@ _WINDOW_TAIL = [
     # phash kernel keeps its vectorized-batch pytest goldens and
     # kg_media_features stays as the in-window multimodal rep)
     "events_late_audit", "kg_media_phash_dedup",
+    # (parked r5bg, making room for emb_rrf_hybrid): text_readability
+    # parks (a single-scan milli-grid projection pinned by pytest; the
+    # quality lane keeps text_gopher_quality + text_curate_pipeline)
+    "text_readability",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -478,3 +478,34 @@ def test_alias_dict_groups_surface_forms(spark):
     assert all(r["canonical"] in r["aliases"].split(" | ") for r in out)
     assert sum(r["n_aliases"] for r in out) >= len(out)
     assert any(r["n_aliases"] > 1 for r in out)  # real collapses exist
+
+
+def test_rrf_fuse_hand_lists(spark):
+    from deepref_spark.operators.similarity import rrf_fuse
+
+    # lane A ranks: n1=1, n2=2; lane B ranks: n2=1, n3=2
+    # weights (ppm, c=60): r1 -> 16393, r2 -> 16129
+    # n2 = 16129 + 16393 = 32522 (top), n1 = 16393, n3 = 16129
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)],
+        schema="query_id long, nbr_id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)],
+        schema="query_id long, nbr_id long, rank long")
+    out = [(r["nbr_id"], r["rrf_ppm"], r["rank"])
+           for r in rrf_fuse([a, b], k=3).collect()]
+    assert out == [(20, 32522, 1), (10, 16393, 2), (30, 16129, 3)]
+
+
+def test_rrf_fuse_tie_breaks_on_nbr_id(spark):
+    from deepref_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 99, 1), (1, 5, 2)],
+        schema="query_id long, nbr_id long, rank long")
+    b = spark.createDataFrame(
+        [(1, 5, 1), (1, 99, 2)],
+        schema="query_id long, nbr_id long, rank long")
+    out = [(r["nbr_id"], r["rank"]) for r in rrf_fuse([a, b]).collect()]
+    # equal fused scores -> smaller nbr_id first
+    assert out == [(5, 1), (99, 2)]
