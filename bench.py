@@ -197,6 +197,7 @@ HEADLINE = [
     "kg_alias_dict",
     "lake_skew_report",
     "emb_rrf_hybrid",
+    "events_alert_episodes",
 ]
 
 

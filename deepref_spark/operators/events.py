@@ -714,3 +714,36 @@ def ab_lift(events: DataFrame, convert_type: str = "purchase",
                 (F.col("conv_ppm") - F.col("base_ppm")).cast("long")
                 .alias("lift_ppm"))
     )
+
+
+def alert_episodes(events: DataFrame, event_type: str = "error",
+                   threshold: int = 4) -> DataFrame:
+    """Threshold-crossing alert episodes — the alerting primitive a
+    monitoring lane runs on its regularized series: consecutive hours
+    where the event count stays >= ``threshold`` collapse into one
+    episode with its span, length, and peak (the gaps-and-islands
+    pattern: group key = row_number difference over the COMPLETE
+    hourly spine, which is what makes "consecutive" well-defined —
+    a zero-count hour breaks the run, which is why this composes on
+    gap_fill_locf's spine rather than the raw hourly agg).
+
+    The islands windows run over the tiny spine table (types x hours),
+    never the raw stream; all arithmetic is BIGINT counts and string
+    hour keys (lexicographic == chronological on the fixed format).
+    """
+    g = gap_fill_locf(events.where(F.col("event_type") == event_type))
+    w_all = Window.partitionBy("event_type").orderBy("hour")
+    flagged = (
+        g.withColumn("_rn", F.row_number().over(w_all))
+        .where(F.col("n") >= threshold)
+    )
+    w_flag = Window.partitionBy("event_type").orderBy("hour")
+    return (
+        flagged.withColumn("_grp", F.col("_rn") - F.row_number().over(w_flag))
+        .groupBy("event_type", "_grp")
+        .agg(F.min("hour").alias("start_hour"),
+             F.max("hour").alias("end_hour"),
+             F.count(F.lit(1)).cast("long").alias("n_hours"),
+             F.max("n").cast("long").alias("peak_n"))
+        .drop("_grp")
+    )

@@ -8240,6 +8240,50 @@ def emb_rrf_hybrid(spark, sf_dir):
     ], k=5)
 
 
+@q("events_alert_episodes", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+         coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+),
+rn AS (
+  SELECT event_type, hour, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS r
+  FROM j
+),
+flagged AS (
+  SELECT event_type, hour, n,
+         r - row_number() OVER (PARTITION BY event_type ORDER BY hour) AS grp
+  FROM rn WHERE n >= 2
+)
+SELECT event_type, min(hour) AS start_hour, max(hour) AS end_hour,
+       CAST(count(*) AS BIGINT) AS n_hours, CAST(max(n) AS BIGINT) AS peak_n
+FROM flagged GROUP BY event_type, grp
+""")
+def events_alert_episodes(spark, sf_dir):
+    """Threshold-crossing alert episodes (events.alert_episodes):
+    consecutive hours with error count >= 2 collapse into one episode
+    (span, length, peak) via the gaps-and-islands row_number
+    difference — computed on gap_fill_locf's COMPLETE hourly spine so
+    a zero-count hour genuinely breaks the run. Windows over the tiny
+    spine only."""
+    from deepref_spark.operators.events import alert_episodes
+
+    return alert_episodes(load_table(spark, sf_dir, "events"),
+                          event_type="error", threshold=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8686,6 +8730,11 @@ _WINDOW_TAIL = [
     # parks (a single-scan milli-grid projection pinned by pytest; the
     # quality lane keeps text_gopher_quality + text_curate_pipeline)
     "text_readability",
+    # (parked r5bh, making room for events_alert_episodes):
+    # events_conversion_time parks (its exact log2-bucket histogram
+    # formula stays pinned by pytest; the events latency/alerting lane
+    # keeps events_gap_fill + events_alert_episodes in-window)
+    "events_conversion_time",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -509,3 +509,24 @@ def test_rrf_fuse_tie_breaks_on_nbr_id(spark):
     out = [(r["nbr_id"], r["rank"]) for r in rrf_fuse([a, b]).collect()]
     # equal fused scores -> smaller nbr_id first
     assert out == [(5, 1), (99, 2)]
+
+
+def test_alert_episodes_islands(spark):
+    from deepref_spark.operators.events import alert_episodes
+
+    # error counts by hour: h0=2, h1=2, h2=1 (breaks), h3=0 (gap),
+    # h4=3 -> episodes with threshold 2: [h0,h1] (peak 2), [h4] (peak 3)
+    rows, eid = [], 1
+    def add(hh, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, f"2024-01-01 {hh:02d}:15:00", eid, "error", 0.0))
+            eid += 1
+    add(0, 2); add(1, 2); add(2, 1); add(4, 3)
+    ev = spark.createDataFrame(rows, schema=_EV_SCHEMA)
+    out = {(r["start_hour"], r["end_hour"]): (r["n_hours"], r["peak_n"])
+           for r in alert_episodes(ev, threshold=2).collect()}
+    assert out == {
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00"): (2, 2),
+        ("2024-01-01 04:00:00", "2024-01-01 04:00:00"): (1, 3),
+    }
