@@ -198,6 +198,7 @@ HEADLINE = [
     "lake_skew_report",
     "emb_rrf_hybrid",
     "events_alert_episodes",
+    "events_rolling_24h",
 ]
 
 

@@ -747,3 +747,25 @@ def alert_episodes(events: DataFrame, event_type: str = "error",
              F.max("n").cast("long").alias("peak_n"))
         .drop("_grp")
     )
+
+
+def rolling_hourly_counts(events: DataFrame,
+                          window_hours: int = 24) -> DataFrame:
+    """Exact trailing-``window_hours`` rolling event counts per type —
+    the time-series smoothing every dashboard derivative (rate limits,
+    burn-rate alerts) reads: a ROWS window over the COMPLETE hourly
+    spine (gap hours present with n=0), which is the only thing that
+    makes a ROWS frame equal the intended TIME frame — on the raw
+    hourly agg a missing hour would silently stretch the window (the
+    gap_fill_locf composition is load-bearing, not cosmetic).
+
+    Window cost is the tiny types x hours spine, never the stream.
+    """
+    g = gap_fill_locf(events)
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-(int(window_hours) - 1), Window.currentRow))
+    return g.select(
+        "event_type", "hour", "n",
+        F.sum("n").over(w).cast("long")
+        .alias(f"rolling_{int(window_hours)}h"),
+    )

@@ -8284,6 +8284,41 @@ def events_alert_episodes(spark, sf_dir):
                           event_type="error", threshold=2)
 
 
+@q("events_rolling_24h", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+         coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling_24h
+FROM j
+""")
+def events_rolling_24h(spark, sf_dir):
+    """Exact trailing-24h rolling counts (events.rolling_hourly_counts):
+    a ROWS window over gap_fill_locf's COMPLETE hourly spine — the gap
+    hours with n=0 are what make the ROWS frame equal the intended
+    TIME frame (on the raw hourly agg a missing hour silently
+    stretches the window). Window cost = the tiny spine."""
+    from deepref_spark.operators.events import rolling_hourly_counts
+
+    return rolling_hourly_counts(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8735,6 +8770,12 @@ _WINDOW_TAIL = [
     # formula stays pinned by pytest; the events latency/alerting lane
     # keeps events_gap_fill + events_alert_episodes in-window)
     "events_conversion_time",
+    # (parked r5bi, making room for events_rolling_24h):
+    # events_interarrival parks (bit-length bucket histograms keep
+    # their pytest pins; the events time-series lane keeps
+    # events_gap_fill + events_alert_episodes + events_rolling_24h
+    # in-window)
+    "events_interarrival",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

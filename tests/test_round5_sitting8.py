@@ -530,3 +530,22 @@ def test_alert_episodes_islands(spark):
         ("2024-01-01 00:00:00", "2024-01-01 01:00:00"): (2, 2),
         ("2024-01-01 04:00:00", "2024-01-01 04:00:00"): (1, 3),
     }
+
+
+def test_rolling_hourly_counts_gap_aware(spark):
+    from deepref_spark.operators.events import rolling_hourly_counts
+
+    # hours 0 (2 events), 1 (gap), 2 (1 event); window 2h:
+    # h0 -> 2; h1 -> 2 (h0+h1=2+0); h2 -> 1 (h1+h2=0+1) — a raw
+    # hourly agg without the spine would give h2 -> 3 (h0+h2)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1, "a", 0.0),
+         (2, "2024-01-01 00:20:00", 2, "a", 0.0),
+         (3, "2024-01-01 02:30:00", 3, "a", 0.0)],
+        schema=_EV_SCHEMA,
+    )
+    out = {r["hour"]: r["rolling_2h"]
+           for r in rolling_hourly_counts(ev, window_hours=2).collect()}
+    assert out == {"2024-01-01 00:00:00": 2,
+                   "2024-01-01 01:00:00": 2,
+                   "2024-01-01 02:00:00": 1}
