@@ -549,3 +549,122 @@ def test_rolling_hourly_counts_gap_aware(spark):
     assert out == {"2024-01-01 00:00:00": 2,
                    "2024-01-01 01:00:00": 2,
                    "2024-01-01 02:00:00": 1}
+
+
+# --- seeded randomized cross-checks vs pure-Python references --------------
+# (the hypothesis discipline without a Spark job per example: fixed
+# seeds, independent Python implementations, full-output equality)
+
+
+def _py_scc(edge_list):
+    """Kosaraju reference: entity -> (scc_id=min member, size)."""
+    from collections import defaultdict
+
+    fwd, rev = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        fwd[a].append(b)
+        rev[b].append(a)
+        nodes.update((a, b))
+    order, seen = [], set()
+
+    def dfs1(u):
+        stack = [(u, iter(fwd[u]))]
+        seen.add(u)
+        while stack:
+            v, it = stack[-1]
+            adv = next(it, None)
+            if adv is None:
+                order.append(v)
+                stack.pop()
+            elif adv not in seen:
+                seen.add(adv)
+                stack.append((adv, iter(fwd[adv])))
+    for u in sorted(nodes):
+        if u not in seen:
+            dfs1(u)
+    comp = {}
+    for u in reversed(order):
+        if u in comp:
+            continue
+        members, stack = [], [u]
+        comp[u] = None
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in rev[v]:
+                if w not in comp:
+                    comp[w] = None
+                    stack.append(w)
+        cid = min(members)
+        for m in members:
+            comp[m] = (cid, len(members))
+    return comp
+
+
+def test_scc_random_digraphs_match_kosaraju(spark):
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 12
+        names = [f"n{i:02d}" for i in range(n)]
+        edges = sorted({(names[rng.randrange(n)], names[rng.randrange(n)])
+                        for _ in range(22)})
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _py_scc(edges)
+        df = spark.createDataFrame(edges, schema=_EDGE_SCHEMA)
+        got = {r["entity"]: (r["scc_id"], r["scc_size"])
+               for r in scc(df).collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_taxonomy_closure_random_forest_matches_python(spark):
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 15
+        names = [f"t{i:02d}" for i in range(n)]
+        # random forest: each non-root picks an earlier node as parent
+        parents = {names[i]: names[rng.randrange(i)]
+                   for i in range(1, n) if rng.random() < 0.9}
+        expected = {}
+        for c, p in parents.items():
+            d, a = 1, p
+            while True:
+                expected[(c, a)] = d
+                if a not in parents:
+                    break
+                a, d = parents[a], d + 1
+        df = spark.createDataFrame(list(parents.items()),
+                                   schema=_TAX_SCHEMA)
+        got = {(r["child"], r["anc"]): r["depth"]
+               for r in taxonomy_closure(df).collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_rolling_wau_matches_bruteforce(spark):
+    import datetime
+    import random
+
+    rng = random.Random(42)
+    base = datetime.date(2024, 3, 1)
+    pairs = sorted({(rng.randrange(1, 9),
+                     base + datetime.timedelta(days=rng.randrange(20)))
+                    for _ in range(60)})
+    rows = [(i + 1, f"{d} 12:00:00", u, "a", 0.0)
+            for i, (u, d) in enumerate(pairs)]
+    ev = spark.createDataFrame(rows, schema=_EV_SCHEMA)
+    days = sorted({d for _, d in pairs})
+    expected = {}
+    for d in days:
+        dau = len({u for u, dd in pairs if dd == d})
+        wau = len({u for u, dd in pairs
+                   if d - datetime.timedelta(days=6) <= dd <= d})
+        expected[str(d)] = (dau, wau)
+    got = {str(r["day"]): (r["dau"], r["wau_7d"])
+           for r in rolling_distinct_users(ev).collect()}
+    assert got == expected
