@@ -199,6 +199,7 @@ HEADLINE = [
     "emb_rrf_hybrid",
     "events_alert_episodes",
     "events_rolling_24h",
+    "emb_hybrid_recall",
 ]
 
 

@@ -1077,3 +1077,43 @@ def rrf_fuse(lists: list, k: int = 5, c: int = 60) -> DataFrame:
             .where(F.col("rank") <= k)
             .select("query_id", "nbr_id", "rrf_ppm",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5) -> DataFrame:
+    """Micro recall@k of THREE retrieval lanes — IVF, sign-LSH, and
+    their reciprocal-rank fusion — against the exact brute-force top-k,
+    one row per lane: the comparison table that justifies shipping the
+    hybrid (RRF can only draw from its input lanes, so its recall vs
+    each single lane is the whole argument). recall_ppm is the exact
+    micro average total_hits * 1e6 DIV (k * n_queries); every number
+    is a BIGINT on the ppm grid.
+
+    The two base shortlists are computed ONCE and reused by the fusion
+    (localCheckpoint), so the eval costs two ANN passes + one
+    brute-force calibration scan regardless of lane count.
+    """
+    bf = brute_force_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id").localCheckpoint(eager=False)
+    ivf = ivf_ann_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
+    lsh = lsh_ann_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
+    rrf = rrf_fuse([ivf, lsh], k=k).select("query_id", "nbr_id")
+    nq = bf.select("query_id").distinct().count()  # bounded: the query set
+
+    def _row(name, lane):
+        return (
+            bf.join(lane.select("query_id", "nbr_id"),
+                    ["query_id", "nbr_id"], "left_semi")
+            .agg(F.lit(name).alias("lane"),
+                 F.lit(nq).cast("long").alias("n_queries"),
+                 F.count(F.lit(1)).cast("long").alias("total_hits"))
+            .withColumn("recall_ppm",
+                        F.expr(f"total_hits * 1000000 DIV ({k} * n_queries)")
+                        .cast("long"))
+        )
+    out = _row("ivf", ivf)
+    for name, lane in (("lsh", lsh), ("rrf", rrf)):
+        out = out.unionAll(_row(name, lane))
+    return out

@@ -8319,6 +8319,73 @@ def events_rolling_24h(spark, sf_dir):
     return rolling_hourly_counts(load_table(spark, sf_dir, "events"))
 
 
+@q("emb_hybrid_recall", f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()},
+{_lsh_ranked_ctes()},
+bfq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE {_emb_queries_filter()}),
+bfscored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cosine
+  FROM embeddings e CROSS JOIN bfq q
+  WHERE e.vec_id <> q.query_id
+),
+bftop AS MATERIALIZED (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS r
+    FROM bfscored
+  ) WHERE r <= 5
+),
+ivftop AS MATERIALIZED (SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 5),
+lshtop AS MATERIALIZED (SELECT query_id, nbr_id, rank FROM lshranked WHERE rank <= 5),
+u AS (
+  SELECT query_id, nbr_id, CAST(1000000 // (60 + rank) AS BIGINT) AS w FROM ivftop
+  UNION ALL
+  SELECT query_id, nbr_id, CAST(1000000 // (60 + rank) AS BIGINT) AS w FROM lshtop
+),
+f AS (SELECT query_id, nbr_id, CAST(sum(w) AS BIGINT) AS rrf_ppm FROM u GROUP BY 1, 2),
+rrftop AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_ppm DESC, nbr_id) AS r
+    FROM f
+  ) WHERE r <= 5
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM bftop)
+SELECT 'ivf' AS lane, nq.n AS n_queries, h.c AS total_hits,
+       CAST(h.c * 1000000 // (5 * nq.n) AS BIGINT) AS recall_ppm
+FROM (SELECT CAST(count(*) AS BIGINT) AS c
+      FROM bftop JOIN ivftop USING (query_id, nbr_id)) h, nq
+UNION ALL
+SELECT 'lsh', nq.n, h.c, CAST(h.c * 1000000 // (5 * nq.n) AS BIGINT)
+FROM (SELECT CAST(count(*) AS BIGINT) AS c
+      FROM bftop JOIN lshtop USING (query_id, nbr_id)) h, nq
+UNION ALL
+SELECT 'rrf', nq.n, h.c, CAST(h.c * 1000000 // (5 * nq.n) AS BIGINT)
+FROM (SELECT CAST(count(*) AS BIGINT) AS c
+      FROM bftop JOIN rrftop USING (query_id, nbr_id)) h, nq
+""")
+def emb_hybrid_recall(spark, sf_dir):
+    """Micro recall@5 of the IVF, sign-LSH, and RRF-fused lanes vs the
+    exact brute-force top-5 (similarity.hybrid_recall_eval) — the
+    comparison table that decides whether the hybrid ships (here it
+    honestly shows RRF diluted below IVF by the weak LSH lane). Base
+    shortlists computed once and reused by the fusion; all four
+    derivations live inside ONE oracle so the lane comparison itself
+    is hash-verified."""
+    from deepref_spark.operators.similarity import hybrid_recall_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return hybrid_recall_eval(emb, qs, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8776,6 +8843,11 @@ _WINDOW_TAIL = [
     # events_gap_fill + events_alert_episodes + events_rolling_24h
     # in-window)
     "events_interarrival",
+    # (parked r5bj, making room for emb_hybrid_recall): kg_calibration
+    # parks (the ECE ppm-bin formula keeps its pytest pins; the eval
+    # lane keeps emb_hybrid_recall — which subsumes the single-lane
+    # recall comparison — and kg_eval_micro's local-sweep coverage)
+    "kg_calibration",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
