@@ -200,6 +200,7 @@ HEADLINE = [
     "events_alert_episodes",
     "events_rolling_24h",
     "emb_hybrid_recall",
+    "events_stickiness",
 ]
 
 

@@ -8386,6 +8386,43 @@ def emb_hybrid_recall(spark, sf_dir):
     return hybrid_recall_eval(emb, qs, k=5)
 
 
+@q("events_stickiness", """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT ud.day + CAST(t.o AS INT) AS day, user_id
+  FROM ud, range(0, 28) t(o)
+),
+mau AS (
+  SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau_28d
+  FROM contrib c JOIN days d ON c.day = d.day GROUP BY 1
+),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+)
+SELECT a.day AS day, a.dau, m.mau_28d,
+       CAST(a.dau * 1000000 // m.mau_28d AS BIGINT) AS stickiness_ppm
+FROM dau a JOIN mau m ON a.day = m.day
+""")
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness (the product-health ratio): exact trailing
+    28-day actives from the SAME operator as events_rolling_wau
+    (events.rolling_distinct_users parameterized to window_days=28 —
+    the parameterization itself under the hash gate), ratio on the
+    exact ppm grid. Bounded x28 expansion of the deduped (day, user)
+    pair table; the sketch twin for wide windows stays
+    events_hll_distinct."""
+    from deepref_spark.operators.events import rolling_distinct_users
+
+    r = rolling_distinct_users(load_table(spark, sf_dir, "events"),
+                               window_days=28)
+    return r.select(
+        "day", "dau", F.col("wau_28d").alias("mau_28d"),
+        F.expr("dau * 1000000 DIV wau_28d").cast("long")
+        .alias("stickiness_ppm"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8848,6 +8885,11 @@ _WINDOW_TAIL = [
     # lane keeps emb_hybrid_recall — which subsumes the single-lane
     # recall comparison — and kg_eval_micro's local-sweep coverage)
     "kg_calibration",
+    # (parked r5bk, making room for events_stickiness):
+    # events_enriched_agg parks (the stream-static dimension
+    # re-broadcast keeps its stream==batch pytest gate;
+    # events_session_window stays as the in-window streaming rep)
+    "events_enriched_agg",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
