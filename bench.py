@@ -201,6 +201,8 @@ HEADLINE = [
     "events_rolling_24h",
     "emb_hybrid_recall",
     "events_stickiness",
+    "kg_churn_buckets",
+    "emb_bucket_balance",
 ]
 
 

@@ -8423,6 +8423,84 @@ def events_stickiness(spark, sf_dir):
         .alias("stickiness_ppm"))
 
 
+@q("kg_churn_buckets", _trip_cte() + _OPLOG_SQL + """
+, bucketed AS (
+  SELECT CAST(ts // 100 AS BIGINT) AS bucket,
+         CAST(sum(CASE WHEN op = 'assert' THEN 1 ELSE 0 END) AS BIGINT) AS n_asserts,
+         CAST(sum(CASE WHEN op = 'retract' THEN 1 ELSE 0 END) AS BIGINT) AS n_retracts
+  FROM log GROUP BY 1
+)
+SELECT bucket, n_asserts, n_retracts,
+       CAST(n_asserts - n_retracts AS BIGINT) AS net,
+       CAST(sum(n_asserts - n_retracts) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS live_after
+FROM bucketed
+""")
+def kg_churn_buckets(spark, sf_dir):
+    """Table-history churn summary over the KG op log (the Iceberg
+    snapshot-summary analogue): asserts/retracts/net per 100-tick
+    bucket plus the cumulative live count after each bucket — the
+    read an operator dashboard serves next to kg_snapshot_diff's
+    row-level view. One combineable grouped count; the cumulative
+    window runs over the tiny bucket table (<= 13 rows here,
+    time-range-bounded at any scale)."""
+    log = _derived_oplog(spark, sf_dir)
+    b = (log.groupBy(F.expr("CAST(ts DIV 100 AS BIGINT)").alias("bucket"))
+         .agg(F.sum(F.when(F.col("op") == "assert", 1).otherwise(0))
+              .cast("long").alias("n_asserts"),
+              F.sum(F.when(F.col("op") == "retract", 1).otherwise(0))
+              .cast("long").alias("n_retracts")))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return b.select(
+        "bucket", "n_asserts", "n_retracts",
+        (F.col("n_asserts") - F.col("n_retracts")).cast("long").alias("net"),
+        F.sum(F.col("n_asserts") - F.col("n_retracts")).over(w)
+        .cast("long").alias("live_after"))
+
+
+@q("emb_bucket_balance", f"""
+WITH b AS (
+  SELECT {_knn_bucket_duck()} AS bucket FROM embeddings
+),
+sizes AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_buckets FROM sizes)
+SELECT s.n AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets_at_size,
+       CAST(max(s.n) * 1000000 // (t.total // t.n_buckets) AS BIGINT) AS size_vs_mean_ppm
+FROM sizes s, t
+GROUP BY s.n, t.total, t.n_buckets
+""")
+def emb_bucket_balance(spark, sf_dir):
+    """LSH bucket-occupancy balance — the n_planes sizing diagnostic
+    for every bucketed ANN/near-dup lane (the ANN analogue of
+    lake_skew_report): the bucket-size histogram plus each size's
+    ratio to the integer-mean occupancy on the ppm grid. A hot bucket
+    here is exactly the executor-sized-cluster risk the similarity
+    docstrings gate on. One combineable grouped count; the histogram
+    is bounded by distinct sizes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from deepref_spark.operators.similarity import sign_lsh_buckets
+
+    sizes = (sign_lsh_buckets(emb, n_planes=4)
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint(eager=False))
+    t = sizes.agg(F.sum("n").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    return (
+        sizes.crossJoin(F.broadcast(t))
+        .groupBy(F.col("n").alias("bucket_size"), "total", "n_buckets")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets_at_size"))
+        .select(
+            "bucket_size", "n_buckets_at_size",
+            F.expr("bucket_size * 1000000 DIV (total DIV n_buckets)")
+            .cast("long").alias("size_vs_mean_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8890,6 +8968,14 @@ _WINDOW_TAIL = [
     # re-broadcast keeps its stream==batch pytest gate;
     # events_session_window stays as the in-window streaming rep)
     "events_enriched_agg",
+    # (parked r5bl, making room for kg_churn_buckets +
+    # emb_bucket_balance): kg_negative_sample parks (its filtered-
+    # corruption formula keeps pytest pins; the kgquality lane keeps
+    # kg_domain_range_audit + kg_maintenance_report in-window) and
+    # kg_blocking_quality parks (the blocking-eval read keeps its
+    # pytest pins; emb_bucket_balance takes over the bucket-balance
+    # diagnostic in-window)
+    "kg_negative_sample", "kg_blocking_quality",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -668,3 +668,31 @@ def test_rolling_wau_matches_bruteforce(spark):
     got = {str(r["day"]): (r["dau"], r["wau_7d"])
            for r in rolling_distinct_users(ev).collect()}
     assert got == expected
+
+
+def test_churn_buckets_cumulative_is_live_count(spark):
+    # the final live_after must equal the snapshot at max ts, i.e.
+    # asserts minus retracts over the whole log
+    from deepref_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["kg_churn_buckets"]["spark"](
+            spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bucket"])
+    total_a = sum(r["n_asserts"] for r in rows)
+    total_r = sum(r["n_retracts"] for r in rows)
+    assert rows[-1]["live_after"] == total_a - total_r
+    assert all(r["net"] == r["n_asserts"] - r["n_retracts"] for r in rows)
+
+
+def test_bucket_balance_accounts_for_all_vectors(spark):
+    from deepref_spark.queries import REGISTRY
+    from deepref_spark.schemas import load_table
+
+    rows = REGISTRY["emb_bucket_balance"]["spark"](
+        spark, "/root/testdata/sf0.001").collect()
+    emb_n = load_table(spark, "/root/testdata/sf0.001",
+                       "embeddings").count()
+    assert sum(r["bucket_size"] * r["n_buckets_at_size"]
+               for r in rows) == emb_n
+    assert all(r["size_vs_mean_ppm"] > 0 for r in rows)
