@@ -203,6 +203,18 @@ HEADLINE = [
     "events_stickiness",
     "kg_churn_buckets",
     "emb_bucket_balance",
+    # ninth-sitting additions: the relational star-join lane + RFM +
+    # MERGE classification
+    "rel_pricing_summary",
+    "rel_revenue_topn",
+    "rel_order_priority",
+    "rel_local_supplier_volume",
+    "rel_cust_order_dist",
+    "rel_promo_share",
+    "rel_small_qty_brand",
+    "rel_top_orders_per_cust",
+    "events_rfm",
+    "lake_merge_upsert",
 ]
 
 

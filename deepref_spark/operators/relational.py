@@ -1,0 +1,388 @@
+"""Relational star-join analytics over the TPC-H-shaped tables: the
+classic multi-table OLAP shapes (broadcast star joins, semi-joins on a
+date condition, outer-join distributions, join-back aggregates,
+partitioned top-N windows) that a KG/lakehouse deployment runs against
+its fact tables next to the document lanes.
+
+These are the canonical warehouse query patterns (TPC-H Q1/Q3/Q4/Q5/
+Q13/Q14/Q17 shapes, adapted to this corpus's columns), expressed so
+Catalyst picks the right physical strategy: genuinely small dims
+(region, nation, supplier, the per-part aggregate) are broadcast;
+fact-fact joins shuffle on their keys with AQE; semi/anti joins are
+declared as such rather than via distinct+inner.
+
+House determinism rules: all money/quantity floats are quantized to
+integer grids up front (cents = floor(x*100 + 0.5) BIGINT; discount/
+tax to integer percent), so every aggregate is an order-independent
+BIGINT sum and every derived ratio is an integer-division ppm — no
+double accumulation anywhere, and the DuckDB oracle can replay the
+identical arithmetic. Dates cross the output boundary as formatted
+strings. Magnitude notes: charge lives on the e6 grid (cents x
+(100-d) x (100+t)); per-group partial sums stay far inside int64 at
+any realistic group cardinality — at extreme scale the same grids
+port to decimal(38,0) unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# integer grids (identical expression text runs in Spark and DuckDB)
+CENTS = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+PCT = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+
+
+def _cents(c: str) -> F.Column:
+    return F.expr(CENTS.format(c=c))
+
+
+def _rev_e4() -> F.Column:
+    """discounted revenue on the e4 grid: cents x (100 - disc_pct)."""
+    return F.expr(
+        f"{CENTS.format(c='l_extendedprice')}"
+        f" * (100 - {PCT.format(c='l_discount')})"
+    )
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = "2000-12-31") -> DataFrame:
+    """TPC-H Q1 shape: the scan-heavy pricing rollup. One pass over
+    lineitem with the ship-date filter pushed to the scan; five
+    map-side-combinable BIGINT sums per (returnflag, linestatus);
+    averages as integer division on the same grids (avg qty/price in
+    cents, avg discount in basis points)."""
+    li = lineitem.where(
+        F.col("l_shipdate") <= F.expr(f"TIMESTAMP '{cutoff} 00:00:00'"))
+    qty = F.expr(CENTS.format(c="l_quantity"))
+    base = F.expr(CENTS.format(c="l_extendedprice"))
+    dpct = F.expr(PCT.format(c="l_discount"))
+    tpct = F.expr(PCT.format(c="l_tax"))
+    agg = (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            qty.alias("qc"), base.alias("bc"), dpct.alias("dp"),
+            (base * (100 - dpct)).alias("de4"),
+            (base * (100 - dpct) * (100 + tpct)).alias("ce6"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qc").cast("long").alias("sum_qty_cents"),
+            F.sum("bc").cast("long").alias("sum_base_cents"),
+            F.sum("de4").cast("long").alias("sum_disc_e4"),
+            F.sum("ce6").cast("long").alias("sum_charge_e6"),
+            F.sum("dp").cast("long").alias("sum_disc_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        "sum_qty_cents", "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+        F.expr("sum_qty_cents DIV n_rows").cast("long").alias("avg_qty_cents"),
+        F.expr("sum_base_cents DIV n_rows").cast("long")
+        .alias("avg_price_cents"),
+        F.expr("sum_disc_pct * 100 DIV n_rows").cast("long")
+        .alias("avg_disc_bp"),
+        "n_rows",
+    )
+
+
+def top_unshipped_orders(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         asof: str = "1998-01-01", k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: top-k open-order revenue for one market segment.
+    The segment-filtered customer keylist broadcasts into the orders
+    scan (a broadcast semi-ish inner join that prunes orders before the
+    fact-fact shuffle); lineitem joins orders on the shuffle key; the
+    top-k is a TakeOrdered on the unique total order (revenue DESC,
+    orderkey ASC) — no global window."""
+    seg = customer.where(F.col("c_mktsegment") == segment) \
+        .select("c_custkey")
+    o = orders.where(
+        F.col("o_orderdate") < F.expr(f"TIMESTAMP '{asof} 00:00:00'"))
+    li = lineitem.where(
+        F.col("l_shipdate") > F.expr(f"TIMESTAMP '{asof} 00:00:00'"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(seg), o.o_custkey == seg.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_e4()).cast("long").alias("revenue_e4"))
+    )
+    return (
+        j.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(k)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority", "revenue_e4",
+        )
+    )
+
+
+def late_ship_priority(orders: DataFrame, lineitem: DataFrame,
+                       d0: str = "1997-07-01",
+                       d1: str = "1997-10-01") -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter having at least one line
+    shipped more than 30 days after the order date, counted by
+    priority. Declared as a LEFT SEMI join (EXISTS), so Spark plans
+    the existence probe without materializing the match multiplicity —
+    the correct shape when lineitem is the 4x-bigger side."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{d0} 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP '{d1} 00:00:00'")))
+    cond = (lineitem.l_orderkey == o.o_orderkey) & (
+        lineitem.l_shipdate > F.expr("o_orderdate + INTERVAL '30' DAY"))
+    sem = o.join(lineitem, on=cond, how="left_semi")
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def local_supplier_volume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          r_name: str = "ASIA", y0: str = "1996-01-01",
+                          y1: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, one region, one year. region/nation/supplier are
+    genuinely small at every scale factor and broadcast; customer joins
+    on the o_custkey shuffle key (it does NOT broadcast at warehouse
+    scale); the c_nationkey = s_nationkey locality condition rides the
+    broadcast supplier join."""
+    dim = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == r_name)),
+            nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{y0} 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP '{y1} 00:00:00'")))
+    j = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey))
+        .join(F.broadcast(dim), supplier.s_nationkey == dim.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(_rev_e4()).cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+def customer_order_distribution(customer: DataFrame,
+                                orders: DataFrame,
+                                excl_priority: str = "4-NOT SPECIFIED"
+                                ) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    zero-order customers included. A LEFT OUTER join (customers with
+    no orders survive with a NULL key the count skips), then the
+    double aggregation — per-customer counts, then the count-of-counts
+    histogram (bounded by the max order count)."""
+    o = orders.where(F.col("o_orderpriority") != excl_priority) \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+def promo_revenue_share(part: DataFrame, lineitem: DataFrame,
+                        y0: str = "1997-01-01",
+                        y1: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-revenue share. part broadcasts
+    (the part dim is orders-of-magnitude below the fact table at every
+    SF); the conditional and total sums ride ONE grouped aggregate; the
+    share is exact ppm integer division."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.expr(f"TIMESTAMP '{y0} 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr(f"TIMESTAMP '{y1} 00:00:00'")))
+    j = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == part.p_partkey)
+    rev = _rev_e4()
+    agg = (
+        j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("long").alias("promo_e4"),
+            F.sum(rev).cast("long").alias("total_e4"),
+        )
+    )
+    return agg.select(
+        "month", "promo_e4", "total_e4",
+        F.expr("promo_e4 * 1000000 DIV total_e4").cast("long")
+        .alias("promo_share_ppm"),
+    )
+
+
+def small_qty_revenue_by_brand(part: DataFrame,
+                               lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape generalized to all brands: revenue carried by
+    lines whose quantity is below 20% of that part's average quantity
+    (5 x qty x cnt < sum_qty on the exact cents grid — the avg never
+    materializes as a double). The per-part aggregate is a join-back:
+    grouped once on partkey, re-joined to lineitem on the same shuffle
+    key (co-partitioned, no second shuffle under AQE), brand rollup via
+    the broadcast part dim."""
+    qty = F.expr(CENTS.format(c="l_quantity"))
+    base = F.expr(CENTS.format(c="l_extendedprice"))
+    pq = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(qty).cast("long").alias("sum_q"),
+             F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    small = (
+        lineitem.join(pq, "l_partkey")
+        .where(qty * 5 * F.col("cnt") < F.col("sum_q"))
+    )
+    out = small.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        small.l_partkey == part.p_partkey)
+    return (
+        out.groupBy("p_brand")
+        .agg(F.sum(base).cast("long").alias("small_rev_cents"),
+             F.count(F.lit(1)).cast("long").alias("n_small_lines"))
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 2) -> DataFrame:
+    """Top-k orders per customer by total price: the PARTITIONED top-N
+    window (contrast with top_unshipped_orders' global TakeOrdered) —
+    rank runs inside each customer partition after one shuffle on
+    custkey, so parallelism scales with the customer count. Unique
+    total order (price cents DESC, orderkey ASC) makes the rank
+    deterministic under ties."""
+    cents = F.expr(CENTS.format(c="o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            cents.alias("price_cents"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _quartile_edges(per_cust: DataFrame, metric: str) -> DataFrame:
+    """Exact type-1 quartile edges (positions ceil(k*n/4), k=1..3) of
+    one per-customer metric via the histogram + cumulative-window +
+    inverted-CDF-min pattern (same discipline as
+    text_analysis.length_quantiles): the stream-sized work is one
+    grouped count; the window runs over the bounded distinct-value
+    table. Returns one row: (t1, t2, t3).
+
+    Scale note: recency/frequency domains are intrinsically bounded
+    (days, small counts); an unbounded-domain metric (monetary) should
+    be coarsened to a wider grid (whole dollars / e3) before the
+    histogram when customer cardinality makes the distinct-value table
+    itself stream-sized — same thresholds discipline, bounded window
+    input."""
+    hist = per_cust.groupBy(F.col(metric).alias("v")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = hist.select(
+        "v",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow))
+        .cast("long").alias("cum"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    pos = tot.select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("kq"),
+        F.col("n")).select(
+        "kq", F.expr("CAST((kq * n + 3) DIV 4 AS BIGINT)").alias("pos"))
+    edges = (
+        cum.crossJoin(F.broadcast(pos))
+        .where(F.col("cum") >= F.col("pos"))
+        .groupBy("kq").agg(F.min("v").alias("t"))
+    )
+    return edges.groupBy().pivot("kq", [1, 2, 3]).agg(F.first("t")) \
+        .select(F.col("1").alias("t1"), F.col("2").alias("t2"),
+                F.col("3").alias("t3"))
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation over the orders fact: per-customer recency
+    (days since last order vs the corpus max date), frequency (order
+    count), monetary (lifetime cents), each bucketed 1..4 by exact
+    quartile THRESHOLDS — bucket = 1 + (m > t1) + (m > t2) + (m > t3),
+    ties share a bucket — instead of a global row_number (a
+    single-task window at scale). The three edge tables are one-row
+    broadcasts; the per-customer pass is one grouped aggregate."""
+    cents = F.expr(CENTS.format(c="o_totalprice"))
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("ref_date", "o_orderdate")).cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(cents).cast("long").alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = per_cust
+    for m, b in (("recency_days", "r_bucket"), ("frequency", "f_bucket"),
+                 ("monetary_cents", "m_bucket")):
+        e = _quartile_edges(per_cust, m)
+        out = out.crossJoin(F.broadcast(e)).withColumn(
+            b,
+            (F.lit(1) + (F.col(m) > F.col("t1")).cast("int")
+             + (F.col(m) > F.col("t2")).cast("int")
+             + (F.col(m) > F.col("t3")).cast("int")).cast("long"),
+        ).drop("t1", "t2", "t3")
+    return out.withColumn(
+        "rfm_code",
+        F.expr("r_bucket * 100 + f_bucket * 10 + m_bucket").cast("long"))
+
+
+def merge_upsert_plan(orders: DataFrame, t1: str = "1999-01-01",
+                      t2: str = "2000-01-01") -> DataFrame:
+    """MERGE INTO classification plan: the target (per-customer spend
+    snapshot before t1) full-outer-joined to the source batch (orders
+    in [t1, t2)), each key classified insert / update / keep with the
+    post-merge state — the row-level dry-run a lakehouse MERGE
+    executes before writing. One shuffle on the merge key; AQE handles
+    the skewed-customer case; at scale the source side is the small
+    one and broadcasts."""
+    cents = F.expr(CENTS.format(c="o_totalprice"))
+    tgt = (
+        orders.where(
+            F.col("o_orderdate") < F.expr(f"TIMESTAMP '{t1} 00:00:00'"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.sum(cents).cast("long").alias("total_before"),
+             F.count(F.lit(1)).cast("long").alias("n_before"))
+    )
+    src = (
+        orders.where(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{t1} 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP '{t2} 00:00:00'")))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.sum(cents).cast("long").alias("delta_cents"),
+             F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    j = tgt.join(src, "key", "full_outer")
+    return j.select(
+        F.col("key").alias("o_custkey"),
+        F.when(F.col("total_before").isNull(), F.lit("insert"))
+        .when(F.col("delta_cents").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update")).alias("action"),
+        F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        (F.coalesce("total_before", F.lit(0))
+         + F.coalesce("delta_cents", F.lit(0))).cast("long")
+        .alias("total_cents_after"),
+    )

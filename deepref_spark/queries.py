@@ -8501,6 +8501,347 @@ def emb_bucket_balance(spark, sf_dir):
     )
 
 
+# --- Group R: relational star-join analytics over the TPC-H-shaped
+# fact tables (operators/relational.py) — the classic warehouse join
+# shapes next to the document lanes. All money/qty floats live on
+# integer grids (cents / e4 / e6), so every sum is order-independent
+# BIGINT arithmetic both engines replay bit-identically.
+
+_CENTS = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+_REV_E4 = (f"{_CENTS.format(c='l_extendedprice')}"
+           f" * (100 - {_CENTS.format(c='l_discount')})")
+
+
+@q("rel_pricing_summary", f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         {_CENTS.format(c='l_quantity')} AS qc,
+         {_CENTS.format(c='l_extendedprice')} AS bc,
+         {_CENTS.format(c='l_discount')} AS dp,
+         {_CENTS.format(c='l_tax')} AS tp
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qc) AS BIGINT) AS sum_qty_cents,
+         CAST(sum(bc) AS BIGINT) AS sum_base_cents,
+         CAST(sum(bc * (100 - dp)) AS BIGINT) AS sum_disc_e4,
+         CAST(sum(bc * (100 - dp) * (100 + tp)) AS BIGINT) AS sum_charge_e6,
+         CAST(sum(dp) AS BIGINT) AS sum_disc_pct,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM g GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty_cents, sum_base_cents,
+       sum_disc_e4, sum_charge_e6,
+       CAST(sum_qty_cents // n_rows AS BIGINT) AS avg_qty_cents,
+       CAST(sum_base_cents // n_rows AS BIGINT) AS avg_price_cents,
+       CAST(sum_disc_pct * 100 // n_rows AS BIGINT) AS avg_disc_bp,
+       n_rows
+FROM a
+""")
+def rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (relational.pricing_summary): the scan-heavy
+    pricing rollup — ship-date filter pushed to the parquet scan, five
+    map-side-combined BIGINT sums per (returnflag, linestatus),
+    averages by integer division on the cents / basis-point grids."""
+    from deepref_spark.operators.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_revenue_topn", f"""
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate AS od, o.o_orderpriority,
+         CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, revenue_e4
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, l_orderkey)
+             AS r FROM j)
+WHERE r <= 10
+""")
+def rel_revenue_topn(spark, sf_dir):
+    """TPC-H Q3 shape (relational.top_unshipped_orders): top-10
+    open-order revenue in one market segment — the segment keylist
+    broadcasts into the orders scan before the fact-fact shuffle; the
+    top-k is a TakeOrdered on the unique (revenue DESC, orderkey)
+    order, not a global window."""
+    from deepref_spark.operators.relational import top_unshipped_orders
+
+    return top_unshipped_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_order_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""")
+def rel_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (relational.late_ship_priority): orders in one
+    quarter with any line shipped >30 days after the order date,
+    counted by priority — declared LEFT SEMI so the existence probe
+    never materializes match multiplicity."""
+    from deepref_spark.operators.relational import late_ship_priority
+
+    return late_ship_priority(load_table(spark, sf_dir, "orders"),
+                              load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_local_supplier_volume", f"""
+SELECT n.n_name, CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""")
+def rel_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (relational.local_supplier_volume): revenue by
+    nation where customer and supplier share a nation, one region, one
+    year — region/nation/supplier broadcast, customer on the shuffle
+    key (it does NOT broadcast at warehouse scale), the locality
+    condition riding the broadcast supplier join."""
+    from deepref_spark.operators.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_cust_order_dist", """
+WITH pc AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY 1
+""")
+def rel_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape (relational.customer_order_distribution): the
+    customers-per-order-count histogram with zero-order customers kept
+    by the LEFT OUTER join; double aggregation, the second over the
+    bounded count domain."""
+    from deepref_spark.operators.relational import (
+        customer_order_distribution)
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"))
+
+
+@q("rel_promo_share", f"""
+WITH li AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+         {_REV_E4} AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+a AS (
+  SELECT month,
+         CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN rev ELSE 0 END)
+              AS BIGINT) AS promo_e4,
+         CAST(sum(rev) AS BIGINT) AS total_e4
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT month, promo_e4, total_e4,
+       CAST(promo_e4 * 1000000 // total_e4 AS BIGINT) AS promo_share_ppm
+FROM a
+""")
+def rel_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (relational.promo_revenue_share): monthly promo
+    revenue share — broadcast part dim, conditional + total sums in ONE
+    grouped aggregate, exact ppm division."""
+    from deepref_spark.operators.relational import promo_revenue_share
+
+    return promo_revenue_share(load_table(spark, sf_dir, "part"),
+                               load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_small_qty_brand", f"""
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(sum({_CENTS.format(c='l_quantity')}) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+small AS (
+  SELECT l.l_partkey, {_CENTS.format(c='l_extendedprice')} AS bc
+  FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+  WHERE {_CENTS.format(c='l_quantity')} * 5 * pq.cnt < pq.sum_q
+)
+SELECT p.p_brand, CAST(sum(bc) AS BIGINT) AS small_rev_cents,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM small s JOIN part p ON s.l_partkey = p.p_partkey
+GROUP BY 1
+""")
+def rel_small_qty_brand(spark, sf_dir):
+    """TPC-H Q17 shape generalized to all brands
+    (relational.small_qty_revenue_by_brand): lines below 20% of their
+    part's average quantity via the join-back aggregate — the
+    threshold stays exact integer arithmetic (5*qty*cnt < sum_q), the
+    per-part table re-joins on its own shuffle key, brand rollup via
+    the broadcast part dim."""
+    from deepref_spark.operators.relational import (
+        small_qty_revenue_by_brand)
+
+    return small_qty_revenue_by_brand(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_top_orders_per_cust", f"""
+SELECT o_custkey, o_orderkey, o_orderdate, price_cents, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         {_CENTS.format(c='o_totalprice')} AS price_cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY {_CENTS.format(c='o_totalprice')} DESC, o_orderkey)
+           AS rnk
+  FROM orders)
+WHERE rnk <= 2
+""")
+def rel_top_orders_per_cust(spark, sf_dir):
+    """Partitioned top-N per group (relational.top_orders_per_customer):
+    each customer's two biggest orders — the rank runs inside the
+    custkey partition after one shuffle (parallelism scales with
+    customers; contrast rel_revenue_topn's global TakeOrdered), ties
+    broken by the unique orderkey."""
+    from deepref_spark.operators.relational import top_orders_per_customer
+
+    out = top_orders_per_customer(load_table(spark, sf_dir, "orders"))
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _rfm_edges_cte(m: str) -> str:
+    """histogram -> cumulative window -> inverted-CDF quartile edges
+    for one per-customer metric (the length_quantiles discipline),
+    pivoted to one (t1, t2, t3) row."""
+    return f"""
+h_{m} AS (SELECT {m} AS v, CAST(count(*) AS BIGINT) AS c FROM pc GROUP BY 1),
+c_{m} AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM h_{m}),
+t_{m} AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h_{m}),
+e_{m} AS (
+  SELECT min(CASE WHEN kq = 1 THEN t END) AS t1,
+         min(CASE WHEN kq = 2 THEN t END) AS t2,
+         min(CASE WHEN kq = 3 THEN t END) AS t3
+  FROM (SELECT kq, CAST(min(v) AS BIGINT) AS t
+        FROM c_{m}, (SELECT unnest([1, 2, 3]) AS kq) k, t_{m}
+        WHERE cum >= (kq * n + 3) // 4 GROUP BY kq))"""
+
+
+def _rfm_bucket(m: str) -> str:
+    return (f"CAST(1 + (CASE WHEN {m} > e_{m}.t1 THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {m} > e_{m}.t2 THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {m} > e_{m}.t3 THEN 1 ELSE 0 END) AS BIGINT)")
+
+
+@q("events_rfm", f"""
+WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', o_orderdate, ref.ref_date)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT)
+           AS monetary_cents
+  FROM orders, ref GROUP BY 1
+),{_rfm_edges_cte('recency_days')},{_rfm_edges_cte('frequency')},{_rfm_edges_cte('monetary_cents')}
+SELECT pc.o_custkey, pc.recency_days, pc.frequency, pc.monetary_cents,
+       {_rfm_bucket('recency_days')} AS r_bucket,
+       {_rfm_bucket('frequency')} AS f_bucket,
+       {_rfm_bucket('monetary_cents')} AS m_bucket,
+       CAST({_rfm_bucket('recency_days')} * 100
+            + {_rfm_bucket('frequency')} * 10
+            + {_rfm_bucket('monetary_cents')} AS BIGINT) AS rfm_code
+FROM pc, e_recency_days, e_frequency, e_monetary_cents
+""")
+def events_rfm(spark, sf_dir):
+    """RFM segmentation over orders (relational.rfm_segments):
+    recency/frequency/monetary per customer, bucketed 1..4 by exact
+    quartile THRESHOLDS (ties share a bucket) computed via the
+    histogram + inverted-CDF pattern — no global row_number
+    (single-task window) anywhere; the three one-row edge tables
+    broadcast."""
+    from deepref_spark.operators.relational import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@q("lake_merge_upsert", f"""
+WITH tgt AS (
+  SELECT o_custkey AS key,
+         CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT)
+           AS total_before,
+         CAST(count(*) AS BIGINT) AS n_before
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY 1
+),
+src AS (
+  SELECT o_custkey AS key,
+         CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT)
+           AS delta_cents,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT COALESCE(t.key, s.key) AS o_custkey,
+       CASE WHEN t.key IS NULL THEN 'insert'
+            WHEN s.key IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(total_before, 0) + COALESCE(delta_cents, 0) AS BIGINT)
+         AS total_cents_after
+FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+""")
+def lake_merge_upsert(spark, sf_dir):
+    """MERGE INTO classification plan (relational.merge_upsert_plan):
+    target snapshot full-outer-joined to the source batch, each key
+    classified insert / update / keep with its post-merge state — the
+    row-level dry-run a lakehouse MERGE executes before writing. One
+    shuffle on the merge key; AQE covers customer skew."""
+    from deepref_spark.operators.relational import merge_upsert_plan
+
+    return merge_upsert_plan(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -8976,6 +9317,31 @@ _WINDOW_TAIL = [
     # pytest pins; emb_bucket_balance takes over the bucket-balance
     # diagnostic in-window)
     "kg_negative_sample", "kg_blocking_quality",
+    # (parked r5bm, making room for the sitting-9 relational star-join
+    # lane — rel_pricing_summary, rel_revenue_topn, rel_order_priority,
+    # rel_local_supplier_volume, rel_cust_order_dist, rel_promo_share,
+    # rel_small_qty_brand, rel_top_orders_per_cust — plus events_rfm
+    # and lake_merge_upsert): the three sitting-7 lake maintenance
+    # queries park (column-stats/compaction/delta-refresh each keep
+    # exact pytest goldens incl. the equality-with-full-recompute gate;
+    # the lake lane keeps quantile_hist, skew_report, zorder_buckets,
+    # constraint_check and the new merge_upsert in-window), as do
+    # lake_skipping_eval (same family), emb_hamming_topk and
+    # emb_mmr_rerank (the emb lane keeps pq, ivf_quality, knn_graph,
+    # knn_communities, rrf_hybrid, hybrid_recall and bucket_balance),
+    # text_decontam_coverage and text_gopher_quality (in-window
+    # text_curate_pipeline embeds both the 13-gram screen and the
+    # quality-signal chain in its composed oracle every sweep — the
+    # same argument that parked text_contamination at r5w),
+    # kg_anf_hyperball (the iterate-to-fixpoint frontier discipline
+    # keeps kg_scc + kg_taxonomy_closure in-window and the exact 2-ball
+    # keeps its pytest goldens), and text_textrank (the ranking-iterate
+    # family keeps kg_graph_report's PageRank under the hash gate; the
+    # keyword read keeps its hand goldens)
+    "lake_column_stats", "lake_compaction_plan", "lake_incremental_agg",
+    "lake_skipping_eval", "emb_hamming_topk", "emb_mmr_rerank",
+    "text_decontam_coverage", "text_gopher_quality", "kg_anf_hyperball",
+    "text_textrank",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
