@@ -684,3 +684,61 @@ def boilerplate_stats(documents: DataFrame, min_words: int = 4,
         .withColumn("boiler_ppm",
                     F.expr("n_boiler * 1000000 DIV n_passages").cast("long"))
     )
+
+
+def containment_pairs(documents: DataFrame, k: int = 3,
+                      threshold_ppm: int = 500_000,
+                      df_cap: int | None = None) -> DataFrame:
+    """Directed shingle CONTAINMENT C(src->dst) = |src ∩ dst| / |src|
+    on the exact ppm grid — the asymmetric companion to
+    ngram_jaccard_pairs (Broder's containment): a short document quoted
+    inside a long one scores near 1e6 here while its Jaccard stays
+    low, so this is the partial-copy / quotation detector.
+
+    Same inverted shingle index as the Jaccard verifier (explode +
+    self-join + group, linear in postings, never all-pairs; the
+    optional ``df_cap`` drops ubiquitous shingles BEFORE the self-join
+    exactly as there). Each unordered overlap row emits both
+    directions; integer ppm division keeps the threshold exact across
+    engines. The scale path prefilters candidates with
+    minhash_lsh_pairs; this is the bounded verifier."""
+    sh = (
+        _with_shingles(documents, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    if df_cap is not None:
+        sh = sh.localCheckpoint(eager=False)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint(eager=False)  # sizes + both self-join sides
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    directed = (
+        common.select(F.col("a").alias("src"), F.col("b").alias("dst"), "common")
+        .unionAll(
+            common.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                          "common"))
+    )
+    return (
+        directed
+        .join(sizes.withColumnRenamed("doc_id", "src")
+              .withColumnRenamed("n_sh", "n_src"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+              .withColumnRenamed("n_sh", "n_dst"), "dst")
+        .withColumn("containment_ppm",
+                    F.expr("common * 1000000 DIV n_src").cast("long"))
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select("src", "dst", "n_src", "n_dst", "common", "containment_ppm")
+    )

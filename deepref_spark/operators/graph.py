@@ -1750,3 +1750,65 @@ def neighbor_agg(edges: DataFrame, rounds: int = 2) -> DataFrame:
         )
         out = out.join(h.select("v", F.col("h").alias(f"h{r}_milli")), "v")
     return out.withColumnRenamed("v", "entity")
+
+
+def taxonomy_lca(parent_edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Lowest common ancestor + Wu-Palmer similarity for entity pairs
+    over an acyclic (child, parent) taxonomy — the semantic-distance
+    read a KG linker runs on its type hierarchy (the reference's
+    SemanticKNWL father/grandpa lookups are the depth-1/2 special
+    case; Wu & Palmer 1994 is the classic closed form over the full
+    closure).
+
+    Derivation: the ancestor closure (semi-naive, O(|closure|)) is
+    extended with self rows at up-distance 0; a pair's candidates are
+    the shared ancestors (join on the ancestor key), the LCA the
+    candidate minimizing combined up-distance (unique on a tree;
+    tie-broken by ancestor name so DAG inputs stay deterministic).
+    Root depth d(x) = max up-distance (the root is every node's
+    farthest ancestor), so lca_depth = d(a) - up(a->lca) needs no
+    second traversal. wup_ppm = 2*(lca_depth+1)*1e6 // (d(a)+d(b)+2)
+    on the exact ppm grid (depths 1-based per Wu-Palmer).
+
+    Scale: the closure is |taxonomy| x depth rows — a type hierarchy
+    is a small dimension at any corpus scale, so the per-pair join is
+    broadcast-sized; ``pairs`` streams against it.
+    """
+    clo = taxonomy_closure(parent_edges).localCheckpoint(eager=False)
+    nodes = (parent_edges.select(F.col("child").alias("x"))
+             .union(parent_edges.select(F.col("parent").alias("x")))
+             .distinct())
+    anc0 = (
+        clo.select(F.col("child").alias("x"), "anc",
+                   F.col("depth").cast("long").alias("up"))
+        .unionAll(nodes.select("x", F.col("x").alias("anc"),
+                               F.lit(0).cast("long").alias("up")))
+        .localCheckpoint(eager=False)  # feeds rootd + both join sides
+    )
+    rootd = anc0.groupBy("x").agg(F.max("up").alias("d"))
+    cand = (
+        pairs.join(anc0.alias("A"), pairs.a == F.col("A.x"))
+        .join(anc0.alias("B"),
+              (pairs.b == F.col("B.x")) & (F.col("A.anc") == F.col("B.anc")))
+        .select("a", "b", F.col("A.anc").alias("anc"),
+                (F.col("A.up") + F.col("B.up")).alias("comb"),
+                F.col("A.up").alias("ua"))
+    )
+    best = (
+        cand.groupBy("a", "b")
+        .agg(F.min(F.struct("comb", "anc", "ua")).alias("s"))
+        .select("a", "b", F.col("s.anc").alias("lca"),
+                F.col("s.comb").cast("long").alias("dist"),
+                F.col("s.ua").alias("ua"))
+    )
+    da = rootd.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = rootd.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    return (
+        best.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "lca", "dist",
+            (F.col("da") - F.col("ua")).cast("long").alias("lca_depth"),
+            F.expr("2 * (da - ua + 1) * 1000000 DIV (da + db + 2)")
+            .cast("long").alias("wup_ppm"),
+        )
+    )

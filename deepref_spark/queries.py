@@ -7397,7 +7397,11 @@ def kg_snapshot_diff(spark, sf_dir):
     return snapshot_diff(_derived_oplog(spark, sf_dir), t1=300, t2=500)
 
 
-@q("kg_taxonomy_closure", _trip_cte() + """
+# ents/tax/closure CTE chain (rank-halving binary-tree taxonomy over
+# canonical entities + its recursive ancestor closure) — shared by
+# kg_taxonomy_closure and kg_taxonomy_lca (the fragment-reuse
+# discipline: one formula text, two verifying queries).
+_TAX_CTES = """
 , ents AS (
   SELECT entity, CAST(row_number() OVER (ORDER BY entity) AS BIGINT) AS r
   FROM (SELECT DISTINCT subj AS entity FROM trip
@@ -7416,7 +7420,10 @@ closure AS (
     FROM walk w JOIN tax t ON w.anc = t.child
   )
   SELECT child, anc, CAST(depth AS INT) AS depth FROM walk
-)
+)"""
+
+
+@q("kg_taxonomy_closure", _trip_cte() + _TAX_CTES + """
 SELECT child, anc, depth FROM closure
 """)
 def kg_taxonomy_closure(spark, sf_dir):
@@ -7431,6 +7438,15 @@ def kg_taxonomy_closure(spark, sf_dir):
     CTE; depths must match exactly, pinning the delta bookkeeping."""
     from deepref_spark.operators.graph import taxonomy_closure
 
+    _, tax = _rank_taxonomy(spark, sf_dir)
+    return taxonomy_closure(tax)
+
+
+def _rank_taxonomy(spark, sf_dir):
+    """(ents, tax): the deterministic rank-halving binary-tree taxonomy
+    over canonical entities (parent(r) = r DIV 2) — the Spark twin of
+    _TAX_CTES' ents/tax, shared by kg_taxonomy_closure and
+    kg_taxonomy_lca."""
     spo = _canon_spo(spark, sf_dir)
     ents = (
         spo.select(F.col("subj_canon").alias("entity"))
@@ -7447,7 +7463,7 @@ def kg_taxonomy_closure(spark, sf_dir):
         .select(F.col("c.entity").alias("child"),
                 F.col("p.entity").alias("parent"))
     )
-    return taxonomy_closure(tax)
+    return ents, tax
 
 
 def _scc_aug_gate() -> str:
@@ -8840,6 +8856,93 @@ def lake_merge_upsert(spark, sf_dir):
     from deepref_spark.operators.relational import merge_upsert_plan
 
     return merge_upsert_plan(load_table(spark, sf_dir, "orders"))
+
+
+@q("kg_taxonomy_lca", _trip_cte() + _TAX_CTES + """
+, anc0 AS (
+  SELECT child AS x, anc, CAST(depth AS BIGINT) AS up FROM closure
+  UNION ALL
+  SELECT entity, entity, 0 FROM ents
+),
+rootd AS (SELECT x, CAST(max(up) AS BIGINT) AS d FROM anc0 GROUP BY 1),
+pairs AS (
+  SELECT pa.entity AS a, pb.entity AS b
+  FROM ents pa JOIN ents pb ON pb.r = pa.r + 1
+),
+cand AS (
+  SELECT p.a, p.b, A.anc, A.up + B.up AS comb, A.up AS ua
+  FROM pairs p
+  JOIN anc0 A ON A.x = p.a
+  JOIN anc0 B ON B.x = p.b AND B.anc = A.anc
+),
+best AS (
+  SELECT a, b, anc AS lca, comb, ua FROM (
+    SELECT a, b, anc, comb, ua,
+           row_number() OVER (PARTITION BY a, b ORDER BY comb, anc) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT bt.a, bt.b, bt.lca, CAST(bt.comb AS BIGINT) AS dist,
+       CAST(da.d - bt.ua AS BIGINT) AS lca_depth,
+       CAST(2 * (da.d - bt.ua + 1) * 1000000 // (da.d + db.d + 2) AS BIGINT)
+         AS wup_ppm
+FROM best bt
+JOIN rootd da ON da.x = bt.a
+JOIN rootd db ON db.x = bt.b
+""")
+def kg_taxonomy_lca(spark, sf_dir):
+    """Lowest common ancestor + Wu-Palmer similarity
+    (graph.taxonomy_lca) for consecutive-rank entity pairs over the
+    same rank-halving taxonomy kg_taxonomy_closure materializes — the
+    semantic-distance read a linker serves from its type hierarchy
+    (the reference's SemanticKNWL father/grandpa lookups,
+    deepref/nlp/semantic_knowledge.py:12-31, are the depth-1/2 special
+    case). LCA = shared ancestor minimizing combined up-distance
+    (closure + self rows); root depth via max up-distance, no second
+    traversal; wup on the exact ppm grid. The oracle replays closure,
+    candidates, and the min selection inside one recursive-CTE SQL."""
+    from deepref_spark.operators.graph import taxonomy_lca
+
+    ents, tax = _rank_taxonomy(spark, sf_dir)
+    pairs = (
+        ents.alias("pa")
+        .join(ents.alias("pb"), F.col("pb.r") == F.col("pa.r") + 1)
+        .select(F.col("pa.entity").alias("a"), F.col("pb.entity").alias("b"))
+    )
+    return taxonomy_lca(tax, pairs)
+
+
+@q("dedup_containment", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT a AS src, b AS dst, common FROM common
+  UNION ALL
+  SELECT b AS src, a AS dst, common FROM common
+)
+SELECT d.src, d.dst, ss.n_sh AS n_src, sd.n_sh AS n_dst, d.common,
+       CAST(d.common * 1000000 // ss.n_sh AS BIGINT) AS containment_ppm
+FROM directed d
+JOIN sizes ss ON d.src = ss.doc_id
+JOIN sizes sd ON d.dst = sd.doc_id
+WHERE d.common * 1000000 // ss.n_sh >= 500000
+""")
+def dedup_containment(spark, sf_dir):
+    """Directed shingle containment |src ∩ dst| / |src| >= 0.5 on the
+    exact ppm grid (dedup.containment_pairs) — Broder's asymmetric
+    companion to the Jaccard verifier: a short document quoted inside
+    a long one scores near 1e6 here while its Jaccard stays low. Same
+    inverted-index shape (linear in postings, df-cap available); each
+    unordered overlap emits both directions."""
+    from deepref_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------

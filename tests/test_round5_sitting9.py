@@ -238,3 +238,51 @@ def test_merge_upsert_classification(spark):
     assert rows[3]["action"] == "insert"
     assert (rows[3]["n_before"], rows[3]["n_new"],
             rows[3]["total_cents_after"]) == (0, 1, 7000)
+
+
+def test_taxonomy_lca_hand_tree(spark):
+    from deepref_spark.operators.graph import taxonomy_lca
+
+    tax = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "b"), ("e", "b")],
+        schema="child string, parent string")
+    pairs = spark.createDataFrame(
+        [("d", "e"), ("c", "d"), ("a", "b")], schema="a string, b string")
+    out = {(r["a"], r["b"]): r for r in taxonomy_lca(tax, pairs).collect()}
+    # siblings d,e: LCA b at depth 1, dist 2, wup = 4e6 // 6
+    r = out[("d", "e")]
+    assert (r["lca"], r["dist"], r["lca_depth"], r["wup_ppm"]) == \
+        ("b", 2, 1, 666666)
+    # c (depth 1) vs d (depth 2): LCA root a, dist 3, wup = 2e6 // 5
+    r = out[("c", "d")]
+    assert (r["lca"], r["dist"], r["lca_depth"], r["wup_ppm"]) == \
+        ("a", 3, 0, 400000)
+    # root against its child: LCA is the root itself (self rows)
+    r = out[("a", "b")]
+    assert (r["lca"], r["dist"], r["lca_depth"], r["wup_ppm"]) == \
+        ("a", 1, 0, 666666)
+
+
+def test_containment_directed_asymmetry(spark):
+    from deepref_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six")],
+        schema="doc_id long, text string")
+    rows = {(r["src"], r["dst"]): r
+            for r in containment_pairs(docs, k=3).collect()}
+    # doc1 (2 shingles) fully inside doc2 (4 shingles): 1 -> 2 at 1e6,
+    # 2 -> 1 at exactly 500000 (the inclusive threshold); doc3 disjoint
+    assert set(rows) == {(1, 2), (2, 1)}
+    r12 = rows[(1, 2)]
+    assert (r12["n_src"], r12["n_dst"], r12["common"],
+            r12["containment_ppm"]) == (2, 4, 2, 1000000)
+    r21 = rows[(2, 1)]
+    assert (r21["n_src"], r21["common"], r21["containment_ppm"]) == \
+        (4, 2, 500000)
+    # below-threshold direction is dropped: shrink threshold to confirm
+    # the pair set is symmetric in candidates, not in survivors
+    all_rows = containment_pairs(docs, k=3, threshold_ppm=1).collect()
+    assert len(all_rows) == 2  # still only the overlapping pair x2
