@@ -215,6 +215,8 @@ HEADLINE = [
     "rel_top_orders_per_cust",
     "events_rfm",
     "lake_merge_upsert",
+    "kg_taxonomy_lca",
+    "dedup_containment",
 ]
 
 

@@ -9445,6 +9445,15 @@ _WINDOW_TAIL = [
     "lake_skipping_eval", "emb_hamming_topk", "emb_mmr_rerank",
     "text_decontam_coverage", "text_gopher_quality", "kg_anf_hyperball",
     "text_textrank",
+    # (parked r5bn, making room for kg_taxonomy_lca + dedup_containment):
+    # kg_taxonomy_closure parks because in-window kg_taxonomy_lca's
+    # oracle embeds the IDENTICAL ents/tax/closure CTE text (_TAX_CTES)
+    # and re-verifies the full recursive closure every sweep (the
+    # fragment-reuse argument); text_bm25_topk parks — its inverted-
+    # index posting derivation is the same staged explode+join shape
+    # the new in-window dedup_containment hash-verifies, and the BM25
+    # weighting formula keeps its exact pytest goldens
+    "kg_taxonomy_closure", "text_bm25_topk",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
