@@ -769,3 +769,65 @@ def rolling_hourly_counts(events: DataFrame,
         F.sum("n").over(w).cast("long")
         .alias(f"rolling_{int(window_hours)}h"),
     )
+
+
+def _typed_median(vals: DataFrame, key: str, col: str,
+                  out: str) -> DataFrame:
+    """Exact per-key type-1 median (value at position ceil(n/2)) via
+    histogram + per-key cumulative window + inverted-CDF min — the
+    length_quantiles discipline partitioned by ``key``: the
+    stream-sized work is one grouped count, the window runs inside
+    each key over the bounded distinct-value table."""
+    hist = (vals.groupBy(key, F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    cum = hist.select(
+        key, "v",
+        F.sum("c").over(
+            Window.partitionBy(key).orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("cum"))
+    tot = hist.groupBy(key).agg(F.sum("c").cast("long").alias("tot"))
+    return (
+        cum.join(tot, key)
+        .where(F.col("cum") >= F.expr("(tot + 1) DIV 2"))
+        .groupBy(key)
+        .agg(F.min("v").cast("long").alias(out))
+    )
+
+
+def hourly_mad_profile(events: DataFrame, ts_col: str = "ts",
+                       k_mad: int = 3) -> DataFrame:
+    """Robust per-type anomaly profile over hourly event counts:
+    exact MEDIAN and MAD (median absolute deviation) per event_type,
+    plus how many hours breach |n - median| > k*MAD — the
+    outlier-resistant companion to rate_anomaly's trailing-mean spike
+    rule (one burst hour inflates a mean baseline; it cannot move the
+    median). Everything stays on the integer grid: two median passes
+    via the histogram + inverted-CDF pattern (windows partitioned by
+    event_type over bounded count-value tables), then one grouped
+    rollup; MAD = 0 collapses the band to equality, so any deviating
+    hour flags — deterministic, documented, and exactly replayable in
+    SQL."""
+    cnt = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+            "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds both median passes + rollup
+    )
+    med = _typed_median(cnt, "event_type", "n", "median_n")
+    dev = (cnt.join(med, "event_type")
+           .withColumn("d", F.abs(F.col("n") - F.col("median_n"))))
+    mad = _typed_median(dev, "event_type", "d", "mad_n")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "median_n", "mad_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.when(F.col("d") > k_mad * F.col("mad_n"), 1)
+                  .otherwise(0)).cast("long").alias("n_anomalies"),
+            F.max("d").cast("long").alias("max_abs_dev"),
+        )
+        .select("event_type", "n_hours", "median_n", "mad_n",
+                "n_anomalies", "max_abs_dev")
+    )

@@ -1645,3 +1645,85 @@ def hash_features(documents: DataFrame, dim: int = 32) -> DataFrame:
         .groupBy("doc_id", "feat")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def rake_keywords(documents: DataFrame, k: int = 20,
+                  max_phrase_len: int = 4) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal token runs free of stopwords AND of the kept
+    punctuation tokens , . ( ) (both delimit, per the paper's
+    phrase-boundary rule); each word scores
+    degree/frequency where degree(w) = sum of the lengths of the
+    phrases containing w (co-occurrence counting, self included) and
+    frequency(w) = its occurrence count across phrases; a phrase
+    scores the sum of its member-word scores. The statistical
+    companion to textrank_keywords (corpus co-occurrence graph): RAKE
+    is per-phrase local, so multi-word keyphrases surface directly.
+
+    Determinism + scale shape: word scores live on the exact ppm grid
+    (deg * 1e6 DIV freq); tokens are STAGED behind a lazy
+    localCheckpoint (the lambda re-evaluation trap); the run-splitting
+    window partitions per doc_id; phrases DEDUPLICATE to (text, plen,
+    n_occ) before the word explode, so word statistics stream from
+    the distinct-phrase table weighted by n_occ — identical totals,
+    far fewer rows. Runs longer than ``max_phrase_len`` are dropped
+    (they are degree-inflating glue, and the cap also bounds the
+    zero-stopword-document pathological phrase); the oracle applies
+    the same cap. The final top-k window runs on the bounded
+    distinct-phrase score table."""
+    staged = (
+        documents
+        .select("doc_id",
+                F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    pos = staged.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok"))
+    pos = pos.withColumn(
+        "is_sw",
+        F.when(F.expr(portable.stopword_cond("tok"))
+               | F.col("tok").isin(",", ".", "(", ")"),
+               1).otherwise(0))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = (
+        pos.withColumn("grp", F.sum("is_sw").over(wdoc))
+        .where(F.col("is_sw") == 0)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok), ' ')").alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"))
+        .where(F.col("plen") <= max_phrase_len)
+    )
+    dphrase = (
+        phrases.groupBy("phrase", "plen")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .localCheckpoint(eager=False)  # feeds word stats + final score
+    )
+    words = dphrase.select(
+        "plen", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+    wstats = (
+        words.groupBy("w")
+        .agg(F.sum("n_occ").cast("long").alias("freq"),
+             F.sum(F.col("n_occ") * F.col("plen")).cast("long").alias("deg"))
+        .withColumn("score_ppm",
+                    F.expr("deg * 1000000 DIV freq").cast("long"))
+    )
+    pscore = (
+        dphrase.select("phrase", "plen", "n_occ",
+                       F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats.select("w", "score_ppm"), "w")
+        .groupBy("phrase", "plen", "n_occ")
+        .agg(F.sum("score_ppm").cast("long").alias("score_ppm"))
+    )
+    wtop = Window.orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    return (
+        pscore.select(
+            F.row_number().over(wtop).cast("long").alias("rank"),
+            "phrase", F.col("plen").alias("n_words"),
+            F.col("n_occ").alias("n_occurrences"), "score_ppm")
+        .where(F.col("rank") <= k)
+    )

@@ -8945,6 +8945,187 @@ def dedup_containment(spark, sf_dir):
     return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"))
 
 
+def _median_ctes(pfx: str, src: str, key: str, col: str) -> str:
+    """histogram -> per-key cumulative window -> inverted-CDF type-1
+    median CTEs (position ceil(n/2)) — the SQL twin of
+    events._typed_median, emitted once per median pass."""
+    return f"""
+{pfx}h AS (SELECT {key}, {col} AS v, CAST(count(*) AS BIGINT) AS c
+           FROM {src} GROUP BY 1, 2),
+{pfx}c AS (SELECT {key}, v, CAST(sum(c) OVER (PARTITION BY {key} ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM {pfx}h),
+{pfx}t AS (SELECT {key}, CAST(sum(c) AS BIGINT) AS tot FROM {pfx}h GROUP BY 1),
+{pfx}m AS (SELECT {pfx}c.{key}, CAST(min(v) AS BIGINT) AS med
+           FROM {pfx}c JOIN {pfx}t USING ({key})
+           WHERE cum >= (tot + 1) // 2 GROUP BY 1)"""
+
+
+@q("events_anomaly_mad", f"""
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),{_median_ctes('n', 'cnt', 'event_type', 'n')},
+dev AS (
+  SELECT cnt.event_type, abs(n - med) AS d, med AS median_n
+  FROM cnt JOIN nm USING (event_type)
+),{_median_ctes('d', 'dev', 'event_type', 'd')}
+SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       dev.median_n, dm.med AS mad_n,
+       CAST(sum(CASE WHEN d > 3 * dm.med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       CAST(max(d) AS BIGINT) AS max_abs_dev
+FROM dev JOIN dm USING (event_type)
+GROUP BY 1, 3, 4
+""")
+def events_anomaly_mad(spark, sf_dir):
+    """Robust hourly anomaly profile (events.hourly_mad_profile):
+    exact per-type median and MAD of hourly counts plus the
+    |n - median| > 3*MAD breach count — the outlier-resistant
+    companion to events_rate_anomaly's trailing-mean rule (a burst
+    hour inflates a mean baseline; it cannot move the median). Two
+    inverted-CDF median passes on the integer grid, windows
+    partitioned by event_type over bounded histograms."""
+    from deepref_spark.operators.events import hourly_mad_profile
+
+    return hourly_mad_profile(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_provenance", _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+)
+SELECT c1.canonical AS subj_canon, pred_relation AS pred,
+       c2.canonical AS obj_canon,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       array_to_string(list_transform(
+         list_slice(list_sort(list(DISTINCT doc_id)), 1, 5),
+         x -> CAST(x AS VARCHAR)), ',') AS doc_sample
+FROM preds p
+JOIN canon c1 ON p.h_name = c1.entity
+JOIN canon c2 ON p.t_name = c2.entity
+GROUP BY 1, 2, 3
+""")
+def kg_provenance(spark, sf_dir):
+    """Triple provenance: each canonical (subj, pred, obj) with its
+    supporting-document count and a BOUNDED sorted sample of doc_ids
+    (first 5 ascending) — the audit column a KG serves next to the
+    triple itself (the reference records only per-split predictions,
+    framework/train.py:91-124; a 100 TB KG needs the back-pointer).
+    The sample is collect_set -> array_sort -> slice, so the output
+    stays O(1) per triple no matter how many documents assert it (a
+    hub triple never materializes an unbounded list); same canonical
+    derivation as kg_canonical_triples."""
+    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+    p = p.localCheckpoint(eager=False)
+    ents = (
+        p.select(F.col("h_name").alias("entity"))
+        .union(p.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    w = Window.partitionBy(F.regexp_replace("entity", "[^a-z0-9]", ""))
+    canon = ents.select(
+        "entity", F.min("entity").over(w).alias("canonical"))
+    from deepref_spark.operators.linking import size_gated_broadcast
+
+    canon, _ = size_gated_broadcast(canon.localCheckpoint(eager=False))
+    return (
+        p.join(canon.withColumnRenamed("entity", "h_name")
+               .withColumnRenamed("canonical", "subj_canon"), "h_name")
+        .join(canon.withColumnRenamed("entity", "t_name")
+              .withColumnRenamed("canonical", "obj_canon"), "t_name")
+        .groupBy("subj_canon", F.col("pred_relation").alias("pred"),
+                 "obj_canon")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.expr(
+                "array_join(transform(slice(array_sort("
+                "collect_set(doc_id)), 1, 5), x -> CAST(x AS STRING)), ',')"
+            ).alias("doc_sample"),
+        )
+    )
+
+
+def _rake_oracle() -> str:
+    """RAKE = stopword/punct-delimited phrase runs -> dedup to
+    (phrase, plen, n_occ) -> word deg/freq scores on the ppm grid ->
+    per-phrase sums -> global top-20."""
+    toks = portable.norm_tokens("text", DUCK)
+    sw = portable.stopword_cond("tok")
+    return f"""
+WITH staged AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM staged)
+),
+flg AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN {sw} OR tok IN (',', '.', '(', ')')
+              THEN 1 ELSE 0 END AS is_sw
+  FROM pos
+),
+runs AS (
+  SELECT doc_id, grp, pos, tok FROM (
+    SELECT doc_id, pos, tok, is_sw,
+           sum(is_sw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM flg
+  ) WHERE is_sw = 0
+),
+phrases AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY 1, 2
+  HAVING count(*) <= 4
+),
+dphrase AS MATERIALIZED (
+  SELECT phrase, plen, CAST(count(*) AS BIGINT) AS n_occ
+  FROM phrases GROUP BY 1, 2
+),
+wstats AS (
+  SELECT w, CAST(sum(n_occ) AS BIGINT) AS freq,
+         CAST(sum(n_occ * plen) AS BIGINT) AS deg
+  FROM (SELECT plen, n_occ, unnest(string_split(phrase, ' ')) AS w
+        FROM dphrase)
+  GROUP BY 1
+),
+pscore AS (
+  SELECT phrase, plen, n_occ,
+         CAST(sum(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+  FROM (SELECT phrase, plen, n_occ,
+               unnest(string_split(phrase, ' ')) AS w FROM dphrase)
+  JOIN wstats USING (w)
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)
+              AS BIGINT) AS rank,
+         phrase, plen AS n_words, n_occ AS n_occurrences, score_ppm
+  FROM pscore
+) WHERE rank <= 20
+"""
+
+
+@q("text_rake_keywords", _rake_oracle)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction (text_analysis.rake_keywords): the
+    per-phrase statistical companion to text_textrank's corpus graph
+    iterate — multi-word keyphrases surface directly from
+    stopword/punct-delimited runs, scored sum(deg*1e6 DIV freq) over
+    member words on the exact ppm grid. The run-splitting window
+    partitions per doc_id; word statistics stream from the DISTINCT
+    phrase table weighted by n_occ; the top-k window runs on the
+    bounded phrase-score table."""
+    from deepref_spark.operators.text_analysis import rake_keywords
+
+    return rake_keywords(documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9454,6 +9635,18 @@ _WINDOW_TAIL = [
     # the new in-window dedup_containment hash-verifies, and the BM25
     # weighting formula keeps its exact pytest goldens
     "kg_taxonomy_closure", "text_bm25_topk",
+    # (parked r5bo, making room for events_anomaly_mad + kg_provenance
+    # + text_rake_keywords): kg_scc parks — in-window
+    # kg_scc_condensation's oracle embeds the IDENTICAL _scc_sql
+    # forward/backward-reach iterate, so the SCC kernel stays under the
+    # driver hash gate; events_rolling_wau parks — in-window
+    # events_stickiness parameterizes the SAME
+    # events.rolling_distinct_users kernel (window_days=28) and the
+    # 7-day form keeps its independent-Python cross-check pytest;
+    # events_seq_trigrams parks — a pure lag-window rollup with the
+    # same independent-Python cross-check, and the events sequence
+    # lane keeps rfm/stickiness/ab_lift/cohort_matrix in-window
+    "kg_scc", "events_rolling_wau", "events_seq_trigrams",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
