@@ -12,7 +12,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from deepref_spark import portable
 from deepref_spark.portable import SPARK, md5_mod
@@ -741,4 +741,83 @@ def containment_pairs(documents: DataFrame, k: int = 3,
                     F.expr("common * 1000000 DIV n_src").cast("long"))
         .where(F.col("containment_ppm") >= threshold_ppm)
         .select("src", "dst", "n_src", "n_dst", "common", "containment_ppm")
+    )
+
+
+def prefix_filter_pairs(documents: DataFrame, k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard >= threshold via PPJoin-style PREFIX
+    FILTERING (Xiao et al. 2011): order each document's shingles by
+    ascending global document frequency (rarest first, shingle text
+    tie-break), keep only the first ``n - ceil(t*n) + 1`` as the
+    document's prefix, and generate candidates ONLY from prefix-prefix
+    collisions — two sets with Jaccard >= t MUST share at least one
+    prefix token under a common global order, so the filter is
+    lossless. Candidates are then verified exactly against the full
+    sorted shingle arrays (bounded per doc; one array_intersect per
+    candidate pair).
+
+    Same contract as ngram_jaccard_pairs (equality pinned by pytest),
+    different scale shape: the self-join runs on the PREFIX posting
+    table — at t=0.8 roughly a fifth of the postings, and prefixes are
+    rarest-first, so hot ubiquitous shingles (exactly the ones that
+    make the full inverted-index join quadratic) land in prefixes last
+    or never. No df_cap needed: the frequency ORDER does the work the
+    cap approximates. All stream-sized stages are grouped aggs or
+    equi-joins; the per-doc rank window partitions by doc_id."""
+    sh = (
+        _with_shingles(documents, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)  # df + rank + verify arrays
+    )
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    ).withColumn(
+        "n_sh",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long"),
+    )
+    # ceil(t*n) on the exact ppm integer grid — float ceil(0.8*5) can
+    # evaluate to 5 under binary rounding and silently shrink the
+    # prefix, voiding the lossless-filter guarantee
+    t_ppm = int(round(threshold * 1_000_000))
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("n_sh")
+        - F.expr(f"(n_sh * {t_ppm}L + 999999) DIV 1000000")
+        + 1
+    ).select("doc_id", "shingle")
+    cands = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+    )
+    return (
+        cands
+        .join(arrs.select(F.col("doc_id").alias("a"),
+                          F.col("arr").alias("arr_a"),
+                          F.col("n_sh").alias("n_a")), "a")
+        .join(arrs.select(F.col("doc_id").alias("b"),
+                          F.col("arr").alias("arr_b"),
+                          F.col("n_sh").alias("n_b")), "b")
+        .withColumn("common",
+                    F.size(F.array_intersect("arr_a", "arr_b"))
+                    .cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b")
+                               - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -831,3 +831,74 @@ def hourly_mad_profile(events: DataFrame, ts_col: str = "ts",
         .select("event_type", "n_hours", "median_n", "mad_n",
                 "n_anomalies", "max_abs_dev")
     )
+
+
+def session_paths(events: DataFrame, k: int = 20,
+                  gap_minutes: int = 30, max_len: int = 5,
+                  convert_type: str = "purchase",
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  tie: str = "event_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Top-k session paths: gap-based sessions (new session when the
+    per-user inter-event gap exceeds ``gap_minutes``), each session's
+    event-type sequence with CONSECUTIVE DUPLICATES COLLAPSED and
+    truncated to its first ``max_len`` distinct steps, joined with
+    '>' — plus how many sessions on that path converted (contain
+    ``convert_type`` anywhere in the FULL session, computed before
+    collapse/truncation). The whole-journey companion to
+    transition_matrix's bigrams and sequence_trigrams' windows: paths
+    answer "which journeys happen and which convert", not "which step
+    follows which".
+
+    Scale shape: every window partitions by user or by session
+    (bounded streams), the path rollup is a combineable grouped count
+    on collapsed-truncated strings (at most |types|^max_len distinct
+    paths), and the final top-k window runs on that bounded table.
+    Deterministic: (ts, tie) total order, path-asc tie-break."""
+    wu = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tie))
+    # NTZ-safe epoch seconds (session tz pinned UTC in session.py)
+    ep = F.expr(f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG)")
+    sess = (
+        events
+        .select(user_col, ts_col, tie, F.col(type_col).alias("t"),
+                ep.alias("_ep"))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("_ep") - F.lag("_ep").over(wu)
+                > gap_minutes * 60, 1).otherwise(0))
+        .withColumn("sess", F.sum("new_sess").over(wu))
+    )
+    ws = Window.partitionBy(user_col, "sess") \
+        .orderBy(F.col(ts_col), F.col(tie))
+    steps = (
+        sess
+        .withColumn("conv_any",
+                    F.max(F.when(F.col("t") == convert_type, 1)
+                          .otherwise(0))
+                    .over(Window.partitionBy(user_col, "sess")))
+        .withColumn("prev_t", F.lag("t").over(ws))
+        .withColumn("keep",
+                    F.when(F.col("prev_t").isNull()
+                           | (F.col("prev_t") != F.col("t")), 1)
+                    .otherwise(0))
+        .where(F.col("keep") == 1)
+        .withColumn("step", F.row_number().over(ws))
+        .where(F.col("step") <= max_len)
+    )
+    paths = (
+        steps.groupBy(user_col, "sess", "conv_any")
+        .agg(F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(step, t))), s -> s.t), '>')").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+             F.sum("conv_any").cast("long").alias("n_converted"))
+    )
+    wtop = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        paths.select(
+            F.row_number().over(wtop).cast("long").alias("rank"),
+            "path", "n_sessions", "n_converted")
+        .where(F.col("rank") <= k)
+    )

@@ -348,3 +348,92 @@ def editdist_verify(candidates: DataFrame, max_dist: int = 2) -> DataFrame:
                           F.levenshtein("a", "b").cast("int").alias("dist"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def fellegi_sunter(entities: DataFrame, name_col: str = "entity",
+                   m_probs: tuple = (0.95, 0.9, 0.8),
+                   match_ratio: float = 100.0,
+                   possible_ratio: float = 1.0) -> DataFrame:
+    """Fellegi-Sunter (1969) probabilistic record-linkage scoring over
+    blocked surface-form pairs, with the u-probabilities estimated
+    EXACTLY from the data (the standard random-pair estimator made
+    exact): for each comparison field f, u_f = P(agree_f | random
+    pair) = sum_v c_v(c_v-1) / n(n-1) over the field's value
+    histogram — grouped integer counts, no sampling, no EM. The three
+    fields are equality keys so that estimator applies: (1) the
+    alnum-normalized surface, (2) the first whitespace token, (3) the
+    normalized-length quartile bucket. m-probabilities are the fixed
+    priors ``m_probs`` (the standard practice when no labeled match
+    set exists; swap in EM estimates without touching the dataflow).
+
+    The per-pair score is the LIKELIHOOD RATIO prod_f (agree ? m_f/u_f
+    : (1-m_f)/(1-u_f)) — deliberately NOT the classical log2 weight:
+    +,-,*,/ on doubles are IEEE-exact and bit-identical across
+    engines, while transcendental log2 differs in the last ulp between
+    libm implementations and would poison the cross-engine hash. The
+    ratio is monotone with the log weight, so the match/possible/
+    non-match decision bands are unchanged in meaning.
+
+    Scale shape: candidates come from first-character blocking over
+    the bounded DISTINCT-surface table (swap in minhash bands above
+    ~1e6 surfaces — candidate_pairs() is the drop-in); the three
+    u-estimates are grouped aggs crossJoined back as ONE broadcast
+    1-row literal; zero driver collects."""
+    norm = F.regexp_replace(F.col(name_col), "[^a-z0-9]", "")
+    ents = (
+        entities.select(
+            F.col(name_col).alias("entity"),
+            norm.alias("f1"),
+            F.split(F.col(name_col), " ").getItem(0).alias("f2"),
+            # DIV, not /-then-cast: DuckDB CAST(double AS BIGINT)
+            # rounds while Spark truncates — integer division agrees
+            F.expr(f"length(regexp_replace({name_col}, '[^a-z0-9]', ''))"
+                   " DIV 4").cast("long").alias("f3"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # u-estimates + both join sides
+    )
+
+    def _agree_pairs(field):
+        return (ents.groupBy(field)
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .agg(F.sum(F.expr("c * (c - 1)")).cast("long")
+                     .alias(f"ap_{field}")))
+
+    n_tot = ents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = (n_tot
+             .crossJoin(_agree_pairs("f1"))
+             .crossJoin(_agree_pairs("f2"))
+             .crossJoin(_agree_pairs("f3")))
+    # u_f = agreeing ordered pairs / all ordered pairs, floored at one
+    # agreeing pair so a field where nothing collides stays finite
+    u_cols = [
+        (F.greatest(F.col(f"ap_f{i}"), F.lit(1))
+         / (F.col("n") * (F.col("n") - 1))).alias(f"u{i}")
+        for i in (1, 2, 3)
+    ]
+    stats = stats.select(*u_cols)
+    blocked = (
+        ents.alias("x")
+        .join(ents.alias("y"),
+              F.expr("substring(x.f1, 1, 1) = substring(y.f1, 1, 1) "
+                     "AND x.entity < y.entity"))
+        .select(F.col("x.entity").alias("a"), F.col("y.entity").alias("b"),
+                *[(F.col(f"x.f{i}") == F.col(f"y.f{i}"))
+                  .cast("int").alias(f"agree{i}") for i in (1, 2, 3)])
+    )
+    scored = blocked.crossJoin(F.broadcast(stats))
+    ratio = F.lit(1.0)
+    for i, m in zip((1, 2, 3), m_probs):
+        ratio = ratio * F.when(
+            F.col(f"agree{i}") == 1, F.lit(m) / F.col(f"u{i}")
+        ).otherwise(F.lit(1.0 - m) / (F.lit(1.0) - F.col(f"u{i}")))
+    return (
+        scored.select(
+            "a", "b", "agree1", "agree2", "agree3",
+            F.round(ratio, 6).alias("lr"),
+            F.when(ratio >= match_ratio, "match")
+            .when(ratio >= possible_ratio, "possible")
+            .otherwise("non_match").alias("decision"),
+        )
+    )

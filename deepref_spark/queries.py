@@ -9126,6 +9126,246 @@ def text_rake_keywords(spark, sf_dir):
     return rake_keywords(documents(spark, sf_dir))
 
 
+@q("dedup_prefix_join", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
+""")
+def dedup_prefix_join(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join
+    (dedup.prefix_filter_pairs): candidates ONLY from rarest-first
+    prefix collisions (prefix length n - ceil(t*n) + 1 on the exact ppm
+    grid), verified against full sorted shingle arrays. The oracle is
+    deliberately the EXHAUSTIVE inverted-index form — a lossy prefix
+    bound would drop pairs and fail the cross-engine hash, so the
+    driver certifies the filter's losslessness every sweep (pytest
+    additionally pins pair-for-pair equality with
+    dedup_ngram_jaccard's operator)."""
+    from deepref_spark.operators.dedup import prefix_filter_pairs
+
+    d = documents(spark, sf_dir).select("doc_id", "text")
+    return prefix_filter_pairs(d, k=3, threshold=0.8)
+
+
+@q("events_path_topk", """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type AS t,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+lagged AS (
+  SELECT *, CASE WHEN es - lag(es) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           THEN 1 ELSE 0 END AS new_sess
+  FROM base
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM lagged
+),
+conv AS (
+  SELECT *, max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, sess) AS conv_any
+  FROM sess
+),
+collapsed AS (
+  SELECT * FROM (
+    SELECT *, lag(t) OVER
+             (PARTITION BY user_id, sess ORDER BY ts, event_id) AS prev_t
+    FROM conv
+  ) WHERE prev_t IS NULL OR prev_t <> t
+),
+stepped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER
+             (PARTITION BY user_id, sess ORDER BY ts, event_id) AS step
+    FROM collapsed
+  ) WHERE step <= 5
+),
+paths AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(conv_any) AS BIGINT) AS n_converted
+  FROM (
+    SELECT user_id, sess, conv_any,
+           string_agg(t, '>' ORDER BY step) AS path
+    FROM stepped GROUP BY 1, 2, 3
+  ) GROUP BY 1
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+              AS BIGINT) AS rank,
+         path, n_sessions, n_converted
+  FROM paths
+) WHERE rank <= 20
+""")
+def events_path_topk(spark, sf_dir):
+    """Top-20 whole-session journeys (events.session_paths): gap-based
+    sessions, consecutive-duplicate-collapsed event-type paths
+    truncated to 5 steps, with per-path session and conversion counts
+    — the journey-level companion to events_markov's bigrams and the
+    parked events_seq_trigrams. All windows partition by user or
+    session; the path rollup is a combineable grouped count bounded by
+    |types|^5."""
+    from deepref_spark.operators.events import session_paths
+
+    return session_paths(load_table(spark, sf_dir, "events"))
+
+
+def _fs_oracle() -> str:
+    nrm = "regexp_replace(entity, '[^a-z0-9]', '', 'g')"
+    return _trip_cte() + f"""
+, ents0 AS (
+  SELECT entity FROM canon
+  UNION SELECT unnest({_ALIAS_PLANT!r}) AS entity
+),
+flds AS MATERIALIZED (
+  SELECT entity, {nrm} AS f1, string_split(entity, ' ')[1] AS f2,
+         CAST(length({nrm}) // 4 AS BIGINT) AS f3
+  FROM ents0
+),
+st AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM flds) AS n,
+         (SELECT CAST(sum(c * (c - 1)) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM flds GROUP BY f1)) AS ap1,
+         (SELECT CAST(sum(c * (c - 1)) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM flds GROUP BY f2)) AS ap2,
+         (SELECT CAST(sum(c * (c - 1)) AS BIGINT)
+          FROM (SELECT count(*) AS c FROM flds GROUP BY f3)) AS ap3
+),
+u AS (
+  SELECT greatest(ap1, 1) / (n * (n - 1)) AS u1,
+         greatest(ap2, 1) / (n * (n - 1)) AS u2,
+         greatest(ap3, 1) / (n * (n - 1)) AS u3
+  FROM st
+),
+blocked AS (
+  SELECT x.entity AS a, y.entity AS b,
+         CAST(x.f1 = y.f1 AS INT) AS agree1,
+         CAST(x.f2 = y.f2 AS INT) AS agree2,
+         CAST(x.f3 = y.f3 AS INT) AS agree3
+  FROM flds x JOIN flds y
+    ON substring(x.f1, 1, 1) = substring(y.f1, 1, 1)
+   AND x.entity < y.entity
+),
+scored AS (
+  SELECT a, b, agree1, agree2, agree3,
+         ((1.0 * (CASE WHEN agree1 = 1 THEN 0.95 / u1
+                       ELSE (1.0 - 0.95) / (1.0 - u1) END))
+          * (CASE WHEN agree2 = 1 THEN 0.9 / u2
+                  ELSE (1.0 - 0.9) / (1.0 - u2) END))
+          * (CASE WHEN agree3 = 1 THEN 0.8 / u3
+                  ELSE (1.0 - 0.8) / (1.0 - u3) END) AS ratio
+  FROM blocked, u
+)
+SELECT a, b, agree1, agree2, agree3, round(ratio, 6) AS lr,
+       CASE WHEN ratio >= 100.0 THEN 'match'
+            WHEN ratio >= 1.0 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM scored
+"""
+
+
+@q("kg_fellegi_sunter", _fs_oracle)
+def kg_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage
+    (linking.fellegi_sunter) over the corpus surface forms plus the
+    three-spelling planted alias group: per blocked pair, the three
+    field agreements (normalized surface / first token / length
+    quartile), the likelihood ratio with u-probabilities estimated
+    EXACTLY from the value histograms, and the match/possible/
+    non_match decision band. The ratio stays on the IEEE-exact
+    +-*/ grid (no log), so the driver hash covers the full scoring
+    formula; the planted group certifies the match band is reachable
+    (the kg_alias_dict planting precedent)."""
+    from deepref_spark.operators.linking import fellegi_sunter
+
+    m = portable_mentions(spark, sf_dir)
+    preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    planted = spark.createDataFrame(
+        [(s,) for s in _ALIAS_PLANT], schema="entity string")
+    ents = (preds.select(F.col("h_name").alias("entity"))
+            .union(preds.select(F.col("t_name").alias("entity")))
+            .union(planted)
+            .distinct())
+    return fellegi_sunter(ents)
+
+
+def _uncertainty_oracle() -> str:
+    s = md5_unit("concat(h_name, '#', t_name, '#', rel)")
+    return _oracle_prefix() + f"""
+, pairs AS (SELECT DISTINCT h_name, t_name FROM mentions),
+sc AS (
+  SELECT h_name, t_name, rel, {s} AS s
+  FROM pairs, (SELECT unnest({portable.RELATION_NAMES!r}) AS rel)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY h_name, t_name
+                               ORDER BY s DESC, rel DESC) AS r
+  FROM sc
+),
+m AS (
+  SELECT a.h_name, a.t_name, a.rel AS pred,
+         round(a.s - b.s, 6) AS margin
+  FROM rk a JOIN rk b USING (h_name, t_name)
+  WHERE a.r = 1 AND b.r = 2
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY margin ASC, h_name, t_name)
+              AS BIGINT) AS rank,
+         h_name, t_name, pred, margin
+  FROM m
+) WHERE rank <= 50
+"""
+
+
+@q("kg_uncertainty_topk", _uncertainty_oracle)
+def kg_uncertainty_topk(spark, sf_dir):
+    """Margin-based uncertainty sampling (Lewis & Gale / Settles'
+    active-learning survey): per distinct candidate pair, score every
+    relation class with the portable per-(pair, class) score, take
+    top1 - top2 as the margin, and return the 50 MOST UNCERTAIN pairs
+    (smallest margin) with the argmax class — the batch a human
+    annotator (or a bigger model) labels next. One expression-level
+    sort_array over the 6-class struct array per pair (no explode
+    shuffle), then a global window on the bounded bottom-k. On the
+    production model the identical plan runs on the softmax columns
+    model.forward_batch emits."""
+    pairs = portable_mentions(spark, sf_dir) \
+        .select("h_name", "t_name").distinct()
+    structs = ", ".join(
+        "struct("
+        + md5_unit(f"concat(h_name, '#', t_name, '#', '{r}')")
+        + f" AS s, '{r}' AS rel)"
+        for r in portable.RELATION_NAMES)
+    scored = pairs.select(
+        "h_name", "t_name",
+        F.expr(f"sort_array(array({structs}), false)").alias("arr"),
+    ).select(
+        "h_name", "t_name",
+        F.expr("arr[0].rel").alias("pred"),
+        F.expr("round(arr[0].s - arr[1].s, 6)").alias("margin"),
+    )
+    wtop = Window.orderBy(F.col("margin").asc(), "h_name", "t_name")
+    return (
+        scored.select(
+            F.row_number().over(wtop).cast("long").alias("rank"),
+            "h_name", "t_name", "pred", "margin")
+        .where(F.col("rank") <= 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9647,6 +9887,22 @@ _WINDOW_TAIL = [
     # same independent-Python cross-check, and the events sequence
     # lane keeps rfm/stickiness/ab_lift/cohort_matrix in-window
     "kg_scc", "events_rolling_wau", "events_seq_trigrams",
+    # (parked r5bp, making room for dedup_prefix_join,
+    # events_path_topk, kg_fellegi_sunter, kg_uncertainty_topk):
+    # events_gap_fill parks — in-window events_alert_episodes derives
+    # the IDENTICAL gap-filled hourly spine (min..max generate_series
+    # per type) under the driver hash gate, and LOCF keeps its pytest
+    # goldens; emb_rrf_hybrid parks — in-window emb_hybrid_recall
+    # embeds the IVF/LSH ranked CTEs AND the RRF fusion formula in one
+    # composed oracle every sweep; kg_validity_lookup parks — the
+    # op-log lane keeps kg_snapshot_diff (the SAME derived log read at
+    # TWO cutoffs) and kg_churn_buckets in-window, and the SCD2
+    # point-read keeps its pytest goldens; events_cohort_matrix parks
+    # — pure integer week-index arithmetic pinned by pytest, with the
+    # events behavioral lane keeping rfm/stickiness/ab_lift/path_topk
+    # in-window
+    "events_gap_fill", "emb_rrf_hybrid", "kg_validity_lookup",
+    "events_cohort_matrix",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -76,3 +76,90 @@ def test_rake_drops_overlong_runs_entirely(spark):
     assert set(rows) == {"alpha zulu"}
     # alpha: freq 1, deg 2 (only from the surviving 2-phrase)
     assert rows["alpha zulu"]["score_ppm"] == 4_000_000
+
+
+def test_prefix_filter_equals_exhaustive(spark):
+    # the prefix filter is lossless: pair-for-pair equality with the
+    # exhaustive inverted-index join at the same threshold
+    from deepref_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               prefix_filter_pairs)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    docs = _docs(spark, [
+        base,                          # 0
+        base,                          # 1: exact dup of 0 (J = 1.0)
+        base + " sierra",              # 2: near dup (high J)
+        "completely different words here nothing shared at all ok",
+    ])
+    exp = sorted(tuple(r) for r in
+                 ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect())
+    got = sorted(tuple(r) for r in
+                 prefix_filter_pairs(docs, k=3, threshold=0.8).collect())
+    assert got == exp
+    assert ("0", "1", 1.0) in got  # the planted exact dup survived
+
+
+def test_session_paths_exact(spark):
+    from deepref_spark.operators.events import session_paths
+
+    ev = spark.createDataFrame([
+        # user 1, session 0: view view click -> collapsed view>click
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 0, 0, 10), 1, "view"),
+        (3, datetime(2024, 1, 1, 0, 0, 20), 1, "click"),
+        # user 1, session 1 (2h gap): view purchase -> converted
+        (4, datetime(2024, 1, 1, 2, 30, 0), 1, "view"),
+        (5, datetime(2024, 1, 1, 2, 31, 0), 1, "purchase"),
+        # user 2: single-event session
+        (6, datetime(2024, 1, 1, 0, 0, 0), 2, "click"),
+    ], schema="event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    rows = [(r["rank"], r["path"], r["n_sessions"], r["n_converted"])
+            for r in session_paths(ev).orderBy("rank").collect()]
+    assert rows == [
+        (1, "click", 1, 0),
+        (2, "view>click", 1, 0),
+        (3, "view>purchase", 1, 1),
+    ]
+
+
+def test_fellegi_sunter_exact(spark):
+    from deepref_spark.operators.linking import fellegi_sunter
+
+    ents = spark.createDataFrame(
+        [("acme corp",), ("acme-corp",), ("acme inc",), ("zeta",)],
+        schema="entity string")
+    out = {(r["a"], r["b"]): r for r in fellegi_sunter(ents).collect()}
+    # block 'a' holds three entities -> three pairs; 'zeta' is alone
+    assert set(out) == {("acme corp", "acme-corp"),
+                        ("acme corp", "acme inc"),
+                        ("acme inc", "acme-corp")}
+    # u-probabilities from the exact value histograms: n=4 ->
+    # 12 ordered pairs; f1 and f2 each have one 2-count value (ap=2),
+    # f3 has two 2-count values (ap=4)
+    u1 = u2 = 2 / 12
+    u3 = 4 / 12
+
+    def ratio(a1, a2, a3):
+        r = 1.0
+        r = r * (0.95 / u1 if a1 else (1.0 - 0.95) / (1.0 - u1))
+        r = r * (0.9 / u2 if a2 else (1.0 - 0.9) / (1.0 - u2))
+        r = r * (0.8 / u3 if a3 else (1.0 - 0.8) / (1.0 - u3))
+        return r
+
+    r1 = out[("acme corp", "acme-corp")]   # same norm, diff tok, same len
+    assert (r1["agree1"], r1["agree2"], r1["agree3"]) == (1, 0, 1)
+    assert abs(r1["lr"] - ratio(1, 0, 1)) < 1e-5
+    r2 = out[("acme corp", "acme inc")]    # diff norm, same tok, diff len
+    assert (r2["agree1"], r2["agree2"], r2["agree3"]) == (0, 1, 0)
+    assert abs(r2["lr"] - ratio(0, 1, 0)) < 1e-5
+    r3 = out[("acme inc", "acme-corp")]
+    assert (r3["agree1"], r3["agree2"], r3["agree3"]) == (0, 0, 0)
+    assert abs(r3["lr"] - ratio(0, 0, 0)) < 1e-5
+    # decision bands derive from the ratio (n=4 keeps u large, so the
+    # two-agreement pair lands in 'possible', not 'match')
+    assert ratio(1, 0, 1) >= 1.0
+    assert r1["decision"] == "possible"
+    assert ratio(0, 0, 0) < 1.0
+    assert r3["decision"] == "non_match"
