@@ -758,3 +758,69 @@ def domain_range_audit(triples: DataFrame, subj: str = "subj_canon",
         )
     )
     return audit
+
+
+def rules_pca_confidence(triples: DataFrame, min_support: int = 2,
+                         subj: str = "subj_canon", pred: str = "pred",
+                         obj: str = "obj_canon") -> DataFrame:
+    """AMIE PCA confidence (Galárraga et al. 2013 §4.2) for the
+    length-2 horn rules next to the std confidence: under the Partial
+    Completeness Assumption the denominator counts only body
+    instantiations whose x is KNOWN to have some p3 fact — pca_body =
+    #distinct (x, z) satisfying the body with exists z': p3(x, z') —
+    so rules are not punished for facts the KG simply hasn't ingested
+    (std confidence under-scores on incomplete graphs; PCA is the
+    number AMIE actually ranks by).
+
+    Same wedge-join plan as mine_path_rules (one stream-sized shuffle
+    at the shared entity); the PCA denominator adds ONE join of the
+    distinct body against the distinct (subj, pred) projection — body
+    rows are distinct on (x, p1, p2, z) and the head projection on
+    (x, p3), so the joined rows are distinct on the 5-tuple and a
+    plain grouped count IS the distinct count (no count-distinct
+    shuffle)."""
+    spo = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"),
+    ).distinct().localCheckpoint(eager=False)
+    body = (
+        spo.alias("t1")
+        .join(spo.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
+        .where(F.col("t1.subj") != F.col("t2.obj"))
+        .select(
+            F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
+            F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # bodies + matched + pca
+    )
+    bodies = body.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("body_supp"))
+    matched = (
+        body.join(
+            spo.select(F.col("subj").alias("x"), F.col("pred").alias("p3"),
+                       F.col("obj").alias("z")),
+            ["x", "z"],
+        )
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    hsubj = spo.select(F.col("subj").alias("x"),
+                       F.col("pred").alias("p3")).distinct()
+    pca = (
+        body.join(hsubj, "x")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_body"))
+    )
+    return (
+        matched.where(F.col("support") >= min_support)
+        .join(bodies, ["p1", "p2"])
+        .join(pca, ["p1", "p2", "p3"])
+        .select(
+            "p1", "p2", "p3", "support", "body_supp", "pca_body",
+            F.round(F.col("support").cast("double") / F.col("body_supp"), 6)
+            .alias("confidence"),
+            F.round(F.col("support").cast("double") / F.col("pca_body"), 6)
+            .alias("pca_confidence"),
+        )
+    )

@@ -376,3 +376,45 @@ def quantile_hist(df: DataFrame, col: str = "l_extendedprice",
                 F.col("cum").alias("cum_rows"),
                 F.col("total").alias("total_rows"))
     )
+
+
+def retention_plan(inventory: DataFrame, retain_days: int = 7) -> DataFrame:
+    """Snapshot-expiry vacuum plan (the Iceberg expire_snapshots /
+    remove_orphan_files decision procedure on the deterministic
+    file_inventory stand-in): each day's file SUPERSEDES its
+    partition's previous file, so file f is live over
+    [its day, partition's next file day); snapshots older than
+    max_day - retain_days expire; a file is physically reclaimable iff
+    its live interval ends at-or-before the cutoff (no retained
+    snapshot references it — the reachability rule, not an mtime
+    heuristic: head files stay whatever their age). Returns the
+    per-partition vacuum rollup a maintenance job logs before acting.
+
+    Scale shape: manifests are metadata — one lead() window per
+    partition, one 1-row global max broadcast, one grouped rollup.
+    Date strings compare lexicographically (yyyy-MM-dd), so the plan
+    is identical under any partitioning and in the SQL twin."""
+    w = Window.partitionBy("partition_key").orderBy("file_id")
+    cur = inventory.withColumn("next_day", F.lead("file_id").over(w))
+    cutoff = inventory.agg(
+        F.date_format(
+            F.date_sub(F.to_date(F.max("file_id")), retain_days),
+            "yyyy-MM-dd").alias("cutoff"))
+    flagged = cur.crossJoin(F.broadcast(cutoff)).withColumn(
+        "expired",
+        F.when(F.col("next_day").isNotNull()
+               & (F.col("next_day") <= F.col("cutoff")), 1).otherwise(0))
+    return (
+        flagged.groupBy("partition_key", "cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("expired").cast("long").alias("n_expired"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("expired") == 1, F.col("n_bytes"))
+                  .otherwise(0)).cast("long").alias("bytes_reclaimed"),
+            F.min(F.when(F.col("expired") == 1, F.col("file_id")))
+            .alias("first_expired"),
+            F.max(F.when(F.col("expired") == 1, F.col("file_id")))
+            .alias("last_expired"),
+        )
+    )

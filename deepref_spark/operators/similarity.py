@@ -1117,3 +1117,63 @@ def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
     for name, lane in (("lsh", lsh), ("rrf", rrf)):
         out = out.unionAll(_row(name, lane))
     return out
+
+
+def maxsim_topk(embeddings: DataFrame, group_width: int = 4,
+                k: int = 3, query_mod: int = 50) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020) over multi-vector documents: MaxSim(q, d) = sum over query
+    token vectors of the max cosine against d's token vectors. Vectors
+    are grouped into pseudo-documents of ``group_width`` consecutive
+    vec_ids (group = vec_id DIV width) — the plumbing is exactly what
+    a real per-token embedding table needs (group key + token key),
+    synthetic only in how the groups are drawn.
+
+    Determinism across engines: each pair cosine stays a raw IEEE
+    double (dot/sqrt products are bit-identical), is snapped ONCE to
+    the e4 integer grid (floor(c*10000 + 0.5)), and all downstream
+    max/sum run on BIGINTs — summing rounded DOUBLES would be
+    order-dependent under partitioning and poison the oracle hash.
+
+    Scale shape: query groups are broadcast by contract (the
+    brute_force_topk gate); the corpus streams once; per-query maxes
+    and sums are combineable grouped aggs; final top-k per query is a
+    window over the bounded (queries x corpus-groups) score table.
+    The scale path swaps the crossJoin for an LSH/IVF shortlist on
+    the token level exactly like pq_ann_rerank_topk."""
+    toks = embeddings.select(
+        F.expr(f"vec_id DIV {group_width}").cast("long").alias("grp"),
+        F.col("vec_id"),
+        F.col("embedding"),
+        _norm_col("embedding").alias("nrm"),
+    )
+    qtok = F.broadcast(
+        toks.where(F.expr(f"grp % {query_mod} = 0"))
+        .select(F.col("grp").alias("qg"), F.col("vec_id").alias("q_tok"),
+                F.col("embedding").alias("q_emb"),
+                F.col("nrm").alias("q_nrm")))
+    best = (
+        toks.crossJoin(qtok)
+        .where(F.col("grp") != F.col("qg"))
+        .select(
+            "qg", "q_tok", F.col("grp").alias("dg"),
+            F.expr(
+                "CAST(floor(aggregate(zip_with(q_emb, embedding, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+                "/ (q_nrm * nrm) * 10000 + 0.5) AS BIGINT)"
+            ).alias("cos_e4"),
+        )
+        .groupBy("qg", "q_tok", "dg")
+        .agg(F.max("cos_e4").alias("best_e4"))
+    )
+    scored = best.groupBy("qg", "dg").agg(
+        F.sum("best_e4").cast("long").alias("maxsim_e4"))
+    w = Window.partitionBy("qg").orderBy(
+        F.col("maxsim_e4").desc(), F.col("dg").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("qg").alias("query_group"),
+                F.col("dg").alias("doc_group"), "maxsim_e4", "rank")
+    )

@@ -9366,6 +9366,189 @@ def kg_uncertainty_topk(spark, sf_dir):
     )
 
 
+@q("emb_maxsim_topk", """
+WITH toks AS (
+  SELECT vec_id // 4 AS grp, vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM embeddings
+),
+qtok AS (
+  SELECT grp AS qg, vec_id AS q_tok, embedding AS q_emb, nrm AS q_nrm
+  FROM toks WHERE grp % 50 = 0
+),
+best AS (
+  SELECT qg, q_tok, t.grp AS dg,
+         max(CAST(floor(list_dot_product(q_emb, t.embedding)
+             / (q_nrm * t.nrm) * 10000 + 0.5) AS BIGINT)) AS best_e4
+  FROM toks t CROSS JOIN qtok
+  WHERE t.grp <> qg
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT qg, dg, CAST(sum(best_e4) AS BIGINT) AS maxsim_e4
+  FROM best GROUP BY 1, 2
+)
+SELECT query_group, doc_group, maxsim_e4, rank FROM (
+  SELECT qg AS query_group, dg AS doc_group, maxsim_e4,
+         CAST(row_number() OVER (PARTITION BY qg
+              ORDER BY maxsim_e4 DESC, dg ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+""")
+def emb_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval
+    (similarity.maxsim_topk): multi-vector pseudo-documents of 4
+    consecutive vec_ids, MaxSim = sum over query tokens of the max
+    per-token cosine, accumulated on the BIGINT e4 grid (summing
+    rounded doubles would be partition-order-dependent). Top-3 doc
+    groups per query group; the query side broadcasts by the
+    brute-force gate contract, the corpus streams once."""
+    from deepref_spark.operators.similarity import maxsim_topk
+
+    return maxsim_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@q("kg_rule_pca", _trip_cte() + ", " + _rules_ctes() + """,
+hsubj AS (SELECT DISTINCT subj AS x, pred AS p3 FROM trip),
+pca AS (
+  SELECT b.p1, b.p2, h.p3, CAST(count(*) AS BIGINT) AS pca_body
+  FROM body b JOIN hsubj h USING (x)
+  GROUP BY 1, 2, 3
+)
+SELECT m.p1, m.p2, m.p3, m.support, bo.body_supp, pc.pca_body,
+       round(CAST(m.support AS DOUBLE) / bo.body_supp, 6) AS confidence,
+       round(CAST(m.support AS DOUBLE) / pc.pca_body, 6) AS pca_confidence
+FROM matched m
+JOIN bodies bo USING (p1, p2)
+JOIN pca pc USING (p1, p2, p3)
+WHERE m.support >= 2
+""")
+def kg_rule_pca(spark, sf_dir):
+    """AMIE PCA confidence (kgquality.rules_pca_confidence): the
+    Partial Completeness Assumption denominator — body instantiations
+    whose x has SOME p3 fact — next to std confidence, the ranking
+    AMIE actually ships on incomplete KGs. The oracle embeds the
+    identical body/bodies/matched CTEs kg_rule_mining and
+    kg_maintenance_report share, extending the fragment's coverage
+    with the PCA join."""
+    from deepref_spark.operators.kgquality import rules_pca_confidence
+
+    return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2)
+
+
+@q("kg_canon_audit", _trip_cte() + f"""
+, ents2 AS (
+  SELECT entity FROM canon
+  UNION SELECT unnest({_ALIAS_PLANT!r}) AS entity
+),
+canon2 AS (
+  SELECT entity,
+         min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM ents2
+),
+grps AS (
+  SELECT canonical, entity FROM canon2
+  QUALIFY count(*) OVER (PARTITION BY canonical) >= 2
+),
+pairs AS (
+  SELECT a.canonical, levenshtein(a.entity, b.entity) AS dist
+  FROM grps a JOIN grps b
+    ON a.canonical = b.canonical AND a.entity < b.entity
+)
+SELECT canonical,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       CAST(max(dist) AS BIGINT) AS max_dist
+FROM pairs GROUP BY 1
+""")
+def kg_canon_audit(spark, sf_dir):
+    """Canonicalization PRECISION audit: for every canonical entity
+    that collapsed >= 2 surface forms, the min/max pairwise
+    levenshtein among its aliases — a large max_dist flags a group the
+    normalized-key collapse may have over-merged (the ER precision
+    companion to kg_alias_dict's recall-side listing). Pairwise work
+    is bounded by alias fan-in per group, never the corpus; the
+    planted three-spelling group guarantees a non-trivial multi-pair
+    row at every SF."""
+    m = portable_mentions(spark, sf_dir)
+    preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    planted = spark.createDataFrame(
+        [(s,) for s in _ALIAS_PLANT], schema="entity string")
+    ents = (preds.select(F.col("h_name").alias("entity"))
+            .union(preds.select(F.col("t_name").alias("entity")))
+            .union(planted)
+            .distinct())
+    w = Window.partitionBy(F.regexp_replace("entity", "[^a-z0-9]", ""))
+    grps = (
+        ents.select("entity", F.min("entity").over(w).alias("canonical"),
+                    F.count(F.lit(1)).over(w).alias("n_grp"))
+        .where(F.col("n_grp") >= 2)
+        .select("canonical", "entity")
+        .localCheckpoint(eager=False)  # both self-join sides
+    )
+    pairs = (
+        grps.alias("a")
+        .join(grps.alias("b"),
+              (F.col("a.canonical") == F.col("b.canonical"))
+              & (F.col("a.entity") < F.col("b.entity")))
+        .select(F.col("a.canonical").alias("canonical"),
+                F.levenshtein("a.entity", "b.entity").alias("dist"))
+    )
+    return pairs.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+    )
+
+
+@q("lake_retention_plan", """
+WITH inv AS (
+  SELECT event_type AS partition_key,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS file_id,
+         CAST(count(*) * 64 AS BIGINT) AS n_bytes
+  FROM events GROUP BY 1, 2
+),
+cur AS (
+  SELECT *, lead(file_id) OVER
+           (PARTITION BY partition_key ORDER BY file_id) AS next_day
+  FROM inv
+),
+co AS (
+  SELECT strftime(CAST(max(file_id) AS DATE) - INTERVAL 7 DAY,
+                  '%Y-%m-%d') AS cutoff
+  FROM inv
+),
+flagged AS (
+  SELECT cur.*, co.cutoff,
+         CASE WHEN next_day IS NOT NULL AND next_day <= cutoff
+              THEN 1 ELSE 0 END AS expired
+  FROM cur, co
+)
+SELECT partition_key, cutoff, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(expired) AS BIGINT) AS n_expired,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN expired = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_reclaimed,
+       min(CASE WHEN expired = 1 THEN file_id END) AS first_expired,
+       max(CASE WHEN expired = 1 THEN file_id END) AS last_expired
+FROM flagged GROUP BY 1, 2
+""")
+def lake_retention_plan(spark, sf_dir):
+    """Snapshot-expiry vacuum plan (lakeops.retention_plan) over the
+    deterministic manifest stand-in: each day's file supersedes its
+    partition's previous one, snapshots older than max_day - 7 expire,
+    and a file is reclaimable iff its live interval ends at-or-before
+    the cutoff — the Iceberg expire_snapshots REACHABILITY rule (head
+    files stay whatever their age), not an mtime heuristic. One lead()
+    window per partition, a 1-row broadcast cutoff, one rollup."""
+    from deepref_spark.operators.lakeops import (
+        file_inventory, retention_plan,
+    )
+
+    return retention_plan(
+        file_inventory(load_table(spark, sf_dir, "events")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9903,6 +10086,22 @@ _WINDOW_TAIL = [
     # in-window
     "events_gap_fill", "emb_rrf_hybrid", "kg_validity_lookup",
     "events_cohort_matrix",
+    # (parked r5bq, making room for emb_maxsim_topk + kg_rule_pca +
+    # kg_canon_audit + lake_retention_plan): emb_knn_graph parks —
+    # in-window emb_knn_communities' oracle embeds the FULL mutual-3NN
+    # edge derivation (t/edges CTEs) every sweep; lake_quantile_hist
+    # parks — the histogram + inverted-CDF exact-quantile discipline
+    # is now hash-verified TWICE per sweep inside in-window
+    # events_anomaly_mad's two median passes, and the lake read keeps
+    # its pytest goldens; events_rolling_24h parks — in-window
+    # events_alert_episodes derives the IDENTICAL gap-filled hourly
+    # spine and the RANGE-frame rolling sum keeps its pytest pins;
+    # kg_harmonic_centrality parks — its landmark-BFS frontier is the
+    # kg_anf_hyperball/kg_bfs_dist discipline (both parked with exact
+    # goldens) and the graph lane keeps graph_report/scc_condensation/
+    # taxonomy_lca in-window
+    "emb_knn_graph", "lake_quantile_hist", "events_rolling_24h",
+    "kg_harmonic_centrality",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

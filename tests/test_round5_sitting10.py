@@ -163,3 +163,71 @@ def test_fellegi_sunter_exact(spark):
     assert r1["decision"] == "possible"
     assert ratio(0, 0, 0) < 1.0
     assert r3["decision"] == "non_match"
+
+
+def test_maxsim_topk_exact(spark):
+    # groups of 2 (width=2), query_mod=2 so g0 and g2 are queries;
+    # vectors chosen so maxes are hand-checkable on the e4 grid
+    from deepref_spark.operators.similarity import maxsim_topk
+
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),      # g0 (query)
+        (2, [1.0, 0.0]), (3, [0.6, 0.8]),      # g1
+        (4, [0.0, 1.0]), (5, [-1.0, 0.0]),     # g2 (query, also corpus)
+    ], schema="vec_id long, embedding array<double>")
+    out = {(r["query_group"], r["doc_group"]): r
+           for r in maxsim_topk(emb, group_width=2, k=2,
+                                query_mod=2).collect()}
+    # q g0 vs d g1: tok0 [1,0]: max(cos([1,0],[1,0])=1, cos([1,0],[.6,.8])=.6) = 1
+    #              tok1 [0,1]: max(0, .8) = .8 -> 10000 + 8000
+    assert out[(0, 1)]["maxsim_e4"] == 18000
+    # q g0 vs d g2: tok0: max(0, -1) = 0; tok1: max(1, 0) = 10000
+    assert out[(0, 2)]["maxsim_e4"] == 10000
+    # q g2 vs d g1: tok [0,1]: max(0, .8)=.8; tok [-1,0]: max(-1,-.6)=-.6
+    assert out[(2, 1)]["maxsim_e4"] == 8000 - 6000
+    # ranks: per query ordered by maxsim desc
+    assert out[(0, 1)]["rank"] == 1 and out[(0, 2)]["rank"] == 2
+
+
+def test_rules_pca_confidence_exact(spark):
+    from deepref_spark.operators.kgquality import rules_pca_confidence
+
+    # body a->b->c (p,q); head r(a,c) holds; x2 has a body instance
+    # a2->b2->c2 with NO r(a2, *) fact -> excluded from PCA denominator
+    trip = spark.createDataFrame([
+        ("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"),
+        ("a2", "p", "b2"), ("b2", "q", "c2"),
+        ("a3", "p", "b3"), ("b3", "q", "c3"), ("a3", "r", "zzz"),
+    ], schema="subj_canon string, pred string, obj_canon string")
+    rows = {(r["p1"], r["p2"], r["p3"]): r
+            for r in rules_pca_confidence(trip, min_support=1).collect()}
+    r = rows[("p", "q", "r")]
+    # support: only (a, c) satisfies body+head -> 1
+    # body_supp: (a,c), (a2,c2), (a3,c3) -> 3
+    # pca_body: x in {a, a3} have some r-fact -> (a,c), (a3,c3) -> 2
+    assert (r["support"], r["body_supp"], r["pca_body"]) == (1, 3, 2)
+    assert abs(r["confidence"] - 1 / 3) < 1e-6
+    assert abs(r["pca_confidence"] - 0.5) < 1e-6
+
+
+def test_retention_plan_exact(spark):
+    from deepref_spark.operators.lakeops import retention_plan
+
+    inv = spark.createDataFrame([
+        # partition A: files on day 1, 2, 20 (head) -> max_day=2024-01-20,
+        # cutoff=2024-01-13; day1 superseded on day2 (<= cutoff: expired),
+        # day2 superseded on day20 (> cutoff: retained), day20 head
+        ("A", "2024-01-01", 100), ("A", "2024-01-02", 200),
+        ("A", "2024-01-20", 400),
+        # partition B: single head file, never expired
+        ("B", "2024-01-05", 50),
+    ], schema="partition_key string, file_id string, n_bytes long")
+    out = {r["partition_key"]: r
+           for r in retention_plan(inv, retain_days=7).collect()}
+    a, b = out["A"], out["B"]
+    assert a["cutoff"] == "2024-01-13"
+    assert (a["n_files"], a["n_expired"]) == (3, 1)
+    assert (a["total_bytes"], a["bytes_reclaimed"]) == (700, 100)
+    assert (a["first_expired"], a["last_expired"]) == ("2024-01-01",
+                                                       "2024-01-01")
+    assert (b["n_files"], b["n_expired"], b["bytes_reclaimed"]) == (1, 0, 0)
