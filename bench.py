@@ -217,6 +217,22 @@ HEADLINE = [
     "lake_merge_upsert",
     "kg_taxonomy_lca",
     "dedup_containment",
+    # tenth-sitting additions: robust anomaly, provenance, RAKE,
+    # prefix-filter join, session paths, Fellegi-Sunter + composed ER,
+    # uncertainty sampling, MaxSim, PCA confidence, canon audit,
+    # retention plan
+    "events_anomaly_mad",
+    "kg_provenance",
+    "text_rake_keywords",
+    "dedup_prefix_join",
+    "events_path_topk",
+    "kg_fellegi_sunter",
+    "kg_uncertainty_topk",
+    "emb_maxsim_topk",
+    "kg_rule_pca",
+    "kg_canon_audit",
+    "lake_retention_plan",
+    "kg_er_pipeline",
 ]
 
 

@@ -9223,7 +9223,11 @@ def events_path_topk(spark, sf_dir):
     return session_paths(load_table(spark, sf_dir, "events"))
 
 
-def _fs_oracle() -> str:
+def _fs_ctes() -> str:
+    """ents0/flds/st/u/blocked/scored CTEs — the Fellegi-Sunter
+    derivation up to the unrounded likelihood ratio, shared by
+    kg_fellegi_sunter and the composed kg_er_pipeline (the _rules_ctes
+    fragment-reuse discipline)."""
     nrm = "regexp_replace(entity, '[^a-z0-9]', '', 'g')"
     return _trip_cte() + f"""
 , ents0 AS (
@@ -9268,7 +9272,11 @@ scored AS (
           * (CASE WHEN agree3 = 1 THEN 0.8 / u3
                   ELSE (1.0 - 0.8) / (1.0 - u3) END) AS ratio
   FROM blocked, u
-)
+)"""
+
+
+def _fs_oracle() -> str:
+    return _fs_ctes() + """
 SELECT a, b, agree1, agree2, agree3, round(ratio, 6) AS lr,
        CASE WHEN ratio >= 100.0 THEN 'match'
             WHEN ratio >= 1.0 THEN 'possible'
@@ -9547,6 +9555,67 @@ def lake_retention_plan(spark, sf_dir):
 
     return retention_plan(
         file_inventory(load_table(spark, sf_dir, "events")))
+
+
+def _er_pipeline_oracle() -> str:
+    return _fs_ctes() + """,
+medges0 AS (SELECT a, b FROM scored WHERE ratio >= 100.0),
+medges AS (SELECT a, b FROM medges0 UNION SELECT b, a FROM medges0),
+cc AS (
+  WITH RECURSIVE walk(entity, component) AS (
+    SELECT entity, entity FROM flds
+    UNION
+    SELECT e.a, w.component
+    FROM medges e JOIN walk w ON e.b = w.entity
+    WHERE w.component < e.a
+  )
+  SELECT entity, min(component) AS component FROM walk GROUP BY entity
+)
+SELECT entity, component AS canonical,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM cc
+"""
+
+
+@q("kg_er_pipeline", _er_pipeline_oracle)
+def kg_er_pipeline(spark, sf_dir):
+    """The composed entity-resolution pipeline — blocking ->
+    Fellegi-Sunter scoring -> match-band edges -> connected
+    components -> canonical ids — verified END-TO-END as one oracle
+    query (the text_curate_pipeline / emb_knn_communities composition
+    discipline applied to ER: what a 100 TB run executes is the
+    stage COMPOSITION, and its fusion is itself under the hash gate).
+    The oracle embeds the full _fs_ctes derivation plus the recursive
+    min-label walk; the planted alias group guarantees a non-singleton
+    component at every SF. Every entity appears: non-matched surfaces
+    stay their own canonical (the left-join coalesce)."""
+    from deepref_spark.operators.linking import (
+        connected_components, fellegi_sunter,
+    )
+
+    m = portable_mentions(spark, sf_dir)
+    preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    planted = spark.createDataFrame(
+        [(s,) for s in _ALIAS_PLANT], schema="entity string")
+    ents = (preds.select(F.col("h_name").alias("entity"))
+            .union(preds.select(F.col("t_name").alias("entity")))
+            .union(planted)
+            .distinct()
+            .localCheckpoint(eager=False))  # FS + final left join
+    medges = (fellegi_sunter(ents)
+              .where(F.col("decision") == "match")
+              .select("a", "b"))
+    comps = connected_components(medges)
+    joined = (
+        ents.join(comps, "entity", "left")
+        .select("entity",
+                F.coalesce("component", "entity").alias("canonical"))
+    )
+    return joined.select(
+        "entity", "canonical",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical"))
+        .cast("long").alias("n_members"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10102,6 +10171,12 @@ _WINDOW_TAIL = [
     # taxonomy_lca in-window
     "emb_knn_graph", "lake_quantile_hist", "events_rolling_24h",
     "kg_harmonic_centrality",
+    # (parked r5br, making room for kg_er_pipeline): kg_alias_dict
+    # parks — its ents2/canon2 collapse derivation (same plant, same
+    # regexp window) is embedded verbatim in in-window kg_canon_audit,
+    # and the surface->canonical mapping is re-derived end-to-end by
+    # in-window kg_er_pipeline; the alias rollup keeps its pytest pins
+    "kg_alias_dict",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -231,3 +231,20 @@ def test_retention_plan_exact(spark):
     assert (a["first_expired"], a["last_expired"]) == ("2024-01-01",
                                                        "2024-01-01")
     assert (b["n_files"], b["n_expired"], b["bytes_reclaimed"]) == (1, 0, 0)
+
+
+def test_er_pipeline_plant_collapses(spark):
+    # the composed blocking -> FS -> match edges -> CC pipeline must
+    # fold the planted three-spelling alias group into ONE canonical
+    # with n_members >= 3, and map untouched surfaces to themselves
+    from deepref_spark.queries import _ALIAS_PLANT, kg_er_pipeline
+
+    rows = {r["entity"]: r
+            for r in kg_er_pipeline(
+                spark, "/root/testdata/sf0.001").collect()}
+    canons = {rows[s]["canonical"] for s in _ALIAS_PLANT}
+    assert canons == {min(_ALIAS_PLANT)}
+    assert rows[min(_ALIAS_PLANT)]["n_members"] >= 3
+    # a surface with no match edge stays its own canonical
+    singles = [r for r in rows.values() if r["n_members"] == 1]
+    assert singles and all(r["entity"] == r["canonical"] for r in singles)
