@@ -1812,3 +1812,123 @@ def taxonomy_lca(parent_edges: DataFrame, pairs: DataFrame) -> DataFrame:
             .cast("long").alias("wup_ppm"),
         )
     )
+
+
+def modularity_profile(edges: DataFrame, labels: DataFrame,
+                       und: DataFrame | None = None) -> DataFrame:
+    """Newman modularity per community plus the global Q row — the
+    second acceptance gate (next to community_quality's conductance)
+    a KG curator runs on a label_prop assignment before merging
+    duplicate-entity neighborhoods: Q_c = e_c/m - (vol_c/2m)^2, the
+    fraction of edges inside c minus the fraction expected under the
+    degree-preserving null model (Newman 2004, eq. 5).
+
+    Exact ppm grid shared with the SQL oracle: over the symmetric
+    closure (tv rows = 2m edge-ends),
+      observed_ppm = internal_c * 1e6 div tv        (= e_c/m on ppm)
+      vpm          = vol_c      * 1e6 div tv        (= vol_c/2m on ppm)
+      expected_ppm = vpm * vpm div 1e6              (vpm <= 1e6 so the
+                                                     product fits BIGINT)
+      modularity_ppm = observed_ppm - expected_ppm  (can be negative)
+    BIGINT headroom: internal*1e6 overflows past ~9.2e12 edge rows —
+    same documented bound as community_quality's cut*1e6; shift the
+    two multiplies to DECIMAL(38,0) beyond that (degree_assortativity's
+    discipline).
+
+    Scale shape: identical to community_quality — two entity-sized
+    label-tag joins on the und rows, map-side-combinable grouped sums,
+    one broadcast total-volume row; the global row is a second tiny
+    agg over the per-community table (community count, not corpus,
+    sized).
+    """
+    if und is None:
+        und = sym_closure(edges)
+    lab_s = labels.select(F.col("entity").alias("src"),
+                          F.col("community").alias("c_src"))
+    lab_d = labels.select(F.col("entity").alias("dst"),
+                          F.col("community").alias("c_dst"))
+    tagged = und.join(lab_s, "src").join(lab_d, "dst")
+    per_c = tagged.groupBy(F.col("c_src").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum((F.col("c_src") == F.col("c_dst")).cast("long"))
+        .cast("long").alias("internal"),
+    )
+    n_nodes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    total = und.agg(F.count(F.lit(1)).cast("long").alias("_tv"))
+    rows = (
+        per_c.join(n_nodes, "community")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community", "n_nodes",
+            F.expr("internal div 2").cast("long").alias("internal_edges"),
+            "vol",
+            F.expr(
+                "internal * 1000000 div _tv"
+                " - (vol * 1000000 div _tv) * (vol * 1000000 div _tv)"
+                "   div 1000000"
+            ).cast("long").alias("modularity_ppm"),
+        )
+        .localCheckpoint(eager=False)  # feeds output AND the total row
+    )
+    q_total = rows.agg(
+        F.lit("__total__").alias("community"),
+        F.sum("n_nodes").cast("long").alias("n_nodes"),
+        F.sum("internal_edges").cast("long").alias("internal_edges"),
+        F.sum("vol").cast("long").alias("vol"),
+        F.sum("modularity_ppm").cast("long").alias("modularity_ppm"),
+    )
+    return rows.unionAll(q_total)
+
+
+def weighted_sssp(edges: DataFrame, n_seeds: int = 2,
+                  rounds: int = 3) -> DataFrame:
+    """Bounded-round Bellman-Ford: exact shortest WEIGHTED directed
+    distance from a deterministic seed set to every entity reachable
+    within ``rounds`` edges — the cost-bounded neighborhood primitive
+    (bfs_distances is the unweighted twin) a KG serves for "cheapest
+    derivation path" reads when edges carry non-uniform costs.
+
+    Determinism without data weights: each directed edge gets
+    wt = 1 + md5(src|dst) % 9 in [1,9] (the portable hash grid, same
+    expression in the SQL oracle), seeds are the ``n_seeds``
+    (md5(entity), entity)-smallest nodes — bfs_distances' seed rule.
+
+    Per round: relax = dist ⋈ edges on src (one equi-join), then
+    min-combine with the current table (map-side-combinable grouped
+    min) — the textbook BF round as two shuffles; each round's dist
+    table is eagerly localCheckpoint'ed (the linking.py iteration
+    discipline). ``rounds`` is a literal bound, so the plan depth is
+    fixed and no convergence probe runs; k rounds = exact min over
+    paths of <= k edges, which is the oracle's unrolled formula.
+    """
+    ew = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "wt",
+            F.expr("1 + " + portable.md5_mod(
+                "concat(src, '|', dst)", 9)).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        ew.select(F.col("src").alias("entity"))
+        .union(ew.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.md5(F.col("entity")), F.col("entity")).limit(n_seeds)
+    dist = seeds.select(
+        "entity", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    for _ in range(rounds):
+        relax = (
+            dist.join(ew, dist["entity"] == ew["src"])
+            .select(F.col("dst").alias("entity"),
+                    (F.col("dist") + F.col("wt")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("entity").agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -437,3 +437,54 @@ def fellegi_sunter(entities: DataFrame, name_col: str = "entity",
             .otherwise("non_match").alias("decision"),
         )
     )
+
+
+def sorted_neighborhood_pairs(entities: DataFrame,
+                              window: int = 3) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER blocking (Hernandez & Stolfo
+    1995): sort the entity names on a blocking key, slide a window of
+    ``window`` rows, and emit every pair that co-occurs in some window
+    — the classic low-recall-risk complement to LSH blocking
+    (minhash_lsh_pairs) for short strings, where shingle sets are too
+    small to band reliably. Two passes with different keys (the
+    standard multi-pass remedy for sort-boundary misses): the name
+    itself, then the reversed name (suffix-sorted), so both
+    prefix-typos and suffix-typos land adjacent in at least one pass.
+
+    Scale shape: the global rank per pass comes from the two-phase
+    ranked cumsum (metrics.global_ranked_cumsum — range repartition +
+    per-partition window + broadcast offsets), NEVER a single-partition
+    row_number window; the windowed pairing is an EQUI-join on
+    rank+delta (delta exploded 1..window, so w small join copies, no
+    range join, no window function over the pair space). Output is one
+    row per unordered candidate pair with the number of passes that
+    proposed it (2-pass agreement is a cheap match prior).
+    """
+    from deepref_spark.operators.metrics import global_ranked_cumsum
+
+    ent = entities.select("entity").distinct()
+    passes = []
+    for pass_id, key_expr in ((1, "entity"), (2, "reverse(entity)")):
+        ranked = global_ranked_cumsum(
+            ent.select("entity", F.expr(key_expr).alias("k"),
+                       F.lit(1).alias("one")),
+            ["k", "entity"], "one",
+        ).select("entity", "rk").localCheckpoint(eager=False)
+        left = ranked.withColumn(
+            "d", F.explode(F.expr(f"sequence(1, {int(window)})"))
+        ).select(F.col("entity").alias("e_lo"),
+                 (F.col("rk") + F.col("d")).alias("rk"))
+        pair = (
+            left.join(ranked, "rk")
+            .select(
+                F.least("e_lo", "entity").alias("e1"),
+                F.greatest("e_lo", "entity").alias("e2"),
+                F.lit(pass_id).alias("pass_id"),
+            )
+        )
+        passes.append(pair)
+    return (
+        passes[0].unionAll(passes[1])
+        .groupBy("e1", "e2")
+        .agg(F.count_distinct("pass_id").cast("long").alias("n_passes"))
+    )

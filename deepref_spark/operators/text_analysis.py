@@ -1727,3 +1727,64 @@ def rake_keywords(documents: DataFrame, k: int = 20,
             F.col("n_occ").alias("n_occurrences"), "score_ppm")
         .where(F.col("rank") <= k)
     )
+
+
+def novelty_stats(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Cross-document k-gram novelty: for every document, the fraction
+    of its DISTINCT k-token shingles that appear in no other document
+    — the memorization/duplication diagnostic between exact dedup
+    (identical docs) and contamination_screen (overlap vs a benchmark
+    set): a corpus whose novelty collapses is recycling boilerplate
+    even when no two documents are near-duplicates.
+
+    Pipeline: tokens STAGED behind a checkpoint barrier (the
+    fingerprint/contamination staging discipline — the shingle lambda
+    must never re-run the tokenizer), per-doc DISTINCT shingle md5
+    keys (portable grid, same formula in the oracle), then ONE grouped
+    count per gram key — since the per-doc distinct ran first,
+    n_docs(gram) >= 2 IS "shared with another doc"; a semi-join-shaped
+    equi-join carries the flag back and a per-doc sum finishes.
+    Map-side combinable everywhere; no self-join, no pair explosion —
+    gram cardinality, not gram-pair cardinality, bounds the shuffle.
+    Short docs (< k tokens) contribute ONE shingle over their whole
+    token list (fingerprint's greatest(1, ...) bound — NOT
+    greatest(0, ...): Spark's sequence(1, 0) descends), so every doc
+    surfaces in the output.
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)
+    gram = portable.md5_mod(f"array_join(slice(t, i, {k}), ' ')", 1_000_003)
+    doc_grams = (
+        staged.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest(1, size(t) - {k - 1})), "
+                f"i -> {gram})"
+            )).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the gram count AND the carry-back
+    )
+    gram_docs = doc_grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"))
+    per_doc = (
+        doc_grams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_shared"),
+        )
+    )
+    return (
+        staged.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr(
+                "coalesce((n_grams - n_shared) * 1000000"
+                " div greatest(1L, n_grams), 1000000)"
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )

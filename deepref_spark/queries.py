@@ -9618,6 +9618,162 @@ def kg_er_pipeline(spark, sf_dir):
     )
 
 
+# --- Round-5 sitting-11 batch: modularity gate, weighted SSSP, SN blocking,
+# --- cross-doc novelty ------------------------------------------------------
+
+_MOD_SQL = """
+, mtag AS MATERIALIZED (
+  SELECT ls.lbl AS community, ld.lbl AS c_dst
+  FROM und u JOIN lp2 ls ON u.src = ls.v JOIN lp2 ld ON u.dst = ld.v
+),
+mperc AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS vol,
+         CAST(sum(CASE WHEN community = c_dst THEN 1 ELSE 0 END) AS BIGINT) AS internal
+  FROM mtag GROUP BY community
+),
+mnn AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM lp2 GROUP BY lbl),
+mtv AS (SELECT CAST(count(*) AS BIGINT) AS tv FROM und),
+mrows AS (
+  SELECT p.community, n.n_nodes,
+         CAST(p.internal // 2 AS BIGINT) AS internal_edges, p.vol,
+         CAST(p.internal * 1000000 // mtv.tv
+              - (p.vol * 1000000 // mtv.tv) * (p.vol * 1000000 // mtv.tv)
+                // 1000000 AS BIGINT) AS modularity_ppm
+  FROM mperc p JOIN mnn n ON p.community = n.community CROSS JOIN mtv
+)
+SELECT community, n_nodes, internal_edges, vol, modularity_ppm FROM mrows
+UNION ALL
+SELECT '__total__', CAST(sum(n_nodes) AS BIGINT),
+       CAST(sum(internal_edges) AS BIGINT), CAST(sum(vol) AS BIGINT),
+       CAST(sum(modularity_ppm) AS BIGINT)
+FROM mrows
+"""
+
+
+@q("kg_modularity",
+   _oracle_prefix() + _graph_edges_cte() + _label_prop_sql(2) + _MOD_SQL)
+def kg_modularity(spark, sf_dir):
+    """Newman modularity per label-prop community plus the global Q
+    row (graph.modularity_profile) — the second acceptance gate next
+    to kg_conductance: conductance says how leaky each community is,
+    modularity says whether the whole assignment beats the
+    degree-preserving null model. Exact ppm grid (observed minus
+    vpm^2/1e6 expected), every division floored on BIGINTs in both
+    engines; the __total__ row is the headline Q a curator reads."""
+    from deepref_spark.operators.graph import (
+        label_prop, modularity_profile, sym_closure,
+    )
+
+    edges = _canonical_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = sym_closure(edges)  # ONE closure shuffle feeds LPA and the profile
+    return modularity_profile(
+        edges, label_prop(edges, iters=2, und=und), und=und)
+
+
+def _sssp_sql(n_seeds: int, rounds: int) -> str:
+    wt = "1 + " + md5_mod("concat(src, '|', dst)", 9)
+    ctes = [f"""sw AS MATERIALIZED (SELECT src, dst, {wt} AS wt FROM edges),
+snodes AS (SELECT src AS v FROM sw UNION SELECT dst FROM sw),
+sseeds AS (SELECT v FROM snodes ORDER BY md5(v), v LIMIT {n_seeds}),
+sd0 AS MATERIALIZED (SELECT v AS entity, CAST(0 AS BIGINT) AS dist FROM sseeds)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""sd{r} AS MATERIALIZED (
+  SELECT entity, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT entity, dist FROM sd{r - 1}
+    UNION ALL
+    SELECT w.dst AS entity, d.dist + w.wt AS dist
+    FROM sd{r - 1} d JOIN sw w ON w.src = d.entity
+  ) u GROUP BY entity
+)""")
+    return (",\n".join(ctes)
+            + f"\nSELECT entity, dist FROM sd{rounds}")
+
+
+@q("kg_sssp",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _sssp_sql(2, 3))
+def kg_sssp(spark, sf_dir):
+    """Bounded-round Bellman-Ford (graph.weighted_sssp): exact
+    cheapest WEIGHTED directed distance from 2 deterministic seeds to
+    everything reachable within 3 edges, edge cost = 1 + md5 % 9 (the
+    portable grid — same expression in the oracle's unrolled rounds).
+    The cost-bounded twin of kg_bfs_dist for non-uniform edge
+    costs."""
+    from deepref_spark.operators.graph import weighted_sssp
+
+    return weighted_sssp(_canonical_edges(spark, sf_dir), n_seeds=2, rounds=3)
+
+
+@q("kg_sorted_neighborhood", _oracle_prefix() + _graph_edges_cte() + """
+, sne AS (SELECT src AS entity FROM edges UNION SELECT dst FROM edges),
+sp1 AS (SELECT entity, row_number() OVER (ORDER BY entity) AS rk FROM sne),
+sp2 AS (SELECT entity,
+               row_number() OVER (ORDER BY reverse(entity), entity) AS rk
+        FROM sne),
+snpairs AS (
+  SELECT least(a.entity, b.entity) AS e1,
+         greatest(a.entity, b.entity) AS e2, 1 AS pass_id
+  FROM sp1 a JOIN sp1 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+  UNION ALL
+  SELECT least(a.entity, b.entity), greatest(a.entity, b.entity), 2
+  FROM sp2 a JOIN sp2 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+)
+SELECT e1, e2, CAST(count(DISTINCT pass_id) AS BIGINT) AS n_passes
+FROM snpairs GROUP BY e1, e2
+""")
+def kg_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood ER blocking
+    (linking.sorted_neighborhood_pairs, window 3, passes = name +
+    reversed name) over the canonical entity set — the classic
+    complement to LSH blocking for short strings. The Spark side's
+    global rank is the two-phase ranked cumsum (NO single-partition
+    window); the oracle uses the plain row_number DuckDB is free to
+    run, which is exactly the cross-engine point."""
+    from deepref_spark.operators.linking import sorted_neighborhood_pairs
+
+    edges = _canonical_edges(spark, sf_dir)
+    ents = (edges.select(F.col("src").alias("entity"))
+            .union(edges.select(F.col("dst").alias("entity")))
+            .distinct())
+    return sorted_neighborhood_pairs(ents, window=3)
+
+
+@q("text_novelty", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+ndg AS (
+  SELECT DISTINCT doc_id, {md5_mod('s', 1000003)} AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(1, len(t) - 4)),
+                  i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+    FROM toks
+  ) raw
+),
+ngd AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM ndg GROUP BY g),
+npd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM ndg JOIN ngd USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce((n_grams - n_shared) * 1000000
+                     // greatest(1, n_grams), 1000000) AS BIGINT) AS novelty_ppm
+FROM toks t LEFT JOIN npd ON t.doc_id = npd.doc_id
+""")
+def text_novelty(spark, sf_dir):
+    """Cross-document 5-gram novelty per document
+    (text_analysis.novelty_stats) — the memorization/boilerplate
+    diagnostic between exact dedup and the benchmark contamination
+    screen: distinct-shingle sharing via ONE grouped gram count (per-
+    doc distinct first, so n_docs >= 2 IS sharing), no pair
+    explosion. Tokens staged behind the checkpoint barrier."""
+    from deepref_spark.operators.text_analysis import novelty_stats
+
+    return novelty_stats(documents(spark, sf_dir), k=5)
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9635,6 +9791,17 @@ def kg_er_pipeline(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5i, making room for kg_modularity + kg_sssp +
+    # kg_sorted_neighborhood + text_novelty): round-5 queries with no
+    # driver rounds yet — parked on redundancy grounds, not tenure:
+    # emb_ivf_quality's IVF lane is re-verified in-window by
+    # emb_hybrid_recall; kg_churn_buckets' op-log lane keeps
+    # kg_snapshot_diff; the events lane keeps ab_lift/alert_episodes/
+    # rfm/anomaly_mad/path_topk; the lake lane keeps constraint_check/
+    # zorder/merge_upsert/retention_plan. All four stay in the local
+    # full-registry sweep + pytest goldens.
+    "emb_ivf_quality", "events_stickiness", "kg_churn_buckets",
+    "lake_skew_report",
     # longest-stable oracle queries parked past the 50-slot window
     # (parked r4): trivially small outputs, green since round 1
     "kg_rel2id", "kg_upos2id", "kg_sentence_length_hist",
