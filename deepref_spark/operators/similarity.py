@@ -1177,3 +1177,79 @@ def maxsim_topk(embeddings: DataFrame, group_width: int = 4,
         .select(F.col("qg").alias("query_group"),
                 F.col("dg").alias("doc_group"), "maxsim_e4", "rank")
     )
+
+
+def matryoshka_eval(embeddings: DataFrame, queries: DataFrame,
+                    k: int = 5, dims: tuple = (64, 32, 16)) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022): how
+    much exact top-k retrieval survives when vectors are cut to their
+    leading dims[1:], scored against the full-width (dims[0]) top-k —
+    THE sizing read before shipping truncated embeddings to a 100 TB
+    ANN index (half the dims = half the index bytes and double the
+    scan rate, IF recall holds; MRL-trained encoders hold, PCA-less
+    raw ones often don't).
+
+    One corpus pass: a single broadcast-query crossing computes the
+    cosine at EVERY width from the same row (prefix dots via
+    zip_with over slice — no second scan per width), the per-width
+    rankings are per-query windows over that one staged table, and
+    recall@k is an equi-join of each truncated ranking against the
+    full-width one. Cosines round to 4dp before ranking (the
+    emb-lane discipline: float32 parquet -> double is exact, 4dp
+    makes rank ties engine-portable; ties break by nbr_id).
+    Output: (query_id, dim, n_hit, recall_ppm) per truncated width,
+    with the full width riding along as the 1e6 anchor row.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"))
+    q = F.broadcast(queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
+    cos_cols = []
+    for d in dims:
+        dot = (
+            f"aggregate(zip_with(slice(q_emb, 1, {d}), slice(nbr_emb, 1, {d}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nq = (
+            f"sqrt(aggregate(slice(q_emb, 1, {d}), CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        nn = (
+            f"sqrt(aggregate(slice(nbr_emb, 1, {d}), CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        cos_cols.append(
+            F.expr(f"round({dot} / ({nq} * {nn}), 4)").alias(f"cos_{d}"))
+    scored = (
+        corpus.crossJoin(q)
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", *cos_cols)
+        .localCheckpoint(eager=False)  # ONE crossing feeds every width
+    )
+
+    def _topk(d: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(f"cos_{d}"), F.asc("nbr_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id")
+        )
+
+    full = _topk(dims[0]).localCheckpoint(eager=False)
+    out = None
+    for d in dims:
+        hits = (
+            (_topk(d) if d != dims[0] else full)
+            .join(full, ["query_id", "nbr_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .select(
+                "query_id", F.lit(d).cast("long").alias("dim"), "n_hit",
+                F.expr(f"n_hit * 1000000 div {k}").cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out

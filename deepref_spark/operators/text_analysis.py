@@ -1788,3 +1788,44 @@ def novelty_stats(documents: DataFrame, k: int = 5) -> DataFrame:
             ).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def watermark_stats(documents: DataFrame,
+                    min_tokens: int = 50,
+                    flag_ppm: int = 640_000) -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al. 2023,
+    hash-partition form): a generation-time watermark biases sampling
+    toward a pseudorandom "green" half of the vocabulary, so detection
+    is counting how far a document's green-token fraction sits above
+    the 1/2 a clean text produces. The screen a training-data pipeline
+    runs to keep watermarked synthetic text OUT of a pretraining mix
+    (self-training collapse hygiene).
+
+    Stand-in keying: a real deployment keys green membership on
+    hash(prev_token, token) with a secret salt; here the green set is
+    the portable md5 parity of the token itself — the same detector
+    dataflow (tokenize -> membership -> binomial tail) with a key both
+    engines can evaluate. Flag rule on the exact integer grid:
+    n_tokens >= min_tokens AND green_ppm >= flag_ppm (640000 ~ a
+    one-sided z >= 2 at n = 50; tighten per corpus). Pure projection +
+    per-doc sums over the staged token column — one scan, no joins.
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    )
+    green = portable.md5_mod("x", 2)
+    return staged.select(
+        "doc_id",
+        F.expr("size(t)").cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(t, 0L, (acc, x) -> acc + {green})"
+        ).cast("long").alias("n_green"),
+    ).select(
+        "doc_id", "n_tokens", "n_green",
+        F.expr("n_green * 1000000 div greatest(1L, n_tokens)")
+        .cast("long").alias("green_ppm"),
+        F.expr(
+            f"n_tokens >= {int(min_tokens)} AND "
+            f"n_green * 1000000 div greatest(1L, n_tokens) >= {int(flag_ppm)}"
+        ).alias("watermark_flag"),
+    )

@@ -9774,6 +9774,185 @@ def text_novelty(spark, sf_dir):
 
 
 
+_MATRY_ORACLE = """
+WITH mq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE {filt}),
+msc AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_dot_product(list_slice(q.q_emb, 1, 64), list_slice(e.embedding, 1, 64)) / (sqrt(list_dot_product(list_slice(q.q_emb, 1, 64), list_slice(q.q_emb, 1, 64))) * sqrt(list_dot_product(list_slice(e.embedding, 1, 64), list_slice(e.embedding, 1, 64)))), 4) AS cos_64,
+         round(list_dot_product(list_slice(q.q_emb, 1, 32), list_slice(e.embedding, 1, 32)) / (sqrt(list_dot_product(list_slice(q.q_emb, 1, 32), list_slice(q.q_emb, 1, 32))) * sqrt(list_dot_product(list_slice(e.embedding, 1, 32), list_slice(e.embedding, 1, 32)))), 4) AS cos_32,
+         round(list_dot_product(list_slice(q.q_emb, 1, 16), list_slice(e.embedding, 1, 16)) / (sqrt(list_dot_product(list_slice(q.q_emb, 1, 16), list_slice(q.q_emb, 1, 16))) * sqrt(list_dot_product(list_slice(e.embedding, 1, 16), list_slice(e.embedding, 1, 16)))), 4) AS cos_16
+  FROM embeddings e CROSS JOIN mq AS q
+  WHERE e.vec_id <> q.query_id
+),
+t64 AS MATERIALIZED (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_64 DESC, nbr_id) AS rk FROM msc) WHERE rk <= 5),
+t32 AS MATERIALIZED (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_32 DESC, nbr_id) AS rk FROM msc) WHERE rk <= 5),
+t16 AS MATERIALIZED (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos_16 DESC, nbr_id) AS rk FROM msc) WHERE rk <= 5),
+mr AS (
+  SELECT a.query_id, 64 AS dim, CAST(count(*) AS BIGINT) AS n_hit
+  FROM t64 a JOIN t64 f USING (query_id, nbr_id) GROUP BY 1
+  UNION ALL
+  SELECT a.query_id, 32, CAST(count(*) AS BIGINT)
+  FROM t32 a JOIN t64 f USING (query_id, nbr_id) GROUP BY 1
+  UNION ALL
+  SELECT a.query_id, 16, CAST(count(*) AS BIGINT)
+  FROM t16 a JOIN t64 f USING (query_id, nbr_id) GROUP BY 1
+)
+SELECT query_id, CAST(dim AS BIGINT) AS dim, n_hit,
+       CAST(n_hit * 1000000 // 5 AS BIGINT) AS recall_ppm
+FROM mr
+"""
+
+
+@q("emb_matryoshka", lambda: _MATRY_ORACLE.format(filt=_emb_queries_filter()))
+def emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation evaluation (similarity.matryoshka_eval):
+    exact top-5 recall of 32- and 16-dim prefixes against the full
+    64-dim ranking, per query — the sizing read before shipping
+    truncated embeddings to a 100 TB ANN index. ONE broadcast-query
+    corpus crossing computes every width's cosine; rankings are
+    per-query windows over that staged table."""
+    from deepref_spark.operators.similarity import matryoshka_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.expr(_emb_queries_filter()))
+    return matryoshka_eval(emb, qs, k=5, dims=(64, 32, 16))
+
+
+@q("text_watermark", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+wbase AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(t, x -> {md5_mod('x', 2)})), 0)
+           AS BIGINT) AS n_green
+  FROM toks)
+SELECT doc_id, n_tokens, n_green,
+       CAST(n_green * 1000000 // greatest(1, n_tokens) AS BIGINT) AS green_ppm,
+       (n_tokens >= 50
+        AND n_green * 1000000 // greatest(1, n_tokens) >= 640000) AS watermark_flag
+FROM wbase
+""")
+def text_watermark(spark, sf_dir):
+    """Green-list watermark detection screen
+    (text_analysis.watermark_stats): per-doc green-token fraction on
+    the exact ppm grid with an integer flag rule (n >= 50 and
+    green_ppm >= 640000 ~ one-sided z >= 2) — the filter that keeps
+    hash-watermarked synthetic text out of a pretraining mix. Pure
+    single-scan projection; the md5-parity green set is the portable
+    stand-in for the salted production key."""
+    from deepref_spark.operators.text_analysis import watermark_stats
+
+    return watermark_stats(documents(spark, sf_dir))
+
+
+@q("kg_blocking_compare", _entities_cte(DUCK) + f"""
+, sigs AS MATERIALIZED (SELECT entity, split_part(entity, ' ', 1) AS gk,
+                  {_band_sql(DUCK)} FROM entities),
+lshc AS (
+  SELECT a.entity AS a, b.entity AS b, (a.gk = b.gk) AS hit
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+),
+sr1 AS (SELECT entity, gk, row_number() OVER (ORDER BY entity) AS rk FROM sigs),
+sr2 AS (SELECT entity, gk,
+               row_number() OVER (ORDER BY reverse(entity), entity) AS rk
+        FROM sigs),
+snc AS (
+  SELECT least(a.entity, b.entity) AS a, greatest(a.entity, b.entity) AS b,
+         (a.gk = b.gk) AS hit
+  FROM sr1 a JOIN sr1 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+  UNION
+  SELECT least(a.entity, b.entity), greatest(a.entity, b.entity), (a.gk = b.gk)
+  FROM sr2 a JOIN sr2 b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+),
+bgold AS (
+  SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS n_gold
+  FROM (SELECT gk, count(*) AS n FROM sigs GROUP BY gk)
+),
+bm AS (
+  SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+  FROM lshc
+  UNION ALL
+  SELECT 'sorted_neighborhood', CAST(count(*) AS BIGINT),
+         CAST(coalesce(sum(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM snc
+)
+SELECT bm.method, bm.n_cand, g.n_gold, bm.n_hit,
+       round(CAST(bm.n_hit AS DOUBLE) / greatest(bm.n_cand, 1), 6) AS pair_precision,
+       round(CAST(bm.n_hit AS DOUBLE) / greatest(g.n_gold, 1), 6) AS pair_recall
+FROM bm CROSS JOIN bgold g
+""")
+def kg_blocking_compare(spark, sf_dir):
+    """Head-to-head blocking-strategy evaluation: MinHash-LSH (any
+    shared band) vs multi-pass sorted-neighborhood (window 3) on the
+    SAME entity set against the SAME head-token gold — pair
+    precision/recall per method in one report, the decision table for
+    choosing (or unioning) blockers before the expensive verify stage.
+    Gold pairs counted as sum of C(n,2) per key, never enumerated;
+    the SN global rank is the two-phase cumsum on the Spark side and
+    the plain row_number in the oracle."""
+    from deepref_spark.operators.linking import sorted_neighborhood_pairs
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = (
+        ents.selectExpr(
+            "entity",
+            "split_part(entity, ' ', 1) AS gk",
+            *_split_select(_band_sql(SPARK)),
+        ).localCheckpoint(eager=False)  # feeds LSH join, SN gk join, gold
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    lsh = a.join(b, cond).select((F.col("a.gk") == F.col("b.gk")).alias("hit"))
+    gk1 = sigs.select(F.col("entity").alias("e1"), F.col("gk").alias("gk1"))
+    gk2 = sigs.select(F.col("entity").alias("e2"), F.col("gk").alias("gk2"))
+    sn = (
+        sorted_neighborhood_pairs(sigs.select("entity"), window=3)
+        .join(gk1, "e1").join(gk2, "e2")
+        .select((F.col("gk1") == F.col("gk2")).alias("hit"))
+    )
+
+    def _m(df, name):
+        return df.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.coalesce(F.sum(F.when(F.col("hit"), 1).otherwise(0)), F.lit(0))
+            .cast("long").alias("n_hit"),
+        )
+
+    g = (
+        sigs.groupBy("gk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(
+            F.sum(F.expr("(n * (n - 1)) DIV 2")), F.lit(0)).cast("long")
+            .alias("n_gold"))
+    )
+    return (
+        _m(lsh, "lsh").unionAll(_m(sn, "sorted_neighborhood"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "method", "n_cand", "n_gold", "n_hit",
+            F.round(F.col("n_hit").cast("double")
+                    / F.greatest("n_cand", F.lit(1).cast("long")), 6)
+            .alias("pair_precision"),
+            F.round(F.col("n_hit").cast("double")
+                    / F.greatest("n_gold", F.lit(1).cast("long")), 6)
+            .alias("pair_recall"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9791,6 +9970,16 @@ def text_novelty(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5i batch 2, making room for emb_matryoshka +
+    # text_watermark + kg_blocking_compare): redundancy grounds —
+    # events_ab_lift's deterministic-lift grid shares its formula
+    # family with in-window events_rfm/anomaly_mad; text_boilerplate's
+    # line-hash index is the passage-dedup shape (dedup_passages
+    # pytest-pinned, text lane keeps rake/repetition/curate/novelty/
+    # watermark in-window); emb_bucket_balance is a diagnostic whose
+    # LSH bucket histogram is re-exercised by in-window
+    # emb_knn_communities + emb_hybrid_recall.
+    "events_ab_lift", "text_boilerplate", "emb_bucket_balance",
     # (parked r5i, making room for kg_modularity + kg_sssp +
     # kg_sorted_neighborhood + text_novelty): round-5 queries with no
     # driver rounds yet — parked on redundancy grounds, not tenure:

@@ -179,3 +179,84 @@ def test_sssp_no_exchange_explosion(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert df.count() >= 1
+
+
+def test_matryoshka_eval_exact(spark):
+    # corpus engineered so truncation to 2 dims flips the ranking:
+    # q = [1,0,0,0]; n1 matches on the leading dims, n2 only on the
+    # tail dims, n3 orthogonal-ish. Full-4d top-2 of q differs from
+    # 2d top-2 in exactly one slot -> recall 1/2.
+    from deepref_spark.operators.similarity import matryoshka_eval
+
+    rows = [
+        (0, [1.0, 0.0, 0.1, 0.1]),     # the query
+        (1, [1.0, 0.0, 0.0, 0.0]),     # close at every width
+        (2, [0.0, 0.1, 1.0, 1.0]),     # tail-dim neighbor: gone at 2d
+        (3, [0.1, 1.0, 0.0, 0.0]),     # 2d: cos small; 4d: smaller than n2
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # anti-correlated everywhere
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    qs = emb.where("vec_id = 0")
+    out = {(r["dim"]): r for r in matryoshka_eval(
+        emb, qs, k=2, dims=(4, 2)).collect()}
+    # full-width anchor is always perfect recall
+    assert (out[4]["n_hit"], out[4]["recall_ppm"]) == (2, 1_000_000)
+    # 4d top-2 = {1, 2} (cos(q,2) ~ 0.14 beats cos(q,3) ~ 0.097);
+    # 2d top-2 = {1, 3} (tail dims invisible) -> overlap = {1}
+    assert (out[2]["n_hit"], out[2]["recall_ppm"]) == (1, 500_000)
+
+
+def _green(tok):
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return (ord(h[0]) * 131071 + ord(h[1]) * 8191
+            + ord(h[2]) * 127 + ord(h[3])) % 2
+
+
+def test_watermark_stats_flag_rule(spark):
+    from deepref_spark.operators.text_analysis import watermark_stats
+
+    # build a 60-token doc that is ~all green and a 60-token doc that
+    # is ~all red, using actual md5 parities of candidate words
+    words = [f"w{i}" for i in range(300)]
+    greens = [w for w in words if _green(w) == 1][:60]
+    reds = [w for w in words if _green(w) == 0][:60]
+    docs = spark.createDataFrame(
+        [("g", " ".join(greens)),
+         ("r", " ".join(reds)),
+         ("s", " ".join(greens[:10]))],  # green but too short to flag
+        schema="doc_id string, text string")
+    out = {r["doc_id"]: r for r in watermark_stats(docs).collect()}
+    assert out["g"]["n_green"] == 60 and out["g"]["watermark_flag"]
+    assert out["r"]["n_green"] == 0 and not out["r"]["watermark_flag"]
+    assert out["s"]["green_ppm"] == 1_000_000
+    assert not out["s"]["watermark_flag"]  # n < 50 gate
+
+
+def test_blocking_compare_sn_row_matches_bruteforce(spark):
+    # the sorted_neighborhood row must equal a pure-Python multi-pass
+    # SN over the same entity set with the head-token gold.
+    from deepref_spark.queries import portable_mentions
+
+    sf = "/root/testdata/sf0.001"
+    m = portable_mentions(spark, sf)
+    ents = sorted({r["e"] for r in
+                   m.selectExpr("h_name AS e").union(
+                       m.selectExpr("t_name AS e")).distinct().collect()})
+    gk = {e: e.split(" ")[0] for e in ents}
+    pairs = set()
+    for key in (lambda n: n, lambda n: n[::-1]):
+        order = sorted(ents, key=lambda n: (key(n), n))
+        for i, a in enumerate(order):
+            for b in order[i + 1:i + 4]:
+                pairs.add((min(a, b), max(a, b)))
+    n_hit = sum(1 for a, b in pairs if gk[a] == gk[b])
+    from collections import Counter
+    gold = sum(n * (n - 1) // 2 for n in Counter(gk.values()).values())
+
+    from deepref_spark.queries import REGISTRY
+    row = {r["method"]: r for r in
+           REGISTRY["kg_blocking_compare"]["spark"](spark, sf).collect()}
+    sn = row["sorted_neighborhood"]
+    assert (sn["n_cand"], sn["n_hit"], sn["n_gold"]) == (
+        len(pairs), n_hit, gold)
+    assert row["lsh"]["n_gold"] == gold
