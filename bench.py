@@ -233,6 +233,16 @@ HEADLINE = [
     "kg_canon_audit",
     "lake_retention_plan",
     "kg_er_pipeline",
+    # eleventh-sitting additions: modularity gate, weighted SSSP,
+    # sorted-neighborhood blocking + compare, cross-doc novelty,
+    # Matryoshka truncation eval, watermark screen
+    "kg_modularity",
+    "kg_sssp",
+    "kg_sorted_neighborhood",
+    "text_novelty",
+    "emb_matryoshka",
+    "text_watermark",
+    "kg_blocking_compare",
 ]
 
 

@@ -1829,3 +1829,54 @@ def watermark_stats(documents: DataFrame,
             f"n_green * 1000000 div greatest(1L, n_tokens) >= {int(flag_ppm)}"
         ).alias("watermark_flag"),
     )
+
+
+def fertility_stats(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility per language: pieces-per-word of the REAL
+    BERT tokenization (BasicTokenizer normalization + greedy wordpiece
+    over the pinned vocab — operators/tokenize.wordpiece_basic_words)
+    over the `documents` corpus, rolled up per lang — the standard
+    multilingual-tokenizer efficiency read (fertility >> 1 for a
+    language means its text costs that many times more sequence
+    positions per word, the signal that drives vocab re-balancing
+    before a 100 TB pretraining run). n_unk counts [UNK] pieces (vocab
+    coverage failures) on the same grid.
+
+    Zipf shape: the wordpiece kernel runs over the DISTINCT-WORD
+    dictionary only (orders of magnitude smaller than the token
+    stream); per-(lang, word) occurrence counts are one map-side-
+    combined groupBy, and the dictionary joins back by word — the
+    tokenize-batch piece-cache discipline as a corpus rollup.
+    """
+    from deepref_spark.operators.tokenize import wordpiece_basic_words
+
+    staged = documents.select(
+        "lang", F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
+    wcnt = (
+        staged.select("lang", F.explode("t").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the dictionary AND the join
+    )
+    wp = wordpiece_basic_words(wcnt.select("word").distinct())
+    wpn = wp.select(
+        "word",
+        F.expr("size(filter(split(wp, ' '), x -> x <> ''))")
+        .cast("long").alias("np"),
+        F.expr("size(filter(split(wp, ' '), x -> x = '[UNK]'))")
+        .cast("long").alias("nu"),
+    )
+    return (
+        wcnt.join(wpn, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("np")).cast("long").alias("n_pieces"),
+            F.sum(F.col("c") * F.col("nu")).cast("long").alias("n_unk"),
+        )
+        .select(
+            "lang", "n_words", "n_pieces", "n_unk",
+            F.expr("n_pieces * 1000000 div greatest(1L, n_words)")
+            .cast("long").alias("fertility_ppm"),
+        )
+    )

@@ -9953,6 +9953,83 @@ def kg_blocking_compare(spark, sf_dir):
 
 
 
+def _fertility_oracle() -> str:
+    """SQL twin of text_analysis.fertility_stats: document token
+    dictionary -> BasicTokenizer normalization -> greedy wordpiece
+    (the shared recursive CTE over the pinned vocab) -> per-word
+    piece/[UNK] counts -> per-lang occurrence-weighted rollup on the
+    ppm grid. Same normalization chain as _wordpiece_basic_oracle."""
+    never = ", ".join(f"'{t}'" for t in refsem.NEVER_SPLIT)
+    mp = _duck_map_value_expr("wpmap.mp", "sub")
+    return (
+        f"""WITH RECURSIVE ftoks AS (SELECT doc_id, lang, {_TOKS_DUCK} AS t FROM documents),
+fwcnt AS (
+  SELECT lang, w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(t) AS w FROM ftoks) GROUP BY 1, 2
+),
+raw AS (SELECT DISTINCT word FROM fwcnt),
+normed AS (
+  SELECT word,
+    list_filter(string_split(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        word,
+        '[\\t\\n\\r]', ' ', 'g'),
+        '\\p{{Zs}}', ' ', 'g'),
+        '[\\p{{C}}\\x{{FFFD}}]', '', 'g'),
+        '({_CJK_CLASS})', ' \\1 ', 'g'),
+      ' '), x -> x <> '') AS toks
+  FROM raw
+),
+subs AS (
+  SELECT word, unnest(range(len(toks2))) AS idx, unnest(toks2) AS sub
+  FROM (
+    SELECT word,
+      flatten(list_transform(toks, t ->
+        list_filter(string_split(regexp_replace(
+          CASE WHEN t IN ({never}) THEN t
+               ELSE strip_accents(lower(t)) END,
+          '({_PUNCT_CLASS})', ' \\1 ', 'g'), ' '), x -> x <> ''))) AS toks2
+    FROM normed
+  )
+)"""
+        + _greedy_wp_ctes(words_sql="SELECT DISTINCT sub AS word FROM subs")
+        + f""",
+fper AS (
+  SELECT r.word, coalesce(a.np, 0) AS np, coalesce(a.nu, 0) AS nu
+  FROM raw r LEFT JOIN (
+    SELECT word, CAST(len(pl) AS BIGINT) AS np,
+           CAST(len(list_filter(pl, x -> x = '[UNK]')) AS BIGINT) AS nu
+    FROM (SELECT word, flatten(list({mp} ORDER BY idx)) AS pl
+          FROM subs CROSS JOIN wpmap GROUP BY word)
+  ) a USING (word)
+)
+SELECT w.lang, CAST(sum(w.c) AS BIGINT) AS n_words,
+       CAST(sum(w.c * p.np) AS BIGINT) AS n_pieces,
+       CAST(sum(w.c * p.nu) AS BIGINT) AS n_unk,
+       CAST(sum(w.c * p.np) * 1000000
+            // greatest(1, sum(w.c)) AS BIGINT) AS fertility_ppm
+FROM fwcnt w JOIN fper p USING (word)
+GROUP BY w.lang
+"""
+    )
+
+
+@q("text_fertility", _fertility_oracle)  # lazy: vocab I/O + map probe
+def text_fertility(spark, sf_dir):
+    """Tokenizer fertility per language
+    (text_analysis.fertility_stats): occurrence-weighted pieces-per-
+    word of the REAL BertTokenizer composition (BasicTokenizer
+    normalization + greedy wordpiece over the pinned vocab) across
+    the documents corpus, with [UNK] coverage failures on the same
+    grid — the multilingual vocab-sizing read, and a second corpus
+    surface on which the driver hash-verifies the production
+    tokenizer kernel (kg_tokenize verifies it on mentions)."""
+    from deepref_spark.operators.text_analysis import fertility_stats
+
+    return fertility_stats(documents(spark, sf_dir))
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -9970,6 +10047,10 @@ def kg_blocking_compare(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5i batch 3, making room for text_fertility):
+    # kg_snapshot_diff's op-log diff formula is the snapshot_at family
+    # (pytest-pinned, kg_provenance + lake lanes stay in-window).
+    "kg_snapshot_diff",
     # (parked r5i batch 2, making room for emb_matryoshka +
     # text_watermark + kg_blocking_compare): redundancy grounds —
     # events_ab_lift's deterministic-lift grid shares its formula

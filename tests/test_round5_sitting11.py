@@ -260,3 +260,31 @@ def test_blocking_compare_sn_row_matches_bruteforce(spark):
     assert (sn["n_cand"], sn["n_hit"], sn["n_gold"]) == (
         len(pairs), n_hit, gold)
     assert row["lsh"]["n_gold"] == gold
+
+
+def test_fertility_stats_exact(spark):
+    # hand-checked per-lang rollup against the Python kernel itself:
+    # occurrence-weighted piece counts over the distinct-word dict.
+    from deepref_spark import refsem
+    from deepref_spark.operators.text_analysis import fertility_stats
+    from deepref_spark.portable import norm_tokens_py
+
+    rows = [("0", "en", "the cat sat on the mat"),
+            ("1", "en", "unfathomable zzzzqqqq cat"),
+            ("2", "xx", "zzzzqqqq zzzzqqqq")]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id string, lang string, text string")
+    vocab = refsem.load_wp_vocab()
+    expect = {}
+    for _, lang, text in rows:
+        for w in norm_tokens_py(text):
+            pieces = refsem.wordpiece_basic(w, vocab)
+            nw, np_, nu = expect.get(lang, (0, 0, 0))
+            expect[lang] = (nw + 1, np_ + len(pieces),
+                            nu + sum(1 for p in pieces if p == "[UNK]"))
+    got = {r["lang"]: r for r in fertility_stats(docs).collect()}
+    assert set(got) == set(expect)
+    for lang, (nw, np_, nu) in expect.items():
+        r = got[lang]
+        assert (r["n_words"], r["n_pieces"], r["n_unk"]) == (nw, np_, nu)
+        assert r["fertility_ppm"] == np_ * 1_000_000 // max(1, nw)
