@@ -243,6 +243,12 @@ HEADLINE = [
     "emb_matryoshka",
     "text_watermark",
     "kg_blocking_compare",
+    # twelfth-sitting additions: tokenizer fertility, JS source drift,
+    # landmark-pair stress centrality, KMV distinct sketch
+    "text_fertility",
+    "text_js_divergence",
+    "kg_stress_centrality",
+    "events_kmv_distinct",
 ]
 
 

@@ -902,3 +902,74 @@ def session_paths(events: DataFrame, k: int = 20,
             "path", "n_sessions", "n_converted")
         .where(F.col("rank") <= k)
     )
+
+
+def kmv_distinct(events: DataFrame, k: int = 32,
+                 key_col: str = "user_id",
+                 type_col: str = "event_type") -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    event type next to the exact count (Bar-Yossef et al. 2002; the
+    Theta-sketch family's base estimator): keep the k smallest 32-bit
+    hash values of the distinct keys; with U = 2^32, the estimate is
+    (k-1) * U / h_k where h_k is the k-th smallest hash. Below k
+    distinct hashes the sketch IS the exact count. Completes the
+    sketch shelf: count_min (frequency), HLL (cardinality via
+    register maxima), KMV (cardinality via order statistics — and,
+    unlike HLL, mergeable under INTERSECTION, which is why production
+    lakes keep both).
+
+    Cross-engine determinism: the estimate is one BIGINT floor
+    division of exact integers — no float path at all (HLL needed a
+    dyadic grid; KMV needs nothing). Ranking is over DISTINCT hash
+    values, so key collisions under the 32-bit hash collapse
+    identically in both engines.
+
+    Scale shape: bottom-k is computed in two ranked stages — a
+    per-(type, input-partition) window keeps at most k rows per
+    partition BEFORE the shuffle (the map-side prune that makes
+    bottom-k a fixed-size mergeable state), then the global per-type
+    window ranks at most k * n_partitions survivors. The exact column
+    is one count-distinct on the same staged table — small-SF
+    calibration only; at 10^12 events just the sketch side survives.
+    """
+    from deepref_spark.portable import hex32
+
+    space = 1 << 32
+    hd = (
+        events.select(F.col(type_col).alias("event_type"),
+                      F.col(key_col).alias("kk"))
+        .distinct()
+        .select(
+            "event_type", "kk",
+            F.expr(hex32(
+                "md5(concat('kmv|', CAST(kk AS STRING)))", 0, "spark"))
+            .alias("h"),
+        )
+        .localCheckpoint(eager=False)  # feeds the sketch AND the exact side
+    )
+    hdist = hd.select("event_type", "h").distinct()
+    wpart = Window.partitionBy(
+        "event_type", F.spark_partition_id()).orderBy("h")
+    wtype = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        hdist.withColumn("pr", F.row_number().over(wpart))
+        .where(F.col("pr") <= k)
+        .withColumn("r", F.row_number().over(wtype))
+        .where(F.col("r") <= k)
+    )
+    sk = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    ex = hd.groupBy("event_type").agg(
+        F.countDistinct("kk").cast("long").alias("exact_distinct"))
+    return (
+        sk.join(ex, "event_type")
+        .select(
+            "event_type", "exact_distinct", "n_sk", "kth_hash",
+            F.when(F.col("n_sk") < k, F.col("n_sk"))
+            .otherwise(F.expr(f"({k} - 1) * CAST({space} AS BIGINT) "
+                              "div kth_hash"))
+            .cast("long").alias("est_kmv"),
+        )
+    )

@@ -1932,3 +1932,83 @@ def weighted_sssp(edges: DataFrame, n_seeds: int = 2,
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def stress_centrality(edges: DataFrame, n_seeds: int = 4,
+                      max_hops: int = 4) -> DataFrame:
+    """Landmark-pair stress centrality: for every entity v, the number
+    of shortest paths between landmark pairs that pass THROUGH v —
+    stress(v) = sum over landmark pairs (s < t) of
+    sigma(s,v) * sigma(t,v) where d(s,v) + d(t,v) = d(s,t), v not in
+    {s, t}. Stress (Shimbel) is the pure-count sibling of betweenness:
+    exact Brandes betweenness needs per-pair FRACTIONS of path counts
+    (sigma ratios), which no integer grid carries across engines,
+    while stress is a plain BIGINT product-sum — aggregation-order
+    independent and bit-identical to the SQL oracle. Landmarks are the
+    ``n_seeds`` (md5, name)-smallest entities (the same deterministic
+    pivot-sampling stand-in as harmonic_centrality; exact all-pairs is
+    quadratic, landmark pairs are the production compromise, cf.
+    Brandes-Pich pivot sampling).
+
+    Shape for 100 TB: per-seed frontier BFS keyed (s, v) with
+    SHORTEST-PATH COUNTING — each hop expands only the new frontier
+    through the symmetric adjacency, sums sigma over parallel
+    predecessors in one map-side-combined groupBy (sigma(v) at hop h =
+    sum of sigma over hop-(h-1) predecessors), anti-joins the known
+    set, and eagerly localCheckpoints (iteration discipline from
+    bfs_distances). The final stress read is one self-equi-join of the
+    bounded (n_seeds x reached-ball) table on v plus a broadcast-sized
+    seed-pair distance table — no shuffle wider than the BFS itself.
+
+    Returns (entity, n_pairs, stress): how many landmark pairs route
+    any shortest path through v, and the total path count.
+    """
+    sym = _und_adj(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint()
+    nodes = sym.select(F.col("v").alias("entity")).distinct()
+    seeds = (
+        nodes.orderBy(F.md5(F.col("entity")), F.col("entity"))
+        .limit(n_seeds)
+    )
+    known = seeds.select(
+        F.col("entity").alias("s"), F.col("entity").alias("v"),
+        F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["v"])
+            .groupBy(frontier["s"], F.col("nbr").alias("v"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(known.select("s", "v"), ["s", "v"], "left_anti")
+            .select("s", "v", F.lit(hop).alias("d"), "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        known = known.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    # seed-pair shortest distances (bounded: n_seeds^2 rows at most)
+    pair_d = (
+        known.join(seeds.select(F.col("entity").alias("v")), "v")
+        .where(F.col("s") < F.col("v"))
+        .select("s", F.col("v").alias("t"), F.col("d").alias("dst"))
+    )
+    k1 = known.select(F.col("s").alias("s"), F.col("v").alias("v"),
+                      F.col("d").alias("d1"), F.col("sigma").alias("sig1"))
+    k2 = known.select(F.col("s").alias("t"), F.col("v").alias("v"),
+                      F.col("d").alias("d2"), F.col("sigma").alias("sig2"))
+    return (
+        k1.join(k2, "v")
+        .where(F.col("s") < F.col("t"))
+        .join(F.broadcast(pair_d), ["s", "t"])
+        .where((F.col("d1") + F.col("d2") == F.col("dst"))
+               & (F.col("v") != F.col("s")) & (F.col("v") != F.col("t")))
+        .groupBy(F.col("v").alias("entity"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.sum(F.col("sig1") * F.col("sig2")).cast("long").alias("stress"))
+    )

@@ -1880,3 +1880,80 @@ def fertility_stats(documents: DataFrame) -> DataFrame:
             .cast("long").alias("fertility_ppm"),
         )
     )
+
+
+def js_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between each source's
+    unigram token distribution and the pooled corpus distribution —
+    the corpus-drift audit a mixing pipeline runs BEFORE reweighting
+    (mixing_plan decides how much of each source to take; this
+    measures how far each source's language actually sits from the
+    blend, the signal behind domain-weight tuning and ingest drift
+    alarms). JS, unlike KL, is finite for tokens a source never emits.
+
+    Exact cross-engine arithmetic: with c = per-(source,token) count,
+    T_s = source total, C = corpus token count, T = corpus total,
+        p/m = 2cT  / (cT + C*T_s)         (m the midpoint mixture)
+        q/m = 2C*T_s / (cT + C*T_s)
+    so both log ratios are rationals of BIGINTs. Each is rounded ONCE
+    onto the micro-nat grid (floor(ln(x)*1e6 + 0.5) — floor(+0.5),
+    not round(), because half-even vs half-away differs between
+    engines on negative values), then
+        2*T_s*JS_left  = sum_c>0 c * nl1     (BIGINT sum)
+        2*T*JS_right   = sum_all C * nl2     (BIGINT sum)
+    and js_nats is ONE fixed float expression over the two exact
+    sums. ln is evaluated once per (source x vocab) cell — 20 sources
+    x vocab here; at larger vocabs the grid stays sources-bounded.
+    BIGINT headroom: the rational's terms need c*T < 2^63 — fine to
+    ~3e9-token corpora per the 1e6 grid; beyond that coarsen counts
+    (the lm_score/pagerank grid discipline).
+
+    Scale shape: ONE corpus explode feeds a map-side-combined
+    (source, token) count (checkpointed — it derives the corpus
+    rollup, the per-source totals, and the scoring grid without
+    re-scanning documents); the scoring grid is corpus-vocab x
+    source-count rows built by broadcasting the tiny per-source total
+    table twice — no shuffle wider than the count itself.
+    """
+    cnt = (
+        documents.select(
+            "source", F.explode(
+                F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds rollups AND the grid once
+    )
+    corpus = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    grid = (
+        corpus.crossJoin(F.broadcast(totals))
+        .join(cnt, ["source", "tok"], "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    nl = grid.select(
+        "source", "ts", "t", "c", "cc",
+        F.expr("CAST(floor(ln(CAST(2 * c * t AS DOUBLE) / "
+               "CAST(c * t + cc * ts AS DOUBLE)) * 1000000.0 + 0.5) "
+               "AS BIGINT)").alias("nl1"),
+        F.expr("CAST(floor(ln(CAST(2 * cc * ts AS DOUBLE) / "
+               "CAST(c * t + cc * ts AS DOUBLE)) * 1000000.0 + 0.5) "
+               "AS BIGINT)").alias("nl2"),
+    )
+    return (
+        nl.groupBy("source")
+        .agg(
+            F.max("ts").cast("long").alias("n_tokens"),
+            F.max("t").cast("long").alias("n_corpus"),
+            F.sum(F.when(F.col("c") > 0, F.col("c") * F.col("nl1"))
+                  .otherwise(F.lit(0))).cast("long").alias("s1_units"),
+            F.sum(F.col("cc") * F.col("nl2")).cast("long").alias("s2_units"),
+        )
+        .select(
+            "source", "n_tokens", "s1_units", "s2_units",
+            F.expr("0.5 * (CAST(s1_units AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+                   " + CAST(s2_units AS DOUBLE) / CAST(n_corpus AS DOUBLE))"
+                   " / 1000000.0").alias("js_nats"),
+        )
+    )
