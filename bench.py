@@ -249,6 +249,11 @@ HEADLINE = [
     "text_js_divergence",
     "kg_stress_centrality",
     "events_kmv_distinct",
+    # thirteenth-sitting additions: Katz centrality, seasonal-naive
+    # forecast baseline, content-defined chunking dedup
+    "kg_katz_centrality",
+    "events_forecast_baseline",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -821,3 +821,72 @@ def prefix_filter_pairs(documents: DataFrame, k: int = 3,
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def cdc_chunk_stats(documents: DataFrame, divisor: int = 16) -> DataFrame:
+    """Content-defined chunking dedup report per source — the
+    storage-dedup modality (LBFS/FastCDC family) the shingle methods
+    miss: chunk boundaries are decided by the CONTENT (a token whose
+    32-bit hash is 0 mod ``divisor`` starts a new chunk, expected
+    chunk length = divisor tokens), so an insertion early in a
+    document shifts only the chunks it touches while every boundary
+    downstream re-synchronizes — exact dedup re-finds the unchanged
+    tail, which fixed-width blocking never can. Per source: chunk and
+    token counts, chunks whose content hash recurs anywhere in the
+    corpus, and the duplicated token mass on the exact ppm grid.
+
+    Scale shape: tokenization is STAGED (checkpointed column — the
+    lambda-trap discipline), the boundary rule is one hash per token,
+    the chunk-id assignment is a per-document prefix-sum window
+    (bounded by doc length, never corpus-wide), chunk signatures are
+    one map-side-combined groupBy, and the recurrence test is a
+    sig-keyed count joined back on the same key. Everything is
+    BIGINT/string arithmetic on the shared portable hash formulas, so
+    the DuckDB oracle verifies the exact numbers.
+    """
+    from deepref_spark.portable import hex32
+
+    toks = portable.norm_tokens("text", SPARK)
+    staged = (
+        documents.select("doc_id", "source", F.expr(toks).alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    pos = staged.select(
+        "doc_id", "source",
+        F.posexplode("_toks").alias("pos", "tok"),
+    )
+    h32 = hex32("md5(concat('cdc|', tok))", 0, SPARK)
+    pos = pos.withColumn(
+        "cut", F.expr(f"CAST(({h32}) % {int(divisor)} = 0 AS INT)"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunks = (
+        pos.withColumn("chunk_id", F.sum("cut").over(w))
+        .groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.expr("md5(array_join(transform("
+                   "sort_array(collect_list(struct(pos, tok))),"
+                   " s -> s.tok), ' '))").alias("sig"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)  # feeds the occ agg AND the rollup
+    )
+    occ = chunks.groupBy("sig").agg(
+        F.count(F.lit(1)).cast("long").alias("occ"))
+    return (
+        chunks.join(occ, "sig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("occ") > 1, F.col("n_toks")).otherwise(0))
+            .cast("long").alias("dup_token_mass"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("dup_token_mass * 1000000 DIV greatest(1, n_tokens)")
+            .cast("long"),
+        )
+    )

@@ -904,6 +904,97 @@ def session_paths(events: DataFrame, k: int = 20,
     )
 
 
+def engagement_gini(events: DataFrame,
+                    user_col: str = "user_id") -> DataFrame:
+    """Per-type Gini coefficient of user activity — the engagement-
+    concentration audit behind "do 1% of users generate 90% of
+    events": G = (2*sum_i i*x_i - (n+1)*sum x) / (n * sum x) over the
+    ascending per-user counts x_1..x_n. Computed EXACTLY from the
+    activity histogram, not a global sort: for count value c with
+    frequency f and F users below it, the rank-weighted mass
+    2*sum i*x_i contributed is c*f*(2F + f + 1) — a BIGINT — so
+    gini_ppm = (U - (n+1)*S) * 1e6 div (n*S) is pure integer
+    arithmetic with U = sum_c c*f*(2F+f+1).
+
+    Scale shape: one map-side-combined (type, user) count, one
+    (type, count-value) histogram agg, and the cumulative window runs
+    over the HISTOGRAM (distinct activity levels per type — hundreds,
+    not users), never the per-user table: no type-hot window at any
+    user cardinality. Ties need no tie-break at all — the histogram
+    form is the closed sum over each tie block.
+    """
+    per_user = events.groupBy(
+        F.col("event_type"), F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"))
+    hist = per_user.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+    w = (Window.partitionBy("event_type").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        hist.withColumn(
+            "fb", F.coalesce(F.sum("f").over(w), F.lit(0)).cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("f").cast("long").alias("n_users"),
+            F.sum(F.col("x") * F.col("f")).cast("long").alias("n_events"),
+            F.sum(F.col("x") * F.col("f")
+                  * (2 * F.col("fb") + F.col("f") + 1)).cast("long")
+            .alias("u_units"),
+        )
+        .select(
+            "event_type", "n_users", "n_events",
+            F.expr("(u_units - (n_users + 1) * n_events) * 1000000 "
+                   "DIV greatest(1, n_users * n_events)").cast("long")
+            .alias("gini_ppm"),
+        )
+    )
+
+
+def forecast_baseline(events: DataFrame,
+                      season_hours: int = 24) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type — the baseline
+    every forecasting lane must beat before a model earns its keep
+    (M-competition discipline: forecast(t) = actual(t - season)):
+    each spine hour's count is predicted by the count one season
+    (default 24 h) earlier, and the per-type report carries the exact
+    error mass. MAE is on the ppm grid (sum_abs_err * 1e6 div
+    n_hours); WAPE (sum|err| / sum actual) likewise — both pure BIGINT
+    ratios, order-independent.
+
+    Composes on gap_fill_locf's COMPLETE hourly spine — on the raw
+    hourly agg a missing hour would silently shift the lag-24 row to a
+    different wall-clock hour (the rolling_hourly_counts argument: a
+    ROWS offset equals a TIME offset only on a gap-free series). The
+    lag window runs over the tiny types x hours spine, never the raw
+    stream; the first ``season_hours`` spine hours per type have no
+    history and are excluded from scoring (n_hours counts what was
+    actually scored).
+    """
+    g = gap_fill_locf(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    scored = (
+        g.select("event_type", "n",
+                 F.lag("n", int(season_hours)).over(w).alias("fc"))
+        .where(F.col("fc").isNotNull())
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.abs(F.col("n") - F.col("fc"))).cast("long")
+            .alias("sum_abs_err"),
+            F.sum("n").cast("long").alias("sum_actual"),
+        )
+        .select(
+            "event_type", "n_hours", "sum_abs_err", "sum_actual",
+            F.expr("sum_abs_err * 1000000 DIV n_hours").cast("long")
+            .alias("mae_ppm"),
+            F.expr("sum_abs_err * 1000000 DIV greatest(1, sum_actual)")
+            .cast("long").alias("wape_ppm"),
+        )
+    )
+
+
 def kmv_distinct(events: DataFrame, k: int = 32,
                  key_col: str = "user_id",
                  type_col: str = "event_type") -> DataFrame:

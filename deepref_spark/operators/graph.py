@@ -1934,6 +1934,65 @@ def weighted_sssp(edges: DataFrame, n_seeds: int = 2,
     return dist
 
 
+def katz_centrality(edges: DataFrame, max_hops: int = 4,
+                    beta_inv: int = 4) -> DataFrame:
+    """Bounded-horizon Katz centrality on the integer grid: katz(v) =
+    sum over h = 0..H of walks_h(v) * beta^h with beta = 1/beta_inv,
+    reported as the EXACT scaled integer katz_units =
+    sum_h walks_h(v) * beta_inv^(H-h) (multiply the whole series by
+    beta_inv^H and every term is a BIGINT — the same
+    clear-denominators trick as harmonic_centrality's lcm units).
+    Unlike PageRank there is no per-step degree normalization, so no
+    float grid is needed at all; unlike stress/BFS, walks COUNT
+    revisits — each hop is one unconditional sparse mat-vec, no
+    anti-join, which is what makes Katz the cheapest of the
+    walk-family centralities at scale.
+
+    Shape for 100 TB: H equi-join + map-side-combined groupBy rounds
+    over the symmetric adjacency (walks_h(v) = sum over neighbors of
+    walks_{h-1}), each round localCheckpoint'ed (iteration
+    discipline); the readout is one union + grouped sum. BIGINT
+    headroom: walks_h grows like (max degree)^h — with H = 4 and
+    beta_inv^H = 256 the units stay under 2^63 to ~10^4 average
+    degree; raise beta_inv or lower H for denser graphs (documented
+    trade, same family as the pagerank grid note).
+
+    Returns (entity, walks_out, katz_units): the hop-H walk count and
+    the scaled Katz series sum.
+    """
+    sym = _und_adj(
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint()
+    w = (
+        sym.select("v").distinct()
+        .select("v", F.lit(1).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    acc = w.select(
+        "v", (F.col("w") * F.lit(int(beta_inv) ** max_hops)).alias("u"))
+    for hop in range(1, max_hops + 1):
+        w = (
+            sym.join(w.withColumnRenamed("v", "nbr"), "nbr")
+            .groupBy("v")
+            .agg(F.sum("w").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+        acc = acc.unionAll(w.select(
+            "v", (F.col("w") * F.lit(int(beta_inv) ** (max_hops - hop)))
+            .alias("u")))
+    final_w = w.select(F.col("v").alias("entity"),
+                       F.col("w").alias("walks_out"))
+    return (
+        acc.groupBy(F.col("v").alias("entity"))
+        .agg(F.sum("u").cast("long").alias("katz_units"))
+        .join(final_w, "entity")
+        .select("entity", "walks_out", "katz_units")
+    )
+
+
 def stress_centrality(edges: DataFrame, n_seeds: int = 4,
                       max_hops: int = 4) -> DataFrame:
     """Landmark-pair stress centrality: for every entity v, the number

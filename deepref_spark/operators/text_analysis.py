@@ -1957,3 +1957,113 @@ def js_divergence(documents: DataFrame) -> DataFrame:
                    " / 1000000.0").alias("js_nats"),
         )
     )
+
+
+def code_stats(documents: DataFrame,
+               symbol_ppm_gate: int = 20000,
+               kw_gate: int = 2) -> DataFrame:
+    """Per-source code-vs-prose screen — the pretraining split every
+    mixed crawl runs before routing documents to a code or text lane
+    (StarCoder/The-Stack-style heuristics reduced to engine-portable
+    arithmetic): per doc, the code-symbol character mass (braces,
+    brackets, semicolons, operators — chars prose rarely uses) on the
+    ppm grid plus distinct code-keyword hits; a doc flags as code when
+    either exceeds its gate. Rolled up per source: doc counts, flag
+    rate, mean symbol mass — the routing table a mixing plan consumes.
+
+    All signals are single-scan JVM expressions (one regexp_replace
+    length diff + fixed LIKE probes — no tokenize, no Python); the
+    rollup is one map-side-combined grouped agg. Integer ppm
+    arithmetic end-to-end, so the DuckDB oracle matches bit-for-bit.
+    """
+    kws = ["def ", "return ", "import ", "class ", "function ",
+           "void ", "#include"]
+    kw_expr = " + ".join(
+        f"CAST(text LIKE '%{k}%' AS INT)" for k in kws)
+    per_doc = documents.select(
+        "source",
+        F.expr("length(text)").cast("long").alias("nc"),
+        F.expr("length(text) - length(regexp_replace(text,"
+               " '[{}\\\\[\\\\]();=<>#_]', ''))").cast("long").alias("sym"),
+        F.expr(f"CAST({kw_expr} AS INT)").alias("kw_hits"),
+    ).select(
+        "source", "nc", "sym", "kw_hits",
+        F.expr("sym * 1000000 DIV greatest(1, nc)").cast("long")
+        .alias("symbol_ppm"),
+    ).withColumn(
+        "is_code",
+        ((F.col("symbol_ppm") >= symbol_ppm_gate)
+         | (F.col("kw_hits") >= kw_gate)).cast("int"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.sum("sym").cast("long").alias("sym_chars"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source", "n_docs", "n_code",
+            F.expr("n_code * 1000000 DIV n_docs").cast("long")
+            .alias("code_ppm"),
+            F.expr("sym_chars * 1000000 DIV greatest(1, n_chars)")
+            .cast("long").alias("mean_symbol_ppm"),
+        )
+    )
+
+
+def entropy_stats(documents: DataFrame) -> DataFrame:
+    """Per-source unigram token entropy — the within-source diversity
+    read next to js_divergence's cross-source drift (a source whose
+    entropy collapses is templated/boilerplate even if its vocabulary
+    matches the blend): H_s = ln(T_s) - (1/T_s) * sum_tok c*ln(c),
+    with every ln rounded ONCE onto the micro-nat grid
+    (floor(x*1e6 + 0.5)) so the heavy sum is a BIGINT and the final
+    entropy/normalized-entropy values are fixed float expressions over
+    exact integers. norm_entropy = H / ln(V) in [0, 1] (1 = uniform
+    over the source vocabulary).
+
+    Scale shape: one map-side-combined (source, token) count
+    (checkpointed — it feeds the c*ln(c) sum AND the totals), one
+    tiny per-source rollup; ln evaluates once per distinct
+    (source, token), never per occurrence.
+    """
+    cnt = (
+        documents.select(
+            "source", F.explode(
+                F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.sum(F.expr(
+                "c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS BIGINT)")).cast("long").alias("clnc_units"),
+        )
+        .select(
+            "source", "n_tokens", "n_vocab", "clnc_units",
+            F.expr(
+                "CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS BIGINT)").alias("lnt_units"),
+            F.expr(
+                "CAST(floor(ln(CAST(n_vocab AS DOUBLE)) * 1000000.0 + 0.5)"
+                " AS BIGINT)").alias("lnv_units"),
+        )
+        .select(
+            "source", "n_tokens", "n_vocab", "clnc_units",
+            F.expr("(CAST(lnt_units AS DOUBLE)"
+                   " - CAST(clnc_units AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+                   " / 1000000.0").alias("entropy_nats"),
+            F.expr("CAST(floor((CAST(lnt_units AS DOUBLE)"
+                   " - CAST(clnc_units AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+                   " / CAST(greatest(1, lnv_units) AS DOUBLE)"
+                   " * 1000000.0 + 0.5) AS BIGINT)")
+            .alias("norm_entropy_ppm"),
+        )
+    )

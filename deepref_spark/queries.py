@@ -10212,6 +10212,150 @@ def events_kmv_distinct(spark, sf_dir):
 
 
 
+@q("events_forecast_baseline", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, s.h, coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+),
+sc AS (
+  SELECT event_type, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS fc
+  FROM j
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(n - fc)) AS BIGINT) AS sum_abs_err,
+       CAST(sum(n) AS BIGINT) AS sum_actual,
+       CAST(sum(abs(n - fc)) * 1000000 // count(*) AS BIGINT) AS mae_ppm,
+       CAST(sum(abs(n - fc)) * 1000000 // greatest(1, sum(n)) AS BIGINT)
+         AS wape_ppm
+FROM sc WHERE fc IS NOT NULL
+GROUP BY event_type
+""")
+def events_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive forecast backtest per event type
+    (events.forecast_baseline): forecast(t) = actual(t - 24h) on the
+    COMPLETE gap-filled hourly spine (on the raw hourly agg a missing
+    hour silently shifts the lag-24 row to a different wall-clock
+    hour), with exact MAE/WAPE on the ppm grid — the baseline every
+    forecasting model must beat. The lag window runs over the tiny
+    types x hours spine, never the raw stream."""
+    from deepref_spark.operators.events import forecast_baseline
+
+    return forecast_baseline(load_table(spark, sf_dir, "events"))
+
+
+
+def _katz_sql(hops: int = 4, beta_inv: int = 4) -> str:
+    """Unrolled bounded-horizon walk-count mat-vec over the symmetric
+    adjacency, then the clear-denominators Katz sum (every walk count
+    weighted beta_inv^(H-h) — all BIGINT)."""
+    ctes = ["""kund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+  WHERE src <> dst
+),
+ksym AS MATERIALIZED (
+  SELECT a AS v, b AS nbr FROM kund UNION ALL SELECT b AS v, a AS nbr FROM kund
+),
+kw0 AS (SELECT DISTINCT v, CAST(1 AS BIGINT) AS w FROM ksym)"""]
+    for r in range(1, hops + 1):
+        ctes.append(f"""kw{r} AS MATERIALIZED (
+  SELECT y.v, CAST(sum(k.w) AS BIGINT) AS w
+  FROM ksym y JOIN kw{r - 1} k ON k.v = y.nbr GROUP BY y.v
+)""")
+    units = " + ".join(
+        f"k{h}.w * {beta_inv ** (hops - h)}" for h in range(hops + 1))
+    joins = " ".join(
+        f"JOIN kw{h} k{h} ON k{h}.v = k0.v" for h in range(1, hops + 1))
+    return (",\n".join(ctes) + f"""
+SELECT k0.v AS entity, CAST(k{hops}.w AS BIGINT) AS walks_out,
+       CAST({units} AS BIGINT) AS katz_units
+FROM kw0 k0 {joins}""")
+
+
+@q("kg_katz_centrality",
+   _oracle_prefix() + _graph_edges_cte() + ",\n" + _katz_sql(4, 4))
+def kg_katz_centrality(spark, sf_dir):
+    """Bounded-horizon Katz centrality (graph.katz_centrality): katz(v)
+    = sum over h <= 4 of walks_h(v) * (1/4)^h, reported as the exact
+    scaled integer katz_units = sum walks_h * 4^(4-h) — the
+    clear-denominators trick makes the whole walk series BIGINT, so
+    no float grid at all (PageRank needs one; Katz does not). Each
+    hop is one unconditional equi-join + map-side-combined sum (no
+    anti-join — walks count revisits), the cheapest walk-family
+    centrality at scale; the oracle unrolls the identical mat-vec."""
+    from deepref_spark.operators.graph import katz_centrality
+
+    return katz_centrality(_canonical_edges(spark, sf_dir),
+                           max_hops=4, beta_inv=4)
+
+
+
+def _cdc_oracle(divisor: int = 16) -> str:
+    from deepref_spark.portable import hex32
+
+    toks = portable.norm_tokens("text", DUCK)
+    h32 = hex32("md5('cdc|' || tok)", 0, DUCK)
+    return f"""
+WITH cstaged AS MATERIALIZED (
+  SELECT doc_id, source, {toks} AS t FROM documents
+),
+cpos AS (
+  SELECT doc_id, source, unnest(range(len(t))) AS pos, unnest(t) AS tok
+  FROM cstaged
+),
+cid AS (
+  SELECT doc_id, source, pos, tok,
+    sum(CAST({h32} % {divisor} = 0 AS INT)) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+  FROM cpos
+),
+cch AS MATERIALIZED (
+  SELECT doc_id, source, chunk_id,
+    md5(string_agg(tok, ' ' ORDER BY pos)) AS sig,
+    CAST(count(*) AS BIGINT) AS n_toks
+  FROM cid GROUP BY 1, 2, 3
+),
+cocc AS (SELECT sig, CAST(count(*) AS BIGINT) AS occ FROM cch GROUP BY sig)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+    AS dup_token_mass,
+  CAST(sum(CASE WHEN occ > 1 THEN n_toks ELSE 0 END) * 1000000
+       // greatest(1, sum(n_toks)) AS BIGINT) AS dup_ppm
+FROM cch JOIN cocc USING (sig)
+GROUP BY source
+"""
+
+
+@q("dedup_cdc_chunks", _cdc_oracle())
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup report (dedup.cdc_chunk_stats):
+    chunk boundaries decided by token-hash content (LBFS/FastCDC
+    family, expected 16-token chunks), so insertions shift only the
+    chunks they touch and every downstream boundary re-synchronizes —
+    the storage-dedup modality fixed-width blocking and shingle
+    methods both miss. Per source: chunk/token counts, corpus-recurring
+    chunks, duplicated token mass on the exact ppm grid. Staged
+    tokens, per-doc prefix-sum window, sig-keyed recurrence count."""
+    from deepref_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(documents(spark, sf_dir), divisor=16)
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -10806,6 +10950,17 @@ _WINDOW_TAIL = [
     # lineitem/orders/part/customer scan-and-join derivations the
     # parked three re-filter
     "rel_promo_share", "rel_small_qty_brand", "rel_cust_order_dist",
+    # (parked r5bt, making room for events_forecast_baseline +
+    # kg_katz_centrality + dedup_cdc_chunks): two more star-join
+    # queries park on the r5bs argument (the lane keeps
+    # pricing_summary, revenue_topn and top_orders_per_cust in-window
+    # over the same scans; both parked keep exact pytest goldens);
+    # events_path_topk parks — the sessionized-path derivation keeps
+    # its ordered-collect pytest goldens and the events lane keeps
+    # seven reps in-window (session_window, alert_episodes,
+    # anomaly_mad, rfm, hll_distinct, kmv_distinct,
+    # forecast_baseline — the last two being the round's newest)
+    "rel_order_priority", "rel_local_supplier_volume", "events_path_topk",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
