@@ -254,6 +254,11 @@ HEADLINE = [
     "kg_katz_centrality",
     "events_forecast_baseline",
     "dedup_cdc_chunks",
+    # fourteenth-sitting additions: engagement Gini, code-vs-prose
+    # routing stats, per-source token entropy
+    "events_gini",
+    "text_code_stats",
+    "text_entropy",
 ]
 
 

@@ -10355,6 +10355,146 @@ def dedup_cdc_chunks(spark, sf_dir):
     return cdc_chunk_stats(documents(spark, sf_dir), divisor=16)
 
 
+@q("events_gini", """
+WITH gpu AS (
+  SELECT event_type, user_id AS u, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+gh AS (
+  SELECT event_type, x, CAST(count(*) AS BIGINT) AS f
+  FROM gpu GROUP BY 1, 2
+),
+gc AS (
+  SELECT event_type, x, f,
+    CAST(coalesce(sum(f) OVER (
+      PARTITION BY event_type ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS fb
+  FROM gh
+)
+SELECT event_type,
+  CAST(sum(f) AS BIGINT) AS n_users,
+  CAST(sum(x * f) AS BIGINT) AS n_events,
+  CAST((sum(x * f * (2 * fb + f + 1)) - (sum(f) + 1) * sum(x * f))
+       * 1000000 // greatest(1, sum(f) * sum(x * f)) AS BIGINT) AS gini_ppm
+FROM gc GROUP BY event_type
+""")
+def events_gini(spark, sf_dir):
+    """Per-type Gini coefficient of user engagement
+    (events.engagement_gini): the concentration audit behind "do 1% of
+    users generate 90% of events". Computed exactly from the per-type
+    activity HISTOGRAM — rank-weighted mass per tie block is the
+    closed BIGINT sum c*f*(2F+f+1), so no global per-user sort exists
+    anywhere in the plan and the cumulative window runs over distinct
+    activity levels (hundreds), never users. gini_ppm is pure integer
+    arithmetic, bit-portable across engines."""
+    from deepref_spark.operators.events import engagement_gini
+
+    return engagement_gini(load_table(spark, sf_dir, "events"))
+
+
+def _code_oracle() -> str:
+    """SQL twin of text_analysis.code_stats: the same regexp_replace
+    length-diff symbol mass (DuckDB needs the explicit 'g' flag for
+    the global replace Spark does by default) and the same fixed LIKE
+    keyword probes, rolled up per source on the integer ppm grid."""
+    kws = ["def ", "return ", "import ", "class ", "function ",
+           "void ", "#include"]
+    kw_expr = " + ".join(f"CAST(text LIKE '%{k}%' AS INT)" for k in kws)
+    return f"""
+WITH cpd AS (
+  SELECT source,
+    CAST(length(text) AS BIGINT) AS nc,
+    CAST(length(text) - length(regexp_replace(text,
+      '[{{}}\\[\\]();=<>#_]', '', 'g')) AS BIGINT) AS sym,
+    CAST({kw_expr} AS INT) AS kw_hits
+  FROM documents
+),
+cpf AS (
+  SELECT source, nc, sym,
+    CAST(sym * 1000000 // greatest(1, nc) >= 20000
+         OR kw_hits >= 2 AS INT) AS is_code
+  FROM cpd
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_code) AS BIGINT) AS n_code,
+  CAST(sum(is_code) * 1000000 // count(*) AS BIGINT) AS code_ppm,
+  CAST(sum(sym) * 1000000 // greatest(1, sum(nc)) AS BIGINT)
+    AS mean_symbol_ppm
+FROM cpf GROUP BY source
+"""
+
+
+@q("text_code_stats", _code_oracle())
+def text_code_stats(spark, sf_dir):
+    """Per-source code-vs-prose routing table (text_analysis.code_stats):
+    symbol-character mass on the ppm grid (one regexp_replace length
+    diff) plus fixed code-keyword LIKE probes flag each doc, rolled up
+    to the per-source table a mixing plan consumes before routing
+    documents to a code or text lane (StarCoder/The-Stack-style
+    heuristics as single-scan JVM expressions — no tokenize, no
+    Python). Integer ppm end-to-end."""
+    from deepref_spark.operators.text_analysis import code_stats
+
+    return code_stats(documents(spark, sf_dir))
+
+
+def _entropy_oracle() -> str:
+    """SQL twin of text_analysis.entropy_stats: the same
+    (source, token) count grid, every ln rounded ONCE onto the
+    micro-nat grid so the heavy c*ln(c) sum is BIGINT, and the final
+    entropy values are the identical fixed float expressions over
+    exact integers."""
+    toks = portable.norm_tokens("text", DUCK)
+    return f"""
+WITH ecnt AS MATERIALIZED (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({toks}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+eroll AS (
+  SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_vocab,
+    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS clnc_units
+  FROM ecnt GROUP BY source
+),
+eu AS (
+  SELECT *,
+    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lnt_units,
+    CAST(floor(ln(CAST(n_vocab AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      AS lnv_units
+  FROM eroll
+)
+SELECT source, n_tokens, n_vocab, clnc_units,
+  (CAST(lnt_units AS DOUBLE)
+   - CAST(clnc_units AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+    / 1000000.0 AS entropy_nats,
+  CAST(floor((CAST(lnt_units AS DOUBLE)
+              - CAST(clnc_units AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             / CAST(greatest(1, lnv_units) AS DOUBLE)
+             * 1000000.0 + 0.5) AS BIGINT) AS norm_entropy_ppm
+FROM eu
+"""
+
+
+@q("text_entropy", _entropy_oracle())
+def text_entropy(spark, sf_dir):
+    """Per-source unigram token entropy (text_analysis.entropy_stats):
+    the within-source diversity read next to text_js_divergence's
+    cross-source drift — a source whose entropy collapses is
+    templated/boilerplate even when its vocabulary matches the blend.
+    H = ln(T) - (1/T)*sum c*ln(c) with each ln rounded once onto the
+    micro-nat grid; norm_entropy_ppm = H/ln(V). The (source, token)
+    count is checkpointed so ln evaluates once per distinct pair,
+    never per occurrence."""
+    from deepref_spark.operators.text_analysis import entropy_stats
+
+    return entropy_stats(documents(spark, sf_dir))
+
+
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
@@ -10961,6 +11101,18 @@ _WINDOW_TAIL = [
     # anomaly_mad, rfm, hll_distinct, kmv_distinct,
     # forecast_baseline — the last two being the round's newest)
     "rel_order_priority", "rel_local_supplier_volume", "events_path_topk",
+    # (parked r5bu, making room for events_gini + text_code_stats +
+    # text_entropy): events_hll_distinct parks — the distinct-sketch
+    # lane keeps the newer events_kmv_distinct in-window and the HLL
+    # register math keeps its hand-computed pytest goldens; kg_sssp
+    # parks — the graph lane keeps six reps in-window (graph_report,
+    # scc_condensation, taxonomy_lca, modularity, stress_centrality,
+    # katz_centrality) over the same frontier-iteration discipline,
+    # and the weighted-relaxation kernel keeps its exact goldens;
+    # lake_zorder_buckets parks — the lake lane keeps
+    # constraint_check/merge_upsert/retention_plan in-window and the
+    # interleave-bits formula keeps its pytest pins
+    "events_hll_distinct", "kg_sssp", "lake_zorder_buckets",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
