@@ -259,6 +259,11 @@ HEADLINE = [
     "events_gini",
     "text_code_stats",
     "text_entropy",
+    # fifteenth-sitting additions: audience-overlap Jaccard,
+    # bot-cadence regularity screen, IVF centroid silhouette
+    "events_audience_overlap",
+    "events_bot_cadence",
+    "emb_silhouette",
 ]
 
 

@@ -1064,3 +1064,122 @@ def kmv_distinct(events: DataFrame, k: int = 32,
             .cast("long").alias("est_kmv"),
         )
     )
+
+
+def audience_overlap(events: DataFrame,
+                     user_col: str = "user_id") -> DataFrame:
+    """Pairwise audience overlap between event types — the
+    cross-surface report behind "do the users of feature A also use
+    feature B": for every unordered type pair, the distinct-user
+    intersection next to both audience sizes, with Jaccard and
+    Szymkiewicz-Simpson overlap coefficients on the exact ppm grid
+    (inter * 1e6 div union / div min(|A|,|B|) — pure BIGINT).
+
+    Scale shape: one distinct on (type, user) — the only corpus-sized
+    shuffle — then a user-keyed self-join whose per-user fan-out is
+    bounded by the TYPE cardinality (tens), never by user activity:
+    a user seen in t types contributes exactly C(t,2) rows. The
+    per-type size table is tiny and broadcast onto the pair rollup;
+    zero-intersection pairs are kept (a report that silently drops
+    the "no overlap" rows hides exactly the finding that matters).
+    """
+    m = (events.select("event_type", F.col(user_col).alias("u"))
+         .distinct()
+         .localCheckpoint(eager=False))  # feeds sizes AND both join sides
+    sizes = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        m.alias("a").join(
+            m.alias("b"),
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pairs = (
+        sizes.alias("sa").crossJoin(F.broadcast(sizes.alias("sb")))
+        .where(F.col("sa.event_type") < F.col("sb.event_type"))
+        .select(F.col("sa.event_type").alias("type_a"),
+                F.col("sb.event_type").alias("type_b"),
+                F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .withColumn("n_common",
+                    F.coalesce("n_common", F.lit(0)).cast("long"))
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_common",
+            F.expr("n_common * 1000000 DIV (n_a + n_b - n_common)")
+            .cast("long").alias("jaccard_ppm"),
+            F.expr("n_common * 1000000 DIV least(n_a, n_b)")
+            .cast("long").alias("overlap_ppm"),
+        )
+    )
+
+
+def bot_cadence(events: DataFrame, min_gaps: int = 5,
+                rmad_gate_ppm: int = 50000,
+                user_col: str = "user_id") -> DataFrame:
+    """Machine-cadence screen over per-user inter-arrival gaps — the
+    bot/telemetry detector behind "this 'user' fires every 60s on the
+    dot": human activity has heavy-tailed gaps, schedulers don't, so
+    a tiny MAD-to-median ratio flags the stream. Per user (>= min_gaps
+    gaps): the exact gap median on the x2 grid (sum of the two middle
+    order statistics — integer-exact for odd AND even counts), the
+    exact MAD on the x4 grid (|2g - med2| is already x2), and
+    rmad_ppm = mad4 * 1e6 div (2 * med2); is_regular flags
+    rmad_ppm < gate. Robust-statistics twin of the mean/variance CV —
+    chosen over CV because medians stay in BIGINT range at ANY event
+    count (no sum-of-squares headroom cliff) and shrug off the one
+    long overnight gap that would wash a variance test out.
+
+    Scale shape: gaps via one lag window per user, both medians via
+    rank-vs-count selection inside the SAME user partitioning (one
+    shuffle, per-user sorts — no global sort, no percentile UDAF),
+    then one grouped rollup. Every column BIGINT end-to-end, so the
+    report is bit-identical to the single-threaded oracle."""
+    wseq = Window.partitionBy("u").orderBy("ts", "event_id")
+    gaps = (
+        events.select(F.col(user_col).alias("u"), "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(wseq))
+        .where(F.col("prev").isNotNull())
+        .select("u", (F.unix_timestamp("ts")
+                      - F.unix_timestamp("prev")).cast("long").alias("g"))
+        .localCheckpoint(eager=False)  # feeds both median passes
+    )
+    def _median_x2(df, val, out):
+        # sum of the two middle order statistics: rank r selects
+        # elements (n+1)//2 and (n+2)//2 (equal when n is odd, so the
+        # odd case contributes 2*middle — the x2 grid, no floats)
+        wv = Window.partitionBy("u").orderBy(val)
+        wn = Window.partitionBy("u")
+        return (df.withColumn("_r", F.row_number().over(wv))
+                .withColumn("_n", F.count(F.lit(1)).over(wn))
+                .where(F.expr("_r = (_n + 1) DIV 2 OR _r = (_n + 2) DIV 2"))
+                .groupBy("u")
+                .agg(F.sum(F.when(
+                    F.col("_n") % 2 == 1,
+                    2 * F.col(val)).otherwise(F.col(val)))
+                    .cast("long").alias(out),
+                     F.max("_n").cast("long").alias(out + "_n")))
+    med = _median_x2(gaps, "g", "med2")
+    ad = (gaps.join(med, "u")
+          .where(F.col("med2_n") >= min_gaps)
+          .select("u", "med2",
+                  F.abs(2 * F.col("g") - F.col("med2")).alias("ad2")))
+    mad = _median_x2(ad.select("u", "ad2"), "ad2", "mad4")
+    return (
+        ad.groupBy("u", "med2").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("n_gaps"))
+        .join(mad.select("u", "mad4"), "u")
+        .select(
+            F.col("u").alias(user_col), "n_gaps",
+            (F.col("med2") * 500).cast("long").alias("median_gap_ms"),
+            (F.col("mad4") * 250).cast("long").alias("mad_gap_ms"),
+            F.expr("mad4 * 1000000 DIV greatest(1, 2 * med2)")
+            .cast("long").alias("rmad_ppm"),
+            (F.expr("mad4 * 1000000 DIV greatest(1, 2 * med2)")
+             < rmad_gate_ppm).cast("int").alias("is_regular"),
+        )
+    )

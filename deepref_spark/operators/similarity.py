@@ -1253,3 +1253,70 @@ def matryoshka_eval(embeddings: DataFrame, queries: DataFrame,
         )
         out = hits if out is None else out.unionAll(hits)
     return out
+
+
+def silhouette_report(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+    """Centroid-silhouette report for the IVF coarse quantizer — the
+    SEPARATION read next to ivf_quality's cohesion: per vector, the
+    simplified silhouette s = (b - a) / max(a, b) with a = cosine
+    distance to the OWN centroid and b = to the runner-up centroid
+    (Rousseeuw's per-point formula with centroid distances standing in
+    for mean member distances — the O(n*k) form that scales where the
+    O(n^2) exact silhouette cannot). A list whose mean silhouette
+    sits near 0 is not separated from its nearest neighbor list —
+    nprobe recall there is luck, not structure.
+
+    Both cosines quantize ONCE onto the 1e-6 BIGINT grid (u =
+    floor(csim * 1e6 + 0.5), the ivf_quality discipline), and because
+    a = 1e6 - u1 <= b = 1e6 - u2 by construction, s reduces to
+    sil_ppm = (u1 - u2) * 1e6 div (1e6 - u2) — pure integer
+    arithmetic, aggregation-order independent, bit-identical to the
+    single-threaded oracle.
+
+    One corpus pass: the same broadcast-codebook crossing as
+    ivf_assignments, the top-2 kept per vector by one grouped
+    sort_array over the n_lists-sized struct list (no corpus-wide
+    window), then one combineable rollup on the tiny list table."""
+    cents = _ivf_codebook(embeddings, n_lists)
+    scored = (
+        embeddings.select("vec_id", "embedding",
+                          _norm_col("embedding").alias("vnorm"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "list_id",
+            (_dot("embedding", "cvec")
+             / (F.col("vnorm") * F.col("cnorm"))).alias("csim"),
+        )
+    )
+    two = (
+        scored.groupBy("vec_id")
+        # (csim DESC, list_id ASC) — the ivf_assignments argmax
+        # tie-break, encoded as sort_array desc over (csim, -list_id)
+        .agg(F.expr(
+            "slice(sort_array(collect_list("
+            "struct(csim, -list_id AS nl, list_id)), false), 1, 2)")
+            .alias("t"))
+        .select(
+            F.expr("t[0].list_id").alias("list_id"),
+            F.expr("CAST(floor(CAST(t[0].csim AS DOUBLE) * 1000000.0 + 0.5)"
+                   " AS BIGINT)").alias("u1"),
+            F.expr("CAST(floor(CAST(t[1].csim AS DOUBLE) * 1000000.0 + 0.5)"
+                   " AS BIGINT)").alias("u2"),
+        )
+        .select(
+            "list_id",
+            F.expr("(u1 - u2) * 1000000 DIV greatest(1, 1000000 - u2)")
+            .cast("long").alias("sil"),
+        )
+    )
+    return (
+        two.groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+             F.sum("sil").alias("_s"),
+             F.min("sil").cast("long").alias("min_sil_ppm"))
+        .select(
+            "list_id", "n_members",
+            F.expr("_s DIV n_members").cast("long").alias("mean_sil_ppm"),
+            "min_sil_ppm",
+        )
+    )

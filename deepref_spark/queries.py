@@ -10495,6 +10495,145 @@ def text_entropy(spark, sf_dir):
     return entropy_stats(documents(spark, sf_dir))
 
 
+@q("events_audience_overlap", """
+WITH am AS MATERIALIZED (
+  SELECT DISTINCT event_type, user_id AS u FROM events
+),
+asz AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM am GROUP BY 1
+),
+ainter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM am a JOIN am b ON a.u = b.u AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+  sa.n AS n_a, sb.n AS n_b,
+  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+  CAST(coalesce(i.n_common, 0) * 1000000
+       // (sa.n + sb.n - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_ppm,
+  CAST(coalesce(i.n_common, 0) * 1000000
+       // least(sa.n, sb.n) AS BIGINT) AS overlap_ppm
+FROM asz sa JOIN asz sb ON sa.event_type < sb.event_type
+LEFT JOIN ainter i
+  ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+""")
+def events_audience_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types
+    (events.audience_overlap): distinct-user intersection per
+    unordered type pair with Jaccard and overlap coefficients on the
+    exact ppm grid. The user-keyed self-join fans out by TYPE
+    cardinality per user (tens), never activity; zero-intersection
+    pairs are kept via the broadcast size-table frame."""
+    from deepref_spark.operators.events import audience_overlap
+
+    return audience_overlap(load_table(spark, sf_dir, "events"))
+
+
+@q("events_bot_cadence", """
+WITH bg AS MATERIALIZED (
+  SELECT u, g FROM (
+    SELECT user_id AS u,
+      CAST(floor(epoch(ts)) AS BIGINT)
+        - CAST(floor(epoch(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS g
+    FROM events
+  ) WHERE g IS NOT NULL
+),
+bmed AS (
+  SELECT u, CAST(sum(CASE WHEN _n % 2 = 1 THEN 2 * g ELSE g END)
+                 AS BIGINT) AS med2,
+         CAST(max(_n) AS BIGINT) AS n_gaps
+  FROM (
+    SELECT u, g,
+      row_number() OVER (PARTITION BY u ORDER BY g) AS _r,
+      count(*) OVER (PARTITION BY u) AS _n
+    FROM bg
+  ) WHERE _r = (_n + 1) // 2 OR _r = (_n + 2) // 2
+  GROUP BY u
+),
+bad AS MATERIALIZED (
+  SELECT bg.u, m.med2, m.n_gaps, abs(2 * bg.g - m.med2) AS ad2
+  FROM bg JOIN bmed m ON bg.u = m.u
+  WHERE m.n_gaps >= 5
+),
+bmad AS (
+  SELECT u, CAST(sum(CASE WHEN _n % 2 = 1 THEN 2 * ad2 ELSE ad2 END)
+                 AS BIGINT) AS mad4
+  FROM (
+    SELECT u, ad2,
+      row_number() OVER (PARTITION BY u ORDER BY ad2) AS _r,
+      count(*) OVER (PARTITION BY u) AS _n
+    FROM bad
+  ) WHERE _r = (_n + 1) // 2 OR _r = (_n + 2) // 2
+  GROUP BY u
+)
+SELECT b.u AS user_id, max(b.n_gaps) AS n_gaps,
+  CAST(max(b.med2) * 500 AS BIGINT) AS median_gap_ms,
+  CAST(max(d.mad4) * 250 AS BIGINT) AS mad_gap_ms,
+  CAST(max(d.mad4) * 1000000
+       // greatest(1, 2 * max(b.med2)) AS BIGINT) AS rmad_ppm,
+  CAST(max(d.mad4) * 1000000
+       // greatest(1, 2 * max(b.med2)) < 50000 AS INT) AS is_regular
+FROM bad b JOIN bmad d ON b.u = d.u
+GROUP BY b.u
+""")
+def events_bot_cadence(spark, sf_dir):
+    """Machine-cadence screen (events.bot_cadence): per-user gap
+    median on the x2 grid and MAD on the x4 grid — both exact order
+    statistics selected by rank-vs-count inside one user partitioning
+    — with rmad_ppm = mad4*1e6 div (2*med2) flagging scheduler-regular
+    streams. Robust-statistics twin of a CV test: BIGINT at any event
+    count (no sum-of-squares headroom cliff), immune to one long
+    overnight gap."""
+    from deepref_spark.operators.events import bot_cadence
+
+    return bot_cadence(load_table(spark, sf_dir, "events"))
+
+
+_SIL_ORACLE = f"""
+WITH {_ivf_assign_sql()},
+stwo AS (
+  SELECT vec_id, list_id, u, r FROM (
+    SELECT b.vec_id, c.list_id,
+      CAST(floor(list_dot_product(b.embedding, c.cvec)
+                 / (b.vnorm * c.cnorm) * 1000000.0 + 0.5) AS BIGINT) AS u,
+      row_number() OVER (PARTITION BY b.vec_id
+        ORDER BY list_dot_product(b.embedding, c.cvec)
+                 / (b.vnorm * c.cnorm) DESC, c.list_id) AS r
+    FROM base b CROSS JOIN cents c
+  ) WHERE r <= 2
+),
+srow AS (
+  SELECT max(CASE WHEN r = 1 THEN list_id END) AS list_id,
+    (max(CASE WHEN r = 1 THEN u END) - max(CASE WHEN r = 2 THEN u END))
+      * 1000000
+      // greatest(1, 1000000 - max(CASE WHEN r = 2 THEN u END)) AS sil
+  FROM stwo GROUP BY vec_id
+)
+SELECT list_id, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(sil) // count(*) AS BIGINT) AS mean_sil_ppm,
+  CAST(min(sil) AS BIGINT) AS min_sil_ppm
+FROM srow GROUP BY list_id
+"""
+
+
+@q("emb_silhouette", _SIL_ORACLE)
+def emb_silhouette(spark, sf_dir):
+    """Centroid-silhouette separation report for the IVF quantizer
+    (similarity.silhouette_report) — the companion read to
+    emb_ivf_quality's cohesion: s = (b - a)/max(a, b) over own vs
+    runner-up centroid cosine distance, reduced to the pure-integer
+    sil_ppm = (u1 - u2)*1e6 div (1e6 - u2) after one quantization onto
+    the 1e-6 grid. One broadcast-codebook corpus pass; top-2 per
+    vector via a grouped sort_array over n_lists structs, never a
+    corpus-wide window."""
+    from deepref_spark.operators.similarity import silhouette_report
+
+    return silhouette_report(load_table(spark, sf_dir, "embeddings"))
+
+
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
@@ -11113,6 +11252,19 @@ _WINDOW_TAIL = [
     # constraint_check/merge_upsert/retention_plan in-window and the
     # interleave-bits formula keeps its pytest pins
     "events_hll_distinct", "kg_sssp", "lake_zorder_buckets",
+    # (parked r5bv, making room for events_audience_overlap +
+    # events_bot_cadence + emb_silhouette): rel_top_orders_per_cust
+    # parks — the rel lane keeps pricing_summary + revenue_topn
+    # in-window over the same lineitem/orders scan-and-join
+    # derivations and the per-cust window keeps its exact pytest
+    # goldens; kg_neighbor_agg parks — its mat-vec message-passing
+    # rounds are the kg_katz_centrality discipline (in-window, same
+    # symmetric-adjacency recurrence) and both rounds keep
+    # hand-unrolled pytest goldens; events_alert_episodes parks — its
+    # gap-filled hourly spine is derived IDENTICALLY by in-window
+    # events_forecast_baseline and the gaps-and-islands episode scan
+    # keeps its pytest pins
+    "rel_top_orders_per_cust", "kg_neighbor_agg", "events_alert_episodes",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
