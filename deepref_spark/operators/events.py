@@ -1183,3 +1183,94 @@ def bot_cadence(events: DataFrame, min_gaps: int = 5,
              < rmad_gate_ppm).cast("int").alias("is_regular"),
         )
     )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """One-sided CUSUM rate-shift detection per event type (Page 1954,
+    the tabular form every SRE burn-rate monitor reimplements):
+    S_t = max(0, S_{t-1} + (x_t - mu - allowance)) over the COMPLETE
+    gap-filled hourly spine, alarm when S_t crosses the decision
+    interval. Allowance = mu/2 and h = 4*mu (the standard "detect a
+    1-sigma-ish upward shift" tuning, expressed against the series'
+    own mean so no variance estimate is needed).
+
+    The max(0, .)-recurrence is NOT a running sum — but it has the
+    classic prefix identity S_t = C_t - min(0, min_{j<=t} C_j) with
+    C_t = cumsum(x_j - 1.5*mu), so the whole detector is TWO stock
+    window functions (running sum, running min) over the tiny
+    types x hours spine — no fold, no UDF, no per-type collect, and
+    it scales exactly like the spine (independent of event volume).
+
+    Exact arithmetic: with mu = sum_n / n_hours, everything is scaled
+    by 2*n_hours — y_units = 2*n_hours*x_t - 3*sum_n, threshold
+    8*sum_n — all BIGINT, so cusum_units and the alarm flag are
+    partition- and engine-independent (no float ever).
+
+    Composes on gap_fill_locf's spine for the rolling_hourly_counts
+    reason: a missing hour must contribute x_t = 0, not silently
+    shrink t.
+    """
+    g = gap_fill_locf(events)
+    w_type = Window.partitionBy("event_type")
+    w_run = (Window.partitionBy("event_type").orderBy("hour")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (
+        g.select("event_type", "hour", "n")
+        .withColumn("n_hours", F.count(F.lit(1)).over(w_type).cast("long"))
+        .withColumn("sum_n", F.sum("n").over(w_type).cast("long"))
+        .withColumn("y_u", 2 * F.col("n_hours") * F.col("n")
+                    - 3 * F.col("sum_n"))
+    )
+    return (
+        staged.withColumn("c_u", F.sum("y_u").over(w_run))
+        .withColumn("_rm", F.min("c_u").over(w_run))
+        .select(
+            "event_type", "hour", F.col("n").cast("long").alias("n"),
+            (F.col("c_u") - F.least(F.lit(0), F.col("_rm"))).cast("long")
+            .alias("cusum_units"),
+            ((F.col("c_u") - F.least(F.lit(0), F.col("_rm")))
+             >= 8 * F.col("sum_n")).cast("int").alias("alarm"),
+        )
+    )
+
+
+def decay_engagement(events: DataFrame, horizon_days: int = 20,
+                     user_col: str = "user_id") -> DataFrame:
+    """Freshness-weighted engagement score per user — the recency
+    decay every ranking / re-engagement lane applies so that activity
+    N days ago counts half of activity N-1 days ago (half-life = 1
+    day): score = sum over events of 2^(-age_days), with age measured
+    in whole days back from the corpus' latest event date, clipped at
+    ``horizon_days`` (older events contribute 0 — at 10^12 events
+    this clip is also the partition-pruning predicate: only the last
+    ``horizon_days`` date partitions are scanned).
+
+    Cross-engine determinism rides the INTEGER DYADIC GRID (the
+    hll/harmonic discipline): each event's weight is the exact BIGINT
+    1 << (horizon - age), sums stay BIGINT, and the final score is
+    units / 2^horizon — one IEEE division by a power of two, which is
+    EXACT, so not even the last bit can differ between Spark and
+    DuckDB. One map-side-combinable per-user groupBy; the anchor date
+    is a 1-row broadcast agg.
+    """
+    anchor = F.broadcast(
+        events.agg(F.max(F.to_date("ts")).alias("_anchor")))
+    aged = (
+        events.select(F.col(user_col).alias("user_id"), F.to_date("ts").alias("_d"))
+        .crossJoin(anchor)
+        .withColumn("_age", F.datediff(F.col("_anchor"), F.col("_d")))
+        .where(F.col("_age") <= horizon_days)
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                         f"{horizon_days} - _age)")).cast("long")
+            .alias("decay_units"),
+            F.min("_age").cast("long").alias("days_since_last"),
+        )
+        .withColumn("decay_score",
+                    F.col("decay_units").cast("double")
+                    / F.lit(float(1 << horizon_days)))
+    )

@@ -648,6 +648,62 @@ def pq_ann_rerank_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def pq_distortion_report(embeddings: DataFrame, dim: int = 64, m: int = 8,
+                         k_sub: int = 16,
+                         books: list | None = None) -> DataFrame:
+    """Per-subspace PQ reconstruction-distortion report — the ANALYZE
+    step next to ivf_quality (coarse-quantizer cohesion) and sq8_error
+    (scalar-quantizer error): for each of the ``m`` subspaces, the
+    member count plus the mean and worst squared L2 between a vector's
+    subvector and its assigned centroid. This is exactly the quantity
+    Lloyd refinement minimizes, so the report is the acceptance gate
+    an index build publishes before trusting the codebooks (a subspace
+    whose distortion dwarfs the others needs more centroids or a
+    rotation — the OPQ signal).
+
+    One corpus scan: per row the same literal-codebook min-distance
+    struct fold pq_encode runs (the chosen centroid's distance IS the
+    reconstruction error — no decode join, no second pass), then ONE
+    combineable groupBy on m rows. Each error is quantized to the 1e-6
+    grid as BIGINT before summing (floor(x*1e6+0.5), IEEE-identical in
+    Spark and DuckDB), mean via the tie-free floor((2s+n)/(2n)) — the
+    ivf_quality discipline, so the report is aggregation-order
+    independent under any partitioning."""
+    books = pq_codebooks(embeddings, dim, m, k_sub) if books is None else books
+    sub = dim // m
+    err_exprs = []
+    for j, book in enumerate(books):
+        lit = _book_literal(book, "spark")
+        sv = (f"transform(slice(embedding, {j * sub + 1}, {sub}), "
+              f"x -> CAST(x AS DOUBLE))")
+        # same (d, c) struct fold as pq_encode — .d instead of .c
+        err_exprs.append(
+            f"array_min(zip_with({lit}, sequence(0, {len(book) - 1}), "
+            f"(cent, c) -> struct(aggregate(zip_with({sv}, cent, "
+            f"(x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, c AS c))).d"
+        )
+    errs = embeddings.select(
+        F.posexplode(F.expr("array(" + ", ".join(err_exprs) + ")"))
+        .alias("subspace", "err")
+    ).select(
+        F.col("subspace").cast("long").alias("subspace"),
+        F.expr("CAST(floor(err * 1000000.0 + 0.5) AS BIGINT)").alias("u"),
+    )
+    return (
+        errs.groupBy("subspace")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.sum("u").alias("_s"),
+             F.max("u").alias("_m"))
+        .select(
+            "subspace", "n_vectors",
+            F.expr("CAST(floor((2.0 * _s + n_vectors) / (2.0 * n_vectors)) "
+                   "AS DOUBLE) / 1000000.0").alias("mean_sq_err"),
+            (F.col("_m").cast("double") / F.lit(1000000.0)).alias("max_sq_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Nearest-centroid classification over the labeled embedding table
 # ---------------------------------------------------------------------------

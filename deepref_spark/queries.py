@@ -3259,8 +3259,11 @@ def events_session_window(spark, sf_dir):
     )
 
 
-_PQ_ORACLE = f"""
-WITH base AS (SELECT vec_id, embedding FROM embeddings),
+def _pq_cents_sql() -> str:
+    """base..cents CTE chain (SQL mirror of similarity.pq_codebooks):
+    sample-based per-subspace Lloyd-refined codebooks — shared by the
+    PQ ANN oracle and the PQ distortion report."""
+    return """base AS (SELECT vec_id, embedding FROM embeddings),
 sample AS (
   -- FAISS-style sample-based training: Lloyd runs over the
   -- train_sample*k_sub = 256*16 md5-smallest vectors (similarity.py)
@@ -3313,7 +3316,11 @@ cents AS (
   -- refined books; empty clusters keep their seed subvector
   SELECT c0.j, c0.c, coalesce(n.cent, c0.cent) AS cent
   FROM cents0 c0 LEFT JOIN newc n ON n.j = c0.j AND n.c = c0.c
-),
+)"""
+
+
+_PQ_ORACLE = f"""
+WITH {_pq_cents_sql()},
 -- per (vector, subspace): nearest centroid by squared L2, min-c tie-break.
 -- list_reduce = sequential left fold, matching Spark's aggregate() FP order
 dists AS (
@@ -10633,6 +10640,124 @@ def emb_silhouette(spark, sf_dir):
 
     return silhouette_report(load_table(spark, sf_dir, "embeddings"))
 
+
+@q("emb_pq_distortion", f"""
+WITH {_pq_cents_sql()},
+dd AS (
+  SELECT b.vec_id, cents.j,
+         list_reduce(list_transform(range(8),
+           i -> power(CAST(b.embedding[CAST(cents.j * 8 + i + 1 AS INT)] AS DOUBLE)
+                      - cents.cent[CAST(i + 1 AS INT)], 2)),
+           (a, v) -> a + v) AS d
+  FROM base b CROSS JOIN cents
+),
+de AS (
+  SELECT vec_id, j, CAST(floor(min(d) * 1000000.0 + 0.5) AS BIGINT) AS u
+  FROM dd GROUP BY vec_id, j
+)
+SELECT CAST(j AS BIGINT) AS subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(floor((2.0 * CAST(sum(u) AS DOUBLE) + count(*))
+                  / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS mean_sq_err,
+       CAST(max(u) AS DOUBLE) / 1000000.0 AS max_sq_err
+FROM de GROUP BY j
+""")
+def emb_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ reconstruction-distortion report
+    (similarity.pq_distortion_report) — the acceptance gate an index
+    build publishes before trusting the codebooks (the quantity Lloyd
+    refinement minimizes; a subspace whose distortion dwarfs the
+    others is the OPQ rotate-or-widen signal). One corpus scan running
+    pq_encode's own min-distance struct fold (the chosen centroid's
+    distance IS the error), one m-row combineable groupBy; errors on
+    the 1e-6 BIGINT grid, mean via tie-free floor((2s+n)/(2n)) — the
+    ivf_quality discipline. The oracle re-derives the Lloyd-refined
+    codebooks through the shared cents CTE chain (_pq_cents_sql)."""
+    from deepref_spark.operators.similarity import pq_distortion_report
+
+    return pq_distortion_report(load_table(spark, sf_dir, "embeddings"),
+                                dim=64, m=8, k_sub=16)
+
+
+@q("events_cusum", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, s.h, coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+),
+st AS (
+  SELECT event_type, h, n,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS sum_n
+  FROM j
+),
+cu AS (
+  SELECT event_type, h, n, sum_n,
+         sum(2 * n_hours * n - 3 * sum_n)
+           OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_u
+  FROM st
+),
+fin AS (
+  SELECT event_type, h, n, sum_n, c_u,
+         min(c_u) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM cu
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(c_u - least(0, rm) AS BIGINT) AS cusum_units,
+       CAST(c_u - least(0, rm) >= 8 * sum_n AS INT) AS alarm
+FROM fin
+""")
+def events_cusum(spark, sf_dir):
+    """One-sided CUSUM rate-shift detector per event type
+    (events.cusum_changepoints): S_t = max(0, S_{t-1} + x_t - 1.5*mu)
+    with alarm at 4*mu, computed WITHOUT the recurrence via the prefix
+    identity S_t = C_t - min(0, running-min C) — two stock window
+    functions over the complete gap-filled hourly spine (types x
+    hours, independent of event volume). All arithmetic BIGINT on the
+    2*n_hours grid: no float, no fold, no per-type collect."""
+    from deepref_spark.operators.events import cusum_changepoints
+
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
+@q("events_decay_score", """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+aged AS (
+  SELECT user_id, date_diff('day', CAST(ts AS DATE), a) AS age
+  FROM events CROSS JOIN anchor
+  WHERE date_diff('day', CAST(ts AS DATE), a) <= 20
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(sum(CAST(1 AS BIGINT) << (20 - age)) AS BIGINT) AS decay_units,
+       CAST(min(age) AS BIGINT) AS days_since_last,
+       CAST(sum(CAST(1 AS BIGINT) << (20 - age)) AS DOUBLE) / 1048576.0
+         AS decay_score
+FROM aged GROUP BY user_id
+""")
+def events_decay_score(spark, sf_dir):
+    """Freshness-weighted engagement per user (events.decay_engagement):
+    score = sum 2^(-age_days) with a 20-day horizon clip (which at
+    10^12 events is also the date-partition-pruning predicate). Weights
+    ride the exact dyadic grid — BIGINT 1 << (20 - age), summed exact,
+    one final division by 2^20 which IEEE represents exactly — so the
+    score is bit-identical across engines. One map-side-combinable
+    per-user groupBy; the anchor date is a 1-row broadcast agg."""
+    from deepref_spark.operators.events import decay_engagement
+
+    return decay_engagement(load_table(spark, sf_dir, "events"),
+                            horizon_days=20)
 
 
 # ---------------------------------------------------------------------------
