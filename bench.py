@@ -264,6 +264,16 @@ HEADLINE = [
     "events_audience_overlap",
     "events_bot_cadence",
     "emb_silhouette",
+    # sixteenth-sitting additions: PQ distortion report, CUSUM
+    # rate-shift detector, dyadic decay engagement
+    "emb_pq_distortion",
+    "events_cusum",
+    "events_decay_score",
+    # seventeenth-sitting additions: distant-supervision report,
+    # Soundex phonetic blocking, daily-basket association rules
+    "kg_distant_supervision",
+    "kg_phonetic_blocking",
+    "events_basket_lift",
 ]
 
 

@@ -1274,3 +1274,67 @@ def decay_engagement(events: DataFrame, horizon_days: int = 20,
                     F.col("decay_units").cast("double")
                     / F.lit(float(1 << horizon_days)))
     )
+
+
+def basket_rules(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Association rules over daily activity baskets — the
+    market-basket report (support / confidence / lift) every
+    recommendation and cross-sell lane runs, with basket = the set of
+    event types a user touched on one calendar day: for every
+    co-occurring unordered type pair, the basket counts and
+
+      support  = n_ab / n_baskets        (ppm)
+      conf a->b = n_ab / n_a, conf b->a  (ppm)
+      lift     = n_ab * n_baskets / (n_a * n_b)   (milli, 1000 = independent)
+
+    all as exact BIGINT multiply + integer DIV — no float, so the
+    report is partition- and engine-independent.
+
+    Scale shape: one distinct over (user, day, type) — the only
+    corpus-sized shuffle — then a (user, day)-keyed self-join whose
+    fan-out per basket is C(t, 2) with t bounded by the TYPE
+    cardinality (tens), never by user activity; the per-type basket
+    counts and the 1-row total are tiny broadcast joins onto the pair
+    rollup. Pairs that never co-occur are absent by construction
+    (support 0 rows carry no rule signal — unlike audience_overlap,
+    which keeps them, this is the rules table, not the coverage
+    audit).
+    """
+    b = (events
+         .select(F.col(user_col).alias("u"), F.to_date("ts").alias("d"),
+                 "event_type")
+         .distinct()
+         .localCheckpoint(eager=False))  # feeds total, sizes AND both join sides
+    total = F.broadcast(
+        b.select("u", "d").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets")))
+    sizes = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        b.alias("a").join(
+            b.alias("x"),
+            (F.col("a.u") == F.col("x.u")) & (F.col("a.d") == F.col("x.d"))
+            & (F.col("a.event_type") < F.col("x.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("x.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                       F.col("n").alias("n_a"))), "type_a")
+        .join(F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                       F.col("n").alias("n_b"))), "type_b")
+        .crossJoin(total)
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_ab", "n_baskets",
+            F.expr("CAST((n_ab * 1000000) DIV n_baskets AS BIGINT)")
+            .alias("support_ppm"),
+            F.expr("CAST((n_ab * 1000000) DIV n_a AS BIGINT)")
+            .alias("conf_ab_ppm"),
+            F.expr("CAST((n_ab * 1000000) DIV n_b AS BIGINT)")
+            .alias("conf_ba_ppm"),
+            F.expr("CAST((n_ab * n_baskets * 1000) DIV (n_a * n_b) "
+                   "AS BIGINT)").alias("lift_milli"),
+        )
+    )

@@ -824,3 +824,75 @@ def rules_pca_confidence(triples: DataFrame, min_support: int = 2,
             .alias("pca_confidence"),
         )
     )
+
+
+def distant_supervision(pairs: DataFrame) -> DataFrame:
+    """Distant-supervision labeling report (Mintz 2009, the NYT-FB
+    protocol behind the reference's bag-level training mode,
+    `opennre/framework/bag_re.py` lineage): canonicalize every
+    sentence-level mention pair, build the KB from the non-negative
+    extractions, then join EVERY mention pair (including the
+    'Other'-predicted ones) back against the KB on its canonical
+    (subject, object) — a mention is silver-labeled with predicate p
+    whenever the KB holds p for its entity pair, regardless of what
+    the sentence-level extractor said. Per predicate: matched mention
+    and bag counts, how many matches agree with the sentence-level
+    extraction (direct) vs disagree (silver — the DS noise a
+    multi-instance learner must absorb), and the silver share on the
+    exact ppm grid (BIGINT multiply, integer DIV — no float).
+
+    ``pairs``: one row per sentence-level mention pair with columns
+    (doc_id, h_name, t_name, pred_relation).
+
+    Scale shape: the canon map is the kg_canonical_triples window
+    derivation (min surface over the normalized key) — built once over
+    the DISTINCT surface vocabulary, size-gated broadcast onto the
+    pair stream; the canonicalized pairs are lazily checkpointed once
+    and feed BOTH the KB distinct and the DS join; the KB (distinct
+    canonical triples) is size-gated broadcast, so the only
+    corpus-sized shuffle is the surface distinct. Join fan-out per
+    mention is bounded by the predicate vocabulary (a canonical pair
+    holds at most |relations| KB predicates), never by corpus size.
+    """
+    from deepref_spark.operators.linking import size_gated_broadcast
+
+    ents = (pairs.select(F.col("h_name").alias("entity"))
+            .union(pairs.select(F.col("t_name").alias("entity")))
+            .distinct())
+    w = Window.partitionBy(
+        F.expr("regexp_replace(entity, '[^a-z0-9]', '')"))
+    canon = (ents.withColumn("canonical", F.min("entity").over(w))
+             .localCheckpoint(eager=False))
+    canon, _ = size_gated_broadcast(canon)
+    cp = (
+        pairs
+        .join(canon.select(F.col("entity").alias("h_name"),
+                           F.col("canonical").alias("hc")), "h_name")
+        .join(canon.select(F.col("entity").alias("t_name"),
+                           F.col("canonical").alias("tc")), "t_name")
+        .select("doc_id", "hc", "tc", "pred_relation")
+        .localCheckpoint(eager=False)  # feeds the KB distinct AND the DS join
+    )
+    kb = (cp.where(F.col("pred_relation") != "Other")
+          .select(F.col("hc").alias("subj"),
+                  F.col("pred_relation").alias("pred"),
+                  F.col("tc").alias("obj"))
+          .distinct())
+    kb, _ = size_gated_broadcast(kb)
+    ds = cp.join(kb, (F.col("hc") == F.col("subj"))
+                 & (F.col("tc") == F.col("obj")))
+    return (
+        ds.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct(F.concat_ws("#|#", "hc", "tc")).cast("long")
+            .alias("n_bags"),
+            F.sum((F.col("pred_relation") == F.col("pred")).cast("long"))
+            .cast("long").alias("n_direct"),
+            F.sum((F.col("pred_relation") != F.col("pred")).cast("long"))
+            .cast("long").alias("n_silver"),
+        )
+        .withColumn("silver_ppm",
+                    F.expr("CAST((n_silver * 1000000) DIV n_mentions"
+                           " AS BIGINT)"))
+    )

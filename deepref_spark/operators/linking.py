@@ -488,3 +488,51 @@ def sorted_neighborhood_pairs(entities: DataFrame,
         .groupBy("e1", "e2")
         .agg(F.count_distinct("pass_id").cast("long").alias("n_passes"))
     )
+
+
+def phonetic_blocks(surfaces: DataFrame) -> DataFrame:
+    """Phonetic (Soundex) blocking over entity surface forms — the
+    classic record-linkage blocking key next to the sorted-neighborhood
+    and MinHash passes: surfaces that SOUND alike share a 4-char key
+    (SMITH/SMYTH -> S530, ROBERT/RUPERT -> R163), so typo- and
+    transliteration-variant spellings land in one block that the
+    expensive verify stage (edit distance / Fellegi-Sunter) then
+    scores. Report per block: the key, member count, the candidate
+    pairs the block generates (C(n,2) — the verify-stage cost the
+    blocking report exists to budget), and the sorted member list.
+
+    The key is portable.soundex_from_letters — one formula text in
+    both engines (the vowel-separator Soundex variant), keyed on a
+    STAGED letters-only column so the regex chain runs once per
+    surface. Unkeyable surfaces (no letters) are dropped explicitly.
+
+    Scale shape: one distinct over the surface vocabulary, one
+    map-side-combinable groupBy on the key; collect_set is bounded by
+    the block fan-in (names per phonetic key), never the corpus. The
+    pair count is reported, not materialized — the downstream verify
+    join decides whether to expand a block or escalate it to a
+    skew-split path.
+    """
+    from deepref_spark.portable import (SPARK, soundex_from_letters,
+                                        soundex_letters)
+
+    staged = (
+        surfaces.select("entity").distinct()
+        .withColumn("_s0", F.expr(soundex_letters("entity", SPARK)))
+        .withColumn("sdx", F.expr(soundex_from_letters("_s0", SPARK)))
+        .where(F.col("sdx") != "")
+    )
+    return (
+        staged.groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_surfaces"),
+            F.array_join(F.array_sort(F.collect_set("entity")), " | ")
+            .alias("members"),
+        )
+        .withColumn(
+            "n_pairs",
+            (F.col("n_surfaces") * (F.col("n_surfaces") - 1) / 2)
+            .cast("long"),
+        )
+        .select("sdx", "n_surfaces", "n_pairs", "members")
+    )

@@ -427,3 +427,34 @@ def noisy_or_ppm_expr(ps: list, d: str) -> str:
         acc = idiv(
             f"({acc} * CAST((1000000 - {p}) AS BIGINT))", "1000000", d)
     return f"CAST((1000000 - {acc}) AS BIGINT)"
+
+
+# Russell Soundex digit map, a..z: vowels/h/w/y -> 0 (run separators),
+# {b,f,p,v} -> 1, {c,g,j,k,q,s,x,z} -> 2, {d,t} -> 3, l -> 4,
+# {m,n} -> 5, r -> 6.
+SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def soundex_letters(col: str, d: str) -> str:
+    """Letters-only lowercase form of a surface string — the staging
+    column soundex_from_letters keys on."""
+    return rx_replace_all(f"lower({col})", "[^a-z]", "", d)
+
+
+def soundex_from_letters(s0: str, d: str) -> str:
+    """Russell Soundex key over an already letters-only lowercase
+    column (vowel-separator variant: h/w break same-code runs exactly
+    like vowels, the one simplification vs strict Soundex — chosen so
+    ONE formula text is bit-identical in both dialects instead of
+    trusting two engines' divergent builtin soundex()). Empty input
+    keys to '' so the caller can drop unkeyable surfaces explicitly.
+    """
+    dg = (f"translate({s0}, 'abcdefghijklmnopqrstuvwxyz', "
+          f"'{SOUNDEX_DIGITS}')")
+    coll = dg
+    for digit in "123456":
+        coll = rx_replace_all(coll, digit + "{2,}", digit, d)
+    tail = rx_replace_all(f"substr({coll}, 2)", "0", "", d)
+    return (f"CASE WHEN length({s0}) = 0 THEN '' "
+            f"ELSE concat(upper(substr({s0}, 1, 1)), "
+            f"substr(concat({tail}, '000'), 1, 3)) END")

@@ -10760,6 +10760,179 @@ def events_decay_score(spark, sf_dir):
                             horizon_days=20)
 
 
+# planted alias spellings for the distant-supervision query: the
+# testdata mention surfaces never collide under canonicalization (every
+# alias group is a singleton), and the hash predicate is a FUNCTION of
+# the surface pair, so without a plant every KB match would be direct
+# (n_silver identically 0 — the query would certify only the trivial
+# path). Three spellings of one pair collapse to one canonical pair
+# whose md5 preds are cause-effect / component-whole / Other (probed,
+# deterministic): the KB holds TWO predicates for the bag and the
+# 'Other' mention gets silver-labeled — exactly the DS noise path.
+_DS_PLANT = [(-1, "spark sql", "databricks"),
+             (-2, "spark-sql", "databricks"),
+             (-3, "sparksql", "databricks")]
+
+_DS_PLANT_VALUES = ", ".join(
+    f"({d}, '{h}', '{t}')" for d, h, t in _DS_PLANT)
+
+
+@q("kg_distant_supervision", _oracle_prefix() + f"""
+, all_pairs AS (
+  SELECT doc_id, h_name, t_name FROM mentions
+  UNION ALL
+  SELECT * FROM (VALUES {_DS_PLANT_VALUES}) AS plant(doc_id, h_name, t_name)
+),
+dspreds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM all_pairs
+),
+dscanon AS (
+  SELECT entity,
+         min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM dspreds
+        UNION SELECT DISTINCT t_name FROM dspreds)
+),
+cp AS (
+  SELECT p.doc_id, c1.canonical AS hc, c2.canonical AS tc, p.pred_relation
+  FROM dspreds p
+  JOIN dscanon c1 ON p.h_name = c1.entity
+  JOIN dscanon c2 ON p.t_name = c2.entity
+),
+kb AS (
+  SELECT DISTINCT hc AS subj, pred_relation AS pred, tc AS obj
+  FROM cp WHERE pred_relation <> 'Other'
+),
+ds AS (
+  SELECT k.pred, cp.hc, cp.tc, cp.pred_relation
+  FROM cp JOIN kb k ON cp.hc = k.subj AND cp.tc = k.obj
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT hc || '#|#' || tc) AS BIGINT) AS n_bags,
+       CAST(sum(CASE WHEN pred_relation = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+       CAST(sum(CASE WHEN pred_relation <> pred THEN 1 ELSE 0 END) AS BIGINT) AS n_silver,
+       CAST(sum(CASE WHEN pred_relation <> pred THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS silver_ppm
+FROM ds GROUP BY pred
+""")
+def kg_distant_supervision(spark, sf_dir):
+    """Distant-supervision labeling report
+    (kgquality.distant_supervision) — the Mintz-2009 protocol behind
+    the reference's bag-level training mode: every sentence-level
+    mention pair (INCLUDING the 'Other'-predicted ones) is joined back
+    against the canonical-triple KB on its canonicalized entity pair;
+    per predicate, the matched mention/bag counts, how many agree with
+    the sentence-level extraction (direct) vs disagree (silver — the
+    DS noise a multi-instance learner must absorb), and the silver
+    share on the exact ppm grid. Canon map window + size-gated
+    broadcast KB join — the kg_canonical_triples scale shape; the
+    three-spelling plant certifies the multi-predicate bag and the
+    Other->silver path (see _DS_PLANT)."""
+    from deepref_spark.operators.kgquality import distant_supervision
+
+    m = portable_mentions(spark, sf_dir).select("doc_id", "h_name", "t_name")
+    plant = spark.createDataFrame(
+        _DS_PLANT, schema="doc_id long, h_name string, t_name string")
+    staged = m.unionByName(plant).withColumn(
+        "_hv", F.expr(md5_mod("concat(h_name, '|', t_name)", 997)))
+    pairs = staged.select(
+        "doc_id", "h_name", "t_name",
+        F.expr(portable.relation_case("_hv")).alias("pred_relation"))
+    return distant_supervision(pairs)
+
+
+# planted phonetic variants: the corpus surfaces are deterministic
+# token spans that rarely share a Soundex key, so the plant pins the
+# collide path with the two classic record-linkage pairs.
+_PHONETIC_PLANT = ["smith", "smyth", "robert", "rupert"]
+
+
+def _soundex_oracle() -> str:
+    from deepref_spark.portable import soundex_from_letters, soundex_letters
+    plant = ", ".join(f"('{s}')" for s in _PHONETIC_PLANT)
+    return _trip_cte() + f"""
+, surf AS (
+  SELECT entity FROM canon
+  UNION SELECT entity FROM (VALUES {plant}) AS plant(entity)
+),
+staged AS (
+  SELECT entity, {soundex_letters('entity', DUCK)} AS s0 FROM surf
+),
+keyed AS (
+  SELECT entity, {soundex_from_letters('s0', DUCK)} AS sdx FROM staged
+)
+SELECT sdx, CAST(count(*) AS BIGINT) AS n_surfaces,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs,
+       array_to_string(list_sort(list(entity)), ' | ') AS members
+FROM keyed WHERE sdx <> '' GROUP BY sdx
+"""
+
+
+@q("kg_phonetic_blocking", _soundex_oracle())
+def kg_phonetic_blocking(spark, sf_dir):
+    """Phonetic (Soundex) blocking report over the corpus entity
+    surfaces (linking.phonetic_blocks) — the classic record-linkage
+    blocking key completing the family next to sorted-neighborhood,
+    MinHash and prefix-filter passes: per 4-char phonetic key, the
+    member count, the C(n,2) verify-stage pair budget, and the sorted
+    members. One formula text in both engines
+    (portable.soundex_from_letters, the vowel-separator Soundex
+    variant) over a STAGED letters-only column; the smith/smyth +
+    robert/rupert plant certifies the collide path (corpus surfaces
+    rarely share keys)."""
+    from deepref_spark.operators.linking import phonetic_blocks
+
+    m = portable_mentions(spark, sf_dir)
+    preds = m.where(F.expr(f"{_pred_expr()} <> 'Other'"))
+    planted = spark.createDataFrame(
+        [(s,) for s in _PHONETIC_PLANT], schema="entity string")
+    surfaces = (preds.select(F.col("h_name").alias("entity"))
+                .union(preds.select(F.col("t_name").alias("entity")))
+                .union(planted))
+    return phonetic_blocks(surfaces)
+
+
+@q("events_basket_lift", """
+WITH b AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d, event_type
+  FROM events
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+          FROM (SELECT DISTINCT u, d FROM b)),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, x.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b x
+    ON a.u = x.u AND a.d = x.d AND a.event_type < x.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_ab, n_baskets,
+       CAST(n_ab * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+       CAST(n_ab * 1000000 // sa.n AS BIGINT) AS conf_ab_ppm,
+       CAST(n_ab * 1000000 // sb.n AS BIGINT) AS conf_ba_ppm,
+       CAST(n_ab * n_baskets * 1000 // (sa.n * sb.n) AS BIGINT) AS lift_milli
+FROM pairs
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+CROSS JOIN total
+""")
+def events_basket_lift(spark, sf_dir):
+    """Market-basket association rules over daily activity baskets
+    (events.basket_rules): per co-occurring event-type pair,
+    support / both-direction confidence / lift on the exact
+    ppm-and-milli integer grid (BIGINT multiply + integer DIV, no
+    float). One corpus-sized distinct on (user, day, type), a
+    basket-keyed self-join whose fan-out is bounded by the type
+    vocabulary, tiny broadcast joins for the per-type counts and the
+    1-row basket total."""
+    from deepref_spark.operators.events import basket_rules
+
+    return basket_rules(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -11390,6 +11563,36 @@ _WINDOW_TAIL = [
     # events_forecast_baseline and the gaps-and-islands episode scan
     # keeps its pytest pins
     "rel_top_orders_per_cust", "kg_neighbor_agg", "events_alert_episodes",
+    # (parked r5bw, making room for emb_pq_distortion + events_cusum +
+    # events_decay_score): emb_ann_pq parks — new in-window
+    # emb_pq_distortion embeds the IDENTICAL _pq_cents_sql Lloyd-
+    # refined codebook CTE chain every sweep, so the PQ training
+    # formula stays under the driver hash gate; the ADC scan + rerank
+    # ranking keeps its exact pytest goldens and its r4 judge-verified
+    # standing. text_repetition parks — in-window text_curate_pipeline
+    # embeds the repetition-signal chain in its composed oracle (the
+    # r5w argument that parked text_contamination). events_rfm parks —
+    # green every sweep since sitting 9 with exact quantile-bucket
+    # pytest goldens; the behavioral events lane keeps nine reps
+    # in-window (session_window, anomaly_mad, kmv_distinct,
+    # forecast_baseline, gini, audience_overlap, bot_cadence, cusum,
+    # decay_score).
+    "emb_ann_pq", "text_repetition", "events_rfm",
+    # (parked r5bx, making room for kg_distant_supervision +
+    # kg_phonetic_blocking + events_basket_lift): kg_sorted_neighborhood
+    # parks — in-window kg_blocking_compare embeds the IDENTICAL
+    # two-pass sorted-neighborhood derivation (sr1/sr2/snc CTEs) and
+    # re-verifies it against the head-token gold every sweep; the new
+    # kg_phonetic_blocking keeps the blocking lane at three in-window
+    # reps (compare, phonetic, prefix_join). events_forecast_baseline
+    # parks — new in-window events_cusum derives the IDENTICAL
+    # gap-filled hourly spine (gap_fill_locf) under the driver hash
+    # gate, and the seasonal-naive backtest keeps its exact pytest
+    # goldens. rel_revenue_topn parks — the rel lane keeps
+    # rel_pricing_summary in-window over the same lineitem
+    # scan-and-join derivation, and the top-N window keeps its exact
+    # pytest goldens.
+    "kg_sorted_neighborhood", "events_forecast_baseline", "rel_revenue_topn",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
