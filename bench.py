@@ -274,6 +274,9 @@ HEADLINE = [
     "kg_distant_supervision",
     "kg_phonetic_blocking",
     "events_basket_lift",
+    "emb_dim_stats",
+    "events_bounce",
+    "kg_media_mime_audit",
 ]
 
 

@@ -1338,3 +1338,60 @@ def basket_rules(events: DataFrame, user_col: str = "user_id") -> DataFrame:
                    "AS BIGINT)").alias("lift_milli"),
         )
     )
+
+
+def bounce_stats(events: DataFrame) -> DataFrame:
+    """Per-entry-type session bounce/dwell rollup — the landing-page
+    report every product-analytics stack publishes: sessionize by the
+    30-minute gap rule (the sessionize/lag+cumsum derivation, with the
+    total order pinned to (ts, event_id) so timestamp ties cannot flip
+    the entry pick between engines), key each session by its FIRST
+    event's type, then per entry type report session count, bounce
+    count (single-event sessions), the bounce rate on the exact ppm
+    grid, and mean events / mean duration on the milli grid via the
+    tie-free (2000*s + n) DIV (2*n) — all counts and epoch-second
+    durations are non-negative BIGINTs, so the grid is exact and
+    engine-independent.
+
+    Scale shape: one shuffle on user_id for the session windows (the
+    standard sessionization partitioning — per-user sequential, hot
+    users bounded by their own event count), then a groupBy on the
+    session key and a tiny entry-type rollup.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    per_session = (
+        events
+        .withColumn("new_session",
+                    F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("entry_type", F.first("event_type").over(
+            Window.partitionBy("user_id", "session_seq")
+            .orderBy("ts", "event_id")))
+        .groupBy("user_id", "session_seq", "entry_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.max(secs).alias("_hi"), F.min(secs).alias("_lo"))
+        .select("entry_type", "n_events",
+                (F.col("_hi") - F.col("_lo")).alias("dur_secs"))
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).cast("long")
+            .alias("n_bounces"),
+            F.sum("n_events").cast("long").alias("_se"),
+            F.sum("dur_secs").cast("long").alias("_sd"),
+        )
+        .select(
+            "entry_type", "n_sessions", "n_bounces",
+            F.expr("CAST((n_bounces * 1000000) DIV n_sessions AS BIGINT)")
+            .alias("bounce_ppm"),
+            F.expr("CAST((2000 * _se + n_sessions) DIV (2 * n_sessions)"
+                   " AS BIGINT) / 1000.0").alias("mean_events"),
+            F.expr("CAST((2000 * _sd + n_sessions) DIV (2 * n_sessions)"
+                   " AS BIGINT) / 1000.0").alias("mean_dur_secs"),
+        )
+    )

@@ -381,3 +381,55 @@ def phash_near_pairs(media_features: DataFrame,
                      ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# magic-byte MIME table: the first bytes a container format pins.
+# PNG \x89PNG, RIFF (WAV/AVI outer), ISO-BMFF 'ftyp' at byte offset 4.
+_MAGIC_PNG = "89504E47"
+_MAGIC_RIFF = "52494646"
+_MAGIC_FTYP = "66747970"
+
+
+def mime_audit(media: DataFrame) -> DataFrame:
+    """Magic-byte MIME audit over a binary media column — the ingest
+    gate every multimodal pipeline runs BEFORE the (expensive, often
+    crash-prone) decoder: sniff the container format from the payload's
+    first bytes (PNG / RIFF / ISO-BMFF 'ftyp'), compare against the
+    kind the file EXTENSION declares, and roll up per
+    (declared, sniffed) cell with byte-size stats — the off-diagonal
+    cells are the mislabeled or corrupted payloads to quarantine
+    instead of handing to the decode stub.
+
+    ``media``: (media_ref string, content binary). Pure JVM: the sniff
+    is hex(substring(content, ...)) CASE dispatch — no Python crossing,
+    no decode; length(binary) is the exact byte size. One map-side
+    combined groupBy on the tiny (declared, sniffed) key space.
+    """
+    sniffed = (
+        F.when(F.expr("hex(substring(content, 1, 4))") == _MAGIC_PNG,
+               "image")
+        .when(F.expr("hex(substring(content, 1, 4))") == _MAGIC_RIFF,
+              "audio")
+        .when(F.expr("hex(substring(content, 5, 4))") == _MAGIC_FTYP,
+              "video")
+        .otherwise("unknown")
+    )
+    declared = (
+        F.when(F.col("media_ref").rlike("\\.png$"), "image")
+        .when(F.col("media_ref").rlike("\\.wav$"), "audio")
+        .when(F.col("media_ref").rlike("\\.mp4$"), "video")
+        .otherwise("unknown")
+    )
+    return (
+        media.select(declared.alias("declared_kind"),
+                     sniffed.alias("sniffed_kind"),
+                     F.length("content").cast("long").alias("n_bytes"))
+        .groupBy("declared_kind", "sniffed_kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("n_bytes").cast("long").alias("total_bytes"),
+             F.min("n_bytes").cast("long").alias("min_bytes"),
+             F.max("n_bytes").cast("long").alias("max_bytes"))
+        .withColumn("is_mismatch",
+                    (F.col("declared_kind") != F.col("sniffed_kind"))
+                    .cast("int"))
+    )

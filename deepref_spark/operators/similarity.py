@@ -1376,3 +1376,66 @@ def silhouette_report(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
             "min_sil_ppm",
         )
     )
+
+
+def dim_stats(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension distribution report over the embedding corpus —
+    the ANALYZE table a vector-index build publishes before choosing a
+    truncation width (the emb_matryoshka decision input) or an OPQ
+    rotation: for each dimension, count / mean / variance / min / max
+    plus the dimension's share of total variance and the cumulative
+    energy share in descending-variance order ("the top-k dims hold
+    p% of the energy" — the Matryoshka truncation curve's analytic
+    twin).
+
+    Determinism discipline: values ride the 1e-3 BIGINT grid
+    (floor(x*1000+0.5) — float32 inputs are exact in double, so the
+    grid is engine-independent); per-dim sums and the variance
+    numerator n*Σu² − (Σu)² stay BIGINT (exact to ~1e9 vectors at
+    |x|<=3 — beyond that swap the sums to decimal); mean, variance and
+    the shares are each ONE double division of exact BIGINTs, rounded
+    6dp (the predicate_profile discipline — sign-safe, unlike the
+    integer-DIV mean grid, since per-dim means can be negative).
+
+    Scale shape: one corpus scan, posexplode into (dim, u), ONE
+    map-side-combined groupBy on ``dim`` rows; the share windows run
+    over the dim-row table (64 rows), never the corpus.
+    """
+    e = embeddings.select(
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")).alias("dim", "u"))
+    agg = (
+        e.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.sum("u").cast("long").alias("_s"),
+             F.sum(F.col("u") * F.col("u")).cast("long").alias("_s2"),
+             F.min("u").cast("long").alias("_mn"),
+             F.max("u").cast("long").alias("_mx"))
+        .withColumn("_var_num",
+                    F.col("n_vectors") * F.col("_s2")
+                    - F.col("_s") * F.col("_s"))
+    )
+    # windows over the 64-row dim table only (single partition is fine)
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (Window.partitionBy(F.lit(1))
+             .orderBy(F.desc("_var_num"), F.asc("dim"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        agg.withColumn("_tot", F.sum("_var_num").over(w_all))
+        .withColumn("_cum", F.sum("_var_num").over(w_cum))
+        .select(
+            "dim", "n_vectors",
+            F.round(F.col("_s").cast("double") / F.col("n_vectors")
+                    / F.lit(1000.0), 6).alias("mean_val"),
+            F.round(F.col("_var_num").cast("double")
+                    / F.col("n_vectors") / F.col("n_vectors")
+                    / F.lit(1000000.0), 6).alias("var_val"),
+            (F.col("_mn") / F.lit(1000.0)).alias("min_val"),
+            (F.col("_mx") / F.lit(1000.0)).alias("max_val"),
+            F.round(F.col("_var_num").cast("double") / F.col("_tot"), 6)
+            .alias("var_share"),
+            F.round(F.col("_cum").cast("double") / F.col("_tot"), 6)
+            .alias("cum_share"),
+        )
+    )

@@ -10933,6 +10933,170 @@ def events_basket_lift(spark, sf_dir):
     return basket_rules(load_table(spark, sf_dir, "events"))
 
 
+@q("emb_dim_stats", """
+WITH e AS (
+  SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+a AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(u) AS BIGINT) AS s, CAST(sum(u * u) AS BIGINT) AS s2,
+         CAST(min(u) AS BIGINT) AS mn, CAST(max(u) AS BIGINT) AS mx
+  FROM e GROUP BY dim
+),
+v AS (SELECT *, n_vectors * s2 - s * s AS var_num FROM a),
+tt AS (
+  SELECT *, sum(var_num) OVER () AS tot,
+         sum(var_num) OVER (ORDER BY var_num DESC, dim
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM v
+)
+SELECT dim, n_vectors,
+       round(CAST(s AS DOUBLE) / n_vectors / 1000.0, 6) AS mean_val,
+       round(CAST(var_num AS DOUBLE) / n_vectors / n_vectors / 1000000.0, 6)
+         AS var_val,
+       CAST(mn AS DOUBLE) / 1000.0 AS min_val,
+       CAST(mx AS DOUBLE) / 1000.0 AS max_val,
+       round(CAST(var_num AS DOUBLE) / tot, 6) AS var_share,
+       round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+FROM tt
+""")
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding distribution report
+    (similarity.dim_stats) — the ANALYZE table behind truncation-width
+    (Matryoshka) and OPQ-rotation decisions: per dim, count / mean /
+    variance / min / max plus the variance share and the cumulative
+    energy share in descending-variance order. Values ride the 1e-3
+    BIGINT grid, the variance numerator n*Σu²−(Σu)² stays BIGINT, and
+    every ratio is ONE double division of exact BIGINTs rounded 6dp;
+    one posexplode scan, one map-side-combined groupBy on 64 dim rows,
+    share windows over the tiny dim table only."""
+    from deepref_spark.operators.similarity import dim_stats
+
+    return dim_stats(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+@q("events_bounce", """
+WITH marked AS (
+  -- floor(epoch(.)) everywhere: Spark's timestamp->long cast truncates
+  -- to whole seconds, DuckDB's epoch() keeps the fractional part
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM marked
+),
+entered AS (
+  SELECT *, first_value(event_type)
+              OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+              AS entry_type
+  FROM sess
+),
+per AS (
+  SELECT user_id, session_seq, min(entry_type) AS entry_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+           AS dur_secs
+  FROM entered GROUP BY 1, 2
+)
+SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm,
+       CAST((2000 * sum(n_events) + count(*)) // (2 * count(*)) AS BIGINT)
+         / 1000.0 AS mean_events,
+       CAST((2000 * sum(dur_secs) + count(*)) // (2 * count(*)) AS BIGINT)
+         / 1000.0 AS mean_dur_secs
+FROM per GROUP BY entry_type
+""")
+def events_bounce(spark, sf_dir):
+    """Per-entry-type session bounce/dwell rollup (events.bounce_stats):
+    sessionize by the 30-minute gap rule with the total order pinned to
+    (ts, event_id), key each session by its FIRST event's type, then
+    report session count, single-event bounce count, bounce rate on the
+    exact ppm grid, and mean events / mean duration on the milli grid
+    via the tie-free (2000s+n) DIV (2n). One user_id shuffle for the
+    session windows, tiny entry-type rollup."""
+    from deepref_spark.operators.events import bounce_stats
+
+    return bounce_stats(load_table(spark, sf_dir, "events"))
+
+
+# deterministic payload synthesis for the MIME audit: magic bytes by
+# declared kind, with two planted fault classes — doc_id % 97 rows get
+# a PNG magic regardless of extension (the mislabeled-payload path) and
+# doc_id % 101 rows get a garbage magic (the sniff-unknown path).
+_MIME_MAGIC_CASE = (
+    "CASE WHEN doc_id % 101 = 0 THEN 'DEADBEEF' "
+    "WHEN doc_id % 97 = 0 THEN '89504E47' "
+    "WHEN doc_id % 3 = 0 THEN '89504E47' "
+    "WHEN doc_id % 3 = 1 THEN '52494646' "
+    "ELSE '0000001866747970' END"
+)
+
+
+@q("kg_media_mime_audit", f"""
+WITH media AS (
+  SELECT doc_id, {_MEDIA_REF_CASE.format(s="VARCHAR")} AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+payload AS (
+  SELECT media_ref,
+         concat({_MIME_MAGIC_CASE}, upper(md5(media_ref))) AS hexstr
+  FROM media
+),
+sniff AS (
+  SELECT CAST(length(hexstr) // 2 AS BIGINT) AS n_bytes,
+         CASE WHEN substr(hexstr, 1, 8) = '89504E47' THEN 'image'
+              WHEN substr(hexstr, 1, 8) = '52494646' THEN 'audio'
+              WHEN substr(hexstr, 9, 8) = '66747970' THEN 'video'
+              ELSE 'unknown' END AS sniffed_kind,
+         CASE WHEN media_ref LIKE '%.png' THEN 'image'
+              WHEN media_ref LIKE '%.wav' THEN 'audio'
+              WHEN media_ref LIKE '%.mp4' THEN 'video'
+              ELSE 'unknown' END AS declared_kind
+  FROM payload
+)
+SELECT declared_kind, sniffed_kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(declared_kind <> sniffed_kind AS INT) AS is_mismatch
+FROM sniff GROUP BY declared_kind, sniffed_kind
+""")
+def kg_media_mime_audit(spark, sf_dir):
+    """Magic-byte MIME audit over a synthesized binary media column
+    (multimodal.mime_audit) — the ingest gate that runs BEFORE the
+    decoder: sniff PNG / RIFF / ISO-BMFF 'ftyp' from the payload's
+    first bytes (hex(substring(content, ...)) — real binary-column
+    plumbing, pure JVM), compare against the extension-declared kind,
+    roll up per (declared, sniffed) cell with byte stats. The %97
+    wrong-magic and %101 garbage-magic plants certify the mismatch and
+    unknown cells; the oracle recomputes from the hex text twin of the
+    same payload."""
+    from deepref_spark.operators.multimodal import mime_audit
+
+    d = documents(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    media = d.selectExpr(
+        "doc_id", _MEDIA_REF_CASE.format(s="STRING") + " AS media_ref")
+    media = media.selectExpr(
+        "media_ref",
+        f"unhex(concat({_MIME_MAGIC_CASE}, upper(md5(media_ref))))"
+        " AS content")
+    return mime_audit(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -11593,6 +11757,21 @@ _WINDOW_TAIL = [
     # scan-and-join derivation, and the top-N window keeps its exact
     # pytest goldens.
     "kg_sorted_neighborhood", "events_forecast_baseline", "rel_revenue_topn",
+    # (parked r5by, making room for emb_dim_stats + events_bounce +
+    # kg_media_mime_audit): emb_maxsim_topk parks — stable since
+    # sitting 10 with exact late-interaction pytest goldens, and the
+    # embedding ranking lane keeps hybrid_recall + knn_communities +
+    # matryoshka in-window (dim_stats adds the distribution-analyze
+    # signal). events_gini parks — the Lorenz integer-grid formula
+    # keeps its pytest goldens and the behavioral events lane keeps
+    # audience_overlap/bounce/basket_lift/decay_score in-window.
+    # kg_stress_centrality parks — the centrality lane keeps
+    # kg_katz_centrality and kg_graph_report (PageRank) in-window over
+    # the same symmetric adjacency, and the landmark-pair stress
+    # accumulation keeps its hand-derived pytest goldens. mime_audit
+    # also restores an in-window multimodal rep (the media queries all
+    # parked by r5bf).
+    "emb_maxsim_topk", "events_gini", "kg_stress_centrality",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -123,3 +123,91 @@ def test_basket_rules_exact_counts(spark):
     assert ab["lift_milli"] == 2 * 3 * 1000 // (3 * 2)  # 1000 = independent
     bc = got[("b", "c")]
     assert (bc["n_ab"], bc["lift_milli"]) == (1, 1 * 3 * 1000 // (2 * 1))
+
+
+def test_dim_stats_exact_small(spark):
+    """Hand-computable 3-vector, dim-64 fixture (only dims 0/1 nonzero):
+    grid quantization, variance numerator, and the descending-variance
+    cumulative share."""
+    from deepref_spark.operators.similarity import dim_stats
+
+    vecs = [[0.5, 0.1] + [0.0] * 62,
+            [-0.5, 0.2] + [0.0] * 62,
+            [0.0, 0.3] + [0.0] * 62]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in dim_stats(emb).collect()}
+    assert len(got) == 64
+    d0 = got[0]
+    # u = (500, -500, 0): s=0, s2=500000, var_num=3*500000=1500000
+    assert d0["n_vectors"] == 3 and d0["mean_val"] == 0.0
+    assert d0["var_val"] == round(1500000 / 9 / 1e6, 6)
+    assert (d0["min_val"], d0["max_val"]) == (-0.5, 0.5)
+    d1 = got[1]
+    # u = (100, 200, 300): s=600, s2=140000, var_num=3*140000-360000=60000
+    assert d1["mean_val"] == round(600 / 3 / 1000, 6)
+    assert d1["var_val"] == round(60000 / 9 / 1e6, 6)
+    # dim 0 holds 1500000/1560000 of the energy, dim 1 the rest
+    assert d0["var_share"] == round(1500000 / 1560000, 6)
+    assert d0["cum_share"] == d0["var_share"]
+    assert d1["cum_share"] == 1.0
+    assert got[5]["var_val"] == 0.0 and got[5]["var_share"] == 0.0
+
+
+def test_bounce_stats_sessions_and_grid(spark):
+    """user 1: a 2-event 'view'-entry session then (after >30 min) a
+    1-event 'click' bounce; user 2: one 3-event 'view' session spanning
+    100 s. Entry pick must follow (ts, event_id) on ties."""
+    from deepref_spark.operators.events import bounce_stats
+
+    base = datetime.datetime(2024, 7, 1, 10, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + 60 * s, 1, "purchase", 1.0, "{}"),
+        (3, base + 4000 * s, 1, "click", 1.0, "{}"),
+        # user 2: ts tie at base -> event_id 4 wins the entry pick
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base, 2, "click", 1.0, "{}"),
+        (6, base + 100 * s, 2, "error", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long,"
+                     " event_type string, value double, props string")
+    got = {r["entry_type"]: r for r in bounce_stats(ev).collect()}
+    assert set(got) == {"view", "click"}
+    v = got["view"]
+    assert (v["n_sessions"], v["n_bounces"], v["bounce_ppm"]) == (2, 0, 0)
+    # events (2, 3): mean 2.5 -> tie-free half-up = 2.5 exactly on milli
+    assert v["mean_events"] == (2000 * 5 + 2) // 4 / 1000
+    assert v["mean_dur_secs"] == (2000 * 160 + 2) // 4 / 1000
+    c = got["click"]
+    assert (c["n_sessions"], c["n_bounces"], c["bounce_ppm"]) == \
+        (1, 1, 1_000_000)
+    assert c["mean_events"] == 1.0 and c["mean_dur_secs"] == 0.0
+
+
+def test_mime_audit_sniff_and_mismatch(spark):
+    from deepref_spark.operators.multimodal import mime_audit
+
+    rows = [
+        ("a.png", "89504E47" + "00" * 16),          # honest png
+        ("b.wav", "52494646" + "00" * 16),          # honest riff
+        ("c.mp4", "0000001866747970" + "00" * 16),  # honest ftyp
+        ("d.wav", "89504E47" + "00" * 16),          # mislabeled: png bytes
+        ("e.png", "DEADBEEF" + "00" * 16),          # garbage magic
+        ("f.xyz", "89504E47"),                      # unknown extension
+    ]
+    media = spark.createDataFrame(rows, schema="media_ref string, hexstr string") \
+        .selectExpr("media_ref", "unhex(hexstr) AS content")
+    got = {(r["declared_kind"], r["sniffed_kind"]): r
+           for r in mime_audit(media).collect()}
+    assert got[("image", "image")]["n"] == 1
+    assert got[("audio", "audio")]["n"] == 1
+    v = got[("video", "video")]
+    assert v["n"] == 1 and v["total_bytes"] == 24
+    assert got[("audio", "image")]["is_mismatch"] == 1
+    assert got[("image", "unknown")]["is_mismatch"] == 1
+    u = got[("unknown", "image")]
+    assert u["n"] == 1 and u["min_bytes"] == 4
