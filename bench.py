@@ -277,6 +277,7 @@ HEADLINE = [
     "emb_dim_stats",
     "events_bounce",
     "kg_media_mime_audit",
+    "dedup_url_canon",
 ]
 
 

@@ -890,3 +890,46 @@ def cdc_chunk_stats(documents: DataFrame, divisor: int = 16) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+def url_canon_stats(urls: DataFrame) -> DataFrame:
+    """URL canonicalization + dedup rollup — the CommonCrawl-style
+    fetch-dedup key every web pipeline computes before content-level
+    dedup ever runs: strip the #fragment, lowercase scheme+host, drop
+    'www.' and the scheme default port (:443/:80), remove utm_*
+    tracking params (plus the separator they orphan) and the trailing
+    slash, then group raw URLs by the canonical form. Per canonical
+    URL: the document count and the number of DISTINCT raw spellings
+    it absorbed (n_raw > 1 cells are the fetch-dedup win the report
+    exists to size).
+
+    ``urls``: (doc_id, url). The chain is four staged
+    portable-formula fragments (portable.url_defrag / url_head /
+    url_canon_head / url_canon_tail) — one formula text in both
+    engines, no capture-group replacements (Java $1 vs RE2 \\1 is the
+    one regexp_replace syntax Spark and DuckDB do not share).
+
+    Scale shape: pure per-row JVM expressions (staged columns so each
+    regex runs once), then ONE map-side-combinable groupBy on the
+    canonical key. countDistinct(url) inside a canonical group is
+    bounded by the spelling fan-in of one resource, never the corpus.
+    """
+    from deepref_spark.portable import (SPARK, url_canon_head,
+                                        url_canon_tail, url_defrag,
+                                        url_head)
+
+    staged = (
+        urls
+        .withColumn("_df", F.expr(url_defrag("url", SPARK)))
+        .withColumn("_hd", F.expr(url_head("_df")))
+        .withColumn("_tl", F.expr("substr(_df, length(_hd) + 1)"))
+        .withColumn("canon_url",
+                    F.concat(F.expr(url_canon_head("_hd", SPARK)),
+                             F.expr(url_canon_tail("_tl", SPARK))))
+    )
+    return (
+        staged.groupBy("canon_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("url").cast("long").alias("n_raw"))
+        .withColumn("is_collapsed", (F.col("n_raw") > 1).cast("int"))
+    )

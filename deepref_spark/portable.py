@@ -458,3 +458,35 @@ def soundex_from_letters(s0: str, d: str) -> str:
     return (f"CASE WHEN length({s0}) = 0 THEN '' "
             f"ELSE concat(upper(substr({s0}, 1, 1)), "
             f"substr(concat({tail}, '000'), 1, 3)) END")
+
+
+# --- URL canonicalization (the CommonCrawl-style dedup key) -----------------
+# Four staged fragments so both engines run the IDENTICAL formula text
+# over staged columns: defrag -> head/tail split -> canon each half.
+# No capture-group replacements anywhere (Java uses $1 where RE2 uses
+# \1 — the one regexp_replace syntax the two engines do NOT share).
+
+def url_defrag(col: str, d: str) -> str:
+    """Strip the #fragment (never part of the resource identity)."""
+    return rx_replace_all(col, "#.*", "", d)
+
+
+def url_head(col: str) -> str:
+    """scheme://authority prefix — identical text in both dialects."""
+    return (f"regexp_extract({col}, "
+            f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)")
+
+
+def url_canon_head(col: str, d: str) -> str:
+    """Lowercase scheme+host, strip www. and the scheme default port."""
+    h = f"replace(lower({col}), '://www.', '://')"
+    h = rx_replace_all(h, ":443$", "", d)
+    return rx_replace_all(h, ":80$", "", d)
+
+
+def url_canon_tail(col: str, d: str) -> str:
+    """Strip utm_* tracking params (and their separator), dangling
+    ?/&, and the trailing slash."""
+    t = rx_replace_all(col, "utm_[a-z]+=[^&#]*&?", "", d)
+    t = rx_replace_all(t, "[?&]$", "", d)
+    return rx_replace_all(t, "/$", "", d)

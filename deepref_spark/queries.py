@@ -11097,6 +11097,66 @@ def kg_media_mime_audit(spark, sf_dir):
     return mime_audit(media)
 
 
+# deterministic raw-URL synthesis for the canonicalization query: five
+# docs share one resource, each spelling it differently (plain / utm
+# params / trailing slash / default port / WWW-case + fragment), and
+# %11 docs get a unique URL so the singleton (n_raw = 1) path is
+# certified alongside the collapse path.
+_URL_RAW_CASE = (
+    "CASE WHEN doc_id % 11 = 0 THEN concat('https://host-', "
+    "CAST(doc_id AS {s}), '.example.com/page?q=', CAST(doc_id AS {s})) "
+    "WHEN doc_id % 5 = 0 THEN concat('https://cdn.example.com/d/', CAST({g} AS {s})) "
+    "WHEN doc_id % 5 = 1 THEN concat('https://cdn.example.com/d/', CAST({g} AS {s}), "
+    "'?utm_source=feed&utm_campaign=x') "
+    "WHEN doc_id % 5 = 2 THEN concat('https://cdn.example.com/d/', CAST({g} AS {s}), '/') "
+    "WHEN doc_id % 5 = 3 THEN concat('https://cdn.example.com:443/d/', CAST({g} AS {s})) "
+    "ELSE concat('https://WWW.CDN.Example.COM/d/', CAST({g} AS {s}), '#s2') END"
+)
+
+
+def _url_canon_oracle() -> str:
+    from deepref_spark.portable import (url_canon_head, url_canon_tail,
+                                        url_defrag, url_head)
+    case = _URL_RAW_CASE.format(s="VARCHAR", g="doc_id // 5")
+    return f"""
+WITH raws AS (
+  SELECT doc_id, {case} AS url FROM documents
+),
+s AS (SELECT doc_id, url, {url_defrag('url', DUCK)} AS df FROM raws),
+h AS (SELECT doc_id, url, df, {url_head('df')} AS hd FROM s),
+p AS (
+  SELECT doc_id, url,
+         concat({url_canon_head('hd', DUCK)},
+                {url_canon_tail("substr(df, length(hd) + 1)", DUCK)})
+           AS canon_url
+  FROM h
+)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT url) > 1 AS INT) AS is_collapsed
+FROM p GROUP BY canon_url
+"""
+
+
+@q("dedup_url_canon", _url_canon_oracle())
+def dedup_url_canon(spark, sf_dir):
+    """URL canonicalization + fetch-dedup rollup (dedup.url_canon_stats)
+    — the CommonCrawl-style dedup key computed BEFORE any content-level
+    dedup: defrag, lowercase scheme+host, strip www./default
+    port/utm_* params/trailing slash, then per canonical URL the doc
+    count and distinct raw spellings absorbed. Five-spelling groups
+    plus %11 singleton plants certify both the collapse and the
+    no-collapse path; the chain is four staged portable fragments (no
+    capture-group replacements — the one regexp_replace syntax the two
+    engines do not share). Pure per-row JVM expressions, one map-side
+    combined groupBy on the canonical key."""
+    from deepref_spark.operators.dedup import url_canon_stats
+
+    raws = documents(spark, sf_dir).selectExpr(
+        "doc_id", _URL_RAW_CASE.format(s="STRING", g="doc_id DIV 5") + " AS url")
+    return url_canon_stats(raws)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -11772,6 +11832,11 @@ _WINDOW_TAIL = [
     # also restores an in-window multimodal rep (the media queries all
     # parked by r5bf).
     "emb_maxsim_topk", "events_gini", "kg_stress_centrality",
+    # (parked r5bz, making room for dedup_url_canon): dedup_cdc_chunks
+    # parks — the content-defined-chunking rollup keeps its exact
+    # rolling-hash pytest goldens, and the dedup lane keeps
+    # containment, prefix_join and the new url_canon in-window.
+    "dedup_cdc_chunks",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -211,3 +211,24 @@ def test_mime_audit_sniff_and_mismatch(spark):
     assert got[("image", "unknown")]["is_mismatch"] == 1
     u = got[("unknown", "image")]
     assert u["n"] == 1 and u["min_bytes"] == 4
+
+
+def test_url_canon_variants_collapse(spark):
+    from deepref_spark.operators.dedup import url_canon_stats
+
+    rows = [
+        (1, "https://CDN.Example.COM:443/d/7?utm_source=feed&utm_campaign=x#frag"),
+        (2, "https://www.cdn.example.com/d/7/"),
+        (3, "https://cdn.example.com/d/7"),
+        (4, "http://other.example.com:80/p?a=1&utm_medium=m"),
+        (5, "https://solo.example.com/q?utm_a=x&keep=1"),
+        (6, "https://cdn.example.com/d/7"),  # exact repeat: same raw form
+    ]
+    urls = spark.createDataFrame(rows, schema="doc_id long, url string")
+    got = {r["canon_url"]: r for r in url_canon_stats(urls).collect()}
+    c = got["https://cdn.example.com/d/7"]
+    assert (c["n_docs"], c["n_raw"], c["is_collapsed"]) == (4, 3, 1)
+    o = got["http://other.example.com/p?a=1"]
+    assert (o["n_docs"], o["n_raw"], o["is_collapsed"]) == (1, 1, 0)
+    s = got["https://solo.example.com/q?keep=1"]
+    assert s["n_raw"] == 1
