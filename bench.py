@@ -278,6 +278,8 @@ HEADLINE = [
     "events_bounce",
     "kg_media_mime_audit",
     "dedup_url_canon",
+    "kg_transitive_reduction",
+    "events_burn_rate",
 ]
 
 

@@ -1395,3 +1395,58 @@ def bounce_stats(events: DataFrame) -> DataFrame:
                    " AS BIGINT) / 1000.0").alias("mean_dur_secs"),
         )
     )
+
+
+def burn_rate_alerts(events: DataFrame, slo_ppm: int = 50000,
+                     burn_x: int = 2, long_hours: int = 6) -> DataFrame:
+    """Multi-window SLO burn-rate alerting — the SRE alert rule that
+    replaced naive threshold paging (Google SRE workbook ch. 5): per
+    hour on the COMPLETE gap-filled spine, the error ratio over the
+    SHORT window (this hour) and the LONG trailing window
+    (``long_hours``), with an alert only when BOTH exceed
+    ``burn_x`` times the SLO error budget — the short window gives
+    fast detection, the long window suppresses blips.
+
+    Exact arithmetic: the threshold compare is the integer
+    cross-product err * 1_000_000 > burn_x * slo_ppm * tot (no
+    division on the decision path); the reported ratios are ppm via
+    integer DIV guarded by tot > 0 (empty hours report 0 and can
+    never alert). Trailing sums are ROWS frames over the hourly spine
+    — ROWS == TIME exactly because the spine has no gaps (the
+    rolling_hourly_counts argument).
+
+    Scale shape: one map-side-combined groupBy to the hourly grain
+    (err via a conditional sum on the same pass), a tiny generated
+    spine, and window functions over the spine table — cost is
+    independent of event volume.
+    """
+    hourly = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tot"),
+             F.sum((F.col("event_type") == "error").cast("long"))
+             .cast("long").alias("err"))
+    )
+    bounds = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour"))
+    g = (spine.join(hourly, "hour", "left")
+         .select("hour",
+                 F.coalesce("tot", F.lit(0)).cast("long").alias("tot"),
+                 F.coalesce("err", F.lit(0)).cast("long").alias("err")))
+    w_long = (Window.partitionBy(F.lit(1)).orderBy("hour")
+              .rowsBetween(-(long_hours - 1), Window.currentRow))
+    thr = burn_x * slo_ppm
+    staged = (
+        g.withColumn("tot_l", F.sum("tot").over(w_long))
+        .withColumn("err_l", F.sum("err").over(w_long))
+    )
+    return staged.select(
+        "hour", "tot", "err",
+        F.expr("CASE WHEN tot > 0 THEN CAST((err * 1000000) DIV tot"
+               " AS BIGINT) ELSE 0 END").alias("short_ppm"),
+        F.expr("CASE WHEN tot_l > 0 THEN CAST((err_l * 1000000) DIV tot_l"
+               " AS BIGINT) ELSE 0 END").alias("long_ppm"),
+        ((F.col("err") * 1000000 > F.lit(thr) * F.col("tot"))
+         & (F.col("err_l") * 1000000 > F.lit(thr) * F.col("tot_l"))
+         & (F.col("tot") > 0)).cast("int").alias("alert"),
+    )

@@ -2071,3 +2071,35 @@ def stress_centrality(edges: DataFrame, n_seeds: int = 4,
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
              F.sum(F.col("sig1") * F.col("sig2")).cast("long").alias("stress"))
     )
+
+
+def transitive_reduction(edges: DataFrame) -> DataFrame:
+    """Transitive-reduction flags over an acyclic (child, parent) edge
+    set — the ontology-maintenance pass that finds ASSERTED edges
+    already implied by the rest of the hierarchy (a subClassOf edge to
+    a grandparent when the parent chain already reaches it): an edge
+    (a, c) is redundant iff the closure holds a path a -> c of depth
+    >= 2. Emits every edge with an is_redundant flag rather than
+    silently dropping — the cleaner decides; a KG diff against the
+    flagged set is the "axiom bloat" report.
+
+    Scale shape: one semi-naive closure (taxonomy_closure — per-round
+    work bounded by the delta, rounds = hierarchy depth), then one
+    distinct on the depth>=2 pairs and one co-partitioned left join
+    back onto the edges. On DAG inputs the closure enumerates one row
+    per PATH; path multiplicity is bounded by the shortcut density on
+    a chain (2^k for k shortcut edges along one ancestor chain), and
+    the early distinct collapses it before the join.
+    """
+    e = edges.select("child", "parent").localCheckpoint(eager=False)
+    clo = taxonomy_closure(e)
+    red = (clo.where(F.col("depth") >= 2)
+           .select("child", F.col("anc").alias("parent"))
+           .distinct()
+           .withColumn("_r", F.lit(1)))
+    return (
+        e.join(red, ["child", "parent"], "left")
+        .select("child", "parent",
+                F.coalesce(F.col("_r"), F.lit(0)).cast("int")
+                .alias("is_redundant"))
+    )

@@ -11157,6 +11157,112 @@ def dedup_url_canon(spark, sf_dir):
     return url_canon_stats(raws)
 
 
+@q("kg_transitive_reduction", _trip_cte() + """
+, ents AS (
+  SELECT entity, CAST(row_number() OVER (ORDER BY entity) AS BIGINT) AS r
+  FROM (SELECT DISTINCT subj AS entity FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+),
+tax AS (
+  SELECT c.entity AS child, p.entity AS parent
+  FROM ents c JOIN ents p ON p.r = c.r // 2 WHERE c.r >= 2
+),
+sc AS (
+  SELECT c.entity AS child, p.entity AS parent
+  FROM ents c JOIN ents p ON p.r = c.r // 4
+  WHERE c.r >= 4 AND c.r % 3 = 0
+),
+edges2 AS MATERIALIZED (SELECT * FROM tax UNION ALL SELECT * FROM sc),
+clo AS (
+  WITH RECURSIVE walk(child, anc, depth) AS (
+    SELECT child, parent, 1 FROM edges2
+    UNION ALL
+    SELECT w.child, e.parent, w.depth + 1
+    FROM walk w JOIN edges2 e ON w.anc = e.child
+  )
+  SELECT DISTINCT child, anc FROM walk WHERE depth >= 2
+)
+SELECT e.child, e.parent,
+       CAST(c.child IS NOT NULL AS INT) AS is_redundant
+FROM edges2 e LEFT JOIN clo c ON e.child = c.child AND e.parent = c.anc
+""")
+def kg_transitive_reduction(spark, sf_dir):
+    """Transitive-reduction flags over the type hierarchy
+    (graph.transitive_reduction): an asserted subClassOf edge is
+    redundant iff the closure holds a >= 2-hop path between its
+    endpoints — the ontology "axiom bloat" report. The rank-halving
+    binary tree alone has NO redundant edges (every tree edge is the
+    unique path), so deterministic child -> grandparent shortcuts
+    (r % 3 = 0, r >= 4) plant the redundant class; every tree edge
+    must stay essential. One semi-naive closure + one distinct + one
+    co-partitioned left join; the oracle re-enumerates all walks with
+    a recursive CTE."""
+    from deepref_spark.operators.graph import transitive_reduction
+
+    ents, tax = _rank_taxonomy(spark, sf_dir)
+    sc = (
+        ents.alias("c")
+        .join(ents.alias("p"), F.col("p.r") == F.expr("c.r DIV 4"))
+        .where((F.col("c.r") >= 4) & (F.col("c.r") % 3 == 0))
+        .select(F.col("c.entity").alias("child"),
+                F.col("p.entity").alias("parent"))
+    )
+    return transitive_reduction(tax.unionAll(sc))
+
+
+@q("events_burn_rate", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+g AS (
+  SELECT s.hour, coalesce(h.tot, 0) AS tot, coalesce(h.err, 0) AS err
+  FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+),
+st AS (
+  SELECT hour, tot, err,
+         sum(tot) OVER (ORDER BY hour
+                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_l,
+         sum(err) OVER (ORDER BY hour
+                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_l
+  FROM g
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(tot AS BIGINT) AS tot, CAST(err AS BIGINT) AS err,
+       CAST(CASE WHEN tot > 0 THEN (err * 1000000) // tot ELSE 0 END
+            AS BIGINT) AS short_ppm,
+       CAST(CASE WHEN tot_l > 0 THEN (err_l * 1000000) // tot_l ELSE 0 END
+            AS BIGINT) AS long_ppm,
+       CAST(err * 1000000 > 100000 * tot
+            AND err_l * 1000000 > 100000 * tot_l
+            AND tot > 0 AS INT) AS alert
+FROM st
+""")
+def events_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (events.burn_rate_alerts):
+    per hour on the complete gap-filled spine, the short (1h) and long
+    (trailing 6h) error ratios with an alert only when BOTH exceed
+    2x the 5% error budget — fast detection, blip suppression. The
+    decision path is the integer cross-product err*1e6 > thr*tot (no
+    division); reported ratios ride the ppm grid with integer DIV;
+    trailing sums are ROWS frames that equal TIME frames exactly
+    because the spine has no gaps. Hourly rollup is one map-side
+    combined groupBy; everything after runs on the tiny spine."""
+    from deepref_spark.operators.events import burn_rate_alerts
+
+    out = burn_rate_alerts(load_table(spark, sf_dir, "events"),
+                           slo_ppm=50000, burn_x=2, long_hours=6)
+    return out.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "tot", "err", "short_ppm", "long_ppm", "alert")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -11837,6 +11943,17 @@ _WINDOW_TAIL = [
     # rolling-hash pytest goldens, and the dedup lane keeps
     # containment, prefix_join and the new url_canon in-window.
     "dedup_cdc_chunks",
+    # (parked r5ca, making room for kg_transitive_reduction +
+    # events_burn_rate): kg_taxonomy_lca parks — new in-window
+    # kg_transitive_reduction re-derives the IDENTICAL rank-halving
+    # ents/tax taxonomy AND a recursive-closure walk every sweep (the
+    # same CTE family LCA embeds), and the Wu-Palmer depth readout
+    # keeps its exact pytest goldens. events_audience_overlap parks —
+    # in-window events_basket_lift hash-verifies the same bounded
+    # pair self-join + broadcast-sizes shape every sweep (day-basket
+    # scoped), and the Jaccard/Szymkiewicz-Simpson readout keeps its
+    # pytest goldens.
+    "kg_taxonomy_lca", "events_audience_overlap",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

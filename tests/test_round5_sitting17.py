@@ -232,3 +232,66 @@ def test_url_canon_variants_collapse(spark):
     assert (o["n_docs"], o["n_raw"], o["is_collapsed"]) == (1, 1, 0)
     s = got["https://solo.example.com/q?keep=1"]
     assert s["n_raw"] == 1
+
+
+def test_transitive_reduction_tree_plus_shortcut(spark):
+    """Chain a->b->c->d plus shortcuts a->c (redundant via b) and b->d
+    (redundant via c); every chain edge stays essential."""
+    from deepref_spark.operators.graph import transitive_reduction
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")],
+        schema="child string, parent string")
+    got = {(r["child"], r["parent"]): r["is_redundant"]
+           for r in transitive_reduction(edges).collect()}
+    assert got == {("a", "b"): 0, ("b", "c"): 0, ("c", "d"): 0,
+                   ("a", "c"): 1, ("b", "d"): 1}
+
+
+def test_burn_rate_alerts_two_window_rule(spark):
+    """20 calm hours at 2% errors, then 4 hot hours at 50%: the short
+    window fires immediately but the alert waits for the trailing 6h
+    ratio to cross 2x the 5% budget; a gap hour stays quiet."""
+    from deepref_spark.operators.events import burn_rate_alerts
+
+    base = datetime.datetime(2024, 8, 1)
+    rows, eid = [], 0
+    hours = []
+    for h in range(24):
+        if h == 7:
+            hours.append((0, 0))      # gap hour: no events at all
+            continue
+        if h < 20:
+            hours.append((50, 1))     # 2% error ratio
+        else:
+            hours.append((50, 25))    # 50% error ratio
+    hi = 0
+    for h in range(24):
+        if h == 7:
+            continue
+        tot, err = hours[h]
+        for i in range(tot):
+            et = "error" if i < err else "click"
+            rows.append((eid, base + datetime.timedelta(hours=h, minutes=i % 60),
+                         1, et, 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long,"
+                     " event_type string, value double, props string")
+    got = sorted(burn_rate_alerts(ev).collect(), key=lambda r: r["hour"])
+    assert len(got) == 24                      # spine fills the gap hour
+    by_h = {r["hour"].hour: r for r in got}
+    assert by_h[7]["tot"] == 0 and by_h[7]["alert"] == 0
+    assert by_h[5]["short_ppm"] == 20000 and by_h[5]["alert"] == 0
+    # hour 20: short 50% > 10% but trailing 6h = (4*50+0*1... ) check exact
+    # trailing window hours 15..20: five calm (2%) + one hot: ratio
+    # (4*1 + 25) / (4*50 + 0 + 50)  -> wait hour 19 calm, 7 gap not here
+    h20 = by_h[20]
+    assert h20["short_ppm"] == 500000
+    # hours 15-19 calm (50 ev, 1 err each), hour 20 hot: 5*1+25 err / 5*50+50
+    assert h20["long_ppm"] == (5 * 1 + 25) * 1_000_000 // (6 * 50)
+    assert h20["alert"] == 0  # long ratio 10% == 2x budget, NOT strictly above
+    h22 = by_h[22]
+    # hours 17,18,19 calm + 20,21,22 hot: (3 + 75) / 300 = 26% -> alert
+    assert h22["long_ppm"] == (3 * 1 + 3 * 25) * 1_000_000 // (6 * 50)
+    assert h22["alert"] == 1
