@@ -280,6 +280,8 @@ HEADLINE = [
     "dedup_url_canon",
     "kg_transitive_reduction",
     "events_burn_rate",
+    "kg_void_summary",
+    "text_chat_template",
 ]
 
 

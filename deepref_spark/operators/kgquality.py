@@ -896,3 +896,35 @@ def distant_supervision(pairs: DataFrame) -> DataFrame:
                     F.expr("CAST((n_silver * 1000000) DIV n_mentions"
                            " AS BIGINT)"))
     )
+
+
+def void_summary(triples: DataFrame) -> DataFrame:
+    """One-row VoID-style dataset descriptor over the canonical
+    triples — the stats block (void:triples, void:distinctSubjects /
+    distinctObjects / properties, entity count, mean out-degree) a KG
+    PUBLISHES next to its dump so consumers can size joins before
+    reading a byte. Mean out-degree rides the milli grid via the
+    tie-free (2000t + s) DIV (2s).
+
+    Two map-side-combined single-row aggregations (one over the spo
+    set, one over the entity union) cross-joined — no corpus-sized
+    shuffle beyond the distincts the counts require.
+    """
+    spo = triples.select("subj", "pred", "obj").distinct() \
+        .localCheckpoint(eager=False)
+    a = spo.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.countDistinct("pred").cast("long").alias("n_predicates"),
+    )
+    ents = (spo.select(F.col("subj").alias("e"))
+            .union(spo.select(F.col("obj").alias("e")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_entities")))
+    return (
+        a.crossJoin(F.broadcast(ents))
+        .withColumn("mean_out_degree",
+                    F.expr("CAST((2000 * n_triples + n_subjects)"
+                           " DIV (2 * n_subjects) AS BIGINT) / 1000.0"))
+    )

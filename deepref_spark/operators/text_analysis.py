@@ -2067,3 +2067,53 @@ def entropy_stats(documents: DataFrame) -> DataFrame:
             .alias("norm_entropy_ppm"),
         )
     )
+
+
+def chat_template_stats(documents: DataFrame,
+                        marker_gate: int = 2) -> DataFrame:
+    """Per-source synthetic-data / chat-markup screen — the
+    contamination class the 13-gram benchmark screen does NOT catch:
+    model-generated text carries instruction-tuning scaffolding
+    (chat-template control tokens, '### Instruction' headers, Q:/A:
+    turn markers, assistant self-reference) that a pretraining corpus
+    must route out or cap. Per doc, distinct marker-family hits via
+    fixed LIKE/rlike probes; a doc flags as templated when it hits
+    >= ``marker_gate`` families OR contains a hard control token
+    (<|im_start|>-style — one hit suffices, no prose writes those).
+    Rolled up per source: doc count, flag count, flag rate and mean
+    marker hits on the exact ppm/milli grids.
+
+    Single-scan JVM expressions (LIKE probes + one rlike), one
+    map-side-combined grouped agg — the code_stats discipline.
+    """
+    hard = ["<|im_start|>", "<|endoftext|>", "[INST]", "<|assistant|>"]
+    soft = ["### Instruction", "### Response", "As an AI ",
+            "I cannot assist", "Sure, here is"]
+    hard_expr = " + ".join(
+        f"CAST(text LIKE '%{m}%' AS INT)" for m in hard)
+    soft_expr = " + ".join(
+        f"CAST(text LIKE '%{m}%' AS INT)" for m in soft)
+    qa_expr = ("CAST(text rlike 'Q:.*A:' AS INT)")
+    per_doc = documents.select(
+        "source",
+        F.expr(f"CAST({hard_expr} AS INT)").alias("hard_hits"),
+        F.expr(f"CAST({soft_expr} AS INT) + {qa_expr}").alias("soft_hits"),
+    ).select(
+        "source", "hard_hits", "soft_hits",
+        F.expr(f"CAST(hard_hits >= 1 OR soft_hits >= {int(marker_gate)}"
+               " AS INT)").alias("is_templated"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("is_templated").cast("long").alias("n_templated"),
+             F.sum("hard_hits").cast("long").alias("_h"),
+             F.sum("soft_hits").cast("long").alias("_s"))
+        .select(
+            "source", "n_docs", "n_templated",
+            F.expr("CAST((n_templated * 1000000) DIV n_docs AS BIGINT)")
+            .alias("templated_ppm"),
+            F.expr("CAST((2000 * (_h + _s) + n_docs) DIV (2 * n_docs)"
+                   " AS BIGINT) / 1000.0").alias("mean_marker_hits"),
+        )
+    )

@@ -11263,6 +11263,97 @@ def events_burn_rate(spark, sf_dir):
         "tot", "err", "short_ppm", "long_ppm", "alert")
 
 
+@q("kg_void_summary", _trip_cte() + """
+, a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+         CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+         CAST(count(DISTINCT pred) AS BIGINT) AS n_predicates
+  FROM trip
+),
+e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_entities
+  FROM (SELECT DISTINCT subj AS x FROM trip
+        UNION SELECT DISTINCT obj FROM trip)
+)
+SELECT a.*, e.n_entities,
+       CAST((2000 * n_triples + n_subjects) // (2 * n_subjects) AS BIGINT)
+         / 1000.0 AS mean_out_degree
+FROM a CROSS JOIN e
+""")
+def kg_void_summary(spark, sf_dir):
+    """One-row VoID-style dataset descriptor (kgquality.void_summary):
+    void:triples / distinctSubjects / distinctObjects / properties,
+    the entity-union count, and mean out-degree on the milli grid via
+    the tie-free (2000t + s) DIV (2s) — the stats block a KG publishes
+    next to its dump so consumers can size joins before reading it.
+    Two single-row aggs cross-joined."""
+    from deepref_spark.operators.kgquality import void_summary
+
+    spo = _canon_spo(spark, sf_dir).select(
+        F.col("subj_canon").alias("subj"), "pred",
+        F.col("obj_canon").alias("obj"))
+    return void_summary(spo)
+
+
+# chat-markup decoration: the synthetic prose never contains template
+# markers, so %179 docs get a hard control token appended and %89 docs
+# a soft instruction-header pair — both paths of the screen certified
+# deterministically at every SF.
+_CHAT_DECOR = (
+    "CASE WHEN doc_id % 179 = 0 THEN concat(text, ' <|im_start|>') "
+    "WHEN doc_id % 89 = 0 THEN "
+    "concat(text, ' ### Instruction x ### Response y') "
+    "ELSE text END"
+)
+
+
+@q("text_chat_template", f"""
+WITH d2 AS (SELECT source, {_CHAT_DECOR} AS text FROM documents),
+pd AS (
+  SELECT source,
+         CAST(CAST(text LIKE '%<|im_start|>%' AS INT)
+              + CAST(text LIKE '%<|endoftext|>%' AS INT)
+              + CAST(text LIKE '%[INST]%' AS INT)
+              + CAST(text LIKE '%<|assistant|>%' AS INT) AS INT) AS hard_hits,
+         CAST(CAST(text LIKE '%### Instruction%' AS INT)
+              + CAST(text LIKE '%### Response%' AS INT)
+              + CAST(text LIKE '%As an AI %' AS INT)
+              + CAST(text LIKE '%I cannot assist%' AS INT)
+              + CAST(text LIKE '%Sure, here is%' AS INT)
+              + CAST(regexp_matches(text, 'Q:.*A:') AS INT) AS INT) AS soft_hits
+  FROM d2
+),
+f AS (
+  SELECT source, hard_hits, soft_hits,
+         CAST(hard_hits >= 1 OR soft_hits >= 2 AS INT) AS is_templated
+  FROM pd
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_templated) AS BIGINT) AS n_templated,
+       CAST(sum(is_templated) * 1000000 // count(*) AS BIGINT)
+         AS templated_ppm,
+       CAST((2000 * sum(hard_hits + soft_hits) + count(*))
+            // (2 * count(*)) AS BIGINT) / 1000.0 AS mean_marker_hits
+FROM f GROUP BY source
+""")
+def text_chat_template(spark, sf_dir):
+    """Per-source synthetic-data / chat-markup screen
+    (text_analysis.chat_template_stats) — the contamination class the
+    13-gram benchmark screen does NOT catch: instruction-tuning
+    scaffolding (chat control tokens, '### Instruction' headers,
+    Q:/A: turn markers) flags a doc as templated when a hard control
+    token appears or >= 2 soft marker families do. Single-scan LIKE /
+    rlike probes, one map-side-combined rollup, ppm + tie-free milli
+    grids; the %179 hard and %89 soft decorations certify both flag
+    paths."""
+    from deepref_spark.operators.text_analysis import chat_template_stats
+
+    d = documents(spark, sf_dir).selectExpr(
+        "doc_id", "source", _CHAT_DECOR + " AS text")
+    return chat_template_stats(d)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -11954,6 +12045,16 @@ _WINDOW_TAIL = [
     # scoped), and the Jaccard/Szymkiewicz-Simpson readout keeps its
     # pytest goldens.
     "kg_taxonomy_lca", "events_audience_overlap",
+    # (parked r5cb, making room for kg_void_summary +
+    # text_chat_template): kg_provenance parks — its per-triple
+    # evidence projection derives from the same trip CTE every
+    # in-window kgquality oracle re-derives (and new kg_void_summary
+    # summarizes the identical set), with the evidence-pick rule
+    # pinned by pytest; text_code_stats parks — new in-window
+    # text_chat_template hash-verifies the same LIKE-probe +
+    # grouped-rollup screen family every sweep, and the symbol-mass
+    # routing formula keeps its exact pytest goldens.
+    "kg_provenance", "text_code_stats",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

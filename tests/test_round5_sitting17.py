@@ -295,3 +295,35 @@ def test_burn_rate_alerts_two_window_rule(spark):
     # hours 17,18,19 calm + 20,21,22 hot: (3 + 75) / 300 = 26% -> alert
     assert h22["long_ppm"] == (3 * 1 + 3 * 25) * 1_000_000 // (6 * 50)
     assert h22["alert"] == 1
+
+
+def test_void_summary_exact(spark):
+    from deepref_spark.operators.kgquality import void_summary
+
+    spo = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("a", "q", "b"),
+         ("b", "p", "c"), ("a", "p", "b")],  # dup row must collapse
+        schema="subj string, pred string, obj string")
+    r = void_summary(spo).collect()[0]
+    assert r["n_triples"] == 4 and r["n_subjects"] == 2
+    assert r["n_objects"] == 2 and r["n_predicates"] == 2
+    assert r["n_entities"] == 3  # {a, b, c}
+    assert r["mean_out_degree"] == (2000 * 4 + 2) // 4 / 1000  # 2.0 half-up
+
+
+def test_chat_template_flag_paths(spark):
+    """Hard token alone flags; one soft family does NOT; two do; the
+    Q:/A: regex counts as a soft family."""
+    from deepref_spark.operators.text_analysis import chat_template_stats
+
+    rows = [
+        ("s", "plain prose with nothing special"),
+        ("s", "contains <|im_start|> marker"),                    # hard
+        ("s", "### Instruction only, one family"),                # 1 soft
+        ("s", "### Instruction plus ### Response"),               # 2 soft
+        ("s", "Q: what is this A: an answer ### Response done"),  # 2 soft
+    ]
+    d = spark.createDataFrame(rows, schema="source string, text string")
+    r = chat_template_stats(d).collect()[0]
+    assert r["n_docs"] == 5 and r["n_templated"] == 3
+    assert r["templated_ppm"] == 3 * 1_000_000 // 5
