@@ -282,6 +282,9 @@ HEADLINE = [
     "events_burn_rate",
     "kg_void_summary",
     "text_chat_template",
+    "events_survival",
+    "events_concurrency",
+    "emb_quantize_int8",
 ]
 
 

@@ -1450,3 +1450,117 @@ def burn_rate_alerts(events: DataFrame, slo_ppm: int = 50000,
          & (F.col("err_l") * 1000000 > F.lit(thr) * F.col("tot_l"))
          & (F.col("tot") > 0)).cast("int").alias("alert"),
     )
+
+
+def survival_hazard(events: DataFrame, censor_days: int = 7,
+                    user_col: str = "user_id") -> DataFrame:
+    """Nelson-Aalen churn-hazard table over user lifetimes — the
+    survival readout a retention team publishes next to the cohort
+    matrix: for each observed lifetime t (whole days between a user's
+    first and last event), the number still at risk, the churn events
+    and censorings AT t, the discrete hazard d/n, and the cumulative
+    hazard H(t) = sum of hazards through t. A user is an observed
+    churn when their last event predates the corpus horizon by more
+    than ``censor_days`` (they had the chance to return and didn't);
+    later last-events are right-censored.
+
+    Integer-grid determinism: hazard terms are d*1e6 DIV n_at_risk
+    (each term exact BIGINT), and the Nelson-Aalen cumulative is the
+    BIGINT sum of those terms — no float product, so the estimator is
+    bit-identical across engines and partitionings (the Kaplan-Meier
+    product form would need exp/ln floats; the additive N-A form is
+    the integer-exact twin).
+
+    Scale shape: ONE map-side-combined per-user groupBy over the
+    corpus, a 1-row broadcast horizon, then every window runs over
+    the tiny per-lifetime table (at most max-lifetime-days rows).
+    """
+    # NTZ-safe epoch seconds (session tz pinned UTC in session.py)
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("fs"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("ls"),
+    )
+    horizon = F.broadcast(per_user.agg(F.max("ls").alias("_hz")))
+    lives = (
+        per_user.crossJoin(horizon)
+        .select(
+            F.expr("CAST((ls - fs) DIV 86400 AS BIGINT)").alias("t_days"),
+            F.expr(f"CAST(ls <= _hz - {int(censor_days)} * 86400 AS INT)")
+            .alias("obs"),
+        )
+    )
+    per_t = lives.groupBy("t_days").agg(
+        F.sum("obs").cast("long").alias("d_churned"),
+        F.sum(1 - F.col("obs")).cast("long").alias("c_censored"),
+    )
+    w_risk = (Window.partitionBy(F.lit(1)).orderBy(F.desc("t_days"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_cum = (Window.partitionBy(F.lit(1)).orderBy(F.asc("t_days"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        per_t
+        .withColumn("n_at_risk",
+                    F.sum(F.col("d_churned") + F.col("c_censored"))
+                    .over(w_risk).cast("long"))
+        .withColumn("hazard_ppm",
+                    F.expr("CAST((d_churned * 1000000) DIV n_at_risk"
+                           " AS BIGINT)"))
+        .withColumn("cum_hazard_ppm",
+                    F.sum("hazard_ppm").over(w_cum).cast("long"))
+        .select("t_days", "n_at_risk", "d_churned", "c_censored",
+                "hazard_ppm", "cum_hazard_ppm")
+    )
+
+
+def peak_concurrency(events: DataFrame,
+                     user_col: str = "user_id") -> DataFrame:
+    """Per-day peak concurrency via the classic +1/−1 boundary sweep —
+    the capacity-planning readout ("how many users were on AT ONCE,
+    and when") that a naive per-second groupBy cannot produce without
+    materializing every active second. Each user's activity on a day
+    is one interval [first event, last event + 1s); interval starts
+    contribute +1 and (exclusive) ends −1, boundaries are netted per
+    second, and the running sum over each day's boundary sequence is
+    the concurrency profile. Reported per day: interval count, the
+    peak, and the EARLIEST second attaining it (deterministic
+    tie-break).
+
+    All-BIGINT (counts + epoch seconds), so hash-stable. Scale shape:
+    one map-side-combined groupBy on (user, day) builds the
+    intervals; every window is PARTITIONED BY day, so days sweep in
+    parallel and no global ordering exists; the per-(day, second)
+    boundary table is bounded by 2x the day's active users, not its
+    event count. Both boundaries carry the interval's own day key, so
+    midnight-crossing end markers stay in their day's sweep and each
+    day's running sum starts and ends at zero.
+    """
+    iv = events.groupBy(
+        F.col(user_col).alias("u"), F.to_date("ts").alias("day")
+    ).agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("s"),
+        (F.max(F.unix_timestamp("ts")) + 1).cast("long").alias("e"),
+    )
+    bounds = (
+        iv.select("day", F.col("s").alias("sec"), F.lit(1).alias("delta"))
+        .unionAll(iv.select("day", F.col("e").alias("sec"),
+                            F.lit(-1).alias("delta")))
+        .groupBy("day", "sec")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w_sweep = (Window.partitionBy("day").orderBy("sec")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prof = bounds.withColumn("conc", F.sum("net").over(w_sweep))
+    w_day = Window.partitionBy("day")
+    peaks = (
+        prof.withColumn("peak", F.max("conc").over(w_day))
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("day")
+        .agg(F.min("sec").cast("long").alias("peak_at_sec"),
+             F.min("peak").cast("long").alias("peak_concurrency"))
+    )
+    n_iv = iv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        n_iv.join(peaks, "day")
+        .select("day", "n_intervals", "peak_concurrency", "peak_at_sec")
+    )

@@ -1439,3 +1439,59 @@ def dim_stats(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             .alias("cum_share"),
         )
     )
+
+
+def quantize_int8_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit — the
+    compression report a vector store publishes before flipping a
+    64-dim float corpus to 1-byte codes (16x smaller scans than the
+    raw floats, 2x smaller than PQ-free float16): per dim, the
+    absmax scale, how many codes saturate at ±127, and the mean
+    absolute reconstruction error.
+
+    Determinism discipline: inputs ride the 1e-3 BIGINT grid u =
+    floor(x*1000+0.5) (the dim_stats pattern); the code is the
+    half-up rounding of 127*u/amax computed entirely in BIGINT on the
+    SHIFTED non-negative value — code = (254*(u+amax) + amax) DIV
+    (2*amax) − 127 — so Spark's truncating DIV and DuckDB's flooring
+    // agree (operands never negative); the reconstruction error
+    numerator |127*u − code*amax| stays BIGINT and the mean rides the
+    micro grid via one tie-free DIV. Zero floats anywhere.
+
+    Scale shape: one posexplode scan feeds a 64-row per-dim absmax
+    agg, which broadcast-joins back onto a second scan for the code
+    pass — two columnar scans of one array column, both groupBys
+    map-side combined, no corpus-sized shuffle or window.
+    """
+    e = embeddings.select(
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")).alias("dim", "u"))
+    amax = e.groupBy("dim").agg(
+        F.greatest(F.max(F.abs(F.col("u"))), F.lit(1)).cast("long")
+        .alias("amax_u"))
+    coded = (
+        e.join(F.broadcast(amax), "dim")
+        .withColumn("code",
+                    F.expr("CAST((254 * (u + amax_u) + amax_u)"
+                           " DIV (2 * amax_u) AS BIGINT) - 127"))
+        .withColumn("err127",
+                    F.abs(F.lit(127) * F.col("u")
+                          - F.col("code") * F.col("amax_u")))
+    )
+    return (
+        coded.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.min("amax_u").cast("long").alias("amax_u"),
+             F.sum((F.abs(F.col("code")) == 127).cast("int")).cast("long")
+             .alias("n_saturated"),
+             F.sum("err127").cast("long").alias("_se"))
+        .select(
+            "dim", "n_vectors", "amax_u", "n_saturated",
+            F.expr("CAST((n_saturated * 1000000) DIV n_vectors AS BIGINT)")
+            .alias("sat_ppm"),
+            F.expr("CAST((2000 * _se + 127 * n_vectors)"
+                   " DIV (2 * 127 * n_vectors) AS BIGINT)")
+            .alias("mean_abs_err_micro"),
+        )
+    )

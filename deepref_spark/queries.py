@@ -11354,6 +11354,147 @@ def text_chat_template(spark, sf_dir):
     return chat_template_stats(d)
 
 
+@q("events_survival", """
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS fs,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS ls
+  FROM events GROUP BY user_id
+),
+hz AS (SELECT max(ls) AS _hz FROM pu),
+lives AS (
+  SELECT CAST((ls - fs) // 86400 AS BIGINT) AS t_days,
+         CAST(ls <= _hz - 7 * 86400 AS INT) AS obs
+  FROM pu CROSS JOIN hz
+),
+per_t AS (
+  SELECT t_days, CAST(sum(obs) AS BIGINT) AS d_churned,
+         CAST(sum(1 - obs) AS BIGINT) AS c_censored
+  FROM lives GROUP BY t_days
+),
+r AS (
+  SELECT *, CAST(sum(d_churned + c_censored)
+                 OVER (ORDER BY t_days DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk
+  FROM per_t
+),
+h AS (
+  SELECT *, CAST((d_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+  FROM r
+)
+SELECT t_days, n_at_risk, d_churned, c_censored, hazard_ppm,
+       CAST(sum(hazard_ppm) OVER (ORDER BY t_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm
+FROM h
+""")
+def events_survival(spark, sf_dir):
+    """Nelson-Aalen churn-hazard table over user lifetimes
+    (events.survival_hazard): per observed lifetime t (whole days
+    first→last event), users at risk, churns (last event >7 days
+    before the corpus horizon) vs censorings at t, the discrete
+    hazard d*1e6 DIV n, and the additive cumulative hazard — the
+    integer-exact twin of Kaplan-Meier (no float product). One
+    per-user groupBy; every window over the tiny per-lifetime
+    table."""
+    from deepref_spark.operators.events import survival_hazard
+
+    return survival_hazard(load_table(spark, sf_dir, "events"))
+
+
+@q("events_concurrency", """
+WITH iv AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS day,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS s,
+         CAST(max(floor(epoch(ts))) AS BIGINT) + 1 AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+b AS (
+  SELECT day, s AS sec, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS sec, -1 AS delta FROM iv
+),
+net AS (
+  SELECT day, sec, CAST(sum(delta) AS BIGINT) AS net
+  FROM b GROUP BY day, sec
+),
+prof AS (
+  SELECT day, sec,
+         sum(net) OVER (PARTITION BY day ORDER BY sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM net
+),
+pk AS (
+  SELECT day, sec, conc, max(conc) OVER (PARTITION BY day) AS peak
+  FROM prof
+),
+sel AS (
+  SELECT day, CAST(min(sec) AS BIGINT) AS peak_at_sec,
+         CAST(min(peak) AS BIGINT) AS peak_concurrency
+  FROM pk WHERE conc = peak GROUP BY day
+),
+n AS (SELECT day, CAST(count(*) AS BIGINT) AS n_intervals FROM iv GROUP BY day)
+SELECT n.day, n_intervals, peak_concurrency, peak_at_sec
+FROM n JOIN sel ON n.day = sel.day
+""")
+def events_concurrency(spark, sf_dir):
+    """Per-day peak concurrency via the +1/−1 interval boundary sweep
+    (events.peak_concurrency): each user-day is one [first, last+1s)
+    interval; boundaries net per second and a day-partitioned running
+    sum is the concurrency profile. Reports interval count, the peak,
+    and the earliest second attaining it. All-BIGINT; windows
+    partitioned by day so days sweep in parallel."""
+    from deepref_spark.operators.events import peak_concurrency
+
+    return peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+@q("emb_quantize_int8", """
+WITH e AS (
+  SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+a AS (
+  SELECT dim, CAST(greatest(max(abs(u)), 1) AS BIGINT) AS amax_u
+  FROM e GROUP BY dim
+),
+c AS (
+  SELECT e.dim, u, amax_u,
+         CAST((254 * (u + amax_u) + amax_u) // (2 * amax_u) AS BIGINT) - 127
+           AS code
+  FROM e JOIN a ON e.dim = a.dim
+),
+g AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(min(amax_u) AS BIGINT) AS amax_u,
+         CAST(sum(CAST(abs(code) = 127 AS INT)) AS BIGINT) AS n_saturated,
+         CAST(sum(abs(127 * u - code * amax_u)) AS BIGINT) AS _se
+  FROM c GROUP BY dim
+)
+SELECT dim, n_vectors, amax_u, n_saturated,
+       CAST((n_saturated * 1000000) // n_vectors AS BIGINT) AS sat_ppm,
+       CAST((2000 * _se + 127 * n_vectors) // (2 * 127 * n_vectors) AS BIGINT)
+         AS mean_abs_err_micro
+FROM g
+""")
+def emb_quantize_int8(spark, sf_dir):
+    """Per-dimension symmetric int8 quantization audit
+    (similarity.quantize_int8_audit): absmax scale, saturation count
+    and rate, and mean absolute reconstruction error per dim — all on
+    exact BIGINT grids (u = 1e-3 grid, code = half-up BIGINT rounding
+    on the SHIFTED non-negative value so Spark DIV and DuckDB //
+    agree, error numerator |127u − code·amax| stays integer). One
+    posexplode scan + 64-row broadcast join back; no corpus
+    window."""
+    from deepref_spark.operators.similarity import quantize_int8_audit
+
+    return quantize_int8_audit(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12055,6 +12196,20 @@ _WINDOW_TAIL = [
     # grouped-rollup screen family every sweep, and the symbol-mass
     # routing formula keeps its exact pytest goldens.
     "kg_provenance", "text_code_stats",
+    # (parked r5cc, making room for events_survival +
+    # events_concurrency + emb_quantize_int8): events_bounce parks —
+    # its 30-min-gap sessionization spine is derived identically by
+    # in-window events_session_window and the entry-type rollup keeps
+    # its pytest goldens; events_decay_score parks — the dyadic-grid
+    # recency weighting keeps exact pytest goldens and the behavioral
+    # lane keeps nine reps in-window (survival + concurrency join
+    # session_window, anomaly_mad, kmv_distinct, gini, bot_cadence,
+    # cusum, basket_lift, burn_rate); emb_dim_stats parks — new
+    # in-window emb_quantize_int8 re-derives the IDENTICAL u-grid
+    # posexplode + per-dim BIGINT aggregation discipline under the
+    # driver hash gate every sweep, and the variance/energy-share
+    # formulas keep their pytest pins.
+    "events_bounce", "events_decay_score", "emb_dim_stats",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
