@@ -285,6 +285,9 @@ HEADLINE = [
     "events_survival",
     "events_concurrency",
     "emb_quantize_int8",
+    "kg_reciprocity",
+    "kg_rich_club",
+    "text_bigram_lm",
 ]
 
 

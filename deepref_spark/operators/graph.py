@@ -2103,3 +2103,114 @@ def transitive_reduction(edges: DataFrame) -> DataFrame:
                 F.coalesce(F.col("_r"), F.lit(0)).cast("int")
                 .alias("is_redundant"))
     )
+
+
+def reciprocity(triples: DataFrame) -> DataFrame:
+    """Per-predicate dyad census over the directed canonical triple
+    set — how often does pred(a, b) come with pred(b, a)? The KG
+    symmetry readout behind inverse-predicate mining and schema
+    review (a near-1.0 predicate is de-facto symmetric; near-0 is a
+    true direction). Per pred: directed edge count (self-loops
+    dropped), mutual-edge count, distinct unordered dyads, mutual
+    dyads, and reciprocity = mutual edges / edges on the ppm grid.
+
+    Scale shape: one distinct over (pred, s, o), checkpointed so its
+    two consumers (the edge set and its reversal) share one
+    derivation; the reversal join is an equi-join on (pred, s, o) —
+    shuffle-partitioned by the same key on both sides, no broadcast
+    needed and no fan-out (both sides are distinct sets). All-BIGINT
+    counts; the mutual-edge count is even by construction so the dyad
+    count is an exact DIV 2.
+    """
+    e = (
+        triples.select("pred", F.col("subj").alias("s"),
+                       F.col("obj").alias("o"))
+        .where(F.col("s") != F.col("o"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select("pred", F.col("o").alias("s"), F.col("s").alias("o"),
+                   F.lit(1).alias("_m"))
+    flagged = e.join(rev, ["pred", "s", "o"], "left")
+    return (
+        flagged.groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+             F.coalesce(F.sum("_m"), F.lit(0)).cast("long")
+             .alias("n_mutual_edges"),
+             F.countDistinct(F.least("s", "o"), F.greatest("s", "o"))
+             .cast("long").alias("n_dyads"))
+        .select(
+            "pred", "n_edges", "n_mutual_edges", "n_dyads",
+            F.expr("CAST(n_mutual_edges DIV 2 AS BIGINT)")
+            .alias("n_mutual_dyads"),
+            F.expr("CAST((n_mutual_edges * 1000000) DIV n_edges AS BIGINT)")
+            .alias("reciprocity_ppm"),
+        )
+    )
+
+
+RICH_CLUB_LADDER = (1, 2, 4, 8, 16)
+
+
+def rich_club(edges: DataFrame,
+              ladder: tuple = RICH_CLUB_LADDER) -> DataFrame:
+    """Rich-club coefficient profile (Zhou & Mondragon 2004) over the
+    undirected entity graph: for each degree threshold k in the
+    ladder, the club is the nodes with degree > k, and phi(k) =
+    2*E_club / (N_club*(N_club-1)) — do hubs preferentially wire to
+    each other? The skew readout that complements assortativity (a
+    correlation) with an absolute density at the top of the degree
+    distribution.
+
+    Scale shape: the undirected distinct edge set is checkpointed
+    once and feeds the degree table and the per-edge endpoint-degree
+    join (two equi-joins on the node key — at 1e12 edges these are
+    the same shuffles every degree-keyed operator pays); the ladder
+    is a plan literal exploded per row (|ladder| small constant), and
+    both rollups are map-side-combined groupBys on |ladder| rows.
+    phi rides the ppm grid; clubs smaller than 2 nodes report 0.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    lad = F.array(*[F.lit(int(k)) for k in ladder])
+    node_k = (
+        deg.select(F.explode(lad).alias("k"), "d")
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_club"))
+    )
+    edge_k = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+                 "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+              "b")
+        .select(F.explode(lad).alias("k"),
+                F.least("da", "db").alias("dmin"))
+        .where(F.col("dmin") > F.col("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("e_club"))
+    )
+    base = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in ladder], "k int")
+    return (
+        base.join(node_k, "k", "left").join(edge_k, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.coalesce("n_club", F.lit(0)).cast("long").alias("n_club"),
+            F.coalesce("e_club", F.lit(0)).cast("long").alias("e_club"),
+            F.expr("CASE WHEN coalesce(n_club, 0) >= 2 THEN "
+                   "CAST((2 * coalesce(e_club, 0) * 1000000)"
+                   " DIV (coalesce(n_club, 0) * (coalesce(n_club, 0) - 1))"
+                   " AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+            .alias("phi_ppm"),
+        )
+    )

@@ -2117,3 +2117,61 @@ def chat_template_stats(documents: DataFrame,
                    " AS BIGINT) / 1000.0").alias("mean_marker_hits"),
         )
     )
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Per-doc bigram-LM cross-entropy — the next step up from the
+    unigram lm_score: each document is scored by the mean negative
+    log of P(w2 | w1) under the MLE bigram model trained on the
+    corpus itself, so formulaic text (low surprise given the previous
+    word) separates from incoherent or shuffled text that a unigram
+    model cannot tell apart. Docs with fewer than two tokens emit no
+    row (they have no bigrams).
+
+    Determinism discipline (the lm_score pattern, lifted to order 2):
+    per-bigram nats are computed ONCE PER DISTINCT BIGRAM as
+    round(ln(C(w1) / C(w1,w2)) * 1e6) BIGINTs — ln runs |vocab^2
+    observed| times, never once per instance — and the per-doc score
+    is an exact integer sum divided once at the end, so partial
+    aggregation order cannot move a bit.
+
+    Scale shape: tokens are staged behind ONE checkpoint (tokenize
+    once); the exploded bigram-instance table is checkpointed once
+    and feeds BOTH the count model and the scoring join; the model
+    join keys on (w1, w2) with no forced strategy — AQE broadcasts
+    while the observed-bigram table fits and shuffle-joins beyond.
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # tokenize once
+    inst = (
+        staged.select(
+            "doc_id",
+            F.explode(F.expr(
+                "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1)"
+                " ELSE array() END")).alias("i"),
+            "t")
+        .select("doc_id",
+                F.expr("element_at(t, i)").alias("w1"),
+                F.expr("element_at(t, i + 1)").alias("w2"))
+        .localCheckpoint(eager=False)  # feeds model AND scoring once
+    )
+    bg = (
+        inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+        .localCheckpoint(eager=False)  # feeds context rollup AND nats
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    nats = bg.join(ctx, "w1").select(
+        "w1", "w2",
+        F.round(F.log(F.col("cnt1") / F.col("cnt2")) * 1e6)
+        .cast("long").alias("nats_x1e6"),
+    )
+    return (
+        inst.join(nats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.sum("nats_x1e6").alias("_s"))
+        .select("doc_id", "n_bigrams",
+                F.round(F.col("_s") / F.col("n_bigrams") / 1e6, 6)
+                .alias("xent_nats"))
+    )

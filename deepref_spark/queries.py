@@ -11495,6 +11495,115 @@ def emb_quantize_int8(spark, sf_dir):
     return quantize_int8_audit(load_table(spark, sf_dir, "embeddings"), dim=64)
 
 
+@q("kg_reciprocity", _trip_cte() + """
+, e AS MATERIALIZED (
+  SELECT DISTINCT pred, subj AS s, obj AS o FROM trip WHERE subj <> obj
+),
+fl AS (
+  SELECT e.pred, e.s, e.o,
+         CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM e LEFT JOIN e r ON e.pred = r.pred AND e.s = r.o AND e.o = r.s
+)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(m) AS BIGINT) AS n_mutual_edges,
+       CAST(count(DISTINCT (least(s, o), greatest(s, o))) AS BIGINT)
+         AS n_dyads,
+       CAST(sum(m) // 2 AS BIGINT) AS n_mutual_dyads,
+       CAST((sum(m) * 1000000) // count(*) AS BIGINT) AS reciprocity_ppm
+FROM fl GROUP BY pred
+""")
+def kg_reciprocity(spark, sf_dir):
+    """Per-predicate dyad census (graph.reciprocity): directed edges,
+    mutual edges (reverse exists under the same pred), unordered
+    dyads, mutual dyads, and reciprocity on the ppm grid — the KG
+    symmetry readout behind inverse-predicate mining. One distinct +
+    one self-equi-join on (pred, s, o); all-BIGINT."""
+    from deepref_spark.operators.graph import reciprocity
+
+    spo = _canon_spo(spark, sf_dir).select(
+        F.col("subj_canon").alias("subj"), "pred",
+        F.col("obj_canon").alias("obj"))
+    return reciprocity(spo)
+
+
+@q("kg_rich_club", _oracle_prefix() + _graph_edges_cte() + """
+, und AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+),
+lad AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_club
+  FROM lad JOIN deg ON d > k GROUP BY k
+),
+ek0 AS (
+  SELECT da.d AS da, db.d AS db
+  FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v
+),
+ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS e_club
+  FROM lad JOIN ek0 ON least(da, db) > k GROUP BY k
+)
+SELECT CAST(l.k AS BIGINT) AS k,
+       CAST(coalesce(n_club, 0) AS BIGINT) AS n_club,
+       CAST(coalesce(e_club, 0) AS BIGINT) AS e_club,
+       CASE WHEN coalesce(n_club, 0) >= 2 THEN
+         CAST((2 * coalesce(e_club, 0) * 1000000)
+              // (coalesce(n_club, 0) * (coalesce(n_club, 0) - 1)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS phi_ppm
+FROM lad l LEFT JOIN nk ON l.k = nk.k LEFT JOIN ek ON l.k = ek.k
+""")
+def kg_rich_club(spark, sf_dir):
+    """Rich-club coefficient profile (graph.rich_club, Zhou &
+    Mondragon 2004) over the undirected canonical entity graph: per
+    degree threshold k, the club size (degree > k), in-club edge
+    count, and phi = 2E/(N(N-1)) on the ppm grid — the absolute
+    hub-density twin of the assortativity correlation. Checkpointed
+    undirected edge set, two degree equi-joins, plan-literal
+    ladder."""
+    from deepref_spark.operators.graph import rich_club
+
+    return rich_club(_canonical_edges(spark, sf_dir))
+
+
+def _bigram_lm_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+inst AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+),
+bg AS (SELECT w1, w2, count(*) AS cnt2 FROM inst GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt2) AS cnt1 FROM bg GROUP BY w1),
+nats AS (
+  SELECT w1, w2, CAST(round(ln(cnt1 / cnt2) * 1e6) AS BIGINT) AS nats_x1e6
+  FROM bg JOIN ctx USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(nats_x1e6) / count(*) / 1e6, 6) AS xent_nats
+FROM inst JOIN nats USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@q("text_bigram_lm", _bigram_lm_oracle)
+def text_bigram_lm(spark, sf_dir):
+    """Per-doc bigram-LM cross-entropy (text_analysis.bigram_lm_score)
+    — the order-2 step up from the unigram lm_score: mean -ln
+    P(w2|w1) under the corpus-trained MLE bigram model, with
+    per-DISTINCT-bigram nats on the round(ln*1e6) BIGINT grid so the
+    per-doc sum is an exact integer (the lm_score discipline). Tokens
+    staged once; the bigram-instance table checkpointed once for the
+    model AND the scoring join."""
+    from deepref_spark.operators.text_analysis import bigram_lm_score
+
+    return bigram_lm_score(documents(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12210,6 +12319,19 @@ _WINDOW_TAIL = [
     # driver hash gate every sweep, and the variance/energy-share
     # formulas keep their pytest pins.
     "events_bounce", "events_decay_score", "emb_dim_stats",
+    # (parked r5cd, making room for kg_reciprocity + kg_rich_club +
+    # text_bigram_lm): text_hash_features parks — new in-window
+    # text_bigram_lm keeps the token-staging + ln-per-distinct-entry
+    # discipline under the driver hash gate (alongside in-window
+    # text_curate_pipeline) and the feature-hashing formula keeps its
+    # pytest goldens; emb_hybrid_recall parks — the ANN-quality lane
+    # keeps emb_silhouette + emb_pq_distortion + emb_quantize_int8
+    # in-window and the three-lane recall readout keeps exact pytest
+    # goldens; dedup_containment parks — the dedup lane keeps
+    # prefix_join + url_canon in-window over the same shingle
+    # derivations and the directed-containment formula keeps its
+    # pytest pins.
+    "text_hash_features", "emb_hybrid_recall", "dedup_containment",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

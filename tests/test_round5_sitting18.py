@@ -87,3 +87,59 @@ def test_quantize_int8_codes_and_error(spark):
     # dim1 u = {-500, 250, 500}, amax 500 -> codes {-127, 64, 127}
     assert d1["amax_u"] == 500 and d1["n_saturated"] == 2
     assert abs(127 * 250 - 64 * 500) == 250  # half-up rounds 63.5 -> 64
+
+
+def test_reciprocity_dyad_census(spark):
+    """Mutual pair + one-way edge under p, a lone q edge, and a
+    self-loop that must drop."""
+    from deepref_spark.operators.graph import reciprocity
+
+    spo = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "p", "c"),
+         ("a", "q", "b"), ("d", "p", "d")],
+        schema="subj string, pred string, obj string")
+    got = {r["pred"]: r for r in reciprocity(spo).collect()}
+    p = got["p"]
+    assert (p["n_edges"], p["n_mutual_edges"], p["n_dyads"],
+            p["n_mutual_dyads"]) == (3, 2, 2, 1)
+    assert p["reciprocity_ppm"] == 2 * 1_000_000 // 3
+    q = got["q"]
+    assert (q["n_edges"], q["n_mutual_edges"], q["n_dyads"]) == (1, 0, 1)
+
+
+def test_rich_club_clique_plus_pendant(spark):
+    """K4 clique {a,b,c,d} with pendant e-a: the k=1 and k=2 clubs are
+    the clique at density 1.0; above the max degree the club empties."""
+    from deepref_spark.operators.graph import rich_club
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("e", "a")],
+        schema="src string, dst string")
+    got = {r["k"]: r for r in rich_club(edges).collect()}
+    assert set(got) == {1, 2, 4, 8, 16}
+    for k in (1, 2):
+        assert (got[k]["n_club"], got[k]["e_club"]) == (4, 6)
+        assert got[k]["phi_ppm"] == 2 * 6 * 1_000_000 // (4 * 3)
+    for k in (4, 8, 16):
+        assert (got[k]["n_club"], got[k]["e_club"], got[k]["phi_ppm"]) == \
+            (0, 0, 0)
+
+
+def test_bigram_lm_hand_model(spark):
+    """Four docs, hand-built MLE bigram model: nats are the exact
+    round(ln*1e6) grid values and the single-token doc emits no row."""
+    import math
+    from deepref_spark.operators.text_analysis import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b"), (3, "c"), (4, "a a b")],
+        schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(got) == {1, 2, 4}  # doc 3 has no bigrams
+    n_ab = round(math.log(5 / 4) * 1e6)   # C(a)=5, C(a,b)=4
+    n_aa = round(math.log(5 / 1) * 1e6)
+    assert got[1]["n_bigrams"] == 4
+    assert got[1]["xent_nats"] == round(n_ab * 2 / 4 / 1e6, 6)  # ba scores 0
+    assert got[2]["xent_nats"] == round(n_ab / 1e6, 6)
+    assert got[4]["xent_nats"] == round((n_aa + n_ab) / 2 / 1e6, 6)
