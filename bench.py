@@ -288,6 +288,9 @@ HEADLINE = [
     "kg_reciprocity",
     "kg_rich_club",
     "text_bigram_lm",
+    "events_acf",
+    "rel_returned_revenue",
+    "text_ocr_garbage",
 ]
 
 

@@ -1564,3 +1564,67 @@ def peak_concurrency(events: DataFrame,
         n_iv.join(peaks, "day")
         .select("day", "n_intervals", "peak_concurrency", "peak_at_sec")
     )
+
+
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def acf_profile(events: DataFrame, lags: tuple = ACF_LAGS) -> DataFrame:
+    """Autocorrelation profile of the hourly event-count series — the
+    seasonality diagnostic behind the seasonal-naive forecaster
+    (forecast_baseline picks its period from exactly this readout: a
+    spike at lag 24 says daily cycle). Per lag L, the Pearson
+    correlation between x_t and x_{t+L} over the ZERO-FILLED hourly
+    spine (missing hours are real zeros, not gaps — skipping them
+    would splice distant hours together and fake correlation).
+
+    Determinism: counts are BIGINT; moment sums ride DECIMAL(38,0)
+    (the assortativity discipline — deg²-scale products can overflow
+    int64 at 1e6-count hours) and the coefficient is ONE double
+    expression of exact decimals, rounded 6dp, 0.0 when either
+    variance is 0. Scale shape: one map-side-combined groupBy on
+    epoch-hour, a 1-row min/max agg exploded into the dense spine
+    (O(hours) rows — tiny next to the corpus), and every join/window
+    after that runs on the spine only.
+    """
+    hours = (
+        events.select((F.unix_timestamp("ts").cast("long") / 3600)
+                      .cast("long").alias("h"))
+        .groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+        .join(hours, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds both sides of every lag join
+    )
+    lagdf = events.sparkSession.createDataFrame(
+        [(int(l),) for l in lags], "lag int")
+    pairs = (
+        lagdf.crossJoin(spine)
+        .withColumn("h2", F.col("h") + F.col("lag"))
+        .join(spine.select(F.col("h").alias("h2"),
+                           F.col("x").alias("y")), "h2")
+    )
+    dec = "DECIMAL(38,0)"
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr(
+                "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0"
+                " AND CAST(n * syy - sy * sy AS DOUBLE) > 0"
+                " THEN CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+                " ELSE 0.0 END"), 6).alias("acf"),
+    )

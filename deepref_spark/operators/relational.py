@@ -386,3 +386,42 @@ def merge_upsert_plan(orders: DataFrame, t1: str = "1999-01-01",
          + F.coalesce("delta_cents", F.lit(0))).cast("long")
         .alias("total_cents_after"),
     )
+
+
+def returned_item_revenue(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: the top-k customers by revenue lost to
+    returned items — the join-back ranking every returns/abuse review
+    starts from. The returnflag filter is pushed into the lineitem
+    scan (the R rows are a small fraction of the fact table), the
+    surviving rows aggregate to per-order revenue BEFORE touching
+    orders (pre-aggregation shrinks the fact-fact shuffle to one row
+    per returned order), then join orders -> customer and roll up per
+    customer. Revenue rides the e4 grid (cents x (100 - disc pct)),
+    so every sum is an order-independent BIGINT; the top-k is a
+    TakeOrdered on the unique (revenue DESC, custkey) order, never a
+    global window."""
+    rev = F.expr(f"{CENTS.format(c='l_extendedprice')}"
+                 f" * (100 - {PCT.format(c='l_discount')})")
+    per_order = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("long").alias("rev_e4"))
+    )
+    per_cust = (
+        per_order
+        .join(orders.select("o_orderkey", "o_custkey"),
+              per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_e4").cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        per_cust
+        .join(customer.select("c_custkey", "c_name", "c_mktsegment"),
+              per_cust.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "n_orders",
+                "revenue_e4")
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )

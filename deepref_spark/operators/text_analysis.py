@@ -2175,3 +2175,53 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
                 F.round(F.col("_s") / F.col("n_bigrams") / 1e6, 6)
                 .alias("xent_nats"))
     )
+
+
+_OCR_MIXED = "[a-z].*[0-9]|[0-9].*[a-z]"
+_OCR_RUN = "[bcdfghjklmnpqrstvwxz]{5,}"
+# rendered inside a DOUBLE-quoted Spark SQL literal (Spark drops
+# unknown backslash escapes like \x27 from single-quoted literals);
+# the DuckDB oracle writes the same class with a doubled single quote
+_OCR_WEIRD = "[^a-z0-9.,;:!?()'\\\"-]"
+
+
+def ocr_garbage_stats(documents: DataFrame,
+                      flag_ppm: int = 100000) -> DataFrame:
+    """Per-doc OCR-noise screen — the curation signal the quality /
+    Gopher / C4 families do NOT carry: scanned-and-OCRed text shows
+    up as letter-digit hash tokens ("q7x9z2"), impossible consonant
+    runs ("zzxkqwv"), and stray non-prose symbols inside tokens.
+    Tokens are the RAW lowercase whitespace split (normalizing first
+    would strip exactly the junk being measured); a doc flags when
+    its any-signal garbage rate beats ``flag_ppm``.
+
+    Scale shape: entirely row-wise JVM expressions over one column —
+    size(filter(...rlike...)) per signal on the in-row token array,
+    NO explode, NO shuffle, no window; the heaviest cost is the regex
+    probes inside whole-stage codegen. All counts BIGINT, rate on the
+    ppm grid via tokens-guarded DIV.
+    """
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x <> '')"
+    sig = (f"size(filter({toks}, t -> t rlike '{_OCR_MIXED}'))",
+           f"size(filter({toks}, t -> t rlike '{_OCR_RUN}'))",
+           f'size(filter({toks}, t -> t rlike "{_OCR_WEIRD}"))')
+    any_re = f"({_OCR_MIXED})|({_OCR_RUN})|({_OCR_WEIRD})"
+    return (
+        documents.select(
+            "doc_id",
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST({sig[0]} AS BIGINT)").alias("n_mixed"),
+            F.expr(f"CAST({sig[1]} AS BIGINT)").alias("n_runs"),
+            F.expr(f"CAST({sig[2]} AS BIGINT)").alias("n_weird"),
+            F.expr(f'CAST(size(filter({toks},'
+                   f' t -> t rlike "{any_re}")) AS BIGINT)')
+            .alias("n_garbage"),
+        )
+        .withColumn(
+            "garbage_ppm",
+            F.expr("CAST((n_garbage * 1000000)"
+                   " DIV greatest(n_tokens, 1) AS BIGINT)"))
+        .withColumn(
+            "flagged",
+            (F.col("garbage_ppm") > F.lit(int(flag_ppm))).cast("int"))
+    )

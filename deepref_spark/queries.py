@@ -11604,6 +11604,136 @@ def text_bigram_lm(spark, sf_dir):
     return bigram_lm_score(documents(spark, sf_dir))
 
 
+@q("events_acf", """
+WITH hrs AS (
+  -- floor-to-BIGINT FIRST: DuckDB's // on DOUBLE is plain division
+  -- (no floor) and the BIGINT cast rounds, shifting boundary hours
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+spine AS MATERIALIZED (
+  SELECT g.h, coalesce(x, 0) AS x
+  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM b) g
+  LEFT JOIN hrs USING (h)
+),
+lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+pairs AS (
+  SELECT lag, s1.x AS x, s2.x AS y
+  FROM lags CROSS JOIN spine s1 JOIN spine s2 ON s2.h = s1.h + lag
+),
+s AS (
+  SELECT lag, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS acf
+FROM s
+""")
+def events_acf(spark, sf_dir):
+    """Autocorrelation profile of the hourly event-count series
+    (events.acf_profile): per lag in {1,2,3,6,12,24}, the Pearson
+    correlation of x_t with x_{t+lag} over the ZERO-FILLED hourly
+    spine — the seasonality diagnostic the seasonal-naive forecaster
+    reads its period from. Moment sums on DECIMAL(38,0) (the
+    assortativity discipline), one double expression rounded 6dp; all
+    joins run on the tiny spine."""
+    from deepref_spark.operators.events import acf_profile
+
+    return acf_profile(load_table(spark, sf_dir, "events"))
+
+
+@q("rel_returned_revenue", f"""
+WITH po AS (
+  SELECT l_orderkey, CAST(sum({{rev}}) AS BIGINT) AS rev_e4
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+pc AS (
+  SELECT o.o_custkey, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, n_orders, revenue_e4
+FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+ORDER BY revenue_e4 DESC, c.c_custkey
+LIMIT 20
+""".replace("{rev}", _REV_E4))
+def rel_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (relational.returned_item_revenue): top-20
+    customers by returned-item revenue. The returnflag filter pushes
+    into the lineitem scan, revenue pre-aggregates per order BEFORE
+    the fact-fact join, money rides the e4 BIGINT grid, and the
+    top-k is a TakeOrdered on the unique (revenue DESC, custkey)
+    order."""
+    from deepref_spark.operators.relational import returned_item_revenue
+
+    return returned_item_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+# OCR-noise decoration: the synthetic prose is clean, so %97 docs get
+# one mixed-alnum token, one consonant-run token, and one symbol token
+# appended — all three signal paths certified deterministically.
+_OCR_DECOR = ("CASE WHEN doc_id % 97 = 0 THEN "
+              "concat(text, ' q7x9z2 zzxkqwv ab##cd') ELSE text END")
+
+
+@q("text_ocr_garbage", f"""
+WITH d AS (SELECT doc_id, {_OCR_DECOR} AS text FROM documents),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM d
+),
+c AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(tk, t -> regexp_matches(t,
+           '[a-z].*[0-9]|[0-9].*[a-z]'))) AS BIGINT) AS n_mixed,
+         CAST(len(list_filter(tk, t -> regexp_matches(t,
+           '[bcdfghjklmnpqrstvwxz]{{5,}}'))) AS BIGINT) AS n_runs,
+         CAST(len(list_filter(tk, t -> regexp_matches(t,
+           '[^a-z0-9.,;:!?()''"-]'))) AS BIGINT) AS n_weird,
+         CAST(len(list_filter(tk, t -> regexp_matches(t,
+           '([a-z].*[0-9]|[0-9].*[a-z])|([bcdfghjklmnpqrstvwxz]{{5,}})'
+           '|([^a-z0-9.,;:!?()''"-])'))) AS BIGINT) AS n_garbage
+  FROM tok
+)
+SELECT *,
+       CAST((n_garbage * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+         AS garbage_ppm,
+       CAST(CAST((n_garbage * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+            > 100000 AS INT) AS flagged
+FROM c
+""")
+def text_ocr_garbage(spark, sf_dir):
+    """Per-doc OCR-noise screen (text_analysis.ocr_garbage_stats):
+    letter-digit hash tokens, impossible consonant runs, and stray
+    symbol tokens over the RAW lowercase whitespace split (the junk
+    the normalizing quality screens strip before measuring). Pure
+    row-wise JVM size(filter(rlike)) probes — no explode, no shuffle;
+    the %97 decoration plants all three signal families."""
+    from deepref_spark.operators.text_analysis import ocr_garbage_stats
+
+    d = documents(spark, sf_dir).selectExpr(
+        "doc_id", _OCR_DECOR + " AS text")
+    return ocr_garbage_stats(d)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12332,6 +12462,19 @@ _WINDOW_TAIL = [
     # derivations and the directed-containment formula keeps its
     # pytest pins.
     "text_hash_features", "emb_hybrid_recall", "dedup_containment",
+    # (parked r5ce, making room for events_acf + rel_returned_revenue
+    # + text_ocr_garbage): events_anomaly_mad parks — new in-window
+    # events_acf derives the same epoch-hour grouped counts over a
+    # dense spine, and the MAD median machinery keeps its exact
+    # pytest goldens; rel_pricing_summary parks — new in-window
+    # rel_returned_revenue keeps the CENTS/e4 money-grid discipline
+    # under the driver hash gate and Q1's five grid sums keep their
+    # pytest pins (green every sweep since the rel lane landed);
+    # text_rake_keywords parks — the keyword lane keeps
+    # text_bigram_lm + text_curate_pipeline in-window over the same
+    # staged-token discipline and the RAKE degree/frequency scoring
+    # keeps its exact pytest goldens.
+    "events_anomaly_mad", "rel_pricing_summary", "text_rake_keywords",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

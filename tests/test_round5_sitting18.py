@@ -143,3 +143,74 @@ def test_bigram_lm_hand_model(spark):
     assert got[1]["xent_nats"] == round(n_ab * 2 / 4 / 1e6, 6)  # ba scores 0
     assert got[2]["xent_nats"] == round(n_ab / 1e6, 6)
     assert got[4]["xent_nats"] == round((n_aa + n_ab) / 2 / 1e6, 6)
+
+
+def test_acf_perfect_period_two(spark):
+    """Alternating 4,0,4,0,... hourly counts: lag-2 correlation is
+    exactly +1, lag-1 exactly -1; the zero-filled spine supplies the
+    empty hours."""
+    from deepref_spark.operators.events import acf_profile
+
+    rows = []
+    eid = 0
+    for hour in range(0, 12, 2):  # events only in even hours
+        for _ in range(4):
+            rows.append((eid, hour * 3600 + eid % 3600))
+            eid += 1
+    df = _events_df(spark, [(1, s) for _, s in rows])
+    got = {r["lag"]: r for r in
+           acf_profile(df, lags=(1, 2)).collect()}
+    assert got[1]["n_pairs"] == 10 and got[2]["n_pairs"] == 9
+    assert got[1]["acf"] == -1.0
+    assert got[2]["acf"] == 1.0
+
+
+def test_returned_revenue_pushdown_and_grid(spark):
+    """Only R lineitems count; revenue is cents x (100 - pct) exactly;
+    ranking is (revenue DESC, custkey)."""
+    from deepref_spark.operators.relational import returned_item_revenue
+
+    cust = spark.createDataFrame(
+        [(1, "alice", 0, 0.0, "BUILDING"), (2, "bob", 0, 0.0, "AUTO")],
+        schema="c_custkey long, c_name string, c_nationkey long, "
+               "c_acctbal double, c_mktsegment string")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2)],
+        schema="o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(10, "R", 100.0, 0.10), (10, "N", 999.0, 0.0),
+         (11, "R", 50.0, 0.0), (12, "R", 60.0, 0.5)],
+        schema="l_orderkey long, l_returnflag string, "
+               "l_extendedprice double, l_discount double")
+    got = returned_item_revenue(cust, orders, li, k=10).collect()
+    by = {r["c_custkey"]: r for r in got}
+    # alice: 100.00 -> 10000c x 90 = 900000; the N row is excluded
+    assert by[1]["revenue_e4"] == 10000 * 90
+    assert by[1]["n_orders"] == 1
+    # bob: 5000c x 100 + 6000c x 50 = 500000 + 300000
+    assert by[2]["revenue_e4"] == 5000 * 100 + 6000 * 50
+    assert by[2]["n_orders"] == 2
+    assert [r["c_custkey"] for r in got] == [1, 2]  # 900000 > 800000
+
+
+def test_ocr_garbage_signal_families(spark):
+    """Mixed-alnum, consonant-run, and symbol tokens each count once;
+    clean prose with quotes/punctuation stays clean; the any-signal
+    union never double-counts a token."""
+    from deepref_spark.operators.text_analysis import ocr_garbage_stats
+
+    docs = spark.createDataFrame(
+        [(1, "normal prose here."),
+         (2, "q7x9z2 zzxkqwv ab##cd ok"),
+         (3, "it's a \"quoted\" word, fine (see) - ok!"),
+         (4, "q9z2xkqwv")],  # mixed AND run: one garbage token
+        schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in ocr_garbage_stats(docs).collect()}
+    assert got[1]["n_garbage"] == 0 and got[1]["flagged"] == 0
+    r2 = got[2]
+    assert (r2["n_mixed"], r2["n_runs"], r2["n_weird"]) == (1, 1, 1)
+    assert r2["n_garbage"] == 3 and r2["garbage_ppm"] == 750000
+    assert r2["flagged"] == 1
+    assert got[3]["n_garbage"] == 0  # quotes/punct are prose, not junk
+    r4 = got[4]
+    assert (r4["n_mixed"], r4["n_runs"], r4["n_garbage"]) == (1, 1, 1)
