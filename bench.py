@@ -291,6 +291,9 @@ HEADLINE = [
     "events_acf",
     "rel_returned_revenue",
     "text_ocr_garbage",
+    "events_props_rollup",
+    "events_srm_check",
+    "emb_cov_topk",
 ]
 
 

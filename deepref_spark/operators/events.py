@@ -1628,3 +1628,83 @@ def acf_profile(events: DataFrame, lags: tuple = ACF_LAGS) -> DataFrame:
                 "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
                 " ELSE 0.0 END"), 6).alias("acf"),
     )
+
+
+def props_rollup(events: DataFrame,
+                 type_col: str = "event_type") -> DataFrame:
+    """Semi-structured property rollup — the schema-on-read path every
+    event store needs: the JSON ``props`` payload is parsed IN the
+    scan projection (get_json_object, JVM-side, no Python), the ``k``
+    field extracted and cast, and per event type the null rate plus
+    count/sum/min/max/mean roll up in one map-side-combined pass.
+    Integer grids throughout: null rate on ppm, mean on the tie-free
+    (2000s + n) DIV (2n) milli grid over non-null rows.
+
+    At 100 TB the JSON parse is the dominant cost — it runs exactly
+    once per row inside whole-stage codegen, and the extracted BIGINT
+    (not the raw string) is all that reaches the shuffle.
+    """
+    parsed = events.select(
+        F.col(type_col).alias("event_type"),
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.col("k").isNull().cast("int")).cast("long")
+             .alias("n_null"),
+             F.sum("k").cast("long").alias("sum_k"),
+             F.min("k").cast("long").alias("min_k"),
+             F.max("k").cast("long").alias("max_k"))
+        .select(
+            "event_type", "n_events", "n_null", "sum_k", "min_k", "max_k",
+            F.expr("CAST((n_null * 1000000) DIV n_events AS BIGINT)")
+            .alias("null_ppm"),
+            F.expr("CASE WHEN n_events - n_null > 0 THEN "
+                   "CAST((2000 * sum_k + (n_events - n_null))"
+                   " DIV (2 * (n_events - n_null)) AS BIGINT)"
+                   " ELSE CAST(0 AS BIGINT) END").alias("mean_k_milli"),
+        )
+    )
+
+
+def srm_check(events: DataFrame, user_col: str = "user_id",
+              type_col: str = "event_type",
+              chi2_milli_crit: int = 3841) -> DataFrame:
+    """Per-event-type sample-ratio-mismatch check — the guardrail an
+    experiment platform runs BEFORE reading any lift number: under
+    the md5-parity 50/50 assignment (the ab_lift convention), the
+    exposed-user split per event type should be binomial-balanced;
+    a chi-square statistic beyond the 95% critical value (3.841 for
+    1 df) flags a broken randomizer or a logging bias, and every
+    downstream readout for that type is suspect.
+
+    chi2 for two equal-expected cells reduces to (n0-n1)^2 / n —
+    computed on the tie-free milli grid (2000*(n0-n1)^2 + n) DIV
+    (2n), so the flag compares integers. Scale shape: one distinct
+    over (type, user) — the same shuffle any exposure count pays —
+    then a 2-row-per-type rollup. No floats.
+    """
+    from deepref_spark.portable import md5_mod
+
+    exposed = (
+        events.select(F.col(type_col).alias("event_type"),
+                      F.col(user_col).alias("u"))
+        .distinct()
+        .select("event_type",
+                F.expr("CAST(" + md5_mod("CAST(u AS STRING)", 2)
+                       + " AS INT)").alias("arm"))
+    )
+    per = exposed.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(arm = 0 AS INT)")).cast("long").alias("n0"),
+        F.sum(F.expr("CAST(arm = 1 AS INT)")).cast("long").alias("n1"),
+    )
+    return per.select(
+        "event_type", "n0", "n1",
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_users"),
+        F.expr("CAST((2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))"
+               " DIV (2 * (n0 + n1)) AS BIGINT)").alias("chi2_milli"),
+        F.expr(f"CAST(CAST((2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))"
+               f" DIV (2 * (n0 + n1)) AS BIGINT)"
+               f" > {int(chi2_milli_crit)} AS INT)").alias("srm_flag"),
+    )

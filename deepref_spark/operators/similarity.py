@@ -1495,3 +1495,54 @@ def quantize_int8_audit(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             .alias("mean_abs_err_micro"),
         )
     )
+
+
+def cov_topk(embeddings: DataFrame, dim: int = 64,
+             k: int = 20) -> DataFrame:
+    """Top-k strongest off-diagonal covariances between embedding
+    dimensions — the redundancy readout behind OPQ-style rotation and
+    dimension-drop decisions (dim_stats reports the diagonal; this is
+    the cross-talk). Per pair (d1 < d2): the exact covariance
+    numerator n*S12 − S1*S2 on DECIMAL(38,0) from 1e-3-grid inputs,
+    ranked by absolute magnitude with a (d1, d2) tiebreak; cov itself
+    is ONE double division rounded 6dp.
+
+    Scale shape: one posexplode scan self-joined on vec_id (fan-out
+    dim^2/2 per vector — the by-contract exact path; at extreme scale
+    the same sums come from a mapInPandas per-partition Gram partial
+    of dim x dim, which this operator's grids port to unchanged), one
+    map-side-combined groupBy on dim^2/2 pair rows, and a TakeOrdered
+    top-k on the unique (|cov| DESC, d1, d2) order.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")).alias("dim", "u"))
+    a = e.select("vec_id", F.col("dim").alias("d1"), F.col("u").alias("u1"))
+    b = e.select("vec_id", F.col("dim").alias("d2"), F.col("u").alias("u2"))
+    dec = "DECIMAL(38,0)"
+    pairs = (
+        a.join(b, "vec_id")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy(F.col("d1").cast("long").alias("d1"),
+                 F.col("d2").cast("long").alias("d2"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+             F.sum("u1").cast(dec).alias("s1"),
+             F.sum("u2").cast(dec).alias("s2"),
+             F.sum(F.col("u1").cast(dec) * F.col("u2")).cast(dec)
+             .alias("s12"))
+        .withColumn("cov_num", F.expr("n * s12 - s1 * s2"))
+    )
+    return (
+        pairs.select(
+            "d1", "d2", F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.expr("CAST(cov_num AS DOUBLE)")
+                    / F.col("n").cast("double") / F.col("n").cast("double")
+                    / F.lit(1000000.0), 6).alias("cov"),
+            F.abs(F.col("cov_num")).alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), F.col("d1").asc(), F.col("d2").asc())
+        .limit(k)
+        .drop("_a")
+    )

@@ -11734,6 +11734,110 @@ def text_ocr_garbage(spark, sf_dir):
     return ocr_garbage_stats(d)
 
 
+@q("events_props_rollup", """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(k IS NULL AS INT)) AS BIGINT) AS n_null,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         CAST(min(k) AS BIGINT) AS min_k,
+         CAST(max(k) AS BIGINT) AS max_k
+  FROM parsed GROUP BY event_type
+)
+SELECT event_type, n_events, n_null, sum_k, min_k, max_k,
+       CAST((n_null * 1000000) // n_events AS BIGINT) AS null_ppm,
+       CASE WHEN n_events - n_null > 0 THEN
+         CAST((2000 * sum_k + (n_events - n_null))
+              // (2 * (n_events - n_null)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS mean_k_milli
+FROM g
+""")
+def events_props_rollup(spark, sf_dir):
+    """Schema-on-read rollup of the JSON props payload
+    (events.props_rollup): get_json_object extracts the k field
+    JVM-side inside the scan projection, and per event type the null
+    rate (ppm) plus count/sum/min/max/mean (tie-free milli grid over
+    non-null rows) aggregate in one map-side-combined pass — only the
+    extracted BIGINT reaches the shuffle."""
+    from deepref_spark.operators.events import props_rollup
+
+    return props_rollup(load_table(spark, sf_dir, "events"))
+
+
+@q("events_srm_check", f"""
+WITH exposed AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+armed AS (
+  SELECT event_type,
+         CAST({md5_mod("CAST(user_id AS VARCHAR)", 2)} AS INT) AS arm
+  FROM exposed
+),
+per AS (
+  SELECT event_type,
+         CAST(sum(CAST(arm = 0 AS INT)) AS BIGINT) AS n0,
+         CAST(sum(CAST(arm = 1 AS INT)) AS BIGINT) AS n1
+  FROM armed GROUP BY event_type
+)
+SELECT event_type, n0, n1, CAST(n0 + n1 AS BIGINT) AS n_users,
+       CAST((2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))
+            // (2 * (n0 + n1)) AS BIGINT) AS chi2_milli,
+       CAST(CAST((2000 * (n0 - n1) * (n0 - n1) + (n0 + n1))
+                 // (2 * (n0 + n1)) AS BIGINT) > 3841 AS INT) AS srm_flag
+FROM per
+""")
+def events_srm_check(spark, sf_dir):
+    """Per-event-type sample-ratio-mismatch guardrail
+    (events.srm_check): under the md5-parity 50/50 assignment (the
+    ab_lift convention), the exposed-user split should balance; the
+    1-df chi-square (n0-n1)^2/n on the tie-free milli grid flags a
+    broken randomizer at the 95% critical value before any lift is
+    read. One distinct over (type, user), then a per-type rollup."""
+    from deepref_spark.operators.events import srm_check
+
+    return srm_check(load_table(spark, sf_dir, "events"))
+
+
+@q("emb_cov_topk", """
+WITH e AS (
+  SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+pairs AS (
+  SELECT a.dim AS d1, b.dim AS d2,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(a.u) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(b.u) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(CAST(a.u AS DECIMAL(38,0)) * b.u) AS DECIMAL(38,0)) AS s12
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+),
+cn AS (SELECT *, n * s12 - s1 * s2 AS cov_num FROM pairs)
+SELECT d1, d2, CAST(n AS BIGINT) AS n_vectors,
+       round(CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+             / 1000000.0, 6) AS cov
+FROM (SELECT *, row_number() OVER (ORDER BY abs(cov_num) DESC, d1, d2) AS r
+      FROM cn)
+WHERE r <= 20
+""")
+def emb_cov_topk(spark, sf_dir):
+    """Top-20 strongest off-diagonal dimension covariances
+    (similarity.cov_topk) — the cross-talk complement to dim_stats'
+    diagonal, behind OPQ-rotation and dimension-drop decisions. Exact
+    covariance numerators n*S12 − S1*S2 on DECIMAL(38,0) over the
+    1e-3 input grid; ranked on the unique (|cov_num| DESC, d1, d2)
+    order; cov is one double division rounded 6dp."""
+    from deepref_spark.operators.similarity import cov_topk
+
+    return cov_topk(load_table(spark, sf_dir, "embeddings"), dim=64, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12475,6 +12579,17 @@ _WINDOW_TAIL = [
     # staged-token discipline and the RAKE degree/frequency scoring
     # keeps its exact pytest goldens.
     "events_anomaly_mad", "rel_pricing_summary", "text_rake_keywords",
+    # (parked r5cf, making room for events_props_rollup +
+    # events_srm_check + emb_cov_topk): emb_knn_communities parks —
+    # the emb lane keeps silhouette + pq_distortion + quantize_int8 +
+    # cov_topk in-window and the knn-graph label-prop composition
+    # keeps its pytest goldens; events_kmv_distinct parks — the
+    # k-minimum-values register math keeps hand-computed pytest
+    # goldens and the behavioral lane keeps ten reps in-window;
+    # kg_media_mime_audit parks — the magic-byte probes keep exact
+    # pytest goldens and the LIKE-probe + grouped-rollup family stays
+    # hash-verified in-window via text_chat_template.
+    "emb_knn_communities", "events_kmv_distinct", "kg_media_mime_audit",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
