@@ -294,6 +294,9 @@ HEADLINE = [
     "events_props_rollup",
     "events_srm_check",
     "emb_cov_topk",
+    "events_cuped",
+    "kg_schema_completeness",
+    "lake_bucket_advisor",
 ]
 
 

@@ -1708,3 +1708,74 @@ def srm_check(events: DataFrame, user_col: str = "user_id",
                f" DIV (2 * (n0 + n1)) AS BIGINT)"
                f" > {int(chi2_milli_crit)} AS INT)").alias("srm_flag"),
     )
+
+
+def cuped_report(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013) — the
+    adjustment every mature experiment platform applies before
+    reading a lift: each user's PRE-period activity (event count
+    before the corpus midpoint) is a covariate for their POST-period
+    metric; theta = cov(pre, post) / var(pre) is fit on the pooled
+    population and the per-arm adjusted mean subtracts
+    theta * (arm pre-mean − pooled pre-mean), cancelling the
+    randomization noise the covariate explains.
+
+    Determinism: per-user counts are BIGINT; every moment (Sx, Sy,
+    Sxy, Sxx) rides DECIMAL(38,0); theta and the adjusted means are
+    single double expressions of exact decimals, rounded 6dp, written
+    IDENTICALLY in the oracle. Scale shape: one per-user groupBy with
+    two conditional counts (map-side combined), a 1-row broadcast
+    midpoint, a 1-row pooled-moment agg broadcast into the 2-row
+    per-arm table. theta guards var(pre)=0 with 0.0 (no adjustment).
+    """
+    from deepref_spark.portable import md5_mod
+
+    bounds = F.broadcast(events.agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("s0"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("s1")))
+    per_user = (
+        events.select(F.col(user_col).alias("u"),
+                      F.unix_timestamp("ts").cast("long").alias("sec"))
+        .crossJoin(bounds)
+        .withColumn("mid", F.expr("CAST((s0 + s1) DIV 2 AS BIGINT)"))
+        .groupBy("u")
+        .agg(F.sum(F.expr("CAST(sec < mid AS INT)")).cast("long")
+             .alias("pre"),
+             F.sum(F.expr("CAST(sec >= mid AS INT)")).cast("long")
+             .alias("post"))
+        .select(F.expr("CAST(" + md5_mod("CAST(u AS STRING)", 2)
+                       + " AS INT)").alias("arm"), "pre", "post")
+        .localCheckpoint(eager=False)  # feeds pooled AND per-arm aggs
+    )
+    dec = "DECIMAL(38,0)"
+    pooled = F.broadcast(per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("pre").cast(dec).alias("sx"),
+        F.sum("post").cast(dec).alias("sy"),
+        F.sum(F.col("pre").cast(dec) * F.col("post")).cast(dec)
+        .alias("sxy"),
+        F.sum(F.col("pre").cast(dec) * F.col("pre")).cast(dec)
+        .alias("sxx"),
+    ))
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre").cast("long").alias("sum_pre"),
+        F.sum("post").cast("long").alias("sum_post"),
+    )
+    theta = ("CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0"
+             " THEN CAST(n * sxy - sx * sy AS DOUBLE)"
+             " / CAST(n * sxx - sx * sx AS DOUBLE) ELSE 0.0 END")
+    return (
+        arms.crossJoin(pooled)
+        .select(
+            "arm", "n_users", "sum_pre", "sum_post",
+            F.round(F.expr("CAST(sum_post AS DOUBLE) / n_users"), 6)
+            .alias("mean_post"),
+            F.round(F.expr(theta), 6).alias("theta"),
+            F.round(F.expr(
+                f"CAST(sum_post AS DOUBLE) / n_users - ({theta})"
+                f" * (CAST(sum_pre AS DOUBLE) / n_users"
+                f"    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"), 6)
+            .alias("adj_mean"),
+        )
+    )

@@ -928,3 +928,54 @@ def void_summary(triples: DataFrame) -> DataFrame:
                     F.expr("CAST((2000 * n_triples + n_subjects)"
                            " DIV (2 * n_subjects) AS BIGINT) / 1000.0"))
     )
+
+
+def schema_completeness(triples: DataFrame, subj: str = "subj_canon",
+                        pred: str = "pred", obj: str = "obj_canon",
+                        min_class: int = 2) -> DataFrame:
+    """ReCoin-style schema-completeness matrix over the induced
+    classes: for each (induced class, subject-predicate), what
+    fraction of the class's entities assert that predicate? Classes
+    come from the type_induction signature (the sorted role set); a
+    low-coverage cell on an otherwise-universal predicate is exactly
+    where a completeness tool tells curators to look for missing
+    facts. Only classes with >= ``min_class`` members report (a
+    singleton class is trivially 100% everywhere).
+
+    Scale shape: the distinct (entity, role) set is derived once and
+    checkpointed — it feeds the signature build AND the
+    subject-predicate assertions (filtered from the same rows, no
+    second corpus scan); class sizes broadcast back onto the
+    per-(class, pred) counts (induced-class table is bounded by the
+    signature vocabulary). Coverage on the ppm grid.
+    """
+    roles = (
+        triples.select(F.col(subj).alias("entity"),
+                       F.concat(F.lit("S:"), F.col(pred)).alias("role"))
+        .union(triples.select(
+            F.col(obj).alias("entity"),
+            F.concat(F.lit("O:"), F.col(pred)).alias("role")))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds signatures AND assertions
+    )
+    sig = roles.groupBy("entity").agg(
+        F.array_join(F.array_sort(F.collect_set("role")), " ")
+        .alias("signature"))
+    sizes = (
+        sig.groupBy("signature")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+        .where(F.col("n_entities") >= int(min_class))
+    )
+    s_asserts = (
+        roles.where(F.col("role").startswith("S:"))
+        .select("entity", F.expr("substring(role, 3)").alias("pred"))
+        .join(sig, "entity")
+    )
+    cells = s_asserts.groupBy("signature", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with"))
+    return (
+        cells.join(F.broadcast(sizes), "signature")
+        .select("signature", "pred", "n_entities", "n_with",
+                F.expr("CAST((n_with * 1000000) DIV n_entities AS BIGINT)")
+                .alias("coverage_ppm"))
+    )

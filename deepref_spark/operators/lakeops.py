@@ -418,3 +418,49 @@ def retention_plan(inventory: DataFrame, retain_days: int = 7) -> DataFrame:
             .alias("last_expired"),
         )
     )
+
+
+def bucket_advisor(fact: DataFrame, key_cols: list,
+                   target_rows: int = 1000,
+                   salt_ppm: int = 200000) -> DataFrame:
+    """Bucketing / salting advisor for a fact table's candidate join
+    keys — the physical-design readout a lakehouse runs before
+    declaring CLUSTERED BY: per key column, the row count, distinct
+    cardinality, the heaviest single key's share (the skew signal),
+    a recommended bucket count (next power of two covering
+    rows / ``target_rows`` — pow2 so bucket unions/splits stay
+    aligned), and a salt flag when the top key exceeds ``salt_ppm``
+    (bucketing cannot split one hot key; salting must).
+
+    ``target_rows`` is the per-bucket row budget: ~1e6+ on a real
+    cluster (sized to executor memory), small here so tests exercise
+    the pow2 ladder. Scale shape: one grouped count per key column
+    (each map-side combined — the same shuffle a bucketed write would
+    pay once), each collapsing to a 1-row profile; the pow2 rides
+    exact BIGINT bit length (bin()), never float log2.
+    """
+    outs = []
+    for c in key_cols:
+        per = fact.groupBy(F.col(c).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+        outs.append(per.agg(
+            F.lit(c).alias("key_col"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("cnt").cast("long").alias("top_cnt"),
+        ))
+    prof = outs[0]
+    for o in outs[1:]:
+        prof = prof.unionAll(o)
+    need = f"CAST((n_rows + {int(target_rows)} - 1) DIV {int(target_rows)} AS BIGINT)"
+    return prof.select(
+        "key_col", "n_rows", "n_distinct", "top_cnt",
+        F.expr("CAST((top_cnt * 1000000) DIV n_rows AS BIGINT)")
+        .alias("top_share_ppm"),
+        F.expr(f"CASE WHEN {need} <= 1 THEN CAST(1 AS BIGINT)"
+               f" ELSE CAST(shiftleft(CAST(1 AS BIGINT),"
+               f" length(bin({need} - 1))) AS BIGINT) END")
+        .alias("rec_buckets"),
+        F.expr(f"CAST(CAST((top_cnt * 1000000) DIV n_rows AS BIGINT)"
+               f" > {int(salt_ppm)} AS INT)").alias("salt_flag"),
+    )

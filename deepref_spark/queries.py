@@ -11838,6 +11838,148 @@ def emb_cov_topk(spark, sf_dir):
     return cov_topk(load_table(spark, sf_dir, "embeddings"), dim=64, k=20)
 
 
+@q("events_cuped", f"""
+WITH b AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS s0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS s1
+  FROM events
+),
+pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(floor(epoch(ts)) < (s0 + s1) // 2 AS INT)) AS BIGINT)
+           AS pre,
+         CAST(sum(CAST(floor(epoch(ts)) >= (s0 + s1) // 2 AS INT)) AS BIGINT)
+           AS post
+  FROM events CROSS JOIN b GROUP BY user_id
+),
+armed AS (
+  SELECT CAST({md5_mod("CAST(u AS VARCHAR)", 2)} AS INT) AS arm, pre, post
+  FROM pu
+),
+pooled AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(pre) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(post) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(pre AS DECIMAL(38,0)) * post) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(pre AS DECIMAL(38,0)) * pre) AS DECIMAL(38,0)) AS sxx
+  FROM armed
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre) AS BIGINT) AS sum_pre,
+         CAST(sum(post) AS BIGINT) AS sum_post
+  FROM armed GROUP BY arm
+)
+SELECT arm, n_users, sum_pre, sum_post,
+       round(CAST(sum_post AS DOUBLE) / n_users, 6) AS mean_post,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                  ELSE 0.0 END, 6) AS theta,
+       round(CAST(sum_post AS DOUBLE) / n_users
+             - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                     ELSE 0.0 END)
+               * (CAST(sum_pre AS DOUBLE) / n_users
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj_mean
+FROM arms CROSS JOIN pooled
+""")
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (events.cuped_report, Deng
+    et al. 2013): pre-midpoint activity is the covariate, theta fits
+    on pooled DECIMAL(38,0) moments, and each arm's adjusted mean
+    subtracts theta * (arm pre-mean − pooled pre-mean). Single double
+    expressions of exact decimals, written identically in the oracle,
+    rounded 6dp."""
+    from deepref_spark.operators.events import cuped_report
+
+    return cuped_report(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_schema_completeness", _trip_cte() + """
+, roles AS MATERIALIZED (
+  SELECT DISTINCT subj AS entity, 'S:' || pred AS role FROM trip
+  UNION
+  SELECT DISTINCT obj AS entity, 'O:' || pred AS role FROM trip
+),
+sig AS (
+  SELECT entity, string_agg(role, ' ' ORDER BY role) AS signature
+  FROM roles GROUP BY entity
+),
+sizes AS (
+  SELECT signature, CAST(count(*) AS BIGINT) AS n_entities
+  FROM sig GROUP BY signature HAVING count(*) >= 2
+),
+sa AS (
+  SELECT r.entity, substring(r.role, 3) AS pred, s.signature
+  FROM roles r JOIN sig s ON r.entity = s.entity
+  WHERE r.role LIKE 'S:%'
+),
+cells AS (
+  SELECT signature, pred, CAST(count(*) AS BIGINT) AS n_with
+  FROM sa GROUP BY signature, pred
+)
+SELECT c.signature, c.pred, z.n_entities, c.n_with,
+       CAST((c.n_with * 1000000) // z.n_entities AS BIGINT) AS coverage_ppm
+FROM cells c JOIN sizes z ON c.signature = z.signature
+""")
+def kg_schema_completeness(spark, sf_dir):
+    """ReCoin-style schema-completeness matrix
+    (kgquality.schema_completeness): per (induced class, subject
+    predicate), the fraction of class members asserting it — the
+    where-to-curate signal for missing facts. The (entity, role) set
+    derives once (checkpointed) and feeds both the signatures and the
+    assertions; class sizes broadcast; coverage on the ppm grid."""
+    from deepref_spark.operators.kgquality import schema_completeness
+
+    return schema_completeness(_canon_spo(spark, sf_dir))
+
+
+@q("lake_bucket_advisor", """
+WITH p1 AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+a1 AS (
+  SELECT 'l_orderkey' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(cnt) AS BIGINT) AS top_cnt
+  FROM p1
+),
+p2 AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+a2 AS (
+  SELECT 'l_partkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(max(cnt) AS BIGINT)
+  FROM p2
+),
+p3 AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+a3 AS (
+  SELECT 'l_suppkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(max(cnt) AS BIGINT)
+  FROM p3
+),
+prof AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+SELECT key_col, n_rows, n_distinct, top_cnt,
+       CAST((top_cnt * 1000000) // n_rows AS BIGINT) AS top_share_ppm,
+       CASE WHEN (n_rows + 999) // 1000 <= 1 THEN CAST(1 AS BIGINT)
+            ELSE CAST(1 << length(bin((n_rows + 999) // 1000 - 1))
+                 AS BIGINT) END AS rec_buckets,
+       CAST(CAST((top_cnt * 1000000) // n_rows AS BIGINT) > 200000 AS INT)
+         AS salt_flag
+FROM prof
+""")
+def lake_bucket_advisor(spark, sf_dir):
+    """Bucketing / salting advisor over the fact table's candidate
+    join keys (lakeops.bucket_advisor): per key, cardinality, hot-key
+    share (ppm), a next-pow2 recommended bucket count via exact
+    BIGINT bit length, and a salt flag above 20% single-key share —
+    the CLUSTERED BY design readout. One map-side-combined grouped
+    count per key column."""
+    from deepref_spark.operators.lakeops import bucket_advisor
+
+    return bucket_advisor(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"], target_rows=1000)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12590,6 +12732,18 @@ _WINDOW_TAIL = [
     # pytest goldens and the LIKE-probe + grouped-rollup family stays
     # hash-verified in-window via text_chat_template.
     "emb_knn_communities", "events_kmv_distinct", "kg_media_mime_audit",
+    # (parked r5cg, making room for events_cuped +
+    # kg_schema_completeness + lake_bucket_advisor): events_cusum
+    # parks — the changepoint lane keeps events_acf + events_srm in
+    # the window over the same hourly-spine / experiment disciplines
+    # and the CUSUM recursion keeps its hand-unrolled pytest goldens;
+    # kg_uncertainty_topk parks — the active-learning margin readout
+    # keeps exact pytest goldens and the scoring lane stays
+    # represented by the in-window er_pipeline + canon_audit;
+    # lake_constraint_check parks — the lake lane keeps
+    # merge_upsert + retention_plan + new bucket_advisor in-window
+    # and the NOT-NULL/unique/range probes keep their pytest pins.
+    "events_cusum", "kg_uncertainty_topk", "lake_constraint_check",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

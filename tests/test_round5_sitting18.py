@@ -281,3 +281,99 @@ def test_cov_topk_hand_pairs(spark):
     assert top["cov"] == round(cov_num / 9 / 1e6, 6)
     zeros = [r for r in got if r["d2"] == 2 or r["d1"] == 2]
     assert all(r["cov"] == 0.0 for r in zeros)
+
+
+def test_cuped_theta_and_adjustment(spark):
+    """Pooled theta = cov(pre,post)/var(pre) on exact moments; the
+    per-arm adjustment subtracts theta * (arm pre-mean - pooled
+    pre-mean). Verified against a numpy recomputation on the same
+    hash-armed users."""
+    from deepref_spark.operators.events import cuped_report
+    from deepref_spark.portable import md5_mod
+    import hashlib
+
+    # 40 users x a pre/post pattern correlated by construction: user u
+    # emits (u % 5) events in the first half and (u % 5) + (u % 3) in
+    # the second half.
+    rows = []
+    for u in range(40):
+        for i in range(u % 5):
+            rows.append((u, 1000 + i))           # pre half
+        for i in range((u % 5) + (u % 3)):
+            rows.append((u, 90000 + i))          # post half
+    rows.append((99, 0))        # pin s0
+    rows.append((99, 180000))   # pin s1 -> mid = 90000
+    df = _events_df(spark, rows)
+    got = {r["arm"]: r for r in cuped_report(df).collect()}
+
+    def arm_of(u):
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        return (ord(h[0]) * 131071 + ord(h[1]) * 8191
+                + ord(h[2]) * 127 + ord(h[3])) % 2
+
+    # users emitting zero events in both halves (u % 15 == 0) never
+    # reach the per-user frame — exclude them from the reference too
+    pre = {u: (u % 5) for u in range(40) if (u % 5) + (u % 3) > 0}
+    pre[99] = 1
+    post = {u: (u % 5) + (u % 3) for u in pre if u != 99}
+    post[99] = 1
+    us = sorted(pre)
+    n = len(us)
+    sx = sum(pre[u] for u in us); sy = sum(post[u] for u in us)
+    sxy = sum(pre[u] * post[u] for u in us)
+    sxx = sum(pre[u] ** 2 for u in us)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for arm in (0, 1):
+        a_us = [u for u in us if arm_of(u) == arm]
+        na = len(a_us)
+        mean_post = sum(post[u] for u in a_us) / na
+        adj = mean_post - theta * (sum(pre[u] for u in a_us) / na - sx / n)
+        assert got[arm]["n_users"] == na
+        assert got[arm]["theta"] == round(theta, 6)
+        assert got[arm]["adj_mean"] == round(adj, 6)
+
+
+def test_schema_completeness_cells(spark):
+    """Two entities share the class {S:p}; one also asserts q ->
+    wait, asserting q would change its signature. Verify instead: a
+    3-member class where all assert p (ppm 1e6) and the class keyed
+    by {O:p} never appears as a subject row; singleton classes are
+    suppressed."""
+    from deepref_spark.operators.kgquality import schema_completeness
+
+    spo = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("c", "p", "y"),
+         ("d", "q", "x")],
+        schema="subj_canon string, pred string, obj_canon string")
+    rows = schema_completeness(spo).collect()
+    cells = {(r["signature"], r["pred"]): r for r in rows}
+    assert (("S:p", "p") in cells)
+    c = cells[("S:p", "p")]
+    assert (c["n_entities"], c["n_with"], c["coverage_ppm"]) == \
+        (3, 3, 1_000_000)
+    # x is in class {O:p O:q} (size 1) and y in {O:p} (size 1): both
+    # suppressed; d's class {S:q} is a singleton too
+    assert all(sig == "S:p" for sig, _ in cells)
+
+
+def test_bucket_advisor_pow2_and_salt(spark):
+    """600 rows on a uniform key -> 1 bucket at target 1000; the same
+    rows at target 100 -> next pow2 of 6 = 8; a 50%-hot key trips the
+    salt flag."""
+    from deepref_spark.operators.lakeops import bucket_advisor
+
+    rows = [(i % 300, i % 7, 0 if i < 300 else i) for i in range(600)]
+    df = spark.createDataFrame(
+        rows, schema="l_orderkey long, l_partkey long, l_suppkey long")
+    got = {r["key_col"]: r for r in bucket_advisor(
+        df, ["l_orderkey", "l_partkey", "l_suppkey"],
+        target_rows=100).collect()}
+    ok = got["l_orderkey"]
+    assert (ok["n_rows"], ok["n_distinct"], ok["rec_buckets"]) == (600, 300, 8)
+    assert ok["salt_flag"] == 0
+    sk = got["l_suppkey"]  # key 0 holds 300/600 rows = 50%
+    assert sk["top_cnt"] == 300 and sk["top_share_ppm"] == 500000
+    assert sk["salt_flag"] == 1
+    got1k = {r["key_col"]: r for r in bucket_advisor(
+        df, ["l_orderkey"], target_rows=1000).collect()}
+    assert got1k["l_orderkey"]["rec_buckets"] == 1
