@@ -297,6 +297,9 @@ HEADLINE = [
     "events_cuped",
     "kg_schema_completeness",
     "lake_bucket_advisor",
+    "rel_top_supplier",
+    "text_collocations",
+    "emb_knn_purity",
 ]
 
 

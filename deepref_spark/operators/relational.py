@@ -425,3 +425,34 @@ def returned_item_revenue(customer: DataFrame, orders: DataFrame,
         .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
         .limit(k)
     )
+
+
+def top_supplier_quarter(supplier: DataFrame, lineitem: DataFrame,
+                         start: str = "1997-07-01",
+                         end: str = "1997-10-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    ship-date quarter — including the tie semantics the original view
+    formulation has (every supplier AT the max is emitted, not an
+    arbitrary one). The date filter pushes into the lineitem scan,
+    revenue aggregates per supplier on the e4 BIGINT grid, the 1-row
+    max broadcasts back for the equality filter, and only the
+    surviving row(s) touch the supplier dim."""
+    rev = F.expr(f"{CENTS.format(c='l_extendedprice')}"
+                 f" * (100 - {PCT.format(c='l_discount')})")
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.expr(f"TIMESTAMP '{start} 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr(f"TIMESTAMP '{end} 00:00:00'")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("long").alias("total_rev_e4"))
+        .localCheckpoint(eager=False)  # feeds the max AND the filter
+    )
+    mx = F.broadcast(per_supp.agg(
+        F.max("total_rev_e4").alias("_mx")))
+    return (
+        per_supp.crossJoin(mx)
+        .where(F.col("total_rev_e4") == F.col("_mx"))
+        .join(supplier.select("s_suppkey", "s_name"),
+              per_supp.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )

@@ -1546,3 +1546,60 @@ def cov_topk(embeddings: DataFrame, dim: int = 64,
         .limit(k)
         .drop("_a")
     )
+
+
+def knn_label_purity(embeddings: DataFrame, sample_n: int = 64) -> DataFrame:
+    """1-NN label-purity diagnostic — the embedding-space quality
+    probe behind "are same-label points actually neighbors?": for an
+    md5-stable sample of query vectors, find each one's exact nearest
+    other vector (cosine) and roll up per label how often the
+    neighbor's label agrees. Low purity on a label means its region
+    is entangled and every ANN lane will misroute it.
+
+    Contract: the query side is a bounded TakeOrdered sample
+    (md5(vec_id) order — deterministic, distribution-blind) and
+    BROADCASTS; the corpus side streams once with no shuffle (the
+    brute_force_topk shape). This is an offline diagnostic by
+    contract — the serving path stays IVF/LSH/PQ. Ranking
+    determinism: cosine rounded to 4dp with an nbr_id tiebreak, the
+    corpus discipline.
+    """
+    q = F.broadcast(
+        embeddings.select("vec_id", "embedding", "label")
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(int(sample_n))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("label").alias("q_label"),
+                _norm_col("embedding").alias("q_norm"))
+    )
+    corpus = embeddings.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_emb"),
+        F.col("label").alias("nbr_label"),
+        _norm_col("embedding").alias("nbr_norm"),
+    )
+    scored = (
+        corpus.crossJoin(q)
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(_dot("q_emb", "nbr_emb")
+                            / (F.col("q_norm") * F.col("nbr_norm")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id"))
+    nn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select("query_id", "q_label", "nbr_label")
+    )
+    return (
+        nn.groupBy(F.col("q_label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+             F.sum(F.expr("CAST(q_label = nbr_label AS INT)")).cast("long")
+             .alias("n_match"))
+        .withColumn("purity_ppm",
+                    F.expr("CAST((n_match * 1000000) DIV n_queries"
+                           " AS BIGINT)"))
+    )

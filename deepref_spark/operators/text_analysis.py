@@ -2225,3 +2225,81 @@ def ocr_garbage_stats(documents: DataFrame,
             "flagged",
             (F.col("garbage_ppm") > F.lit(int(flag_ppm))).cast("int"))
     )
+
+
+def collocations(documents: DataFrame, k: int = 20,
+                 min_count: int = 5) -> DataFrame:
+    """Top-k PMI collocations over a ±2-token window — the classic
+    word-association mining pass (Church & Hanks 1990): unordered
+    token pairs co-occurring within two positions, scored by
+    ln(c12 * Nt^2 / (Np * c1 * c2)) against the unigram model, with a
+    ``min_count`` support floor so hapax pairs can't saturate the
+    ranking.
+
+    Determinism: PMI is quantized ONCE PER DISTINCT PAIR to a
+    round(ln*1e6) BIGINT (the lm_score discipline) and the top-k
+    ranks on the unique (pmi_x1e6 DESC, w1, w2) order. Scale shape:
+    tokens stage behind ONE checkpoint; the pair stream is built
+    IN-ROW (two sequence explodes — distance 1 and 2 — never a
+    positions self-join, whose doc-keyed fan-out is quadratic); pair
+    and unigram counts are map-side-combined groupBys; the two 1-row
+    totals broadcast into the scoring expression.
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # tokenize once, feeds pairs AND unigrams
+    d1 = staged.select(
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1)"
+            " ELSE array() END")).alias("i"), "t"
+    ).select(F.expr("least(element_at(t, i), element_at(t, i + 1))")
+             .alias("w1"),
+             F.expr("greatest(element_at(t, i), element_at(t, i + 1))")
+             .alias("w2"))
+    d2 = staged.select(
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 3 THEN sequence(1, size(t) - 2)"
+            " ELSE array() END")).alias("i"), "t"
+    ).select(F.expr("least(element_at(t, i), element_at(t, i + 2))")
+             .alias("w1"),
+             F.expr("greatest(element_at(t, i), element_at(t, i + 2))")
+             .alias("w2"))
+    pairs = (
+        d1.unionAll(d2)
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= int(min_count))
+        .localCheckpoint(eager=False)  # feeds Np AND the scoring join
+    )
+    uni = (
+        staged.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds Nt AND both unigram joins
+    )
+    np_df = F.broadcast(d1.unionAll(d2).agg(
+        F.count(F.lit(1)).cast("long").alias("np")))
+    nt_df = F.broadcast(uni.agg(F.sum("c").cast("long").alias("nt")))
+    scored = (
+        pairs
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+              "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(np_df).crossJoin(nt_df)
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round(F.log(
+                F.col("c12").cast("double") * F.col("nt") * F.col("nt")
+                / (F.col("np").cast("double") * F.col("c1") * F.col("c2")))
+                * 1e6).cast("long").alias("pmi_x1e6"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_x1e6").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+        .limit(k)
+        .select("w1", "w2", "c12", "c1", "c2", "pmi_x1e6",
+                F.round(F.col("pmi_x1e6") / 1e6, 6).alias("pmi"))
+    )

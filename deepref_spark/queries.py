@@ -11980,6 +11980,129 @@ def lake_bucket_advisor(spark, sf_dir):
         ["l_orderkey", "l_partkey", "l_suppkey"], target_rows=1000)
 
 
+@q("rel_top_supplier", f"""
+WITH ps AS (
+  SELECT l_suppkey, CAST(sum({{rev}}) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+  GROUP BY 1
+),
+mx AS (SELECT max(total_rev_e4) AS m FROM ps)
+SELECT s.s_suppkey, s.s_name, ps.total_rev_e4
+FROM ps CROSS JOIN mx
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.total_rev_e4 = mx.m
+""".replace("{rev}", _REV_E4))
+def rel_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (relational.top_supplier_quarter): the
+    supplier(s) at maximum quarterly revenue, with the original
+    view's TIE semantics (all suppliers AT the max emit). Date filter
+    pushed to the scan, e4-grid revenue, 1-row broadcast max, dim
+    join only on survivors."""
+    from deepref_spark.operators.relational import top_supplier_quarter
+
+    return top_supplier_quarter(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+def _colloc_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents),
+d1 AS (
+  SELECT least(t[u.i], t[u.i + 1]) AS w1,
+         greatest(t[u.i], t[u.i + 1]) AS w2
+  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+),
+d2 AS (
+  SELECT least(t[u.i], t[u.i + 2]) AS w1,
+         greatest(t[u.i], t[u.i + 2]) AS w2
+  FROM d, unnest(generate_series(1, len(t) - 2)) u(i)
+),
+allp AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+np AS (SELECT count(*) AS np FROM allp),
+pairs AS (
+  SELECT w1, w2, count(*) AS c12 FROM allp GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+scored AS (
+  SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+         CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+         CAST(round(ln(CAST(p.c12 AS DOUBLE) * nt * nt
+                       / (CAST(np AS DOUBLE) * u1.c * u2.c)) * 1e6)
+              AS BIGINT) AS pmi_x1e6
+  FROM pairs p
+  JOIN uni u1 ON p.w1 = u1.w
+  JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN np CROSS JOIN nt
+)
+SELECT w1, w2, c12, c1, c2, pmi_x1e6, round(pmi_x1e6 / 1e6, 6) AS pmi
+FROM (SELECT *, row_number() OVER (ORDER BY pmi_x1e6 DESC, w1, w2) AS r
+      FROM scored)
+WHERE r <= 20
+"""
+
+
+@q("text_collocations", _colloc_oracle)
+def text_collocations(spark, sf_dir):
+    """Top-20 PMI collocations over a ±2-token window
+    (text_analysis.collocations, Church & Hanks 1990): unordered
+    pairs with a count-5 support floor, PMI quantized once per
+    distinct pair to the round(ln*1e6) BIGINT grid, ranked on the
+    unique (pmi_x1e6 DESC, w1, w2) order. Pairs built IN-ROW by two
+    sequence explodes — never a positions self-join."""
+    from deepref_spark.operators.text_analysis import collocations
+
+    return collocations(documents(spark, sf_dir))
+
+
+@q("emb_knn_purity", """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+),
+scored AS (
+  SELECT q.query_id, q.q_label, e.label AS nbr_label, e.vec_id AS nbr_id,
+         round(list_dot_product(q.q_emb, e.embedding)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+nn AS (
+  SELECT query_id, q_label, nbr_label
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, nbr_id) AS r
+        FROM scored)
+  WHERE r = 1
+)
+SELECT CAST(q_label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CAST(q_label = nbr_label AS INT)) AS BIGINT) AS n_match,
+       CAST((sum(CAST(q_label = nbr_label AS INT)) * 1000000) // count(*)
+            AS BIGINT) AS purity_ppm
+FROM nn GROUP BY q_label
+""")
+def emb_knn_purity(spark, sf_dir):
+    """1-NN label-purity diagnostic (similarity.knn_label_purity):
+    for an md5-stable 64-query sample (broadcast; corpus streams
+    once — the brute_force_topk contract), how often the exact
+    nearest neighbor's label agrees, per label on the ppm grid.
+    Cosine rounded 4dp with nbr_id tiebreak; the serving path stays
+    IVF/LSH/PQ — this is the offline entanglement probe."""
+    from deepref_spark.operators.similarity import knn_label_purity
+
+    return knn_label_purity(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12744,6 +12867,18 @@ _WINDOW_TAIL = [
     # merge_upsert + retention_plan + new bucket_advisor in-window
     # and the NOT-NULL/unique/range probes keep their pytest pins.
     "events_cusum", "kg_uncertainty_topk", "lake_constraint_check",
+    # (parked r5ch, making room for rel_top_supplier +
+    # text_collocations + emb_knn_purity): text_novelty parks — the
+    # k-gram novelty windowing keeps its pytest goldens and the
+    # staged-token lane keeps bigram_lm + collocations +
+    # curate_pipeline in-window; emb_matryoshka parks — the
+    # truncation-eval ranking keeps exact pytest goldens and the
+    # emb-eval lane keeps silhouette + pq_distortion + knn_purity +
+    # cov_topk in-window; text_fertility parks — the per-language
+    # wordpiece fertility rollup re-derives the greedy kernel that
+    # in-window kg_wordpiece_basic and kg_tokenize hash-verify every
+    # sweep, and its rollup keeps pytest pins.
+    "text_novelty", "emb_matryoshka", "text_fertility",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -377,3 +377,70 @@ def test_bucket_advisor_pow2_and_salt(spark):
     got1k = {r["key_col"]: r for r in bucket_advisor(
         df, ["l_orderkey"], target_rows=1000).collect()}
     assert got1k["l_orderkey"]["rec_buckets"] == 1
+
+
+def test_top_supplier_tie_semantics(spark):
+    """Two suppliers tied at the max both emit (the Q15 view
+    semantics); out-of-quarter rows are excluded."""
+    from deepref_spark.operators.relational import top_supplier_quarter
+
+    supp = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+        schema="s_suppkey long, s_name string, s_nationkey long, "
+               "s_acctbal double")
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, datetime.datetime(1997, 8, 1)),
+         (2, 50.0, 0.0, datetime.datetime(1997, 8, 1)),
+         (2, 50.0, 0.0, datetime.datetime(1997, 9, 1)),
+         (3, 999.0, 0.0, datetime.datetime(1996, 1, 1))],  # out of range
+        schema="l_suppkey long, l_extendedprice double, "
+               "l_discount double, l_shipdate timestamp")
+    got = sorted(top_supplier_quarter(supp, li).collect(),
+                 key=lambda r: r["s_suppkey"])
+    assert [r["s_suppkey"] for r in got] == [1, 2]
+    assert all(r["total_rev_e4"] == 10000 * 100 for r in got)
+
+
+def test_collocations_hand_pmi(spark):
+    """'x y' always adjacent in a filler corpus: the pair passes the
+    support floor and its PMI matches the hand formula over the exact
+    pair/unigram counts."""
+    import math
+    from deepref_spark.operators.text_analysis import collocations
+
+    docs = spark.createDataFrame(
+        [(i, "x y filler" + str(i % 3)) for i in range(6)],
+        schema="doc_id long, text string")
+    got = collocations(docs, k=5, min_count=5).collect()
+    top = {(r["w1"], r["w2"]): r for r in got}
+    assert ("x", "y") in top
+    r = top[("x", "y")]
+    # per doc: tokens [x, y, fillerK] -> d1 pairs (x,y),(fillerK,y);
+    # d2 pairs (fillerK, x). Np = 18, Nt = 18, c12(x,y) = 6,
+    # c1(x) = 6, c2(y) = 6
+    assert (r["c12"], r["c1"], r["c2"]) == (6, 6, 6)
+    pmi = math.log(6 * 18 * 18 / (18 * 6 * 6)) * 1e6
+    assert r["pmi_x1e6"] == round(pmi)
+
+
+def test_knn_purity_planted_clusters(spark):
+    """Two well-separated label clusters -> every 1-NN stays in its
+    cluster, purity 1e6 for both labels."""
+    from deepref_spark.operators.similarity import knn_label_purity
+
+    vecs = []
+    for i in range(6):
+        base = [0.0] * 8
+        base[0] = 1.0 + i * 0.001
+        vecs.append((i, base, 0))
+    for i in range(6):
+        base = [0.0] * 8
+        base[7] = 1.0 + i * 0.001
+        vecs.append((10 + i, base, 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in vecs],
+        schema="vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in knn_label_purity(df, sample_n=12).collect()}
+    assert got[0]["purity_ppm"] == 1_000_000
+    assert got[1]["purity_ppm"] == 1_000_000
+    assert got[0]["n_queries"] + got[1]["n_queries"] == 12
