@@ -300,6 +300,9 @@ HEADLINE = [
     "rel_top_supplier",
     "text_collocations",
     "emb_knn_purity",
+    "kg_centralization",
+    "emb_norm_outliers",
+    "rel_big_orders",
 ]
 
 

@@ -2214,3 +2214,45 @@ def rich_club(edges: DataFrame,
             .alias("phi_ppm"),
         )
     )
+
+
+def degree_centralization(edges: DataFrame) -> DataFrame:
+    """Freeman degree-centralization index (Freeman 1978) over the
+    undirected entity graph — the one-row "how star-shaped is this
+    network" readout: C_D = sum(d_max − d_i) / ((n−1)(n−2)),
+    1.0 for a perfect star, 0.0 for any regular graph. The companion
+    to the degree histogram: one number a monitoring dashboard can
+    threshold, where the histogram needs a human.
+
+    All-BIGINT: the numerator is n*d_max − sum(d) (algebraically
+    identical to the per-node sum, but needs only the 1-row max and
+    sum aggregates — no second pass), the denominator (n−1)(n−2), and
+    the index rides the ppm grid via one tie-free DIV. One distinct
+    edge set, one degree groupBy, one 1-row agg. Graphs with n < 3
+    report 0 (the index is undefined below a triangle's node count).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.sum("d").cast("long").alias("sum_deg"),
+                F.max("d").cast("long").alias("max_deg"))
+        .select(
+            "n_nodes", "sum_deg", "max_deg",
+            F.expr("CASE WHEN n_nodes >= 3 THEN "
+                   "CAST((2 * (n_nodes * max_deg - sum_deg) * 1000000"
+                   " + (n_nodes - 1) * (n_nodes - 2))"
+                   " DIV (2 * (n_nodes - 1) * (n_nodes - 2)) AS BIGINT)"
+                   " ELSE CAST(0 AS BIGINT) END")
+            .alias("centralization_ppm"),
+        )
+    )

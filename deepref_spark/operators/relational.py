@@ -456,3 +456,35 @@ def top_supplier_quarter(supplier: DataFrame, lineitem: DataFrame,
               per_supp.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev_e4")
     )
+
+
+def big_orders(customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, qty_cents_min: int = 20000) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the group-filter-joinback
+    pattern (HAVING on a fact aggregate, then enrich survivors from
+    the dims). Per-order quantity aggregates on the cents grid
+    map-side FIRST; only orders beating ``qty_cents_min`` (the HAVING
+    floor) join back to orders and customer, so the dim joins see a
+    filtered fraction of the fact table, not all of it. Output sorted
+    semantics live in the caller; rows carry the exact BIGINT grids."""
+    qty = F.expr(CENTS.format(c="l_quantity"))
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("long").alias("sum_qty_cents"))
+        .where(F.col("sum_qty_cents") > int(qty_cents_min))
+    )
+    return (
+        per_order
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"),
+              per_order.l_orderkey == orders.o_orderkey)
+        .join(customer.select("c_custkey", "c_name"),
+              orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.expr(CENTS.format(c="o_totalprice")).cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty_cents",
+        )
+    )

@@ -1603,3 +1603,53 @@ def knn_label_purity(embeddings: DataFrame, sample_n: int = 64) -> DataFrame:
                     F.expr("CAST((n_match * 1000000) DIV n_queries"
                            " AS BIGINT)"))
     )
+
+
+def norm_outliers(embeddings: DataFrame, k: int = 20) -> DataFrame:
+    """Vector-norm outlier screen — the ingest-hygiene probe a vector
+    store runs on every batch: rows whose L2 norm sits far from the
+    corpus distribution are almost always pipeline defects (zeroed
+    rows, double-scaled rows, wrong-model rows), and they poison both
+    ANN recall and any cosine threshold. Reports the top-k vectors by
+    |z| of the SQUARED norm (squared stays on the exact BIGINT grid;
+    the monotone map preserves the outlier ranking) with a vec_id
+    tiebreak.
+
+    Determinism: norm2 = sum(u^2) is BIGINT on the 1e-3 input grid;
+    corpus moments ride DECIMAL(38,0); z is ONE double expression of
+    exact decimals rounded 6dp; ranking keys on the exact BIGINT
+    |n*norm2 − sum| distance (not the rounded z), so ties are
+    integer-exact. Scale shape: one in-row aggregate per vector (no
+    explode), a 1-row broadcast moment agg, a TakeOrdered top-k.
+    """
+    per = embeddings.select(
+        "vec_id", "label",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(floor("
+            "CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, u) -> acc + u * u)")
+        .alias("norm2"),
+    ).localCheckpoint(eager=False)  # feeds moments AND ranking
+    dec = "DECIMAL(38,0)"
+    mom = F.broadcast(per.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("norm2").cast(dec).alias("s"),
+        F.sum(F.col("norm2").cast(dec) * F.col("norm2")).cast(dec)
+        .alias("s2"),
+    ))
+    return (
+        per.crossJoin(mom)
+        .select(
+            "vec_id", F.col("label").cast("long").alias("label"), "norm2",
+            F.expr("abs(CAST(n AS DECIMAL(38,0)) * norm2 - s)")
+            .alias("_dist"),
+            F.round(F.expr(
+                "CASE WHEN CAST(n * s2 - s * s AS DOUBLE) > 0 THEN"
+                " CAST(CAST(n AS DECIMAL(38,0)) * norm2 - s AS DOUBLE)"
+                " / sqrt(CAST(n * s2 - s * s AS DOUBLE))"
+                " ELSE 0.0 END"), 6).alias("z"),
+        )
+        .orderBy(F.col("_dist").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .drop("_dist")
+    )

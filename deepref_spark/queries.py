@@ -12103,6 +12103,108 @@ def emb_knn_purity(spark, sf_dir):
     return knn_label_purity(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("kg_centralization", _oracle_prefix() + _graph_edges_cte() + """
+, und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d) AS BIGINT) AS sum_deg,
+       CAST(max(d) AS BIGINT) AS max_deg,
+       CASE WHEN count(*) >= 3 THEN
+         CAST((2 * (count(*) * max(d) - sum(d)) * 1000000
+               + (count(*) - 1) * (count(*) - 2))
+              // (2 * (count(*) - 1) * (count(*) - 2)) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS centralization_ppm
+FROM deg
+""")
+def kg_centralization(spark, sf_dir):
+    """Freeman degree-centralization index
+    (graph.degree_centralization, Freeman 1978): the one-row
+    star-shapedness readout C_D = sum(d_max − d_i)/((n−1)(n−2)) on
+    the tie-free ppm grid — the thresholdable companion to the degree
+    histogram. Numerator via the algebraic n*d_max − sum(d) (1-row
+    aggregates only, no second degree pass)."""
+    from deepref_spark.operators.graph import degree_centralization
+
+    return degree_centralization(_canonical_edges(spark, sf_dir))
+
+
+@q("emb_norm_outliers", """
+WITH per AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+              AS BIGINT) AS norm2
+  FROM embeddings
+),
+mom AS (
+  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(norm2) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(norm2 AS DECIMAL(38,0)) * norm2) AS DECIMAL(38,0))
+           AS s2
+  FROM per
+)
+SELECT vec_id, label, norm2,
+       round(CASE WHEN CAST(n * s2 - s * s AS DOUBLE) > 0 THEN
+               CAST(CAST(n AS DECIMAL(38,0)) * norm2 - s AS DOUBLE)
+               / sqrt(CAST(n * s2 - s * s AS DOUBLE))
+             ELSE 0.0 END, 6) AS z
+FROM (SELECT p.*, m.n, m.s, m.s2,
+             row_number() OVER (ORDER BY abs(CAST(m.n AS DECIMAL(38,0))
+                                             * p.norm2 - m.s) DESC, p.vec_id)
+               AS r
+      FROM per p CROSS JOIN mom m)
+WHERE r <= 20
+""")
+def emb_norm_outliers(spark, sf_dir):
+    """Vector-norm outlier screen (similarity.norm_outliers): top-20
+    vectors by |z| of the squared norm — the ingest-hygiene probe for
+    zeroed/double-scaled/wrong-model rows. norm2 is an in-row BIGINT
+    aggregate on the 1e-3 grid (no explode), moments ride
+    DECIMAL(38,0), the ranking keys on the exact integer distance
+    |n*norm2 − s| with a vec_id tiebreak, and z is one double
+    division rounded 6dp."""
+    from deepref_spark.operators.similarity import norm_outliers
+
+    return norm_outliers(load_table(spark, sf_dir, "embeddings"), k=20)
+
+
+@q("rel_big_orders", """
+WITH po AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       po.sum_qty_cents
+FROM po
+JOIN orders o ON po.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def rel_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape (relational.big_orders): large-volume orders
+    via the group-filter-joinback pattern — the per-order quantity
+    HAVING floor applies BEFORE any dim join, so orders/customer only
+    see the surviving fraction of the fact table. Quantity and price
+    on the exact cents grid; dates cross as formatted strings."""
+    from deepref_spark.operators.relational import big_orders
+
+    return big_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12879,6 +12981,19 @@ _WINDOW_TAIL = [
     # in-window kg_wordpiece_basic and kg_tokenize hash-verify every
     # sweep, and its rollup keeps pytest pins.
     "text_novelty", "emb_matryoshka", "text_fertility",
+    # (parked r5ci, making room for kg_centralization +
+    # emb_norm_outliers + rel_big_orders): kg_modularity parks — the
+    # per-community density formula keeps its pytest goldens and the
+    # graph-quality lane keeps rich_club + centralization +
+    # reciprocity + graph_report in-window over the same und/deg
+    # derivations; emb_silhouette parks — the per-label cohesion
+    # readout keeps exact pytest goldens and the emb-eval lane keeps
+    # pq_distortion + knn_purity + cov_topk + norm_outliers +
+    # quantize_int8 in-window; text_js_divergence parks — the
+    # per-source divergence keeps its pytest pins and the corpus-mix
+    # lane stays represented by in-window text_curate_pipeline (which
+    # embeds the mixing-plan chain).
+    "kg_modularity", "emb_silhouette", "text_js_divergence",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -444,3 +444,65 @@ def test_knn_purity_planted_clusters(spark):
     assert got[0]["purity_ppm"] == 1_000_000
     assert got[1]["purity_ppm"] == 1_000_000
     assert got[0]["n_queries"] + got[1]["n_queries"] == 12
+
+
+def test_centralization_star_and_cycle(spark):
+    """A 4-node star centralizes to exactly 1.0; a 4-cycle (regular)
+    to 0.0."""
+    from deepref_spark.operators.graph import degree_centralization
+
+    star = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], schema="src string, dst string")
+    r = degree_centralization(star).collect()[0]
+    assert (r["n_nodes"], r["max_deg"]) == (4, 3)
+    # sum(dmax - di) = (3-3) + 3*(3-1) = 6; (n-1)(n-2) = 6 -> 1.0
+    assert r["centralization_ppm"] == 1_000_000
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        schema="src string, dst string")
+    r2 = degree_centralization(cyc).collect()[0]
+    assert r2["centralization_ppm"] == 0
+
+
+def test_norm_outliers_planted_defects(spark):
+    """A zeroed row and a double-scaled row outrank the healthy
+    cluster, with signed z (negative for the zero row)."""
+    from deepref_spark.operators.similarity import norm_outliers
+
+    vecs = [(i, [1.0, 1.0, 1.0, 1.0], 0) for i in range(8)]
+    vecs.append((100, [0.0, 0.0, 0.0, 0.0], 1))   # zeroed
+    vecs.append((101, [2.0, 2.0, 2.0, 2.0], 1))   # double-scaled
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in vecs],
+        schema="vec_id long, embedding array<float>, label int")
+    got = norm_outliers(df, k=3).collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids[:2]) == {100, 101}
+    z = {r["vec_id"]: r["z"] for r in got}
+    assert z[100] < 0 < z[101]
+    n2 = {r["vec_id"]: r["norm2"] for r in got}
+    assert n2[101] == 4 * 2000 * 2000 and n2[100] == 0
+
+
+def test_big_orders_having_joinback(spark):
+    """Only the order beating the quantity floor survives to the dim
+    joins; grids are exact cents."""
+    from deepref_spark.operators.relational import big_orders
+
+    cust = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], schema="c_custkey long, c_name string")
+    orders = spark.createDataFrame(
+        [(10, 1, datetime.datetime(1997, 1, 1), 1234.56),
+         (11, 2, datetime.datetime(1997, 2, 1), 10.0)],
+        schema="o_orderkey long, o_custkey long, o_orderdate timestamp, "
+               "o_totalprice double")
+    li = spark.createDataFrame(
+        [(10, 150.0), (10, 100.0), (11, 10.0)],
+        schema="l_orderkey long, l_quantity double")
+    got = big_orders(cust, orders, li, qty_cents_min=20000).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["o_orderkey"] == 10 and r["c_name"] == "alice"
+    assert r["sum_qty_cents"] == 25000
+    assert r["totalprice_cents"] == 123456
+    assert r["o_orderdate"] == "1997-01-01"
