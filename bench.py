@@ -303,6 +303,9 @@ HEADLINE = [
     "kg_centralization",
     "emb_norm_outliers",
     "rel_big_orders",
+    "rel_volume_shipping",
+    "rel_market_share",
+    "rel_disjunctive_revenue",
 ]
 
 

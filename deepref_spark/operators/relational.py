@@ -488,3 +488,133 @@ def big_orders(customer: DataFrame, orders: DataFrame,
             "sum_qty_cents",
         )
     )
+
+
+def volume_shipping(nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame,
+                    nation_a: str = "NATION_13", nation_b: str = "NATION_19",
+                    y0: str = "1996-01-01", y1: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year. Both nation filters push into the BROADCAST dims before
+    the fact-fact shuffle: supplier⋈nation(A|B) broadcasts into
+    lineitem (killing most of the fact scan early), customer⋈nation
+    broadcasts into orders, and only then do the two pre-filtered fact
+    sides shuffle on orderkey. The (A,B)|(B,A) direction residual is a
+    cheap string inequality on already-joined rows. Revenue rides the
+    exact e4 grid; the year is extracted once, post-filter."""
+    nat = nation.where(F.col("n_name").isin([nation_a, nation_b])) \
+                .select("n_nationkey", "n_name")
+    sup = supplier.join(F.broadcast(nat),
+                        supplier.s_nationkey == nat.n_nationkey) \
+                  .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cus = customer.join(F.broadcast(nat),
+                        customer.c_nationkey == nat.n_nationkey) \
+                  .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.expr(f"TIMESTAMP '{y0} 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr(f"TIMESTAMP '{y1} 00:00:00'")))
+    li = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    ords = orders.join(cus, orders.o_custkey == cus.c_custkey) \
+                 .select("o_orderkey", "cust_nation")
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey).where(
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a)))
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev_e4()).cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                 supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 part: DataFrame, target_nation: str = "NATION_1",
+                 region_name: str = "ASIA", part_type: str = "ECONOMY",
+                 y0: str = "1996-01-01", y1: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    revenue in one part type, per order year. The most selective
+    filter (p_type) broadcasts into the fact scan FIRST; the
+    customer-region membership rides a broadcast nation⋈region keylist
+    into orders; the supplier nation label is a broadcast rename. The
+    share never materializes a double until the final ppm division —
+    conditional and total e4 sums ride ONE grouped aggregate (no
+    second pass, no self-join)."""
+    pt = part.where(F.col("p_type") == part_type).select("p_partkey")
+    rnat = nation.join(F.broadcast(region.where(F.col("r_name") == region_name)
+                                   .select("r_regionkey")),
+                       nation.n_regionkey == region.r_regionkey) \
+                 .select("n_nationkey")
+    cus = customer.join(F.broadcast(rnat),
+                        customer.c_nationkey == rnat.n_nationkey) \
+                  .select("c_custkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.expr(f"TIMESTAMP '{y0} 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr(f"TIMESTAMP '{y1} 00:00:00'")))
+    ords = ords.join(cus, ords.o_custkey == cus.c_custkey) \
+               .select("o_orderkey", "o_orderdate")
+    sup = supplier.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                        supplier.s_nationkey == nation.n_nationkey) \
+                  .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    li = lineitem.join(F.broadcast(pt), lineitem.l_partkey == pt.p_partkey) \
+                 .join(F.broadcast(sup), lineitem.l_suppkey == sup.s_suppkey)
+    j = li.join(ords, li.l_orderkey == ords.o_orderkey)
+    rev = _rev_e4()
+    agg = (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, rev)
+                  .otherwise(F.lit(0))).cast("long").alias("nation_e4"),
+            F.sum(rev).cast("long").alias("total_e4"),
+        )
+    )
+    return agg.select(
+        "o_year", "nation_e4", "total_e4",
+        F.expr("nation_e4 * 1000000 DIV total_e4").cast("long")
+        .alias("mkt_share_ppm"),
+    )
+
+
+# (brand, max p_size, qty lo, qty hi) disjunct classes — Q19's three OR-arms
+# restated over the columns this corpus carries (no container/shipmode).
+DISJUNCT_CLASSES = (
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 25, 10, 20),
+    ("Brand#3", 50, 20, 30),
+)
+
+
+def disjunctive_revenue(part: DataFrame, lineitem: DataFrame,
+                        classes: tuple = DISJUNCT_CLASSES) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both sides of a join. The per-side halves of each disjunct are
+    pushed INTO their scans before the join (the union-of-brands
+    filter prunes part; the union-of-quantity-ranges filter prunes
+    lineitem) — Catalyst derives neither cross-side residual on its
+    own, so the operator states them explicitly; the exact class
+    membership is resolved post-join as a CASE over already-pruned
+    rows. One row per disjunct class keeps the readout thresholdable."""
+    brands = [c[0] for c in classes]
+    qlo = min(c[2] for c in classes)
+    qhi = max(c[3] for c in classes)
+    qty = F.expr(CENTS.format(c="l_quantity"))
+    p = part.where(F.col("p_brand").isin(brands)) \
+            .select("p_partkey", "p_brand", "p_size")
+    li = lineitem.where((qty >= qlo * 100) & (qty <= qhi * 100)) \
+                 .select("l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cls = F.lit(None).cast("long")
+    for i, (brand, size_hi, lo, hi) in reversed(list(enumerate(classes))):
+        cls = F.when((F.col("p_brand") == brand)
+                     & (F.col("p_size") >= 1) & (F.col("p_size") <= size_hi)
+                     & (qty >= lo * 100) & (qty <= hi * 100),
+                     F.lit(i + 1)).otherwise(cls)
+    return (
+        j.select(cls.alias("disjunct_class"), "l_extendedprice", "l_discount")
+        .where(F.col("disjunct_class").isNotNull())
+        .groupBy("disjunct_class")
+        .agg(F.sum(_rev_e4()).cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )

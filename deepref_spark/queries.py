@@ -12205,6 +12205,121 @@ def rel_big_orders(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"))
 
 
+@q("rel_volume_shipping", f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
+GROUP BY 1, 2, 3
+""")
+def rel_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (relational.volume_shipping): bilateral shipping
+    volume between two nations by ship year — both nation filters ride
+    BROADCAST dim joins into their fact scans before the single
+    fact-fact shuffle on orderkey; the (A,B)|(B,A) direction check is
+    a post-join residual on already-filtered rows. Exact e4 grid."""
+    from deepref_spark.operators.relational import volume_shipping
+
+    return volume_shipping(
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@q("rel_market_share", f"""
+WITH rnat AS (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+a AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV_E4}
+                       ELSE 0 END) AS BIGINT) AS nation_e4,
+         CAST(sum({_REV_E4}) AS BIGINT) AS total_e4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN rnat ON c.c_nationkey = rnat.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT o_year, nation_e4, total_e4,
+       CAST(nation_e4 * 1000000 // total_e4 AS BIGINT) AS mkt_share_ppm
+FROM a
+""")
+def rel_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (relational.market_share): one supplier nation's
+    ppm share of a region's revenue in one part type per order year —
+    the selective p_type keylist broadcasts into the fact scan first,
+    region membership broadcasts into orders, conditional + total e4
+    sums ride ONE grouped aggregate, and the share is a single exact
+    integer division at the end."""
+    from deepref_spark.operators.relational import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
+
+
+@q("rel_disjunctive_revenue", f"""
+WITH j AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                AND {_CENTS.format(c='l.l_quantity')} BETWEEN 100 AND 1100
+             THEN 1
+           WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                AND {_CENTS.format(c='l.l_quantity')} BETWEEN 1000 AND 2000
+             THEN 2
+           WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+                AND {_CENTS.format(c='l.l_quantity')} BETWEEN 2000 AND 3000
+             THEN 3
+         END AS disjunct_class,
+         {_REV_E4} AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT disjunct_class, CAST(sum(rev) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM j WHERE disjunct_class IS NOT NULL
+GROUP BY 1
+""")
+def rel_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (relational.disjunctive_revenue): revenue under
+    an OR-of-ANDs predicate spanning both join sides, restated over
+    this corpus's columns (brand x size x quantity range). The
+    operator pushes the per-side halves of the disjunction into each
+    scan explicitly (union-of-brands prunes part, union-of-quantity
+    ranges prunes lineitem — residuals Catalyst does not derive), then
+    resolves exact class membership as a CASE post-join."""
+    from deepref_spark.operators.relational import disjunctive_revenue
+
+    return disjunctive_revenue(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -12994,6 +13109,19 @@ _WINDOW_TAIL = [
     # lane stays represented by in-window text_curate_pipeline (which
     # embeds the mixing-plan chain).
     "kg_modularity", "emb_silhouette", "text_js_divergence",
+    # (parked r5cj, making room for rel_volume_shipping +
+    # rel_market_share + rel_disjunctive_revenue): rel_returned_revenue
+    # parks — the rel lane keeps five reps in-window (top_supplier,
+    # big_orders + the three new Q7/Q8/Q19 shapes) over the same
+    # CENTS/e4 money-grid and broadcast-dim disciplines, and Q10's
+    # group-joinback keeps its pytest pins; events_bot_cadence parks —
+    # the gap-regularity screen keeps its hand-computed pytest goldens
+    # and the behavioral lane keeps survival + concurrency + acf +
+    # props_rollup + srm + cuped + basket_lift + burn_rate in-window;
+    # text_entropy parks — the char-distribution entropy keeps exact
+    # pytest goldens and the text-statistics lane stays represented
+    # in-window by bigram_lm + collocations + ocr_garbage.
+    "rel_returned_revenue", "events_bot_cadence", "text_entropy",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
