@@ -306,6 +306,9 @@ HEADLINE = [
     "rel_volume_shipping",
     "rel_market_share",
     "rel_disjunctive_revenue",
+    "events_benford",
+    "events_power_mde",
+    "kg_triad_census",
 ]
 
 

@@ -1779,3 +1779,88 @@ def cuped_report(events: DataFrame, user_col: str = "user_id") -> DataFrame:
             .alias("adj_mean"),
         )
     )
+
+
+# Benford expected first-digit frequencies, floor(log10(1+1/d)*1e6+0.5);
+# the nine entries sum to exactly 1,000,000.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_audit(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Benford's-law first-digit audit over a positive metric column —
+    the classic fabricated-data / unit-mixup screen a pipeline runs on
+    ingested numeric feeds. The value is quantized to the house milli
+    grid FIRST (so the digit protocol is engine-exact: first character
+    of the BIGINT's decimal spelling, no float formatting anywhere),
+    zero/negative rows are excluded, observed shares ride exact ppm
+    integer division, and the expected shares are the fixed ppm
+    literal table above (sums to exactly 1e6). dev_ppm = |obs − exp|
+    gives a thresholdable per-digit readout.
+
+    Scale shape: one scan, one 9-group aggregate (map-side combined),
+    a 1-row total broadcast back — no window over data-sized input."""
+    mills = f"CAST(floor({value_col} * 1000 + 0.5) AS BIGINT)"
+    per = (
+        events.select(F.expr(mills).alias("m"))
+        .where(F.col("m") > 0)
+        .select(F.expr("CAST(substr(CAST(m AS STRING), 1, 1) AS BIGINT)")
+                .alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = F.broadcast(per.agg(F.sum("n").cast("long").alias("total")))
+    exp_case = ("CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in sorted(BENFORD_PPM.items()))
+        + " END")
+    return (
+        per.crossJoin(total)
+        .select(
+            "digit", "n",
+            F.expr("n * 1000000 DIV total").cast("long").alias("obs_ppm"),
+            F.expr(f"CAST({exp_case} AS BIGINT)").alias("exp_ppm"),
+            F.expr(f"CAST(abs(n * 1000000 DIV total - ({exp_case}))"
+                   " AS BIGINT)").alias("dev_ppm"),
+        )
+    )
+
+
+def power_mde(events: DataFrame, convert_type: str = "purchase",
+              user_col: str = "user_id") -> DataFrame:
+    """Two-sample minimum-detectable-effect readout for the house A/B
+    split (md5-parity arms, conversion = any ``convert_type`` event):
+    the experiment-sizing companion to ab_lift/srm_check — before
+    reading a lift, know the smallest absolute conversion delta this
+    sample could certify at alpha=0.05 (two-sided), power=0.80.
+
+    MDE = (z_{0.975} + z_{0.80}) * sqrt(p(1−p) * (1/n0 + 1/n1)) with
+    the z-sum pinned to the literal 2.801585. Counts are exact BIGINT;
+    p and the MDE are ONE double expression of those integers, rounded
+    6dp, written identically in the oracle. Scale shape: one per-user
+    agg (map-side combined max flag), then a 1-row rollup."""
+    from deepref_spark.portable import md5_mod
+
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.max(F.when(F.col("event_type") == convert_type, 1)
+                   .otherwise(0)).alias("converted"))
+        .select(F.expr("CAST(" + md5_mod("CAST(u AS STRING)", 2)
+                       + " AS INT)").alias("arm"), "converted")
+    )
+    agg = per_user.agg(
+        F.sum(F.expr("CAST(arm = 0 AS INT)")).cast("long").alias("n0"),
+        F.sum(F.expr("CAST(arm = 1 AS INT)")).cast("long").alias("n1"),
+        F.sum(F.expr("CAST(arm = 0 AS INT) * converted")).cast("long")
+        .alias("conv0"),
+        F.sum(F.expr("CAST(arm = 1 AS INT) * converted")).cast("long")
+        .alias("conv1"),
+    )
+    p = "(CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+    return agg.select(
+        "n0", "n1", "conv0", "conv1",
+        F.expr(f"CAST((conv0 + conv1) * 1000000 DIV (n0 + n1) AS BIGINT)")
+        .alias("p_pool_ppm"),
+        F.round(F.expr(
+            f"2.801585 * sqrt({p} * (1 - {p})"
+            " * (1.0 / n0 + 1.0 / n1)) * 1000000"), 6).alias("mde_ppm"),
+    )

@@ -2256,3 +2256,55 @@ def degree_centralization(edges: DataFrame) -> DataFrame:
             .alias("centralization_ppm"),
         )
     )
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """Directed 2-path closure census (the transitivity/cyclicity core
+    of the Holland–Leinhardt triad census): over the distinct directed
+    edge set, count open 2-paths a→b→c (a≠c), the ones closed
+    transitively (edge a→c exists) and the ones closed cyclically
+    (edge c→a exists), plus the two closure rates in exact ppm. Each
+    TRANSITIVE triangle contributes one closed path per spanning
+    2-path; each pure 3-cycle is counted once per rotation (3x) —
+    documented counting convention, matching the SQL oracle verbatim.
+
+    Scale shape: the 2-path self-join shuffles once on the shared
+    middle vertex b — the standard deg² path-enumeration cost, same
+    envelope as triangle counting — and each closure probe is one
+    further join keyed on the (endpoint, endpoint) pair against the
+    distinct edge set. Skewed middles amortize under AQE skew-join;
+    hub caps belong to the caller (link_prediction's hub_cap pattern)
+    when degree distributions are Zipf at corpus scale. All counts are
+    order-independent BIGINT sums; ratios are integer-division ppm."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    paths = e1.join(e2, "b").where(F.col("a") != F.col("c"))
+    closed_t = paths.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"], "left_semi")
+    closed_c = paths.join(
+        e.select(F.col("src").alias("c"), F.col("dst").alias("a")),
+        ["a", "c"], "left_semi")
+    counts = (
+        paths.select(F.lit(1).alias("k")).groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_2paths"))
+        .join(closed_t.select(F.lit(1).alias("k"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_transitive")),
+              "k", "left")
+        .join(closed_c.select(F.lit(1).alias("k"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic")),
+              "k", "left")
+    )
+    return counts.select(
+        "n_2paths",
+        F.coalesce("n_transitive", F.lit(0)).cast("long")
+        .alias("n_transitive"),
+        F.coalesce("n_cyclic", F.lit(0)).cast("long").alias("n_cyclic"),
+        F.expr("coalesce(n_transitive, 0) * 1000000 DIV n_2paths")
+        .cast("long").alias("transitivity_ppm"),
+        F.expr("coalesce(n_cyclic, 0) * 1000000 DIV n_2paths")
+        .cast("long").alias("cyclicity_ppm"),
+    )

@@ -12320,6 +12320,110 @@ def rel_disjunctive_revenue(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"))
 
 
+_BENFORD_CASE = ("CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 "
+                 "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+                 "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 "
+                 "WHEN 9 THEN 45757 END")
+
+
+@q("events_benford", f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS m FROM events)
+  WHERE m > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+SELECT digit, n,
+       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS exp_ppm,
+       CAST(abs(n * 1000000 // total - ({_BENFORD_CASE})) AS BIGINT)
+         AS dev_ppm
+FROM per CROSS JOIN tot
+""")
+def events_benford(spark, sf_dir):
+    """Benford first-digit audit (events.benford_audit): the
+    fabricated-data / unit-mixup screen over the value feed — digits
+    are read off the BIGINT milli-grid spelling (engine-exact, no
+    float formatting), observed shares are exact ppm divisions against
+    a broadcast 1-row total, and the expected table is the fixed
+    Benford ppm literal (sums to exactly 1e6)."""
+    from deepref_spark.operators.events import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "events"))
+
+
+@q("events_power_mde", f"""
+WITH per_user AS (
+  SELECT CAST({md5_mod("CAST(user_id AS VARCHAR)", 2)} AS INT) AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT CAST(sum(CAST(arm = 0 AS INT)) AS BIGINT) AS n0,
+         CAST(sum(CAST(arm = 1 AS INT)) AS BIGINT) AS n1,
+         CAST(sum(CAST(arm = 0 AS INT) * converted) AS BIGINT) AS conv0,
+         CAST(sum(CAST(arm = 1 AS INT) * converted) AS BIGINT) AS conv1
+  FROM per_user
+)
+SELECT n0, n1, conv0, conv1,
+       CAST((conv0 + conv1) * 1000000 // (n0 + n1) AS BIGINT) AS p_pool_ppm,
+       round(2.801585 * sqrt(
+           (CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1 - (CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+           * (1.0 / n0 + 1.0 / n1)) * 1000000, 6) AS mde_ppm
+FROM a
+""")
+def events_power_mde(spark, sf_dir):
+    """A/B minimum-detectable-effect sizing (events.power_mde): the
+    experiment-design companion to ab_lift/srm_check/cuped — pooled
+    conversion under the house md5-parity arms, and the smallest
+    absolute delta certifiable at alpha=0.05 / power=0.80 as ONE
+    double expression of exact BIGINT counts (z-sum pinned to the
+    2.801585 literal), rounded 6dp identically in both engines."""
+    from deepref_spark.operators.events import power_mde
+
+    return power_mde(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_triad_census", _oracle_prefix() + _graph_edges_cte() + """
+, paths AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst
+),
+counts AS (
+  -- edges is DISTINCT, so an inner join against it matches each path
+  -- at most once: join-count == semi-join count (no correlated EXISTS,
+  -- which DuckDB executes per-row)
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM paths) AS n_2paths,
+         (SELECT CAST(count(*) AS BIGINT) FROM paths p
+          JOIN edges t ON t.src = p.a AND t.dst = p.c) AS n_transitive,
+         (SELECT CAST(count(*) AS BIGINT) FROM paths p
+          JOIN edges t ON t.src = p.c AND t.dst = p.a) AS n_cyclic
+)
+SELECT n_2paths, n_transitive, n_cyclic,
+       CAST(n_transitive * 1000000 // n_2paths AS BIGINT)
+         AS transitivity_ppm,
+       CAST(n_cyclic * 1000000 // n_2paths AS BIGINT) AS cyclicity_ppm
+FROM counts
+""")
+def kg_triad_census(spark, sf_dir):
+    """Directed 2-path closure census (graph.triad_census): open
+    2-paths over the canonical edge set, how many close transitively
+    (a→c) vs cyclically (c→a), and both rates in exact ppm — the
+    Holland–Leinhardt transitivity core, the KG-hygiene readout that
+    separates hierarchy-like predicates from cycle-forming ones. The
+    2-path join shuffles once on the shared middle vertex (the same
+    deg² envelope as triangle counting); closure probes are LEFT SEMI
+    joins on the endpoint pair."""
+    from deepref_spark.operators.graph import triad_census
+
+    return triad_census(_canonical_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13122,6 +13226,20 @@ _WINDOW_TAIL = [
     # pytest goldens and the text-statistics lane stays represented
     # in-window by bigram_lm + collocations + ocr_garbage.
     "rel_returned_revenue", "events_bot_cadence", "text_entropy",
+    # (parked r5ck, making room for events_benford + events_power_mde
+    # + kg_triad_census): kg_graph_report parks — the composed
+    # degree/triangle/pagerank readout re-derives families that each
+    # kept driver-hash evidence for multiple rounds and keeps its
+    # pytest goldens, while the graph lane stays dense in-window
+    # (centralization, rich_club, reciprocity, scc_condensation, new
+    # triad_census over the same edges derivation); kg_span_integrity
+    # parks — the span-sequence audit keeps exact pytest pins and the
+    # mentions derivation it guards is hash-verified by EVERY in-window
+    # kg_* oracle each sweep; kg_maintenance_report parks — it composes
+    # the compaction/retention/constraint probes whose standalone
+    # queries keep pytest pins, and the lake lane keeps merge_upsert +
+    # retention_plan + bucket_advisor in-window.
+    "kg_graph_report", "kg_span_integrity", "kg_maintenance_report",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -151,3 +151,81 @@ def test_disjunctive_revenue_class_boundaries(spark):
     assert got[2]["revenue_e4"] == 5000 * 90
     assert got[3]["revenue_e4"] == 2500 * 100
     assert all(got[k]["n_lines"] == 1 for k in got)
+
+
+def test_benford_digits_and_ppm(spark):
+    """Digits read off the milli grid; zero/negative excluded; exact
+    ppm shares against the fixed expected table."""
+    from deepref_spark.operators.events import benford_audit, BENFORD_PPM
+
+    vals = [1.0, 1.5, 19.99, 0.25, 0.0305, 9.0, 0.0, -5.0]
+    # mills: 1000, 1500, 19990, 250, 31 (0.0305*1000=30.5 -> +0.5 floor=31),
+    # 9000, 0 (excluded), -5000 (excluded) -> digits 1,1,1,2,3,9
+    rows = [(i, datetime.datetime(2024, 1, 1), 1, "click", v, "{}")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["digit"]: r for r in benford_audit(df).collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[1]["n"] == 3 and got[1]["obs_ppm"] == 3 * 1_000_000 // 6
+    assert got[2]["n"] == 1 and got[9]["n"] == 1
+    for d, r in got.items():
+        assert r["exp_ppm"] == BENFORD_PPM[d]
+        assert r["dev_ppm"] == abs(r["obs_ppm"] - r["exp_ppm"])
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+
+
+def _arm(u):
+    import hashlib
+    h = hashlib.md5(str(u).encode()).hexdigest()
+    return (ord(h[0]) * 131071 + ord(h[1]) * 8191
+            + ord(h[2]) * 127 + ord(h[3])) % 2
+
+
+def test_power_mde_counts_and_formula(spark):
+    """Counts split by the house md5 parity; the MDE reproduces the
+    two-sample formula from the exact integer counts."""
+    import math
+    from deepref_spark.operators.events import power_mde
+
+    # 8 users; users 0 and 1 convert (one purchase event each)
+    rows = []
+    for u in range(8):
+        rows.append((10 * u, datetime.datetime(2024, 1, 1), u, "view",
+                     0.0, "{}"))
+        if u < 2:
+            rows.append((10 * u + 1, datetime.datetime(2024, 1, 2), u,
+                         "purchase", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = power_mde(df).collect()[0]
+    arms = [_arm(u) for u in range(8)]
+    n0, n1 = arms.count(0), arms.count(1)
+    conv0 = sum(1 for u in range(2) if _arm(u) == 0)
+    conv1 = 2 - conv0
+    assert (r["n0"], r["n1"], r["conv0"], r["conv1"]) == (n0, n1, conv0, conv1)
+    assert r["p_pool_ppm"] == 2 * 1_000_000 // 8
+    p = 2 / 8
+    want = round(2.801585 * math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+                 * 1_000_000, 6)
+    assert abs(r["mde_ppm"] - want) < 1e-6
+
+
+def test_triad_census_transitive_vs_cyclic(spark):
+    """One transitive triangle, one 3-cycle (counted once per
+    rotation), and a reciprocal pair (no a!=c 2-path)."""
+    from deepref_spark.operators.graph import triad_census
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),       # transitive
+         ("d", "e"), ("e", "f"), ("f", "d"),       # 3-cycle
+         ("g", "h"), ("h", "g")],                  # reciprocal pair
+        "src string, dst string")
+    r = triad_census(edges).collect()[0]
+    assert r["n_2paths"] == 4          # (a,b,c) + 3 cycle rotations
+    assert r["n_transitive"] == 1
+    assert r["n_cyclic"] == 3
+    assert r["transitivity_ppm"] == 1_000_000 // 4
+    assert r["cyclicity_ppm"] == 3 * 1_000_000 // 4
