@@ -309,6 +309,11 @@ HEADLINE = [
     "events_benford",
     "events_power_mde",
     "kg_triad_census",
+    # twentieth-sitting additions: predicate co-occurrence lift,
+    # write-audit-publish gate, split-half embedding drift
+    "kg_pred_pairs",
+    "lake_wap_gate",
+    "emb_drift",
 ]
 
 

@@ -979,3 +979,47 @@ def schema_completeness(triples: DataFrame, subj: str = "subj_canon",
                 F.expr("CAST((n_with * 1000000) DIV n_entities AS BIGINT)")
                 .alias("coverage_ppm"))
     )
+
+
+def predicate_pairs(triples: DataFrame, subj: str = "subj_canon",
+                    pred_col: str = "pred") -> DataFrame:
+    """Predicate co-occurrence mining over subjects — the schema-
+    discovery readout ("entities with pred A usually also carry pred
+    B") that seeds type induction and attribute-suggestion: for every
+    unordered predicate pair sharing at least one subject, the subject
+    co-count and the lift vs independence on the exact milli grid
+    (lift = n_ab * n_subjects / (n_a * n_b), >1000 milli = attract).
+
+    Scale shape: ONE distinct over (subject, pred) — cardinality
+    n_subjects x avg-preds-per-subject, far below the triple count —
+    then a self-join keyed on the subject whose fan-out is bounded by
+    the per-subject predicate count squared (predicate vocabularies
+    are small; a hub subject contributes |preds|² pairs, not degree²).
+    The per-pred counts and the subject total are tiny broadcasts."""
+    sp = (
+        triples.select(F.col(subj).alias("s"), F.col(pred_col).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds three derivations below
+    )
+    pc = sp.groupBy(F.col("p").alias("pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred"))
+    ns = sp.agg(F.countDistinct("s").cast("long").alias("n_subj"))
+    a = sp.select(F.col("s"), F.col("p").alias("pred_a"))
+    b = sp.select(F.col("s"), F.col("p").alias("pred_b"))
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(pc.withColumnRenamed("pred", "pred_a")
+                          .withColumnRenamed("n_pred", "n_a")), "pred_a")
+        .join(F.broadcast(pc.withColumnRenamed("pred", "pred_b")
+                          .withColumnRenamed("n_pred", "n_b")), "pred_b")
+        .crossJoin(F.broadcast(ns))
+        .select("pred_a", "pred_b", "n_ab", "n_a", "n_b",
+                F.expr("n_ab * n_subj * 1000 DIV (n_a * n_b)").cast("long")
+                .alias("lift_milli"))
+    )

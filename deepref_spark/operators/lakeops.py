@@ -464,3 +464,72 @@ def bucket_advisor(fact: DataFrame, key_cols: list,
         F.expr(f"CAST(CAST((top_cnt * 1000000) DIV n_rows AS BIGINT)"
                f" > {int(salt_ppm)} AS INT)").alias("salt_flag"),
     )
+
+
+def wap_gate(orders: DataFrame, cutoff: str = "1999-01-01",
+             max_volume_milli: int = 800,
+             max_drift_milli: int = 200) -> DataFrame:
+    """Write-audit-publish gate: the pre-publish CI checks a lakehouse
+    runs on a staged batch (rows at/after ``cutoff``) against the
+    published table (rows before it) before swapping the snapshot
+    pointer — the Iceberg WAP pattern's audit step. Four checks, one
+    row each, every metric an exact BIGINT so the pass flags are
+    integer comparisons:
+
+    - volume_milli: staged/published row ratio x1000 <= threshold
+      (a runaway upstream duplicating the feed fails here);
+    - dup_keys: duplicated o_orderkey rows inside the batch == 0;
+    - new_enum: o_orderstatus values unseen in the published table
+      == 0 (schema-drift canary on a closed enum);
+    - drift_milli: |staged avg total price / published avg − 1| x1000
+      <= threshold on the cents grid. The published-side mean is
+      floored to a whole cent FIRST (one BIGINT DIV — deterministic in
+      both engines, sub-cent loss irrelevant at milli granularity);
+      this keeps the cross-multiplied numerator within int64 at any
+      realistic scale, where the full cross-product sum_c*n_b*1000
+      would overflow past ~1e5 orders.
+
+    Scale shape: one conditional-aggregate pass over the table for
+    counts/sums (map-side combined), one per-key dup probe on the
+    batch only, one tiny distinct-status anti-join; the four 1-row
+    aggregates cross-join broadcast into the stacked readout."""
+    ts = f"TIMESTAMP '{cutoff} 00:00:00'"
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    flags = orders.select(
+        F.expr(f"CAST(o_orderdate >= {ts} AS INT)").alias("is_cand"),
+        F.expr(cents).alias("cents"), "o_orderkey", "o_orderstatus")
+    base_agg = F.broadcast(flags.where("is_cand = 0").agg(
+        F.count(F.lit(1)).cast("long").alias("base_n"),
+        F.sum("cents").cast("long").alias("base_cents")))
+    cand = flags.where("is_cand = 1")
+    cand_agg = F.broadcast(cand.agg(
+        F.count(F.lit(1)).cast("long").alias("cand_n"),
+        F.sum("cents").cast("long").alias("cand_cents")))
+    dup_agg = F.broadcast(cand.groupBy("o_orderkey")
+                          .agg(F.count(F.lit(1)).alias("c"))
+                          .agg(F.sum(F.expr("c - 1")).cast("long")
+                               .alias("dup_rows")))
+    new_enum = F.broadcast(
+        cand.select("o_orderstatus").distinct()
+        .join(flags.where("is_cand = 0").select("o_orderstatus").distinct(),
+              "o_orderstatus", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_statuses")))
+    one = (base_agg.crossJoin(cand_agg).crossJoin(dup_agg)
+           .crossJoin(new_enum))
+    stack = (
+        f"stack(4,"
+        f" 'volume_milli', CAST(cand_n * 1000 DIV base_n AS BIGINT),"
+        f"   CAST({int(max_volume_milli)} AS BIGINT),"
+        f" 'dup_keys', coalesce(dup_rows, CAST(0 AS BIGINT)),"
+        f"   CAST(0 AS BIGINT),"
+        f" 'new_enum', new_statuses, CAST(0 AS BIGINT),"
+        f" 'drift_milli',"
+        f"   CAST(abs(cand_cents * 1000"
+        f"            DIV (cand_n * (base_cents DIV base_n)) - 1000)"
+        f"        AS BIGINT),"
+        f"   CAST({int(max_drift_milli)} AS BIGINT)"
+        f") AS (check_name, value, threshold)"
+    )
+    return one.select(F.expr(stack)).select(
+        "check_name", "value", "threshold",
+        F.expr("CAST(value <= threshold AS INT)").alias("pass_flag"))

@@ -1653,3 +1653,41 @@ def norm_outliers(embeddings: DataFrame, k: int = 20) -> DataFrame:
         .limit(k)
         .drop("_dist")
     )
+
+
+def centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Split-half embedding drift monitor: per-dimension centroid shift
+    between the vec_id-parity halves of the corpus — the ingest-hygiene
+    probe that catches a model-version mixup or a renormalization
+    mid-feed (a healthy homogeneous corpus drifts ~0 on every
+    dimension; a two-model corpus shows a coherent per-dim offset).
+
+    Parity is a deterministic stand-in for the ingest-batch column a
+    production feed carries (swap ``vec_id % 2`` for the batch id).
+    Values ride the 1e-3 BIGINT grid; per-arm sums are
+    map-side-combined conditional BIGINTs in ONE grouped aggregate
+    (one corpus pass, no self-join); each mean and the shift are
+    double expressions of exact integers rounded 6dp (sign-safe — the
+    dim_stats double-division discipline)."""
+    e = embeddings.select(
+        (F.col("vec_id") % 2).cast("int").alias("arm"),
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")).alias("dim", "u"))
+    agg = (
+        e.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum(F.expr("CAST(arm = 0 AS INT)")).cast("long").alias("n_a"),
+             F.sum(F.expr("CAST(arm = 1 AS INT)")).cast("long").alias("n_b"),
+             F.sum(F.expr("CAST(arm = 0 AS INT) * u")).cast("long")
+             .alias("s_a"),
+             F.sum(F.expr("CAST(arm = 1 AS INT) * u")).cast("long")
+             .alias("s_b"))
+    )
+    mean_a = "CAST(s_a AS DOUBLE) / n_a / 1000.0"
+    mean_b = "CAST(s_b AS DOUBLE) / n_b / 1000.0"
+    return agg.select(
+        "dim", "n_a", "n_b",
+        F.round(F.expr(mean_a), 6).alias("mean_a"),
+        F.round(F.expr(mean_b), 6).alias("mean_b"),
+        F.round(F.expr(f"{mean_b} - ({mean_a})"), 6).alias("shift"),
+    )

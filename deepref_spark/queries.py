@@ -12424,6 +12424,139 @@ def kg_triad_census(spark, sf_dir):
     return triad_census(_canonical_edges(spark, sf_dir))
 
 
+@q("emb_drift", """
+WITH e AS (
+  SELECT CAST(vec_id % 2 AS INT) AS arm,
+         CAST(t.i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+a AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN u ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN arm = 1 THEN u ELSE 0 END) AS BIGINT) AS s_b
+  FROM e GROUP BY dim
+)
+SELECT dim, n_a, n_b,
+       round(CAST(s_a AS DOUBLE) / n_a / 1000.0, 6) AS mean_a,
+       round(CAST(s_b AS DOUBLE) / n_b / 1000.0, 6) AS mean_b,
+       round(CAST(s_b AS DOUBLE) / n_b / 1000.0
+             - (CAST(s_a AS DOUBLE) / n_a / 1000.0), 6) AS shift
+FROM a
+""")
+def emb_drift(spark, sf_dir):
+    """Split-half embedding centroid drift (similarity.centroid_drift):
+    per-dimension mean shift between the vec_id-parity halves of the
+    corpus — the ingest-hygiene probe for a model-version mixup or
+    renormalization mid-feed. Values ride the 1e-3 BIGINT grid; both
+    arms accumulate in ONE map-side-combined grouped aggregate (one
+    corpus pass, no self-join); each mean and the shift are double
+    expressions over exact BIGINTs rounded 6dp."""
+    from deepref_spark.operators.similarity import centroid_drift
+
+    return centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+@q("kg_pred_pairs", _trip_cte() + """
+, sp AS MATERIALIZED (SELECT DISTINCT subj AS s, pred AS p FROM trip),
+pc AS (SELECT p AS pred, CAST(count(*) AS BIGINT) AS n_pred
+       FROM sp GROUP BY p),
+ns AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_subj FROM sp),
+pairs AS (
+  SELECT a.p AS pred_a, b.p AS pred_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p
+  GROUP BY a.p, b.p
+)
+SELECT pred_a, pred_b, n_ab, ca.n_pred AS n_a, cb.n_pred AS n_b,
+       CAST(n_ab * n_subj * 1000 // (ca.n_pred * cb.n_pred) AS BIGINT)
+         AS lift_milli
+FROM pairs
+JOIN pc ca ON pairs.pred_a = ca.pred
+JOIN pc cb ON pairs.pred_b = cb.pred
+CROSS JOIN ns
+""")
+def kg_pred_pairs(spark, sf_dir):
+    """Predicate co-occurrence mining over subjects
+    (kgquality.predicate_pairs): for every unordered predicate pair
+    sharing a subject, the co-count and the lift vs independence on
+    the exact milli grid — the schema-discovery readout that seeds
+    type induction. One distinct over (subject, pred), a self-join
+    whose fan-out is bounded by the per-subject predicate count
+    squared (not degree squared), per-pred counts and the subject
+    total as tiny broadcasts."""
+    from deepref_spark.operators.kgquality import predicate_pairs
+
+    return predicate_pairs(_canon_spo(spark, sf_dir))
+
+
+@q("lake_wap_gate", """
+WITH flags AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+              THEN 1 ELSE 0 END AS is_cand,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey, o_orderstatus
+  FROM orders
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS base_n,
+         CAST(sum(cents) AS BIGINT) AS base_cents
+  FROM flags WHERE is_cand = 0
+),
+cand AS (
+  SELECT CAST(count(*) AS BIGINT) AS cand_n,
+         CAST(sum(cents) AS BIGINT) AS cand_cents
+  FROM flags WHERE is_cand = 1
+),
+dups AS (
+  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_rows
+  FROM (SELECT count(*) AS c FROM flags WHERE is_cand = 1
+        GROUP BY o_orderkey)
+),
+enum_new AS (
+  SELECT CAST(count(*) AS BIGINT) AS new_statuses
+  FROM (SELECT DISTINCT o_orderstatus FROM flags WHERE is_cand = 1
+        EXCEPT
+        SELECT DISTINCT o_orderstatus FROM flags WHERE is_cand = 0)
+),
+checks AS (
+  SELECT 'volume_milli' AS check_name,
+         CAST(cand_n * 1000 // base_n AS BIGINT) AS value,
+         CAST(800 AS BIGINT) AS threshold
+  FROM base CROSS JOIN cand
+  UNION ALL
+  SELECT 'dup_keys', dup_rows, CAST(0 AS BIGINT) FROM dups
+  UNION ALL
+  SELECT 'new_enum', new_statuses, CAST(0 AS BIGINT) FROM enum_new
+  UNION ALL
+  SELECT 'drift_milli',
+         CAST(abs(cand_cents * 1000
+                  // (cand_n * (base_cents // base_n)) - 1000) AS BIGINT),
+         CAST(200 AS BIGINT)
+  FROM base CROSS JOIN cand
+)
+SELECT check_name, value, threshold,
+       CAST(value <= threshold AS INT) AS pass_flag
+FROM checks
+""")
+def lake_wap_gate(spark, sf_dir):
+    """Write-audit-publish gate (lakeops.wap_gate): the pre-publish
+    audit a lakehouse runs on a staged batch (orders at/after
+    1999-01-01) against the published table before swapping the
+    snapshot pointer — volume ratio, in-batch duplicate keys,
+    unseen-enum canary, and mean-price drift, every metric an exact
+    BIGINT so the pass flags are integer comparisons. One
+    conditional-aggregate pass for counts/sums, a per-key dup probe on
+    the batch only, a tiny distinct-status anti-join; the four 1-row
+    aggregates cross-join broadcast into the stacked readout."""
+    from deepref_spark.operators.lakeops import wap_gate
+
+    return wap_gate(load_table(spark, sf_dir, "orders"),
+                    cutoff="1999-01-01")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13240,6 +13373,21 @@ _WINDOW_TAIL = [
     # queries keep pytest pins, and the lake lane keeps merge_upsert +
     # retention_plan + bucket_advisor in-window.
     "kg_graph_report", "kg_span_integrity", "kg_maintenance_report",
+    # (parked r5cl, making room for emb_drift + kg_pred_pairs +
+    # lake_wap_gate): emb_quantize_int8 parks — new in-window emb_drift
+    # re-derives the IDENTICAL u-grid posexplode + per-dim
+    # conditional-BIGINT aggregation discipline under the driver hash
+    # gate every sweep, the int8 audit keeps its pytest pins, and the
+    # emb lane keeps pq_distortion + knn_purity + cov_topk +
+    # norm_outliers in-window; kg_katz_centrality parks — the damped
+    # message-passing recurrence keeps its hand-unrolled pytest goldens
+    # and the graph lane keeps centralization + rich_club + reciprocity
+    # + triad_census + scc_condensation + transitive_reduction
+    # in-window over the same edges derivation; events_survival parks —
+    # the Kaplan-Meier hazard table keeps its exact pytest goldens and
+    # the behavioral lane keeps concurrency + acf + props_rollup + srm
+    # + cuped + basket_lift + burn_rate + benford + power_mde in-window.
+    "emb_quantize_int8", "kg_katz_centrality", "events_survival",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

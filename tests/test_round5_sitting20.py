@@ -1,0 +1,114 @@
+"""Sitting-20 operators: predicate co-occurrence lift, the
+write-audit-publish gate, and the split-half embedding drift monitor —
+exact expected values on tiny hand-checked inputs, independent of the
+DuckDB oracle sweep."""
+
+import pyspark.sql.functions as F
+
+from deepref_spark.operators.kgquality import predicate_pairs
+from deepref_spark.operators.lakeops import wap_gate
+from deepref_spark.operators.similarity import centroid_drift
+
+
+# --- predicate_pairs ---------------------------------------------------------
+
+def test_predicate_pairs_lift_grid(spark):
+    # s1:{A,B} s2:{A,B} s3:{A,C} s4:{B}; duplicate (s1,A,*) rows must
+    # collapse in the distinct. n_subj=4, n_A=3, n_B=3, n_C=1.
+    trip = spark.createDataFrame(
+        [("s1", "A", "x"), ("s1", "A", "y"), ("s1", "B", "x"),
+         ("s2", "A", "x"), ("s2", "B", "y"),
+         ("s3", "A", "z"), ("s3", "C", "x"),
+         ("s4", "B", "z")],
+        schema="subj_canon string, pred string, obj_canon string",
+    )
+    out = {(r["pred_a"], r["pred_b"]): (r["n_ab"], r["n_a"], r["n_b"],
+                                        r["lift_milli"])
+           for r in predicate_pairs(trip).collect()}
+    # lift(A,B) = 2*4*1000 DIV 9 = 888; lift(A,C) = 1*4*1000 DIV 3 = 1333
+    assert out == {("A", "B"): (2, 3, 3, 888),
+                   ("A", "C"): (1, 3, 1, 1333)}
+
+
+def test_predicate_pairs_unordered_and_no_self(spark):
+    trip = spark.createDataFrame(
+        [("s1", "B", "x"), ("s1", "A", "x"), ("s1", "A", "y")],
+        schema="subj_canon string, pred string, obj_canon string",
+    )
+    rows = predicate_pairs(trip).collect()
+    # exactly one unordered pair, lexicographically oriented, no (A,A)
+    assert [(r["pred_a"], r["pred_b"]) for r in rows] == [("A", "B")]
+    assert rows[0]["n_ab"] == 1 and rows[0]["lift_milli"] == 1000
+
+
+# --- wap_gate ----------------------------------------------------------------
+
+def _orders(spark, rows):
+    return (
+        spark.createDataFrame(
+            rows, schema="o_orderkey long, o_orderstatus string, "
+                         "o_totalprice double, o_orderdate string")
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    )
+
+
+def test_wap_gate_all_four_checks(spark):
+    # published: 2 rows, 30000 cents total, mean 15000 cents.
+    # staged: 3 rows (one duplicated key, one unseen status),
+    # 48000 cents total.
+    df = _orders(spark, [
+        (1, "O", 100.0, "1999-05-01 00:00:00"),
+        (2, "F", 200.0, "1999-06-01 00:00:00"),
+        (3, "O", 140.0, "2000-02-01 00:00:00"),
+        (3, "O", 140.0, "2000-02-02 00:00:00"),
+        (4, "X", 200.0, "2000-03-01 00:00:00"),
+    ])
+    out = {r["check_name"]: (r["value"], r["threshold"], r["pass_flag"])
+           for r in wap_gate(df, cutoff="2000-01-01").collect()}
+    # volume = 3*1000 DIV 2 = 1500 > 800 -> fail
+    assert out["volume_milli"] == (1500, 800, 0)
+    # one duplicated key contributes c-1 = 1 extra row
+    assert out["dup_keys"] == (1, 0, 0)
+    # 'X' never published
+    assert out["new_enum"] == (1, 0, 0)
+    # drift = |48000*1000 DIV (3*15000) - 1000| = |1066-1000| = 66 <= 200
+    assert out["drift_milli"] == (66, 200, 1)
+
+
+def test_wap_gate_clean_batch_passes(spark):
+    df = _orders(spark, [
+        (1, "O", 100.0, "1999-05-01 00:00:00"),
+        (2, "F", 100.0, "1999-06-01 00:00:00"),
+        (3, "O", 100.0, "2000-02-01 00:00:00"),
+    ])
+    out = {r["check_name"]: r["pass_flag"]
+           for r in wap_gate(df, cutoff="2000-01-01").collect()}
+    assert out == {"volume_milli": 1, "dup_keys": 1, "new_enum": 1,
+                   "drift_milli": 1}
+
+
+# --- centroid_drift ----------------------------------------------------------
+
+def test_centroid_drift_split_half_means(spark):
+    # arm 0 = vec_id 0,2; arm 1 = vec_id 1,3.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 0.5]), (2, [3.0, 2.0]), (3, [4.0, 1.5])],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r.asDict() for r in centroid_drift(emb).collect()}
+    assert set(out) == {0, 1}
+    d0, d1 = out[0], out[1]
+    assert (d0["n_a"], d0["n_b"]) == (2, 2)
+    assert (d0["mean_a"], d0["mean_b"], d0["shift"]) == (2.0, 3.0, 1.0)
+    # negative shift is sign-safe on the double path
+    assert (d1["mean_a"], d1["mean_b"], d1["shift"]) == (2.0, 1.0, -1.0)
+
+
+def test_centroid_drift_single_aggregate_plan(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], schema="vec_id long, embedding array<float>")
+    plan = (centroid_drift(emb)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    # one corpus pass: both arms accumulate conditionally in a single
+    # grouped aggregate — no self-join of per-arm scans
+    assert "Join" not in plan
