@@ -314,6 +314,9 @@ HEADLINE = [
     "kg_pred_pairs",
     "lake_wap_gate",
     "emb_drift",
+    "rel_prospect_balance",
+    "rel_waiting_suppliers",
+    "emb_top_eigen",
 ]
 
 

@@ -618,3 +618,90 @@ def disjunctive_revenue(part: DataFrame, lineitem: DataFrame,
         .agg(F.sum(_rev_e4()).cast("long").alias("revenue_e4"),
              F.count(F.lit(1)).cast("long").alias("n_lines"))
     )
+
+
+def prospect_balance(customer: DataFrame, orders: DataFrame,
+                     nation: DataFrame,
+                     cutoff: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape restated over the columns this corpus carries
+    (no phone country codes): dormant high-balance prospects — the
+    customers whose account balance strictly exceeds the mean POSITIVE
+    balance yet who placed no order at/after ``cutoff`` — rolled up by
+    nation. The above-average filter is the exact cross-multiplied
+    integer comparison cents * n_pos > sum_pos_cents (no division, no
+    float mean), so the cohort boundary is deterministic in any engine.
+
+    Scale shape: one conditional-aggregate pass over customer for the
+    global mean (1-row broadcast), the dormancy probe as a LEFT ANTI
+    join against the distinct recent-orderer keys (shuffled on
+    custkey — the natural co-partition; bucket both sides by custkey
+    at scale), nation as a broadcast dim."""
+    pos = customer.where("c_acctbal > 0.0").select(
+        "c_custkey", "c_nationkey",
+        F.expr(CENTS.format(c="c_acctbal")).alias("cents"))
+    st = F.broadcast(pos.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("cents").cast("long").alias("s_pos")))
+    rich = (pos.crossJoin(st)
+            .where(F.expr("cents * n_pos > s_pos"))
+            .drop("n_pos", "s_pos"))
+    recent = (orders
+              .where(f"o_orderdate >= TIMESTAMP '{cutoff} 00:00:00'")
+              .select(F.col("o_custkey").alias("c_custkey"))
+              .distinct())
+    dormant = rich.join(recent, "c_custkey", "left_anti")
+    return (
+        dormant
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"),
+             F.sum("cents").cast("long").alias("total_cents"))
+    )
+
+
+def waiting_suppliers(supplier: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, late_days: int = 90,
+                      k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape restated over the columns this corpus carries
+    (no receipt/commit dates): for finalized ('F') multi-supplier
+    orders where EXACTLY ONE supplier shipped more than ``late_days``
+    after the order date, charge that supplier with the wait; top-k
+    suppliers by orders kept waiting, (numwait DESC, s_suppkey) total
+    order. The classic EXISTS / NOT EXISTS pair collapses into ONE
+    per-order grouped aggregate: distinct-supplier count, distinct
+    LATE-supplier count, and min(late supplier) — which IS the blamed
+    supplier whenever the distinct late count is exactly 1.
+
+    Scale shape: one lineitem->orders join shuffled on orderkey (the
+    natural co-partition; bucket both by orderkey at scale), one
+    two-phase distinct aggregate per order, a tiny per-supplier count,
+    supplier as a broadcast dim, TakeOrdered top-k."""
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.where("o_orderstatus = 'F'")
+              .select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_orderdate"), "l_orderkey")
+        .withColumn("late", F.expr(
+            f"CAST(l_shipdate > o_orderdate + INTERVAL {int(late_days)} DAY"
+            f" AS INT)"))
+    )
+    per_order = (
+        j.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+             F.countDistinct(
+                 F.expr("CASE WHEN late = 1 THEN l_suppkey END"))
+             .alias("n_late"),
+             F.min(F.expr("CASE WHEN late = 1 THEN l_suppkey END"))
+             .alias("s_suppkey"))
+    )
+    return (
+        per_order.where("n_supps >= 2 AND n_late = 1")
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              "s_suppkey")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )

@@ -112,3 +112,85 @@ def test_centroid_drift_single_aggregate_plan(spark):
     # one corpus pass: both arms accumulate conditionally in a single
     # grouped aggregate — no self-join of per-arm scans
     assert "Join" not in plan
+
+
+# --- prospect_balance (Q22 shape) --------------------------------------------
+
+def test_prospect_balance_mean_filter_and_dormancy(spark):
+    cust = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 300.0), (3, 2, -50.0), (4, 2, 200.0),
+         (5, 1, 250.0)],
+        schema="c_custkey long, c_nationkey long, c_acctbal double")
+    # positives: 100+300+200+250 = 850, n=4 -> rich iff cents*4 > 85000:
+    # c2 (120000) and c5 (100000); c4 is exactly below (80000).
+    orders = (spark.createDataFrame(
+        [(10, 2, "2001-01-01 00:00:00"),   # c2 ordered recently -> drops
+         (11, 5, "1999-01-01 00:00:00")],  # c5 only pre-cutoff -> dormant
+        schema="o_orderkey long, o_custkey long, o_orderdate string")
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate")))
+    nation = spark.createDataFrame(
+        [(1, "N1"), (2, "N2")], schema="n_nationkey long, n_name string")
+    from deepref_spark.operators.relational import prospect_balance
+    out = [(r["n_name"], r["n_cust"], r["total_cents"])
+           for r in prospect_balance(cust, orders, nation,
+                                     cutoff="2000-01-01").collect()]
+    assert out == [("N1", 1, 25000)]
+
+
+# --- waiting_suppliers (Q21 shape) -------------------------------------------
+
+def test_waiting_suppliers_exactly_one_late_blame(spark):
+    sup = spark.createDataFrame(
+        [(1, "Supp1"), (2, "Supp2")], schema="s_suppkey long, s_name string")
+    orders = (spark.createDataFrame(
+        [(1, "F", "2000-01-01 00:00:00"),
+         (2, "F", "2000-01-01 00:00:00"),
+         (3, "F", "2000-01-01 00:00:00"),
+         (4, "O", "2000-01-01 00:00:00")],
+        schema="o_orderkey long, o_orderstatus string, o_orderdate string")
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate")))
+    li = (spark.createDataFrame(
+        [(1, 1, "2000-05-01 00:00:00"),   # late (> 90d)
+         (1, 2, "2000-01-15 00:00:00"),   # on time -> o1 blames s1
+         (2, 1, "2000-05-01 00:00:00"),
+         (2, 2, "2000-06-01 00:00:00"),   # two late supps -> o2 excluded
+         (3, 1, "2000-05-01 00:00:00"),   # single-supplier -> o3 excluded
+         (4, 1, "2000-05-01 00:00:00")],  # status O -> ignored
+        schema="l_orderkey long, l_suppkey long, l_shipdate string")
+        .withColumn("l_shipdate", F.to_timestamp("l_shipdate")))
+    from deepref_spark.operators.relational import waiting_suppliers
+    out = [(r["s_suppkey"], r["s_name"], r["numwait"])
+           for r in waiting_suppliers(sup, orders, li).collect()]
+    assert out == [(1, "Supp1", 1)]
+
+
+# --- top_eigen ----------------------------------------------------------------
+
+def test_top_eigen_axis_aligned_with_constant_offset(spark):
+    # dim 0 carries all the variance (values 1,-1,2,-2 -> pop var 2.5);
+    # dim 1 is CONSTANT 10 — the n*S12 - S1*S2 numerator must center it
+    # to exactly zero, certifying mean removal.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (1, [-1.0, 10.0]),
+         (2, [2.0, 10.0]), (3, [-2.0, 10.0])],
+        schema="vec_id long, embedding array<float>")
+    from deepref_spark.operators.similarity import top_eigen
+    out = {r["dim"]: r for r in top_eigen(emb, iters=8).collect()}
+    assert out[0]["component_micro"] == 1000000
+    assert out[1]["component_micro"] == 0
+    assert out[0]["eig"] == 2.5
+    assert out[0]["eig_share"] == 1.0
+
+
+def test_top_eigen_degenerate_orthogonal_start_is_zero_not_nan(spark):
+    # data along (1,-1): v0 = all-ones is exactly orthogonal to the
+    # dominant eigenvector, the iterate collapses to zero, and the
+    # readout must pin to 0.0 (not NaN/NULL).
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [-1.0, 1.0]),
+         (2, [2.0, -2.0]), (3, [-2.0, 2.0])],
+        schema="vec_id long, embedding array<float>")
+    from deepref_spark.operators.similarity import top_eigen
+    rows = top_eigen(emb, iters=8).collect()
+    assert all(r["component_micro"] == 0 for r in rows)
+    assert all(r["eig"] == 0.0 and r["eig_share"] == 0.0 for r in rows)
