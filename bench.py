@@ -317,6 +317,9 @@ HEADLINE = [
     "rel_prospect_balance",
     "rel_waiting_suppliers",
     "emb_top_eigen",
+    "events_seasonal_outliers",
+    "lake_overlap_depth",
+    "emb_jl_distortion",
 ]
 
 

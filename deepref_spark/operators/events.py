@@ -1864,3 +1864,54 @@ def power_mde(events: DataFrame, convert_type: str = "purchase",
             f"2.801585 * sqrt({p} * (1 - {p})"
             " * (1.0 / n0 + 1.0 / n1)) * 1000000"), 6).alias("mde_ppm"),
     )
+
+
+def seasonal_outliers(events: DataFrame, season_hours: int = 24,
+                      k_med: int = 3) -> DataFrame:
+    """Seasonal-residual outlier screen per event type: remove the
+    dominant daily cycle with the seasonal-naive predictor
+    (forecast_baseline's lag-``season_hours`` rule over
+    gap_fill_locf's COMPLETE hourly spine), then flag hours whose
+    |residual| exceeds k x the exact per-type median absolute
+    residual — the S-H-ESD shape on the integer grid: seasonality out
+    first, a robust scale second, so a real spike neither hides
+    behind the daily cycle (rate_anomaly's trailing mean) nor
+    inflates its own threshold (anomaly_mad's raw-count MAD). A zero
+    median tightens the band to greatest(1, med) so a flat series
+    still flags any deviation.
+
+    Scale shape: the lag window and the median pass both run over the
+    types x hours spine (independent of event volume); one histogram
+    inverted-CDF median, one grouped rollup; worst hour = the
+    EARLIEST of the max-|residual| hours (deterministic tie-break)."""
+    g = gap_fill_locf(events)
+    w = Window.partitionBy("event_type").orderBy("hour")
+    scored = (
+        g.select("event_type", "hour", "n",
+                 F.lag("n", int(season_hours)).over(w).alias("fc"))
+        .where(F.col("fc").isNotNull())
+        .withColumn("resid", (F.col("n") - F.col("fc")).cast("long"))
+        .withColumn("ad", F.abs(F.col("n") - F.col("fc")).cast("long"))
+        .localCheckpoint(eager=False)  # feeds the median pass AND rollups
+    )
+    med = _typed_median(scored, "event_type", "ad", "med_abs_resid")
+    j = scored.join(med, "event_type")
+    mx = (scored.groupBy("event_type")
+          .agg(F.max("ad").cast("long").alias("max_abs_resid")))
+    worst_hour = (
+        scored.join(mx, "event_type")
+        .where(F.col("ad") == F.col("max_abs_resid"))
+        .groupBy("event_type")
+        .agg(F.min("hour").alias("worst_hour"))
+    )
+    flag = (F.col("ad")
+            > int(k_med) * F.greatest(F.lit(1), F.col("med_abs_resid")))
+    return (
+        j.groupBy("event_type", "med_abs_resid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+             F.sum(flag.cast("int")).cast("long").alias("n_outliers"),
+             F.max("ad").cast("long").alias("max_abs_resid"))
+        .join(worst_hour, "event_type")
+        .select("event_type", "n_scored", "med_abs_resid", "n_outliers",
+                "max_abs_resid", "worst_hour")
+    )

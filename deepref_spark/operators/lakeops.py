@@ -533,3 +533,54 @@ def wap_gate(orders: DataFrame, cutoff: str = "1999-01-01",
     return one.select(F.expr(stack)).select(
         "check_name", "value", "threshold",
         F.expr("CAST(value <= threshold AS INT)").alias("pass_flag"))
+
+
+def overlap_depth(events: DataFrame, writers: int = 4) -> DataFrame:
+    """Clustering-health metric for data skipping: per partition, the
+    maximum number of files whose [min_ts, max_ts] second-ranges
+    overlap — Delta/Iceberg's OPTIMIZE-worthiness readout (a perfectly
+    clustered partition has depth 1: every point query prunes to one
+    file; depth ~= n_files means min/max skipping prunes nothing).
+    The file listing stand-in is one 'file' per (event_type partition,
+    user_id % writers) — the concurrent-writer shape whose time ranges
+    genuinely interleave, unlike day-grain files which are disjoint by
+    construction.
+
+    Sweep-line without a self-join: +1 at each file's start second,
+    -1 at end+1, one RANGE-frame running sum over boundary positions
+    (ties collapse into a single frame step, so the depth at a tied
+    position is frame-deterministic in any engine), one max per
+    partition. Manifest-sized work throughout — the only stream-sized
+    pass is the per-file min/max grouped agg (map-side combined)."""
+    files = (
+        events.groupBy(F.col("event_type").alias("partition_key"),
+                       (F.col("user_id") % int(writers)).alias("fid"))
+        # timestamp->long truncates to whole seconds (the oracle
+        # mirrors with floor(epoch(ts)) — the events_bounce lesson);
+        # the inner CAST AS TIMESTAMP bridges NTZ-typed parquet
+        .agg(F.expr("min(CAST(CAST(ts AS TIMESTAMP) AS LONG))")
+             .cast("long").alias("lo"),
+             F.expr("max(CAST(CAST(ts AS TIMESTAMP) AS LONG))")
+             .cast("long").alias("hi"))
+        .localCheckpoint(eager=False)  # feeds bounds AND the file count
+    )
+    bounds = (
+        files.select("partition_key", F.col("lo").alias("pos"),
+                     F.lit(1).alias("delta"))
+        .union(files.select("partition_key",
+                            (F.col("hi") + 1).alias("pos"),
+                            F.lit(-1).alias("delta")))
+    )
+    w = (Window.partitionBy("partition_key").orderBy("pos")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    depth = bounds.select(
+        "partition_key",
+        F.sum("delta").over(w).cast("long").alias("depth"))
+    nf = files.groupBy("partition_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"))
+    return (
+        depth.groupBy("partition_key")
+        .agg(F.max("depth").cast("long").alias("max_depth"))
+        .join(nf, "partition_key")
+        .select("partition_key", "n_files", "max_depth")
+    )

@@ -1789,3 +1789,83 @@ def top_eigen(embeddings: DataFrame, iters: int = 8) -> DataFrame:
             "CASE WHEN rd = 0 OR trace = 0 THEN CAST(0.0 AS DOUBLE)"
             " ELSE CAST(rn AS DOUBLE) / rd / 1000.0 / CAST(trace AS DOUBLE)"
             " END"), 6).alias("eig_share"))
+
+
+def rademacher_planes(dim: int, n_planes: int = 16, seed: int = 7):
+    """Seeded ±1 (Rademacher) projection rows — Achlioptas 2001's
+    database-friendly Johnson–Lindenstrauss family: integer entries,
+    so projections of grid-snapped vectors stay EXACT BIGINTs and the
+    identical literals embed in a SQL oracle."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return np.where(rs.random_sample((n_planes, dim)) < 0.5, -1, 1)
+
+
+def int_plane_sql(plane, d: str = "spark") -> str:
+    """±1 plane as a BIGINT array literal for either engine."""
+    if d == "spark":
+        return "array(" + ", ".join(f"{int(v)}L" for v in plane.tolist()) + ")"
+    return "[" + ", ".join(str(int(v)) for v in plane.tolist()) + "]"
+
+
+def jl_distortion(embeddings: DataFrame, dim: int | None = None,
+                  n_proj: int = 16, sample_n: int = 32,
+                  seed: int = 7) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: how faithfully a
+    ``n_proj``-dim Rademacher projection preserves pairwise squared
+    distances — the go/no-go measurement before swapping a reduced
+    width into an ANN lane (E[proj_dist² / n_proj] = dist² for ±1
+    planes). Entirely on the integer grid: 1e-3 u-vectors, ±1 plane
+    literals in the plan, both distances exact BIGINT sums, the
+    per-pair fidelity one BIGINT DIV on the ppm grid (1e6 = perfect).
+
+    Contract: the audited pairs come from an md5-ordered TakeOrdered
+    sample (``sample_n`` vectors, all pairs within — bounded,
+    distribution-blind, the IVF sample discipline); projection runs
+    on the sample only, because the audit is the product, not the
+    projected corpus. Identical-vector pairs (d² = 0) pin to the
+    perfect 1e6 rather than dividing by zero."""
+    planes = rademacher_planes(
+        int(dim) if dim else _infer_dim(embeddings), n_proj, seed)
+    grid = ("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")
+    proj = ", ".join(
+        f"aggregate(zip_with(va, {int_plane_sql(p)}, (x, s) -> x * s),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        for p in planes)
+    s = (embeddings
+         .select("vec_id", F.expr(grid).alias("va"),
+                 F.expr("md5(CAST(vec_id AS STRING))").alias("mk"))
+         .orderBy("mk")
+         .limit(int(sample_n))
+         .select("vec_id", "va", F.expr(f"array({proj})").alias("y")))
+    a = s.select(F.col("vec_id").alias("vec_a"), F.col("va").alias("va_a"),
+                 F.col("y").alias("y_a"))
+    b = s.select(F.col("vec_id").alias("vec_b"), F.col("va").alias("va_b"),
+                 F.col("y").alias("y_b"))
+    scored = (
+        F.broadcast(a).crossJoin(F.broadcast(b))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.expr("aggregate(zip_with(va_a, va_b,"
+                   " (x, y) -> (x - y) * (x - y)),"
+                   " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .alias("d2_grid"),
+            F.expr("aggregate(zip_with(y_a, y_b,"
+                   " (x, y) -> (x - y) * (x - y)),"
+                   " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+            .alias("pj2_grid"))
+    )
+    return scored.select(
+        "vec_a", "vec_b", "d2_grid", "pj2_grid",
+        F.expr(f"CASE WHEN d2_grid = 0 THEN CAST(1000000 AS BIGINT)"
+               f" ELSE pj2_grid * 1000000 DIV ({int(n_proj)} * d2_grid)"
+               f" END").cast("long").alias("ratio_ppm"))
+
+
+def _infer_dim(embeddings: DataFrame) -> int:
+    """Embedding width from the first row — driver-side, one row."""
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    return int(row["d"]) if row else 0

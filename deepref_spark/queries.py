@@ -12707,6 +12707,154 @@ def emb_top_eigen(spark, sf_dir):
     return top_eigen(load_table(spark, sf_dir, "embeddings"), iters=8)
 
 
+@q("events_seasonal_outliers", f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+filled AS (
+  SELECT s.event_type, s.h, coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+),
+sc AS (
+  SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+         lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS fc
+  FROM filled
+),
+scored AS (
+  SELECT event_type, hour, CAST(abs(n - fc) AS BIGINT) AS ad
+  FROM sc WHERE fc IS NOT NULL
+),{_median_ctes('r', 'scored', 'event_type', 'ad')},
+mx AS (SELECT event_type, CAST(max(ad) AS BIGINT) AS max_abs_resid
+       FROM scored GROUP BY 1),
+wh AS (SELECT s.event_type, min(s.hour) AS worst_hour
+       FROM scored s JOIN mx USING (event_type)
+       WHERE s.ad = mx.max_abs_resid GROUP BY 1)
+SELECT s.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+       rm.med AS med_abs_resid,
+       CAST(sum(CASE WHEN s.ad > 3 * greatest(1, rm.med)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       mx.max_abs_resid, wh.worst_hour
+FROM scored s
+JOIN rm USING (event_type)
+JOIN mx USING (event_type)
+JOIN wh USING (event_type)
+GROUP BY 1, 3, 5, 6
+""")
+def events_seasonal_outliers(spark, sf_dir):
+    """Seasonal-residual outlier screen (events.seasonal_outliers):
+    seasonal-naive lag-24 residuals over the gap-filled hourly spine,
+    per-type exact median-|residual| scale, breach count at 3x the
+    (floor-1) scale, max residual and its earliest hour — the S-H-ESD
+    shape: seasonality removed BEFORE the robust threshold, closing
+    the gap between rate_anomaly (trailing mean) and anomaly_mad
+    (raw-count MAD). Spine-sized windows and one histogram median."""
+    from deepref_spark.operators.events import seasonal_outliers
+
+    return seasonal_outliers(load_table(spark, sf_dir, "events"))
+
+
+@q("lake_overlap_depth", """
+WITH files AS (
+  SELECT event_type AS partition_key, user_id % 4 AS fid,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS lo,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS hi
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT partition_key, lo AS pos, 1 AS delta FROM files
+  UNION ALL
+  SELECT partition_key, hi + 1 AS pos, -1 AS delta FROM files
+),
+d AS (
+  SELECT partition_key,
+         CAST(sum(delta) OVER (PARTITION BY partition_key ORDER BY pos
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS depth
+  FROM bounds
+),
+nf AS (SELECT partition_key, CAST(count(*) AS BIGINT) AS n_files
+       FROM files GROUP BY 1)
+SELECT nf.partition_key, nf.n_files,
+       CAST(max(d.depth) AS BIGINT) AS max_depth
+FROM d JOIN nf USING (partition_key)
+GROUP BY 1, 2
+""")
+def lake_overlap_depth(spark, sf_dir):
+    """File-range overlap depth (lakeops.overlap_depth): per
+    partition, the maximum number of concurrently-overlapping file
+    [min_ts, max_ts] ranges under the concurrent-writer file listing
+    (user_id % 4) — Delta/Iceberg's OPTIMIZE-worthiness readout
+    (depth 1 = perfect clustering, depth ~ n_files = min/max skipping
+    prunes nothing). Sweep-line +1/-1 boundaries with a RANGE-frame
+    running sum (tie-deterministic), no self-join."""
+    from deepref_spark.operators.lakeops import overlap_depth
+
+    return overlap_depth(load_table(spark, sf_dir, "events"), writers=4)
+
+
+def _jl_oracle(n_proj: int = 16, sample_n: int = 32) -> str:
+    from deepref_spark.operators.similarity import (
+        int_plane_sql, rademacher_planes,
+    )
+
+    planes = rademacher_planes(64, n_proj, seed=7)
+    proj = ", ".join(
+        f"list_sum(list_transform(range(1, 65),"
+        f" i -> va[i] * ({int_plane_sql(p, DUCK)})[i]))"
+        for p in planes)
+    return f"""
+WITH s0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * 1000 + 0.5) AS BIGINT)) AS va,
+         md5(CAST(vec_id AS VARCHAR)) AS mk
+  FROM embeddings ORDER BY mk LIMIT {sample_n}
+),
+s AS MATERIALIZED (
+  SELECT vec_id, va, list_transform([{proj}], z -> CAST(z AS BIGINT)) AS y
+  FROM s0
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (a.va[i] - b.va[i]) * (a.va[i] - b.va[i]))) AS BIGINT)
+           AS d2_grid,
+         CAST(list_sum(list_transform(range(1, {n_proj + 1}),
+           i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))) AS BIGINT)
+           AS pj2_grid
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, d2_grid, pj2_grid,
+       CASE WHEN d2_grid = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(pj2_grid * 1000000 // ({n_proj} * d2_grid) AS BIGINT)
+            END AS ratio_ppm
+FROM scored
+"""
+
+
+@q("emb_jl_distortion", _jl_oracle())
+def emb_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss distortion audit
+    (similarity.jl_distortion): pairwise squared-distance fidelity of
+    a 16-dim Rademacher (±1) projection over an md5-ordered 32-vector
+    sample — the go/no-go measurement before an ANN lane adopts a
+    reduced width. ±1 plane literals in the plan, both distances
+    exact BIGINT sums on the 1e-3 grid, fidelity one BIGINT DIV on
+    the ppm grid (1e6 = perfect; Achlioptas 2001)."""
+    from deepref_spark.operators.similarity import jl_distortion
+
+    return jl_distortion(load_table(spark, sf_dir, "embeddings"),
+                         dim=64, n_proj=16, sample_n=32, seed=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13551,6 +13699,21 @@ _WINDOW_TAIL = [
     # goldens and the behavioral lane keeps acf + props_rollup + srm +
     # cuped + basket_lift + burn_rate + benford + power_mde in-window.
     "emb_cov_topk", "rel_volume_shipping", "events_concurrency",
+    # (parked r5cn, making room for events_seasonal_outliers +
+    # lake_overlap_depth + emb_jl_distortion): events_acf parks — new
+    # in-window events_seasonal_outliers derives the IDENTICAL
+    # gap-filled hourly spine (the same generate_series + left-join
+    # CTE text) under the driver hash gate every sweep, and the
+    # lag-product ACF formula keeps its hand-derived pytest goldens;
+    # events_props_rollup parks — the JSON-props parse rollup keeps
+    # its exact pytest goldens and the behavioral lane keeps srm +
+    # cuped + basket_lift + burn_rate + benford + power_mde +
+    # seasonal_outliers in-window; kg_rich_club parks — the
+    # degree-ranked density profile keeps its hand goldens and the
+    # graph lane keeps centralization + reciprocity + triad_census +
+    # scc_condensation + transitive_reduction in-window over the same
+    # edges derivation.
+    "events_acf", "events_props_rollup", "kg_rich_club",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",

@@ -194,3 +194,80 @@ def test_top_eigen_degenerate_orthogonal_start_is_zero_not_nan(spark):
     rows = top_eigen(emb, iters=8).collect()
     assert all(r["component_micro"] == 0 for r in rows)
     assert all(r["eig"] == 0.0 and r["eig_share"] == 0.0 for r in rows)
+
+
+# --- seasonal_outliers ---------------------------------------------------------
+
+def test_seasonal_outliers_planted_spike(spark):
+    # one event per hour for 48 hours, except hour 30 carries 5 events:
+    # residuals vs lag-24 are all 0 except +4 at hour 30; the median
+    # |residual| is 0, the floor-1 band makes the threshold 3, and the
+    # single spike flags.
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 5 if h == 30 else 1
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{1 + h // 24} "
+                              f"{h % 24:02d}:00:00", 1, "c", 1.0))
+    ev = (spark.createDataFrame(
+        rows, schema="event_id long, ts string, user_id long, "
+                     "event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    from deepref_spark.operators.events import seasonal_outliers
+    out = seasonal_outliers(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_scored"], r["med_abs_resid"], r["n_outliers"],
+            r["max_abs_resid"]) == (24, 0, 1, 4)
+    assert r["worst_hour"] == "2024-01-02 06:00:00"
+
+
+# --- overlap_depth -------------------------------------------------------------
+
+def test_overlap_depth_sweep_line(spark):
+    # 4 writer-files: [0,10], [5,20], [15,30] chain-overlap pairwise
+    # (max simultaneous = 2); [100,110] is disjoint.
+    base = "2024-01-01 00:00:"
+    def t(s):
+        return f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}"
+    rows = [(1, t(0), 0, "t", 1.0), (2, t(10), 0, "t", 1.0),
+            (3, t(5), 1, "t", 1.0), (4, t(20), 1, "t", 1.0),
+            (5, t(15), 2, "t", 1.0), (6, t(30), 2, "t", 1.0),
+            (7, t(100), 3, "t", 1.0), (8, t(110), 3, "t", 1.0)]
+    ev = (spark.createDataFrame(
+        rows, schema="event_id long, ts string, user_id long, "
+                     "event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    from deepref_spark.operators.lakeops import overlap_depth
+    out = overlap_depth(ev, writers=4).collect()
+    assert [(r["partition_key"], r["n_files"], r["max_depth"])
+            for r in out] == [("t", 4, 2)]
+
+
+# --- jl_distortion -------------------------------------------------------------
+
+def test_jl_distortion_exact_grids_and_dup_guard(spark):
+    # dim=4, n_proj=2, seed=7 -> planes [[-1,1,-1,1],[1,1,1,-1]]
+    # (pinned by rademacher_planes' seeded PRNG).
+    from deepref_spark.operators.similarity import (
+        jl_distortion, rademacher_planes)
+    assert rademacher_planes(4, 2, 7).tolist() == [[-1, 1, -1, 1],
+                                                   [1, 1, 1, -1]]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0, 0.0])],  # vec 2 duplicates vec 0
+        schema="vec_id long, embedding array<float>")
+    out = {(r["vec_a"], r["vec_b"]): r.asDict()
+           for r in jl_distortion(emb, dim=4, n_proj=2,
+                                  sample_n=8, seed=7).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    # projections: v0 -> (-1000, 1000), v1 -> (1000, 1000)
+    assert out[(0, 1)]["d2_grid"] == 2_000_000
+    assert out[(0, 1)]["pj2_grid"] == 4_000_000
+    assert out[(0, 1)]["ratio_ppm"] == 1_000_000
+    # identical vectors: zero distance pins to the perfect ratio
+    assert out[(0, 2)]["d2_grid"] == 0
+    assert out[(0, 2)]["pj2_grid"] == 0
+    assert out[(0, 2)]["ratio_ppm"] == 1_000_000
