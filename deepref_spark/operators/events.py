@@ -1915,3 +1915,50 @@ def seasonal_outliers(events: DataFrame, season_hours: int = 24,
         .select("event_type", "n_scored", "med_abs_resid", "n_outliers",
                 "max_abs_resid", "worst_hour")
     )
+
+
+def trend_mk(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test per event type over daily counts — the
+    non-parametric "is this series drifting?" readout that completes
+    the monitoring shelf (cusum: level SHIFT, seasonal_outliers:
+    single-hour SPIKES, this: monotone DRIFT): S = sum over day pairs
+    i<j of sign(x_j − x_i), Kendall tau on the exact milli grid, and
+    the two-sided z≈1.96 significance flag as a pure integer
+    cross-product (18 * S² * 10⁴ > 38416 * n(n−1)(2n+5) — the
+    no-ties variance, the standard conservative simplification: ties
+    only shrink the true variance, so a flagged trend stays flagged).
+
+    Scale shape: the day-pair self-join is bounded by days² per type
+    (calendar-sized, independent of event volume — a decade is <2⁷⁰⁰⁰²
+    pairs); the only stream-sized pass is the daily grouped count,
+    map-side combined."""
+    daily = (
+        events.groupBy("event_type",
+                       F.expr("CAST(ts AS DATE)").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds the pair join AND n_days
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("x").alias("x1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("x").alias("x2"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("CAST(sign(x2 - x1) AS BIGINT)")).cast("long")
+             .alias("s_stat"),
+             F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        s.join(nd, "event_type")
+        .select(
+            "event_type", "n_days", "n_pairs", "s_stat",
+            F.expr("s_stat * 1000 DIV n_pairs").cast("long")
+            .alias("tau_milli"),
+            F.expr("CAST(18 * s_stat * s_stat * 10000 >"
+                   " 38416 * n_days * (n_days - 1) * (2 * n_days + 5)"
+                   " AS INT)").alias("trend_flag"))
+    )

@@ -1869,3 +1869,48 @@ def _infer_dim(embeddings: DataFrame) -> int:
     """Embedding width from the first row — driver-side, one row."""
     row = embeddings.select(F.size("embedding").alias("d")).first()
     return int(row["d"]) if row else 0
+
+
+def label_reliability(embeddings: DataFrame, sample_n: int = 32) -> DataFrame:
+    """Cosine-to-same-label reliability curve — the metric-learning
+    health readout ("does higher cosine actually mean same class?")
+    behind every ANN-powered labeling or semi-supervised lane: bin
+    pairwise cosines (rounded 4dp, the LSH ranking discipline) into
+    ten width-0.2 buckets over [-1, 1] (cos = 1.0 clamps into the top
+    bucket) and report the pair count and exact same-label rate (ppm)
+    per bucket.
+
+    Contract: pairs come from an md5-ordered TakeOrdered sample
+    (bounded, distribution-blind — the jl_distortion discipline); the
+    curve is the product, not the pairing, so the quadratic stays on
+    sample_n² / 2 rows."""
+    s = (embeddings
+         .select("vec_id", "embedding", "label",
+                 F.expr("md5(CAST(vec_id AS STRING))").alias("mk"))
+         .orderBy("mk")
+         .limit(int(sample_n))
+         .select("vec_id", "embedding", "label",
+                 _norm_col("embedding").alias("nrm")))
+    a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                 F.col("label").alias("la"), F.col("nrm").alias("na"))
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                 F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    pairs = (
+        F.broadcast(a).crossJoin(F.broadcast(b))
+        .where(F.col("va") < F.col("vb"))
+        .select(
+            F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+            .alias("cosine"),
+            (F.col("la") == F.col("lb")).cast("int").alias("same"))
+    )
+    return (
+        pairs
+        .select(F.expr("CAST(least(9, floor((cosine + 1.0) / 0.2)) AS BIGINT)")
+                .alias("bucket"), "same")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.sum("same").cast("long").alias("n_same"))
+        .select("bucket", "n_pairs", "n_same",
+                F.expr("n_same * 1000000 DIV n_pairs").cast("long")
+                .alias("same_ppm"))
+    )

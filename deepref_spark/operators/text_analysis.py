@@ -2303,3 +2303,53 @@ def collocations(documents: DataFrame, k: int = 20,
         .select("w1", "w2", "c12", "c1", "c2", "pmi_x1e6",
                 F.round(F.col("pmi_x1e6") / 1e6, 6).alias("pmi"))
     )
+
+
+def source_overlap(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-source n-gram overlap matrix: per unordered source pair,
+    the count of shared DISTINCT n-gram hashes and the exact Jaccard
+    on the ppm grid — the contamination / licensing diagnostic ("how
+    much of source B already lives in source A?") a mixing plan runs
+    before trusting its source labels, and the corpus-level
+    counterpart of the per-doc contamination screen.
+
+    Scale shape: tokens STAGED as a column before the gram lambda
+    (the re-evaluation trap), grams hashed onto the 30-bit grid, then
+    ONE distinct over (source, gram) — the shuffle currency is
+    distinct grams, not occurrences; the pair join is keyed on the
+    gram hash, whose fan-out is bounded by sources² per gram (the
+    source vocabulary is small by contract); per-source gram counts
+    ride as broadcasts. Pairs sharing zero grams don't appear."""
+    staged = documents.select(
+        "source", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
+    ).localCheckpoint(eager=False)  # barrier: tokenize once per doc
+    gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')",
+                                 1 << 30)
+    grams = (f"CASE WHEN size(t) >= {n} THEN "
+             f"transform(sequence(1, size(t) - {n - 1}), i -> {gram_hash}) "
+             f"ELSE array() END")
+    sg = (
+        staged.select("source", F.explode(F.expr(grams)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes AND the pair join
+    )
+    sizes = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    common = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                          .withColumnRenamed("n_grams", "n_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                          .withColumnRenamed("n_grams", "n_b")), "src_b")
+        .select("src_a", "src_b", "n_common", "n_a", "n_b",
+                F.expr("n_common * 1000000 DIV (n_a + n_b - n_common)")
+                .cast("long").alias("jaccard_ppm"))
+    )

@@ -12855,6 +12855,119 @@ def emb_jl_distortion(spark, sf_dir):
                          dim=64, n_proj=16, sample_n=32, seed=7)
 
 
+@q("events_trend_mk", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY 1
+),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY 1)
+SELECT s.event_type, nd.n_days, s.n_pairs, s.s_stat,
+       CAST(s.s_stat * 1000 // s.n_pairs AS BIGINT) AS tau_milli,
+       CAST(18 * s.s_stat * s.s_stat * 10000 >
+            38416 * nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+            AS INT) AS trend_flag
+FROM s JOIN nd USING (event_type)
+""")
+def events_trend_mk(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per event type
+    (events.trend_mk): S = sum of sign(x_j - x_i) over day pairs,
+    Kendall tau on the exact milli grid, and the z~1.96 two-sided
+    significance flag as a pure integer cross-product against the
+    no-ties variance (conservative: ties only shrink it). Completes
+    the drift/shift/spike monitoring shelf next to events_cusum and
+    events_seasonal_outliers. The day-pair join is calendar-sized;
+    the only stream-sized pass is the daily grouped count."""
+    from deepref_spark.operators.events import trend_mk
+
+    return trend_mk(load_table(spark, sf_dir, "events"))
+
+
+def _source_overlap_oracle(n: int = 5) -> str:
+    gram = ("array_to_string(list_slice(t, CAST(i AS INT),"
+            f" CAST(i + {n - 1} AS INT)), ' ')")
+    h = md5_mod(gram, 1 << 30)
+    return f"""
+WITH toks AS (SELECT source, {_TOKS_DUCK} AS t FROM documents),
+sg AS (
+  SELECT DISTINCT source, {h} AS g
+  FROM (SELECT source, t, unnest(range(1, len(t) - {n - 2})) AS i
+        FROM toks WHERE len(t) >= {n})
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+          FROM sg GROUP BY 1),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b, c.n_common,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       CAST(c.n_common * 1000000 // (sa.n_grams + sb.n_grams - c.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM common c
+JOIN sizes sa ON c.src_a = sa.source
+JOIN sizes sb ON c.src_b = sb.source
+"""
+
+
+@q("text_source_overlap", _source_overlap_oracle())
+def text_source_overlap(spark, sf_dir):
+    """Cross-source 5-gram overlap matrix (text_analysis.
+    source_overlap): shared distinct-gram counts and exact ppm-grid
+    Jaccard per unordered source pair — the corpus-level
+    contamination/licensing diagnostic a mixing plan runs before
+    trusting its source labels. Tokens staged out of the gram lambda,
+    grams hashed to the 30-bit grid, ONE distinct over (source,
+    gram); the pair join fans out by sources-per-gram only."""
+    from deepref_spark.operators.text_analysis import source_overlap
+
+    return source_overlap(documents(spark, sf_dir), n=5)
+
+
+@q("emb_label_reliability", """
+WITH s AS (
+  SELECT vec_id, embedding, label,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm
+  FROM (SELECT vec_id, embedding, label,
+               md5(CAST(vec_id AS VARCHAR)) AS mk
+        FROM embeddings ORDER BY mk LIMIT 32)
+),
+pairs AS (
+  SELECT round(list_dot_product(a.embedding, b.embedding)
+               / (a.nrm * b.nrm), 4) AS cosine,
+         CAST(a.label = b.label AS INT) AS same
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT CAST(least(9, floor((cosine + 1.0) / 0.2)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(same) AS BIGINT) AS n_same,
+       CAST(sum(same) * 1000000 // count(*) AS BIGINT) AS same_ppm
+FROM pairs GROUP BY 1
+""")
+def emb_label_reliability(spark, sf_dir):
+    """Cosine-to-same-label reliability curve
+    (similarity.label_reliability): pairwise cosines over the
+    md5-ordered 32-vector sample binned into ten width-0.2 buckets,
+    with the exact same-label rate (ppm grid) per bucket — the
+    metric-learning health readout behind every ANN-labeling lane.
+    Cosines rounded to the 4dp grid before bucketing (the
+    emb_knn_purity discipline), so both engines bin identically."""
+    from deepref_spark.operators.similarity import label_reliability
+
+    return label_reliability(load_table(spark, sf_dir, "embeddings"),
+                             sample_n=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
