@@ -320,6 +320,16 @@ HEADLINE = [
     "events_seasonal_outliers",
     "lake_overlap_depth",
     "emb_jl_distortion",
+    # twenty-first-sitting additions: Mann-Kendall trend test,
+    # cross-source n-gram overlap, label-reliability curve
+    "events_trend_mk",
+    "text_source_overlap",
+    "emb_label_reliability",
+    # twenty-second-sitting additions: Pareto revenue concentration,
+    # TPC-H Q11/Q12 shapes
+    "events_pareto",
+    "rel_important_parts",
+    "rel_shipping_delay",
 ]
 
 

@@ -1962,3 +1962,57 @@ def trend_mk(events: DataFrame) -> DataFrame:
                    " 38416 * n_days * (n_days - 1) * (2 * n_days + 5)"
                    " AS INT)").alias("trend_flag"))
     )
+
+
+def pareto_share(events: DataFrame) -> DataFrame:
+    """Revenue-concentration (Pareto) readout per event type: rank
+    users by total value descending and report how many users it
+    takes to reach 50% and 80% of the type's value, plus the value
+    share held by the top decile of users — the "whales" diagnostic
+    behind every monetization or abuse-concentration review.
+
+    Determinism: value quantized to cents up front, ranks on the
+    unique (cents DESC, user_id) order, thresholds as pure integer
+    cross-products (cum*2 >= total etc.), decile size = ceil(n/10) in
+    integer math. Scale shape: the stream-sized pass is the per-
+    (type,user) grouped sum (map-side combined); the ranking window
+    runs per type over USER rows only. A type with hundreds of
+    millions of users makes that window's sort the cost — at that
+    scale swap the exact rank for the histogram-quantile sketch the
+    lake lane uses; the thresholds here are the exact contract."""
+    per_user = (
+        events
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+             .cast("long").alias("cents"))
+    )
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("cents").desc(), F.col("user_id").asc()))
+    wall = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        ranked
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.max("tot").cast("long").alias("total_cents"),
+            F.min(F.expr("CASE WHEN cum * 2 >= tot THEN rk END"))
+            .cast("long").alias("n50_users"),
+            F.min(F.expr("CASE WHEN cum * 5 >= tot * 4 THEN rk END"))
+            .cast("long").alias("n80_users"),
+            F.sum(F.expr("CASE WHEN rk * 10 <= n + 9 THEN cents"
+                         " ELSE 0 END")).cast("long").alias("decile_cents"),
+        )
+        .select(
+            "event_type", "n_users", "total_cents", "n50_users",
+            "n80_users",
+            F.expr("decile_cents * 1000000 DIV total_cents").cast("long")
+            .alias("top_decile_ppm"))
+    )

@@ -705,3 +705,73 @@ def waiting_suppliers(supplier: DataFrame, orders: DataFrame,
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(k)
     )
+
+
+def important_parts(part: DataFrame, lineitem: DataFrame,
+                    threshold_bp: int = 15) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table in this corpus —
+    part "value" is its discounted lineitem revenue): parts whose
+    revenue exceeds ``threshold_bp`` basis points of GLOBAL revenue —
+    the group-HAVING-against-a-scalar-subquery pattern, the one
+    warehouse shape the lane was still missing.
+
+    Scale shape: per-part revenue is ONE map-side-combined BIGINT sum
+    over lineitem; the global total is a 1-row aggregate of the SAME
+    per-part table (no second corpus scan) carried by broadcast
+    cross-join into the filter; the part dim joins broadcast. All
+    arithmetic on the e4 grid, share as integer-division ppm."""
+    per_part = (
+        lineitem
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_rev_e4()).cast("long").alias("value_e4"))
+        .localCheckpoint(eager=False)  # feeds the total AND the filter
+    )
+    total = per_part.agg(
+        F.sum("value_e4").cast("long").alias("total_e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.expr(f"value_e4 * 10000 > total_e4 * {int(threshold_bp)}"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), "p_partkey")
+        .select(
+            "p_partkey", "p_brand", "value_e4",
+            F.expr("value_e4 * 1000000 DIV total_e4").cast("long")
+            .alias("share_ppm"))
+    )
+
+
+def shipping_delay(orders: DataFrame, lineitem: DataFrame,
+                   bucket_days: int = 30) -> DataFrame:
+    """TPC-H Q12 shape (adapted: this corpus has no commit/receipt
+    dates or ship modes, so the lateness dimension is the order-to-
+    ship delay bucketed in ``bucket_days`` steps, capped at bucket 3 =
+    "> 3 buckets"): per delay bucket, the conditional census of
+    URGENT/HIGH-priority lines vs the rest — Q12's exact
+    CASE-sum-after-fact-fact-join pattern.
+
+    Scale shape: ONE orderkey-shuffled join between the two fact
+    tables (only o_orderpriority + o_orderdate carried from orders;
+    AQE picks the join strategy), then a 4-row grouped aggregate of
+    BIGINT conditional counts — map-side combined, order-independent.
+    Delay arithmetic is day-exact integer math (datediff, floor-div),
+    never float."""
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_orderpriority", "o_orderdate"),
+        "l_orderkey")
+    bucket = F.expr(
+        "CAST(least(CAST(greatest(datediff(l_shipdate, o_orderdate), 0)"
+        f" AS BIGINT) DIV {int(bucket_days)}, 3) AS BIGINT)")
+    urgent = F.expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                    " AS BIGINT)")
+    return (
+        j.select(bucket.alias("delay_bucket"), urgent.alias("u"))
+        .groupBy("delay_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+             F.sum("u").cast("long").alias("n_urgent"))
+        .select(
+            "delay_bucket", "n_lines", "n_urgent",
+            (F.col("n_lines") - F.col("n_urgent")).cast("long")
+            .alias("n_other"),
+            F.expr("n_urgent * 1000000 DIV n_lines").cast("long")
+            .alias("urgent_ppm"))
+    )

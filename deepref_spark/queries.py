@@ -12968,6 +12968,107 @@ def emb_label_reliability(spark, sf_dir):
                              sample_n=32)
 
 
+@q("events_pareto", """
+WITH pu AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, user_id ASC) AS rk,
+         sum(cents) OVER (PARTITION BY event_type
+                          ORDER BY cents DESC, user_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cents) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pu
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(tot) AS BIGINT) AS total_cents,
+       CAST(min(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT)
+         AS n50_users,
+       CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT)
+         AS n80_users,
+       CAST(sum(CASE WHEN rk * 10 <= n + 9 THEN cents ELSE 0 END)
+            * 1000000 // max(tot) AS BIGINT) AS top_decile_ppm
+FROM r GROUP BY 1
+""")
+def events_pareto(spark, sf_dir):
+    """Revenue-concentration Pareto readout (events.pareto_share):
+    per event type, the user counts needed to reach 50% / 80% of
+    total value and the top-decile value share — the whales
+    diagnostic. Cents-grid sums, unique (cents DESC, user_id) rank
+    order, thresholds as integer cross-products, decile membership as
+    10*rk <= n+9 (= rk <= ceil(n/10)) — both engines replay the
+    identical integer arithmetic."""
+    from deepref_spark.operators.events import pareto_share
+
+    return pareto_share(load_table(spark, sf_dir, "events"))
+
+
+@q("rel_important_parts", """
+WITH pp AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS value_e4
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM pp)
+SELECT pp.p_partkey, p.p_brand, pp.value_e4,
+       CAST(pp.value_e4 * 1000000 // t.total_e4 AS BIGINT) AS share_ppm
+FROM pp CROSS JOIN t JOIN part p ON pp.p_partkey = p.p_partkey
+WHERE pp.value_e4 * 10000 > t.total_e4 * 15
+""")
+def rel_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (relational.important_parts): parts whose
+    discounted revenue exceeds 15 basis points of GLOBAL revenue —
+    the group-HAVING-vs-scalar-subquery pattern. Per-part revenue is
+    ONE map-side-combined e4-grid sum over lineitem, reused (via a
+    lazy localCheckpoint) for both the 1-row global total (broadcast
+    back as a cross join) and the filter; the part dim joins
+    broadcast; share as integer-division ppm."""
+    from deepref_spark.operators.relational import important_parts
+
+    return important_parts(load_table(spark, sf_dir, "part"),
+                           load_table(spark, sf_dir, "lineitem"),
+                           threshold_bp=15)
+
+
+@q("rel_shipping_delay", """
+WITH j AS (
+  SELECT CAST(least(CAST(greatest(date_diff('day', o_orderdate,
+                                            l_shipdate), 0)
+                    AS BIGINT) // 30, 3) AS BIGINT) AS delay_bucket,
+         CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS u
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT delay_bucket, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(u) AS BIGINT) AS n_urgent,
+       CAST(count(*) - sum(u) AS BIGINT) AS n_other,
+       CAST(sum(u) * 1000000 // count(*) AS BIGINT) AS urgent_ppm
+FROM j GROUP BY 1
+""")
+def rel_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 shape (relational.shipping_delay): URGENT/HIGH vs
+    other priority census per order-to-ship delay bucket (30-day
+    steps, capped at bucket 3) — the CASE-sum-after-fact-fact-join
+    pattern, adapted to this corpus's columns (no ship modes or
+    commit/receipt dates). One orderkey-shuffled join carrying two
+    order columns, then a 4-row grouped BIGINT aggregate; day-exact
+    integer delay math in both engines."""
+    from deepref_spark.operators.relational import shipping_delay
+
+    return shipping_delay(load_table(spark, sf_dir, "orders"),
+                          load_table(spark, sf_dir, "lineitem"),
+                          bucket_days=30)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13827,6 +13928,27 @@ _WINDOW_TAIL = [
     # scc_condensation + transitive_reduction in-window over the same
     # edges derivation.
     "events_acf", "events_props_rollup", "kg_rich_club",
+    # (parked r5co, making room for the SIX newest: events_trend_mk +
+    # text_source_overlap + emb_label_reliability [sitting 21, missed
+    # rotation last batch] + events_pareto + rel_important_parts +
+    # rel_shipping_delay): events_srm_check + events_cuped park — the
+    # experiment lane keeps power_mde + benford in-window (same exact
+    # BIGINT-count / md5-parity-arm discipline) and both keep their
+    # hand-derived pytest goldens, while the behavioral lane gains
+    # trend_mk + pareto; rel_top_supplier parks — the rel lane keeps
+    # big_orders, market_share, disjunctive_revenue, prospect_balance,
+    # waiting_suppliers in-window plus the two new Q11/Q12 shapes over
+    # the same CENTS/e4 grids; text_collocations parks — the PMI grid
+    # keeps exact pytest goldens and the text-stats lane stays
+    # represented by bigram_lm + ocr_garbage + chat_template +
+    # watermark + new source_overlap; kg_centralization parks — the
+    # graph lane keeps reciprocity + triad_census + scc_condensation +
+    # transitive_reduction in-window over the same edges derivation;
+    # emb_norm_outliers parks — the emb lane keeps pq_distortion +
+    # knn_purity + drift + top_eigen + jl_distortion + new
+    # label_reliability, and the norm-grid screen keeps pytest pins.
+    "events_srm_check", "events_cuped", "rel_top_supplier",
+    "text_collocations", "kg_centralization", "emb_norm_outliers",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
