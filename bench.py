@@ -330,6 +330,10 @@ HEADLINE = [
     "events_pareto",
     "rel_important_parts",
     "rel_shipping_delay",
+    # twenty-third-sitting additions: TPC-H Q2/Q9/Q16 shapes
+    "rel_mincost_supplier",
+    "rel_product_profit",
+    "rel_supplier_census",
 ]
 
 

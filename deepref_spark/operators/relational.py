@@ -775,3 +775,142 @@ def shipping_delay(orders: DataFrame, lineitem: DataFrame,
             F.expr("n_urgent * 1000000 DIV n_lines").cast("long")
             .alias("urgent_ppm"))
     )
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame,
+                      region: DataFrame, region_name: str = "EUROPE",
+                      max_size: int = 25) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in this corpus —
+    a supplier's "cost" for a part is the minimum unit price it ever
+    charged on a lineitem): for every qualifying part, the regional
+    supplier(s) achieving the GLOBAL minimum unit cost — the
+    correlated-min-subquery join-back pattern.
+
+    Unit price lives on the cents-per-unit grid: cents * 100 DIV
+    qty_e2 (both factors on the e2 grid; qty >= 1 so qty_e2 >= 100 and
+    the division is well-defined integer math in both engines).
+
+    Scale shape: the only corpus-sized pass is the per-(part,supp)
+    grouped MIN over lineitem (map-side combined); the per-part global
+    min is a second agg of that already-small table, joined back on
+    partkey (AQE); supplier->nation->region is one broadcast chain and
+    the part dim joins broadcast after its size filter."""
+    sup_region = (
+        supplier
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"), "n_name",
+            "n_regionkey")), "s_nationkey")
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)
+                          .select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    unit = F.expr(
+        f"{CENTS.format(c='l_extendedprice')} * 100"
+        f" DIV {CENTS.format(c='l_quantity')}")
+    qual_parts = F.broadcast(
+        part.where(F.col("p_size") <= max_size)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"))
+    per_ps = (
+        lineitem
+        .where(F.expr(f"{CENTS.format(c='l_quantity')} > 0"))
+        .join(qual_parts, "l_partkey")  # both dims pruned BEFORE the
+        .join(F.broadcast(sup_region.withColumnRenamed(
+            "s_suppkey", "l_suppkey")), "l_suppkey")  # grouped min
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_brand",
+                 "p_size", F.col("l_suppkey").alias("s_suppkey"),
+                 "s_name", "n_name")
+        .agg(F.min(unit).cast("long").alias("unit_cents"))
+    )
+    best = (per_ps.groupBy("p_partkey")
+            .agg(F.min("unit_cents").cast("long").alias("min_cents")))
+    return (
+        per_ps
+        .join(best, "p_partkey")
+        .where(F.col("unit_cents") == F.col("min_cents"))
+        .select("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+                "n_name", "min_cents")
+    )
+
+
+def product_profit(part: DataFrame, supplier: DataFrame,
+                   lineitem: DataFrame, orders: DataFrame,
+                   nation: DataFrame, type_name: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp supplycost — the cost
+    proxy is 50% of the part's retail price per unit): profit by
+    (supplier nation, order year) for one part type — the widest
+    star join in the suite (lineitem x part x supplier x nation x
+    orders) with a two-term profit expression.
+
+    Grids: revenue on e4 (cents x (100-disc)); cost on the SAME e4
+    grid as retail_cents x qty_e2 DIV 2 (cents x centi-units halved),
+    so profit is a pure BIGINT difference summed per group.
+
+    Scale shape: part (filtered to one type), supplier, and nation all
+    broadcast into the lineitem scan; the single shuffle-shuffle join
+    is lineitem x orders on orderkey (only o_orderdate carried); the
+    final rollup is a tiny (nation x year) grouped sum, map-side
+    combined."""
+    profit = F.expr(
+        f"{CENTS.format(c='l_extendedprice')}"
+        f" * (100 - {PCT.format(c='l_discount')})"
+        f" - p_retail_cents * {CENTS.format(c='l_quantity')} DIV 2")
+    p = (part.where(F.col("p_type") == type_name)
+         .select("p_partkey",
+                 F.expr(CENTS.format(c="p_retailprice"))
+                 .alias("p_retail_cents")))
+    s = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  "n_name")),
+        "s_nationkey").select("s_suppkey", "n_name")
+    return (
+        lineitem
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                            "o_orderdate"), "l_orderkey")
+        .select("n_name", F.year("o_orderdate").cast("long").alias("o_year"),
+                profit.cast("long").alias("profit_e4"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("profit_e4").cast("long").alias("sum_profit_e4"))
+    )
+
+
+def supplier_census(part: DataFrame, lineitem: DataFrame,
+                    excluded_type: str = "PROMO",
+                    complaint_pct: int = 33) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the "customer complaints" exclusion
+    list is derived from the data — suppliers whose returned-line
+    share exceeds ``complaint_pct`` percent — 33 sits at the corpus mean
+    so the census splits non-degenerately at every SF): per (p_brand, p_size),
+    how many DISTINCT non-excluded suppliers ever shipped such a part,
+    with one part type excluded outright — the
+    distinct-count-census-with-NOT-IN-subquery pattern.
+
+    Scale shape: exact distinct via the two-stage shape (group by
+    (brand, size, suppkey) first — map-side combined — then count the
+    survivors per (brand, size)), never a single-stage countDistinct
+    over the corpus; the complaint list is a tiny per-supplier
+    aggregate applied as a broadcast anti-join; the part dim joins
+    broadcast after its type filter."""
+    complained = (
+        lineitem
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(F.expr("CAST(l_returnflag = 'R' AS BIGINT)"))
+             .cast("long").alias("n_ret"))
+        .where(F.expr(f"n_ret * 100 > n * {int(complaint_pct)}"))
+        .select("l_suppkey")
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(complained), "l_suppkey", "left_anti")
+        .join(F.broadcast(part.where(F.col("p_type") != excluded_type)
+                          .select(F.col("p_partkey").alias("l_partkey"),
+                                  "p_brand", "p_size")),
+              "l_partkey")
+        .select("p_brand", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+    )
