@@ -334,6 +334,11 @@ HEADLINE = [
     "rel_mincost_supplier",
     "rel_product_profit",
     "rel_supplier_census",
+    # twenty-fourth-sitting additions: DiD readout, SES backtest,
+    # entity cards
+    "events_did",
+    "events_ses_forecast",
+    "kg_entity_card",
 ]
 
 

@@ -2016,3 +2016,126 @@ def pareto_share(events: DataFrame) -> DataFrame:
             F.expr("decile_cents * 1000000 DIV total_cents").cast("long")
             .alias("top_decile_ppm"))
     )
+
+
+def did_report(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Difference-in-differences readout over the deterministic A/B
+    arms: each user's value (cents) is split at the corpus-midpoint
+    second into pre/post sums, arms come from the same md5-parity hash
+    the SRM/CUPED lane uses, and the DiD estimate is
+    (post−pre mean, treatment) − (post−pre mean, control) — the
+    two-period two-group causal readout that separates a launch
+    effect from a shared time trend.
+
+    Determinism: value on the cents grid, pre/post split on BIGINT
+    epoch seconds vs an integer midpoint, per-arm sums BIGINT; the
+    estimate is ONE double expression of exact integers, rounded 6dp
+    identically in the oracle. An empty arm yields NULL did (tiny
+    inputs only; the parity hash fills both arms at any real scale).
+
+    Scale shape: one per-user grouped pass with two conditional cents
+    sums (map-side combined), a 1-row broadcast bounds table, a 2-row
+    per-arm agg pivoted to one row. Nothing else touches the corpus."""
+    from deepref_spark.portable import md5_mod
+
+    bounds = F.broadcast(events.agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("s0"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("s1")))
+    per_user = (
+        events
+        .select(F.col(user_col).alias("u"),
+                F.unix_timestamp("ts").cast("long").alias("sec"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                .alias("cents"))
+        .crossJoin(bounds)
+        .withColumn("mid", F.expr("CAST((s0 + s1) DIV 2 AS BIGINT)"))
+        .groupBy("u")
+        .agg(F.sum(F.expr("CASE WHEN sec < mid THEN cents ELSE 0 END"))
+             .cast("long").alias("pre_cents"),
+             F.sum(F.expr("CASE WHEN sec >= mid THEN cents ELSE 0 END"))
+             .cast("long").alias("post_cents"))
+        .select(F.expr("CAST(" + md5_mod("CAST(u AS STRING)", 2)
+                       + " AS INT)").alias("arm"),
+                "pre_cents", "post_cents")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre_cents").cast("long").alias("pre_cents"),
+        F.sum("post_cents").cast("long").alias("post_cents"))
+    pick = ("CAST(max(CASE WHEN arm = {a} THEN {c} END) AS BIGINT)")
+    return (
+        arms.agg(
+            F.expr(pick.format(a=1, c="n_users")).alias("n_treat"),
+            F.expr(pick.format(a=0, c="n_users")).alias("n_ctrl"),
+            F.expr(pick.format(a=1, c="pre_cents")).alias("pre_t_cents"),
+            F.expr(pick.format(a=1, c="post_cents")).alias("post_t_cents"),
+            F.expr(pick.format(a=0, c="pre_cents")).alias("pre_c_cents"),
+            F.expr(pick.format(a=0, c="post_cents")).alias("post_c_cents"),
+        )
+        .select(
+            "n_treat", "n_ctrl", "pre_t_cents", "post_t_cents",
+            "pre_c_cents", "post_c_cents",
+            F.round(F.expr(
+                "CAST(post_t_cents - pre_t_cents AS DOUBLE) / n_treat"
+                " - CAST(post_c_cents - pre_c_cents AS DOUBLE) / n_ctrl"),
+                6).alias("did_cents"))
+    )
+
+
+def ses_forecast(events: DataFrame, window_days: int = 16) -> DataFrame:
+    """One-step-ahead exponential-smoothing backtest per event type:
+    the forecast for day d is the truncated alpha=1/2 SES sum over the
+    previous ``window_days`` daily cents totals — weight 2^(W-j) for
+    lag j, denominator 2^W - 1 (the weights' exact sum) — compared to
+    the day's actual where one exists. Integer weights make the
+    smoother engine-exact: no float power series, one BIGINT division
+    at the end.
+
+    Scale shape: the corpus-sized pass is the per-(type, day) grouped
+    cents sum (map-side combined, reused via a lazy localCheckpoint
+    for contributions AND actuals); the lag expansion is a broadcast
+    cross join of that already-small daily table with a W-row weight
+    dim — never a range self-join — regrouped map-side. Targets are
+    capped at max observed day + 1 (the true one-step-ahead row)."""
+    w = int(window_days)
+    spark = events.sparkSession
+    lags = F.broadcast(spark.range(1, w + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(f"CAST(power(2, {w} - id) AS BIGINT)").alias("wt")))
+    bounds = F.broadcast(events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1")))
+    daily = (
+        events.crossJoin(bounds)
+        .select("event_type",
+                F.datediff(F.to_date("ts"), F.col("d0")).cast("int")
+                .alias("idx"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                .alias("cents"))
+        .groupBy("event_type", "idx")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)  # contributions AND actuals
+    )
+    contrib = (
+        daily.crossJoin(lags)
+        .select("event_type", (F.col("idx") + F.col("j")).alias("tidx"),
+                (F.col("cents") * F.col("wt")).alias("wc"))
+        .groupBy("event_type", "tidx")
+        .agg(F.sum("wc").cast("long").alias("wsum"))
+    )
+    denom = 2 ** w - 1
+    return (
+        contrib.crossJoin(bounds)
+        .where(F.col("tidx") <= F.datediff("d1", "d0").cast("int") + 1)
+        .join(daily.select("event_type", F.col("idx").alias("tidx"),
+                           F.col("cents").alias("actual_cents")),
+              ["event_type", "tidx"], "left")
+        .select(
+            "event_type",
+            F.date_format(F.expr("date_add(d0, tidx)"), "yyyy-MM-dd")
+            .alias("day"),
+            F.expr(f"wsum DIV {denom}").cast("long").alias("forecast_cents"),
+            F.col("actual_cents").cast("long").alias("actual_cents"),
+            F.expr(f"actual_cents - wsum DIV {denom}").cast("long")
+            .alias("err_cents"))
+    )

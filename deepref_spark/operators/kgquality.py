@@ -1023,3 +1023,42 @@ def predicate_pairs(triples: DataFrame, subj: str = "subj_canon",
                 F.expr("n_ab * n_subj * 1000 DIV (n_a * n_b)").cast("long")
                 .alias("lift_milli"))
     )
+
+
+def entity_card(triples: DataFrame, subj: str = "subj_canon",
+                pred: str = "pred", obj: str = "obj_canon") -> DataFrame:
+    """Per-entity summary card over the canonical triple set: triple
+    count, distinct predicates, distinct objects, and the dominant
+    predicate with its share — the entity-summarization rollup a KG
+    browser or downstream sampler reads per node (cf. RDF entity
+    summaries / LinkSUM-style predicate ranking, computed exactly).
+
+    Dominant predicate = max(struct(n, pred)): highest count, ties
+    broken toward the lexicographically LARGER predicate name — one
+    deterministic aggregate, no window sort over the corpus. The
+    oracle replays the same rule as ORDER BY n DESC, pred DESC.
+
+    Scale shape: two grouped passes over the (already deduplicated)
+    triple table — per-(subj, pred) counts rolled up per subject, and
+    a distinct-object count in the scalable two-stage shape — joined
+    on the subject key. Share as integer-division ppm."""
+    sp = (triples
+          .groupBy(F.col(subj).alias("subj"), F.col(pred).alias("p"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    per_s = (sp.groupBy("subj").agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_preds"),
+        F.max(F.struct(F.col("n"), F.col("p"))).alias("top")))
+    objs = (triples
+            .select(F.col(subj).alias("subj"), F.col(obj).alias("o"))
+            .distinct()
+            .groupBy("subj")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_objs")))
+    return (
+        per_s.join(objs, "subj")
+        .select("subj", "n_triples", "n_preds", "n_objs",
+                F.col("top.p").alias("top_pred"),
+                F.col("top.n").cast("long").alias("top_pred_n"),
+                F.expr("top.n * 1000000 DIV n_triples").cast("long")
+                .alias("top_share_ppm"))
+    )

@@ -13168,6 +13168,130 @@ def rel_supplier_census(spark, sf_dir):
                            load_table(spark, sf_dir, "lineitem"))
 
 
+@q("events_did", f"""
+WITH b AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS s0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS s1
+  FROM events
+),
+pu AS (
+  SELECT user_id AS u,
+         CAST(sum(CASE WHEN floor(epoch(ts)) < (s0 + s1) // 2
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(sum(CASE WHEN floor(epoch(ts)) >= (s0 + s1) // 2
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS post_cents
+  FROM events CROSS JOIN b GROUP BY user_id
+),
+armed AS (
+  SELECT CAST({{arm}} AS INT) AS arm, pre_cents, post_cents FROM pu
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pre_cents) AS BIGINT) AS pre_cents,
+         CAST(sum(post_cents) AS BIGINT) AS post_cents
+  FROM armed GROUP BY arm
+),
+piv AS (
+  SELECT CAST(max(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_treat,
+         CAST(max(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_ctrl,
+         CAST(max(CASE WHEN arm = 1 THEN pre_cents END) AS BIGINT)
+           AS pre_t_cents,
+         CAST(max(CASE WHEN arm = 1 THEN post_cents END) AS BIGINT)
+           AS post_t_cents,
+         CAST(max(CASE WHEN arm = 0 THEN pre_cents END) AS BIGINT)
+           AS pre_c_cents,
+         CAST(max(CASE WHEN arm = 0 THEN post_cents END) AS BIGINT)
+           AS post_c_cents
+  FROM arms
+)
+SELECT n_treat, n_ctrl, pre_t_cents, post_t_cents, pre_c_cents, post_c_cents,
+       round(CAST(post_t_cents - pre_t_cents AS DOUBLE) / n_treat
+             - CAST(post_c_cents - pre_c_cents AS DOUBLE) / n_ctrl, 6)
+         AS did_cents
+FROM piv
+""".format(arm=md5_mod("CAST(u AS VARCHAR)", 2)))
+def events_did(spark, sf_dir):
+    """Difference-in-differences readout (events.did_report): value
+    cents split pre/post at the corpus-midpoint second, md5-parity
+    arms (the SRM/CUPED discipline), DiD as one double expression of
+    exact BIGINT sums rounded 6dp in both engines."""
+    from deepref_spark.operators.events import did_report
+
+    return did_report(load_table(spark, sf_dir, "events"))
+
+
+@q("events_ses_forecast", """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', d0, CAST(ts AS DATE)) AS INT) AS idx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events CROSS JOIN b GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(1, 16)) AS j),
+contrib AS (
+  SELECT event_type, idx + j AS tidx,
+         CAST(sum(cents * CAST(power(2, 16 - j) AS BIGINT)) AS BIGINT)
+           AS wsum
+  FROM daily CROSS JOIN lags GROUP BY 1, 2
+)
+SELECT c.event_type,
+       strftime(d0 + tidx * INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+       CAST(wsum // 65535 AS BIGINT) AS forecast_cents,
+       CAST(a.cents AS BIGINT) AS actual_cents,
+       CAST(a.cents - wsum // 65535 AS BIGINT) AS err_cents
+FROM contrib c CROSS JOIN b
+LEFT JOIN daily a ON a.event_type = c.event_type AND a.idx = c.tidx
+WHERE tidx <= date_diff('day', d0, d1) + 1
+""")
+def events_ses_forecast(spark, sf_dir):
+    """One-step-ahead SES backtest (events.ses_forecast): per (type,
+    day), the alpha=1/2 exponential smoother truncated at 16 lags with
+    integer weights 2^(16-j) and exact denominator 2^16-1 — the
+    engine-exact smoother, expanded via a broadcast 16-row lag dim
+    (never a range self-join), targets capped at max day + 1."""
+    from deepref_spark.operators.events import ses_forecast
+
+    return ses_forecast(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_entity_card", _trip_cte() + """
+, sp AS (
+  SELECT subj, pred AS p, CAST(count(*) AS BIGINT) AS n
+  FROM trip GROUP BY 1, 2
+),
+tops AS (
+  SELECT subj, p, n,
+         row_number() OVER (PARTITION BY subj
+                            ORDER BY n DESC, p DESC) AS rk,
+         CAST(sum(n) OVER (PARTITION BY subj) AS BIGINT) AS n_triples,
+         CAST(count(*) OVER (PARTITION BY subj) AS BIGINT) AS n_preds
+  FROM sp
+),
+objs AS (
+  SELECT subj, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs
+  FROM trip GROUP BY 1
+)
+SELECT t.subj, n_triples, n_preds, n_objs, p AS top_pred,
+       n AS top_pred_n,
+       CAST(n * 1000000 // n_triples AS BIGINT) AS top_share_ppm
+FROM tops t JOIN objs USING (subj) WHERE rk = 1
+""")
+def kg_entity_card(spark, sf_dir):
+    """Entity summary cards (kgquality.entity_card) over the canonical
+    triple set: per subject, triple/predicate/object counts plus the
+    dominant predicate and its ppm share. Dominant = max(struct(n,
+    pred)) — count DESC then predicate-name DESC — replayed in the
+    oracle as a window rank with the identical order."""
+    from deepref_spark.operators.kgquality import entity_card
+
+    return entity_card(_canon_spo(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -14057,6 +14181,15 @@ _WINDOW_TAIL = [
     # in-window set lacked (correlated-min join-back, widest star,
     # NOT-IN distinct census) over the same CENTS/e4 grids.
     "rel_big_orders", "rel_market_share", "rel_disjunctive_revenue",
+    # (parked r5cq, making room for events_did + events_ses_forecast +
+    # kg_entity_card): events_benford + events_power_mde park — both
+    # pin fixed ppm literal tables with hand-derived pytest goldens,
+    # and the experiment lane stays represented in-window by the new
+    # DiD readout plus trend_mk/pareto/seasonal_outliers on the same
+    # integer-grid discipline; kg_void_summary parks — the descriptor
+    # rollup keeps pytest goldens and the kg-rollup slot goes to the
+    # richer per-entity card over the same trip derivation.
+    "events_benford", "events_power_mde", "kg_void_summary",
     # rows-only model/lineage/streaming queries (no SQL oracle by
     # design) — last
     "kg_triples_model", "kg_eval_model", "kg_eval_ebem",
