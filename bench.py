@@ -339,6 +339,13 @@ HEADLINE = [
     "events_did",
     "events_ses_forecast",
     "kg_entity_card",
+    # twenty-fifth-sitting additions: Theil-Sen slope, change-point,
+    # U-shaped attribution, Q20 shape, Mahalanobis OOD screen
+    "events_theil_sen",
+    "events_changepoint",
+    "events_attribution_ushape",
+    "rel_promo_suppliers",
+    "emb_mahalanobis",
 ]
 
 

@@ -2139,3 +2139,181 @@ def ses_forecast(events: DataFrame, window_days: int = 16) -> DataFrame:
             F.expr(f"actual_cents - wsum DIV {denom}").cast("long")
             .alias("err_cents"))
     )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type over daily
+    counts — the SLOPE companion to trend_mk's monotone-drift TEST
+    (the pair the Mann-Kendall literature ships together): the median
+    of all pairwise day-slopes, immune to outlier days that wreck an
+    OLS fit. Slopes ride the exact milli grid ((x2 - x1) * 1000 DIV
+    days-between — both engines truncate integer division toward zero
+    identically), the median is the LOWER median on the total order
+    (slope_milli, d1, d2) (no averaging, so no new double), and the
+    matching intercept is the lower median of x*1000 - slope*day_idx
+    over observed days.
+
+    Scale shape: identical to trend_mk — the only stream-sized pass
+    is the daily grouped count (map-side combined); the day-pair
+    self-join and both median windows are calendar-sized per type
+    (a decade is <7000 day rows), independent of event volume."""
+    daily = (
+        events.groupBy("event_type",
+                       F.expr("CAST(ts AS DATE)").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds pairs AND the intercept
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("x").alias("x1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("x").alias("x2"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .select("event_type", "d1", "d2",
+                F.expr("(x2 - x1) * 1000 DIV datediff(d2, d1)")
+                .cast("long").alias("slope_milli"))
+    )
+    w_med = (Window.partitionBy("event_type")
+             .orderBy("slope_milli", "d1", "d2"))
+    w_n = Window.partitionBy("event_type")
+    med = (
+        slopes
+        .withColumn("rn", F.row_number().over(w_med))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(w_n))
+        .where(F.expr("rn = (n_pairs + 1) DIV 2"))
+        .select("event_type", "n_pairs", "slope_milli")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    resid = (
+        daily.join(base, "event_type").join(med, "event_type")
+        .select("event_type", "n_days", "n_pairs", "slope_milli",
+                F.expr("x * 1000 - slope_milli * datediff(d, d0)")
+                .cast("long").alias("ic"),
+                "d")
+    )
+    w_ic = (Window.partitionBy("event_type").orderBy("ic", "d"))
+    return (
+        resid
+        .withColumn("rn", F.row_number().over(w_ic))
+        .where(F.expr("rn = (n_days + 1) DIV 2"))
+        .select("event_type", "n_days", "n_pairs", "slope_milli",
+                F.col("ic").cast("long").alias("intercept_milli"))
+    )
+
+
+def changepoint(events: DataFrame) -> DataFrame:
+    """Single change-point detection per event type over daily counts
+    (binary-segmentation step 1, the CUSUM-family offline twin of
+    events_cusum's online rule): the split k that minimizes total
+    within-segment sum of squared error — equivalently maximizes
+    gain(k) = S1²/k + (S-S1)²/(n-k) — over the observed day sequence.
+    Prefix sums stay BIGINT; each candidate's gain is ONE double
+    expression of exact integers (exact in IEEE while totals < 2^26.5
+    — beyond that port the cross-product comparison to decimal); the
+    argmax breaks exact-double ties on the earlier day, so both
+    engines pick the identical split. Output: the split day (last day
+    of the left segment), segment means (6dp), and the gain over the
+    no-split baseline S²/n.
+
+    Scale shape: the stream-sized pass is the daily grouped count
+    (map-side combined); the cumsum + argmax windows run over
+    calendar-sized day rows per type, never the corpus."""
+    daily = (
+        events.groupBy("event_type",
+                       F.expr("CAST(ts AS DATE)").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w_cum = (Window.partitionBy("event_type").orderBy("d")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy("event_type")
+    scored = (
+        daily
+        .withColumn("k", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("s1", F.sum("x").over(w_cum).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("s", F.sum("x").over(w_all).cast("long"))
+        .where(F.expr("k < n"))
+        .withColumn("gain", F.expr(
+            "CAST(s1 AS DOUBLE) * s1 / k"
+            " + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - k)"))
+    )
+    w_best = (Window.partitionBy("event_type")
+              .orderBy(F.col("gain").desc(), F.col("d").asc()))
+    return (
+        scored
+        .withColumn("rn", F.row_number().over(w_best))
+        .where("rn = 1")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.col("k").cast("long").alias("n_before"),
+            F.round(F.expr("CAST(s1 AS DOUBLE) / k"), 6)
+            .alias("mean_before"),
+            F.round(F.expr("CAST(s - s1 AS DOUBLE) / (n - k)"), 6)
+            .alias("mean_after"),
+            F.round(F.expr(
+                "gain - CAST(s AS DOUBLE) * s / n"), 6)
+            .alias("gain_over_flat"))
+    )
+
+
+def positional_attribution(events: DataFrame,
+                           conversion_type: str = "purchase",
+                           touch_types: tuple = ("click", "signup",
+                                                 "view")) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the 40/20/
+    40 rule marketing stacks run next to last-touch (which
+    events_attribution_join covers): for each user's FIRST conversion,
+    credit 1,000,000 ppm across their strictly-earlier touch events —
+    a single touch takes all of it, two touches split 50/50, three or
+    more give 400,000 to the first, 400,000 to the last, and the
+    middle 200,000 split by integer division with the remainder ppm
+    assigned to the EARLIEST middle touch, so every converting user's
+    credit sums to exactly 1,000,000 and the per-channel rollup is an
+    order-independent BIGINT sum.
+
+    Scale shape: conversions and touches shuffle once on user_id (the
+    natural co-partition); the position window sorts only each user's
+    own touches on the pinned (ts, event_id) total order; the channel
+    rollup is map-side combined. A pathological single user with
+    millions of touches makes that one window sort the cost — cap
+    touches per user upstream if that exists in the domain."""
+    w_conv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        events.where(F.col("event_type") == conversion_type)
+        .withColumn("rn", F.row_number().over(w_conv))
+        .where("rn = 1")
+        .select("user_id", F.col("ts").alias("conv_ts"))
+    )
+    touch_list = ", ".join(f"'{t}'" for t in touch_types)
+    touches = (
+        events.where(F.expr(f"event_type IN ({touch_list})"))
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("conv_ts"))
+    )
+    w_pos = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    credited = (
+        touches
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("n", F.count(F.lit(1)).over(w_n).cast("long"))
+        .withColumn("credit_ppm", F.expr("""
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN 400000
+                 WHEN pos = 2 THEN 200000 DIV (n - 2)
+                      + 200000 - (n - 2) * (200000 DIV (n - 2))
+                 ELSE 200000 DIV (n - 2) END""").cast("long"))
+    )
+    return (
+        credited
+        .groupBy("event_type")
+        .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+             F.count(F.lit(1)).cast("long").alias("n_touches"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

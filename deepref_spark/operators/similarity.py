@@ -1914,3 +1914,59 @@ def label_reliability(embeddings: DataFrame, sample_n: int = 32) -> DataFrame:
                 F.expr("n_same * 1000000 DIV n_pairs").cast("long")
                 .alias("same_ppm"))
     )
+
+
+def mahalanobis_outliers(embeddings: DataFrame, dim: int = 64,
+                         k: int = 5) -> DataFrame:
+    """Per-label diagonal-covariance Mahalanobis OOD screen — the
+    label-conditioned companion to norm_outliers' global L2 screen
+    and knn_purity's neighborhood probe: for each labeled vector,
+    score_d = Σ_d (x_d − μ_d)² / σ²_d against ITS OWN label's
+    per-dimension statistics, and report the top-``k`` most atypical
+    vectors per label (mislabel / contamination review queue).
+
+    Determinism discipline: values ride the 1e-3 BIGINT grid; per-
+    (label, dim) sums stay BIGINT; each dimension's term uses the
+    n-scaled identity (x−μ)²/σ² = (n·x−S)² / (n·S2−S²) as a BIGINT
+    milli-grid integer division, so the per-vector score is an
+    ORDER-INDEPENDENT BIGINT sum over dims (no double accumulation
+    across dimensions anywhere). Magnitude: (n·x)²·1000 needs
+    n·|x|·√1000 < 3·10⁹ — exact to ~10⁶ vectors per label at |x|≤3;
+    beyond that port the term to decimal(38,0) unchanged.
+
+    Scale shape: one posexplode corpus scan feeds the (label, dim)
+    stats (map-side combined, labels×dims rows) which join back
+    BROADCAST; the score is one grouped BIGINT sum per vector; the
+    top-k window sorts per label on (score DESC, vec_id) — swap for
+    per-label TakeOrdered if labels are few and vectors are billions.
+    """
+    e = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000 + 0.5) AS BIGINT))")).alias("dm", "u"))
+    stats = (
+        e.groupBy("label", "dm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("u").cast("long").alias("s"),
+             F.sum(F.col("u") * F.col("u")).cast("long").alias("s2"))
+        .withColumn("var_num", F.expr("n * s2 - s * s"))
+    )
+    scored = (
+        e.join(F.broadcast(stats), ["label", "dm"])
+        .withColumn("term_milli", F.expr(
+            "CASE WHEN var_num > 0 THEN"
+            " (n * u - s) * (n * u - s) * 1000 DIV var_num"
+            " ELSE 0 END").cast("long"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term_milli").cast("long").alias("score_milli"))
+    )
+    w = (Window.partitionBy("label")
+         .orderBy(F.col("score_milli").desc(), F.col("vec_id").asc()))
+    return (
+        scored
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(F.col("label").cast("long").alias("label"),
+                "vec_id", "score_milli", "rk")
+    )

@@ -13292,6 +13292,237 @@ def kg_entity_card(spark, sf_dir):
     return entity_card(_canon_spo(spark, sf_dir))
 
 
+@q("events_theil_sen", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         CAST((b.x - a.x) * 1000 // date_diff('day', a.d, b.d) AS BIGINT)
+           AS slope_milli
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+med AS (
+  SELECT event_type, n_pairs, slope_milli
+  FROM (SELECT event_type, slope_milli, d1, d2,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_milli, d1, d2) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_pairs
+        FROM slopes)
+  WHERE rn = (n_pairs + 1) // 2
+),
+base AS (
+  SELECT event_type, min(d) AS d0, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, n_pairs, slope_milli,
+       CAST(ic AS BIGINT) AS intercept_milli
+FROM (
+  SELECT d.event_type, b.n_days, m.n_pairs, m.slope_milli,
+         d.x * 1000 - m.slope_milli * date_diff('day', b.d0, d.d) AS ic,
+         row_number() OVER (
+           PARTITION BY d.event_type
+           ORDER BY d.x * 1000 - m.slope_milli
+                    * date_diff('day', b.d0, d.d), d.d) AS rn
+  FROM daily d JOIN base b USING (event_type) JOIN med m USING (event_type)
+)
+WHERE rn = (n_days + 1) // 2
+""")
+def events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend slope per event type
+    (events.theil_sen_trend): the lower median of all pairwise
+    day-slopes on the exact milli grid (both engines truncate integer
+    division toward zero), plus the matching lower-median intercept —
+    the SLOPE companion to events_trend_mk's monotone-drift test. The
+    only stream-sized pass is the daily grouped count; the day-pair
+    join and both median windows run over calendar-sized rows."""
+    from deepref_spark.operators.events import theil_sen_trend
+
+    return theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+@q("events_changepoint", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+sc AS (
+  SELECT event_type, d,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS k,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s1,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM daily
+),
+g AS (
+  SELECT *, CAST(s1 AS DOUBLE) * s1 / k
+            + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - k) AS gain
+  FROM sc WHERE k < n
+)
+SELECT event_type, n AS n_days, strftime(d, '%Y-%m-%d') AS split_day,
+       k AS n_before,
+       round(CAST(s1 AS DOUBLE) / k, 6) AS mean_before,
+       round(CAST(s - s1 AS DOUBLE) / (n - k), 6) AS mean_after,
+       round(gain - CAST(s AS DOUBLE) * s / n, 6) AS gain_over_flat
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, d ASC) AS rn
+      FROM g)
+WHERE rn = 1
+""")
+def events_changepoint(spark, sf_dir):
+    """Single change-point per event type (events.changepoint):
+    binary-segmentation step 1 over daily counts — the split
+    maximizing S1²/k + (S−S1)²/(n−k), prefix sums BIGINT, each gain
+    ONE double expression of exact integers with the argmax tie
+    broken on the earlier day, so both engines pick the identical
+    split. The offline twin of events_cusum's online rule."""
+    from deepref_spark.operators.events import changepoint
+
+    return changepoint(load_table(spark, sf_dir, "events"))
+
+
+@q("events_attribution_ushape", """
+WITH conv AS (
+  SELECT user_id, ts AS conv_ts
+  FROM (SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+t AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type IN ('click', 'signup', 'view') AND e.ts < c.conv_ts
+),
+pos AS (
+  SELECT event_type, user_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM t
+),
+cr AS (
+  SELECT event_type, user_id,
+         CAST(CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN pos = 1 OR pos = n THEN 400000
+              WHEN pos = 2 THEN 200000 // (n - 2)
+                   + 200000 - (n - 2) * (200000 // (n - 2))
+              ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+  FROM pos
+)
+SELECT event_type,
+       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cr GROUP BY 1
+""")
+def events_attribution_ushape(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution
+    (events.positional_attribution): 40/20/40 ppm credit across each
+    user's touches strictly before their FIRST purchase, middle
+    remainder assigned to the earliest middle touch so every
+    converting user sums to exactly 1,000,000 ppm — the
+    position-based companion to last-touch events_attribution_join.
+    One user_id shuffle; per-user window on the (ts, event_id) total
+    order; map-side-combined channel rollup."""
+    from deepref_spark.operators.events import positional_attribution
+
+    return positional_attribution(load_table(spark, sf_dir, "events"))
+
+
+@q("rel_promo_suppliers", """
+WITH matched AS (
+  SELECT p_partkey FROM part WHERE starts_with(p_name, 'blue ')
+),
+per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sq
+  FROM lineitem JOIN matched ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+        FROM per GROUP BY 1),
+dom AS (
+  SELECT per.*, CAST(sq * 10000 // tq AS BIGINT) AS share_bp_val
+  FROM per JOIN tot USING (l_partkey)
+  WHERE sq * 10000 > tq * 2500
+)
+SELECT d.l_suppkey AS s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(share_bp_val) AS BIGINT) AS best_share_bp,
+       CAST(sum(sq) AS BIGINT) AS qty_e2
+FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+""")
+def rel_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (relational.promo_suppliers): suppliers that
+    DOMINATE at least one 'blue '-prefixed part's 1995 shipments
+    (share > 2500 bp of all suppliers' shipped quantity of that part)
+    — the nested prefix-semi-join + correlated share-of-total
+    pattern, completing the 22 TPC-H query shapes. Prefix filter
+    broadcasts into the lineitem scan; the share threshold is a pure
+    integer cross-product (sq*10000 > tq*2500); supplier dim
+    broadcasts at the end."""
+    from deepref_spark.operators.relational import promo_suppliers
+
+    return promo_suppliers(load_table(spark, sf_dir, "supplier"),
+                           load_table(spark, sf_dir, "part"),
+                           load_table(spark, sf_dir, "lineitem"))
+
+
+@q("emb_mahalanobis", """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(t.i - 1 AS BIGINT) AS dm,
+         CAST(floor(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000
+                    + 0.5) AS BIGINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+),
+stats AS (
+  SELECT label, dm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u) AS BIGINT) AS s, CAST(sum(u * u) AS BIGINT) AS s2
+  FROM e GROUP BY 1, 2
+),
+sc AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum(CASE WHEN n * s2 - s * s > 0 THEN
+              (n * u - s) * (n * u - s) * 1000 // (n * s2 - s * s)
+              ELSE 0 END) AS BIGINT) AS score_milli
+  FROM e JOIN stats USING (label, dm)
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, score_milli, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY score_milli DESC, vec_id)
+               AS rk
+      FROM sc)
+WHERE rk <= 5
+""")
+def emb_mahalanobis(spark, sf_dir):
+    """Per-label diagonal Mahalanobis OOD screen
+    (similarity.mahalanobis_outliers): each vector scored against its
+    OWN label's per-dimension stats via the n-scaled identity
+    (n·x−S)²/(n·S2−S²) as a BIGINT milli-grid division — an
+    order-independent BIGINT sum over dims, top-5 per label. The
+    label-conditioned companion to emb_norm_outliers' global screen
+    and emb_knn_purity's neighborhood probe."""
+    from deepref_spark.operators.similarity import mahalanobis_outliers
+
+    return mahalanobis_outliers(load_table(spark, sf_dir, "embeddings"),
+                                dim=64, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13309,6 +13540,19 @@ def kg_entity_card(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s18, making room for events_theil_sen +
+    # events_changepoint + events_attribution_ushape +
+    # rel_promo_suppliers + emb_mahalanobis): redundancy grounds —
+    # events_trend_mk shares its daily-count + calendar-pair-join
+    # derivation with in-window events_theil_sen (the slope twin);
+    # events_pareto's cumulative-share window family is re-exercised
+    # by in-window events_did/rel lanes; rel_shipping_delay (Q12) is
+    # the simplest two-agg CASE rollup with Q2/Q9/Q16/Q20 staying
+    # in-window; emb_jl_distortion's milli-grid pair audit shares its
+    # formula family with in-window emb_pq_distortion; lake lane
+    # keeps merge_upsert/retention_plan/bucket_advisor/wap_gate.
+    "events_trend_mk", "events_pareto", "rel_shipping_delay",
+    "emb_jl_distortion", "lake_overlap_depth",
     # (parked r5i batch 3, making room for text_fertility):
     # kg_snapshot_diff's op-log diff formula is the snapshot_at family
     # (pytest-pinned, kg_provenance + lake lanes stay in-window).
