@@ -346,6 +346,11 @@ HEADLINE = [
     "events_attribution_ushape",
     "rel_promo_suppliers",
     "emb_mahalanobis",
+    "rel_sales_rollup",
+    "events_pivot_daily",
+    "events_bitmap_coverage",
+    "kg_bowtie",
+    "dedup_yield_report",
 ]
 
 

@@ -933,3 +933,30 @@ def url_canon_stats(urls: DataFrame) -> DataFrame:
              F.countDistinct("url").cast("long").alias("n_raw"))
         .withColumn("is_collapsed", (F.col("n_raw") > 1).cast("int"))
     )
+
+
+def dedup_yield_report(documents: DataFrame, **keep_map_kwargs) -> DataFrame:
+    """The one-row yield report a cleaning run publishes after the
+    dedup DECISION (near_dup_keep_map): cluster count, corpus size,
+    how many docs the keep-map removes, the largest cluster, and the
+    singleton/dup-cluster split — the numbers that decide whether the
+    LSH thresholds are eating the corpus or missing duplicates before
+    anyone anti-joins 100 TB against the map.
+
+    Pure composition: the keep map's (doc_id, keep_doc_id) grouped
+    into per-cluster sizes (map-side combined), then ONE global
+    rollup over the cluster-sized table — no second pass over text.
+    All counts BIGINT, order-independent."""
+    km = near_dup_keep_map(documents, **keep_map_kwargs)
+    cl = km.groupBy("keep_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    return cl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.expr("CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END"))
+        .cast("long").alias("n_removed"),
+        F.max("sz").cast("long").alias("max_cluster"),
+        F.sum(F.expr("CASE WHEN sz = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_singletons"),
+        F.sum(F.expr("CASE WHEN sz > 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_dup_clusters"))

@@ -2317,3 +2317,65 @@ def positional_attribution(events: DataFrame,
              F.count(F.lit(1)).cast("long").alias("n_touches"),
              F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def pivot_daily(events: DataFrame,
+                types: tuple = ("click", "error", "purchase",
+                                "signup", "view")) -> DataFrame:
+    """Day x event-type count matrix via the relational PIVOT — the
+    wide-format export every BI/alerting layer asks the events table
+    for. The pivot value list is EXPLICIT (``types``), which is the
+    scale-critical form: Spark then compiles the pivot to a single
+    grouped aggregate of CASE counts (one scan, map-side combined)
+    instead of first running a distinct-values collect job to infer
+    the columns. Absent (day, type) cells coalesce to 0 so the wide
+    schema is total.
+
+    Scale shape: one scan, one shuffle on day; output is one row per
+    day with a fixed column set — schema stability is exactly why the
+    value list must be pinned at 100 TB (a drifting type vocabulary
+    would otherwise change the output schema run to run)."""
+    base = events.select(
+        F.date_format(F.expr("CAST(ts AS DATE)"), "yyyy-MM-dd")
+        .alias("day"),
+        "event_type")
+    wide = base.groupBy("day").pivot("event_type", list(types)).count()
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(t)
+          for t in types])
+
+
+def bitmap_coverage(events: DataFrame, bits: int = 62) -> DataFrame:
+    """Two-level bitmap distinct sketch per event type — the
+    roaring-bitmap rollup pattern warehouse engines use for cheap
+    re-aggregable audience counts: a day-level user bitmap
+    (bit_or of 1 << (user_id % ``bits``)) whose per-day popcount is
+    the saturating slot coverage, OR-merged across days per type with
+    ONE more bit_or — the merge is associative/commutative, so
+    partial bitmaps combine map-side at every level and re-slicing
+    (day -> week -> all-time) never re-touches raw events. The exact
+    per-day distinct count rides along as the calibration column.
+
+    ``bits`` stays at 62: bit 63 is the BIGINT sign and DuckDB's
+    ``<<`` (the oracle engine) range-checks shifts past 62, so the
+    shared grid keeps the top two bits unused. Scale shape: one scan,
+    one shuffle on (type, day), then a tiny per-type merge; a real
+    deployment widens the bitmap to array<long> chunks, same algebra."""
+    daily = (
+        events.groupBy("event_type",
+                       F.expr("CAST(ts AS DATE)").alias("d"))
+        .agg(F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(user_id % {int(bits)} AS INT)))").alias("bm"),
+             F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .withColumn("slots", F.expr("CAST(bit_count(bm) AS BIGINT)"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+             F.expr("CAST(bit_count(bit_or(bm)) AS BIGINT)")
+             .alias("merged_slots"),
+             F.min("slots").cast("long").alias("min_daily_slots"),
+             F.max("slots").cast("long").alias("max_daily_slots"),
+             F.sum("exact_users").cast("long").alias("sum_daily_exact"))
+    )

@@ -2308,3 +2308,85 @@ def triad_census(edges: DataFrame) -> DataFrame:
         F.expr("coalesce(n_cyclic, 0) * 1000000 DIV n_2paths")
         .cast("long").alias("cyclicity_ppm"),
     )
+
+
+def bowtie_regions(edges: DataFrame, labels: DataFrame | None = None,
+                   max_rounds: int = 64) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al.,
+    "Graph structure in the Web" — the canonical macro-shape readout
+    for web-scale knowledge graphs): collapse SCCs (from ``scc``),
+    take the LARGEST component as the CORE (ties -> smaller scc_id),
+    and classify every component as core / in (reaches the core) /
+    out (reached from the core) / other (tendrils, tubes and
+    disconnected mass, reported as one bucket). A component that both
+    reaches and is reached by the core would be IN the core by SCC
+    maximality, so the regions are disjoint by construction.
+
+    Reachability runs on the CONDENSATION (component quotient), not
+    the entity graph — after the SCC pass the quotient is orders of
+    magnitude smaller than the corpus and acyclic, so the semi-naive
+    frontier expansion below does O(|quotient closure|) total join
+    work in rounds = DAG depth, each from a localCheckpoint'ed
+    frontier. The one driver-side collect is the single core-id row;
+    per-round actions are scalar counts. Raises rather than
+    truncating if ``max_rounds`` is exceeded.
+
+    Output: (region, n_components, n_entities) — at most four rows.
+    """
+    lab = (scc(edges).select("entity", "scc_id") if labels is None
+           else labels).localCheckpoint(eager=False)
+    ced = (
+        edges.join(lab.select(F.col("entity").alias("src"),
+                              F.col("scc_id").alias("a")), "src")
+        .join(lab.select(F.col("entity").alias("dst"),
+                         F.col("scc_id").alias("b")), "dst")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint()
+    )
+    comps = (lab.groupBy("scc_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+             .localCheckpoint())
+    core = (comps.orderBy(F.col("n_members").desc(), F.col("scc_id"))
+            .select("scc_id").limit(1).collect())[0][0]
+    spark = edges.sparkSession
+
+    def _closure(quot: DataFrame) -> DataFrame:
+        # semi-naive forward closure from the core over quotient edges
+        reach = (spark.range(1).select(F.lit(core).alias("v"))
+                 .localCheckpoint())
+        frontier = reach
+        for _ in range(max_rounds):
+            new = (
+                quot.join(frontier.select(F.col("v").alias("a")), "a")
+                .select(F.col("b").alias("v")).distinct()
+                .join(reach, "v", "left_anti")
+                .localCheckpoint()
+            )
+            if new.limit(1).count() == 0:
+                return reach
+            reach = reach.union(new).localCheckpoint()
+            frontier = new
+        raise RuntimeError(
+            f"bowtie_regions: quotient closure exceeded {max_rounds} "
+            "rounds; raise max_rounds")
+
+    outset = _closure(ced)
+    inset = _closure(ced.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+    return (
+        comps
+        .join(inset.select(F.col("v").alias("scc_id"),
+                           F.lit(1).alias("in_f")), "scc_id", "left")
+        .join(outset.select(F.col("v").alias("scc_id"),
+                            F.lit(1).alias("out_f")), "scc_id", "left")
+        .select(
+            F.when(F.col("scc_id") == F.lit(core), "core")
+            .when(F.col("in_f") == 1, "in")
+            .when(F.col("out_f") == 1, "out")
+            .otherwise("other").alias("region"),
+            "n_members")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"),
+             F.sum("n_members").cast("long").alias("n_entities"))
+    )

@@ -975,3 +975,31 @@ def promo_suppliers(supplier: DataFrame, part: DataFrame,
         .select("s_suppkey", "s_name", "n_parts", "best_share_bp",
                 "qty_e2")
     )
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """Multi-level pricing rollup via ROLLUP(l_returnflag,
+    l_linestatus) — the GROUPING SETS surface a BI cube feeds from
+    TPC-H Q1's detail rows: per-(flag, status) rows, per-flag
+    subtotals, and the grand total in ONE declared aggregate.
+    Catalyst expands the rollup BEFORE the exchange, so every level's
+    BIGINT sums combine map-side in the same pass — three levels for
+    one scan, no re-aggregation job per level. grouping_id()'s bit
+    order (first rollup column = MSB) matches SQL GROUPING(a, b), so
+    the oracle replays it verbatim; subtotal rows carry NULL group
+    keys in both engines.
+
+    Scale shape: one lineitem scan, one shuffle on the expanded
+    grouping-set key (rows x levels on the map side, but combined
+    before the wire); output is sum of per-level key cardinalities."""
+    qty = F.expr(CENTS.format(c="l_quantity"))
+    return (
+        lineitem
+        .select("l_returnflag", "l_linestatus",
+                qty.alias("qc"), _rev_e4().alias("de4"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("qc").cast("long").alias("qty_e2"),
+             F.sum("de4").cast("long").alias("rev_e4"))
+    )

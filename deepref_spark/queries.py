@@ -13523,6 +13523,164 @@ def emb_mahalanobis(spark, sf_dir):
                                 dim=64, k=5)
 
 
+@q("rel_sales_rollup", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS rev_e4
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def rel_sales_rollup(spark, sf_dir):
+    """ROLLUP pricing cube (relational.sales_rollup): detail rows,
+    per-flag subtotals, and the grand total in ONE declared aggregate
+    — Catalyst expands the grouping sets before the exchange so all
+    three levels' BIGINT sums combine map-side in a single scan.
+    grouping_id()'s bit order matches SQL GROUPING(a, b) exactly."""
+    from deepref_spark.operators.relational import sales_rollup
+
+    return sales_rollup(load_table(spark, sf_dir, "lineitem"))
+
+
+@q("events_pivot_daily", """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+FROM events GROUP BY 1
+""")
+def events_pivot_daily(spark, sf_dir):
+    """Day x type PIVOT matrix (events.pivot_daily) with an EXPLICIT
+    value list — the form that compiles to one grouped CASE-count
+    aggregate instead of a distinct-values collect job + second scan.
+    Absent cells coalesce to 0; the oracle is the CASE expansion the
+    pivot desugars to."""
+    from deepref_spark.operators.events import pivot_daily
+
+    return pivot_daily(load_table(spark, sf_dir, "events"))
+
+
+@q("events_bitmap_coverage", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(bit_count(bit_or(bm)) AS BIGINT) AS merged_slots,
+       CAST(min(bit_count(bm)) AS BIGINT) AS min_daily_slots,
+       CAST(max(bit_count(bm)) AS BIGINT) AS max_daily_slots,
+       CAST(sum(exact_users) AS BIGINT) AS sum_daily_exact
+FROM daily GROUP BY 1
+""")
+def events_bitmap_coverage(spark, sf_dir):
+    """Two-level bitmap distinct sketch (events.bitmap_coverage):
+    day-level user bitmaps (bit_or of 1 << user_id % 62) OR-merged
+    per type — the associative re-aggregable audience-count pattern;
+    popcounts and the exact per-day distinct calibration ride along.
+    62 bits keeps the shared grid inside DuckDB's range-checked
+    shift."""
+    from deepref_spark.operators.events import bitmap_coverage
+
+    return bitmap_coverage(load_table(spark, sf_dir, "events"))
+
+
+@q("kg_bowtie",
+   lambda: _oracle_prefix() + _graph_edges_cte() + _scc_sql() + """
+, ced AS MATERIALIZED (
+  SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+  FROM aug e
+  JOIN sid sa ON e.src = sa.entity
+  JOIN sid sb ON e.dst = sb.entity
+  WHERE sa.scc_id <> sb.scc_id
+),
+comps AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM sid GROUP BY 1),
+core AS (SELECT scc_id FROM comps ORDER BY n_members DESC, scc_id
+         LIMIT 1),
+outset AS (
+  WITH RECURSIVE o(v) AS (
+    SELECT scc_id FROM core
+    UNION
+    SELECT e.b FROM o JOIN ced e ON o.v = e.a
+  ) SELECT v FROM o
+),
+inset AS (
+  WITH RECURSIVE i(v) AS (
+    SELECT scc_id FROM core
+    UNION
+    SELECT e.a FROM i JOIN ced e ON i.v = e.b
+  ) SELECT v FROM i
+)
+SELECT region, CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(n_members) AS BIGINT) AS n_entities
+FROM (
+  SELECT c.scc_id, c.n_members,
+         CASE WHEN c.scc_id = (SELECT scc_id FROM core) THEN 'core'
+              WHEN c.scc_id IN (SELECT v FROM inset) THEN 'in'
+              WHEN c.scc_id IN (SELECT v FROM outset) THEN 'out'
+              ELSE 'other' END AS region
+  FROM comps c
+) GROUP BY 1
+""")
+def kg_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (graph.bowtie_regions) of the augmented
+    directed canonical graph — Broder et al.'s web macro-shape:
+    largest SCC = core, components reaching it = in, reached from it
+    = out, tendrils/tubes/disconnected = other. Reachability runs on
+    the CONDENSATION (quotient), never the entity graph; the oracle
+    replays it with recursive CTEs from the shared _scc_sql chain."""
+    from deepref_spark.operators.graph import bowtie_regions
+
+    e = _canonical_edges(spark, sf_dir)
+    aug = e.union(
+        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return bowtie_regions(aug)
+
+
+@q("dedup_yield_report", lambda: f"""
+WITH km AS ({_keep_map_oracle()}),
+cl AS (
+  SELECT keep_doc_id, CAST(count(*) AS BIGINT) AS sz
+  FROM km GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(max(sz) AS BIGINT) AS max_cluster,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_clusters
+FROM cl
+""")
+def dedup_yield_report(spark, sf_dir):
+    """One-row dedup yield rollup (dedup.dedup_yield_report) over the
+    keep map: clusters / docs / removed / max cluster / singleton
+    split — the go-no-go numbers before a 100 TB anti-join. The
+    oracle nests the exhaustive keep-map SQL twin as a CTE (fragment
+    reuse: one formula text, two verifying queries)."""
+    from deepref_spark.operators.dedup import dedup_yield_report
+
+    return dedup_yield_report(documents(spark, sf_dir)
+                              .select("doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -13540,6 +13698,23 @@ def emb_mahalanobis(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s18 batch 3, making room for kg_bowtie +
+    # dedup_yield_report): redundancy grounds — kg_reciprocity's
+    # directed-dyad census is contained in in-window kg_triad_census
+    # (its dyad stage); emb_drift's integer-grid centroid deltas share
+    # the per-label moment machinery with in-window emb_mahalanobis.
+    "kg_reciprocity", "emb_drift",
+    # (parked r5s18 batch 2, making room for rel_sales_rollup +
+    # events_pivot_daily + events_bitmap_coverage): redundancy
+    # grounds — rel_important_parts (Q11) shares the share-of-total
+    # threshold family with in-window rel_promo_suppliers (Q20) and
+    # rel_prospect_balance; events_seasonal_outliers' daily-profile
+    # residual screen is re-exercised by in-window events_changepoint
+    # + events_did (hourly MAD family pytest-pinned); emb_top_eigen's
+    # integer-grid power iteration is pytest-pinned and the
+    # covariance family keeps emb_pq_distortion + emb_mahalanobis
+    # in-window.
+    "rel_important_parts", "events_seasonal_outliers", "emb_top_eigen",
     # (parked r5s18, making room for events_theil_sen +
     # events_changepoint + events_attribution_ushape +
     # rel_promo_suppliers + emb_mahalanobis): redundancy grounds —

@@ -238,3 +238,142 @@ def test_mahalanobis_score_matches_hand_formula(spark):
     out = {r["vec_id"]: r["score_milli"]
            for r in mahalanobis_outliers(df, dim=2, k=3).collect()}
     assert out == {1: 1500, 2: 0, 3: 1500}
+
+
+# --- sales_rollup ------------------------------------------------------------
+
+def test_sales_rollup_levels_and_gid(spark):
+    from deepref_spark.operators.relational import sales_rollup
+    li = spark.createDataFrame(
+        [("R", "O", 1.0, 10.0, 0.0), ("R", "F", 2.0, 10.0, 0.1),
+         ("A", "O", 3.0, 10.0, 0.0)],
+        schema="l_returnflag string, l_linestatus string, "
+               "l_quantity double, l_extendedprice double, "
+               "l_discount double")
+    rows = {(r["l_returnflag"], r["l_linestatus"]): r
+            for r in sales_rollup(li).collect()}
+    # 3 detail + 2 flag subtotals + 1 grand total
+    assert len(rows) == 6
+    assert rows[("R", "O")]["gid"] == 0
+    assert rows[("R", None)]["gid"] == 1
+    assert rows[(None, None)]["gid"] == 3
+    assert rows[(None, None)]["n_rows"] == 3
+    assert rows[(None, None)]["qty_e2"] == 600
+    # rev_e4: 1000c * 100 + 1000c * 90 + 1000c * 100
+    assert rows[(None, None)]["rev_e4"] == 100000 + 90000 + 100000
+    assert rows[("R", None)]["qty_e2"] == 300
+
+
+# --- pivot_daily -------------------------------------------------------------
+
+def test_pivot_daily_fills_absent_cells(spark):
+    from deepref_spark.operators.events import pivot_daily
+    rows = [(1, "2024-01-01 01:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 02:00:00", 2, "click", 1.0),
+            (3, "2024-01-02 01:00:00", 1, "view", 1.0)]
+    df = (spark.createDataFrame(
+        rows, schema="event_id long, ts string, user_id long, "
+                     "event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    out = {r["day"]: r for r in pivot_daily(df).collect()}
+    assert out["2024-01-01"]["click"] == 2
+    assert out["2024-01-01"]["view"] == 0       # coalesced, not null
+    assert out["2024-01-02"]["view"] == 1
+    assert out["2024-01-02"]["purchase"] == 0
+
+
+def test_pivot_daily_explicit_values_construct_lazily(spark):
+    # the scale property of the pinned value list: .pivot(col, values)
+    # must NOT run an eager distinct-values job at construction time
+    # (inference-mode pivot does, scanning the corpus before the plan
+    # even exists). Probe: an event_type column that raises on ANY
+    # evaluation — construction must stay lazy and not trigger it.
+    from deepref_spark.operators.events import pivot_daily
+    df = spark.range(1).select(
+        F.lit(1).cast("long").alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-01 01:00:00")).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.expr("CASE WHEN id >= 0 THEN "
+               "raise_error('eager pivot-value scan') "
+               "ELSE 'x' END").alias("event_type"),
+        F.lit(1.0).alias("value"))
+    out = pivot_daily(df)  # no exception = no eager value scan
+    # and the desugared plan is the single pivotfirst chain over ONE
+    # base aggregate — no third aggregate for value inference
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 2, plan
+    assert "pivotfirst" in plan, plan
+
+
+# --- bitmap_coverage ---------------------------------------------------------
+
+def test_bitmap_coverage_hand_bitmaps(spark):
+    from deepref_spark.operators.events import bitmap_coverage
+    # day 1: users 0, 1, 62 -> slots {0, 1, 0} = {0, 1} -> 2 slots
+    # (62 % 62 = 0 collides with user 0: the saturation the exact
+    # column calibrates); day 2: user 5 -> 1 slot; merged {0,1,5} = 3
+    rows = [(1, "2024-01-01 01:00:00", 0, "click", 1.0),
+            (2, "2024-01-01 02:00:00", 1, "click", 1.0),
+            (3, "2024-01-01 03:00:00", 62, "click", 1.0),
+            (4, "2024-01-02 01:00:00", 5, "click", 1.0)]
+    df = (spark.createDataFrame(
+        rows, schema="event_id long, ts string, user_id long, "
+                     "event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    [r] = bitmap_coverage(df).collect()
+    assert r["n_days"] == 2
+    assert r["merged_slots"] == 3
+    assert r["min_daily_slots"] == 1
+    assert r["max_daily_slots"] == 2
+    assert r["sum_daily_exact"] == 4  # exact sees 3 + 1 users
+
+
+# --- bowtie_regions ----------------------------------------------------------
+
+def test_bowtie_hand_graph(spark):
+    from deepref_spark.operators.graph import bowtie_regions
+    # core = {a, b} (2-cycle); i -> a ('in'); b -> o ('out');
+    # d1 -> d2 disconnected from the core ('other' x2)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("i", "a"), ("b", "o"), ("d1", "d2")],
+        schema="src string, dst string")
+    out = {r["region"]: r for r in bowtie_regions(edges).collect()}
+    assert out["core"]["n_components"] == 1
+    assert out["core"]["n_entities"] == 2
+    assert out["in"]["n_components"] == 1
+    assert out["in"]["n_entities"] == 1
+    assert out["out"]["n_components"] == 1
+    assert out["out"]["n_entities"] == 1
+    assert out["other"]["n_components"] == 2
+    assert out["other"]["n_entities"] == 2
+
+
+def test_bowtie_tendril_through_in_is_in(spark):
+    from deepref_spark.operators.graph import bowtie_regions
+    # x -> i -> a, core {a, b}: x reaches the core transitively ->
+    # 'in', not 'other' (the closure runs on the quotient, not 1-hop)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("i", "a"), ("x", "i")],
+        schema="src string, dst string")
+    out = {r["region"]: r["n_entities"]
+           for r in bowtie_regions(edges).collect()}
+    assert out["in"] == 2
+    assert "other" not in out
+
+
+# --- dedup_yield_report ------------------------------------------------------
+
+def test_dedup_yield_report_counts(spark):
+    from deepref_spark.operators.dedup import dedup_yield_report
+    dup = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, dup),
+         (4, "completely unrelated text about warehouse engines ok")],
+        schema="doc_id long, text string")
+    [r] = dedup_yield_report(docs).collect()
+    assert r["n_docs"] == 4
+    assert r["n_clusters"] == 2
+    assert r["n_removed"] == 2
+    assert r["max_cluster"] == 3
+    assert r["n_singletons"] == 1
+    assert r["n_dup_clusters"] == 1
