@@ -2347,8 +2347,12 @@ def bowtie_regions(edges: DataFrame, labels: DataFrame | None = None,
     comps = (lab.groupBy("scc_id")
              .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
              .localCheckpoint())
-    core = (comps.orderBy(F.col("n_members").desc(), F.col("scc_id"))
-            .select("scc_id").limit(1).collect())[0][0]
+    core_rows = (comps.orderBy(F.col("n_members").desc(),
+                               F.col("scc_id"))
+                 .select("scc_id").limit(1).collect())
+    if not core_rows:
+        raise ValueError("bowtie_regions: empty edge set has no core")
+    core = core_rows[0][0]
     spark = edges.sparkSession
 
     def _closure(quot: DataFrame) -> DataFrame:

@@ -348,6 +348,15 @@ def test_bowtie_hand_graph(spark):
     assert out["other"]["n_entities"] == 2
 
 
+def test_bowtie_empty_edges_raises(spark):
+    import pytest
+
+    from deepref_spark.operators.graph import bowtie_regions
+    edges = spark.createDataFrame([], schema="src string, dst string")
+    with pytest.raises(ValueError, match="empty edge set"):
+        bowtie_regions(edges)
+
+
 def test_bowtie_tendril_through_in_is_in(spark):
     from deepref_spark.operators.graph import bowtie_regions
     # x -> i -> a, core {a, b}: x reaches the core transitively ->
