@@ -2379,3 +2379,69 @@ def bitmap_coverage(events: DataFrame, bits: int = 62) -> DataFrame:
              F.max("slots").cast("long").alias("max_daily_slots"),
              F.sum("exact_users").cast("long").alias("sum_daily_exact"))
     )
+
+
+def ks_test(events: DataFrame, type_a: str = "click",
+            type_b: str = "purchase") -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the distribution-shift gate an
+    experimentation/monitoring stack runs next to events_srm_check
+    (count balance) and events_benford (digit shape): D = sup_x
+    |F_a(x) - F_b(x)| over the pooled support, reported with the
+    location where the gap is attained.
+
+    Exact-arithmetic form: with c_a(x)/c_b(x) the cumulative counts at
+    pooled cents value x, |F_a - F_b| = |c_a*n_b - c_b*n_a| / (n_a*n_b)
+    — the numerator is a BIGINT cross-product, so the max and its
+    argmax are engine-exact; the single ppm division happens once on
+    the winning row. No doubles anywhere until the final ppm readout.
+
+    Scale shape: the corpus-sized pass is the per-cents grouped count
+    (map-side combined); the cumulative window and the argmax run over
+    the DISTINCT-cents table, which is bounded by the value domain
+    (|support| <= 10^4 x value range in currency units), not by event
+    count — the same bounded-support discipline as lake_quantile_hist.
+    The 1-row totals broadcast.
+    """
+    cents = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    per = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .select(F.col("event_type").alias("t"), cents.alias("cents"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("t") == type_a, 1).otherwise(0))
+            .cast("long").alias("ca"),
+            F.sum(F.when(F.col("t") == type_b, 1).otherwise(0))
+            .cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND the cumsum
+    )
+    tot = F.broadcast(per.agg(F.sum("ca").cast("long").alias("n_a"),
+                              F.sum("cb").cast("long").alias("n_b")))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    cum = (
+        per.select("cents",
+                   F.sum("ca").over(w).alias("cum_a"),
+                   F.sum("cb").over(w).alias("cum_b"))
+        .crossJoin(tot)
+        .select(
+            "cents", "n_a", "n_b",
+            F.abs(F.col("cum_a") * F.col("n_b")
+                  - F.col("cum_b") * F.col("n_a")).alias("d_num"),
+        )
+    )
+    pick = Window.orderBy(F.desc("d_num"), F.asc("cents"))
+    return (
+        cum.withColumn("_r", F.row_number().over(pick))
+        .where(F.col("_r") == 1)
+        .select(
+            F.lit(type_a).alias("type_a"), F.lit(type_b).alias("type_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("cents").cast("long").alias("at_cents"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.expr("d_num * 1000000 div (n_a * n_b)").cast("long")
+            .alias("d_ppm"),
+        )
+    )

@@ -1003,3 +1003,33 @@ def sales_rollup(lineitem: DataFrame) -> DataFrame:
              F.sum("qc").cast("long").alias("qty_e2"),
              F.sum("de4").cast("long").alias("rev_e4"))
     )
+
+
+def revenue_delta(lineitem: DataFrame, year: int = 1996,
+                  disc_lo: int = 5, disc_hi: int = 7,
+                  qty_lt: int = 24) -> DataFrame:
+    """TPC-H Q6 shape (relational.revenue_delta): the forecasting
+    revenue-change query — total discount revenue that would be
+    recovered by eliminating small discounts on low-quantity line
+    items shipped in one year. The last of the 22 TPC-H query shapes:
+    a pure filter-aggregate with NO join at all, the query class whose
+    entire cost is the scan, so the plan test is that every predicate
+    reaches the parquet reader (shipdate range + quantity pushed as
+    PushedFilters; the discount band is evaluated on the integer grid
+    post-scan) and the aggregate combines map-side to a 1-row result.
+
+    Revenue lives on the e4 grid (price cents x discount cents) so the
+    sum is an order-independent BIGINT — the oracle replays it
+    verbatim; at 100 TB the same expression ports to decimal(38,0).
+    """
+    disc = F.expr(PCT.format(c="l_discount"))
+    rev = F.expr(CENTS.format(c="l_extendedprice")) * disc
+    return (
+        lineitem
+        .where((F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+               & (F.col("l_quantity") < F.lit(float(qty_lt))))
+        .where(disc.between(disc_lo, disc_hi))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(rev).cast("long").alias("rev_e4"))
+    )

@@ -1970,3 +1970,82 @@ def mahalanobis_outliers(embeddings: DataFrame, dim: int = 64,
         .select(F.col("label").cast("long").alias("label"),
                 "vec_id", "score_milli", "rk")
     )
+
+
+def ndcg_weights(k: int = 5) -> list:
+    """Integer NDCG discount table: w_r = round(1e6 / log2(r+1)) for
+    rank r = 1..k. The single transcendental (log2) is evaluated ONCE
+    here in driver Python and baked into both engines' plans as
+    integer literals, so the DCG sums are exact BIGINT arithmetic —
+    the same plan-literal discipline as the LSH plane constants."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                  n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+    """NDCG@k of the IVF ANN lane with label-match relevance — the
+    position-sensitive companion of ann_recall_eval: recall@k treats
+    every slot equally, NDCG pays more for relevant neighbors ranked
+    early (w_r = 1/log2(r+1) on the integer unit grid), which is the
+    metric that actually moves when an ANN index starts returning the
+    right set in the wrong order.
+
+    rel(q, nbr) = 1 iff label(nbr) == label(q). IDCG uses the true
+    ideal: the prefix-sum of the first min(k, R) weights where R is
+    the corpus count of same-label vectors excluding the query itself
+    (so a query from a tiny label class is not penalized for an
+    unfillable top-k). ndcg_ppm = dcg * 1e6 div idcg, one integer
+    division per query.
+
+    Scale shape: the IVF lane is the production search path; labels
+    join in by vec_id (co-partitioned equi-joins); the per-label
+    corpus counts are a map-side-combined groupBy broadcast back onto
+    the query side. No doubles beyond the IVF lane's own cosine.
+    """
+    wts = ndcg_weights(k)
+    prefix = [sum(wts[: i + 1]) for i in range(k)]
+    lab = embeddings.select("vec_id", F.col("label").cast("long").alias("label"))
+    lcnt = lab.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    qside = (
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").cast("long").alias("qlabel"))
+        .join(F.broadcast(lcnt), F.col("qlabel") == F.col("label"))
+        .select("query_id", "qlabel", (F.col("cnt") - 1).alias("r_total"))
+    )
+    wt = F.element_at(F.array(*[F.lit(w) for w in wts]), F.col("rank").cast("int"))
+    hits = (
+        ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists, nprobe=nprobe)
+        .join(lab.select(F.col("vec_id").alias("nbr_id"),
+                         F.col("label").alias("nlabel")), "nbr_id")
+        .join(qside, "query_id")
+        .select(
+            "query_id", "qlabel", "r_total",
+            F.when(F.col("nlabel") == F.col("qlabel"), F.lit(1))
+            .otherwise(F.lit(0)).alias("rel"),
+            wt.alias("wt"),
+        )
+    )
+    # greatest(1, .) keeps the array index valid when r_total = 0 (a
+    # singleton label class); the surrounding when() zeroes that row out
+    idcg = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        F.greatest(F.lit(1), F.least(F.lit(k), F.col("r_total"))).cast("int"))
+    return (
+        hits.groupBy("query_id", "qlabel", "r_total")
+        .agg(F.sum(F.col("rel") * F.col("wt")).cast("long").alias("dcg_units"),
+             F.sum("rel").cast("long").alias("n_rel_at_k"))
+        .select(
+            "query_id", F.col("qlabel").alias("label"), "n_rel_at_k",
+            "dcg_units",
+            F.when(F.col("r_total") >= 1, idcg).otherwise(F.lit(0))
+            .cast("long").alias("idcg_units"),
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.when(F.col("idcg_units") > 0,
+                   F.expr("dcg_units * 1000000 div idcg_units"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )

@@ -13470,7 +13470,8 @@ def rel_promo_suppliers(spark, sf_dir):
     DOMINATE at least one 'blue '-prefixed part's 1995 shipments
     (share > 2500 bp of all suppliers' shipped quantity of that part)
     — the nested prefix-semi-join + correlated share-of-total
-    pattern, completing the 22 TPC-H query shapes. Prefix filter
+    pattern (the 21st of the 22 TPC-H shapes; Q6 landed in r5s26 as
+    rel_revenue_delta, completing the set). Prefix filter
     broadcasts into the lineitem scan; the share threshold is a pure
     integer cross-product (sq*10000 > tq*2500); supplier dim
     broadcasts at the end."""
@@ -13679,6 +13680,129 @@ def dedup_yield_report(spark, sf_dir):
 
     return dedup_yield_report(documents(spark, sf_dir)
                               .select("doc_id", "text"))
+
+
+@q("rel_revenue_delta", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_quantity < 24
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+""")
+def rel_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape (relational.revenue_delta): the forecasting
+    revenue-change filter-aggregate — no join, the whole cost is the
+    scan, so the plan evidence is PushedFilters carrying the shipdate
+    range + quantity bound to the parquet reader and ONE map-side
+    combined 1-row aggregate on the e4 integer grid. Genuinely the
+    last of the 22 TPC-H query shapes in the rel lane (the r5s25
+    Q20-entry docstring claimed completion one query early)."""
+    from deepref_spark.operators.relational import revenue_delta
+
+    return revenue_delta(load_table(spark, sf_dir, "lineitem"))
+
+
+@q("events_ks_test", """
+WITH per AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b FROM per),
+cum AS (
+  SELECT cents, n_a, n_b,
+         abs(sum(ca) OVER (ORDER BY cents) * n_b
+             - sum(cb) OVER (ORDER BY cents) * n_a) AS d_num
+  FROM per, tot
+)
+SELECT 'click' AS type_a, 'purchase' AS type_b, n_a, n_b,
+       CAST(cents AS BIGINT) AS at_cents,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm
+FROM (SELECT *, row_number() OVER (ORDER BY d_num DESC, cents) AS r
+      FROM cum)
+WHERE r = 1
+""")
+def events_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distribution-shift gate
+    (events.ks_test) between the click and purchase value
+    distributions: D's numerator |c_a*n_b - c_b*n_a| is a BIGINT
+    cross-product maximized over the pooled cents support, so the
+    statistic AND its argmax location are engine-exact; the single ppm
+    division runs once on the winning row. The cumulative window runs
+    over the bounded distinct-cents table, not the event corpus."""
+    from deepref_spark.operators.events import ks_test
+
+    return ks_test(load_table(spark, sf_dir, "events"),
+                   type_a="click", type_b="purchase")
+
+
+def _ndcg_oracle() -> str:
+    from deepref_spark.operators.similarity import ndcg_weights
+
+    wts = ndcg_weights(5)
+    prefix = [sum(wts[: i + 1]) for i in range(5)]
+    wt_case = " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(wts))
+    p_case = " ".join(f"WHEN {i + 1} THEN {p}" for i, p in enumerate(prefix))
+    return f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()},
+ivf AS (SELECT query_id, nbr_id, rank FROM ranked WHERE rank <= 5),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt FROM lab GROUP BY 1),
+qs AS (
+  SELECT l.vec_id AS query_id, l.label AS qlabel, c.cnt - 1 AS r_total
+  FROM lab l JOIN lc c USING (label)
+  WHERE {_emb_queries_filter().replace('vec_id', 'l.vec_id')}
+),
+sc AS (
+  SELECT q.query_id, q.qlabel, q.r_total,
+         CAST(sum(CASE WHEN n.label = q.qlabel THEN
+                    CASE i.rank {wt_case} ELSE 0 END
+                  ELSE 0 END) AS BIGINT) AS dcg_units,
+         CAST(sum(CASE WHEN n.label = q.qlabel THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_at_k
+  FROM qs q JOIN ivf i ON q.query_id = i.query_id
+            JOIN lab n ON i.nbr_id = n.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, label, n_rel_at_k, dcg_units, idcg_units,
+       CAST(CASE WHEN idcg_units > 0
+                 THEN dcg_units * 1000000 // idcg_units
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm
+FROM (
+  SELECT query_id, qlabel AS label, n_rel_at_k, dcg_units,
+         CAST(CASE WHEN r_total >= 1 THEN
+                CASE least(5, r_total) {p_case} ELSE 0 END
+              ELSE 0 END AS BIGINT) AS idcg_units
+  FROM sc
+) g
+"""
+
+
+@q("emb_ndcg_eval", _ndcg_oracle)  # lazy: imports the weight table
+def emb_ndcg_eval(spark, sf_dir):
+    """NDCG@5 of the IVF ANN lane with label-match relevance
+    (similarity.ann_ndcg_eval) — the position-sensitive companion of
+    emb_recall_eval: the discount table w_r = round(1e6/log2(r+1)) is
+    evaluated once in driver Python and baked into BOTH plans as
+    integer literals, so DCG/IDCG are exact BIGINT sums and ndcg_ppm
+    is one integer division per query. IDCG honors the true ideal
+    (min(k, same-label corpus count excl. the query))."""
+    from deepref_spark.operators.similarity import ann_ndcg_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ndcg_eval(emb, emb.where(F.expr(_emb_queries_filter())),
+                         k=5, n_lists=16, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""Sitting-26 operators: TPC-H Q6 revenue delta, exact two-sample
+Kolmogorov-Smirnov test, and NDCG@k ANN retrieval eval — exact
+expected values on tiny hand-checked inputs, independent of the
+DuckDB oracle sweep."""
+
+import pyspark.sql.functions as F
+
+from deepref_spark.operators.events import ks_test
+from deepref_spark.operators.relational import revenue_delta
+from deepref_spark.operators.similarity import ann_ndcg_eval, ndcg_weights
+
+
+# --- revenue_delta (TPC-H Q6) ------------------------------------------------
+
+def _lineitem(spark, rows):
+    # rows: (shipdate, extendedprice, discount, quantity)
+    return (
+        spark.createDataFrame(
+            [(f"{d} 00:00:00", p, disc, q) for d, p, disc, q in rows],
+            schema=("l_shipdate string, l_extendedprice double, "
+                    "l_discount double, l_quantity double"))
+        .withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    )
+
+
+def test_revenue_delta_filters_and_grid(spark):
+    rows = [
+        ("1996-06-01", 100.00, 0.06, 10.0),   # in: 10000 * 6 = 60000
+        ("1996-06-01", 50.00, 0.05, 23.0),    # in: 5000 * 5 = 25000
+        ("1996-06-01", 100.00, 0.04, 10.0),   # out: discount below band
+        ("1996-06-01", 100.00, 0.08, 10.0),   # out: discount above band
+        ("1996-06-01", 100.00, 0.06, 24.0),   # out: quantity not < 24
+        ("1995-12-31", 100.00, 0.06, 10.0),   # out: shipped before year
+        ("1997-01-01", 100.00, 0.06, 10.0),   # out: shipped after year
+    ]
+    [r] = revenue_delta(_lineitem(spark, rows), year=1996).collect()
+    assert r["n_rows"] == 2
+    assert r["rev_e4"] == 85000
+
+
+def test_revenue_delta_empty_year_is_zero_row(spark):
+    rows = [("1996-06-01", 100.00, 0.06, 10.0)]
+    [r] = revenue_delta(_lineitem(spark, rows), year=1998).collect()
+    assert r["n_rows"] == 0
+    assert r["rev_e4"] is None  # sum over empty set
+
+
+# --- ks_test -----------------------------------------------------------------
+
+def _events_vals(spark, vals_a, vals_b, type_a="click", type_b="purchase"):
+    rows = [(i, "2024-01-01 00:00:00", 1, type_a, float(v))
+            for i, v in enumerate(vals_a)]
+    rows += [(1000 + i, "2024-01-01 00:00:00", 2, type_b, float(v))
+             for i, v in enumerate(vals_b)]
+    return (
+        spark.createDataFrame(
+            rows, schema=("event_id long, ts string, user_id long, "
+                          "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_ks_shifted_samples(spark):
+    # A = {1,2,3}, B = {2,3,4}: F_A - F_B maxes at x=1 with 1/3.
+    # d_num = |cumA*nB - cumB*nA| = |1*3 - 0*3| = 3 at cents 100.
+    df = _events_vals(spark, [1, 2, 3], [2, 3, 4])
+    [r] = ks_test(df).collect()
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["at_cents"] == 100
+    assert r["d_num"] == 3
+    assert r["d_ppm"] == 333333  # 3 * 1e6 div 9
+
+
+def test_ks_identical_samples_is_zero(spark):
+    df = _events_vals(spark, [1, 2, 2, 5], [1, 2, 2, 5])
+    [r] = ks_test(df).collect()
+    assert r["d_num"] == 0
+    assert r["d_ppm"] == 0
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    # A entirely below B: D = 1 attained at A's max.
+    df = _events_vals(spark, [1, 2], [10, 11, 12])
+    [r] = ks_test(df).collect()
+    assert r["d_num"] == 2 * 3  # cumA*nB - 0 at cents 200
+    assert r["at_cents"] == 200
+    assert r["d_ppm"] == 1_000_000
+
+
+def test_ks_argmax_tie_takes_smallest_cents(spark):
+    # A = {1}, B = {3}: the gap |1*1 - 0*1| = 1 holds at cents 100 and
+    # 200... only distinct observed values form the support: {100, 300};
+    # at 100 the gap is 1, at 300 it is 0 — argmax unique here, so use
+    # duplicated gap instead: A = {1, 3}, B = {2, 4} gives gap 1*2-0=2
+    # at 100 and |2*2-1*2|=2 at 200 -> ties at cents 100 and 200 (on
+    # the numerator grid nA=nB=2: d_num=2 at both); smallest cents wins.
+    df = _events_vals(spark, [1, 3], [2, 4])
+    [r] = ks_test(df).collect()
+    assert r["d_num"] == 2
+    assert r["at_cents"] == 100
+
+
+# --- ann_ndcg_eval -----------------------------------------------------------
+
+def test_ndcg_weights_table():
+    w = ndcg_weights(5)
+    assert w == [1000000, 630930, 500000, 430677, 386853]
+    assert all(a > b for a, b in zip(w, w[1:]))  # strictly decreasing
+
+
+def _emb(spark, rows):
+    # rows: (vec_id, [floats], label)
+    return spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int")
+
+
+def test_ndcg_perfect_and_partial(spark):
+    # n_lists=1, nprobe=1 -> IVF degenerates to exact ranking by
+    # (cosine 4dp desc, nbr_id asc). Query 0 (label 0) against five
+    # corpus vectors: ranks by cosine are v1, v2, v3, v4, v5.
+    # Labels: v1=0, v2=1, v3=0, v4=1, v5=1 -> rel = [1,0,1,0,0],
+    # dcg = w1 + w3. r_total (corpus label-0 excl. query) = 2 ->
+    # idcg = w1 + w2.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),       # query
+        (1, [0.9, 0.1, 0.0, 0.0], 0),       # nearest
+        (2, [0.8, 0.2, 0.0, 0.0], 1),
+        (3, [0.7, 0.3, 0.0, 0.0], 0),
+        (4, [0.6, 0.4, 0.0, 0.0], 1),
+        (5, [0.5, 0.5, 0.0, 0.0], 1),
+    ]
+    emb = _emb(spark, rows)
+    qs = emb.where("vec_id = 0")
+    [r] = ann_ndcg_eval(emb, qs, k=5, n_lists=1, nprobe=1).collect()
+    w = ndcg_weights(5)
+    assert r["label"] == 0
+    assert r["n_rel_at_k"] == 2
+    assert r["dcg_units"] == w[0] + w[2]
+    assert r["idcg_units"] == w[0] + w[1]
+    assert r["ndcg_ppm"] == (w[0] + w[2]) * 1_000_000 // (w[0] + w[1])
+
+
+def test_ndcg_singleton_label_class_zeroes(spark):
+    # Query's label appears ONLY on the query itself: r_total = 0,
+    # idcg = 0, ndcg_ppm = 0 (not a division error).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),       # query, unique label
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.8, 0.2, 0.0, 0.0], 1),
+    ]
+    emb = _emb(spark, rows)
+    qs = emb.where("vec_id = 0")
+    [r] = ann_ndcg_eval(emb, qs, k=5, n_lists=1, nprobe=1).collect()
+    assert r["n_rel_at_k"] == 0
+    assert r["idcg_units"] == 0
+    assert r["ndcg_ppm"] == 0
