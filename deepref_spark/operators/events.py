@@ -2445,3 +2445,76 @@ def ks_test(events: DataFrame, type_a: str = "click",
             .alias("d_ppm"),
         )
     )
+
+
+def holt_linear(events: DataFrame, horizon: int = 3) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoother over the
+    per-type daily cents series, alpha = beta = 1/2 — the trend-aware
+    step up from ses_forecast (which has no trend term and lags any
+    drifting series by construction). Per type: final level l, trend
+    b, and the h-step forecasts l + h*b for h = 1..``horizon``.
+
+    Exact-arithmetic recursion: with alpha = beta = 1/2 both updates
+    are integer halvings —
+        l_t = (y_t + l_{t-1} + b_{t-1}) div 2
+        b_t = (l_t - l_{t-1} + b_{t-1}) div 2
+    rounded to the cents grid at EVERY step with truncating integer
+    division, which Spark's `div` and DuckDB's `//` implement
+    identically (both truncate toward zero, including for the
+    negative trend values a declining series produces) — so the
+    sequential fold and the oracle's recursive CTE agree bit-for-bit.
+    Initialization: l_0 = y_0, b_0 = 0. Missing days are true zeros
+    (the spine is gap-filled), so every type folds the same length.
+
+    Scale shape: the corpus-sized pass is the per-(type, day) grouped
+    cents sum (map-side combined). The recursion is inherently
+    sequential, but it runs over the per-type DAILY series — bounded
+    by the calendar, not by event count — as ONE JVM-side aggregate()
+    fold over the collected array (no Python, no per-row shuffle);
+    types fold in parallel. A deployment smoothing millions of
+    distinct keys folds each key's bounded series the same way.
+    """
+    spark = events.sparkSession
+    bounds = F.broadcast(events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1")))
+    daily = (
+        events.crossJoin(bounds)
+        .select("event_type",
+                F.datediff(F.to_date("ts"), F.col("d0")).cast("int")
+                .alias("idx"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                .alias("cents"))
+        .groupBy("event_type", "idx")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    spine = (
+        events.select("event_type").distinct()
+        .crossJoin(bounds)
+        .select("event_type",
+                F.explode(F.expr("sequence(0, datediff(d1, d0))"))
+                .alias("idx"))
+        .join(daily, ["event_type", "idx"], "left")
+        .select("event_type", "idx",
+                F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    )
+    ser = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("array_sort(collect_list(struct(idx, y)))").alias("ys"))
+    fold = F.expr("""
+        aggregate(
+          slice(ys, 2, size(ys) - 1),
+          named_struct('l', element_at(ys, 1).y, 'b', CAST(0 AS BIGINT)),
+          (acc, e) -> named_struct(
+            'l', (e.y + acc.l + acc.b) div 2,
+            'b', ((e.y + acc.l + acc.b) div 2 - acc.l + acc.b) div 2))
+    """)
+    out = ser.select("event_type", "n_days", fold.alias("st"))
+    cols = [F.expr(f"st.l + {h} * st.b").cast("long").alias(f"f{h}_cents")
+            for h in range(1, horizon + 1)]
+    return out.select(
+        "event_type", "n_days",
+        F.col("st.l").cast("long").alias("level_cents"),
+        F.col("st.b").cast("long").alias("trend_cents"),
+        *cols,
+    )

@@ -2394,3 +2394,46 @@ def bowtie_regions(edges: DataFrame, labels: DataFrame | None = None,
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"),
              F.sum("n_members").cast("long").alias("n_entities"))
     )
+
+
+def walk_skipgram_pairs(edges: DataFrame, walks_per_node: int = 2,
+                        walk_len: int = 3, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) training pairs from the
+    deterministic DeepWalk corpus (random_walks above) — the
+    word2vec-style preprocessing step between walk generation and an
+    embedding trainer: every ordered pair of walk positions within
+    ``window`` steps of each other becomes one co-occurrence, counted
+    across the whole corpus with word2vec's harmonic distance
+    down-weighting on the BIGINT unit grid (w = UNIT div |dist| —
+    exact, so the weighted counts are partition-order independent).
+
+    Returns (center, context, n_pairs, w_units) with context != center
+    positions (self-pairs at distance 0 are excluded by construction;
+    a node co-occurring with ITSELF at distance >= 1 — a revisit —
+    does count, as in word2vec).
+
+    Scale shape: the only join is the per-walk self-join keyed on
+    walk_id; a walk holds at most walk_len+1 rows, so each walk emits
+    O(walk_len * window) pairs — linear in corpus size with a
+    constant factor, never quadratic in anything data-dependent. The
+    walk corpus is checkpointed once and both sides of the self-join
+    read the materialized rows; the final count is one map-side
+    combined groupBy.
+    """
+    walks = random_walks(edges, walks_per_node=walks_per_node,
+                         walk_len=walk_len).localCheckpoint(eager=False)
+    a = walks.select("walk_id", F.col("step").alias("si"),
+                     F.col("entity").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sj"),
+                     F.col("entity").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .where((F.col("si") != F.col("sj"))
+               & (F.abs(F.col("si") - F.col("sj")) <= window))
+        .select("center", "context",
+                F.abs(F.col("si") - F.col("sj")).alias("dist"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.sum(F.expr(f"{UNIT} div dist")).cast("long")
+             .alias("w_units"))
+    )

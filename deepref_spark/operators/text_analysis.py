@@ -2353,3 +2353,107 @@ def source_overlap(documents: DataFrame, n: int = 5) -> DataFrame:
                 F.expr("n_common * 1000000 DIV (n_a + n_b - n_common)")
                 .cast("long").alias("jaccard_ppm"))
     )
+
+
+def backoff_lm_score(documents: DataFrame,
+                     held_out_source: str = "src0") -> DataFrame:
+    """Held-out stupid-backoff trigram scoring (Brants et al. 2007) —
+    the LM-quality filter the on-corpus MLE scorers (lm_score /
+    bigram_lm_score) cannot be: the model trains on every source
+    EXCEPT ``held_out_source`` and scores only that source's docs, so
+    unseen trigrams genuinely occur and the backoff chain genuinely
+    fires. This is the decide-before-deploy shape of a perplexity
+    filter: score candidate shards under a trusted-corpus LM.
+
+    S(w3 | w1 w2) on the exact ppm grid, all-integer:
+      trigram seen:  c123 * 1e6    div c12        (MLE)
+      bigram  seen:  c23  * 400000 div c2         (0.4 backoff, exact)
+      unigram seen:  c3   * 160000 div N          (0.4^2 backoff)
+      OOV:           0  (counted in n_oov)
+    Each tier is one integer division per DISTINCT joined row; the
+    per-doc mean divides the BIGINT sum once — no doubles anywhere,
+    so partial-aggregation order cannot move a bit.
+
+    Scale shape: the model passes are map-side-combined grouped counts
+    over the (large) training split; the scoring side explodes the
+    (small) held-out split's trigrams once; all joins are equi-joins
+    on token keys with no forced strategy (AQE broadcasts the
+    observed-gram tables while they fit). Tokens staged behind one
+    checkpoint per split — tokenize once, the fingerprint lesson.
+    """
+    toks = documents.select(
+        "doc_id", "source",
+        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+    ).localCheckpoint(eager=False)  # tokenize once, feeds both splits
+
+    def grams(df, n):
+        return (
+            df.select(
+                "doc_id",
+                F.explode(F.expr(
+                    f"CASE WHEN size(t) >= {n} THEN sequence(1, size(t) - {n - 1})"
+                    " ELSE array() END")).alias("i"),
+                "t")
+            .select("doc_id",
+                    *[F.expr(f"element_at(t, i + {j})").alias(f"w{j + 1}")
+                      for j in range(n)])
+        )
+
+    train = toks.where(F.col("source") != held_out_source)
+    score = toks.where(F.col("source") == held_out_source)
+    tri = grams(train, 3).groupBy("w1", "w2", "w3") \
+        .agg(F.count(F.lit(1)).cast("long").alias("c123")) \
+        .localCheckpoint(eager=False)  # feeds c12 rollup AND the join
+    c12 = tri.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
+    bi = grams(train, 2).groupBy(F.col("w1").alias("bw1"),
+                                 F.col("w2").alias("bw2")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("c23")) \
+        .localCheckpoint(eager=False)
+    c2 = bi.groupBy(F.col("bw1").alias("uw")) \
+        .agg(F.sum("c23").cast("long").alias("c2"))
+    uni = train.select(F.explode("t").alias("w")) \
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c3")) \
+        .localCheckpoint(eager=False)
+    n_tok = F.broadcast(uni.agg(F.sum("c3").cast("long").alias("n_train")))
+
+    inst = grams(score, 3)
+    scored = (
+        inst
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(bi, (F.col("w2") == F.col("bw1"))
+              & (F.col("w3") == F.col("bw2")), "left")
+        .join(c2, F.col("w2") == F.col("uw"), "left")
+        .join(uni.select(F.col("w").alias("w3u"),
+                         F.col("c3")), F.col("w3") == F.col("w3u"), "left")
+        .crossJoin(n_tok)
+        .select(
+            "doc_id",
+            F.when(F.col("c123").isNotNull(),
+                   F.expr("c123 * 1000000 div c12"))
+            .when(F.col("c23").isNotNull(),
+                  F.expr("c23 * 400000 div c2"))
+            .when(F.col("c3").isNotNull(),
+                  F.expr("c3 * 160000 div n_train"))
+            .otherwise(F.lit(0)).cast("long").alias("s_ppm"),
+            F.when(F.col("c123").isNotNull(), "tri")
+            .when(F.col("c23").isNotNull(), "bi")
+            .when(F.col("c3").isNotNull(), "uni")
+            .otherwise("oov").alias("tier"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"),
+             F.sum(F.when(F.col("tier") == "tri", 1).otherwise(0))
+             .cast("long").alias("n_hit3"),
+             F.sum(F.when(F.col("tier") == "bi", 1).otherwise(0))
+             .cast("long").alias("n_hit2"),
+             F.sum(F.when(F.col("tier") == "uni", 1).otherwise(0))
+             .cast("long").alias("n_hit1"),
+             F.sum(F.when(F.col("tier") == "oov", 1).otherwise(0))
+             .cast("long").alias("n_oov"),
+             F.sum("s_ppm").cast("long").alias("_s"))
+        .select("doc_id", "n_tri", "n_hit3", "n_hit2", "n_hit1", "n_oov",
+                F.expr("_s div n_tri").cast("long").alias("score_ppm"))
+    )

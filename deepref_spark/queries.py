@@ -13805,6 +13805,161 @@ def emb_ndcg_eval(spark, sf_dir):
                          k=5, n_lists=16, nprobe=2)
 
 
+def _skipgram_oracle() -> str:
+    ctes, final = _walks_sql(2, 3).rsplit("\nSELECT", 1)
+    return (_oracle_prefix() + _graph_edges_cte() + ",\n" + ctes
+            + f",\nwalks AS MATERIALIZED (SELECT{final})" + """
+SELECT center, context,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(1000000000 // dist) AS BIGINT) AS w_units
+FROM (
+  SELECT a.entity AS center, b.entity AS context,
+         abs(a.step - b.step) AS dist
+  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+  WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+) pairs
+GROUP BY 1, 2
+""")
+
+
+@q("kg_walk_skipgram_pairs", _skipgram_oracle)  # lazy: splices the walk SQL
+def kg_walk_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the
+    deterministic DeepWalk corpus (graph.walk_skipgram_pairs, window
+    2) with word2vec's harmonic distance down-weighting on the BIGINT
+    unit grid — the preprocessing stage between kg_random_walks and a
+    node-embedding trainer. The only join is the per-walk self-join
+    (<= walk_len+1 rows per key), so pair volume is linear in corpus
+    size; the oracle nests the full walk derivation as a CTE."""
+    from deepref_spark.operators.graph import walk_skipgram_pairs
+
+    return walk_skipgram_pairs(_canonical_edges(spark, sf_dir),
+                               walks_per_node=2, walk_len=3, window=2)
+
+
+def _backoff_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, source, {_TOKS_DUCK} AS t FROM documents),
+tr AS MATERIALIZED (SELECT * FROM d WHERE source <> 'src0'),
+sc AS (SELECT * FROM d WHERE source = 'src0'),
+tri AS MATERIALIZED (
+  SELECT t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3,
+         CAST(count(*) AS BIGINT) AS c123
+  FROM tr, unnest(generate_series(1, len(t) - 2)) u(i) GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+        FROM tri GROUP BY 1, 2),
+bi AS MATERIALIZED (
+  SELECT t[u.i] AS bw1, t[u.i + 1] AS bw2, CAST(count(*) AS BIGINT) AS c23
+  FROM tr, unnest(generate_series(1, len(t) - 1)) u(i) GROUP BY 1, 2),
+c2 AS (SELECT bw1 AS uw, CAST(sum(c23) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c3
+  FROM (SELECT unnest(t) AS w FROM tr) u0 GROUP BY 1),
+nt AS (SELECT CAST(sum(c3) AS BIGINT) AS n_train FROM uni),
+inst AS (
+  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+  FROM sc, unnest(generate_series(1, len(t) - 2)) u(i)),
+srows AS (
+  SELECT i.doc_id,
+         CASE WHEN tri.c123 IS NOT NULL THEN tri.c123 * 1000000 // c12.c12
+              WHEN bi.c23 IS NOT NULL THEN bi.c23 * 400000 // c2.c2
+              WHEN uni.c3 IS NOT NULL THEN uni.c3 * 160000 // nt.n_train
+              ELSE 0 END AS s_ppm,
+         CASE WHEN tri.c123 IS NOT NULL THEN 'tri'
+              WHEN bi.c23 IS NOT NULL THEN 'bi'
+              WHEN uni.c3 IS NOT NULL THEN 'uni' ELSE 'oov' END AS tier
+  FROM inst i
+  LEFT JOIN tri ON i.w1 = tri.w1 AND i.w2 = tri.w2 AND i.w3 = tri.w3
+  LEFT JOIN c12 ON i.w1 = c12.w1 AND i.w2 = c12.w2
+  LEFT JOIN bi ON i.w2 = bi.bw1 AND i.w3 = bi.bw2
+  LEFT JOIN c2 ON i.w2 = c2.uw
+  LEFT JOIN uni ON i.w3 = uni.w
+  CROSS JOIN nt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(sum(CASE WHEN tier = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit3,
+       CAST(sum(CASE WHEN tier = 'bi' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit2,
+       CAST(sum(CASE WHEN tier = 'uni' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit1,
+       CAST(sum(CASE WHEN tier = 'oov' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS score_ppm
+FROM srows GROUP BY doc_id
+"""
+
+
+@q("text_backoff_lm", _backoff_oracle)  # lazy: token-twin formatting
+def text_backoff_lm(spark, sf_dir):
+    """Held-out stupid-backoff trigram scoring
+    (text_analysis.backoff_lm_score): the model trains on every source
+    but src0 and scores src0's docs, so the backoff chain genuinely
+    fires (525 bigram-tier instances at sf0.001 — the on-corpus MLE
+    scorers can never exercise it). All four tiers are exact integer
+    ppm divisions with 0.4 and 0.16 as exact rationals (x400000 /
+    x160000); per-doc tier census + mean score."""
+    from deepref_spark.operators.text_analysis import backoff_lm_score
+
+    return backoff_lm_score(documents(spark, sf_dir),
+                            held_out_source="src0")
+
+
+@q("events_holt_linear", """
+WITH RECURSIVE
+b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events),
+daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', d0, CAST(ts AS DATE)) AS INT) AS idx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events CROSS JOIN b GROUP BY 1, 2
+),
+ser AS MATERIALIZED (
+  SELECT s.event_type, s.idx, CAST(coalesce(d.y, 0) AS BIGINT) AS y
+  FROM (SELECT event_type, g.idx
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT CAST(unnest(generate_series(
+                      0, date_diff('day', d0, d1))) AS INT) AS idx
+                    FROM b) g) s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.idx = s.idx
+),
+rec AS (
+  SELECT event_type, idx, y AS l, CAST(0 AS BIGINT) AS b
+  FROM ser WHERE idx = 0
+  UNION ALL
+  SELECT s.event_type, s.idx,
+         (s.y + r.l + r.b) // 2 AS l,
+         (((s.y + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
+  FROM rec r JOIN ser s
+    ON s.event_type = r.event_type AND s.idx = r.idx + 1
+),
+nd AS (SELECT event_type, max(idx) AS mx,
+              CAST(count(*) AS BIGINT) AS n_days
+       FROM ser GROUP BY 1)
+SELECT r.event_type, nd.n_days,
+       CAST(r.l AS BIGINT) AS level_cents,
+       CAST(r.b AS BIGINT) AS trend_cents,
+       CAST(r.l + 1 * r.b AS BIGINT) AS f1_cents,
+       CAST(r.l + 2 * r.b AS BIGINT) AS f2_cents,
+       CAST(r.l + 3 * r.b AS BIGINT) AS f3_cents
+FROM rec r JOIN nd ON r.event_type = nd.event_type AND r.idx = nd.mx
+""")
+def events_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoother (events.holt_linear, alpha = beta =
+    1/2): level/trend recursion as integer halvings rounded to the
+    cents grid at every step — Spark `div` and DuckDB `//` both
+    truncate toward zero, so the sequential JVM aggregate() fold and
+    the oracle's recursive CTE agree bit-for-bit, including on
+    negative trends (click's trend is negative on this corpus). The
+    trend-aware companion of events_ses_forecast; the recursion runs
+    over the calendar-bounded per-type daily series, never the event
+    corpus."""
+    from deepref_spark.operators.events import holt_linear
+
+    return holt_linear(load_table(spark, sf_dir, "events"), horizon=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -154,3 +154,133 @@ def test_ndcg_singleton_label_class_zeroes(spark):
     assert r["n_rel_at_k"] == 0
     assert r["idcg_units"] == 0
     assert r["ndcg_ppm"] == 0
+
+
+# --- walk_skipgram_pairs -------------------------------------------------------
+
+def test_skipgram_pairs_chain(spark):
+    # chain a->b->c: out-degree <= 1 everywhere, so the hash chooser
+    # has a single option and walks are fully determined.
+    # a's 2 walks: [a,b,c]; b's 2 walks: [b,c]; c's: [c] (no pairs).
+    from deepref_spark.operators.graph import walk_skipgram_pairs
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  schema="src string, dst string")
+    got = {(r["center"], r["context"]): (r["n_pairs"], r["w_units"])
+           for r in walk_skipgram_pairs(edges, walks_per_node=2,
+                                        walk_len=3, window=2).collect()}
+    U = 1_000_000_000
+    assert got[("a", "b")] == (2, 2 * U)
+    assert got[("a", "c")] == (2, 2 * (U // 2))
+    assert got[("b", "a")] == (2, 2 * U)
+    assert got[("b", "c")] == (4, 4 * U)       # 2 from a's walks + 2 from b's
+    assert got[("c", "a")] == (2, 2 * (U // 2))
+    assert got[("c", "b")] == (4, 4 * U)
+    assert len(got) == 6
+
+
+def test_skipgram_window_bounds(spark):
+    # path a->b->c->d with window 1: only adjacent steps pair up, so
+    # (a, c) must NOT appear even though both sit in a's walk.
+    from deepref_spark.operators.graph import walk_skipgram_pairs
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                                  schema="src string, dst string")
+    got = {(r["center"], r["context"]) for r in
+           walk_skipgram_pairs(edges, walks_per_node=1, walk_len=3,
+                               window=1).collect()}
+    assert ("a", "c") not in got
+    assert ("a", "b") in got and ("b", "c") in got and ("c", "d") in got
+
+
+# --- backoff_lm_score ----------------------------------------------------------
+
+def _docs(spark, rows):
+    # rows: (doc_id, text, source)
+    return spark.createDataFrame(
+        rows, schema="doc_id long, text string, source string")
+
+
+def test_backoff_all_four_tiers(spark):
+    from deepref_spark.operators.text_analysis import backoff_lm_score
+
+    docs = _docs(spark, [
+        (0, "x y z w", "a"),          # training corpus: N = 4 tokens
+        (1, "x y z", "h"),            # tri tier: c123=1, c12=1 -> 1e6
+        (2, "q y z", "h"),            # bi tier: c23(y,z)=1, c2(y)=1 -> 400000
+        (3, "x y w", "h"),            # uni tier: c3(w)=1, N=4 -> 40000
+        (4, "y z q q", "h"),          # oov tier twice -> 0
+    ])
+    got = {r["doc_id"]: r for r in
+           backoff_lm_score(docs, held_out_source="h").collect()}
+    assert got[1]["n_tri"] == 1 and got[1]["n_hit3"] == 1
+    assert got[1]["score_ppm"] == 1_000_000
+    assert got[2]["n_hit2"] == 1 and got[2]["score_ppm"] == 400_000
+    assert got[3]["n_hit1"] == 1 and got[3]["score_ppm"] == 40_000
+    assert got[4]["n_tri"] == 2 and got[4]["n_oov"] == 2
+    assert got[4]["score_ppm"] == 0
+
+
+def test_backoff_short_docs_emit_no_row(spark):
+    from deepref_spark.operators.text_analysis import backoff_lm_score
+
+    docs = _docs(spark, [
+        (0, "x y z w", "a"),
+        (1, "x y", "h"),              # 2 tokens: no trigram, no row
+    ])
+    assert backoff_lm_score(docs, held_out_source="h").count() == 0
+
+
+# --- holt_linear ---------------------------------------------------------------
+
+def _events_series(spark, day_cents, event_type="click"):
+    # day_cents: {day_index: cents}; one event per present day
+    rows = [(i, f"2024-01-{d + 1:02d} 06:00:00", 1, event_type, c / 100.0)
+            for i, (d, c) in enumerate(sorted(day_cents.items()))]
+    return (
+        spark.createDataFrame(
+            rows, schema=("event_id long, ts string, user_id long, "
+                          "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_holt_rising_series(spark):
+    from deepref_spark.operators.events import holt_linear
+
+    # y = [100, 200, 300]: l1=150 b1=25; l2=(300+175)//2=237,
+    # b2=(237-150+25)//2=56 -> f1=293 f2=349 f3=405
+    [r] = holt_linear(_events_series(spark, {0: 100, 1: 200, 2: 300})).collect()
+    assert (r["n_days"], r["level_cents"], r["trend_cents"]) == (3, 237, 56)
+    assert (r["f1_cents"], r["f2_cents"], r["f3_cents"]) == (293, 349, 405)
+
+
+def test_holt_negative_trend_truncates_toward_zero(spark):
+    from deepref_spark.operators.events import holt_linear
+
+    # y = [300, 100]: l1=200, b1=(200-300+0)//2 = -100 div 2 = -50
+    # (truncation toward zero; floor would give -50 too — the case
+    # that SEPARATES them is odd negatives, covered next)
+    [r] = holt_linear(_events_series(spark, {0: 300, 1: 100})).collect()
+    assert (r["level_cents"], r["trend_cents"], r["f1_cents"]) == (200, -50, 150)
+
+
+def test_holt_odd_negative_halving(spark):
+    from deepref_spark.operators.events import holt_linear
+
+    # y = [300, 99]: l1=(99+300)//2=199, b1=(199-300)//2 = -101 div 2
+    # = -50 under truncation toward zero (floor would give -51) — the
+    # exact case where Spark div and a floored // would diverge.
+    [r] = holt_linear(_events_series(spark, {0: 300, 1: 99})).collect()
+    assert r["trend_cents"] == -50
+
+
+def test_holt_gap_days_are_zero(spark):
+    from deepref_spark.operators.events import holt_linear
+
+    # days 0 and 2 only: day 1 is a true zero on the spine ->
+    # y=[100,0,300]: l1=50 b1=-25; l2=(300+25)//2=162,
+    # b2=(162-50-25)//2=43
+    [r] = holt_linear(_events_series(spark, {0: 100, 2: 300})).collect()
+    assert r["n_days"] == 3
+    assert (r["level_cents"], r["trend_cents"]) == (162, 43)
