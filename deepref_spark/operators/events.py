@@ -2518,3 +2518,50 @@ def holt_linear(events: DataFrame, horizon: int = 3) -> DataFrame:
         F.col("st.b").cast("long").alias("trend_cents"),
         *cols,
     )
+
+
+def mttr_report(events: DataFrame, event_type: str = "error",
+                threshold: int = 2) -> DataFrame:
+    """MTTR/MTBF reliability rollup over the alert episodes — the
+    one-row SRE summary a postmortem dashboard reads on top of
+    alert_episodes' island table: episode count, total/max alert
+    hours, mean episode length, and mean time between failures
+    (consecutive episode STARTS, the standard MTBF convention).
+
+    Exact arithmetic: episode spans are whole hours on the spine, so
+    start-hour epochs divide exactly by 3600 and every duration/gap is
+    a BIGINT; the two means are *1000 div milli-grid divisions. A
+    single-episode series reports NULL mtbf (no pair to average) —
+    the same out-of-domain convention as the trend operators.
+
+    Scale shape: everything after alert_episodes runs on the tiny
+    episode table (one lag window + one grouped agg); the corpus-sized
+    work is alert_episodes' own hourly groupBy.
+    """
+    eps = alert_episodes(events, event_type=event_type,
+                         threshold=threshold).localCheckpoint(eager=False)
+    w = Window.partitionBy("event_type").orderBy("start_hour")
+    tb = eps.select(
+        "event_type", "n_hours", "start_hour",
+        F.expr("CAST(unix_timestamp(to_timestamp(start_hour)) AS BIGINT)"
+               " div 3600").alias("s_h"),
+    ).withColumn("prev_s", F.lag("s_h").over(w))
+    return (
+        tb.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_episodes"),
+            F.sum("n_hours").cast("long").alias("total_alert_hours"),
+            F.max("n_hours").cast("long").alias("max_episode_hours"),
+            F.expr("sum(n_hours) * 1000 div count(1)").cast("long")
+            .alias("mean_episode_millih"),
+            F.sum(F.col("s_h") - F.col("prev_s")).cast("long").alias("_gap"),
+            F.count("prev_s").cast("long").alias("_ngap"),
+        )
+        .select(
+            "event_type", "n_episodes", "total_alert_hours",
+            "max_episode_hours", "mean_episode_millih",
+            F.when(F.col("_ngap") > 0,
+                   F.expr("_gap * 1000 div _ngap")).cast("long")
+            .alias("mtbf_millih"),
+        )
+    )

@@ -2437,3 +2437,33 @@ def walk_skipgram_pairs(edges: DataFrame, walks_per_node: int = 2,
              F.sum(F.expr(f"{UNIT} div dist")).cast("long")
              .alias("w_units"))
     )
+
+
+def dev_sample_report(triples: DataFrame, rate_den: int = 4) -> DataFrame:
+    """Node-induced dev-subgraph sampling report — the planning read
+    before cutting a small faithful dev corpus out of a 100 TB graph:
+    entities are kept by a deterministic hash gate (md5 % rate_den ==
+    0), an edge survives iff BOTH endpoints are kept, and the per-
+    predicate retention shows the rate^2 coupling node sampling
+    induces on edges (a 1/4 node sample keeps ~1/16 of edges — the
+    non-obvious budget number this report exists to surface; hub-heavy
+    predicates retain more than the square law predicts).
+
+    The keep gate is a pure column expression (portable.md5_mod), so
+    the sample is identical under any partitioning and in the SQL
+    twin — no RNG state, the repo-wide distributed-reproducibility
+    discipline. One scan, one map-side-combined groupBy; no joins.
+    """
+    from deepref_spark import portable
+
+    kept = (F.expr(portable.md5_mod("subj_canon", rate_den)) == 0) & (
+        F.expr(portable.md5_mod("obj_canon", rate_den)) == 0)
+    return (
+        triples.select("pred", kept.cast("long").alias("k"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+             F.sum("k").cast("long").alias("n_kept"))
+        .select("pred", "n_edges", "n_kept",
+                F.expr("n_kept * 1000000 div n_edges").cast("long")
+                .alias("kept_ppm"))
+    )

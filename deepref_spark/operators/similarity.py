@@ -2049,3 +2049,83 @@ def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     n_lists: int = 16, nprobes=(1, 2, 4)) -> DataFrame:
+    """The nprobe tuning curve for the IVF lane — recall@k at several
+    probe budgets from ONE index build and ONE scored candidate set:
+    the table an ANN-tuning decision actually reads (recall climbs
+    with nprobe while scan cost grows ~ nprobe/n_lists), the ANN-lane
+    analogue of kg_blocking_curve's band-count trade-off.
+
+    One-pass construction: probes are ranked once up to max(nprobes)
+    with their probe rank kept as a column, candidates are scored once
+    against that superset, and each curve point re-ranks the SAME
+    checkpointed scored table filtered to prank <= nprobe — the index
+    is never rebuilt and the corpus is never re-scanned per point.
+    Recall is sum-of-hits over the brute-force top-k on the ppm grid
+    (one integer division per row).
+    """
+    cents = _ivf_codebook(embeddings, n_lists)
+    assign = ivf_assignments(embeddings, n_lists, codebook=cents) \
+        .localCheckpoint(eager=False)
+    bf = brute_force_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id").localCheckpoint(eager=False)
+    maxp = max(nprobes)
+    qprobe = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm_col("embedding").alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", _dot("q_emb", "cvec")
+                    / (F.col("q_norm") * F.col("cnorm")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"),
+                                                F.asc("list_id"))
+    probes = (
+        qprobe.withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= maxp)
+        .select("query_id", "q_emb", "q_norm", "list_id", "prank")
+    )
+    corpus = assign.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb"),
+        _norm_col("embedding").alias("nbr_norm"), "list_id",
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(
+            _dot("q_emb", "nbr_emb")
+            / (F.col("q_norm") * F.col("nbr_norm")), 4))
+        .select("query_id", "nbr_id", "cosine", "prank")
+        .localCheckpoint(eager=False)  # every curve point re-reads this
+    )
+    nq = F.broadcast(bf.select("query_id").distinct()
+                     .agg(F.count(F.lit(1)).cast("long").alias("n_queries")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("nbr_id"))
+    outs = []
+    for np_ in nprobes:
+        sel = (
+            scored.where(F.col("prank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id")
+        )
+        outs.append(
+            bf.join(sel, ["query_id", "nbr_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(np_).cast("long").alias("nprobe"), "n_hits")
+        )
+    curve = outs[0]
+    for o in outs[1:]:
+        curve = curve.unionAll(o)
+    return (
+        curve.crossJoin(nq)
+        .select("nprobe", "n_queries", "n_hits",
+                F.expr(f"n_hits * 1000000 div ({k} * n_queries)")
+                .cast("long").alias("recall_ppm"))
+    )

@@ -13960,6 +13960,172 @@ def events_holt_linear(spark, sf_dir):
     return holt_linear(load_table(spark, sf_dir, "events"), horizon=3)
 
 
+def _nprobe_curve_oracle() -> str:
+    pts = []
+    for np_ in (1, 2, 4):
+        pts.append(f"""SELECT {np_} AS nprobe, query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS rank
+    FROM scoredp WHERE prank <= {np_}
+  ) r{np_} WHERE rank <= 5""")
+    sel = "\n  UNION ALL\n  ".join(pts)
+    return f"""
+WITH {_ivf_assign_sql()},
+probesp AS (
+  SELECT query_id, q_emb, q_norm, list_id, r AS prank FROM (
+    SELECT b.vec_id AS query_id, b.embedding AS q_emb, b.vnorm AS q_norm,
+           c.list_id,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.embedding, c.cvec)
+                      / (b.vnorm * c.cnorm) DESC, c.list_id) AS r
+    FROM base b CROSS JOIN cents c
+    WHERE {_emb_queries_filter().replace('vec_id', 'b.vec_id')}
+  ) p WHERE r <= 4
+),
+scoredp AS (
+  SELECT p.query_id, a.vec_id AS nbr_id, p.prank,
+         round(list_dot_product(p.q_emb, a.embedding)
+               / (p.q_norm * a.vnorm), 4) AS cosine
+  FROM assign a JOIN probesp p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+bfq AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, vnorm AS q_norm
+  FROM base WHERE {_emb_queries_filter()}
+),
+bf AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.q_emb, b.embedding)
+                            / (q.q_norm * b.vnorm), 4) DESC,
+                      b.vec_id) AS rank
+    FROM base b CROSS JOIN bfq q WHERE b.vec_id <> q.query_id
+  ) bb WHERE rank <= 5
+),
+sel AS (
+  {sel}
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bf),
+hits AS (
+  SELECT s.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM bf b JOIN sel s ON b.query_id = s.query_id AND b.nbr_id = s.nbr_id
+  GROUP BY 1
+)
+SELECT CAST(v.nprobe AS BIGINT) AS nprobe, nq.n_queries,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // (5 * nq.n_queries)
+            AS BIGINT) AS recall_ppm
+FROM (VALUES (1), (2), (4)) v(nprobe)
+LEFT JOIN hits h ON v.nprobe = h.nprobe
+CROSS JOIN nq
+"""
+
+
+@q("emb_ivf_nprobe_curve", _nprobe_curve_oracle)  # lazy: splices IVF SQL
+def emb_ivf_nprobe_curve(spark, sf_dir):
+    """Recall@5 at nprobe = 1/2/4 from ONE index build and ONE scored
+    candidate superset (similarity.ivf_nprobe_curve) — the ANN-lane
+    analogue of kg_blocking_curve: the tuning table that decides the
+    probe budget before a 100 TB deployment. Each curve point re-ranks
+    the same checkpointed scored table filtered by probe rank; the
+    corpus is scanned once, the index built once."""
+    from deepref_spark.operators.similarity import ivf_nprobe_curve
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_nprobe_curve(emb, emb.where(F.expr(_emb_queries_filter())),
+                            k=5, n_lists=16, nprobes=(1, 2, 4))
+
+
+@q("events_mttr", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+j AS (
+  SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+         coalesce(hy.n, 0) AS n
+  FROM spine s LEFT JOIN hourly hy
+    ON s.event_type = hy.event_type AND s.h = hy.h
+),
+rn AS (
+  SELECT event_type, hour, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS r
+  FROM j
+),
+flagged AS (
+  SELECT event_type, hour, n,
+         r - row_number() OVER (PARTITION BY event_type ORDER BY hour) AS grp
+  FROM rn WHERE n >= 2
+),
+eps AS (
+  SELECT event_type, min(hour) AS start_hour, max(hour) AS end_hour,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM flagged GROUP BY event_type, grp
+),
+tb AS (
+  SELECT event_type, n_hours, s_h,
+         lag(s_h) OVER (PARTITION BY event_type ORDER BY start_hour)
+           AS prev_s
+  FROM (SELECT event_type, n_hours, start_hour,
+               CAST(floor(epoch(CAST(start_hour AS TIMESTAMP))) AS BIGINT)
+                 // 3600 AS s_h
+        FROM eps) e
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(sum(n_hours) AS BIGINT) AS total_alert_hours,
+       CAST(max(n_hours) AS BIGINT) AS max_episode_hours,
+       CAST(sum(n_hours) * 1000 // count(*) AS BIGINT)
+         AS mean_episode_millih,
+       CAST(CASE WHEN count(prev_s) > 0
+                 THEN sum(s_h - prev_s) * 1000 // count(prev_s)
+            END AS BIGINT) AS mtbf_millih
+FROM tb GROUP BY 1
+""")
+def events_mttr(spark, sf_dir):
+    """MTTR/MTBF reliability rollup (events.mttr_report) over the
+    alert-episode islands: episode count, total/max/mean alert hours,
+    and mean time between consecutive episode starts — all whole-hour
+    BIGINTs off the spine (UTC session, so unix_timestamp and the
+    oracle's naive epoch agree), means on the milli grid, NULL mtbf
+    for a single-episode series. Post-episode work runs on the tiny
+    island table only."""
+    from deepref_spark.operators.events import mttr_report
+
+    return mttr_report(load_table(spark, sf_dir, "events"),
+                       event_type="error", threshold=2)
+
+
+@q("kg_dev_sample", lambda: _trip_cte() + f"""
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN {md5_mod('subj', 4)} = 0
+                      AND {md5_mod('obj', 4)} = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {md5_mod('subj', 4)} = 0
+                      AND {md5_mod('obj', 4)} = 0
+                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS kept_ppm
+FROM trip GROUP BY 1
+""")
+def kg_dev_sample(spark, sf_dir):
+    """Node-induced dev-subgraph sampling report
+    (graph.dev_sample_report, rate 1/4): deterministic md5 node gate,
+    edge survives iff BOTH endpoints kept — surfacing the rate^2
+    coupling (a 1/4 node sample keeps ~1/16 of edges) a dev-corpus
+    budget must account for, per predicate. Pure column-expression
+    gate (no RNG state), one scan, no joins."""
+    from deepref_spark.operators.graph import dev_sample_report
+
+    return dev_sample_report(_canon_spo(spark, sf_dir), rate_den=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -284,3 +284,92 @@ def test_holt_gap_days_are_zero(spark):
     [r] = holt_linear(_events_series(spark, {0: 100, 2: 300})).collect()
     assert r["n_days"] == 3
     assert (r["level_cents"], r["trend_cents"]) == (162, 43)
+
+
+# --- ivf_nprobe_curve ----------------------------------------------------------
+
+def test_nprobe_curve_monotone_and_exact_at_full_probe(spark):
+    from deepref_spark.operators.similarity import ivf_nprobe_curve
+
+    # 12 vectors in 4 clusters of 3; n_lists=4. With nprobe=4 every
+    # list is searched, so the IVF ranking IS brute force: recall = 1.
+    rows = []
+    for c in range(4):
+        base = [0.0] * 4
+        base[c] = 1.0
+        for j in range(3):
+            v = list(base)
+            v[(c + 1) % 4] = 0.01 * (j + 1)
+            rows.append((c * 3 + j, v, c))
+    emb = _emb(spark, rows)
+    qs = emb.where("vec_id % 3 = 0")
+    got = {r["nprobe"]: r for r in
+           ivf_nprobe_curve(emb, qs, k=3, n_lists=4,
+                            nprobes=(1, 2, 4)).collect()}
+    assert got[4]["recall_ppm"] == 1_000_000
+    assert got[1]["recall_ppm"] <= got[2]["recall_ppm"] <= got[4]["recall_ppm"]
+    assert got[1]["n_queries"] == 4
+
+
+# --- mttr_report ---------------------------------------------------------------
+
+def _events_hours(spark, hour_counts, event_type="error"):
+    # hour_counts: {hour_index: n_events} on 2024-01-01
+    rows, eid = [], 0
+    for h, c in sorted(hour_counts.items()):
+        for _ in range(c):
+            rows.append((eid, f"2024-01-{h // 24 + 1:02d} {h % 24:02d}:15:00",
+                         1, event_type, 1.0))
+            eid += 1
+    return (
+        spark.createDataFrame(
+            rows, schema=("event_id long, ts string, user_id long, "
+                          "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_mttr_two_episodes(spark):
+    from deepref_spark.operators.events import mttr_report
+
+    # threshold 2: hours 0-1 alert (episode 1, 2h), hour 2 quiet (1
+    # event), hours 3-5 alert (episode 2, 3h). MTBF = start3 - start0
+    # = 3 hours.
+    df = _events_hours(spark, {0: 3, 1: 2, 2: 1, 3: 2, 4: 5, 5: 2})
+    [r] = mttr_report(df, threshold=2).collect()
+    assert r["n_episodes"] == 2
+    assert r["total_alert_hours"] == 5
+    assert r["max_episode_hours"] == 3
+    assert r["mean_episode_millih"] == 2500
+    assert r["mtbf_millih"] == 3000
+
+
+def test_mttr_single_episode_null_mtbf(spark):
+    from deepref_spark.operators.events import mttr_report
+
+    df = _events_hours(spark, {0: 4, 1: 4})
+    [r] = mttr_report(df, threshold=2).collect()
+    assert r["n_episodes"] == 1
+    assert r["mtbf_millih"] is None
+
+
+# --- dev_sample_report ---------------------------------------------------------
+
+def test_dev_sample_gate_is_endpoint_conjunction(spark):
+    from deepref_spark import portable
+    from deepref_spark.operators.graph import dev_sample_report
+
+    # Compute the gate in Python-free SQL terms: ask Spark which of
+    # these entities pass md5 % 4 == 0, then check the edge rule.
+    ents = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    gate_df = spark.createDataFrame([(e,) for e in ents], "e string") \
+        .selectExpr("e", portable.md5_mod("e", 4) + " = 0 AS keep")
+    keep = {r["e"]: r["keep"] for r in gate_df.collect()}
+    rows = [(a, "p", b) for a in ents for b in ents if a != b]
+    trip = spark.createDataFrame(
+        rows, "subj_canon string, pred string, obj_canon string")
+    [r] = dev_sample_report(trip, rate_den=4).collect()
+    expected = sum(1 for a, _, b in rows if keep[a] and keep[b])
+    assert r["n_edges"] == len(rows)
+    assert r["n_kept"] == expected
+    assert r["kept_ppm"] == expected * 1_000_000 // len(rows)
