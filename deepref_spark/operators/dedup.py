@@ -960,3 +960,47 @@ def dedup_yield_report(documents: DataFrame, **keep_map_kwargs) -> DataFrame:
         .cast("long").alias("n_singletons"),
         F.sum(F.expr("CASE WHEN sz > 1 THEN 1 ELSE 0 END"))
         .cast("long").alias("n_dup_clusters"))
+
+
+def quality_keep_map(documents: DataFrame, n_bands: int = 8,
+                     rows_per_band: int = 2, k: int = 3,
+                     threshold: float = 0.8) -> DataFrame:
+    """Quality-aware near-dup keeper: the same LSH -> verify -> CC
+    clusters as near_dup_keep_map, but the survivor of each cluster is
+    the HIGHEST-QUALITY member (text_analysis.quality_score on the ppm
+    grid, doc_id tie-break) instead of the arbitrary min-id — the
+    choice a production cleaning pass actually makes, since near-dup
+    clusters routinely mix a clean original with truncated or
+    boilerplate-wrapped copies. Returns (doc_id, cluster_id,
+    best_doc_id, best_q_ppm); anti-join on doc_id <> best_doc_id.
+
+    Scale shape: everything up to the cluster map is near_dup_keep_map
+    (banded candidates, bounded verify, checkpointed CC); the quality
+    score is one more single-scan column; the winner is one window
+    over the cluster-keyed table (keys are cluster-sized, no skew
+    beyond the largest cluster — the same bound the CC already has).
+    """
+    from deepref_spark.operators.text_analysis import quality_score
+
+    docs = documents.select("doc_id", "text").localCheckpoint(eager=False)
+    km = near_dup_keep_map(docs, n_bands=n_bands,
+                           rows_per_band=rows_per_band, k=k,
+                           threshold=threshold)
+    q = quality_score(docs).select(
+        "doc_id",
+        F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)")
+        .alias("q_ppm"))
+    jq = km.join(q, "doc_id")
+    w = Window.partitionBy("keep_doc_id").orderBy(F.desc("q_ppm"),
+                                                  F.asc("doc_id"))
+    best = (
+        jq.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("keep_doc_id"), F.col("doc_id").alias("best_doc_id"),
+                F.col("q_ppm").alias("best_q_ppm"))
+    )
+    return (
+        km.join(best, "keep_doc_id")
+        .select("doc_id", F.col("keep_doc_id").alias("cluster_id"),
+                "best_doc_id", "best_q_ppm")
+    )

@@ -2565,3 +2565,72 @@ def mttr_report(events: DataFrame, event_type: str = "error",
             .alias("mtbf_millih"),
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def session_funnel(events: DataFrame, steps: tuple = FUNNEL_STEPS,
+                   gap_minutes: int = 30) -> DataFrame:
+    """Within-SESSION ordered funnel — the stricter cousin of the
+    user-lifetime funnel: a session converts to step k only if the
+    steps occur in order INSIDE one session (30-minute gap rule), so
+    a view on Monday and an unrelated purchase on Friday no longer
+    count as a conversion. Returns one row per step with sessions
+    reached and the ppm reach share.
+
+    Depth is computed by ONE fold over each session's event-code
+    sequence in (ts, event_id) total order — state machine: depth
+    advances exactly when the next step's code arrives. The fold is a
+    JVM aggregate() over the session's collected codes (sessions are
+    bounded by the gap rule; the same fold runs as list_reduce in the
+    oracle). Session assignment is the lag+cumsum islands pattern;
+    all downstream work runs on the per-session depth table.
+    """
+    codes = " ".join(f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(steps))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "ts", "event_id",
+        F.expr(f"CASE event_type {codes} ELSE 0 END").alias("code"),
+    ).withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                  > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    n_steps = len(steps)
+    case = " ".join(
+        f"WHEN acc = {k} AND c = {k + 1} THEN {k + 1}"
+        for k in range(n_steps))
+    depth = (
+        marked.groupBy("user_id", "session_seq")
+        .agg(F.expr("array_sort(collect_list(struct(ts, event_id, code)))")
+             .alias("evs"))
+        .select(F.expr(
+            f"aggregate(transform(evs, e -> e.code), 0,"
+            f" (acc, c) -> CASE {case} ELSE acc END)").alias("depth"))
+    )
+    tot = depth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        *[F.sum(F.when(F.col("depth") >= k, 1).otherwise(0)).cast("long")
+          .alias(f"_r{k}") for k in range(1, n_steps + 1)],
+    )
+    parts = [
+        tot.select(
+            F.lit(k).cast("long").alias("step"),
+            F.lit(steps[k - 1]).alias("step_name"),
+            F.col("n_sessions"),
+            F.col(f"_r{k}").alias("n_reached"),
+            F.expr(f"_r{k} * 1000000 div n_sessions").cast("long")
+            .alias("reach_ppm"),
+        )
+        for k in range(1, n_steps + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2467,3 +2467,54 @@ def dev_sample_report(triples: DataFrame, rate_den: int = 4) -> DataFrame:
                 F.expr("n_kept * 1000000 div n_edges").cast("long")
                 .alias("kept_ppm"))
     )
+
+
+def weighted_pagerank(wedges: DataFrame, iters: int = 3) -> DataFrame:
+    """Evidence-weighted PageRank: transitions proportional to edge
+    weight (here: triple support counts) instead of uniform — the
+    centrality a KG-construction pipeline actually wants, where an
+    edge asserted by 40 documents should carry 40x the mass of a
+    single-extraction edge. Same integer unit grid as pagerank:
+    contribution(src->dst) = (u(src) * w) div W(src) with W the src's
+    total out-weight — BIGINT floor division, so the iterate is
+    bit-identical under any partitioning and in the oracle. Dangling
+    mass dropped (same documented simplification as pagerank).
+
+    wedges: (src, dst, w) with w a positive BIGINT; parallel edges
+    should be pre-summed (one row per (src, dst)).
+    """
+    wedges = wedges.localCheckpoint(eager=False)
+    nodes = (
+        wedges.select(F.col("src").alias("entity"))
+        .union(wedges.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ow = wedges.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
+    base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
+    pr = nodes.withColumn("u", F.lit(UNIT).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            wedges
+            .join(pr.withColumnRenamed("entity", "src"), "src")
+            .join(ow, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.expr("(u * w) div wsum").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("entity").agg(F.sum("c").alias("inflow"))
+        pr = (
+            nodes.join(inflow, "entity", "left")
+            .select(
+                "entity",
+                (F.lit(base)
+                 + F.expr(f"({DAMP_NUM} * coalesce(inflow, 0L)) div {DAMP_DEN}")
+                 ).cast("long").alias("u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        "entity",
+        (F.col("u").cast("double") / F.lit(float(UNIT))).alias("pagerank"),
+    )

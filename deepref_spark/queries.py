@@ -2161,7 +2161,9 @@ def text_quality(spark, sf_dir):
     return quality_score(documents(spark, sf_dir))
 
 
-def _quality_oracle() -> str:
+def _quality_fragments() -> dict:
+    """The text_quality DuckDB expression fragments — shared by the
+    quality oracle and the quality-aware keeper oracle."""
     from deepref_spark.operators.text_analysis import LANG_MARKERS
 
     sw = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS["en"]))
@@ -2174,13 +2176,22 @@ def _quality_oracle() -> str:
     wl_ok = f"CASE WHEN {mean_len} >= 2.5 AND {mean_len} <= 10.0 THEN 1.0 ELSE 0.0 END"
     sw_ratio = f"({n_sw} / greatest({n}, 1.0))"
     alpha_ratio = f"({n_alpha} / greatest({n}, 1.0))"
+    quality = (f"round(0.25 * {len_ok} + 0.25 * {wl_ok}"
+               f" + 0.25 * least({sw_ratio} * 4.0, 1.0)"
+               f" + 0.25 * {alpha_ratio}, 6)")
+    return {"n": n, "sw_ratio": sw_ratio, "alpha_ratio": alpha_ratio,
+            "quality": quality}
+
+
+def _quality_oracle() -> str:
+    fr = _quality_fragments()
+    n, sw_ratio, alpha_ratio = fr["n"], fr["sw_ratio"], fr["alpha_ratio"]
     return f"""
 SELECT doc_id,
        CAST({n} AS INT) AS n_tokens,
        round({sw_ratio}, 6) AS stopword_ratio,
        round({alpha_ratio}, 6) AS alpha_ratio,
-       round(0.25 * {len_ok} + 0.25 * {wl_ok}
-             + 0.25 * least({sw_ratio} * 4.0, 1.0) + 0.25 * {alpha_ratio}, 6) AS quality
+       {fr["quality"]} AS quality
 FROM documents
 """
 
@@ -14124,6 +14135,170 @@ def kg_dev_sample(spark, sf_dir):
     from deepref_spark.operators.graph import dev_sample_report
 
     return dev_sample_report(_canon_spo(spark, sf_dir), rate_den=4)
+
+
+def _wpr_oracle() -> str:
+    from deepref_spark.operators.graph import DAMP_DEN, DAMP_NUM, UNIT
+
+    base = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
+    rounds = []
+    for k in range(1, 4):
+        rounds.append(f"""
+win{k} AS (
+  SELECT e.dst AS entity, CAST(sum((p.u * e.w) // o.wsum) AS BIGINT) AS inflow
+  FROM wedges e JOIN wpr{k - 1} p ON e.src = p.entity
+  JOIN ow o ON e.src = o.src
+  GROUP BY e.dst
+),
+wpr{k} AS (
+  SELECT n.entity,
+         CAST({base} + ({DAMP_NUM} * coalesce(i.inflow, 0)) // {DAMP_DEN}
+              AS BIGINT) AS u
+  FROM wnodes n LEFT JOIN win{k} i ON n.entity = i.entity
+)""")
+    return _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+),
+tri AS (
+  SELECT c1.canonical AS src, pred_relation, c2.canonical AS dst,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM preds p
+  JOIN canon c1 ON p.h_name = c1.entity
+  JOIN canon c2 ON p.t_name = c2.entity
+  GROUP BY 1, 2, 3
+),
+wedges AS MATERIALIZED (
+  SELECT src, dst, CAST(sum(n_docs) AS BIGINT) AS w
+  FROM tri WHERE src <> dst GROUP BY 1, 2
+),
+wnodes AS (SELECT src AS entity FROM wedges UNION SELECT dst FROM wedges),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM wedges GROUP BY 1),
+wpr0 AS (SELECT entity, CAST({UNIT} AS BIGINT) AS u FROM wnodes),{",".join(rounds)}
+SELECT entity, CAST(u AS DOUBLE) / {float(UNIT)} AS pagerank FROM wpr3
+"""
+
+
+@q("kg_pagerank_weighted", _wpr_oracle)  # lazy: imports grid constants
+def kg_pagerank_weighted(spark, sf_dir):
+    """Evidence-weighted PageRank (graph.weighted_pagerank):
+    transitions proportional to triple support (sum of n_docs per
+    canonical edge, self-loops dropped) instead of uniform out-degree
+    — an edge asserted by 40 documents carries 40x the mass of a
+    single extraction. Same BIGINT unit grid as kg_pagerank:
+    (u*w) div W contributions, bit-identical iterate in the oracle's
+    unrolled CTEs."""
+    from deepref_spark.operators.graph import weighted_pagerank
+
+    t = REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir)
+    wedges = (
+        t.where(F.col("subj_canon") != F.col("obj_canon"))
+        .groupBy(F.col("subj_canon").alias("src"),
+                 F.col("obj_canon").alias("dst"))
+        .agg(F.sum("n_docs").cast("long").alias("w"))
+    )
+    return weighted_pagerank(wedges, iters=3)
+
+
+def _best_keeper_oracle() -> str:
+    fr = _quality_fragments()
+    return f"""
+WITH km AS ({_keep_map_oracle()}),
+qv AS (
+  SELECT doc_id,
+         CAST(floor({fr["quality"]} * 1000000 + 0.5) AS BIGINT) AS q_ppm
+  FROM documents
+),
+jq AS (SELECT km.doc_id, km.keep_doc_id, qv.q_ppm
+       FROM km JOIN qv ON km.doc_id = qv.doc_id),
+best AS (
+  SELECT keep_doc_id, doc_id AS best_doc_id, q_ppm AS best_q_ppm FROM (
+    SELECT *, row_number() OVER (PARTITION BY keep_doc_id
+                                 ORDER BY q_ppm DESC, doc_id) AS rn
+    FROM jq
+  ) r WHERE rn = 1
+)
+SELECT km.doc_id, km.keep_doc_id AS cluster_id, b.best_doc_id, b.best_q_ppm
+FROM km JOIN best b ON km.keep_doc_id = b.keep_doc_id
+"""
+
+
+@q("dedup_best_keeper", _best_keeper_oracle)  # lazy: nests keep-map SQL
+def dedup_best_keeper(spark, sf_dir):
+    """Quality-aware near-dup keeper (dedup.quality_keep_map): the
+    same LSH -> bounded verify -> CC clusters as dedup_keep_map, but
+    each cluster survives through its HIGHEST-quality member
+    (text_quality on the ppm grid, doc_id tie-break) — the choice a
+    production cleaning pass actually makes when a clean original
+    shares a cluster with truncated copies. The oracle nests the
+    exhaustive keep-map twin and the quality formula in one query."""
+    from deepref_spark.operators.dedup import quality_keep_map
+
+    return quality_keep_map(documents(spark, sf_dir)
+                            .select("doc_id", "text"))
+
+
+@q("events_session_funnel", """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS code,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, code, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+  FROM marked
+),
+folded AS (
+  SELECT user_id, session_seq,
+         list_reduce(list_prepend(0, list(code ORDER BY ts, event_id)),
+           (acc, c) -> CASE WHEN acc = 0 AND c = 1 THEN 1
+                            WHEN acc = 1 AND c = 2 THEN 2
+                            WHEN acc = 2 AND c = 3 THEN 3
+                            ELSE acc END) AS depth
+  FROM sess GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3
+  FROM folded
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n_sessions,
+       r1 AS n_reached, CAST(r1 * 1000000 // n_sessions AS BIGINT)
+         AS reach_ppm FROM tot
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', n_sessions, r2,
+       CAST(r2 * 1000000 // n_sessions AS BIGINT) FROM tot
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', n_sessions, r3,
+       CAST(r3 * 1000000 // n_sessions AS BIGINT) FROM tot
+""")
+def events_session_funnel(spark, sf_dir):
+    """Within-session ordered funnel (events.session_funnel,
+    view -> click -> purchase, 30-min gap): a session converts to
+    step k only if the steps occur IN ORDER inside one session —
+    the stricter cousin of the user-lifetime events_funnel. Depth is
+    one JVM aggregate() fold over each session's code sequence in
+    (ts, event_id) total order; the oracle runs the identical fold as
+    list_reduce. All downstream work is on the per-session depth
+    table."""
+    from deepref_spark.operators.events import session_funnel
+
+    return session_funnel(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

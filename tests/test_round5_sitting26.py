@@ -373,3 +373,117 @@ def test_dev_sample_gate_is_endpoint_conjunction(spark):
     assert r["n_edges"] == len(rows)
     assert r["n_kept"] == expected
     assert r["kept_ppm"] == expected * 1_000_000 // len(rows)
+
+
+# --- weighted_pagerank ---------------------------------------------------------
+
+def test_weighted_pagerank_mass_follows_weight(spark):
+    from deepref_spark.operators.graph import weighted_pagerank
+
+    # a sends 9/10 of its mass to b and 1/10 to c; with uniform
+    # pagerank b and c would tie. One iteration from u=UNIT:
+    # u(b) = base + 0.85 * (UNIT*9 div 10); u(c) = base + 0.85*(UNIT div 10)
+    we = spark.createDataFrame([("a", "b", 9), ("a", "c", 1)],
+                               schema="src string, dst string, w long")
+    got = {r["entity"]: r["pagerank"]
+           for r in weighted_pagerank(we, iters=1).collect()}
+    U, base = 1_000_000_000, 1_000_000_000 - 850_000_000
+    assert got["b"] == (base + (17 * (U * 9 // 10)) // 20) / U
+    assert got["c"] == (base + (17 * (U * 1 // 10)) // 20) / U
+    assert got["a"] == base / U                     # no inflow
+    assert got["b"] > got["c"]
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_equal_weights(spark):
+    from deepref_spark.operators.graph import pagerank, weighted_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        schema="src string, dst string")
+    we = edges.selectExpr("src", "dst", "CAST(1 AS BIGINT) AS w")
+    pu = {r["entity"]: r["pagerank"] for r in pagerank(edges, 3).collect()}
+    pw = {r["entity"]: r["pagerank"]
+          for r in weighted_pagerank(we, 3).collect()}
+    assert pu == pw
+
+
+# --- quality_keep_map ----------------------------------------------------------
+
+def test_quality_keeper_prefers_higher_quality_member(spark):
+    from deepref_spark.operators.dedup import quality_keep_map
+
+    # Docs 1 and 2 are near-identical (one token differs), so they
+    # cluster; doc 2 has the higher quality (longer, >= 10 tokens with
+    # stopwords) — hand-pick texts so doc 2 wins despite higher id.
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox sleeps near the quiet river bank today")
+    docs = spark.createDataFrame(
+        [(1, base.replace(" today", "")),  # shorter twin
+         (2, base),
+         (3, "completely unrelated text about spark shuffles")],
+        schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_keep_map(docs).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[1]["best_doc_id"] == out[2]["best_doc_id"]
+    # the singleton keeps itself
+    assert out[3]["best_doc_id"] == 3
+    # the chosen keeper has the max q_ppm of its cluster
+    assert out[1]["best_q_ppm"] >= out[2]["best_q_ppm"] or \
+        out[1]["best_doc_id"] == 2
+
+
+# --- session_funnel ------------------------------------------------------------
+
+def _sf_events(spark, rows):
+    # rows: (event_id, ts_str, user_id, event_type)
+    return (
+        spark.createDataFrame(
+            [(e, t, u, ty, 1.0) for e, t, u, ty in rows],
+            schema=("event_id long, ts string, user_id long, "
+                    "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_session_funnel_in_order_converts(spark):
+    from deepref_spark.operators.events import session_funnel
+
+    rows = [
+        # user 1, one session: full ordered funnel
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # user 2: purchase BEFORE view/click -> depth stops at 1 (view
+        # arrives last, click never follows it)
+        (4, "2024-01-01 10:00:00", 2, "purchase"),
+        (5, "2024-01-01 10:05:00", 2, "view"),
+        # user 3: view then click, but purchase in a NEW session
+        # (gap > 30 min) -> session 1 depth 2, session 2 depth 0
+        (6, "2024-01-01 10:00:00", 3, "view"),
+        (7, "2024-01-01 10:10:00", 3, "click"),
+        (8, "2024-01-01 12:00:00", 3, "purchase"),
+    ]
+    got = {r["step"]: r for r in
+           session_funnel(_sf_events(spark, rows)).collect()}
+    assert got[1]["n_sessions"] == 4
+    assert got[1]["n_reached"] == 3        # u1, u2, u3-s1 saw a view
+    assert got[2]["n_reached"] == 2        # u1, u3-s1 clicked after view
+    assert got[3]["n_reached"] == 1        # only u1 completed in-session
+    assert got[3]["reach_ppm"] == 250_000
+
+
+def test_session_funnel_tie_order_by_event_id(spark):
+    from deepref_spark.operators.events import session_funnel
+
+    # same timestamp: event_id breaks the tie, so view(10) before
+    # click(11) converts to depth 2, but click(20) before view(21)
+    # stops at depth 1.
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "view"),
+        (11, "2024-01-01 10:00:00", 1, "click"),
+        (20, "2024-01-01 10:00:00", 2, "click"),
+        (21, "2024-01-01 10:00:00", 2, "view"),
+    ]
+    got = {r["step"]: r for r in
+           session_funnel(_sf_events(spark, rows)).collect()}
+    assert got[2]["n_reached"] == 1
