@@ -2129,3 +2129,65 @@ def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 F.expr(f"n_hits * 1000000 div ({k} * n_queries)")
                 .cast("long").alias("recall_ppm"))
     )
+
+
+def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
+                         k_fb: int = 3, k: int = 5) -> DataFrame:
+    """Pseudo-relevance-feedback (Rocchio, beta-only) query expansion
+    A/B read: for each query, the expanded query is the per-dimension
+    MEAN of its top-``k_fb`` exact neighbors on the 1e6 integer grid
+    (half-up BIGINT mean — partition-order independent), and the
+    report compares the original vs expanded exact top-``k`` sets:
+    overlap count and Jaccard ppm. High overlap = expansion is a
+    no-op on this corpus; low overlap = PRF genuinely reshapes the
+    neighborhood and a retrieval deployment should A/B it for recall
+    (the decide-before-deploy read, same family as emb_hybrid_recall).
+
+    All three ranking passes are the by-contract brute-force
+    calibration scans (broadcast query side, corpus streams);
+    production would swap the IVF lane in. Ranking ties break on the
+    house (cosine 4dp DESC, nbr_id ASC) total order; the expanded
+    vector re-enters ranking as exact doubles u/1e6 — one IEEE
+    division per dim, identical cross-engine.
+    """
+    r_fb = brute_force_topk(embeddings, queries, k=k_fb) \
+        .select("query_id", "nbr_id")
+    fb_dims = (
+        r_fb.join(embeddings.select(F.col("vec_id").alias("nbr_id"),
+                                    F.col("embedding")), "nbr_id")
+        .select("query_id", F.posexplode("embedding").alias("dm", "x"))
+        .select("query_id", "dm",
+                F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)"
+                       " AS BIGINT)").alias("u"))
+        .groupBy("query_id", "dm")
+        .agg(F.expr("(2 * sum(u) + count(u)) div (2 * count(u))")
+             .alias("mu"))
+    )
+    q2 = (
+        fb_dims.groupBy("query_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dm, mu))),"
+                    " e -> CAST(e.mu AS DOUBLE) / 1000000.0)").alias("q2"))
+        .select(F.col("query_id").alias("vec_id"),
+                F.col("q2").cast("array<double>").alias("embedding"))
+    )
+    orig = brute_force_topk(embeddings, queries, k=k) \
+        .select("query_id", "nbr_id").localCheckpoint(eager=False)
+    exp = brute_force_topk(embeddings, q2, k=k) \
+        .select("query_id", F.col("nbr_id").alias("nbr2"))
+    inter = (
+        orig.join(exp, (orig["query_id"] == exp["query_id"])
+                  & (orig["nbr_id"] == exp["nbr2"]))
+        .groupBy(orig["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        orig.select("query_id").distinct()
+        .join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(n_overlap, 0) * 1000000"
+                   f" div ({2 * k} - coalesce(n_overlap, 0))")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )

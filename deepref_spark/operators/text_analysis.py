@@ -2457,3 +2457,45 @@ def backoff_lm_score(documents: DataFrame,
         .select("doc_id", "n_tri", "n_hit3", "n_hit2", "n_hit1", "n_oov",
                 F.expr("_s div n_tri").cast("long").alias("score_ppm"))
     )
+
+
+def len_quality_corr(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length
+    (n_tokens) and the quality score — the curation-bias audit: a
+    strongly positive r means the quality gate is mostly a length
+    gate in disguise for that source (and a downstream length-balanced
+    sample will shift its quality mix). Companion read to
+    text_quality_by_source's level stats.
+
+    Moment sums accumulate as DECIMAL(38,0) (the events_acf
+    discipline — n*syy on the ppm grid overflows int64 at corpus
+    scale), the variance/covariance cross-products stay exact, and
+    the single irrational step (two sqrts + one division) happens once
+    per SOURCE row, rounded to 6dp on both engines.
+    """
+    q = quality_score(documents, carry_cols=("source",)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("x"),
+        F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    dec = "DECIMAL(38,0)"
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.expr(
+                "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0"
+                " AND CAST(n * syy - sy * sy AS DOUBLE) > 0"
+                " THEN CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+                " ELSE 0.0 END"), 6).alias("len_quality_r"),
+    )

@@ -14301,6 +14301,203 @@ def events_session_funnel(spark, sf_dir):
     return session_funnel(load_table(spark, sf_dir, "events"))
 
 
+@q("kg_build_funnel", lambda: _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+),
+trip AS (
+  SELECT DISTINCT c1.canonical AS subj, pred_relation AS pred,
+                  c2.canonical AS obj
+  FROM preds p
+  JOIN canon c1 ON p.h_name = c1.entity
+  JOIN canon c2 ON p.t_name = c2.entity
+),
+ents AS (SELECT DISTINCT h_name AS e FROM preds
+         UNION SELECT DISTINCT t_name FROM preds),
+raw AS (SELECT DISTINCT h_name, pred_relation, t_name FROM preds)
+SELECT CAST(1 AS BIGINT) AS stage_id, 'documents' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+UNION ALL SELECT 2, 'mention_pairs',
+       CAST((SELECT count(*) FROM mentions) AS BIGINT)
+UNION ALL SELECT 3, 'scored_non_other',
+       CAST((SELECT count(*) FROM preds) AS BIGINT)
+UNION ALL SELECT 4, 'entities',
+       CAST((SELECT count(*) FROM ents) AS BIGINT)
+UNION ALL SELECT 5, 'raw_triples',
+       CAST((SELECT count(*) FROM raw) AS BIGINT)
+UNION ALL SELECT 6, 'canonical_triples',
+       CAST((SELECT count(*) FROM trip) AS BIGINT)
+""")
+def kg_build_funnel(spark, sf_dir):
+    """The KG-construction per-stage funnel in ONE oracle-checked
+    query: documents -> mention pairs -> scored non-Other -> distinct
+    entities -> raw distinct triples -> canonical triples — the
+    lifecycle counts the reference logs per epoch
+    (deepref/framework/train.py:91-124) re-expressed as a composed
+    lineage readout over the shared derivations (preds staged once
+    behind a checkpoint; every stage count is a map-side-combined
+    1-row agg unioned into the funnel table)."""
+    docs = documents(spark, sf_dir)
+    m = portable_mentions(spark, sf_dir)
+    p = (_hash_preds(spark, sf_dir)
+         .where(F.col("pred_relation") != "Other")
+         .localCheckpoint(eager=False))
+    ents = (p.select(F.col("h_name").alias("e"))
+            .union(p.select("t_name")).distinct())
+    raw = p.select("h_name", "pred_relation", "t_name").distinct()
+    trip = REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir)
+    stages = [
+        (1, "documents", docs),
+        (2, "mention_pairs", m),
+        (3, "scored_non_other", p),
+        (4, "entities", ents),
+        (5, "raw_triples", raw),
+        (6, "canonical_triples", trip),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(F.lit(sid).cast("long").alias("stage_id"),
+                F.lit(name).alias("stage"), "n_rows")
+        for sid, name, df in stages
+    ]
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionAll(pt)
+    return out
+
+
+@q("text_len_quality_corr", lambda: f"""
+WITH q AS (
+  SELECT source, CAST({_quality_fragments()["n"]} AS BIGINT) AS x,
+         CAST(floor({_quality_fragments()["quality"]} * 1000000 + 0.5)
+              AS BIGINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM q GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS len_quality_r
+FROM agg
+""")
+def text_len_quality_corr(spark, sf_dir):
+    """Per-source Pearson r between doc length and quality score
+    (text_analysis.len_quality_corr) — the curation-bias audit: a
+    high r says the quality gate is a length gate in disguise for
+    that source. DECIMAL(38,0) moment sums (events_acf discipline),
+    one sqrt+division per source row rounded 6dp both engines."""
+    from deepref_spark.operators.text_analysis import len_quality_corr
+
+    return len_quality_corr(documents(spark, sf_dir))
+
+
+def _prf_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS vnorm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, vnorm AS q_norm
+      FROM base WHERE {_emb_queries_filter()}),
+rfb AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.q_emb, b.embedding)
+                            / (q.q_norm * b.vnorm), 4) DESC,
+                      b.vec_id) AS rank
+    FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id
+  ) r WHERE rank <= 3
+),
+fbd AS (
+  SELECT r.query_id, u.i - 1 AS dm,
+         CAST(floor(CAST(b.embedding[CAST(u.i AS INT)] AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS u
+  FROM rfb r JOIN base b ON r.nbr_id = b.vec_id,
+       unnest(generate_series(1, len(b.embedding))) u(i)
+),
+mu AS (
+  SELECT query_id, dm,
+         (2 * CAST(sum(u) AS BIGINT) + CAST(count(u) AS BIGINT))
+           // (2 * CAST(count(u) AS BIGINT)) AS mu
+  FROM fbd GROUP BY 1, 2
+),
+q2 AS (
+  SELECT query_id,
+         list_transform(list(mu ORDER BY dm),
+                        m -> CAST(m AS DOUBLE) / 1000000.0) AS e2
+  FROM mu GROUP BY query_id
+),
+q2n AS (SELECT query_id, e2,
+               sqrt(list_dot_product(e2, e2)) AS e2norm FROM q2),
+orig AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.q_emb, b.embedding)
+                            / (q.q_norm * b.vnorm), 4) DESC,
+                      b.vec_id) AS rank
+    FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id
+  ) r WHERE rank <= 5
+),
+expd AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT e.query_id, b.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY e.query_id
+             ORDER BY round(list_dot_product(e.e2, b.embedding)
+                            / (e.e2norm * b.vnorm), 4) DESC,
+                      b.vec_id) AS rank
+    FROM base b CROSS JOIN q2n e WHERE b.vec_id <> e.query_id
+  ) r WHERE rank <= 5
+),
+inter AS (
+  SELECT o.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM orig o JOIN expd e ON o.query_id = e.query_id
+   AND o.nbr_id = e.nbr_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(i.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(i.n_overlap, 0) * 1000000
+            // (10 - coalesce(i.n_overlap, 0)) AS BIGINT) AS jaccard_ppm
+FROM (SELECT DISTINCT query_id FROM orig) q
+LEFT JOIN inter i ON q.query_id = i.query_id
+"""
+
+
+@q("emb_prf_expansion", _prf_oracle)  # lazy: query-filter splice
+def emb_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion A/B read
+    (similarity.prf_expansion_report, Rocchio beta-only): expanded
+    query = half-up BIGINT per-dim mean of the top-3 exact neighbors
+    on the 1e6 grid; report = overlap + Jaccard ppm between original
+    and expanded exact top-5 — the decide-before-deploy read on
+    whether PRF reshapes neighborhoods on this corpus. Brute-force
+    passes are the by-contract calibration scans."""
+    from deepref_spark.operators.similarity import prf_expansion_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prf_expansion_report(
+        emb, emb.where(F.expr(_emb_queries_filter())), k_fb=3, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

@@ -487,3 +487,74 @@ def test_session_funnel_tie_order_by_event_id(spark):
     got = {r["step"]: r for r in
            session_funnel(_sf_events(spark, rows)).collect()}
     assert got[2]["n_reached"] == 1
+
+
+# --- prf_expansion_report ------------------------------------------------------
+
+def test_prf_identical_neighborhood_full_overlap(spark):
+    from deepref_spark.operators.similarity import prf_expansion_report
+
+    # One tight cluster: the feedback mean stays inside the cluster,
+    # so expanded top-5 == original top-5 -> overlap 5, jaccard 1e6.
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(8)]
+    emb = _emb(spark, rows)
+    qs = emb.where("vec_id = 0")
+    [r] = prf_expansion_report(emb, qs, k_fb=3, k=5).collect()
+    assert r["n_overlap"] == 5
+    assert r["jaccard_ppm"] == 1_000_000
+
+
+def test_prf_expansion_moves_query_toward_feedback(spark):
+    from deepref_spark.operators.similarity import prf_expansion_report
+
+    # q = e1. Core cluster C (cos 0.8 to q) is the feedback; fringe F
+    # sits NEAR the core direction (cos 0.96 to core) but far from q
+    # (0.6); bridge B is closer to q (0.7) than F but far from core
+    # (0.56). Original top-5 = 3C + 2B; expanded query = mean(C), so
+    # expanded top-5 = 3C + 2F -> overlap exactly 3.
+    q = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    core = [(i, [0.8, 0.6, 0.001 * i, 0.0], 0) for i in range(1, 4)]
+    fringe = [(10 + i, [0.6, 0.8, 0.001 * i, 0.0], 0) for i in range(3)]
+    bridge = [(20 + i, [0.7, 0.0, 0.71, 0.001 * i], 1) for i in range(2)]
+    emb = _emb(spark, q + core + fringe + bridge)
+    qs = emb.where("vec_id = 0")
+    [r] = prf_expansion_report(emb, qs, k_fb=3, k=5).collect()
+    assert r["n_overlap"] == 3
+    assert r["jaccard_ppm"] == 3 * 1_000_000 // 7
+
+
+# --- len_quality_corr ----------------------------------------------------------
+
+def test_len_quality_corr_sign(spark):
+    from deepref_spark.operators.text_analysis import len_quality_corr
+
+    # Source 'pos': the 1x doc (5 tokens) misses the >= 10-token
+    # length band, the 2x/3x repeats clear it -> quality rises with
+    # length; source 'flat': identical docs -> zero variance -> 0.
+    mk = lambda n: " ".join(["the cat is on mat"] * n)
+    docs = spark.createDataFrame(
+        [(1, mk(1), "pos"), (2, mk(2), "pos"), (3, mk(3), "pos"),
+         (4, "same text here", "flat"), (5, "same text here", "flat")],
+        schema="doc_id long, text string, source string")
+    got = {r["source"]: r for r in len_quality_corr(docs).collect()}
+    assert got["flat"]["len_quality_r"] == 0.0
+    assert got["pos"]["n_docs"] == 3
+    # quality rises with length here (len_ok band + stopword ratio
+    # constant, mean-len constant): r must be positive
+    assert got["pos"]["len_quality_r"] > 0.0
+
+
+# --- kg_build_funnel (shape pin via the registry) --------------------------------
+
+def test_build_funnel_is_monotone_where_expected(spark):
+    from deepref_spark.queries import REGISTRY
+
+    rows = {r["stage"]: r["n_rows"] for r in
+            REGISTRY["kg_build_funnel"]["spark"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert rows["documents"] == 500
+    # pairs >= scored-non-Other >= raw distinct triples >= canonical
+    assert rows["mention_pairs"] >= rows["scored_non_other"]
+    assert rows["scored_non_other"] >= rows["raw_triples"]
+    assert rows["raw_triples"] >= rows["canonical_triples"]
+    assert rows["entities"] > 0
