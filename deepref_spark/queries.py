@@ -14515,6 +14515,39 @@ def emb_prf_expansion(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s26, making room for the fifteen sitting-26 operators:
+    # rel_revenue_delta, events_ks_test, emb_ndcg_eval,
+    # kg_walk_skipgram_pairs, text_backoff_lm, events_holt_linear,
+    # emb_ivf_nprobe_curve, events_mttr, kg_dev_sample,
+    # kg_pagerank_weighted, dedup_best_keeper, events_session_funnel,
+    # kg_build_funnel, text_len_quality_corr, emb_prf_expansion).
+    # Redundancy grounds, one per park: kg_wordpiece_basic's
+    # normalization kernel is pytest-pinned next to the kg_tokenize
+    # greedy-wordpiece goldens; text_bigram_lm's on-corpus MLE scorer
+    # is strictly contained in the new held-out text_backoff_lm (its
+    # tri-tier IS the MLE bigram path one order up); events_ses_forecast
+    # is superseded in-window by its trend-aware twin events_holt_linear
+    # (same spine + cents grid, adds the trend recursion);
+    # events_theil_sen's pairwise-slope grid is pytest-pinned and the
+    # trend lane keeps events_changepoint; rel_sales_rollup's GROUPING
+    # bit order is pytest-pinned (rel lane keeps Q2/Q9/Q16/Q21/Q22 +
+    # the new Q6); rel_promo_suppliers (Q20) parks on the same rel-lane
+    # budget; emb_mahalanobis and emb_label_reliability park with
+    # hand-derived pytest goldens while the emb lane gains three new
+    # reps (ndcg, nprobe curve, PRF); events_pivot_daily and
+    # events_bitmap_coverage are single-shape pivots/sketches with
+    # exact pytest pins; kg_pred_pairs' lift table shares its formula
+    # family with in-window events_basket_lift; kg_triad_census's dyad
+    # stage contains the parked kg_reciprocity and is pytest-pinned;
+    # text_ocr_garbage and text_source_overlap keep goldens while the
+    # text lane gains backoff_lm + len_quality_corr;
+    # kg_schema_completeness's matrix is pinned and kg keeps the richer
+    # kg_entity_card + new kg_build_funnel rollups.
+    "kg_wordpiece_basic", "text_bigram_lm", "events_ses_forecast",
+    "events_theil_sen", "rel_sales_rollup", "rel_promo_suppliers",
+    "emb_mahalanobis", "emb_label_reliability", "events_pivot_daily",
+    "events_bitmap_coverage", "kg_pred_pairs", "kg_triad_census",
+    "text_ocr_garbage", "text_source_overlap", "kg_schema_completeness",
     # (parked r5s18 batch 3, making room for kg_bowtie +
     # dedup_yield_report): redundancy grounds — kg_reciprocity's
     # directed-dyad census is contained in in-window kg_triad_census
