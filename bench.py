@@ -351,6 +351,28 @@ HEADLINE = [
     "events_bitmap_coverage",
     "kg_bowtie",
     "dedup_yield_report",
+    # twenty-sixth-sitting additions: Q6, KS test, NDCG, skip-gram
+    # pairs, backoff LM, Holt trend, nprobe curve, MTTR, dev sample,
+    # weighted PageRank, quality keeper, session funnel, build funnel,
+    # length-quality corr, PRF expansion
+    "rel_revenue_delta",
+    "events_ks_test",
+    "emb_ndcg_eval",
+    "kg_walk_skipgram_pairs",
+    "text_backoff_lm",
+    "events_holt_linear",
+    "emb_ivf_nprobe_curve",
+    "events_mttr",
+    "kg_dev_sample",
+    "kg_pagerank_weighted",
+    "dedup_best_keeper",
+    "events_session_funnel",
+    "kg_build_funnel",
+    "text_len_quality_corr",
+    "emb_prf_expansion",
+    "text_oov_curve",
+    "kg_jdd_buckets",
+    "rel_churn_matrix",
 ]
 
 

@@ -2518,3 +2518,52 @@ def weighted_pagerank(wedges: DataFrame, iters: int = 3) -> DataFrame:
         "entity",
         (F.col("u").cast("double") / F.lit(float(UNIT))).alias("pagerank"),
     )
+
+
+def _log2_bucket_case(col: str, max_pow: int = 20) -> str:
+    """floor(log2(d)) as a literal CASE ladder — identical expression
+    text in Spark SQL and DuckDB (no log() call, no float)."""
+    branches = " ".join(
+        f"WHEN {col} < {1 << (p + 1)} THEN {p}" for p in range(max_pow))
+    return f"CASE {branches} ELSE {max_pow} END"
+
+
+def jdd_buckets(edges: DataFrame) -> DataFrame:
+    """Joint degree distribution in log2 buckets — the structural
+    readout BEHIND the single-number degree assortativity: for every
+    undirected edge, the (unordered) pair of endpoint degree buckets.
+    A hub-hub-heavy corner says the graph is assortative at the top;
+    a hub-leaf ridge is the star/celebrity pattern that decides
+    whether hub-capping (cooccurrence_pmi's per_doc_cap, the
+    link-prediction hub_cap) will bite. Bucketing is an exact integer
+    CASE ladder (no log()), so counts are engine-exact.
+
+    One distinct-edge pass, one degree agg, two broadcast-joinable
+    lookups, one grouped count — no windows, no self-joins.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees AND the lookup joins
+    )
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    bk = _log2_bucket_case("d")
+    dgb = dg.select("v", F.expr(bk).cast("long").alias("bkt"))
+    j = (
+        und.join(dgb.select(F.col("v").alias("a"),
+                            F.col("bkt").alias("ba")), "a")
+        .join(dgb.select(F.col("v").alias("b"),
+                         F.col("bkt").alias("bb")), "b")
+    )
+    return (
+        j.select(F.least("ba", "bb").alias("b_lo"),
+                 F.greatest("ba", "bb").alias("b_hi"))
+        .groupBy("b_lo", "b_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

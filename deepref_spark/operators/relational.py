@@ -1033,3 +1033,26 @@ def revenue_delta(lineitem: DataFrame, year: int = 1996,
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
              F.sum(rev).cast("long").alias("rev_e4"))
     )
+
+
+def churn_matrix(orders: DataFrame, churn_days: int = 365) -> DataFrame:
+    """Observed churn rate by (frequency, monetary) RFM segment — the
+    segment-level readout an activation team reads off rfm_segments:
+    the churn LABEL is recency (> ``churn_days`` since last order vs
+    the corpus max date), so recency itself must stay OUT of the
+    segmentation axes (bucketing by R would make the table a
+    tautology); frequency and monetary are the predictive axes.
+
+    Everything after rfm_segments is one grouped count over the
+    per-customer table; rates on the exact ppm grid.
+    """
+    seg = rfm_segments(orders)
+    return (
+        seg.groupBy("f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum(F.when(F.col("recency_days") > churn_days, 1)
+                   .otherwise(0)).cast("long").alias("n_churned"))
+        .select("f_bucket", "m_bucket", "n_customers", "n_churned",
+                F.expr("n_churned * 1000000 div n_customers").cast("long")
+                .alias("churn_ppm"))
+    )

@@ -2499,3 +2499,52 @@ def len_quality_corr(documents: DataFrame) -> DataFrame:
                 "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
                 " ELSE 0.0 END"), 6).alias("len_quality_r"),
     )
+
+
+def oov_curve(documents: DataFrame,
+              budgets: tuple = (1000, 4000, 16000)) -> DataFrame:
+    """OOV rate vs vocabulary budget — the tokenizer-budget decision
+    table (the lexical analogue of the IVF nprobe curve): for each
+    candidate vocab size K, the fraction of token INSTANCES that fall
+    outside the top-K types by frequency. Read together with
+    text_vocab_growth (how fast types appear) and text_fertility (what
+    a subword vocab does about it), this is the table that sizes a
+    word-level vocab or decides subwords are mandatory.
+
+    No explode-join per budget: every curve point reads the SAME
+    ranked type table — rank by (count DESC, token ASC), OOV instances
+    for budget K = sum of counts at rank > K — so the corpus is
+    tokenized and counted exactly once and the curve is three grouped
+    sums over the vocabulary table. The global rank window runs over
+    the TYPE table (bounded by vocabulary size, Heaps-sublinear in
+    corpus size), never the instance stream.
+    """
+    toks = documents.select(
+        F.explode(F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+    counts = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("tok"))))
+        .localCheckpoint(eager=False)  # every curve point re-reads this
+    )
+    tot = F.broadcast(counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_instances")))
+    parts = []
+    for k in budgets:
+        parts.append(
+            counts.where(F.col("rnk") > k)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                 .alias("oov_instances"))
+            .crossJoin(tot)
+            .select(
+                F.lit(k).cast("long").alias("vocab_budget"),
+                "n_types", "n_instances", "oov_instances",
+                F.expr("oov_instances * 1000000 div n_instances")
+                .cast("long").alias("oov_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

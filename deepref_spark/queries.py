@@ -14498,6 +14498,112 @@ def emb_prf_expansion(spark, sf_dir):
         emb, emb.where(F.expr(_emb_queries_filter())), k_fb=3, k=5)
 
 
+@q("text_oov_curve", lambda: f"""
+WITH tokc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS_DUCK}) AS tok FROM documents) t GROUP BY 1
+),
+rk AS (SELECT tok, cnt,
+              row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+       FROM tokc),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_instances FROM rk),
+pts AS (SELECT unnest([1000, 4000, 16000]) AS k),
+ov AS (
+  SELECT p.k,
+         CAST(coalesce(sum(CASE WHEN r.rnk > p.k THEN r.cnt END), 0)
+              AS BIGINT) AS oov
+  FROM pts p CROSS JOIN rk r GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS vocab_budget, n_types, n_instances,
+       oov AS oov_instances,
+       CAST(oov * 1000000 // n_instances AS BIGINT) AS oov_ppm
+FROM ov CROSS JOIN tot
+""")
+def text_oov_curve(spark, sf_dir):
+    """OOV rate vs vocabulary budget (text_analysis.oov_curve, K =
+    1k/4k/16k) — the tokenizer-budget decision table next to
+    text_vocab_growth and text_fertility: instance-level OOV share at
+    each top-K-by-frequency vocab, all three curve points read off ONE
+    ranked type table (corpus tokenized and counted exactly once; the
+    rank window runs over the Heaps-bounded type table only)."""
+    from deepref_spark.operators.text_analysis import oov_curve
+
+    return oov_curve(documents(spark, sf_dir))
+
+
+def _jdd_oracle() -> str:
+    from deepref_spark.operators.graph import _log2_bucket_case
+
+    return _oracle_prefix() + _graph_edges_cte() + f""",
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+dg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) u GROUP BY 1
+),
+dgb AS (SELECT v, CAST({_log2_bucket_case('d')} AS BIGINT) AS bkt FROM dg)
+SELECT least(ba.bkt, bb.bkt) AS b_lo, greatest(ba.bkt, bb.bkt) AS b_hi,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM und u
+JOIN dgb ba ON u.a = ba.v
+JOIN dgb bb ON u.b = bb.v
+GROUP BY 1, 2
+"""
+
+
+@q("kg_jdd_buckets", _jdd_oracle)  # lazy: imports the bucket ladder
+def kg_jdd_buckets(spark, sf_dir):
+    """Joint degree distribution in log2 buckets (graph.jdd_buckets)
+    — the structural table behind kg_assortativity's single number:
+    per undirected edge, the unordered endpoint degree-bucket pair.
+    The hub-leaf ridge vs hub-hub corner is what decides whether the
+    repo's hub-capping knobs will bite. Bucketing is an exact integer
+    CASE ladder (no log(), no floats) — engine-exact counts."""
+    from deepref_spark.operators.graph import jdd_buckets
+
+    return jdd_buckets(_canonical_edges(spark, sf_dir))
+
+
+@q("rel_churn_matrix", lambda: f"""
+WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(min(date_diff('day', o_orderdate, ref.ref_date)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT)
+           AS monetary_cents
+  FROM orders, ref GROUP BY 1
+),{_rfm_edges_cte('frequency')},{_rfm_edges_cte('monetary_cents')},
+seg AS (
+  SELECT pc.recency_days,
+         {_rfm_bucket('frequency')} AS f_bucket,
+         {_rfm_bucket('monetary_cents')} AS m_bucket
+  FROM pc, e_frequency, e_monetary_cents
+)
+SELECT f_bucket, m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN recency_days > 365 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       CAST(sum(CASE WHEN recency_days > 365 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS churn_ppm
+FROM seg GROUP BY 1, 2
+""")
+def rel_churn_matrix(spark, sf_dir):
+    """Observed churn by (frequency, monetary) RFM segment
+    (relational.churn_matrix): churn label = recency > 365 days vs
+    corpus max date — recency stays OUT of the axes so the table is a
+    prediction readout, not a tautology. One grouped count over
+    rfm_segments' per-customer table, ppm rates."""
+    from deepref_spark.operators.relational import churn_matrix
+
+    return churn_matrix(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -14515,6 +14621,17 @@ def emb_prf_expansion(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s26 batch F, making room for text_oov_curve +
+    # kg_jdd_buckets + rel_churn_matrix): rel_prospect_balance (Q22)
+    # parks with its NOT-IN census pytest pin (Q21 keeps the
+    # correlated-anti-join shape in-window, and the rel lane gains the
+    # RFM-derived churn matrix); events_attribution_ushape parks with
+    # its positional-weight pytest pin (the attribution family's
+    # markov/join members are already parked, and the events lane
+    # keeps did/changepoint/burn_rate plus four sitting-26 entrants);
+    # text_watermark parks with its greenlist literal pin
+    # (text_chat_template stays as the LLM-format rep).
+    "rel_prospect_balance", "events_attribution_ushape", "text_watermark",
     # (parked r5s26, making room for the fifteen sitting-26 operators:
     # rel_revenue_delta, events_ks_test, emb_ndcg_eval,
     # kg_walk_skipgram_pairs, text_backoff_lm, events_holt_linear,

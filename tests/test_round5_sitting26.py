@@ -558,3 +558,82 @@ def test_build_funnel_is_monotone_where_expected(spark):
     assert rows["scored_non_other"] >= rows["raw_triples"]
     assert rows["raw_triples"] >= rows["canonical_triples"]
     assert rows["entities"] > 0
+
+
+# --- oov_curve -----------------------------------------------------------------
+
+def test_oov_curve_exact_small_budgets(spark):
+    from deepref_spark.operators.text_analysis import oov_curve
+
+    # counts: a x4, b x3, c x2, d x1 -> rank a,b,c,d. budget 2:
+    # OOV = c + d = 3 of 10 instances; budget 3: OOV = 1.
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b c d"), (3, "a b")],
+        schema="doc_id long, text string")
+    got = {r["vocab_budget"]: r
+           for r in oov_curve(docs, budgets=(2, 3)).collect()}
+    assert got[2]["n_types"] == 4
+    assert got[2]["n_instances"] == 10
+    assert got[2]["oov_instances"] == 3
+    assert got[2]["oov_ppm"] == 300_000
+    assert got[3]["oov_instances"] == 1
+
+
+def test_oov_curve_budget_above_vocab_is_zero(spark):
+    from deepref_spark.operators.text_analysis import oov_curve
+
+    docs = spark.createDataFrame([(1, "x y z")],
+                                 schema="doc_id long, text string")
+    [r] = oov_curve(docs, budgets=(100,)).collect()
+    assert r["oov_instances"] == 0 and r["oov_ppm"] == 0
+
+
+# --- jdd_buckets ---------------------------------------------------------------
+
+def test_jdd_star_is_hub_leaf_ridge(spark):
+    from deepref_spark.operators.graph import jdd_buckets
+
+    # 5-leaf star: hub degree 5 (bucket 2: 4 <= d < 8), leaves degree
+    # 1 (bucket 0). All 5 edges land in (0, 2).
+    edges = spark.createDataFrame([("h", f"l{i}") for i in range(5)],
+                                  schema="src string, dst string")
+    rows = jdd_buckets(edges).collect()
+    assert len(rows) == 1
+    assert (rows[0]["b_lo"], rows[0]["b_hi"], rows[0]["n_edges"]) == (0, 2, 5)
+
+
+def test_jdd_triangle_is_diagonal(spark):
+    from deepref_spark.operators.graph import jdd_buckets
+
+    # triangle: every node degree 2 (bucket 1) -> single cell (1,1)x3.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        schema="src string, dst string")
+    [r] = jdd_buckets(edges).collect()
+    assert (r["b_lo"], r["b_hi"], r["n_edges"]) == (1, 1, 3)
+
+
+# --- churn_matrix --------------------------------------------------------------
+
+def test_churn_matrix_label_and_axes(spark):
+    from deepref_spark.operators.relational import churn_matrix
+
+    # Customers: 1 ordered recently (recency 0), 2 ordered only >365
+    # days before the max date. Same frequency/monetary everywhere ->
+    # single (f,m) cell with churn 2/3.
+    rows = [
+        (1, "2001-06-01", 100.0), (2, "1999-01-01", 100.0),
+        (3, "1999-02-01", 100.0),
+    ]
+    orders = (
+        spark.createDataFrame(
+            [(c, f"{d} 00:00:00", p) for c, d, p in rows],
+            schema="o_custkey long, o_orderdate string, o_totalprice double")
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    )
+    out = churn_matrix(orders).collect()
+    assert len(out) == 1
+    [r] = out
+    assert r["n_customers"] == 3
+    assert r["n_churned"] == 2
+    assert r["churn_ppm"] == 2 * 1_000_000 // 3
