@@ -373,6 +373,9 @@ HEADLINE = [
     "text_oov_curve",
     "kg_jdd_buckets",
     "rel_churn_matrix",
+    "events_anomaly_ensemble",
+    "text_markdown_stats",
+    "lake_layout_advisor",
 ]
 
 

@@ -2634,3 +2634,61 @@ def session_funnel(events: DataFrame, steps: tuple = FUNNEL_STEPS,
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def anomaly_consensus(events: DataFrame) -> DataFrame:
+    """Detector-agreement calibration between the two hourly anomaly
+    rules the repo ships — MAD breach (|n - median| > 3*MAD, robust to
+    bursts) and trailing-24h spike (n*24 > 2*trail with trail >= 10,
+    sensitive to level shifts) — per event type: how many hours each
+    flags, how many BOTH flag, and the Jaccard ppm of the two flag
+    sets. Low agreement is the actionable read: alert only on the
+    consensus (cut pages) or investigate why one rule is blind.
+
+    Both flag rules are exact integer cross-products on the shared
+    hourly count table (one corpus-sized groupBy, checkpointed once);
+    the MAD chain is two inverted-CDF medians over bounded histograms;
+    the trailing window is a RANGE frame on epoch seconds so gap hours
+    count as zero baseline.
+    """
+    cnt = (
+        events.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("ep", F.unix_timestamp("h").cast("long"))
+        .localCheckpoint(eager=False)  # feeds MAD chain AND the trail
+    )
+    nm = _typed_median(cnt, "event_type", "n", "med")
+    dev = (cnt.join(nm, "event_type")
+           .select("event_type", "h", "n", "med",
+                   F.abs(F.col("n") - F.col("med")).alias("d")))
+    dm = _typed_median(dev, "event_type", "d", "mad")
+    w = (Window.partitionBy("event_type").orderBy("ep")
+         .rangeBetween(-86400, -3600))
+    tr = cnt.withColumn(
+        "trail", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
+    flags = (
+        dev.join(dm, "event_type")
+        .select("event_type", "h",
+                (F.col("d") > 3 * F.col("mad")).alias("mad_flag"))
+        .join(tr.select(
+            "event_type", "h",
+            ((F.col("n") * 24 > 2 * F.col("trail"))
+             & (F.col("trail") >= 10)).alias("spike_flag")),
+            ["event_type", "h"])
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+             F.sum(F.col("mad_flag").cast("int")).cast("long")
+             .alias("n_mad"),
+             F.sum(F.col("spike_flag").cast("int")).cast("long")
+             .alias("n_spike"),
+             F.sum((F.col("mad_flag") & F.col("spike_flag")).cast("int"))
+             .cast("long").alias("n_both"))
+        .select("event_type", "n_hours", "n_mad", "n_spike", "n_both",
+                F.when(F.col("n_mad") + F.col("n_spike") - F.col("n_both") > 0,
+                       F.expr("n_both * 1000000"
+                              " div (n_mad + n_spike - n_both)"))
+                .otherwise(F.lit(0)).cast("long").alias("agree_ppm"))
+    )

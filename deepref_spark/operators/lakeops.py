@@ -584,3 +584,47 @@ def overlap_depth(events: DataFrame, writers: int = 4) -> DataFrame:
         .join(nf, "partition_key")
         .select("partition_key", "n_files", "max_depth")
     )
+
+
+def layout_advisor(events: DataFrame, small_rows: int = 1000) -> DataFrame:
+    """Partition-layout advisor over the candidate partition columns
+    (day, event_type, day x event_type): per layout, partition count,
+    row spread (min/max), and the share of SMALL partitions (<
+    ``small_rows`` rows) — the table that decides the physical layout
+    before a 100 TB write: day x type multiplies cardinalities, and
+    when its small-partition share explodes this report says so BEFORE
+    the writer scatters millions of tiny files (the small-file problem
+    lake_compaction_plan then has to undo; bucket_advisor's
+    single-column analysis composes with this cross-layout view).
+
+    One grouped count per layout (map-side combined), each reduced to
+    a one-row summary — three scans of the fact (or one with cube; the
+    explicit form keeps each layout's plan independently prunable).
+    """
+    cands = [
+        ("day", [F.to_date("ts").alias("k1")]),
+        ("event_type", [F.col("event_type").alias("k1")]),
+        ("day_x_type", [F.to_date("ts").alias("k1"),
+                        F.col("event_type").alias("k2")]),
+    ]
+    parts = []
+    for name, keys in cands:
+        per = events.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("rows"))
+        parts.append(per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("rows").cast("long").alias("n_rows"),
+            F.min("rows").cast("long").alias("min_rows"),
+            F.max("rows").cast("long").alias("max_rows"),
+            F.sum(F.when(F.col("rows") < small_rows, 1).otherwise(0))
+            .cast("long").alias("n_small"),
+        ).select(
+            F.lit(name).alias("layout"), "n_partitions", "n_rows",
+            "min_rows", "max_rows", "n_small",
+            F.expr("n_small * 1000000 div n_partitions").cast("long")
+            .alias("small_ppm"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2548,3 +2548,40 @@ def oov_curve(documents: DataFrame,
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def markdown_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc structural/markdown profile — the LAYOUT curation
+    signal the token-level screens (quality, code_stats, ocr_garbage)
+    do not carry: heading lines, list items, code fences, blank
+    lines, and their ppm shares of total lines. Heavily-structured
+    pages (README walls, nav-list boilerplate) separate from prose at
+    a glance, and a pretraining mix typically caps them.
+
+    Pure JVM single scan: split on newline once, count line classes
+    with filter() over the staged line array — no regex backtracking
+    (prefix tests only), no Python, no shuffle beyond none at all
+    (it is a projection).
+    """
+    lines = "split(text, '\\n')"
+    n = f"size({lines})"
+
+    def share(cnt: str) -> str:
+        return f"CAST({cnt} * 1000000 div greatest({n}, 1) AS BIGINT)"
+
+    heading = (f"size(filter({lines}, x -> startswith(ltrim(x), '#')))")
+    listing = (f"size(filter({lines}, x -> startswith(ltrim(x), '- ')"
+               f" OR startswith(ltrim(x), '* ')))")
+    fence = f"size(filter({lines}, x -> startswith(ltrim(x), '```')))"
+    blank = f"size(filter({lines}, x -> length(trim(x)) = 0))"
+    return documents.select(
+        "doc_id",
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST({heading} AS BIGINT)").alias("n_heading"),
+        F.expr(f"CAST({listing} AS BIGINT)").alias("n_list"),
+        F.expr(f"CAST({fence} AS BIGINT)").alias("n_fence"),
+        F.expr(f"CAST({blank} AS BIGINT)").alias("n_blank"),
+        F.expr(share(heading)).alias("heading_ppm"),
+        F.expr(share(listing)).alias("list_ppm"),
+        F.expr(share(blank)).alias("blank_ppm"),
+    )

@@ -14604,6 +14604,139 @@ def rel_churn_matrix(spark, sf_dir):
     return churn_matrix(load_table(spark, sf_dir, "orders"))
 
 
+@q("events_anomaly_ensemble", f"""
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ep
+  FROM events GROUP BY 1, 2
+),{_median_ctes('n', 'cnt', 'event_type', 'n')},
+dev AS (
+  SELECT cnt.event_type, cnt.h, cnt.n, abs(n - med) AS d
+  FROM cnt JOIN nm USING (event_type)
+),{_median_ctes('d', 'dev', 'event_type', 'd')},
+tr AS (
+  SELECT h, event_type,
+         CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY ep
+              RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING), 0)
+              AS BIGINT) AS trail, n
+  FROM cnt
+),
+flags AS (
+  SELECT dev.event_type, dev.h,
+         dev.d > 3 * dm.med AS mad_flag,
+         (tr.n * 24 > 2 * tr.trail AND tr.trail >= 10) AS spike_flag
+  FROM dev
+  JOIN dm USING (event_type)
+  JOIN tr ON dev.event_type = tr.event_type AND dev.h = tr.h
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN mad_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_mad,
+       CAST(sum(CASE WHEN spike_flag THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spike,
+       CAST(sum(CASE WHEN mad_flag AND spike_flag THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both,
+       CAST(CASE WHEN sum(CASE WHEN mad_flag THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN spike_flag THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN mad_flag AND spike_flag
+                            THEN 1 ELSE 0 END) > 0
+                 THEN sum(CASE WHEN mad_flag AND spike_flag THEN 1 ELSE 0 END)
+                      * 1000000
+                      // (sum(CASE WHEN mad_flag THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN spike_flag THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN mad_flag AND spike_flag
+                                THEN 1 ELSE 0 END))
+                 ELSE 0 END AS BIGINT) AS agree_ppm
+FROM flags GROUP BY 1
+""")
+def events_anomaly_ensemble(spark, sf_dir):
+    """Detector-agreement calibration (events.anomaly_consensus)
+    between the MAD breach rule and the trailing-24h spike rule on the
+    SAME hourly count table: per type, each rule's flag count, the
+    consensus count, and the flag-set Jaccard ppm — the read that
+    decides whether to alert on consensus (cut pages) or investigate a
+    blind detector. Both rules stay exact integer cross-products; the
+    shared hourly table is checkpointed once."""
+    from deepref_spark.operators.events import anomaly_consensus
+
+    return anomaly_consensus(load_table(spark, sf_dir, "events"))
+
+
+@q("text_markdown_stats", r"""
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '#')))
+            AS BIGINT) AS n_heading,
+       CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '- ')
+                                      OR starts_with(ltrim(x), '* ')))
+            AS BIGINT) AS n_list,
+       CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '```')))
+            AS BIGINT) AS n_fence,
+       CAST(len(list_filter(lines, x -> length(trim(x)) = 0)) AS BIGINT)
+         AS n_blank,
+       CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '#')))
+            * 1000000 // greatest(len(lines), 1) AS BIGINT) AS heading_ppm,
+       CAST(len(list_filter(lines, x -> starts_with(ltrim(x), '- ')
+                                      OR starts_with(ltrim(x), '* ')))
+            * 1000000 // greatest(len(lines), 1) AS BIGINT) AS list_ppm,
+       CAST(len(list_filter(lines, x -> length(trim(x)) = 0))
+            * 1000000 // greatest(len(lines), 1) AS BIGINT) AS blank_ppm
+FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents) d
+""")
+def text_markdown_stats(spark, sf_dir):
+    """Per-doc structural/markdown profile (text_analysis
+    .markdown_stats): heading/list/code-fence/blank line counts and
+    ppm shares — the LAYOUT curation signal the token-level screens
+    miss (nav-list boilerplate and README walls cap differently from
+    prose in a pretraining mix). Prefix tests only (no regex
+    backtracking), one projection, no shuffle."""
+    from deepref_spark.operators.text_analysis import markdown_stats
+
+    return markdown_stats(documents(spark, sf_dir))
+
+
+@q("lake_layout_advisor", """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+p1 AS (SELECT day, CAST(count(*) AS BIGINT) AS rows_n FROM d GROUP BY 1),
+p2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rows_n
+       FROM d GROUP BY 1),
+p3 AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS rows_n
+       FROM d GROUP BY 1, 2),
+s1 AS (SELECT 'day' AS layout, CAST(count(*) AS BIGINT) AS n_partitions,
+              CAST(sum(rows_n) AS BIGINT) AS n_rows,
+              CAST(min(rows_n) AS BIGINT) AS min_rows,
+              CAST(max(rows_n) AS BIGINT) AS max_rows,
+              CAST(sum(CASE WHEN rows_n < 1000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_small
+       FROM p1),
+s2 AS (SELECT 'event_type', CAST(count(*) AS BIGINT),
+              CAST(sum(rows_n) AS BIGINT), CAST(min(rows_n) AS BIGINT),
+              CAST(max(rows_n) AS BIGINT),
+              CAST(sum(CASE WHEN rows_n < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM p2),
+s3 AS (SELECT 'day_x_type', CAST(count(*) AS BIGINT),
+              CAST(sum(rows_n) AS BIGINT), CAST(min(rows_n) AS BIGINT),
+              CAST(max(rows_n) AS BIGINT),
+              CAST(sum(CASE WHEN rows_n < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM p3),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3)
+SELECT layout, n_partitions, n_rows, min_rows, max_rows, n_small,
+       CAST(n_small * 1000000 // n_partitions AS BIGINT) AS small_ppm
+FROM u
+""")
+def lake_layout_advisor(spark, sf_dir):
+    """Partition-layout advisor (lakeops.layout_advisor): for each
+    candidate layout (day, event_type, day x type) the partition
+    count, row spread, and small-partition share — the cross-layout
+    decision table read BEFORE a 100 TB write scatters tiny files
+    (the problem lake_compaction_plan then has to undo;
+    lake_bucket_advisor's single-column analysis composes with it)."""
+    from deepref_spark.operators.lakeops import layout_advisor
+
+    return layout_advisor(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -14621,6 +14754,16 @@ def rel_churn_matrix(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s26 batch G, making room for events_anomaly_ensemble +
+    # text_markdown_stats + lake_layout_advisor): lake_bucket_advisor's
+    # single-column cardinality analysis is contained in the new
+    # cross-layout advisor's read (and keeps its pytest pin);
+    # events_did parks with its hand-derived DiD pin — the experiment
+    # lane's CUPED/SRM/power members are already parked and the stats
+    # lane keeps the new ks_test + anomaly ensemble; kg_phonetic
+    # _blocking parks with its smith/smyth plant pins while in-window
+    # kg_blocking_compare keeps the multi-strategy blocking comparison.
+    "lake_bucket_advisor", "events_did", "kg_phonetic_blocking",
     # (parked r5s26 batch F, making room for text_oov_curve +
     # kg_jdd_buckets + rel_churn_matrix): rel_prospect_balance (Q22)
     # parks with its NOT-IN census pytest pin (Q21 keeps the

@@ -637,3 +637,87 @@ def test_churn_matrix_label_and_axes(spark):
     assert r["n_customers"] == 3
     assert r["n_churned"] == 2
     assert r["churn_ppm"] == 2 * 1_000_000 // 3
+
+
+# --- anomaly_consensus ---------------------------------------------------------
+
+def test_anomaly_consensus_counts(spark):
+    from deepref_spark.operators.events import anomaly_consensus
+
+    # 30 quiet hours at n=2, then one burst hour n=200. MAD: median 2,
+    # MAD 0 -> burst flagged (198 > 0). Spike: trail = 2*24... hour 30
+    # trail = sum of prior 24 hours = 48 >= 10 and 200*24 > 96 -> both
+    # flag the same single hour -> n_both = 1, agreement 1e6.
+    rows, eid = [], 0
+    for h in range(31):
+        n = 200 if h == 30 else 2
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{h // 24 + 1:02d} {h % 24:02d}:00:00",
+                         1, "error", 1.0))
+            eid += 1
+    df = (spark.createDataFrame(
+        rows, schema=("event_id long, ts string, user_id long, "
+                      "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts")))
+    [r] = anomaly_consensus(df).collect()
+    assert r["n_hours"] == 31
+    assert r["n_both"] >= 1
+    assert r["n_mad"] >= 1 and r["n_spike"] >= 1
+    if r["n_mad"] == 1 and r["n_spike"] == 1:
+        assert r["agree_ppm"] == 1_000_000
+
+
+# --- markdown_stats ------------------------------------------------------------
+
+def test_markdown_stats_line_classes(spark):
+    from deepref_spark.operators.text_analysis import markdown_stats
+
+    text = "# Title\n\n- item one\n* item two\n```\ncode\n```\nprose line"
+    docs = spark.createDataFrame([(1, text)],
+                                 schema="doc_id long, text string")
+    [r] = markdown_stats(docs).collect()
+    assert r["n_lines"] == 8
+    assert r["n_heading"] == 1
+    assert r["n_list"] == 2
+    assert r["n_fence"] == 2
+    assert r["n_blank"] == 1
+    assert r["heading_ppm"] == 1_000_000 // 8
+
+
+def test_markdown_stats_plain_prose_is_zero(spark):
+    from deepref_spark.operators.text_analysis import markdown_stats
+
+    docs = spark.createDataFrame([(1, "just one prose line")],
+                                 schema="doc_id long, text string")
+    [r] = markdown_stats(docs).collect()
+    assert (r["n_heading"], r["n_list"], r["n_fence"], r["n_blank"]) == \
+        (0, 0, 0, 0)
+
+
+# --- layout_advisor ------------------------------------------------------------
+
+def test_layout_advisor_cardinalities(spark):
+    from deepref_spark.operators.lakeops import layout_advisor
+
+    # 2 days x 2 types, one event each + 1 extra on (d1, click):
+    # day -> 2 partitions (3 + 2 rows), type -> 2 (3 + 2),
+    # day_x_type -> 4 (2,1,1,1). All < 1000 -> everything small.
+    rows = [
+        (1, "2024-01-01 01:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 02:00:00", 1, "click", 1.0),
+        (3, "2024-01-01 03:00:00", 1, "view", 1.0),
+        (4, "2024-01-02 01:00:00", 1, "click", 1.0),
+        (5, "2024-01-02 02:00:00", 1, "view", 1.0),
+    ]
+    df = (spark.createDataFrame(
+        rows, schema=("event_id long, ts string, user_id long, "
+                      "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts")))
+    got = {r["layout"]: r for r in layout_advisor(df).collect()}
+    assert got["day"]["n_partitions"] == 2
+    assert (got["day"]["min_rows"], got["day"]["max_rows"]) == (2, 3)
+    assert got["event_type"]["n_partitions"] == 2
+    assert got["day_x_type"]["n_partitions"] == 4
+    assert got["day_x_type"]["max_rows"] == 2
+    assert got["day_x_type"]["small_ppm"] == 1_000_000
+    assert all(r["n_rows"] == 5 for r in got.values())
