@@ -376,6 +376,9 @@ HEADLINE = [
     "events_anomaly_ensemble",
     "text_markdown_stats",
     "lake_layout_advisor",
+    "events_transition_entropy",
+    "dedup_df_spectrum",
+    "kg_block_size_spectrum",
 ]
 
 

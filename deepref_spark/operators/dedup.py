@@ -1004,3 +1004,44 @@ def quality_keep_map(documents: DataFrame, n_bands: int = 8,
         .select("doc_id", F.col("keep_doc_id").alias("cluster_id"),
                 "best_doc_id", "best_q_ppm")
     )
+
+
+def df_spectrum(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Shingle document-frequency spectrum in log2 buckets — the
+    dedup-difficulty planning read that sizes ngram_jaccard's df_cap
+    and the bloom gate BEFORE building an inverted index: for each
+    df bucket [2^b, 2^(b+1)), how many distinct shingles land there
+    and how much posting MASS (sum of df) they carry. The heavy tail
+    is exactly what a df_cap cuts; this table says what fraction of
+    the index it is.
+
+    One staged-tokenize pass (the _with_shingles barrier — tokenize
+    once per doc, never per shingle), one distinct (doc, shingle)
+    projection, two map-side-combined grouped counts. The bucket
+    ladder is the exact integer CASE from graph.jdd_buckets — no
+    log(), engine-exact.
+    """
+    from deepref_spark.operators.graph import _log2_bucket_case
+
+    posts = (
+        _with_shingles(documents, k=k)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    dfc = posts.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    spec = (
+        dfc.select(F.expr(_log2_bucket_case("df")).cast("long")
+                   .alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+             F.sum("df").cast("long").alias("n_postings"))
+        .localCheckpoint(eager=False)  # feeds the share join
+    )
+    tot = F.broadcast(spec.agg(F.sum("n_postings").cast("long")
+                               .alias("tot_postings")))
+    return (
+        spec.crossJoin(tot)
+        .select("df_bucket", "n_shingles", "n_postings",
+                F.expr("n_postings * 1000000 div tot_postings")
+                .cast("long").alias("postings_ppm"))
+    )

@@ -2692,3 +2692,46 @@ def anomaly_consensus(events: DataFrame) -> DataFrame:
                               " div (n_mad + n_spike - n_both)"))
                 .otherwise(F.lit(0)).cast("long").alias("agree_ppm"))
     )
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-state next-step entropy of the first-order transition
+    matrix — the predictability readout on top of transition_matrix
+    (events_markov): H(next | cur) in nats per current event type. A
+    near-zero entropy state is a deterministic flow edge (view ->
+    click funnels); a high-entropy state is a branching hub where
+    journey analysis (path_topk, seq_trigrams) earns its keep.
+
+    The lm_score determinism discipline lifted to transitions: the
+    single ln() evaluates once PER DISTINCT (from, to) pair as a
+    round(ln(tot/n)*1e6) BIGINT, the per-state sum n*nats is exact
+    integer (aggregation-order independent), and the final nats value
+    is one double division rounded 6dp on both engines. Work: one
+    user-keyed lead window + grouped counts on the tiny type-pair
+    table.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds totals AND the nats join
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    nats = pairs.join(tot, "from_type").select(
+        "from_type", "n",
+        F.round(F.log(F.col("n_from").cast("double") / F.col("n")) * 1e6)
+        .cast("long").alias("nats_x1e6"),
+    )
+    return (
+        nats.groupBy("from_type")
+        .agg(F.sum("n").cast("long").alias("n_from"),
+             F.count(F.lit(1)).cast("long").alias("n_next"),
+             F.sum(F.col("n") * F.col("nats_x1e6")).alias("_s"))
+        .select("from_type", "n_from", "n_next",
+                F.round(F.col("_s") / F.col("n_from") / 1e6, 6)
+                .alias("entropy_nats"))
+    )

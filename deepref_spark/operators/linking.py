@@ -536,3 +536,42 @@ def phonetic_blocks(surfaces: DataFrame) -> DataFrame:
         )
         .select("sdx", "n_surfaces", "n_pairs", "members")
     )
+
+
+def block_size_spectrum(blocks: DataFrame) -> DataFrame:
+    """ER blocking COST spectrum: given (block_key) rows — one per
+    entity-in-block — the distribution of block sizes in log2 buckets
+    with the implied candidate-pair count s*(s-1)/2 per bucket. This
+    is the quadratic-blowup early warning the quality-side metrics
+    (kg_blocking_quality's precision/recall) do not show: one
+    mega-block can carry 99% of all pairs, and THIS table is where
+    that reads off (then the fix is a finer key or the skew salting
+    lane).
+
+    One grouped size count, one bucketed rollup; the pair arithmetic
+    is exact BIGINT (sizes bounded by entity count).
+    """
+    from deepref_spark.operators.graph import _log2_bucket_case
+
+    sizes = blocks.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("long").alias("s"))
+    spec = (
+        sizes.select(F.expr(_log2_bucket_case("s")).cast("long")
+                     .alias("size_bucket"),
+                     "s", F.expr("s * (s - 1) div 2").alias("pairs"))
+        .groupBy("size_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+             F.sum("s").cast("long").alias("n_rows"),
+             F.sum("pairs").cast("long").alias("n_pairs"))
+        .localCheckpoint(eager=False)
+    )
+    tot = F.broadcast(spec.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long")
+        .alias("tot_pairs")))
+    return (
+        spec.crossJoin(tot)
+        .select("size_bucket", "n_blocks", "n_rows", "n_pairs",
+                F.when(F.col("tot_pairs") > 0,
+                       F.expr("n_pairs * 1000000 div tot_pairs"))
+                .otherwise(F.lit(0)).cast("long").alias("pairs_ppm"))
+    )

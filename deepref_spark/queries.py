@@ -14737,6 +14737,136 @@ def lake_layout_advisor(spark, sf_dir):
     return layout_advisor(load_table(spark, sf_dir, "events"))
 
 
+@q("events_transition_entropy", """
+WITH pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY 1),
+nats AS (
+  SELECT p.from_type, p.n,
+         CAST(round(ln(CAST(t.n_from AS DOUBLE) / p.n) * 1e6) AS BIGINT)
+           AS nats_x1e6
+  FROM pairs p JOIN tot t USING (from_type)
+)
+SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from,
+       CAST(count(*) AS BIGINT) AS n_next,
+       round(sum(n * nats_x1e6) / sum(n) / 1e6, 6) AS entropy_nats
+FROM nats GROUP BY 1
+""")
+def events_transition_entropy(spark, sf_dir):
+    """Per-state next-step entropy over the first-order transition
+    matrix (events.transition_entropy) — the predictability companion
+    of events_markov: near-zero states are deterministic flow edges,
+    high-entropy states are the branching hubs where journey mining
+    pays. ln() runs once per DISTINCT transition on the round(*1e6)
+    BIGINT grid (lm_score discipline); the per-state sum is exact
+    integer, one double division at the end."""
+    from deepref_spark.operators.events import transition_entropy
+
+    return transition_entropy(load_table(spark, sf_dir, "events"))
+
+
+def _df_spectrum_oracle() -> str:
+    from deepref_spark.operators.graph import _log2_bucket_case
+
+    return f"""
+WITH posts AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({_shingles_duck()}) AS s FROM documents
+  ) u
+),
+dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM posts GROUP BY 1),
+spec AS (
+  SELECT CAST({_log2_bucket_case('df')} AS BIGINT) AS df_bucket,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(df) AS BIGINT) AS n_postings
+  FROM dfc GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_postings) AS BIGINT) AS tp FROM spec)
+SELECT df_bucket, n_shingles, n_postings,
+       CAST(n_postings * 1000000 // tp AS BIGINT) AS postings_ppm
+FROM spec, tot
+"""
+
+
+@q("dedup_df_spectrum", _df_spectrum_oracle)  # lazy: imports the ladder
+def dedup_df_spectrum(spark, sf_dir):
+    """Shingle document-frequency spectrum in log2 buckets
+    (dedup.df_spectrum) — the planning read that sizes
+    ngram_jaccard's df_cap and the bloom gate before building an
+    inverted index: distinct shingles and posting MASS per df bucket.
+    Staged tokenize (once per doc), exact integer bucket ladder."""
+    from deepref_spark.operators.dedup import df_spectrum
+
+    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+def _block_spectrum_oracle() -> str:
+    from deepref_spark.operators.graph import _log2_bucket_case
+
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT concat('{b}#', CAST(band_{b} AS VARCHAR)) AS block_key"
+        f" FROM sigs" for b in range(4))
+    return _entities_cte(DUCK) + f""",
+sigs AS (SELECT entity, {_band_sql(DUCK)} FROM entities),
+blocks AS (
+  {bands}
+),
+sizes AS (SELECT block_key, CAST(count(*) AS BIGINT) AS s
+          FROM blocks GROUP BY 1),
+spec AS (
+  SELECT CAST({_log2_bucket_case('s')} AS BIGINT) AS size_bucket,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(s) AS BIGINT) AS n_rows,
+         CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_pairs
+  FROM sizes GROUP BY 1
+),
+tot AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS tp FROM spec)
+SELECT size_bucket, n_blocks, n_rows, n_pairs,
+       CAST(CASE WHEN tp > 0 THEN n_pairs * 1000000 // tp ELSE 0 END
+            AS BIGINT) AS pairs_ppm
+FROM spec, tot
+"""
+
+
+@q("kg_block_size_spectrum", _block_spectrum_oracle)  # lazy: band SQL
+def kg_block_size_spectrum(spark, sf_dir):
+    """ER blocking cost spectrum (linking.block_size_spectrum) over
+    the kg_minhash_bands keys: block sizes in log2 buckets with the
+    implied s*(s-1)/2 candidate pairs per bucket — the quadratic-
+    blowup early warning the quality metrics (kg_blocking_quality)
+    don't show; a mega-block carrying most pairs reads off here and
+    routes to a finer key or the skew-salting lane."""
+    from deepref_spark.operators.linking import block_size_spectrum
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK))) \
+        .localCheckpoint(eager=False)
+    parts = [
+        sigs.select(F.concat(F.lit(f"{b}#"),
+                             F.col(f"band_{b}").cast("string"))
+                    .alias("block_key"))
+        for b in range(4)
+    ]
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionAll(p)
+    return block_size_spectrum(blocks)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -14754,6 +14884,16 @@ def lake_layout_advisor(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s26 batch H, making room for events_transition_entropy
+    # + dedup_df_spectrum + kg_block_size_spectrum): kg_rule_pca parks
+    # with its partial-completeness pytest pin (kg_canon_audit and
+    # kg_er_pipeline keep the ER-confidence lane in-window);
+    # events_basket_lift parks with its hand-derived lift pins (the
+    # bounded pair-self-join shape stays exercised, and the events lane
+    # holds six sitting-26 entrants); dedup_url_canon parks with its
+    # portable-regex fragment pins (dedup lane keeps yield_report,
+    # best_keeper, df_spectrum, prefix_join in-window).
+    "kg_rule_pca", "events_basket_lift", "dedup_url_canon",
     # (parked r5s26 batch G, making room for events_anomaly_ensemble +
     # text_markdown_stats + lake_layout_advisor): lake_bucket_advisor's
     # single-column cardinality analysis is contained in the new

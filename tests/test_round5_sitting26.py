@@ -721,3 +721,75 @@ def test_layout_advisor_cardinalities(spark):
     assert got["day_x_type"]["max_rows"] == 2
     assert got["day_x_type"]["small_ppm"] == 1_000_000
     assert all(r["n_rows"] == 5 for r in got.values())
+
+
+# --- transition_entropy --------------------------------------------------------
+
+def test_transition_entropy_deterministic_state_is_zero(spark):
+    from deepref_spark.operators.events import transition_entropy
+
+    # user stream: a -> b, a -> b (always b after a): H(a) = 0.
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"), (2, "2024-01-01 10:01:00", 1, "b"),
+        (3, "2024-01-01 10:02:00", 1, "a"), (4, "2024-01-01 10:03:00", 1, "b"),
+    ]
+    df = _sf_events(spark, rows)
+    got = {r["from_type"]: r for r in transition_entropy(df).collect()}
+    assert got["a"]["entropy_nats"] == 0.0
+    assert got["a"]["n_next"] == 1
+    # b -> a happens once (between the two cycles): also deterministic
+    assert got["b"]["entropy_nats"] == 0.0
+
+
+def test_transition_entropy_uniform_two_way(spark):
+    import math
+
+    from deepref_spark.operators.events import transition_entropy
+
+    # from 'a': 2x to b, 2x to c -> H = ln 2 (on the per-distinct
+    # round(ln*1e6) grid: both terms round(ln 2 * 1e6) = 693147).
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"), (2, "2024-01-01 10:01:00", 1, "b"),
+        (3, "2024-01-01 10:02:00", 1, "a"), (4, "2024-01-01 10:03:00", 1, "c"),
+        (5, "2024-01-01 10:04:00", 2, "a"), (6, "2024-01-01 10:05:00", 2, "b"),
+        (7, "2024-01-01 10:06:00", 2, "a"), (8, "2024-01-01 10:07:00", 2, "c"),
+    ]
+    got = {r["from_type"]: r for r in
+           transition_entropy(_sf_events(spark, rows)).collect()}
+    assert got["a"]["n_from"] == 4 and got["a"]["n_next"] == 2
+    assert abs(got["a"]["entropy_nats"] - math.log(2)) < 1e-5
+
+
+# --- df_spectrum ---------------------------------------------------------------
+
+def test_df_spectrum_buckets_and_mass(spark):
+    from deepref_spark.operators.dedup import df_spectrum
+
+    # Three docs share the shingle "x y z" (df=3 -> bucket 1);
+    # each doc also has a unique shingle (df=1 -> bucket 0).
+    docs = spark.createDataFrame(
+        [(1, "x y z a"), (2, "x y z b"), (3, "x y z c")],
+        schema="doc_id long, text string")
+    got = {r["df_bucket"]: r for r in df_spectrum(docs, k=3).collect()}
+    # per doc: shingles "x y z", "y z <u>" -> df=3 for "x y z",
+    # df=1 for the three unique tails
+    assert got[1]["n_shingles"] == 1 and got[1]["n_postings"] == 3
+    assert got[0]["n_shingles"] == 3 and got[0]["n_postings"] == 3
+    assert got[1]["postings_ppm"] == 500_000
+
+
+# --- block_size_spectrum -------------------------------------------------------
+
+def test_block_size_spectrum_pair_arithmetic(spark):
+    from deepref_spark.operators.linking import block_size_spectrum
+
+    # blocks: k1 x5 entities (bucket 2, 10 pairs), k2 x2 (bucket 1,
+    # 1 pair), k3 x1 (bucket 0, 0 pairs).
+    rows = [("k1",)] * 5 + [("k2",)] * 2 + [("k3",)]
+    blocks = spark.createDataFrame(rows, "block_key string")
+    got = {r["size_bucket"]: r for r in
+           block_size_spectrum(blocks).collect()}
+    assert got[2]["n_pairs"] == 10
+    assert got[1]["n_pairs"] == 1
+    assert got[0]["n_pairs"] == 0
+    assert got[2]["pairs_ppm"] == 10 * 1_000_000 // 11
