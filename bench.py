@@ -379,6 +379,9 @@ HEADLINE = [
     "events_transition_entropy",
     "dedup_df_spectrum",
     "kg_block_size_spectrum",
+    "emb_rank_agreement",
+    "kg_er_transitivity",
+    "lake_compaction_savings",
 ]
 
 

@@ -628,3 +628,36 @@ def layout_advisor(events: DataFrame, small_rows: int = 1000) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def compaction_savings(inventory: DataFrame,
+                       target_bytes: int = 2048) -> DataFrame:
+    """One-row go/no-go rollup over compaction_plan: files before vs
+    rewrite groups after, the file-count reduction ppm, and mean file
+    size before/after on the milli grid — the number that decides
+    whether the rewrite job is worth scheduling at all (a plan whose
+    reduction is 5% burns IO for nothing; the threshold belongs in
+    the maintenance policy, this table feeds it).
+
+    Derived entirely from the plan's metadata-sized output: one
+    grouped rollup, exact BIGINT arithmetic.
+    """
+    plan = compaction_plan(inventory, target_bytes=target_bytes)
+    return (
+        plan.agg(
+            F.countDistinct("partition_key").cast("long")
+            .alias("n_partitions"),
+            F.sum("n_files").cast("long").alias("files_before"),
+            F.count(F.lit(1)).cast("long").alias("files_after"),
+            F.sum("total_bytes").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "n_partitions", "files_before", "files_after", "total_bytes",
+            F.expr("(files_before - files_after) * 1000000 div files_before")
+            .cast("long").alias("reduction_ppm"),
+            F.expr("total_bytes * 1000 div files_before").cast("long")
+            .alias("mean_bytes_before_milli"),
+            F.expr("total_bytes * 1000 div files_after").cast("long")
+            .alias("mean_bytes_after_milli"),
+        )
+    )

@@ -575,3 +575,45 @@ def block_size_spectrum(blocks: DataFrame) -> DataFrame:
                        F.expr("n_pairs * 1000000 div tot_pairs"))
                 .otherwise(F.lit(0)).cast("long").alias("pairs_ppm"))
     )
+
+
+def transitivity_audit(edges: DataFrame) -> DataFrame:
+    """ER similarity-graph transitivity audit — the connected-
+    components blind spot quantified: CC merges a~b~c into one entity
+    whether or not a~c was itself verified, so the fraction of open
+    wedges (a~b, b~c verified, a~c NOT) is exactly the mass of merges
+    CC makes on faith. A low closure rate says the threshold admits
+    chains (and canonical groups will mix distinct entities); the fix
+    is a higher threshold or a verify pass on CC's implied pairs.
+
+    One row: (n_edges, n_wedges, n_closed, closure_ppm). Wedges are
+    enumerated at their center from the undirected distinct edge set
+    and closed by one join back to the edges (ordered endpoints, each
+    wedge counted once) — the triangle_counts shape reduced to a
+    corpus-level rate.
+    """
+    und = (
+        edges.select(F.least("a", "b").alias("x"),
+                     F.greatest("a", "b").alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds adjacency AND closure join
+    )
+    adj = und.select(F.col("x").alias("v"), F.col("y").alias("nbr")) \
+        .unionAll(und.select(F.col("y").alias("v"), F.col("x").alias("nbr")))
+    wedges = (
+        adj.alias("p").join(adj.alias("q"), "v")
+        .where(F.col("p.nbr") < F.col("q.nbr"))
+        .select(F.col("p.nbr").alias("x"), F.col("q.nbr").alias("y"))
+    )
+    closed = wedges.join(und, ["x", "y"], "left_semi")
+    n_e = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_w = wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+    n_c = closed.agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    return (
+        n_e.crossJoin(n_w).crossJoin(n_c)
+        .select("n_edges", "n_wedges", "n_closed",
+                F.when(F.col("n_wedges") > 0,
+                       F.expr("n_closed * 1000000 div n_wedges"))
+                .otherwise(F.lit(0)).cast("long").alias("closure_ppm"))
+    )

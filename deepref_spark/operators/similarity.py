@@ -2191,3 +2191,42 @@ def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
             .cast("long").alias("jaccard_ppm"),
         )
     )
+
+
+def rank_agreement(embeddings: DataFrame, queries: DataFrame,
+                   k: int = 5, n_lists: int = 16, nprobe: int = 2,
+                   n_planes: int = 8) -> DataFrame:
+    """ORDER-level agreement between the IVF and LSH ANN lanes — the
+    step past emb_hybrid_recall's set overlap: for each query, the
+    items BOTH lanes retrieve in their top-k, with the Spearman-
+    footrule distance (sum of |rank_ivf - rank_lsh| over the shared
+    items — exact BIGINT, no correlation doubles needed). Two lanes
+    can agree on the SET and still disagree on order; for a
+    rank-sensitive consumer (RRF fusion, rerank budgets) this is the
+    table that says whether fusing the lanes can actually change
+    anything.
+
+    Both lanes are the production paths; the join is per-query on
+    (query_id, nbr_id); output is one bounded row per query.
+    """
+    ivf = ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists,
+                       nprobe=nprobe) \
+        .select("query_id", "nbr_id", F.col("rank").alias("r_ivf"))
+    lsh = lsh_ann_topk(embeddings, queries, k=k, n_planes=n_planes) \
+        .select("query_id", "nbr_id", F.col("rank").alias("r_lsh"))
+    shared = (
+        ivf.join(lsh, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"),
+             F.sum(F.abs(F.col("r_ivf") - F.col("r_lsh"))).cast("long")
+             .alias("footrule"))
+    )
+    return (
+        ivf.select("query_id").distinct()
+        .join(shared, "query_id", "left")
+        .select("query_id",
+                F.coalesce("n_shared", F.lit(0)).cast("long")
+                .alias("n_shared"),
+                F.coalesce("footrule", F.lit(0)).cast("long")
+                .alias("footrule"))
+    )

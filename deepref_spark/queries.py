@@ -14867,6 +14867,151 @@ def kg_block_size_spectrum(spark, sf_dir):
     return block_size_spectrum(blocks)
 
 
+def _rank_agreement_oracle() -> str:
+    return f"""
+WITH {_ivf_assign_sql()},
+{_ivf_ranked_ctes()},
+{_lsh_ranked_ctes()},
+ivf5 AS (SELECT query_id, nbr_id, rank AS r_ivf
+         FROM ranked WHERE rank <= 5),
+lsh5 AS (SELECT query_id, nbr_id, rank AS r_lsh
+         FROM lshranked WHERE rank <= 5),
+sh AS (
+  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(abs(i.r_ivf - l.r_lsh)) AS BIGINT) AS footrule
+  FROM ivf5 i JOIN lsh5 l
+    ON i.query_id = l.query_id AND i.nbr_id = l.nbr_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(sh.footrule, 0) AS BIGINT) AS footrule
+FROM (SELECT DISTINCT query_id FROM ivf5) q
+LEFT JOIN sh ON q.query_id = sh.query_id
+"""
+
+
+@q("emb_rank_agreement", _rank_agreement_oracle)  # lazy: two-lane splice
+def emb_rank_agreement(spark, sf_dir):
+    """ORDER-level agreement between the IVF and LSH lanes
+    (similarity.rank_agreement): shared top-5 items per query with
+    the exact Spearman-footrule distance over them — the step past
+    emb_hybrid_recall's set overlap; lanes agreeing on the set but
+    not the order is precisely when RRF fusion can still move the
+    final ranking. Both lanes' full derivations sit inside one
+    oracle (the emb_rrf_hybrid composition pattern)."""
+    from deepref_spark.operators.similarity import rank_agreement
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rank_agreement(emb, emb.where(F.expr(_emb_queries_filter())),
+                          k=5, n_lists=16, nprobe=2, n_planes=8)
+
+
+@q("kg_er_transitivity", _entities_cte(DUCK) + f"""
+, sigs AS (SELECT entity, {_band_sql(DUCK)} FROM entities),
+edges0 AS (
+  SELECT a.entity AS a, b.entity AS b
+  FROM sigs a JOIN sigs b
+    ON (a.band_0 = b.band_0 OR a.band_1 = b.band_1
+        OR a.band_2 = b.band_2 OR a.band_3 = b.band_3)
+   AND a.entity < b.entity
+),
+adj AS (SELECT a AS v, b AS nbr FROM edges0
+        UNION ALL SELECT b, a FROM edges0),
+wedges AS (
+  SELECT p.nbr AS x, q.nbr AS y
+  FROM adj p JOIN adj q ON p.v = q.v
+  WHERE p.nbr < q.nbr
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges0),
+nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM wedges),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_closed
+  FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM edges0 e WHERE e.a = w.x AND e.b = w.y)
+)
+SELECT ne.n_edges, nw.n_wedges, nc.n_closed,
+       CAST(CASE WHEN nw.n_wedges > 0
+                 THEN nc.n_closed * 1000000 // nw.n_wedges
+                 ELSE 0 END AS BIGINT) AS closure_ppm
+FROM ne, nw, nc
+""")
+def kg_er_transitivity(spark, sf_dir):
+    """ER candidate-graph transitivity audit
+    (linking.transitivity_audit) over the SAME banded edge set
+    kg_connected_components canonicalizes: the open-wedge share is
+    exactly the mass of merges CC makes on faith (a~b~c without a~c
+    verified) — low closure says the blocking admits chains and the
+    canonical groups mix entities; the fix is a tighter threshold or
+    a verify pass on CC's implied pairs."""
+    from deepref_spark.operators.linking import transitivity_audit
+
+    m = portable_mentions(spark, sf_dir)
+    ents = (
+        m.select(F.col("h_name").alias("entity"))
+        .union(m.select(F.col("t_name").alias("entity")))
+        .distinct()
+    )
+    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK))) \
+        .localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    ) & (F.col("a.entity") < F.col("b.entity"))
+    edges = a.join(b, cond).select(F.col("a.entity").alias("a"),
+                                   F.col("b.entity").alias("b"))
+    return transitivity_audit(edges)
+
+
+@q("lake_compaction_savings", """
+WITH inv AS (
+  SELECT event_type AS partition_key,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS file_id,
+         CAST(count(*) * 64 AS BIGINT) AS n_bytes
+  FROM events GROUP BY 1, 2
+),
+planned AS (
+  SELECT partition_key, file_id, n_bytes,
+         CAST(coalesce(sum(n_bytes) OVER (
+             PARTITION BY partition_key ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+           AS BIGINT) AS compact_group
+  FROM inv
+),
+plan AS (
+  SELECT partition_key, compact_group,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+  FROM planned GROUP BY 1, 2
+)
+SELECT CAST(count(DISTINCT partition_key) AS BIGINT) AS n_partitions,
+       CAST(sum(n_files) AS BIGINT) AS files_before,
+       CAST(count(*) AS BIGINT) AS files_after,
+       CAST(sum(total_bytes) AS BIGINT) AS total_bytes,
+       CAST((sum(n_files) - count(*)) * 1000000 // sum(n_files) AS BIGINT)
+         AS reduction_ppm,
+       CAST(sum(total_bytes) * 1000 // sum(n_files) AS BIGINT)
+         AS mean_bytes_before_milli,
+       CAST(sum(total_bytes) * 1000 // count(*) AS BIGINT)
+         AS mean_bytes_after_milli
+FROM plan
+""")
+def lake_compaction_savings(spark, sf_dir):
+    """Compaction go/no-go rollup (lakeops.compaction_savings) over
+    the same manifest stand-in as lake_compaction_plan: files before
+    vs rewrite groups after, reduction ppm, mean file size
+    before/after — the one-row readout a maintenance policy
+    thresholds before scheduling the rewrite job."""
+    from deepref_spark.operators.lakeops import (
+        compaction_savings, file_inventory,
+    )
+
+    return compaction_savings(
+        file_inventory(load_table(spark, sf_dir, "events")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #
@@ -14884,6 +15029,16 @@ def kg_block_size_spectrum(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r5s26 batch I, making room for emb_rank_agreement +
+    # kg_er_transitivity + lake_compaction_savings): kg_fellegi_sunter
+    # parks with its m/u-weight pytest pins (the ER lane keeps
+    # er_pipeline + canon_audit + the new transitivity audit over the
+    # SAME banded edges); lake_retention_plan parks with its policy
+    # pins (lake keeps merge_upsert/wap_gate/layout_advisor + the new
+    # compaction savings rollup); emb_knn_purity parks with its
+    # neighborhood-probe pins (emb lane holds five sitting-26
+    # entrants).
+    "kg_fellegi_sunter", "lake_retention_plan", "emb_knn_purity",
     # (parked r5s26 batch H, making room for events_transition_entropy
     # + dedup_df_spectrum + kg_block_size_spectrum): kg_rule_pca parks
     # with its partial-completeness pytest pin (kg_canon_audit and

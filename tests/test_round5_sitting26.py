@@ -793,3 +793,68 @@ def test_block_size_spectrum_pair_arithmetic(spark):
     assert got[1]["n_pairs"] == 1
     assert got[0]["n_pairs"] == 0
     assert got[2]["pairs_ppm"] == 10 * 1_000_000 // 11
+
+
+# --- rank_agreement ------------------------------------------------------------
+
+def test_rank_agreement_identical_lanes(spark):
+    from deepref_spark.operators.similarity import rank_agreement
+
+    # One cluster, n_lists=1 + 8 same-sign first dims -> both lanes
+    # see the whole corpus and rank identically: full overlap,
+    # footrule 0.
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0], 0)
+            for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int")
+    qs = emb.where("vec_id = 0")
+    [r] = rank_agreement(emb, qs, k=5, n_lists=1, nprobe=1,
+                         n_planes=8).collect()
+    assert r["n_shared"] == 5
+    assert r["footrule"] == 0
+
+
+# --- transitivity_audit --------------------------------------------------------
+
+def test_transitivity_open_and_closed_wedges(spark):
+    from deepref_spark.operators.linking import transitivity_audit
+
+    # path a-b-c (open wedge at b) + triangle x-y-z (3 closed wedges).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        schema="a string, b string")
+    [r] = transitivity_audit(edges).collect()
+    assert r["n_edges"] == 5
+    assert r["n_wedges"] == 4          # 1 at b + 3 in the triangle
+    assert r["n_closed"] == 3
+    assert r["closure_ppm"] == 750_000
+
+
+def test_transitivity_no_wedges(spark):
+    from deepref_spark.operators.linking import transitivity_audit
+
+    edges = spark.createDataFrame([("a", "b"), ("c", "d")],
+                                  schema="a string, b string")
+    [r] = transitivity_audit(edges).collect()
+    assert r["n_wedges"] == 0 and r["closure_ppm"] == 0
+
+
+# --- compaction_savings --------------------------------------------------------
+
+def test_compaction_savings_rollup(spark):
+    from deepref_spark.operators.lakeops import compaction_savings
+
+    # partition p: 4 files of 600 bytes. cum-before DIV 2048:
+    # groups 0,0,0,0 -> wait cum 0,600,1200,1800 // 2048 = 0,0,0,0 ->
+    # one group; add 2 more: cum 2400,3000 // 2048 = 1,1 -> 2 groups
+    # of 6 files total.
+    inv = spark.createDataFrame(
+        [("p", f"f{i}", 600) for i in range(6)],
+        schema="partition_key string, file_id string, n_bytes long")
+    [r] = compaction_savings(inv, target_bytes=2048).collect()
+    assert r["files_before"] == 6
+    assert r["files_after"] == 2
+    assert r["reduction_ppm"] == 4 * 1_000_000 // 6
+    assert r["total_bytes"] == 3600
+    assert r["mean_bytes_before_milli"] == 600_000
+    assert r["mean_bytes_after_milli"] == 1_800_000
