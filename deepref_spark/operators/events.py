@@ -2735,3 +2735,50 @@ def transition_entropy(events: DataFrame) -> DataFrame:
                 F.round(F.col("_s") / F.col("n_from") / 1e6, 6)
                 .alias("entropy_nats"))
     )
+
+
+def weekend_effect(events: DataFrame) -> DataFrame:
+    """Weekend-vs-weekday engagement readout per event type: counts,
+    cents totals, and the mean-value ratio on the exact ppm grid —
+    mean_we/mean_wd expressed as the integer cross-product
+    (s_we * n_wd * 1e6) div (s_wd * n_we), so NO per-side mean is
+    ever materialized as a rounded intermediate (the two-division
+    drift trap); one division total. The calendar-effect companion
+    to events_acf's lag view and the seasonal outlier screens.
+
+    One grouped aggregate over (type, is_weekend), then a self-join
+    of the 2-row-per-type rollup — all metadata-sized.
+    """
+    g = (
+        events.select(
+            "event_type",
+            F.expr("CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END")
+            .alias("we"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            .alias("cents"))
+        .groupBy("event_type", "we")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"))
+    )
+    wd = g.where(F.col("we") == 0).select(
+        "event_type", F.col("n").alias("n_wd"), F.col("s").alias("s_wd"))
+    we = g.where(F.col("we") == 1).select(
+        "event_type", F.col("n").alias("n_we"), F.col("s").alias("s_we"))
+    return (
+        wd.join(we, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_wd", F.lit(0)).cast("long").alias("n_weekday"),
+            F.coalesce("n_we", F.lit(0)).cast("long").alias("n_weekend"),
+            F.coalesce("s_wd", F.lit(0)).cast("long").alias("cents_weekday"),
+            F.coalesce("s_we", F.lit(0)).cast("long").alias("cents_weekend"),
+            # DECIMAL(38,0) cross-product: s*n*1e6 overflows int64 at
+            # corpus scale (6e9 cents x 1.4e6 rows x 1e6); div on
+            # decimals truncates identically in both engines (probed)
+            F.when((F.coalesce("s_wd", F.lit(0)) > 0)
+                   & (F.coalesce("n_we", F.lit(0)) > 0),
+                   F.expr("CAST(s_we AS DECIMAL(38,0)) * n_wd * 1000000"
+                          " div (CAST(s_wd AS DECIMAL(38,0)) * n_we)"))
+            .otherwise(F.lit(None)).cast("long").alias("mean_ratio_ppm"),
+        )
+    )

@@ -1062,3 +1062,45 @@ def entity_card(triples: DataFrame, subj: str = "subj_canon",
                 F.expr("top.n * 1000000 DIV n_triples").cast("long")
                 .alias("top_share_ppm"))
     )
+
+
+def conf_support_corr(triples: DataFrame) -> DataFrame:
+    """Per-predicate Pearson r between a triple's supporting-document
+    count and its max extraction score — the evidence-confidence
+    coupling audit: if r ~ 0 the scorer learns nothing from
+    redundancy and noisy-or fusion (fuse_extractors) carries all the
+    multi-evidence lift; a strongly negative r is the red flag that
+    heavily-asserted triples are systematically LOW-confidence
+    (template spam / boilerplate extraction).
+
+    x = n_docs, y = floor(max_score * 1e6 + 0.5); DECIMAL(38,0)
+    moment sums (the events_acf discipline), one sqrt + division per
+    predicate row rounded 6dp on both engines.
+    """
+    import pyspark.sql.functions as F
+
+    q = triples.select(
+        "pred",
+        F.col("n_docs").cast("long").alias("x"),
+        F.expr("CAST(floor(max_score * 1000000 + 0.5) AS BIGINT)")
+        .alias("y"))
+    dec = "DECIMAL(38,0)"
+    agg = q.groupBy("pred").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    return agg.select(
+        "pred", F.col("n").cast("long").alias("n_triples"),
+        F.round(
+            F.expr(
+                "CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0"
+                " AND CAST(n * syy - sy * sy AS DOUBLE) > 0"
+                " THEN CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+                " ELSE 0.0 END"), 6).alias("support_score_r"),
+    )

@@ -15012,6 +15012,93 @@ def lake_compaction_savings(spark, sf_dir):
         file_inventory(load_table(spark, sf_dir, "events")))
 
 
+@q("kg_conf_support_corr", _oracle_prefix() + f"""
+, preds AS (
+  SELECT doc_id, h_name, t_name, {_pred_expr()} AS pred_relation,
+         round({_score_expr()}, 6) AS score
+  FROM mentions WHERE {_pred_expr()} <> 'Other'
+),
+canon AS (
+  SELECT entity, min(entity) OVER (PARTITION BY regexp_replace(entity, '[^a-z0-9]', '', 'g')) AS canonical
+  FROM (SELECT DISTINCT h_name AS entity FROM preds UNION SELECT DISTINCT t_name FROM preds)
+),
+tri AS (
+  SELECT c1.canonical AS subj, pred_relation AS pred, c2.canonical AS obj,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS x,
+         CAST(floor(round(max(score), 6) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM preds p
+  JOIN canon c1 ON p.h_name = c1.entity
+  JOIN canon c2 ON p.t_name = c2.entity
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT pred, CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM tri GROUP BY 1
+)
+SELECT pred, CAST(n AS BIGINT) AS n_triples,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  ELSE 0.0 END, 6) AS support_score_r
+FROM agg
+""")
+def kg_conf_support_corr(spark, sf_dir):
+    """Per-predicate evidence-confidence coupling audit
+    (kgquality.conf_support_corr): Pearson r between n_docs and the
+    triple's max score over the canonical-triple table — r ~ 0 says
+    redundancy carries no scorer signal and noisy-or fusion does all
+    the multi-evidence lift; strongly negative flags template-spam
+    extraction. DECIMAL(38,0) moments, one sqrt+division per pred."""
+    from deepref_spark.operators.kgquality import conf_support_corr
+
+    return conf_support_corr(
+        REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir))
+
+
+@q("events_weekend_effect", """
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+wd AS (SELECT event_type, n AS n_wd, s AS s_wd FROM g WHERE we = 0),
+we AS (SELECT event_type, n AS n_we, s AS s_we FROM g WHERE we = 1)
+SELECT coalesce(wd.event_type, we.event_type) AS event_type,
+       CAST(coalesce(n_wd, 0) AS BIGINT) AS n_weekday,
+       CAST(coalesce(n_we, 0) AS BIGINT) AS n_weekend,
+       CAST(coalesce(s_wd, 0) AS BIGINT) AS cents_weekday,
+       CAST(coalesce(s_we, 0) AS BIGINT) AS cents_weekend,
+       -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL ROUNDS the
+       -- quotient (5e6//3 = 1666667) where HUGEINT // and Spark's
+       -- decimal `div` truncate (1666666) — probed, r5s26
+       CAST(CASE WHEN coalesce(s_wd, 0) > 0 AND coalesce(n_we, 0) > 0
+                 THEN CAST(s_we AS HUGEINT) * n_wd * 1000000
+                      // (CAST(s_wd AS HUGEINT) * n_we)
+            END AS BIGINT) AS mean_ratio_ppm
+FROM wd FULL JOIN we ON wd.event_type = we.event_type
+""")
+def events_weekend_effect(spark, sf_dir):
+    """Weekend-vs-weekday engagement per event type
+    (events.weekend_effect): counts, cents totals, and the mean-value
+    ratio as ONE DECIMAL(38,0) cross-product division — no per-side
+    mean is ever materialized as a rounded intermediate. DuckDB
+    dayofweek is 0-based Sunday where Spark's is 1-based, so the
+    weekend literal differs (0,6 vs 1,7) while the predicate is
+    identical."""
+    from deepref_spark.operators.events import weekend_effect
+
+    return weekend_effect(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

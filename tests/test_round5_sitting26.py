@@ -858,3 +858,66 @@ def test_compaction_savings_rollup(spark):
     assert r["total_bytes"] == 3600
     assert r["mean_bytes_before_milli"] == 600_000
     assert r["mean_bytes_after_milli"] == 1_800_000
+
+
+# --- conf_support_corr (post-capture) -----------------------------------------
+
+def test_conf_support_corr_perfect_line(spark):
+    from deepref_spark.operators.kgquality import conf_support_corr
+
+    # y = 2x exactly (on the 1e-6 score grid): r = 1.0.
+    tri = spark.createDataFrame(
+        [("s1", "p", "o1", 1, 0.000002), ("s2", "p", "o2", 2, 0.000004),
+         ("s3", "p", "o3", 3, 0.000006)],
+        schema=("subj_canon string, pred string, obj_canon string, "
+                "n_docs long, max_score double"))
+    [r] = conf_support_corr(tri).collect()
+    assert r["n_triples"] == 3
+    assert r["support_score_r"] == 1.0
+
+
+def test_conf_support_corr_constant_is_zero(spark):
+    from deepref_spark.operators.kgquality import conf_support_corr
+
+    tri = spark.createDataFrame(
+        [("s1", "p", "o1", 1, 0.5), ("s2", "p", "o2", 2, 0.5)],
+        schema=("subj_canon string, pred string, obj_canon string, "
+                "n_docs long, max_score double"))
+    [r] = conf_support_corr(tri).collect()
+    assert r["support_score_r"] == 0.0     # zero y-variance guard
+
+
+# --- weekend_effect (post-capture) --------------------------------------------
+
+def test_weekend_effect_exact_ratio(spark):
+    from deepref_spark.operators.events import weekend_effect
+
+    # 2024-01-06 is a Saturday, 2024-01-08 a Monday. Weekday mean 100
+    # cents (2 events of 1.00), weekend mean 300 cents (1 event of
+    # 3.00) -> ratio 3.0 = 3_000_000 ppm exactly.
+    rows = [
+        (1, "2024-01-08 10:00:00", 1, "click", 1.00),
+        (2, "2024-01-08 11:00:00", 1, "click", 1.00),
+        (3, "2024-01-06 10:00:00", 1, "click", 3.00),
+    ]
+    df = (spark.createDataFrame(
+        rows, schema=("event_id long, ts string, user_id long, "
+                      "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts")))
+    [r] = weekend_effect(df).collect()
+    assert (r["n_weekday"], r["n_weekend"]) == (2, 1)
+    assert (r["cents_weekday"], r["cents_weekend"]) == (200, 300)
+    assert r["mean_ratio_ppm"] == 3_000_000
+
+
+def test_weekend_effect_missing_side_is_null(spark):
+    from deepref_spark.operators.events import weekend_effect
+
+    rows = [(1, "2024-01-08 10:00:00", 1, "view", 2.0)]  # weekday only
+    df = (spark.createDataFrame(
+        rows, schema=("event_id long, ts string, user_id long, "
+                      "event_type string, value double"))
+        .withColumn("ts", F.to_timestamp("ts")))
+    [r] = weekend_effect(df).collect()
+    assert r["n_weekend"] == 0
+    assert r["mean_ratio_ppm"] is None
