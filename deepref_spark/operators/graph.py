@@ -2567,3 +2567,47 @@ def jdd_buckets(edges: DataFrame) -> DataFrame:
         .groupBy("b_lo", "b_hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the undirected degree distribution — the
+    hub-concentration SCALAR next to kg_degree_hist's buckets and
+    kg_jdd_buckets' matrix: one number that tracks whether the graph
+    is drifting toward celebrity hubs as the corpus grows (the
+    condition under which the repo's hub-capping and skew-salting
+    knobs start to matter). Same closed histogram form as
+    events.engagement_gini: for degree value d with frequency f and F
+    nodes below, the rank-weighted mass is d*f*(2F + f + 1) — exact
+    BIGINT, no global sort, the cumulative window runs over the
+    distinct-degree histogram only.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = dg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        hist.withColumn(
+            "fb", F.coalesce(F.sum("f").over(w), F.lit(0)).cast("long"))
+        .agg(
+            F.sum("f").cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * F.col("f")).cast("long").alias("sum_deg"),
+            F.sum(F.col("d") * F.col("f")
+                  * (2 * F.col("fb") + F.col("f") + 1)).cast("long")
+            .alias("u_units"),
+        )
+        .select(
+            "n_nodes", "sum_deg",
+            F.expr("(u_units - (n_nodes + 1) * sum_deg) * 1000000 "
+                   "DIV greatest(1, n_nodes * sum_deg)").cast("long")
+            .alias("gini_ppm"),
+        )
+    )

@@ -2585,3 +2585,42 @@ def markdown_stats(documents: DataFrame) -> DataFrame:
         F.expr(share(listing)).alias("list_ppm"),
         F.expr(share(blank)).alias("blank_ppm"),
     )
+
+
+def mattr_stats(documents: DataFrame, window: int = 50) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010) — the length-robust lexical-diversity score: plain TTR
+    collapses as documents grow (types saturate), so comparing docs of
+    different lengths on TTR is a length artifact; MATTR averages TTR
+    over fixed ``window``-token spans, making the score comparable
+    across lengths — the diversity signal the curation stack reads
+    next to entropy (source-level) and repetition (duplication-level).
+
+    Exact integer form: for each complete window position i (stride =
+    window, non-overlapping — bounded work per doc), the distinct
+    count is size(array_distinct(slice(toks, ...))); mattr_ppm =
+    sum(distinct counts) * 1e6 div (n_windows * window) — one
+    division per doc. Tokens are STAGED behind the checkpoint barrier
+    (the fingerprint lesson: never splice the tokenizer into the
+    per-window lambda). Docs shorter than one window emit plain TTR
+    over their full length, flagged by n_windows = 0.
+    """
+    staged = documents.select(
+        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+    ).localCheckpoint(eager=False)  # barrier: tokenize once, not per window
+    k = int(window)
+    wins = (f"transform(sequence(1, size(t) DIV {k}), "
+            f"i -> size(array_distinct(slice(t, (i - 1) * {k} + 1, {k}))))")
+    return staged.select(
+        "doc_id",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(t) DIV {k} AS BIGINT)").alias("n_windows"),
+        F.expr(
+            f"CASE WHEN size(t) >= {k} THEN "
+            f"CAST(aggregate({wins}, 0L, (a, x) -> a + x) * 1000000 "
+            f"div ((size(t) DIV {k}) * {k}) AS BIGINT) "
+            f"WHEN size(t) > 0 THEN "
+            f"CAST(size(array_distinct(t)) * 1000000 div size(t) AS BIGINT) "
+            f"ELSE 0 END"
+        ).alias("mattr_ppm"),
+    )

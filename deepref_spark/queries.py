@@ -15099,6 +15099,69 @@ def events_weekend_effect(spark, sf_dir):
     return weekend_effect(load_table(spark, sf_dir, "events"))
 
 
+@q("kg_degree_gini", lambda: _oracle_prefix() + _graph_edges_cte() + """,
+gund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+gdg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM gund UNION ALL SELECT b FROM gund
+  ) u GROUP BY 1
+),
+ghist AS (SELECT d, CAST(count(*) AS BIGINT) AS f FROM gdg GROUP BY 1),
+gcum AS (
+  SELECT d, f,
+         CAST(coalesce(sum(f) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS fb
+  FROM ghist
+)
+SELECT CAST(sum(f) AS BIGINT) AS n_nodes,
+       CAST(sum(d * f) AS BIGINT) AS sum_deg,
+       CAST((sum(d * f * (2 * fb + f + 1))
+             - (sum(f) + 1) * sum(d * f)) * 1000000
+            // greatest(1, sum(f) * sum(d * f)) AS BIGINT) AS gini_ppm
+FROM gcum
+""")
+def kg_degree_gini(spark, sf_dir):
+    """Degree-distribution Gini (graph.degree_gini) over the
+    undirected canonical graph — the hub-concentration scalar next to
+    kg_degree_hist and kg_jdd_buckets: the drift number that says
+    when hub-capping / skew-salting start to matter. The exact
+    closed histogram form of events_gini (tie blocks summed as
+    d*f*(2F+f+1), window over distinct degrees only)."""
+    from deepref_spark.operators.graph import degree_gini
+
+    return degree_gini(_canonical_edges(spark, sf_dir))
+
+
+@q("text_mattr", lambda: f"""
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) // 50 AS BIGINT) AS n_windows,
+       CAST(CASE WHEN len(t) >= 50 THEN
+              list_sum(list_transform(range(1, len(t) // 50 + 1),
+                i -> len(list_distinct(list_slice(t, (i - 1) * 50 + 1,
+                                                  i * 50)))))
+              * 1000000 // ((len(t) // 50) * 50)
+            WHEN len(t) > 0 THEN
+              len(list_distinct(t)) * 1000000 // len(t)
+            ELSE 0 END AS BIGINT) AS mattr_ppm
+FROM (SELECT doc_id, {_TOKS_DUCK} AS t FROM documents) d
+""")
+def text_mattr(spark, sf_dir):
+    """Moving-average type-token ratio (text_analysis.mattr_stats,
+    window 50) — the length-robust lexical-diversity score (plain TTR
+    is a length artifact); non-overlapping windows keep work linear,
+    tokens staged behind the checkpoint barrier (the fingerprint
+    lesson), one integer division per doc. Short docs fall back to
+    plain TTR with n_windows = 0."""
+    from deepref_spark.operators.text_analysis import mattr_stats
+
+    return mattr_stats(documents(spark, sf_dir), window=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (evidence hygiene, not behavior).
 #

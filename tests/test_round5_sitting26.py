@@ -921,3 +921,53 @@ def test_weekend_effect_missing_side_is_null(spark):
     [r] = weekend_effect(df).collect()
     assert r["n_weekend"] == 0
     assert r["mean_ratio_ppm"] is None
+
+
+# --- degree_gini (post-capture) -----------------------------------------------
+
+def test_degree_gini_star_vs_regular(spark):
+    from deepref_spark.operators.graph import degree_gini
+
+    # 4-leaf star: degrees [1,1,1,1,4] ascending. U = sum d*f*(2F+f+1):
+    # d=1: 1*4*(0+4+1)=20; d=4: 4*1*(8+1+1)=40 -> U=60. n=5, S=8.
+    # gini = (60 - 6*8)/(5*8) = 12/40 -> 300000 ppm.
+    star = spark.createDataFrame([("h", f"l{i}") for i in range(4)],
+                                 schema="src string, dst string")
+    [r] = degree_gini(star).collect()
+    assert (r["n_nodes"], r["sum_deg"]) == (5, 8)
+    assert r["gini_ppm"] == 300_000
+    # triangle: all degrees equal -> gini 0
+    tri = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                                schema="src string, dst string")
+    [t] = degree_gini(tri).collect()
+    assert t["gini_ppm"] == 0
+
+
+# --- mattr_stats (post-capture) -----------------------------------------------
+
+def test_mattr_windows_and_short_doc_fallback(spark):
+    from deepref_spark.operators.text_analysis import mattr_stats
+
+    # window=4: doc 1 has 8 tokens: window1 "a b a b" -> 2 distinct,
+    # window2 "c d e f" -> 4 distinct; mattr = 6/8 = 750000 ppm.
+    # doc 2 has 3 tokens (< window): plain TTR 2/3 with n_windows 0.
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d e f"), (2, "x x y")],
+        schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in mattr_stats(docs, window=4).collect()}
+    assert got[1]["n_windows"] == 2
+    assert got[1]["mattr_ppm"] == 750_000
+    assert got[2]["n_windows"] == 0
+    assert got[2]["mattr_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_mattr_tail_tokens_ignored(spark):
+    from deepref_spark.operators.text_analysis import mattr_stats
+
+    # 6 tokens, window 4: ONE complete window ("a a a a" -> 1 distinct)
+    # -> mattr = 1/4; the "z w" tail is excluded by design.
+    docs = spark.createDataFrame([(1, "a a a a z w")],
+                                 schema="doc_id long, text string")
+    [r] = mattr_stats(docs, window=4).collect()
+    assert r["n_windows"] == 1
+    assert r["mattr_ppm"] == 250_000
