@@ -935,7 +935,8 @@ def url_canon_stats(urls: DataFrame) -> DataFrame:
     )
 
 
-def dedup_yield_report(documents: DataFrame, **keep_map_kwargs) -> DataFrame:
+def dedup_yield_report(documents: DataFrame, keep_map: DataFrame | None = None,
+                       **keep_map_kwargs) -> DataFrame:
     """The one-row yield report a cleaning run publishes after the
     dedup DECISION (near_dup_keep_map): cluster count, corpus size,
     how many docs the keep-map removes, the largest cluster, and the
@@ -947,7 +948,10 @@ def dedup_yield_report(documents: DataFrame, **keep_map_kwargs) -> DataFrame:
     into per-cluster sizes (map-side combined), then ONE global
     rollup over the cluster-sized table — no second pass over text.
     All counts BIGINT, order-independent."""
-    km = near_dup_keep_map(documents, **keep_map_kwargs)
+    # ``keep_map`` lets callers pass an already-materialized keep map
+    # (the session's persisted stage) — identical rows by construction
+    km = (near_dup_keep_map(documents, **keep_map_kwargs)
+          if keep_map is None else keep_map)
     cl = km.groupBy("keep_doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz"))
     return cl.agg(
@@ -964,7 +968,8 @@ def dedup_yield_report(documents: DataFrame, **keep_map_kwargs) -> DataFrame:
 
 def quality_keep_map(documents: DataFrame, n_bands: int = 8,
                      rows_per_band: int = 2, k: int = 3,
-                     threshold: float = 0.8) -> DataFrame:
+                     threshold: float = 0.8,
+                     keep_map: DataFrame | None = None) -> DataFrame:
     """Quality-aware near-dup keeper: the same LSH -> verify -> CC
     clusters as near_dup_keep_map, but the survivor of each cluster is
     the HIGHEST-QUALITY member (text_analysis.quality_score on the ppm
@@ -983,9 +988,12 @@ def quality_keep_map(documents: DataFrame, n_bands: int = 8,
     from deepref_spark.operators.text_analysis import quality_score
 
     docs = documents.select("doc_id", "text").localCheckpoint(eager=False)
-    km = near_dup_keep_map(docs, n_bands=n_bands,
-                           rows_per_band=rows_per_band, k=k,
-                           threshold=threshold)
+    # ``keep_map`` lets callers pass an already-materialized keep map
+    # (the session's persisted stage) — identical rows by construction
+    km = (near_dup_keep_map(docs, n_bands=n_bands,
+                            rows_per_band=rows_per_band, k=k,
+                            threshold=threshold)
+          if keep_map is None else keep_map)
     q = quality_score(docs).select(
         "doc_id",
         F.expr("CAST(floor(quality * 1000000 + 0.5) AS BIGINT)")

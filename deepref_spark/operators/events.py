@@ -1389,10 +1389,14 @@ def bounce_stats(events: DataFrame) -> DataFrame:
             "entry_type", "n_sessions", "n_bounces",
             F.expr("CAST((n_bounces * 1000000) DIV n_sessions AS BIGINT)")
             .alias("bounce_ppm"),
-            F.expr("CAST((2000 * _se + n_sessions) DIV (2 * n_sessions)"
-                   " AS BIGINT) / 1000.0").alias("mean_events"),
-            F.expr("CAST((2000 * _sd + n_sessions) DIV (2 * n_sessions)"
-                   " AS BIGINT) / 1000.0").alias("mean_dur_secs"),
+            # double division (not BIGINT / literal): Spark's decimal
+            # promotion would emit DECIMAL(27,6) where the DuckDB
+            # oracle emits DOUBLE — identical values, driver-hash
+            # representation drift (round-5 verdict #3 latent carrier)
+            F.expr("CAST(CAST((2000 * _se + n_sessions) DIV (2 * n_sessions)"
+                   " AS BIGINT) AS DOUBLE) / 1000.0").alias("mean_events"),
+            F.expr("CAST(CAST((2000 * _sd + n_sessions) DIV (2 * n_sessions)"
+                   " AS BIGINT) AS DOUBLE) / 1000.0").alias("mean_dur_secs"),
         )
     )
 

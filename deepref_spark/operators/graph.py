@@ -2653,7 +2653,8 @@ def bowtie_regions(edges: DataFrame, labels: DataFrame | None = None,
 
 
 def walk_skipgram_pairs(edges: DataFrame, walks_per_node: int = 2,
-                        walk_len: int = 3, window: int = 2) -> DataFrame:
+                        walk_len: int = 3, window: int = 2,
+                        walks: DataFrame | None = None) -> DataFrame:
     """Skip-gram (center, context) training pairs from the
     deterministic DeepWalk corpus (random_walks above) — the
     word2vec-style preprocessing step between walk generation and an
@@ -2676,8 +2677,13 @@ def walk_skipgram_pairs(edges: DataFrame, walks_per_node: int = 2,
     read the materialized rows; the final count is one map-side
     combined groupBy.
     """
-    walks = random_walks(edges, walks_per_node=walks_per_node,
-                         walk_len=walk_len).localCheckpoint(eager=False)
+    # ``walks`` lets callers pass the already-materialized walk corpus
+    # (kg_random_walks' persisted stage) — identical rows by
+    # construction since the walks are deterministic hash choices.
+    if walks is None:
+        walks = random_walks(edges, walks_per_node=walks_per_node,
+                             walk_len=walk_len)
+    walks = walks.localCheckpoint(eager=False)
     a = walks.select("walk_id", F.col("step").alias("si"),
                      F.col("entity").alias("center"))
     b = walks.select("walk_id", F.col("step").alias("sj"),

@@ -924,9 +924,13 @@ def void_summary(triples: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_entities")))
     return (
         a.crossJoin(F.broadcast(ents))
+        # double division: BIGINT / 1000.0 would promote to
+        # DECIMAL(27,6) vs the oracle's DOUBLE (round-5 verdict #3
+        # latent carrier) — same values, driver-hash drift
         .withColumn("mean_out_degree",
-                    F.expr("CAST((2000 * n_triples + n_subjects)"
-                           " DIV (2 * n_subjects) AS BIGINT) / 1000.0"))
+                    F.expr("CAST(CAST((2000 * n_triples + n_subjects)"
+                           " DIV (2 * n_subjects) AS BIGINT) AS DOUBLE)"
+                           " / 1000.0"))
     )
 
 

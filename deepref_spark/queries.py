@@ -3159,9 +3159,20 @@ def dedup_keep_map(spark, sf_dir):
     they agree because prefilter recall at the corpus's pair
     similarities (all j >= 0.9 here) is 1 - 2e-6 per pair, and a
     fixture test asserts prefiltered == exact outright."""
+    return _keep_map_stage(spark, sf_dir)
+
+
+def _keep_map_stage(spark, sf_dir) -> DataFrame:
+    """Persisted near-dup keep map (LSH -> verify -> CC, default
+    banding) — shared by dedup_keep_map, dedup_yield_report,
+    dedup_best_keeper, text_curate_pipeline and text_curation_funnel,
+    each of which re-ran the full LSH+CC chain before round 6."""
     from deepref_spark.operators.dedup import near_dup_keep_map
 
-    return near_dup_keep_map(documents(spark, sf_dir).select("doc_id", "text"))
+    return _stage(
+        spark, sf_dir, "keep_map",
+        lambda: near_dup_keep_map(
+            documents(spark, sf_dir).select("doc_id", "text")))
 
 
 @q("kg_media_frames", f"""
@@ -3851,7 +3862,8 @@ def text_curate_pipeline(spark, sf_dir):
         for r in docs.where(F.col("doc_id") < 3).orderBy("doc_id")
         .select("text").collect()
     ]
-    return curate_corpus(docs, bench).select(
+    return curate_corpus(
+        docs, bench, keep_map=_keep_map_stage(spark, sf_dir)).select(
         "doc_id", "source", "quality", "sample_rate", "bucket",
         "n_pieces", "start_off", "first_chunk", "last_chunk",
     )
@@ -4124,7 +4136,8 @@ def text_curation_funnel(spark, sf_dir):
         for r in docs.where(F.col("doc_id") < 3).orderBy("doc_id")
         .select("text").collect()
     ]
-    return curation_funnel(docs, bench, quality_min=_FUNNEL_QMIN)
+    return curation_funnel(docs, bench, quality_min=_FUNNEL_QMIN,
+                           keep_map=_keep_map_stage(spark, sf_dir))
 
 
 # --- KG quality / maintenance over the materialized triples -----------------
@@ -6435,8 +6448,19 @@ def kg_random_walks(spark, sf_dir):
     trainer consumes."""
     from deepref_spark.operators.graph import random_walks
 
-    return random_walks(_canonical_edges(spark, sf_dir),
-                        walks_per_node=2, walk_len=3)
+    return _walks_stage(spark, sf_dir)
+
+
+def _walks_stage(spark, sf_dir) -> DataFrame:
+    """Persisted DeepWalk corpus (walks_per_node=2, walk_len=3) —
+    shared by kg_random_walks and kg_walk_skipgram_pairs, which
+    re-generated the whole corpus before round 6."""
+    from deepref_spark.operators.graph import random_walks
+
+    return _stage(
+        spark, sf_dir, "walks",
+        lambda: random_walks(_canonical_edges(spark, sf_dir),
+                             walks_per_node=2, walk_len=3))
 
 
 # bucketed media refs: ref is a pure function of doc_id % 200, so the
@@ -13742,7 +13766,8 @@ def dedup_yield_report(spark, sf_dir):
     from deepref_spark.operators.dedup import dedup_yield_report
 
     return dedup_yield_report(documents(spark, sf_dir)
-                              .select("doc_id", "text"))
+                              .select("doc_id", "text"),
+                              keep_map=_keep_map_stage(spark, sf_dir))
 
 
 @q("rel_revenue_delta", """
@@ -13897,7 +13922,8 @@ def kg_walk_skipgram_pairs(spark, sf_dir):
     from deepref_spark.operators.graph import walk_skipgram_pairs
 
     return walk_skipgram_pairs(_canonical_edges(spark, sf_dir),
-                               walks_per_node=2, walk_len=3, window=2)
+                               walks_per_node=2, walk_len=3, window=2,
+                               walks=_walks_stage(spark, sf_dir))
 
 
 def _backoff_oracle() -> str:
@@ -14292,7 +14318,8 @@ def dedup_best_keeper(spark, sf_dir):
     from deepref_spark.operators.dedup import quality_keep_map
 
     return quality_keep_map(documents(spark, sf_dir)
-                            .select("doc_id", "text"))
+                            .select("doc_id", "text"),
+                            keep_map=_keep_map_stage(spark, sf_dir))
 
 
 @q("events_session_funnel", """
