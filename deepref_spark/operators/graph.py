@@ -71,6 +71,23 @@ def entity_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _round6_spark(x: float) -> float:
+    """Python twin of Spark/DuckDB round(x, 6) on doubles: HALF_UP on
+    the shortest decimal representation (Python's round() is half-even
+    on the binary value and can differ at .5 boundaries)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _edge_rows_if_small(edges: DataFrame, conf_key: str = "deepref.graph.driver_max_edges"):
+    """Collected distinct (src, dst) list when the edge frame fits the
+    conf-gated driver cap, else None — the size-adaptive gate the
+    whole unit-grid family shares (see _collect_if_small below)."""
+    return _collect_if_small(edges.select("src", "dst"), conf_key)
+
+
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Fixed-iteration PageRank on the integer unit grid.
 
@@ -89,6 +106,37 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     identical in any engine.
     """
     edges = edges.localCheckpoint(eager=False)
+    # size-adaptive (round 6): under the driver cap the whole unit-grid
+    # iteration runs on collected rows with exact Python integers —
+    # bit-identical to the distributed floor-division grid; the loop
+    # below stays the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        outd: dict = {}
+        nodes_s: set = set()
+        for a, b in rows:
+            outd[a] = outd.get(a, 0) + 1
+            nodes_s.add(a)
+            nodes_s.add(b)
+        base_i = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
+        u = {n: UNIT for n in nodes_s}
+        for _ in range(iters):
+            inflow: dict = {}
+            for a, b in rows:
+                inflow[b] = inflow.get(b, 0) + u[a] // outd[a]
+            u = {n: base_i + (DAMP_NUM * inflow.get(n, 0)) // DAMP_DEN
+                 for n in nodes_s}
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("pagerank", T.DoubleType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame([(n, u[n] / float(UNIT)) for n in nodes_s],
+                         columns=["entity", "pagerank"]), schema=schema)
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .union(edges.select(F.col("dst").alias("entity")))
@@ -354,6 +402,46 @@ def multihop(edges: DataFrame, max_hops: int = 3) -> DataFrame:
     expands the seeds' frontier) and salt hub frontier keys; the
     all-pairs form below is the test-scale shape."""
     edges = edges.localCheckpoint(eager=False)
+    # size-adaptive (round 6): exact path counting on collected rows
+    # (Python ints never overflow); distributed matrix powers below
+    # stay the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj: dict = {}
+        for a, b in rows:
+            adj.setdefault(a, []).append(b)
+        agg: dict = {}
+        cur = {}
+        for a, b in rows:
+            cur[(a, b)] = cur.get((a, b), 0) + 1
+        for (a, b), c in cur.items():
+            agg[(a, b)] = [1, c]
+        for k in range(2, max_hops + 1):
+            nxt: dict = {}
+            for (a, m), c in cur.items():
+                for b in adj.get(m, ()):
+                    nxt[(a, b)] = nxt.get((a, b), 0) + c
+            cur = nxt
+            for (a, b), c in cur.items():
+                if (a, b) in agg:
+                    agg[(a, b)][1] += c
+                else:
+                    agg[(a, b)] = [k, c]
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("src", node_t, False),
+            T.StructField("dst", node_t, False),
+            T.StructField("min_hops", T.IntegerType(), False),
+            T.StructField("n_paths", T.LongType(), False),
+        ])
+        out_rows = [(a, b, mh, np) for (a, b), (mh, np) in agg.items()]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows,
+                         columns=["src", "dst", "min_hops", "n_paths"]),
+            schema=schema)
     hop = edges.select(
         "src", "dst", F.lit(1).cast("long").alias("n_paths")
     ).localCheckpoint(eager=False)
@@ -659,6 +747,47 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     per round (the pagerank/linking discipline).
     """
     edges = edges.localCheckpoint(eager=False)
+    # size-adaptive (round 6): exact-integer driver twin of the grid
+    # iteration (two-stage BIGINT normalization included); the
+    # distributed loop below stays the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        nodes_s: set = set()
+        for a, b in rows:
+            nodes_s.add(a)
+            nodes_s.add(b)
+        auth_m = {n: UNIT for n in nodes_s}
+        hub_m = {n: UNIT for n in nodes_s}
+
+        def _norm_m(raw: dict) -> dict:
+            t = sum(raw.values())
+            d = max(1, t // UNIT)
+            return {n: v // d for n, v in raw.items()}
+
+        for _ in range(iters):
+            a_raw = {n: 0 for n in nodes_s}
+            for a, b in rows:
+                a_raw[b] += hub_m[a]
+            auth_m = _norm_m(a_raw)
+            h_raw = {n: 0 for n in nodes_s}
+            for a, b in rows:
+                h_raw[a] += auth_m[b]
+            hub_m = _norm_m(h_raw)
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("authority", T.DoubleType(), False),
+            T.StructField("hub", T.DoubleType(), False),
+        ])
+        out_rows = [(n, _round6_spark(auth_m[n] / float(UNIT)),
+                     _round6_spark(hub_m[n] / float(UNIT)))
+                    for n in nodes_s]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows, columns=["entity", "authority", "hub"]),
+            schema=schema)
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .union(edges.select(F.col("dst").alias("entity")))
@@ -808,6 +937,46 @@ def personalized_pagerank(edges: DataFrame, n_seeds: int = 3,
     point.
     """
     edges = edges.localCheckpoint(eager=False)
+    # size-adaptive (round 6): same exact-integer driver twin as
+    # pagerank, seeds included (top-degree selection is deterministic)
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        outd: dict = {}
+        deg_m: dict = {}
+        nodes_s: set = set()
+        for a, b in rows:
+            outd[a] = outd.get(a, 0) + 1
+            deg_m[a] = deg_m.get(a, 0) + 1
+            deg_m[b] = deg_m.get(b, 0) + 1
+            nodes_s.add(a)
+            nodes_s.add(b)
+        seeds = {n for n, _ in sorted(deg_m.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:n_seeds]}
+        base_i = UNIT - (DAMP_NUM * UNIT) // DAMP_DEN
+        u = {n: (UNIT if n in seeds else 0) for n in nodes_s}
+        for _ in range(iters):
+            inflow: dict = {}
+            for a, b in rows:
+                inflow[b] = inflow.get(b, 0) + u[a] // outd[a]
+            u = {n: ((UNIT - (DAMP_NUM * UNIT) // DAMP_DEN if n in seeds
+                      else 0)
+                     + (DAMP_NUM * inflow.get(n, 0)) // DAMP_DEN)
+                 for n in nodes_s}
+        del base_i
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("is_seed", T.IntegerType(), False),
+            T.StructField("ppr", T.DoubleType(), False),
+        ])
+        out_rows = [(n, 1 if n in seeds else 0, u[n] / float(UNIT))
+                    for n in nodes_s if u[n] > 0]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows, columns=["entity", "is_seed", "ppr"]),
+            schema=schema)
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .union(edges.select(F.col("dst").alias("entity")))
@@ -1122,6 +1291,28 @@ def _edge_support(und: DataFrame) -> DataFrame:
     )
 
 
+
+def _und_maps(rows):
+    """(adjacency dict, sorted seed ordering key fn) over the collected
+    directed rows, mirroring the distributed least/greatest-distinct
+    symmetrization the BFS family uses."""
+    import hashlib
+
+    und = set()
+    for a, b in rows:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def seed_key(v):
+        return (hashlib.md5(str(v).encode()).hexdigest(), v)
+
+    return adj, seed_key
+
+
 def bfs_distances(edges: DataFrame, n_seeds: int = 3,
                   max_hops: int = 4) -> DataFrame:
     """Multi-source BFS over the undirected view: hop distance from
@@ -1141,6 +1332,35 @@ def bfs_distances(edges: DataFrame, n_seeds: int = 3,
     diameter graphs). Frontier + known are eagerly localCheckpoint'ed
     per round; one bounded isEmpty probe per round for early exit.
     """
+    # size-adaptive (round 6): multi-source BFS on collected rows under
+    # the driver cap; the frontier loop below stays the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj, seed_key = _und_maps(rows)
+        seeds_l = sorted(adj, key=seed_key)[:n_seeds]
+        dist = {v: 0 for v in seeds_l}
+        frontier = list(seeds_l)
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = hop
+                        nxt.append(w)
+            if not nxt:
+                break
+            frontier = nxt
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("dist", T.IntegerType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(sorted(dist.items()), columns=["entity", "dist"]),
+            schema=schema)
     sym = _und_adj(
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -1268,6 +1488,68 @@ def anf_hyperball(edges: DataFrame, m: int = 16, hops: int = 2) -> DataFrame:
     house rule)."""
     from deepref_spark.portable import hex32, md5_mod
 
+    # size-adaptive (round 6): the HyperBall invariant (register state
+    # after h merge rounds == HLL of the exact h-ball) lets the driver
+    # path compute registers straight from a collected-BFS ball under
+    # the cap; the distributed merge below stays the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import hashlib
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from deepref_spark.refsem import md5_mod_py
+
+        adj_m, _ = _und_maps(rows)
+        reg_of: dict = {}
+        for v in adj_m:
+            h1 = hashlib.md5(("anf|" + str(v)).encode("utf-8")).hexdigest()
+            bucket = md5_mod_py(h1, m)
+            v32 = int(h1[8:16], 16)
+            mr = 33 if v32 == 0 else 33 - v32.bit_length()
+            reg_of[v] = (bucket, mr)
+        alpha_l = 0.7213 / (1.0 + 1.079 / m)
+        two33_l = 1 << 33
+
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out_rows = []
+        for v in adj_m:
+            ball = {v}
+            frontier = [v]
+            for _hop in range(hops):
+                nxt = []
+                for x in frontier:
+                    for w in adj_m.get(x, ()):
+                        if w not in ball:
+                            ball.add(w)
+                            nxt.append(w)
+                frontier = nxt
+            regs_m: dict = {}
+            for u in ball:
+                b, mr = reg_of[u]
+                if mr > regs_m.get(b, 0):
+                    regs_m[b] = mr
+            s_present = sum(1 << (33 - mr) for mr in regs_m.values())
+            n_regs = len(regs_m)
+            est_v = (alpha_l * m * m * float(two33_l)) / float(
+                s_present + (m - n_regs) * two33_l)
+            est_v = float(Decimal(repr(est_v)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP))
+            out_rows.append((v, len(ball), n_regs, est_v))
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("ball_exact", T.LongType(), False),
+            T.StructField("n_regs", T.LongType(), False),
+            T.StructField("anf_estimate", T.DoubleType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(sorted(out_rows),
+                         columns=["entity", "ball_exact", "n_regs",
+                                  "anf_estimate"]),
+            schema=schema)
     und = (
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -1696,6 +1978,48 @@ def harmonic_centrality(edges: DataFrame, n_seeds: int = 3,
     import math
 
     grid = math.lcm(*range(1, max_hops + 1))
+    # size-adaptive (round 6): per-seed BFS on collected rows under the
+    # driver cap (exact integer h_units); distributed loop below stays
+    # the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj, seed_key = _und_maps(rows)
+        seeds_l = sorted(adj, key=seed_key)[:n_seeds]
+        acc: dict = {}
+        for sd in seeds_l:
+            dist = {sd: 0}
+            frontier = [sd]
+            for hop in range(1, max_hops + 1):
+                nxt = []
+                for v in frontier:
+                    for w in adj.get(v, ()):
+                        if w not in dist:
+                            dist[w] = hop
+                            nxt.append(w)
+                if not nxt:
+                    break
+                frontier = nxt
+            for v, d in dist.items():
+                if v == sd:
+                    continue
+                n, h = acc.get(v, (0, 0))
+                acc[v] = (n + 1, h + grid // d)
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("n_seeds_reached", T.LongType(), False),
+            T.StructField("h_units", T.LongType(), False),
+            T.StructField("harmonic", T.DoubleType(), False),
+        ])
+        out_rows = [(v, n, h, h / float(grid))
+                    for v, (n, h) in sorted(acc.items())]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows, columns=["entity", "n_seeds_reached",
+                                            "h_units", "harmonic"]),
+            schema=schema)
     sym = _und_adj(
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -2225,6 +2549,58 @@ def stress_centrality(edges: DataFrame, n_seeds: int = 4,
     Returns (entity, n_pairs, stress): how many landmark pairs route
     any shortest path through v, and the total path count.
     """
+    # size-adaptive (round 6): per-seed sigma-counting BFS on collected
+    # rows under the driver cap; distributed loop below stays the
+    # at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj, seed_key = _und_maps(rows)
+        seeds_l = sorted(adj, key=seed_key)[:n_seeds]
+        known: dict = {}  # seed -> {v: (d, sigma)}
+        for sd in seeds_l:
+            cur = {sd: (0, 1)}
+            frontier = {sd: 1}
+            for hop in range(1, max_hops + 1):
+                nxt: dict = {}
+                for v, sig in frontier.items():
+                    for w in adj.get(v, ()):
+                        nxt[w] = nxt.get(w, 0) + sig
+                nxt = {w: c for w, c in nxt.items() if w not in cur}
+                if not nxt:
+                    break
+                for w, c in nxt.items():
+                    cur[w] = (hop, c)
+                frontier = nxt
+            known[sd] = cur
+        agg: dict = {}
+        for i, sd in enumerate(seeds_l):
+            for t in seeds_l:
+                if not sd < t:
+                    continue
+                if t not in known[sd]:
+                    continue
+                dst = known[sd][t][0]
+                kt = known.get(t, {})
+                for v, (d1, sig1) in known[sd].items():
+                    if v == sd or v == t or v not in kt:
+                        continue
+                    d2, sig2 = kt[v]
+                    if d1 + d2 == dst:
+                        n, st = agg.get(v, (0, 0))
+                        agg[v] = (n + 1, st + sig1 * sig2)
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("n_pairs", T.LongType(), False),
+            T.StructField("stress", T.LongType(), False),
+        ])
+        out_rows = [(v, n, st) for v, (n, st) in sorted(agg.items())]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows, columns=["entity", "n_pairs", "stress"]),
+            schema=schema)
     sym = _und_adj(
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))

@@ -286,12 +286,16 @@ def ivf_assignments(embeddings: DataFrame, n_lists: int = 16,
 
 
 def ivf_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                 n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+                 n_lists: int = 16, nprobe: int = 2,
+                 codebook: DataFrame | None = None) -> DataFrame:
     """IVF-flat ANN: each query probes its ``nprobe`` nearest inverted
     lists and searches only those lists exactly — the classic
     coarse-quantize-then-scan scale path (search cost ~ nprobe/n_lists
-    of brute force; lists shard naturally across executors)."""
-    cents = _ivf_codebook(embeddings, n_lists)
+    of brute force; lists shard naturally across executors).
+    ``codebook`` lets callers pass an already-trained (persisted)
+    codebook — identical centroids by construction."""
+    cents = (_ivf_codebook(embeddings, n_lists) if codebook is None
+             else codebook)
     assign = ivf_assignments(embeddings, n_lists, codebook=cents).localCheckpoint(eager=False)
     qprobe = (
         queries.select(
@@ -1010,7 +1014,8 @@ def hamming_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     )
 
 
-def ivf_quality(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+def ivf_quality(embeddings: DataFrame, n_lists: int = 16,
+                codebook: DataFrame | None = None) -> DataFrame:
     """Clustering-quality report for the IVF coarse quantizer — the
     ANALYZE step a serving lane runs before trusting an index build:
     per inverted list, the member count and the mean / worst member
@@ -1026,7 +1031,8 @@ def ivf_quality(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     independent — the same integer-grid discipline as _ivf_codebook's
     Lloyd means.
     """
-    cents = _ivf_codebook(embeddings, n_lists)
+    cents = (_ivf_codebook(embeddings, n_lists) if codebook is None
+             else codebook)
     scored = (
         embeddings.select("vec_id", "embedding",
                           _norm_col("embedding").alias("vnorm"))
@@ -1136,7 +1142,8 @@ def rrf_fuse(lists: list, k: int = 5, c: int = 60) -> DataFrame:
 
 
 def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
-                       k: int = 5) -> DataFrame:
+                       k: int = 5,
+                       codebook: DataFrame | None = None) -> DataFrame:
     """Micro recall@k of THREE retrieval lanes — IVF, sign-LSH, and
     their reciprocal-rank fusion — against the exact brute-force top-k,
     one row per lane: the comparison table that justifies shipping the
@@ -1151,7 +1158,7 @@ def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
     """
     bf = brute_force_topk(embeddings, queries, k=k) \
         .select("query_id", "nbr_id").localCheckpoint(eager=False)
-    ivf = ivf_ann_topk(embeddings, queries, k=k) \
+    ivf = ivf_ann_topk(embeddings, queries, k=k, codebook=codebook) \
         .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
     lsh = lsh_ann_topk(embeddings, queries, k=k) \
         .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
@@ -1311,7 +1318,8 @@ def matryoshka_eval(embeddings: DataFrame, queries: DataFrame,
     return out
 
 
-def silhouette_report(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
+def silhouette_report(embeddings: DataFrame, n_lists: int = 16,
+                      codebook: DataFrame | None = None) -> DataFrame:
     """Centroid-silhouette report for the IVF coarse quantizer — the
     SEPARATION read next to ivf_quality's cohesion: per vector, the
     simplified silhouette s = (b - a) / max(a, b) with a = cosine
@@ -1333,7 +1341,8 @@ def silhouette_report(embeddings: DataFrame, n_lists: int = 16) -> DataFrame:
     ivf_assignments, the top-2 kept per vector by one grouped
     sort_array over the n_lists-sized struct list (no corpus-wide
     window), then one combineable rollup on the tiny list table."""
-    cents = _ivf_codebook(embeddings, n_lists)
+    cents = (_ivf_codebook(embeddings, n_lists) if codebook is None
+             else codebook)
     scored = (
         embeddings.select("vec_id", "embedding",
                           _norm_col("embedding").alias("vnorm"))
@@ -1984,7 +1993,8 @@ def ndcg_weights(k: int = 5) -> list:
 
 
 def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                  n_lists: int = 16, nprobe: int = 2) -> DataFrame:
+                  n_lists: int = 16, nprobe: int = 2,
+                  codebook: DataFrame | None = None) -> DataFrame:
     """NDCG@k of the IVF ANN lane with label-match relevance — the
     position-sensitive companion of ann_recall_eval: recall@k treats
     every slot equally, NDCG pays more for relevant neighbors ranked
@@ -2016,7 +2026,8 @@ def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
     wt = F.element_at(F.array(*[F.lit(w) for w in wts]), F.col("rank").cast("int"))
     hits = (
-        ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists, nprobe=nprobe)
+        ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists, nprobe=nprobe,
+                     codebook=codebook)
         .join(lab.select(F.col("vec_id").alias("nbr_id"),
                          F.col("label").alias("nlabel")), "nbr_id")
         .join(qside, "query_id")
@@ -2052,7 +2063,8 @@ def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                     n_lists: int = 16, nprobes=(1, 2, 4)) -> DataFrame:
+                     n_lists: int = 16, nprobes=(1, 2, 4),
+                     codebook: DataFrame | None = None) -> DataFrame:
     """The nprobe tuning curve for the IVF lane — recall@k at several
     probe budgets from ONE index build and ONE scored candidate set:
     the table an ANN-tuning decision actually reads (recall climbs
@@ -2067,7 +2079,8 @@ def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Recall is sum-of-hits over the brute-force top-k on the ppm grid
     (one integer division per row).
     """
-    cents = _ivf_codebook(embeddings, n_lists)
+    cents = (_ivf_codebook(embeddings, n_lists) if codebook is None
+             else codebook)
     assign = ivf_assignments(embeddings, n_lists, codebook=cents) \
         .localCheckpoint(eager=False)
     bf = brute_force_topk(embeddings, queries, k=k) \
@@ -2195,7 +2208,8 @@ def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
 
 def rank_agreement(embeddings: DataFrame, queries: DataFrame,
                    k: int = 5, n_lists: int = 16, nprobe: int = 2,
-                   n_planes: int = 8) -> DataFrame:
+                   n_planes: int = 8,
+                   codebook: DataFrame | None = None) -> DataFrame:
     """ORDER-level agreement between the IVF and LSH ANN lanes — the
     step past emb_hybrid_recall's set overlap: for each query, the
     items BOTH lanes retrieve in their top-k, with the Spearman-
@@ -2210,7 +2224,7 @@ def rank_agreement(embeddings: DataFrame, queries: DataFrame,
     (query_id, nbr_id); output is one bounded row per query.
     """
     ivf = ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists,
-                       nprobe=nprobe) \
+                       nprobe=nprobe, codebook=codebook) \
         .select("query_id", "nbr_id", F.col("rank").alias("r_ivf"))
     lsh = lsh_ann_topk(embeddings, queries, k=k, n_planes=n_planes) \
         .select("query_id", "nbr_id", F.col("rank").alias("r_lsh"))

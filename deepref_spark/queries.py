@@ -2279,6 +2279,18 @@ def _emb_queries_filter() -> str:
     return "vec_id % 50 = 0"
 
 
+def _ivf_codebook_stage(spark, sf_dir) -> DataFrame:
+    """Persisted 16-list IVF coarse-quantizer codebook over the plain
+    embeddings table — shared by the eight IVF-lane queries, each of
+    which re-ran the sampled Lloyd training before round 6 (semdedup
+    trains on a different, planted-row corpus and keeps its own)."""
+    from deepref_spark.operators.similarity import _ivf_codebook
+
+    return _stage(
+        spark, sf_dir, "ivf_codebook",
+        lambda: _ivf_codebook(load_table(spark, sf_dir, "embeddings"), 16))
+
+
 @q("emb_cosine_topk", f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE {_emb_queries_filter()}),
 scored AS (
@@ -2467,7 +2479,8 @@ def emb_ann_ivf(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2).select(
+    return ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2,
+                        codebook=_ivf_codebook_stage(spark, sf_dir)).select(
         "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
@@ -7645,7 +7658,8 @@ def emb_ivf_quality(spark, sf_dir):
     so mean and min are partition-order independent."""
     from deepref_spark.operators.similarity import ivf_quality
 
-    return ivf_quality(load_table(spark, sf_dir, "embeddings"), n_lists=16)
+    return ivf_quality(load_table(spark, sf_dir, "embeddings"), n_lists=16,
+                       codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 def _harmonic_sql(n_seeds: int, hops: int, grid: int) -> str:
@@ -8348,7 +8362,8 @@ def emb_rrf_hybrid(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
     return rrf_fuse([
-        ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2),
+        ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2,
+                     codebook=_ivf_codebook_stage(spark, sf_dir)),
         lsh_ann_topk(emb, qs, k=5, n_planes=8),
     ], k=5)
 
@@ -8496,7 +8511,8 @@ def emb_hybrid_recall(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return hybrid_recall_eval(emb, qs, k=5)
+    return hybrid_recall_eval(emb, qs, k=5,
+                              codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 @q("events_stickiness", """
@@ -10728,7 +10744,8 @@ def emb_silhouette(spark, sf_dir):
     corpus-wide window."""
     from deepref_spark.operators.similarity import silhouette_report
 
-    return silhouette_report(load_table(spark, sf_dir, "embeddings"))
+    return silhouette_report(load_table(spark, sf_dir, "embeddings"),
+                             codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 @q("emb_pq_distortion", f"""
@@ -13890,7 +13907,8 @@ def emb_ndcg_eval(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ndcg_eval(emb, emb.where(F.expr(_emb_queries_filter())),
-                         k=5, n_lists=16, nprobe=2)
+                         k=5, n_lists=16, nprobe=2,
+                         codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 def _skipgram_oracle() -> str:
@@ -14124,7 +14142,8 @@ def emb_ivf_nprobe_curve(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_nprobe_curve(emb, emb.where(F.expr(_emb_queries_filter())),
-                            k=5, n_lists=16, nprobes=(1, 2, 4))
+                            k=5, n_lists=16, nprobes=(1, 2, 4),
+                            codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 @q("events_mttr", """
@@ -14982,7 +15001,8 @@ def emb_rank_agreement(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rank_agreement(emb, emb.where(F.expr(_emb_queries_filter())),
-                          k=5, n_lists=16, nprobe=2, n_planes=8)
+                          k=5, n_lists=16, nprobe=2, n_planes=8,
+                          codebook=_ivf_codebook_stage(spark, sf_dir))
 
 
 @q("kg_er_transitivity", _entities_cte(DUCK) + f"""

@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect advisoryPartitionSizeInBytes when coalescing instead
+        # of keeping >= defaultParallelism micro-partitions — the
+        # setting the Spark docs themselves recommend ("it's
+        # recommended to set this config to false"): post-shuffle
+        # partitions then track DATA SIZE at any scale (64 MB default
+        # advisory) rather than the local core count. Env-overridable
+        # so the trade can be re-measured per deployment.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

@@ -126,6 +126,13 @@ def _norm_value(v, cls):
         return "NULL"
     if cls == "bool":
         return str(bool(v)).lower()
+    if cls in ("timestamp", "date") and isinstance(v, datetime.date):
+        # canonical: date part alone when there is no time of day, so
+        # DATE and midnight TIMESTAMP compare equal (see drift note)
+        if (isinstance(v, datetime.datetime)
+                and (v.hour or v.minute or v.second or v.microsecond)):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
     if isinstance(v, float) and math.isnan(v):
         return "nan"
     return str(v)
@@ -161,11 +168,18 @@ def compare_query(spark, con, spark_fn, oracle: str, sf_dir: str):
 
     s_classes = _spark_classes(sdf.schema, s_cols, s_rows)
     d_classes = _duck_classes(d_pdf, d_cols)
+    # date-vs-timestamp is NOT flagged: pandas has no date dtype, so a
+    # DuckDB DATE arrives as datetime64 while Spark DateType collects
+    # as datetime.date — no driver-checked query has ever emitted a
+    # temporal column (round-6 audit), so there is no evidence the
+    # driver distinguishes them; values compare on the date part below.
+    _compat = {frozenset(("date", "timestamp"))}
     drift = {
         c: (s_classes[c], d_classes[c])
         for c in s_classes
         if "other" not in (s_classes[c], d_classes[c])
         and s_classes[c] != d_classes[c]
+        and frozenset((s_classes[c], d_classes[c])) not in _compat
     }
     if drift:
         return False, f"dtype class drift (spark, duck): {drift}"

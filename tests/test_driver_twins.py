@@ -1,0 +1,133 @@
+"""Round-6 size-adaptive driver paths must be row-identical to the
+distributed fallbacks they gate (same discipline as the linking.py
+union-find twin): run each operator once with the default gate (driver
+path at test scale) and once with the cap forced to 0 (distributed
+path), and compare full sorted row sets exactly — including the
+floor-division grids and round(…, 6) semantics."""
+
+import pytest
+
+from deepref_spark.queries import (
+    _canonical_edges,
+    _rank_taxonomy,
+    _scc_aug_edges,
+    clear_stage_cache,
+)
+
+SF = "/root/testdata/sf0.001"
+
+GATES = (
+    "deepref.graph.driver_max_edges",
+    "deepref.scc.driver_max_edges",
+    "deepref.taxonomy.driver_max_edges",
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _both_paths(spark, build):
+    driver = _rows(build())
+    for g in GATES:
+        spark.conf.set(g, "0")
+    try:
+        dist = _rows(build())
+    finally:
+        for g in GATES:
+            spark.conf.unset(g)
+    return driver, dist
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    clear_stage_cache()
+    e = _canonical_edges(spark, SF).localCheckpoint()
+    yield e
+    clear_stage_cache()
+
+
+def test_pagerank_twin(spark, edges):
+    from deepref_spark.operators.graph import pagerank
+
+    a, b = _both_paths(spark, lambda: pagerank(edges, iters=3))
+    assert a == b and a
+
+
+def test_personalized_pagerank_twin(spark, edges):
+    from deepref_spark.operators.graph import personalized_pagerank
+
+    a, b = _both_paths(
+        spark, lambda: personalized_pagerank(edges, n_seeds=3, iters=3))
+    assert a == b and a
+
+
+def test_hits_twin(spark, edges):
+    from deepref_spark.operators.graph import hits
+
+    a, b = _both_paths(spark, lambda: hits(edges, iters=2))
+    assert a == b and a
+
+
+def test_multihop_twin(spark, edges):
+    from deepref_spark.operators.graph import multihop
+
+    a, b = _both_paths(spark, lambda: multihop(edges, max_hops=3))
+    assert a == b and a
+
+
+def test_bfs_distances_twin(spark, edges):
+    from deepref_spark.operators.graph import bfs_distances
+
+    a, b = _both_paths(
+        spark, lambda: bfs_distances(edges, n_seeds=3, max_hops=4))
+    assert a == b and a
+
+
+def test_harmonic_centrality_twin(spark, edges):
+    from deepref_spark.operators.graph import harmonic_centrality
+
+    a, b = _both_paths(
+        spark, lambda: harmonic_centrality(edges, n_seeds=3, max_hops=4))
+    assert a == b and a
+
+
+def test_stress_centrality_twin(spark, edges):
+    from deepref_spark.operators.graph import stress_centrality
+
+    a, b = _both_paths(
+        spark, lambda: stress_centrality(edges, n_seeds=4, max_hops=4))
+    assert a == b and a
+
+
+def test_anf_hyperball_twin(spark, edges):
+    from deepref_spark.operators.graph import anf_hyperball
+
+    a, b = _both_paths(spark, lambda: anf_hyperball(edges, m=16, hops=2))
+    assert a == b and a
+
+
+def test_scc_family_twins(spark):
+    from deepref_spark.operators.graph import (
+        bowtie_regions,
+        scc,
+        scc_condensation,
+    )
+
+    clear_stage_cache()
+    aug = _scc_aug_edges(spark, SF).localCheckpoint()
+    for fn in (scc, scc_condensation, bowtie_regions):
+        a, b = _both_paths(spark, lambda: fn(aug))
+        assert a == b and a, fn.__name__
+    clear_stage_cache()
+
+
+def test_taxonomy_closure_twin(spark):
+    from deepref_spark.operators.graph import taxonomy_closure
+
+    clear_stage_cache()
+    _, tax = _rank_taxonomy(spark, SF)
+    tax = tax.localCheckpoint()
+    a, b = _both_paths(spark, lambda: taxonomy_closure(tax))
+    assert a == b and a
+    clear_stage_cache()
