@@ -123,7 +123,8 @@ def minhash_lsh_pairs(documents: DataFrame, n_bands: int = 8,
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                         threshold: float = 0.8,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = None,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard >= threshold, computed via an inverted
     shingle index (explode + join + group) — linear in total postings,
     never all-pairs. The scale path prefilters with minhash_lsh_pairs;
@@ -135,11 +136,14 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     rule). Without it a ubiquitous shingle's posting list makes the
     self-join quadratic in the hottest key; at 100 TB the cap is
     mandatory, locally it defaults off to keep the uncapped oracle."""
-    sh = (
-        _with_shingles(documents, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    # ``sh`` lets callers pass the persisted (doc_id, shingle) posting
+    # stage — identical rows by construction
+    if sh is None:
+        sh = (
+            _with_shingles(documents, k)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
     if df_cap is not None:
         # document frequency via plain groupBy count — MAP-SIDE COMBINED,
         # so the ubiquitous shingle never lands its whole posting list in
@@ -688,7 +692,8 @@ def boilerplate_stats(documents: DataFrame, min_words: int = 4,
 
 def containment_pairs(documents: DataFrame, k: int = 3,
                       threshold_ppm: int = 500_000,
-                      df_cap: int | None = None) -> DataFrame:
+                      df_cap: int | None = None,
+                      sh: DataFrame | None = None) -> DataFrame:
     """Directed shingle CONTAINMENT C(src->dst) = |src ∩ dst| / |src|
     on the exact ppm grid — the asymmetric companion to
     ngram_jaccard_pairs (Broder's containment): a short document quoted
@@ -702,11 +707,12 @@ def containment_pairs(documents: DataFrame, k: int = 3,
     directions; integer ppm division keeps the threshold exact across
     engines. The scale path prefilters candidates with
     minhash_lsh_pairs; this is the bounded verifier."""
-    sh = (
-        _with_shingles(documents, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    if sh is None:
+        sh = (
+            _with_shingles(documents, k)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
     if df_cap is not None:
         sh = sh.localCheckpoint(eager=False)
         hot = (
@@ -745,7 +751,8 @@ def containment_pairs(documents: DataFrame, k: int = 3,
 
 
 def prefix_filter_pairs(documents: DataFrame, k: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        sh: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard >= threshold via PPJoin-style PREFIX
     FILTERING (Xiao et al. 2011): order each document's shingles by
     ascending global document frequency (rarest first, shingle text
@@ -765,12 +772,13 @@ def prefix_filter_pairs(documents: DataFrame, k: int = 3,
     or never. No df_cap needed: the frequency ORDER does the work the
     cap approximates. All stream-sized stages are grouped aggs or
     equi-joins; the per-doc rank window partitions by doc_id."""
-    sh = (
-        _with_shingles(documents, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=False)  # df + rank + verify arrays
-    )
+    if sh is None:
+        sh = (
+            _with_shingles(documents, k)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
+    sh = sh.localCheckpoint(eager=False)  # df + rank + verify arrays
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     ranked = sh.join(dfreq, "shingle").withColumn(
@@ -1014,7 +1022,8 @@ def quality_keep_map(documents: DataFrame, n_bands: int = 8,
     )
 
 
-def df_spectrum(documents: DataFrame, k: int = 3) -> DataFrame:
+def df_spectrum(documents: DataFrame, k: int = 3,
+                sh: DataFrame | None = None) -> DataFrame:
     """Shingle document-frequency spectrum in log2 buckets — the
     dedup-difficulty planning read that sizes ngram_jaccard's df_cap
     and the bloom gate BEFORE building an inverted index: for each
@@ -1031,7 +1040,10 @@ def df_spectrum(documents: DataFrame, k: int = 3) -> DataFrame:
     """
     from deepref_spark.operators.graph import _log2_bucket_case
 
-    posts = (
+    if sh is not None:
+        posts = sh.select("doc_id", F.col("shingle").alias("s"))
+    else:
+        posts = (
         _with_shingles(documents, k=k)
         .select("doc_id", F.explode("shingles").alias("s"))
         .distinct()

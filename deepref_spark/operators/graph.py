@@ -322,6 +322,33 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 16) -> DataFrame:
     silently reported as the k-core (the oracle unrolls a fixed round
     count; extra rounds past fixpoint are no-ops on both sides).
     """
+    # size-adaptive (round 6): collected peeling under the driver cap;
+    # the distributed round loop below stays the at-scale path.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        und = {(min(a, b), max(a, b)) for a, b in rows}
+        for _ in range(max_rounds):
+            deg: dict = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                node_t = edges.schema["src"].dataType
+                schema = T.StructType([
+                    T.StructField("entity", node_t, False),
+                    T.StructField("core_deg", T.LongType(), False),
+                ])
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame(sorted(deg.items()),
+                                 columns=["entity", "core_deg"]),
+                    schema=schema)
+            und = {(a, b) for a, b in und if a not in bad and b not in bad}
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge in {max_rounds} rounds")
     surv = (
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -516,6 +543,53 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     2*T / (d*(d-1)) on the undirected distinct-neighbor degree, one
     double division rounded to 6dp on both sides.
     """
+    # size-adaptive (round 6): same degree-ordered orientation on
+    # collected rows under the driver cap; distributed below at scale.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        und_s = {(min(a, b), max(a, b)) for a, b in rows}
+        deg: dict = {}
+        for a, b in und_s:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        fwd: dict = {}
+        oset = set()
+        for a, b in und_s:
+            lo_first = (deg[a], a) < (deg[b], b)
+            src, dst = (a, b) if lo_first else (b, a)
+            fwd.setdefault(src, []).append(dst)
+            oset.add((src, dst))
+        tcnt: dict = {}
+        for x, outs in fwd.items():
+            for i in range(len(outs)):
+                for jj in range(len(outs)):
+                    if i == jj:
+                        continue
+                    y, z = outs[i], outs[jj]
+                    if (y, z) in oset:
+                        tcnt[x] = tcnt.get(x, 0) + 1
+                        tcnt[y] = tcnt.get(y, 0) + 1
+                        tcnt[z] = tcnt.get(z, 0) + 1
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("und_degree", T.LongType(), False),
+            T.StructField("n_triangles", T.LongType(), False),
+            T.StructField("clustering", T.DoubleType(), False),
+        ])
+        out_rows = []
+        for v, d in sorted(deg.items()):
+            t = tcnt.get(v, 0)
+            c = (_round6_spark((2.0 * t) / (d * (d - 1.0)))
+                 if d >= 2 else 0.0)
+            out_rows.append((v, d, t, c))
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows, columns=["entity", "und_degree",
+                                            "n_triangles", "clustering"]),
+            schema=schema)
     und = (
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -2487,6 +2561,39 @@ def katz_centrality(edges: DataFrame, max_hops: int = 4,
     Returns (entity, walks_out, katz_units): the hop-H walk count and
     the scaled Katz series sum.
     """
+    # size-adaptive (round 6): exact-integer mat-vec on collected rows
+    # under the driver cap; distributed below at scale.
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        adj_m, _ = _und_maps(rows)
+        bi = int(beta_inv)
+        w_m = {v: 1 for v in adj_m}
+        acc_m = {v: w_m[v] * bi ** max_hops for v in adj_m}
+        for hop in range(1, max_hops + 1):
+            nw = {}
+            for v, nbrs in adj_m.items():
+                t = 0
+                for u in nbrs:
+                    t += w_m[u]
+                nw[v] = t
+            w_m = nw
+            scale = bi ** (max_hops - hop)
+            for v in adj_m:
+                acc_m[v] += w_m[v] * scale
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("walks_out", T.LongType(), False),
+            T.StructField("katz_units", T.LongType(), False),
+        ])
+        out_rows = [(v, w_m[v], acc_m[v]) for v in sorted(adj_m)]
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out_rows,
+                         columns=["entity", "walks_out", "katz_units"]),
+            schema=schema)
     sym = _und_adj(
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))

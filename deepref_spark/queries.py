@@ -2041,7 +2041,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     d = documents(spark, sf_dir)
     d = d.select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8,
+                               sh=_shingle_posts_stage(spark, sf_dir))
 
 
 # --- multimodal lane (SURVEY §2.8 media passthrough + feature extract) -------
@@ -2168,7 +2169,8 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     from deepref_spark.operators.dedup import ngram_jaccard_pairs
 
     d = documents(spark, sf_dir).select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50)
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50,
+                               sh=_shingle_posts_stage(spark, sf_dir))
 
 
 @q("text_token_count", f"""
@@ -3173,6 +3175,23 @@ def dedup_keep_map(spark, sf_dir):
     similarities (all j >= 0.9 here) is 1 - 2e-6 per pair, and a
     fixture test asserts prefiltered == exact outright."""
     return _keep_map_stage(spark, sf_dir)
+
+
+def _shingle_posts_stage(spark, sf_dir) -> DataFrame:
+    """Persisted distinct (doc_id, shingle) posting table (token
+    3-shingles) — shared by the inverted-index dedup verifiers
+    (ngram_jaccard / containment / prefix_join / df_spectrum), each of
+    which re-tokenized and re-exploded the corpus before round 6."""
+    from deepref_spark.operators.dedup import _with_shingles
+
+    def build():
+        return (
+            _with_shingles(documents(spark, sf_dir).select("doc_id", "text"), 3)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
+            .distinct()
+        )
+
+    return _stage(spark, sf_dir, "shingle_posts", build)
 
 
 def _keep_map_stage(spark, sf_dir) -> DataFrame:
@@ -9055,7 +9074,8 @@ def dedup_containment(spark, sf_dir):
     unordered overlap emits both directions."""
     from deepref_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"))
+    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"),
+                             sh=_shingle_posts_stage(spark, sf_dir))
 
 
 def _median_ctes(pfx: str, src: str, key: str, col: str) -> str:
@@ -9268,7 +9288,8 @@ def dedup_prefix_join(spark, sf_dir):
     from deepref_spark.operators.dedup import prefix_filter_pairs
 
     d = documents(spark, sf_dir).select("doc_id", "text")
-    return prefix_filter_pairs(d, k=3, threshold=0.8)
+    return prefix_filter_pairs(d, k=3, threshold=0.8,
+                               sh=_shingle_posts_stage(spark, sf_dir))
 
 
 @q("events_path_topk", """
@@ -14904,7 +14925,8 @@ def dedup_df_spectrum(spark, sf_dir):
     Staged tokenize (once per doc), exact integer bucket ladder."""
     from deepref_spark.operators.dedup import df_spectrum
 
-    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"))
+    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"),
+                       sh=_shingle_posts_stage(spark, sf_dir))
 
 
 def _block_spectrum_oracle() -> str:

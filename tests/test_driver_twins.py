@@ -107,6 +107,28 @@ def test_anf_hyperball_twin(spark, edges):
     assert a == b and a
 
 
+def test_kcore_twin(spark, edges):
+    from deepref_spark.operators.graph import kcore
+
+    a, b = _both_paths(spark, lambda: kcore(edges, k=3))
+    assert a == b and a
+
+
+def test_triangle_counts_twin(spark, edges):
+    from deepref_spark.operators.graph import triangle_counts
+
+    a, b = _both_paths(spark, lambda: triangle_counts(edges))
+    assert a == b and a
+
+
+def test_katz_twin(spark, edges):
+    from deepref_spark.operators.graph import katz_centrality
+
+    a, b = _both_paths(
+        spark, lambda: katz_centrality(edges, max_hops=4, beta_inv=4))
+    assert a == b and a
+
+
 def test_scc_family_twins(spark):
     from deepref_spark.operators.graph import (
         bowtie_regions,
