@@ -911,6 +911,43 @@ def kg_minhash_bands(spark, sf_dir):
     return ents.selectExpr("entity", *_split_select(_band_sql(SPARK)))
 
 
+def _banded_entity_edges(spark, sf_dir) -> DataFrame:
+    """Persisted LSH-banded candidate entity pairs (a < b, distinct) —
+    shared by kg_connected_components / kg_incremental_cc /
+    kg_block_editdist / kg_er_transitivity, each of which re-derived
+    the same pair set before round 6. The pair join is a UNION of
+    per-band EQUI-joins (one hash join per band + distinct) rather
+    than the former single OR-of-equalities join, which Spark can only
+    plan as a nested-loop cross product — same pair set (a pair
+    qualifying on several bands collapses in the distinct), but the
+    equi shape is the only one that survives at corpus scale."""
+    def build():
+        m = portable_mentions(spark, sf_dir)
+        ents = (
+            m.select(F.col("h_name").alias("entity"))
+            .union(m.select(F.col("t_name").alias("entity")))
+            .distinct()
+        )
+        sigs = ents.selectExpr(
+            "entity", *_split_select(_band_sql(SPARK))
+        ).localCheckpoint(eager=False)
+        parts = []
+        for i in range(4):
+            a = sigs.select(F.col("entity").alias("a"),
+                            F.col(f"band_{i}").alias("_k"))
+            b = sigs.select(F.col("entity").alias("b"),
+                            F.col(f"band_{i}").alias("_k"))
+            parts.append(
+                a.join(b, "_k").where(F.col("a") < F.col("b"))
+                .select("a", "b"))
+        pairs = parts[0]
+        for x in parts[1:]:
+            pairs = pairs.unionAll(x)
+        return pairs.distinct()
+
+    return _stage(spark, sf_dir, "banded_edges", build)
+
+
 @q("kg_connected_components", _entities_cte(DUCK) + f"""
 , sigs AS (SELECT entity, {_band_sql(DUCK)} FROM entities),
 edges0 AS (
@@ -944,16 +981,7 @@ def kg_connected_components(spark, sf_dir):
         .union(m.select(F.col("t_name").alias("entity")))
         .distinct()
     )
-    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    edges = a.join(b, cond).select(F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
+    edges = _banded_entity_edges(spark, sf_dir)
     comps = linking.connected_components(edges)
     return (
         ents.join(comps, "entity", "left")
@@ -6113,18 +6141,7 @@ def kg_incremental_cc(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)  # feeds sigs AND the final left join
     )
-    sigs = ents.selectExpr(
-        "entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    edges = a.join(b, cond).select(
-        F.col("a.entity").alias("a"), F.col("b.entity").alias("b"),
-    ).localCheckpoint(eager=False)  # feeds both splits once
+    edges = _banded_entity_edges(spark, sf_dir)
     gate = F.expr(md5_mod("concat(a, '~', b)", 3))
     existing, batch = edges.where(gate != 0), edges.where(gate == 0)
     base = linking.connected_components(existing)
@@ -7158,25 +7175,7 @@ def kg_block_editdist(spark, sf_dir):
     expose the identical built-in."""
     from deepref_spark.operators.linking import editdist_verify
 
-    m = portable_mentions(spark, sf_dir)
-    ents = (
-        m.select(F.col("h_name").alias("entity"))
-        .union(m.select(F.col("t_name").alias("entity")))
-        .distinct()
-    )
-    sigs = ents.selectExpr(
-        "entity", *_split_select(_band_sql(SPARK))).localCheckpoint(eager=False)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    cands = a.join(b, cond).select(
-        F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
-    return editdist_verify(cands)
+    return editdist_verify(_banded_entity_edges(spark, sf_dir))
 
 
 def _mmr_oracle() -> str:
@@ -15066,24 +15065,7 @@ def kg_er_transitivity(spark, sf_dir):
     a verify pass on CC's implied pairs."""
     from deepref_spark.operators.linking import transitivity_audit
 
-    m = portable_mentions(spark, sf_dir)
-    ents = (
-        m.select(F.col("h_name").alias("entity"))
-        .union(m.select(F.col("t_name").alias("entity")))
-        .distinct()
-    )
-    sigs = ents.selectExpr("entity", *_split_select(_band_sql(SPARK))) \
-        .localCheckpoint(eager=False)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    edges = a.join(b, cond).select(F.col("a.entity").alias("a"),
-                                   F.col("b.entity").alias("b"))
-    return transitivity_audit(edges)
+    return transitivity_audit(_banded_entity_edges(spark, sf_dir))
 
 
 @q("lake_compaction_savings", """
@@ -15300,6 +15282,26 @@ def text_mattr(spark, sf_dir):
 # per-round local sweep). Each round, move the round's new oracle queries
 # into the window and park the same number of longest-stable ones here.
 _WINDOW_TAIL = [
+    # (parked r6 batch, making room for the four post-r5-capture
+    # queries the round-5 verdict item 4 asked into the window:
+    # kg_conf_support_corr + events_weekend_effect + kg_degree_gini +
+    # text_mattr — zero driver rounds before this). Tenure deviation,
+    # documented: after the r5 full-window rotation NO current member
+    # has the policy's >= 2 consecutive green driver rounds (all 50
+    # entered in r5), so the parked four are single-round-green rows
+    # chosen so every operator family keeps in-window representation:
+    # rel_mincost_supplier parks (rel lane keeps product_profit /
+    # supplier_census / waiting_suppliers / churn_matrix /
+    # revenue_delta); events_holt_linear parks (events lane keeps
+    # ks_test / mttr / changepoint / session_funnel / burn_rate /
+    # transition_entropy / anomaly_ensemble + the new weekend-effect);
+    # kg_dev_sample parks (the kg lane holds a dozen in-window rows +
+    # the new degree-gini and confidence-support corr);
+    # emb_prf_expansion parks (emb keeps ndcg / nprobe_curve /
+    # rank_agreement / pq_distortion). All four stay in the per-round
+    # local sweep and their pytest pins.
+    "rel_mincost_supplier", "events_holt_linear", "kg_dev_sample",
+    "emb_prf_expansion",
     # (parked r5s26 batch I, making room for emb_rank_agreement +
     # kg_er_transitivity + lake_compaction_savings): kg_fellegi_sunter
     # parks with its m/u-weight pytest pins (the ER lane keeps
