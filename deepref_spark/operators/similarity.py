@@ -767,6 +767,7 @@ def centroid_classify(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_recall_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    bf: DataFrame | None = None,
                     n_lists: int = 16, nprobe: int = 2) -> DataFrame:
     """Recall@k of the IVF ANN against exact brute-force top-k, per
     query — the quality gate an ANN deployment runs at small SF before
@@ -780,7 +781,8 @@ def ann_recall_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     brute-force side is the by-contract calibration scan (broadcast
     query side, one corpus pass); the IVF side is the production path.
     """
-    bf = brute_force_topk(embeddings, queries, k=k) \
+    bf = (brute_force_topk(embeddings, queries, k=k)
+          if bf is None else bf) \
         .select("query_id", "nbr_id")
     ivf = ivf_ann_topk(embeddings, queries, k=k,
                        n_lists=n_lists, nprobe=nprobe) \
@@ -1143,7 +1145,9 @@ def rrf_fuse(lists: list, k: int = 5, c: int = 60) -> DataFrame:
 
 def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
                        k: int = 5,
-                       codebook: DataFrame | None = None) -> DataFrame:
+                       codebook: DataFrame | None = None,
+                       bf: DataFrame | None = None,
+                       lsh: DataFrame | None = None) -> DataFrame:
     """Micro recall@k of THREE retrieval lanes — IVF, sign-LSH, and
     their reciprocal-rank fusion — against the exact brute-force top-k,
     one row per lane: the comparison table that justifies shipping the
@@ -1160,7 +1164,8 @@ def hybrid_recall_eval(embeddings: DataFrame, queries: DataFrame,
         .select("query_id", "nbr_id").localCheckpoint(eager=False)
     ivf = ivf_ann_topk(embeddings, queries, k=k, codebook=codebook) \
         .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
-    lsh = lsh_ann_topk(embeddings, queries, k=k) \
+    lsh = (lsh_ann_topk(embeddings, queries, k=k)
+           if lsh is None else lsh) \
         .select("query_id", "nbr_id", "rank").localCheckpoint(eager=False)
     rrf = rrf_fuse([ivf, lsh], k=k).select("query_id", "nbr_id")
     nq = bf.select("query_id").distinct().count()  # bounded: the query set
@@ -2064,7 +2069,8 @@ def ann_ndcg_eval(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      n_lists: int = 16, nprobes=(1, 2, 4),
-                     codebook: DataFrame | None = None) -> DataFrame:
+                     codebook: DataFrame | None = None,
+                     bf: DataFrame | None = None) -> DataFrame:
     """The nprobe tuning curve for the IVF lane — recall@k at several
     probe budgets from ONE index build and ONE scored candidate set:
     the table an ANN-tuning decision actually reads (recall climbs
@@ -2145,6 +2151,7 @@ def ivf_nprobe_curve(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
+                         bf: DataFrame | None = None,
                          k_fb: int = 3, k: int = 5) -> DataFrame:
     """Pseudo-relevance-feedback (Rocchio, beta-only) query expansion
     A/B read: for each query, the expanded query is the per-dimension
@@ -2183,7 +2190,8 @@ def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
         .select(F.col("query_id").alias("vec_id"),
                 F.col("q2").cast("array<double>").alias("embedding"))
     )
-    orig = brute_force_topk(embeddings, queries, k=k) \
+    orig = (brute_force_topk(embeddings, queries, k=k)
+            if bf is None else bf) \
         .select("query_id", "nbr_id").localCheckpoint(eager=False)
     exp = brute_force_topk(embeddings, q2, k=k) \
         .select("query_id", F.col("nbr_id").alias("nbr2"))
@@ -2209,7 +2217,8 @@ def prf_expansion_report(embeddings: DataFrame, queries: DataFrame,
 def rank_agreement(embeddings: DataFrame, queries: DataFrame,
                    k: int = 5, n_lists: int = 16, nprobe: int = 2,
                    n_planes: int = 8,
-                   codebook: DataFrame | None = None) -> DataFrame:
+                   codebook: DataFrame | None = None,
+                   lsh: DataFrame | None = None) -> DataFrame:
     """ORDER-level agreement between the IVF and LSH ANN lanes — the
     step past emb_hybrid_recall's set overlap: for each query, the
     items BOTH lanes retrieve in their top-k, with the Spearman-
@@ -2226,7 +2235,8 @@ def rank_agreement(embeddings: DataFrame, queries: DataFrame,
     ivf = ivf_ann_topk(embeddings, queries, k=k, n_lists=n_lists,
                        nprobe=nprobe, codebook=codebook) \
         .select("query_id", "nbr_id", F.col("rank").alias("r_ivf"))
-    lsh = lsh_ann_topk(embeddings, queries, k=k, n_planes=n_planes) \
+    lsh = (lsh_ann_topk(embeddings, queries, k=k, n_planes=n_planes)
+           if lsh is None else lsh) \
         .select("query_id", "nbr_id", F.col("rank").alias("r_lsh"))
     shared = (
         ivf.join(lsh, ["query_id", "nbr_id"])

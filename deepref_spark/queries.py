@@ -2309,6 +2309,35 @@ def _emb_queries_filter() -> str:
     return "vec_id % 50 = 0"
 
 
+def _bf_top5_stage(spark, sf_dir) -> DataFrame:
+    """Persisted brute-force cosine top-5 shortlist over the standard
+    query set — the exact baseline five eval queries re-computed per
+    query before round 6 (emb_cosine_topk / recall / hybrid-recall /
+    nprobe-curve / PRF)."""
+    from deepref_spark.operators.similarity import brute_force_topk
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.where(F.expr(_emb_queries_filter()))
+        return brute_force_topk(emb, qs, k=5)
+
+    return _stage(spark, sf_dir, "bf_top5", build)
+
+
+def _lsh_sign_top5_stage(spark, sf_dir) -> DataFrame:
+    """Persisted sign-LSH top-5 shortlist (n_planes=8) over the
+    standard query set — shared by emb_ann_lsh, emb_rrf_hybrid,
+    emb_hybrid_recall and emb_rank_agreement."""
+    from deepref_spark.operators.similarity import lsh_ann_topk
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.where(F.expr(_emb_queries_filter()))
+        return lsh_ann_topk(emb, qs, k=5, n_planes=8)
+
+    return _stage(spark, sf_dir, "lsh_sign_top5", build)
+
+
 def _ivf_codebook_stage(spark, sf_dir) -> DataFrame:
     """Persisted 16-list IVF coarse-quantizer codebook over the plain
     embeddings table — shared by the eight IVF-lane queries, each of
@@ -2343,7 +2372,7 @@ def emb_cosine_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return brute_force_topk(emb, qs, k=5).select(
+    return _bf_top5_stage(spark, sf_dir).select(
         "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
@@ -2375,7 +2404,7 @@ def emb_ann_lsh(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return lsh_ann_topk(emb, qs, k=5, n_planes=8).select(
+    return _lsh_sign_top5_stage(spark, sf_dir).select(
         "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
@@ -6291,7 +6320,8 @@ def emb_recall_eval(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return ann_recall_eval(emb, qs, k=5, n_lists=16, nprobe=2)
+    return ann_recall_eval(emb, qs, k=5, n_lists=16, nprobe=2,
+                           bf=_bf_top5_stage(spark, sf_dir))
 
 
 @q("dedup_mh_calibration", _mh_calib_oracle)
@@ -8382,7 +8412,7 @@ def emb_rrf_hybrid(spark, sf_dir):
     return rrf_fuse([
         ivf_ann_topk(emb, qs, k=5, n_lists=16, nprobe=2,
                      codebook=_ivf_codebook_stage(spark, sf_dir)),
-        lsh_ann_topk(emb, qs, k=5, n_planes=8),
+        _lsh_sign_top5_stage(spark, sf_dir),
     ], k=5)
 
 
@@ -8530,7 +8560,9 @@ def emb_hybrid_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
     return hybrid_recall_eval(emb, qs, k=5,
-                              codebook=_ivf_codebook_stage(spark, sf_dir))
+                              codebook=_ivf_codebook_stage(spark, sf_dir),
+                              bf=_bf_top5_stage(spark, sf_dir),
+                              lsh=_lsh_sign_top5_stage(spark, sf_dir))
 
 
 @q("events_stickiness", """
@@ -14163,7 +14195,8 @@ def emb_ivf_nprobe_curve(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_nprobe_curve(emb, emb.where(F.expr(_emb_queries_filter())),
                             k=5, n_lists=16, nprobes=(1, 2, 4),
-                            codebook=_ivf_codebook_stage(spark, sf_dir))
+                            codebook=_ivf_codebook_stage(spark, sf_dir),
+                            bf=_bf_top5_stage(spark, sf_dir))
 
 
 @q("events_mttr", """
@@ -14613,7 +14646,8 @@ def emb_prf_expansion(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return prf_expansion_report(
-        emb, emb.where(F.expr(_emb_queries_filter())), k_fb=3, k=5)
+        emb, emb.where(F.expr(_emb_queries_filter())), k_fb=3, k=5,
+        bf=_bf_top5_stage(spark, sf_dir))
 
 
 @q("text_oov_curve", lambda: f"""
@@ -15023,7 +15057,8 @@ def emb_rank_agreement(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return rank_agreement(emb, emb.where(F.expr(_emb_queries_filter())),
                           k=5, n_lists=16, nprobe=2, n_planes=8,
-                          codebook=_ivf_codebook_stage(spark, sf_dir))
+                          codebook=_ivf_codebook_stage(spark, sf_dir),
+                          lsh=_lsh_sign_top5_stage(spark, sf_dir))
 
 
 @q("kg_er_transitivity", _entities_cte(DUCK) + f"""
