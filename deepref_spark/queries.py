@@ -45,9 +45,10 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect and never a raw base-table cache; round-5 verdict item 5
 # asks for exactly this generalization.
 _STAGE_CACHE: dict = {}
-_STAGE_CACHE_MAX = 24  # ~6 stages x a handful of sf_dirs; cap so a
-# long-lived session sweeping many scales cannot grow executor storage
-# without bound
+_STAGE_CACHE_MAX = 64  # ~14 stage kinds x a handful of sf_dirs; cap so
+# a long-lived session sweeping many scales cannot grow executor
+# storage without bound (every stage is a narrow derived projection,
+# a few MB at bench scales)
 
 
 def clear_mentions_cache() -> None:
@@ -2069,8 +2070,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     d = documents(spark, sf_dir)
     d = d.select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8,
-                               sh=_shingle_posts_stage(spark, sf_dir))
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8)
 
 
 # --- multimodal lane (SURVEY §2.8 media passthrough + feature extract) -------
@@ -2197,8 +2197,7 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     from deepref_spark.operators.dedup import ngram_jaccard_pairs
 
     d = documents(spark, sf_dir).select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50,
-                               sh=_shingle_posts_stage(spark, sf_dir))
+    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50)
 
 
 @q("text_token_count", f"""
@@ -3232,23 +3231,6 @@ def dedup_keep_map(spark, sf_dir):
     similarities (all j >= 0.9 here) is 1 - 2e-6 per pair, and a
     fixture test asserts prefiltered == exact outright."""
     return _keep_map_stage(spark, sf_dir)
-
-
-def _shingle_posts_stage(spark, sf_dir) -> DataFrame:
-    """Persisted distinct (doc_id, shingle) posting table (token
-    3-shingles) — shared by the inverted-index dedup verifiers
-    (ngram_jaccard / containment / prefix_join / df_spectrum), each of
-    which re-tokenized and re-exploded the corpus before round 6."""
-    from deepref_spark.operators.dedup import _with_shingles
-
-    def build():
-        return (
-            _with_shingles(documents(spark, sf_dir).select("doc_id", "text"), 3)
-            .select("doc_id", F.explode("shingles").alias("shingle"))
-            .distinct()
-        )
-
-    return _stage(spark, sf_dir, "shingle_posts", build)
 
 
 def _keep_map_stage(spark, sf_dir) -> DataFrame:
@@ -9105,8 +9087,7 @@ def dedup_containment(spark, sf_dir):
     unordered overlap emits both directions."""
     from deepref_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"),
-                             sh=_shingle_posts_stage(spark, sf_dir))
+    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"))
 
 
 def _median_ctes(pfx: str, src: str, key: str, col: str) -> str:
@@ -9319,8 +9300,7 @@ def dedup_prefix_join(spark, sf_dir):
     from deepref_spark.operators.dedup import prefix_filter_pairs
 
     d = documents(spark, sf_dir).select("doc_id", "text")
-    return prefix_filter_pairs(d, k=3, threshold=0.8,
-                               sh=_shingle_posts_stage(spark, sf_dir))
+    return prefix_filter_pairs(d, k=3, threshold=0.8)
 
 
 @q("events_path_topk", """
@@ -14958,8 +14938,7 @@ def dedup_df_spectrum(spark, sf_dir):
     Staged tokenize (once per doc), exact integer bucket ladder."""
     from deepref_spark.operators.dedup import df_spectrum
 
-    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"),
-                       sh=_shingle_posts_stage(spark, sf_dir))
+    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"))
 
 
 def _block_spectrum_oracle() -> str:
