@@ -782,6 +782,42 @@ def label_prop(edges: DataFrame, iters: int = 2,
     """
     if und is None:
         und = sym_closure(edges)
+    # size-adaptive (round 6): pure string/int arithmetic (neighbor
+    # label counts, max-label tie-break), so the driver twin is exact
+    # by construction — Python str comparison (code points) equals
+    # Spark's binary UTF-8 ordering; the distributed loop below stays
+    # the at-scale path.
+    rows = _edge_rows_if_small(und)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        nbrs: dict = {}
+        for s, d in rows:
+            nbrs.setdefault(s, []).append(d)
+        lbl = {v: v for v in nbrs}
+        for _ in range(iters):
+            new_lbl: dict = {}
+            for v, ns in nbrs.items():
+                cnt: dict = {}
+                for n in ns:
+                    ln = lbl.get(n)
+                    if ln is None:  # inner-join semantics: unlabeled
+                        continue    # neighbors contribute nothing
+                    cnt[ln] = cnt.get(ln, 0) + 1
+                if cnt:
+                    mc = max(cnt.values())
+                    new_lbl[v] = max(l for l, c in cnt.items() if c == mc)
+            lbl = new_lbl
+        node_t = und.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("community", node_t, False),
+        ])
+        return und.sparkSession.createDataFrame(
+            pd.DataFrame(sorted(lbl.items()),
+                         columns=["entity", "community"]),
+            schema=schema)
     labels = (
         und.select(F.col("src").alias("v")).distinct()
         .withColumn("lbl", F.col("v"))
@@ -968,6 +1004,55 @@ def community_quality(edges: DataFrame, labels: DataFrame,
     """
     if und is None:
         und = sym_closure(edges)  # feeds the tag join and total_vol once
+    # size-adaptive (round 6): every output column is BIGINT
+    # floor-division arithmetic on row counts, so the driver twin is
+    # exact; guarded on BOTH the und rows and the label rows fitting
+    # the cap (labels are entity-sized — never bigger than the edge
+    # frame that produced them, but the API accepts any frame).
+    rows = _edge_rows_if_small(und)
+    if rows is not None:
+        lab_rows = _collect_if_small(
+            labels.select("entity", "community"),
+            "deepref.graph.driver_max_edges")
+        if lab_rows is not None and len(dict(lab_rows)) == len(lab_rows):
+            import pandas as pd
+            import pyspark.sql.types as T
+
+            lab = dict(lab_rows)
+            n_nodes_m: dict = {}
+            for _, c in lab_rows:
+                n_nodes_m[c] = n_nodes_m.get(c, 0) + 1
+            vol: dict = {}
+            internal: dict = {}
+            for s, d in rows:
+                cs = lab.get(s)
+                if cs is None or d not in lab:  # inner-join semantics
+                    continue
+                vol[cs] = vol.get(cs, 0) + 1
+                if cs == lab[d]:
+                    internal[cs] = internal.get(cs, 0) + 1
+            tv = len(rows)
+            out_rows = []
+            for c in sorted(vol):
+                v, i = vol[c], internal.get(c, 0)
+                out_rows.append((
+                    c, n_nodes_m[c], v, i // 2, v - i,
+                    (v - i) * 1_000_000 // max(1, min(v, tv - v)),
+                ))
+            node_t = labels.schema["community"].dataType
+            schema = T.StructType([
+                T.StructField("community", node_t, False),
+                T.StructField("n_nodes", T.LongType(), False),
+                T.StructField("vol", T.LongType(), False),
+                T.StructField("internal_edges", T.LongType(), False),
+                T.StructField("cut", T.LongType(), False),
+                T.StructField("conductance_ppm", T.LongType(), False),
+            ])
+            return und.sparkSession.createDataFrame(
+                pd.DataFrame(out_rows, columns=[
+                    "community", "n_nodes", "vol", "internal_edges",
+                    "cut", "conductance_ppm"]),
+                schema=schema)
     lab_s = labels.select(F.col("entity").alias("src"), F.col("community").alias("c_src"))
     lab_d = labels.select(F.col("entity").alias("dst"), F.col("community").alias("c_dst"))
     tagged = und.join(lab_s, "src").join(lab_d, "dst")
@@ -1161,6 +1246,57 @@ def wl_refine(edges: DataFrame, iters: int = 2) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # size-adaptive (round 6): the color chain is md5 hex strings +
+    # the portable ascii-combine hash + integer (sum, count) — all
+    # reproduced exactly by hashlib/md5_mod_py (the anf_hyperball
+    # precedent); the distributed loop below stays the at-scale path.
+    rows = _edge_rows_if_small(und)
+    if rows is not None:
+        import hashlib
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from deepref_spark.refsem import md5_mod_py
+
+        deg: dict = {}
+        for s, _d in rows:
+            deg[s] = deg.get(s, 0) + 1
+        colors = {
+            v: hashlib.md5(("d" + str(d)).encode("utf-8")).hexdigest()
+            for v, d in deg.items()
+        }
+        for _ in range(iters):
+            s_acc: dict = {}
+            c_acc: dict = {}
+            for s, d in rows:
+                cd = colors.get(d)
+                if cd is None:  # inner-join semantics
+                    continue
+                h = md5_mod_py(cd, 1_000_000)
+                s_acc[s] = s_acc.get(s, 0) + h
+                c_acc[s] = c_acc.get(s, 0) + 1
+            colors = {
+                v: hashlib.md5(
+                    (c + "|" + str(s_acc.get(v, 0)) + "|"
+                     + str(c_acc.get(v, 0))).encode("utf-8")).hexdigest()
+                for v, c in colors.items()
+            }
+        agg: dict = {}
+        for v, c in colors.items():
+            n, ex = agg.get(c, (0, None))
+            agg[c] = (n + 1, v if ex is None or v < ex else ex)
+        node_t = und.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("wl_color", T.StringType(), False),
+            T.StructField("n_entities", T.LongType(), False),
+            T.StructField("exemplar", node_t, False),
+        ])
+        return und.sparkSession.createDataFrame(
+            pd.DataFrame(
+                [(c, n, ex) for c, (n, ex) in sorted(agg.items())],
+                columns=["wl_color", "n_entities", "exemplar"]),
+            schema=schema)
     colors = (
         und.groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
@@ -1294,6 +1430,41 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     is never silently reported (the oracle unrolls a fixed round count;
     rounds past fixpoint are no-ops on both sides).
     """
+    # size-adaptive (round 6): triangle supports are pure set
+    # intersections on the collected edge list — exact integers, no
+    # floats anywhere; same fixpoint/raise semantics as the
+    # distributed peel below (which stays the at-scale path).
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        es = {(a, b) if a < b else (b, a) for a, b in rows if a != b}
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for _ in range(max_rounds):
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in es}
+            dropped = [e for e, s in sup.items() if s < k - 2]
+            if not dropped:
+                node_t = edges.schema["src"].dataType
+                schema = T.StructType([
+                    T.StructField("e1", node_t, False),
+                    T.StructField("e2", node_t, False),
+                    T.StructField("support", T.LongType(), False),
+                ])
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame(
+                        [(a, b, s) for (a, b), s in sorted(sup.items())],
+                        columns=["e1", "e2", "support"]),
+                    schema=schema)
+            for a, b in dropped:
+                es.discard((a, b))
+                adj[a].discard(b)
+                adj[b].discard(a)
+        raise RuntimeError(
+            f"ktruss(k={k}) did not converge in {max_rounds} rounds")
     surv = (
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
@@ -2444,6 +2615,63 @@ def modularity_profile(edges: DataFrame, labels: DataFrame,
     """
     if und is None:
         und = sym_closure(edges)
+    # size-adaptive (round 6): the ppm grid is all BIGINT floor
+    # divisions on non-negative operands (Python // == Spark div
+    # there), so the driver twin is exact; same double gate as
+    # community_quality (und rows AND label rows under the cap); an
+    # EMPTY graph falls through (the distributed agg emits a NULL
+    # __total__ row there — keep that single source of truth).
+    rows = _edge_rows_if_small(und)
+    if rows:
+        lab_rows = _collect_if_small(
+            labels.select("entity", "community"),
+            "deepref.graph.driver_max_edges")
+        if lab_rows is not None and len(dict(lab_rows)) == len(lab_rows):
+            import pandas as pd
+            import pyspark.sql.types as T
+
+            lab = dict(lab_rows)
+            n_nodes_m: dict = {}
+            for _, c in lab_rows:
+                n_nodes_m[c] = n_nodes_m.get(c, 0) + 1
+            vol: dict = {}
+            internal: dict = {}
+            for s, d in rows:
+                cs = lab.get(s)
+                if cs is None or d not in lab:  # inner-join semantics
+                    continue
+                vol[cs] = vol.get(cs, 0) + 1
+                if cs == lab[d]:
+                    internal[cs] = internal.get(cs, 0) + 1
+            tv = len(rows)
+            out_rows = []
+            for c in sorted(vol):
+                v, i = vol[c], internal.get(c, 0)
+                vpm = v * 1_000_000 // tv
+                out_rows.append((
+                    c, n_nodes_m[c], i // 2, v,
+                    i * 1_000_000 // tv - vpm * vpm // 1_000_000,
+                ))
+            out_rows.append((
+                "__total__",
+                sum(r[1] for r in out_rows),
+                sum(r[2] for r in out_rows),
+                sum(r[3] for r in out_rows),
+                sum(r[4] for r in out_rows),
+            ))
+            node_t = labels.schema["community"].dataType
+            schema = T.StructType([
+                T.StructField("community", node_t, False),
+                T.StructField("n_nodes", T.LongType(), False),
+                T.StructField("internal_edges", T.LongType(), False),
+                T.StructField("vol", T.LongType(), False),
+                T.StructField("modularity_ppm", T.LongType(), False),
+            ])
+            return und.sparkSession.createDataFrame(
+                pd.DataFrame(out_rows, columns=[
+                    "community", "n_nodes", "internal_edges", "vol",
+                    "modularity_ppm"]),
+                schema=schema)
     lab_s = labels.select(F.col("entity").alias("src"),
                           F.col("community").alias("c_src"))
     lab_d = labels.select(F.col("entity").alias("dst"),
@@ -2503,6 +2731,43 @@ def weighted_sssp(edges: DataFrame, n_seeds: int = 2,
     fixed and no convergence probe runs; k rounds = exact min over
     paths of <= k edges, which is the oracle's unrolled formula.
     """
+    # size-adaptive (round 6): weights and distances live on the exact
+    # integer grid (wt = 1 + md5 % 9, min-combine per round), so the
+    # bounded Bellman-Ford twin is exact on collected rows; seed rule
+    # (md5(entity), entity) ASC reproduced with hashlib (md5 of the
+    # node string — both engines hash the same bytes).
+    rows = _edge_rows_if_small(edges)
+    if rows is not None:
+        import hashlib
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from deepref_spark.refsem import md5_mod_py
+
+        ew_l = {(s, d) for s, d in rows if s != d}
+        wt = {(s, d): 1 + md5_mod_py(str(s) + "|" + str(d), 9)
+              for s, d in ew_l}
+        nodes_s = {s for s, _ in ew_l} | {d for _, d in ew_l}
+        seed_l = sorted(
+            nodes_s,
+            key=lambda v: (hashlib.md5(str(v).encode("utf-8")).hexdigest(), v)
+        )[:n_seeds]
+        dist = {v: 0 for v in seed_l}
+        for _ in range(rounds):
+            new_d = dict(dist)
+            for (s, d), w in wt.items():
+                if s in dist and dist[s] + w < new_d.get(d, dist[s] + w + 1):
+                    new_d[d] = dist[s] + w
+            dist = new_d
+        node_t = edges.schema["src"].dataType
+        schema = T.StructType([
+            T.StructField("entity", node_t, False),
+            T.StructField("dist", T.LongType(), False),
+        ])
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(sorted(dist.items()), columns=["entity", "dist"]),
+            schema=schema)
     ew = (
         edges.select("src", "dst").where(F.col("src") != F.col("dst"))
         .distinct()

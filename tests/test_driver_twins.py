@@ -153,3 +153,56 @@ def test_taxonomy_closure_twin(spark):
     a, b = _both_paths(spark, lambda: taxonomy_closure(tax))
     assert a == b and a
     clear_stage_cache()
+
+
+def test_label_prop_twin(spark, edges):
+    from deepref_spark.operators.graph import label_prop
+
+    a, b = _both_paths(spark, lambda: label_prop(edges, iters=2))
+    assert a == b and a
+
+
+def test_community_quality_twin(spark, edges):
+    from deepref_spark.operators.graph import (
+        community_quality, label_prop, sym_closure,
+    )
+
+    und = sym_closure(edges).localCheckpoint()
+    labels = label_prop(edges, iters=2, und=und).localCheckpoint()
+    a, b = _both_paths(
+        spark, lambda: community_quality(edges, labels, und=und))
+    assert a == b and a
+
+
+def test_modularity_profile_twin(spark, edges):
+    from deepref_spark.operators.graph import (
+        label_prop, modularity_profile, sym_closure,
+    )
+
+    und = sym_closure(edges).localCheckpoint()
+    labels = label_prop(edges, iters=2, und=und).localCheckpoint()
+    a, b = _both_paths(
+        spark, lambda: modularity_profile(edges, labels, und=und))
+    assert a == b and a
+
+
+def test_wl_refine_twin(spark, edges):
+    from deepref_spark.operators.graph import wl_refine
+
+    a, b = _both_paths(spark, lambda: wl_refine(edges, iters=2))
+    assert a == b and a
+
+
+def test_ktruss_twin(spark, edges):
+    from deepref_spark.operators.graph import ktruss
+
+    a, b = _both_paths(spark, lambda: ktruss(edges, k=3, max_rounds=8))
+    assert a == b and a
+
+
+def test_weighted_sssp_twin(spark, edges):
+    from deepref_spark.operators.graph import weighted_sssp
+
+    a, b = _both_paths(
+        spark, lambda: weighted_sssp(edges, n_seeds=2, rounds=3))
+    assert a == b and a
