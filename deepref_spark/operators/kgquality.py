@@ -209,7 +209,9 @@ def b3_eval(assign: DataFrame, item: str = "item", pred_col: str = "pc",
 
 def mine_path_rules(triples: DataFrame, min_support: int = 2,
                     hub_cap: int | None = None, subj: str = "subj_canon",
-                    pred: str = "pred", obj: str = "obj_canon") -> DataFrame:
+                    pred: str = "pred", obj: str = "obj_canon",
+                    spo: DataFrame | None = None,
+                    body: DataFrame | None = None) -> DataFrame:
     """AMIE-style length-2 horn-rule mining (Galárraga et al. 2013 —
     public paper): candidate rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) with
     support   = #distinct (x,z) satisfying body AND head,
@@ -223,7 +225,13 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
     stream-sized shuffle, keyed on the entity id — exactly the shape
     AQE's skew handling targets), a distinct body projection, one join
     of the body against the head triples on (x, z), and grouped counts.
-    ``hub_cap`` is the deterministic skew guard for web-scale graphs:
+    ``spo`` / ``body`` are optional pre-materialized stage tables (the
+    round-6 pass-through pattern): callers that run several rule-lane
+    analytics share ONE distinct (subj, pred, obj) projection and ONE
+    distinct wedge table instead of replaying the self-join per query.
+    A passed ``body`` must match the ``hub_cap`` setting (the shared
+    stages are uncapped). ``hub_cap`` is the deterministic skew guard
+    for web-scale graphs:
     entities whose in-count × out-count exceeds the cap are EXCLUDED
     from the y position (never sampled — exclusion is reproducible
     under any partitioning; AMIE's own scale story samples instead).
@@ -233,10 +241,11 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
     link_prediction(hub_cap=...). Ratios are one double division of
     two BIGINTs, rounded 6dp.
     """
-    spo = triples.select(
-        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
-        F.col(obj).alias("obj"),
-    ).distinct().localCheckpoint(eager=False)
+    if spo is None:
+        spo = triples.select(
+            F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        ).distinct().localCheckpoint(eager=False)
     left, right = spo, spo
     if hub_cap is not None:
         in_c = spo.groupBy(F.col("obj").alias("y")).agg(
@@ -252,17 +261,18 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
                         "obj", "left_anti")
         right = spo.join(F.broadcast(hot.withColumnRenamed("y", "subj")),
                          "subj", "left_anti")
-    body = (
-        left.alias("t1")
-        .join(right.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
-        .where(F.col("t1.subj") != F.col("t2.obj"))
-        .select(
-            F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
-            F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+    if body is None:
+        body = (
+            left.alias("t1")
+            .join(right.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
+            .where(F.col("t1.subj") != F.col("t2.obj"))
+            .select(
+                F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
+                F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     bodies = body.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).cast("long").alias("body_supp"))
     matched = (
@@ -336,7 +346,9 @@ def inverse_symmetry(triples: DataFrame, subj: str = "subj_canon",
 
 def maintenance_report(triples: DataFrame, min_support: int = 2,
                        subj: str = "subj_canon", pred: str = "pred",
-                       obj: str = "obj_canon") -> DataFrame:
+                       obj: str = "obj_canon",
+                       spo: DataFrame | None = None,
+                       body: DataFrame | None = None) -> DataFrame:
     """The composed per-predicate KG-maintenance report a build
     publishes next to its triples: cardinality profile, conflict
     pressure, symmetry, and mined-rule support in ONE plan over ONE
@@ -352,10 +364,11 @@ def maintenance_report(triples: DataFrame, min_support: int = 2,
     length-2 rules concluding in this predicate). Left joins keep
     rule-less/conflict-free predicates with explicit zero defaults.
     """
-    spo = triples.select(
-        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
-        F.col(obj).alias("obj"),
-    ).distinct().localCheckpoint(eager=False)
+    if spo is None:
+        spo = triples.select(
+            F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        ).distinct().localCheckpoint(eager=False)
     prof = predicate_profile(spo, "subj", "pred", "obj")
     conf = (
         functional_conflicts(spo, func_num=0, func_den=1,
@@ -371,7 +384,8 @@ def maintenance_report(triples: DataFrame, min_support: int = 2,
     )
     rules = (
         mine_path_rules(spo, min_support=min_support,
-                        subj="subj", pred="pred", obj="obj")
+                        subj="subj", pred="pred", obj="obj",
+                        spo=spo, body=body)
         .groupBy(F.col("p3").alias("pred"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rules_as_head"),
@@ -762,7 +776,9 @@ def domain_range_audit(triples: DataFrame, subj: str = "subj_canon",
 
 def rules_pca_confidence(triples: DataFrame, min_support: int = 2,
                          subj: str = "subj_canon", pred: str = "pred",
-                         obj: str = "obj_canon") -> DataFrame:
+                         obj: str = "obj_canon",
+                         spo: DataFrame | None = None,
+                         body: DataFrame | None = None) -> DataFrame:
     """AMIE PCA confidence (Galárraga et al. 2013 §4.2) for the
     length-2 horn rules next to the std confidence: under the Partial
     Completeness Assumption the denominator counts only body
@@ -779,21 +795,23 @@ def rules_pca_confidence(triples: DataFrame, min_support: int = 2,
     (x, p3), so the joined rows are distinct on the 5-tuple and a
     plain grouped count IS the distinct count (no count-distinct
     shuffle)."""
-    spo = triples.select(
-        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
-        F.col(obj).alias("obj"),
-    ).distinct().localCheckpoint(eager=False)
-    body = (
-        spo.alias("t1")
-        .join(spo.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
-        .where(F.col("t1.subj") != F.col("t2.obj"))
-        .select(
-            F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
-            F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+    if spo is None:
+        spo = triples.select(
+            F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+            F.col(obj).alias("obj"),
+        ).distinct().localCheckpoint(eager=False)
+    if body is None:
+        body = (
+            spo.alias("t1")
+            .join(spo.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
+            .where(F.col("t1.subj") != F.col("t2.obj"))
+            .select(
+                F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
+                F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)  # bodies + matched + pca
         )
-        .distinct()
-        .localCheckpoint(eager=False)  # bodies + matched + pca
-    )
     bodies = body.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).cast("long").alias("body_supp"))
     matched = (

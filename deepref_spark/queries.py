@@ -4455,6 +4455,34 @@ FROM matched m JOIN bodies bo USING (p1, p2) JOIN head_sz h USING (p3)
 WHERE m.support >= 2"""
 
 
+def _rule_spo_stage(spark, sf_dir) -> DataFrame:
+    """Distinct canonical (subj, pred, obj) projection — the shared
+    input of the AMIE rule lane (kg_rule_mining, kg_rule_pca,
+    kg_maintenance_report), persisted once per (application, sf_dir)
+    like every other stage table."""
+    return _stage(
+        spark, sf_dir, "rule_spo",
+        lambda: _canon_spo(spark, sf_dir).select(
+            F.col("subj_canon").alias("subj"), "pred",
+            F.col("obj_canon").alias("obj")).distinct())
+
+
+def _rule_body_stage(spark, sf_dir) -> DataFrame:
+    """Distinct length-2 wedge table (x, p1, p2, z) — the one
+    stream-sized self-join the three rule-lane queries otherwise each
+    replay (same derivation as the oracle fragment's `body` CTE)."""
+    def build():
+        spo = _rule_spo_stage(spark, sf_dir)
+        return (
+            spo.alias("t1")
+            .join(spo.alias("t2"), F.col("t1.obj") == F.col("t2.subj"))
+            .where(F.col("t1.subj") != F.col("t2.obj"))
+            .select(F.col("t1.subj").alias("x"), F.col("t1.pred").alias("p1"),
+                    F.col("t2.pred").alias("p2"), F.col("t2.obj").alias("z"))
+            .distinct())
+    return _stage(spark, sf_dir, "rule_body", build)
+
+
 @q("kg_rule_mining", _trip_cte() + ", " + _rules_ctes() + "\n" + _RULES_FINAL)
 def kg_rule_mining(spark, sf_dir):
     """AMIE-style length-2 horn rules p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) over
@@ -4466,7 +4494,9 @@ def kg_rule_mining(spark, sf_dir):
     uncapped)."""
     from deepref_spark.operators.kgquality import mine_path_rules
 
-    return mine_path_rules(_canon_spo(spark, sf_dir), min_support=2)
+    return mine_path_rules(_canon_spo(spark, sf_dir), min_support=2,
+                           spo=_rule_spo_stage(spark, sf_dir),
+                           body=_rule_body_stage(spark, sf_dir))
 
 
 @q("kg_inverse_detect", _trip_cte() + """
@@ -4543,7 +4573,9 @@ def kg_maintenance_report(spark, sf_dir):
     verifies standalone."""
     from deepref_spark.operators.kgquality import maintenance_report
 
-    return maintenance_report(_canon_spo(spark, sf_dir), min_support=2)
+    return maintenance_report(_canon_spo(spark, sf_dir), min_support=2,
+                              spo=_rule_spo_stage(spark, sf_dir),
+                              body=_rule_body_stage(spark, sf_dir))
 
 
 @q("events_rate_anomaly", """
@@ -9586,7 +9618,9 @@ def kg_rule_pca(spark, sf_dir):
     with the PCA join."""
     from deepref_spark.operators.kgquality import rules_pca_confidence
 
-    return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2)
+    return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2,
+                                spo=_rule_spo_stage(spark, sf_dir),
+                                body=_rule_body_stage(spark, sf_dir))
 
 
 @q("kg_canon_audit", _trip_cte() + f"""
