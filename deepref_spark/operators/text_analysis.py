@@ -41,6 +41,25 @@ def _tokens_col() -> F.Column:
     return F.expr(portable.norm_tokens("text", SPARK))
 
 
+def _tok_frame(documents: DataFrame, cols: tuple = ("doc_id",),
+               checkpoint: bool = True) -> DataFrame:
+    """(*cols, t) token-staged view (round 6). When the input frame
+    already carries a token-array column ``t`` (the queries-layer
+    doc_toks stage — built with this exact norm_tokens expression over
+    the same scan, so rows are identical by construction), reuse it AS
+    IS — no localCheckpoint on top: the stage is already materialized,
+    and re-staging a cached frame is the shingle-posting regression
+    documented in OPTIMIZATION_r06.md. Otherwise tokenize from
+    ``text`` and lazily checkpoint so downstream consumers tokenize
+    once (the fingerprint staging discipline)."""
+    need = list(cols)
+    if "t" in documents.columns and all(c in documents.columns for c in need):
+        return documents.select(*need, "t")
+    staged = documents.select(
+        *need, F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
+    return staged.localCheckpoint(eager=False) if checkpoint else staged
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish estimate (pieces of <=4 chars, the
     same piece width as the deterministic wordpiece in refsem)."""
@@ -132,9 +151,7 @@ def fingerprint(documents: DataFrame, k: int = 5) -> DataFrame:
     per window position (the lambda re-evaluation trap this repo
     measured at ~10x+; O(len^2) tokenize per doc on long documents).
     Same staging discipline as contamination_screen below."""
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # barrier: keep tokenize out of the lambda
+    staged = _tok_frame(documents)  # barrier: keep tokenize out of the lambda
     h = portable.md5_mod(f"array_join(slice(t, i, {k}), ' ')", 1_000_003)
     return staged.select(
         "doc_id",
@@ -944,9 +961,7 @@ def lm_score(documents: DataFrame, vocab_size: int = 65536) -> DataFrame:
         than the rarest in-vocab word would.
     The token array is staged behind one checkpoint: the corpus is
     tokenized exactly once across both passes."""
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # tokenize once; feeds both passes
+    staged = _tok_frame(documents)  # tokenize once; feeds both passes
     ex = staged.select("doc_id", F.explode("t").alias("tok"))
     counts = (
         ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -997,9 +1012,7 @@ def tfidf_topk(documents: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
     forced strategy: AQE broadcasts the df side while it fits and
     falls back to shuffle join on an unbounded vocabulary. The window
     partitions by doc_id — parallel across docs, k rows out each."""
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # tokenize once
+    staged = _tok_frame(documents)  # tokenize once
     tf = (
         staged.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1124,9 +1137,7 @@ def chunk_overlap(documents: DataFrame, size: int = 12,
     stride = size - overlap
     if stride <= 0:
         raise ValueError("chunk_overlap needs overlap < size")
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).withColumn("n", F.size("t")).localCheckpoint(eager=False)
+    staged = _tok_frame(documents).withColumn("n", F.size("t"))
     chunks = staged.select(
         "doc_id", "n",
         F.posexplode(
@@ -1197,9 +1208,7 @@ def bpe_merge_pairs(documents: DataFrame, top_k: int = 20) -> DataFrame:
     one map-side-combined count -> TakeOrderedAndProject for the
     top-k (never a single-partition rank window).
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).withColumn("n", F.size("t")).localCheckpoint(eager=False)
+    staged = _tok_frame(documents).withColumn("n", F.size("t"))
     pairs = staged.where(F.col("n") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, n - 1), "
@@ -1230,10 +1239,7 @@ def ccnet_buckets(documents: DataFrame, vocab_size: int = 65536) -> DataFrame:
     comparing to their source's broadcast cuts. Corpus-sized work is
     exactly lm_score's two passes plus one grouped count.
     """
-    staged = documents.select(
-        "doc_id", "source",
-        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
-    ).localCheckpoint(eager=False)  # tokenize once; feeds both passes
+    staged = _tok_frame(documents, ("doc_id", "source"))  # tokenize once; feeds both passes
     ex = staged.select("doc_id", "source", F.explode("t").alias("tok"))
     counts = (
         ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1315,10 +1321,7 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
     explode feeding (a) the 256-row bucket table (two map-side-combined
     counts) and (b) the per-doc scorer; the bucket table broadcasts.
     """
-    staged = documents.select(
-        "doc_id", "source",
-        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
-    ).localCheckpoint(eager=False)  # tokenize once
+    staged = _tok_frame(documents, ("doc_id", "source"))  # tokenize once
     tgt_src = staged.agg(F.min("source").alias("s"))  # one row
     ex = staged.select(
         "doc_id", "source",
@@ -1458,9 +1461,7 @@ def bm25_topk(documents: DataFrame, queries=BM25_QUERIES,
     ]
     spark = documents.sparkSession
     qt = F.broadcast(spark.createDataFrame(qterms, "query_id string, term string"))
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # tokenize once for tf AND dl
+    staged = _tok_frame(documents)  # tokenize once for tf AND dl
     tf = (
         staged.select("doc_id", F.explode("t").alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1528,11 +1529,7 @@ def textrank_keywords(documents: DataFrame, min_len: int = 4,
     vocab-sized rank table, never on corpus rows."""
     from deepref_spark.operators.graph import pagerank
 
-    staged = (
-        documents
-        .select("doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
-        .localCheckpoint(eager=False)
-    )
+    staged = _tok_frame(documents)
     pairs = staged.select(
         F.explode(F.expr(
             "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
@@ -1572,12 +1569,7 @@ def vocab_growth(documents: DataFrame, bucket_docs: int = 100) -> DataFrame:
     kg_discovery_curve discipline — order-independent min), then
     counts per bucket. Both cumulative windows run on the tiny bucket
     table only."""
-    staged = (
-        documents
-        .select("doc_id",
-                F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
-        .localCheckpoint(eager=False)
-    )
+    staged = _tok_frame(documents)
     bucket = F.expr(f"doc_id div {bucket_docs}").alias("bucket")
     totals = staged.groupBy(bucket).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1683,12 +1675,7 @@ def rake_keywords(documents: DataFrame, k: int = 20,
     zero-stopword-document pathological phrase); the oracle applies
     the same cap. The final top-k window runs on the bounded
     distinct-phrase score table."""
-    staged = (
-        documents
-        .select("doc_id",
-                F.expr(portable.norm_tokens("text", SPARK)).alias("t"))
-        .localCheckpoint(eager=False)
-    )
+    staged = _tok_frame(documents)
     pos = staged.select(
         "doc_id", F.posexplode("t").alias("pos", "tok"))
     pos = pos.withColumn(
@@ -1763,9 +1750,7 @@ def novelty_stats(documents: DataFrame, k: int = 5) -> DataFrame:
     greatest(0, ...): Spark's sequence(1, 0) descends), so every doc
     surfaces in the output.
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)
+    staged = _tok_frame(documents)
     gram = portable.md5_mod(f"array_join(slice(t, i, {k}), ' ')", 1_000_003)
     doc_grams = (
         staged.select(
@@ -1822,9 +1807,7 @@ def watermark_stats(documents: DataFrame,
     one-sided z >= 2 at n = 50; tighten per corpus). Pure projection +
     per-doc sums over the staged token column — one scan, no joins.
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    )
+    staged = _tok_frame(documents, checkpoint=False)
     green = portable.md5_mod("x", 2)
     return staged.select(
         "doc_id",
@@ -2160,9 +2143,7 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
     join keys on (w1, w2) with no forced strategy — AQE broadcasts
     while the observed-bigram table fits and shuffle-joins beyond.
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # tokenize once
+    staged = _tok_frame(documents)  # tokenize once
     inst = (
         staged.select(
             "doc_id",
@@ -2264,9 +2245,7 @@ def collocations(documents: DataFrame, k: int = 20,
     and unigram counts are map-side-combined groupBys; the two 1-row
     totals broadcast into the scoring expression.
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # tokenize once, feeds pairs AND unigrams
+    staged = _tok_frame(documents)  # tokenize once, feeds pairs AND unigrams
     d1 = staged.select(
         F.explode(F.expr(
             "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1)"
@@ -2339,9 +2318,7 @@ def source_overlap(documents: DataFrame, n: int = 5) -> DataFrame:
     gram hash, whose fan-out is bounded by sources² per gram (the
     source vocabulary is small by contract); per-source gram counts
     ride as broadcasts. Pairs sharing zero grams don't appear."""
-    staged = documents.select(
-        "source", F.expr(portable.norm_tokens("text", SPARK)).alias("t")
-    ).localCheckpoint(eager=False)  # barrier: tokenize once per doc
+    staged = _tok_frame(documents, ("source",))  # barrier: tokenize once per doc
     gram_hash = portable.md5_mod(f"array_join(slice(t, i, {n}), ' ')",
                                  1 << 30)
     grams = (f"CASE WHEN size(t) >= {n} THEN "
@@ -2400,10 +2377,7 @@ def backoff_lm_score(documents: DataFrame,
     observed-gram tables while they fit). Tokens staged behind one
     checkpoint per split — tokenize once, the fingerprint lesson.
     """
-    toks = documents.select(
-        "doc_id", "source",
-        F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
-    ).localCheckpoint(eager=False)  # tokenize once, feeds both splits
+    toks = _tok_frame(documents, ("doc_id", "source"))  # tokenize once, feeds both splits
 
     def grams(df, n):
         return (
@@ -2624,9 +2598,7 @@ def mattr_stats(documents: DataFrame, window: int = 50) -> DataFrame:
     per-window lambda). Docs shorter than one window emit plain TTR
     over their full length, flagged by n_windows = 0.
     """
-    staged = documents.select(
-        "doc_id", F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
-    ).localCheckpoint(eager=False)  # barrier: tokenize once, not per window
+    staged = _tok_frame(documents)  # barrier: tokenize once, not per window
     k = int(window)
     wins = (f"transform(sequence(1, size(t) DIV {k}), "
             f"i -> size(array_distinct(slice(t, (i - 1) * {k} + 1, {k}))))")

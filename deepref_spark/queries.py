@@ -85,6 +85,23 @@ def _stage(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     return df
 
 
+def _doc_toks_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, t) — the canonical norm_tokens array staged
+    once per (application, sf_dir) for the text lane: ~18 text_*
+    queries otherwise each replay the regex-heavy tokenize pass over
+    the documents scan. Operators reuse the pre-staged `t` column via
+    text_analysis._tok_frame (identical expression, so rows are
+    identical by construction); library callers passing raw documents
+    frames are unaffected."""
+    from deepref_spark import portable as _p
+
+    return _stage(
+        spark, sf_dir, "doc_toks",
+        lambda: documents(spark, sf_dir).select(
+            "doc_id", "source",
+            F.expr(_p.norm_tokens("text", SPARK)).alias("t")))
+
+
 def portable_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-API twin of portable.mentions_cte: deterministic
     entity spans + relation labels over `documents`. Persisted and
@@ -2299,7 +2316,7 @@ FROM toks
 def doc_fingerprint(spark, sf_dir):
     from deepref_spark.operators.text_analysis import fingerprint
 
-    return fingerprint(documents(spark, sf_dir))
+    return fingerprint(_doc_toks_stage(spark, sf_dir))
 
 
 # --- Group C: embeddings similarity ------------------------------------------
@@ -4113,7 +4130,7 @@ def text_lm_score(spark, sf_dir):
     exercises both the in-vocab and the OOV-floor scoring paths."""
     from deepref_spark.operators.text_analysis import lm_score
 
-    return lm_score(documents(spark, sf_dir), vocab_size=_LM_VOCAB)
+    return lm_score(_doc_toks_stage(spark, sf_dir), vocab_size=_LM_VOCAB)
 
 
 def _tfidf_oracle() -> str:
@@ -4150,7 +4167,7 @@ def text_tfidf_topk(spark, sf_dir):
     per-doc tf, ranked on the exact integer key tf*round(idf*1e6)."""
     from deepref_spark.operators.text_analysis import tfidf_topk
 
-    return tfidf_topk(documents(spark, sf_dir), k=5, min_df=2)
+    return tfidf_topk(_doc_toks_stage(spark, sf_dir), k=5, min_df=2)
 
 
 # the corpus' quality floor is 0.75, so the curate flagship's 0.5 bound
@@ -5161,7 +5178,7 @@ def text_chunk_overlap(spark, sf_dir):
     md5 keys for incremental re-embedding."""
     from deepref_spark.operators.text_analysis import chunk_overlap
 
-    return chunk_overlap(documents(spark, sf_dir), size=12, overlap=4)
+    return chunk_overlap(_doc_toks_stage(spark, sf_dir), size=12, overlap=4)
 
 
 @q("kg_export_ntriples", _trip_cte() + """
@@ -5310,7 +5327,7 @@ def text_bpe_pairs(spark, sf_dir):
     total order — one greedy merge round's corpus-wide reduction."""
     from deepref_spark.operators.text_analysis import bpe_merge_pairs
 
-    return bpe_merge_pairs(documents(spark, sf_dir), top_k=20)
+    return bpe_merge_pairs(_doc_toks_stage(spark, sf_dir), top_k=20)
 
 
 def _hits_sql(iters: int = 2) -> str:
@@ -5573,7 +5590,7 @@ def text_ccnet_buckets(spark, sf_dir):
     as text_lm_score so the OOV floor path is exercised."""
     from deepref_spark.operators.text_analysis import ccnet_buckets
 
-    return ccnet_buckets(documents(spark, sf_dir), vocab_size=_LM_VOCAB)
+    return ccnet_buckets(_doc_toks_stage(spark, sf_dir), vocab_size=_LM_VOCAB)
 
 
 def _cm_oracle() -> str:
@@ -5731,7 +5748,7 @@ def text_dsir(spark, sf_dir):
     the 256-row broadcast bucket table and the per-doc scorer."""
     from deepref_spark.operators.text_analysis import dsir_weights
 
-    return dsir_weights(documents(spark, sf_dir), n_buckets=256)
+    return dsir_weights(_doc_toks_stage(spark, sf_dir), n_buckets=256)
 
 
 def _mh_calib_oracle(n_bands: int = 8, rows_per_band: int = 2) -> str:
@@ -6413,7 +6430,7 @@ def text_bm25_topk(spark, sf_dir):
     review, next to tf-idf's unsupervised keywording."""
     from deepref_spark.operators.text_analysis import bm25_topk
 
-    return bm25_topk(documents(spark, sf_dir))
+    return bm25_topk(_doc_toks_stage(spark, sf_dir))
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -6817,7 +6834,7 @@ def text_vocab_growth(spark, sf_dir):
     tiny bucket table."""
     from deepref_spark.operators.text_analysis import vocab_growth
 
-    return vocab_growth(documents(spark, sf_dir))
+    return vocab_growth(_doc_toks_stage(spark, sf_dir))
 
 
 def _bloom_oracle() -> str:
@@ -7374,7 +7391,7 @@ def text_textrank(spark, sf_dir):
     iterate is hash-verified on a SECOND graph shape every sweep."""
     from deepref_spark.operators.text_analysis import textrank_keywords
 
-    return textrank_keywords(documents(spark, sf_dir))
+    return textrank_keywords(_doc_toks_stage(spark, sf_dir))
 
 
 def _constraint_oracle() -> str:
@@ -9300,7 +9317,7 @@ def text_rake_keywords(spark, sf_dir):
     bounded phrase-score table."""
     from deepref_spark.operators.text_analysis import rake_keywords
 
-    return rake_keywords(documents(spark, sf_dir))
+    return rake_keywords(_doc_toks_stage(spark, sf_dir))
 
 
 @q("dedup_prefix_join", f"""
@@ -9949,7 +9966,7 @@ def text_novelty(spark, sf_dir):
     explosion. Tokens staged behind the checkpoint barrier."""
     from deepref_spark.operators.text_analysis import novelty_stats
 
-    return novelty_stats(documents(spark, sf_dir), k=5)
+    return novelty_stats(_doc_toks_stage(spark, sf_dir), k=5)
 
 
 
@@ -10020,7 +10037,7 @@ def text_watermark(spark, sf_dir):
     stand-in for the salted production key."""
     from deepref_spark.operators.text_analysis import watermark_stats
 
-    return watermark_stats(documents(spark, sf_dir))
+    return watermark_stats(_doc_toks_stage(spark, sf_dir))
 
 
 @q("kg_blocking_compare", _entities_cte(DUCK) + f"""
@@ -11774,7 +11791,7 @@ def text_bigram_lm(spark, sf_dir):
     model AND the scoring join."""
     from deepref_spark.operators.text_analysis import bigram_lm_score
 
-    return bigram_lm_score(documents(spark, sf_dir))
+    return bigram_lm_score(_doc_toks_stage(spark, sf_dir))
 
 
 @q("events_acf", """
@@ -12232,7 +12249,7 @@ def text_collocations(spark, sf_dir):
     sequence explodes — never a positions self-join."""
     from deepref_spark.operators.text_analysis import collocations
 
-    return collocations(documents(spark, sf_dir))
+    return collocations(_doc_toks_stage(spark, sf_dir))
 
 
 @q("emb_knn_purity", """
@@ -13104,7 +13121,7 @@ def text_source_overlap(spark, sf_dir):
     gram); the pair join fans out by sources-per-gram only."""
     from deepref_spark.operators.text_analysis import source_overlap
 
-    return source_overlap(documents(spark, sf_dir), n=5)
+    return source_overlap(_doc_toks_stage(spark, sf_dir), n=5)
 
 
 @q("emb_label_reliability", """
@@ -14074,7 +14091,7 @@ def text_backoff_lm(spark, sf_dir):
     x160000); per-doc tier census + mean score."""
     from deepref_spark.operators.text_analysis import backoff_lm_score
 
-    return backoff_lm_score(documents(spark, sf_dir),
+    return backoff_lm_score(_doc_toks_stage(spark, sf_dir),
                             held_out_source="src0")
 
 
@@ -15310,7 +15327,7 @@ def text_mattr(spark, sf_dir):
     plain TTR with n_windows = 0."""
     from deepref_spark.operators.text_analysis import mattr_stats
 
-    return mattr_stats(documents(spark, sf_dir), window=50)
+    return mattr_stats(_doc_toks_stage(spark, sf_dir), window=50)
 
 
 # ---------------------------------------------------------------------------
