@@ -1376,9 +1376,8 @@ def winnow_fingerprints(documents: DataFrame, k: int = 5, w: int = 4) -> DataFra
     """
     from deepref_spark.portable import hex32
 
-    toks = portable.norm_tokens("text", SPARK)
-    staged = documents.select("doc_id", F.expr(toks).alias("_toks")) \
-        .withColumn("_n", F.size("_toks"))
+    staged = _tok_frame(documents, checkpoint=False) \
+        .withColumnRenamed("t", "_toks").withColumn("_n", F.size("_toks"))
     hashed = staged.select(
         "doc_id",
         F.expr(
@@ -1638,11 +1637,11 @@ def hash_features(documents: DataFrame, dim: int = 32) -> DataFrame:
     index is the repo's cross-engine hash, so the oracle reproduces
     every bucket exactly.
     """
-    from deepref_spark.portable import SPARK, md5_mod, norm_tokens
+    from deepref_spark.portable import md5_mod
 
-    toks = norm_tokens("text", SPARK)
     return (
-        documents.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        _tok_frame(documents, checkpoint=False)
+        .select("doc_id", F.explode("t").alias("tok"))
         .select("doc_id",
                 F.expr("CAST(" + md5_mod("tok", dim) + " AS INT)")
                 .alias("feat"))
@@ -1911,9 +1910,8 @@ def js_divergence(documents: DataFrame) -> DataFrame:
     table twice — no shuffle wider than the count itself.
     """
     cnt = (
-        documents.select(
-            "source", F.explode(
-                F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+        _tok_frame(documents, ("source",), checkpoint=False)
+        .select("source", F.explode("t").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)  # feeds rollups AND the grid once
@@ -2025,9 +2023,8 @@ def entropy_stats(documents: DataFrame) -> DataFrame:
     (source, token), never per occurrence.
     """
     cnt = (
-        documents.select(
-            "source", F.explode(
-                F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+        _tok_frame(documents, ("source",), checkpoint=False)
+        .select("source", F.explode("t").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)
@@ -2512,8 +2509,8 @@ def oov_curve(documents: DataFrame,
     the TYPE table (bounded by vocabulary size, Heaps-sublinear in
     corpus size), never the instance stream.
     """
-    toks = documents.select(
-        F.explode(F.expr(portable.norm_tokens("text", SPARK))).alias("tok"))
+    toks = _tok_frame(documents, (), checkpoint=False) \
+        .select(F.explode("t").alias("tok"))
     counts = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn("rnk", F.row_number().over(

@@ -6078,7 +6078,7 @@ def doc_winnow(spark, sf_dir):
     Tokenize+hash staged once per doc; one explode + one distinct."""
     from deepref_spark.operators.text_analysis import winnow_fingerprints
 
-    return winnow_fingerprints(documents(spark, sf_dir), k=5, w=4)
+    return winnow_fingerprints(_doc_toks_stage(spark, sf_dir), k=5, w=4)
 
 
 def _lp_eval_oracle() -> str:
@@ -8123,7 +8123,7 @@ def text_hash_features(spark, sf_dir):
     grouped count."""
     from deepref_spark.operators.text_analysis import hash_features
 
-    return hash_features(documents(spark, sf_dir), dim=32)
+    return hash_features(_doc_toks_stage(spark, sf_dir), dim=32)
 
 
 # planted boilerplate docs: the synthetic corpus has no repeated
@@ -10286,7 +10286,7 @@ def text_js_divergence(spark, sf_dir):
     over the exact sums — bit-portable across engines."""
     from deepref_spark.operators.text_analysis import js_divergence
 
-    return js_divergence(documents(spark, sf_dir))
+    return js_divergence(_doc_toks_stage(spark, sf_dir))
 
 
 
@@ -10688,7 +10688,7 @@ def text_entropy(spark, sf_dir):
     never per occurrence."""
     from deepref_spark.operators.text_analysis import entropy_stats
 
-    return entropy_stats(documents(spark, sf_dir))
+    return entropy_stats(_doc_toks_stage(spark, sf_dir))
 
 
 @q("events_audience_overlap", """
@@ -14712,7 +14712,7 @@ def text_oov_curve(spark, sf_dir):
     rank window runs over the Heaps-bounded type table only)."""
     from deepref_spark.operators.text_analysis import oov_curve
 
-    return oov_curve(documents(spark, sf_dir))
+    return oov_curve(_doc_toks_stage(spark, sf_dir))
 
 
 def _jdd_oracle() -> str:
