@@ -658,14 +658,22 @@ def _curate_signals(documents: DataFrame, benchmark_texts,
     keep map, both co-partitioned on doc_id."""
     from deepref_spark.operators.dedup import near_dup_keep_map
 
-    staged = (
-        documents.select(
-            "doc_id", "source", "text",
-            F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+    if keep_map is not None:
+        # text is only ever read by the keep-map build; with a
+        # pre-materialized keep_map the staged frame needs no text
+        # column, so the shared doc_toks stage can feed the whole
+        # composition (round 6 — _tok_frame reuses its `t` column).
+        staged = _tok_frame(documents, ("doc_id", "source")) \
+            .withColumn("n_pieces", F.expr(_pieces_expr("t")))
+    else:
+        staged = (
+            documents.select(
+                "doc_id", "source", "text",
+                F.expr(portable.norm_tokens("text", SPARK)).alias("t"),
+            )
+            .withColumn("n_pieces", F.expr(_pieces_expr("t")))
+            .localCheckpoint(eager=False)  # THE single scan of documents
         )
-        .withColumn("n_pieces", F.expr(_pieces_expr("t")))
-        .localCheckpoint(eager=False)  # THE single scan of documents
-    )
     keys = benchmark_gram_keys(benchmark_texts)
     per_doc = staged.select(
         "doc_id", "source", "n_pieces",

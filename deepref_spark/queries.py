@@ -3951,7 +3951,8 @@ def text_curate_pipeline(spark, sf_dir):
         .select("text").collect()
     ]
     return curate_corpus(
-        docs, bench, keep_map=_keep_map_stage(spark, sf_dir)).select(
+        _doc_toks_stage(spark, sf_dir), bench,
+        keep_map=_keep_map_stage(spark, sf_dir)).select(
         "doc_id", "source", "quality", "sample_rate", "bucket",
         "n_pieces", "start_off", "first_chunk", "last_chunk",
     )
@@ -4224,7 +4225,8 @@ def text_curation_funnel(spark, sf_dir):
         for r in docs.where(F.col("doc_id") < 3).orderBy("doc_id")
         .select("text").collect()
     ]
-    return curation_funnel(docs, bench, quality_min=_FUNNEL_QMIN,
+    return curation_funnel(_doc_toks_stage(spark, sf_dir), bench,
+                           quality_min=_FUNNEL_QMIN,
                            keep_map=_keep_map_stage(spark, sf_dir))
 
 
