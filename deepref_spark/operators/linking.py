@@ -462,7 +462,48 @@ def sorted_neighborhood_pairs(entities: DataFrame,
     """
     from deepref_spark.operators.metrics import global_ranked_cumsum
 
-    ent = entities.select("entity").distinct()
+    # size-adaptive (round 6): the whole derivation is two sorted
+    # walks + window pairing on the distinct entity VOCABULARY — exact
+    # strings/integers, so under the driver cap it runs as one Python
+    # sort per pass (Python str order == Spark binary UTF-8 order, and
+    # Python [::-1] == Spark reverse() — both reverse characters); the
+    # two-phase ranked-cumsum path below stays the at-scale shape.
+    # The gate counts RAW input rows (>= the distinct count, so it is
+    # conservative) and dedupes on the driver — collecting the raw
+    # projection is a narrow read, while counting the distinct would
+    # pay the dedup shuffle before deciding to skip it.
+    raw = entities.select("entity")
+    spark = raw.sparkSession
+    cap = int(spark.conf.get("deepref.er.driver_max_entities", "200000"))
+    raw = raw.localCheckpoint(eager=False)  # count + collect: one run
+    if raw.count() <= cap:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        names = sorted({r[0] for r in raw.collect()})
+        w = int(window)
+        pair_passes: dict = {}
+        for pass_id, keyf in ((1, lambda e: e), (2, lambda e: e[::-1])):
+            ranked = sorted(names, key=lambda e: (keyf(e), e))
+            for i, lo in enumerate(ranked):
+                for d in range(1, w + 1):
+                    if i + d >= len(ranked):
+                        break
+                    hi = ranked[i + d]
+                    pr = (lo, hi) if lo < hi else (hi, lo)
+                    pair_passes.setdefault(pr, set()).add(pass_id)
+        node_t = raw.schema["entity"].dataType
+        schema = T.StructType([
+            T.StructField("e1", node_t, False),
+            T.StructField("e2", node_t, False),
+            T.StructField("n_passes", T.LongType(), False),
+        ])
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(a, b, len(ps)) for (a, b), ps in sorted(pair_passes.items())],
+                columns=["e1", "e2", "n_passes"]),
+            schema=schema)
+    ent = raw.distinct()
     passes = []
     for pass_id, key_expr in ((1, "entity"), (2, "reverse(entity)")):
         ranked = global_ranked_cumsum(

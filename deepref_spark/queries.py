@@ -9929,9 +9929,10 @@ def kg_sorted_neighborhood(spark, sf_dir):
     from deepref_spark.operators.linking import sorted_neighborhood_pairs
 
     edges = _canonical_edges(spark, sf_dir)
+    # no .distinct() here: sorted_neighborhood_pairs dedupes its input
+    # itself (per path), so the extra shuffle was pure duplication
     ents = (edges.select(F.col("src").alias("entity"))
-            .union(edges.select(F.col("dst").alias("entity")))
-            .distinct())
+            .union(edges.select(F.col("dst").alias("entity"))))
     return sorted_neighborhood_pairs(ents, window=3)
 
 
@@ -10106,13 +10107,25 @@ def kg_blocking_compare(spark, sf_dir):
         ).localCheckpoint(eager=False)  # feeds LSH join, SN gk join, gold
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    lsh = a.join(b, cond).select((F.col("a.gk") == F.col("b.gk")).alias("hit"))
+    # round 6: the OR-of-band-equalities predicate only plans as a
+    # BroadcastNestedLoopJoin (quadratic at any scale); a UNION of
+    # per-band equi-joins + pair dedup is hash-join planable and
+    # yields the identical pair set (a pair matching several bands
+    # collapses in the dedup; `hit` is functionally dependent on the
+    # pair, so keeping any one row preserves every aggregate) — the
+    # same rewrite the banded-ER stage received.
+    per_band = [
+        a.join(b, (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
+               & (F.col("a.entity") < F.col("b.entity")))
+        .select(F.col("a.entity").alias("e1"),
+                F.col("b.entity").alias("e2"),
+                (F.col("a.gk") == F.col("b.gk")).alias("hit"))
+        for i in range(4)
+    ]
+    cand = per_band[0]
+    for pb in per_band[1:]:
+        cand = cand.unionAll(pb)
+    lsh = cand.dropDuplicates(["e1", "e2"]).select("hit")
     gk1 = sigs.select(F.col("entity").alias("e1"), F.col("gk").alias("gk1"))
     gk2 = sigs.select(F.col("entity").alias("e2"), F.col("gk").alias("gk2"))
     sn = (

@@ -20,6 +20,7 @@ GATES = (
     "deepref.graph.driver_max_edges",
     "deepref.scc.driver_max_edges",
     "deepref.taxonomy.driver_max_edges",
+    "deepref.er.driver_max_entities",
 )
 
 
@@ -205,4 +206,16 @@ def test_weighted_sssp_twin(spark, edges):
 
     a, b = _both_paths(
         spark, lambda: weighted_sssp(edges, n_seeds=2, rounds=3))
+    assert a == b and a
+
+
+def test_sorted_neighborhood_twin(spark, edges):
+    from deepref_spark.operators.linking import sorted_neighborhood_pairs
+    from pyspark.sql import functions as F
+
+    ents = (edges.select(F.col("src").alias("entity"))
+            .union(edges.select(F.col("dst").alias("entity")))
+            .distinct().localCheckpoint())
+    a, b = _both_paths(
+        spark, lambda: sorted_neighborhood_pairs(ents, window=3))
     assert a == b and a
