@@ -4761,14 +4761,22 @@ def kg_blocking_quality(spark, sf_dir):
         ).localCheckpoint(eager=False)
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    cand = a.join(b, cond).select(
-        (F.col("a.gk") == F.col("b.gk")).alias("hit"))
+    # round 6: union of per-band equi-joins + pair dedup instead of the
+    # OR-of-equalities BroadcastNestedLoopJoin (quadratic at any
+    # scale); identical pair set, hit functionally dependent on the
+    # pair — the banded-ER stage rewrite applied here too.
+    pbs = [
+        a.join(b, (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
+               & (F.col("a.entity") < F.col("b.entity")))
+        .select(F.col("a.entity").alias("e1"),
+                F.col("b.entity").alias("e2"),
+                (F.col("a.gk") == F.col("b.gk")).alias("hit"))
+        for i in range(4)
+    ]
+    cand = pbs[0]
+    for pb in pbs[1:]:
+        cand = cand.unionAll(pb)
+    cand = cand.dropDuplicates(["e1", "e2"]).select("hit")
     c = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_cand"),
         F.coalesce(F.sum(F.when(F.col("hit"), 1).otherwise(0)), F.lit(0))
@@ -4930,19 +4938,26 @@ def kg_blocking_curve(spark, sf_dir):
         *_split_select(_band_sql(SPARK)),
     ).localCheckpoint(eager=False)
     a, b = sigs.alias("a"), sigs.alias("b")
-    cond = (
-        (F.col("a.band_0") == F.col("b.band_0"))
-        | (F.col("a.band_1") == F.col("b.band_1"))
-        | (F.col("a.band_2") == F.col("b.band_2"))
-        | (F.col("a.band_3") == F.col("b.band_3"))
-    ) & (F.col("a.entity") < F.col("b.entity"))
-    cand = a.join(b, cond).select(
-        F.when(F.col("a.band_0") == F.col("b.band_0"), 1)
-        .when(F.col("a.band_1") == F.col("b.band_1"), 2)
-        .when(F.col("a.band_2") == F.col("b.band_2"), 3)
-        .otherwise(4).alias("min_k"),
-        (F.col("a.gk") == F.col("b.gk")).alias("hit"),
-    )
+    # round 6: same BNLJ-to-hash-join rewrite as kg_blocking_quality;
+    # min_k (the FIRST band that matched under the OR predicate) is
+    # recovered as the grouped MIN of the per-band join index, and hit
+    # is functionally dependent on the pair so grouping by it too is
+    # lossless.
+    pbs = [
+        a.join(b, (F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
+               & (F.col("a.entity") < F.col("b.entity")))
+        .select(F.col("a.entity").alias("e1"),
+                F.col("b.entity").alias("e2"),
+                F.lit(i + 1).alias("k"),
+                (F.col("a.gk") == F.col("b.gk")).alias("hit"))
+        for i in range(4)
+    ]
+    cand = pbs[0]
+    for pb in pbs[1:]:
+        cand = cand.unionAll(pb)
+    cand = (cand.groupBy("e1", "e2", "hit")
+            .agg(F.min("k").cast("int").alias("min_k"))
+            .select("min_k", "hit"))
     per_k = cand.groupBy("min_k").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_h"),
