@@ -43,10 +43,18 @@ def _with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     inline the tokenizer inside the per-element lambda: that form
     re-tokenizes the document for EVERY shingle index — measured 10x+
     slowdown at sf0.1.)"""
-    toks = portable.norm_tokens("text", SPARK)
-    staged = documents.select("doc_id", F.expr(toks).alias("_toks")).withColumn(
-        "_n", F.size("_toks")
-    )
+    if "t" in documents.columns:
+        # round 6: reuse a pre-staged token-array column (the queries-
+        # layer doc_toks stage, built with this exact norm_tokens
+        # expression) instead of re-running the regex chain
+        staged = documents.select(
+            "doc_id", F.col("t").alias("_toks")
+        ).withColumn("_n", F.size("_toks"))
+    else:
+        toks = portable.norm_tokens("text", SPARK)
+        staged = documents.select(
+            "doc_id", F.expr(toks).alias("_toks")
+        ).withColumn("_n", F.size("_toks"))
     return staged.select(
         "doc_id",
         F.expr(
@@ -137,7 +145,10 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     self-join quadratic in the hottest key; at 100 TB the cap is
     mandatory, locally it defaults off to keep the uncapped oracle."""
     # ``sh`` lets callers pass the persisted (doc_id, shingle) posting
-    # stage — identical rows by construction
+    # stage — identical rows by construction; a passed stage is already
+    # materialized, so the staging checkpoints below are SKIPPED for it
+    # (re-staging a cached frame was the round-6 measured regression)
+    sh_passed = sh is not None
     if sh is None:
         sh = (
             _with_shingles(documents, k)
@@ -155,7 +166,8 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
         # the posting table itself is petabytes; if it ever outgrows the
         # broadcast threshold Spark falls back to a shuffle anti-join
         # whose reduce work per hot key is a drop (AQE splits it).
-        sh = sh.localCheckpoint(eager=False)  # postings feed count + anti-join
+        if not sh_passed:
+            sh = sh.localCheckpoint(eager=False)  # postings: count + anti-join
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -164,8 +176,10 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # the posting table feeds several consumers (sizes, both self-join
-    # sides): stage it so the derivation runs exactly once
-    sh = sh.localCheckpoint(eager=False)
+    # sides): stage it so the derivation runs exactly once (unless the
+    # caller already materialized it)
+    if not sh_passed or df_cap is not None:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
@@ -707,6 +721,7 @@ def containment_pairs(documents: DataFrame, k: int = 3,
     directions; integer ppm division keeps the threshold exact across
     engines. The scale path prefilters candidates with
     minhash_lsh_pairs; this is the bounded verifier."""
+    sh_passed = sh is not None
     if sh is None:
         sh = (
             _with_shingles(documents, k)
@@ -714,7 +729,8 @@ def containment_pairs(documents: DataFrame, k: int = 3,
             .distinct()
         )
     if df_cap is not None:
-        sh = sh.localCheckpoint(eager=False)
+        if not sh_passed:
+            sh = sh.localCheckpoint(eager=False)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -722,7 +738,8 @@ def containment_pairs(documents: DataFrame, k: int = 3,
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.localCheckpoint(eager=False)  # sizes + both self-join sides
+    if not sh_passed or df_cap is not None:
+        sh = sh.localCheckpoint(eager=False)  # sizes + both self-join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     common = (
         sh.alias("x")
@@ -772,13 +789,15 @@ def prefix_filter_pairs(documents: DataFrame, k: int = 3,
     or never. No df_cap needed: the frequency ORDER does the work the
     cap approximates. All stream-sized stages are grouped aggs or
     equi-joins; the per-doc rank window partitions by doc_id."""
+    sh_passed = sh is not None
     if sh is None:
         sh = (
             _with_shingles(documents, k)
             .select("doc_id", F.explode("shingles").alias("shingle"))
             .distinct()
         )
-    sh = sh.localCheckpoint(eager=False)  # df + rank + verify arrays
+    if not sh_passed:
+        sh = sh.localCheckpoint(eager=False)  # df + rank + verify arrays
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     ranked = sh.join(dfreq, "shingle").withColumn(

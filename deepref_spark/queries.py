@@ -2085,9 +2085,8 @@ WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.8
 def dedup_ngram_jaccard(spark, sf_dir):
     from deepref_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = documents(spark, sf_dir)
-    d = d.select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    return ngram_jaccard_pairs(_doc_toks_stage(spark, sf_dir),
+                               k=3, threshold=0.8)
 
 
 # --- multimodal lane (SURVEY §2.8 media passthrough + feature extract) -------
@@ -2213,8 +2212,8 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     sizes before the self-join, bounding every posting list."""
     from deepref_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = documents(spark, sf_dir).select("doc_id", "text")
-    return ngram_jaccard_pairs(d, k=3, threshold=0.8, df_cap=50)
+    return ngram_jaccard_pairs(_doc_toks_stage(spark, sf_dir),
+                               k=3, threshold=0.8, df_cap=50)
 
 
 @q("text_token_count", f"""
@@ -9153,7 +9152,7 @@ def dedup_containment(spark, sf_dir):
     unordered overlap emits both directions."""
     from deepref_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(documents(spark, sf_dir).select("doc_id", "text"))
+    return containment_pairs(_doc_toks_stage(spark, sf_dir))
 
 
 def _median_ctes(pfx: str, src: str, key: str, col: str) -> str:
@@ -9365,8 +9364,8 @@ def dedup_prefix_join(spark, sf_dir):
     dedup_ngram_jaccard's operator)."""
     from deepref_spark.operators.dedup import prefix_filter_pairs
 
-    d = documents(spark, sf_dir).select("doc_id", "text")
-    return prefix_filter_pairs(d, k=3, threshold=0.8)
+    return prefix_filter_pairs(_doc_toks_stage(spark, sf_dir),
+                               k=3, threshold=0.8)
 
 
 @q("events_path_topk", """
@@ -15019,7 +15018,7 @@ def dedup_df_spectrum(spark, sf_dir):
     Staged tokenize (once per doc), exact integer bucket ladder."""
     from deepref_spark.operators.dedup import df_spectrum
 
-    return df_spectrum(documents(spark, sf_dir).select("doc_id", "text"))
+    return df_spectrum(_doc_toks_stage(spark, sf_dir))
 
 
 def _block_spectrum_oracle() -> str:
