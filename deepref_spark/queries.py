@@ -2033,7 +2033,7 @@ def dedup_minhash_bands(spark, sf_dir):
     16-bit min saturated near 0 for long docs)."""
     from deepref_spark.operators.dedup import minhash_band_keys
 
-    return minhash_band_keys(documents(spark, sf_dir).select("doc_id", "text"))
+    return minhash_band_keys(_doc_toks_stage(spark, sf_dir))
 
 
 @q("dedup_minhash_pairs", _minhash_duck() + """
@@ -2047,7 +2047,7 @@ def dedup_minhash_pairs(spark, sf_dir):
     counts) is checked."""
     from deepref_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(documents(spark, sf_dir).select("doc_id", "text"))
+    return minhash_lsh_pairs(_doc_toks_stage(spark, sf_dir))
 
 
 @q("dedup_simhash", f"""
@@ -2063,7 +2063,7 @@ def dedup_simhash(spark, sf_dir):
     bits of ONE md5 per shingle."""
     from deepref_spark.operators.dedup import simhash
 
-    return simhash(documents(spark, sf_dir))
+    return simhash(_doc_toks_stage(spark, sf_dir))
 
 
 @q("dedup_ngram_jaccard", f"""
