@@ -60,6 +60,7 @@ def clear_mentions_cache() -> None:
         except Exception:
             pass
     _STAGE_CACHE.clear()
+    _PQ_BOOKS_CACHE.clear()
 
 
 # alias: the cache now holds every shared stage, not just mentions
@@ -2353,6 +2354,27 @@ def _lsh_sign_top5_stage(spark, sf_dir) -> DataFrame:
     return _stage(spark, sf_dir, "lsh_sign_top5", build)
 
 
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books_stage(spark, sf_dir) -> list:
+    """Lloyd-refined PQ codebooks (similarity.pq_codebooks, 64/8/16)
+    memoized per (application, sf_dir) — the list twin of the
+    _ivf_codebook stage: a bounded plan-literal artifact recomputed
+    from parquet once per session, shared by the PQ ANN and the
+    distortion report (each otherwise replays the sample + Lloyd
+    refinement passes)."""
+    from deepref_spark.operators.similarity import pq_codebooks
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books = pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"), dim=64, m=8, k_sub=16)
+        _PQ_BOOKS_CACHE[key] = books
+    return books
+
+
 def _ivf_codebook_stage(spark, sf_dir) -> DataFrame:
     """Persisted 16-list IVF coarse-quantizer codebook over the plain
     embeddings table — shared by the eight IVF-lane queries, each of
@@ -3522,7 +3544,8 @@ def emb_ann_pq(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.expr(_emb_queries_filter()))
-    return pq_ann_topk(emb, qs, k=5, dim=64, m=8, k_sub=16).select(
+    return pq_ann_topk(emb, qs, k=5, dim=64, m=8, k_sub=16,
+                       books=_pq_books_stage(spark, sf_dir)).select(
         "query_id", "nbr_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
@@ -10894,7 +10917,8 @@ def emb_pq_distortion(spark, sf_dir):
     from deepref_spark.operators.similarity import pq_distortion_report
 
     return pq_distortion_report(load_table(spark, sf_dir, "embeddings"),
-                                dim=64, m=8, k_sub=16)
+                                dim=64, m=8, k_sub=16,
+                                books=_pq_books_stage(spark, sf_dir))
 
 
 @q("events_cusum", """
