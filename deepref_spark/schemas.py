@@ -79,13 +79,29 @@ TESTDATA_TABLES = (
 ).split()
 
 
+# Tables whose consumers run HEAVY per-row kernels before the first
+# exchange (documents: the regex-chain tokenizers; embeddings: 64-dim
+# vector math) — only these need the up-front spread below. For every
+# other table the first real operator is an aggregation, window or
+# join whose own exchange parallelizes the work, so a keyless
+# repartition is exactly the guide's "repartition(n) someone added for
+# parallelism" accidental exchange: it pays sort-before-repartition +
+# a full shuffle of the rows and defeats partial-agg placement.
+# Round-6 measurement (sf0.1, local[32], min-of-3, 9 mixed queries):
+# spreading every table 23.3 s vs kernel-tables-only 8.3 s, with
+# events_cusum 2.6->0.7 and rel_supplier_census 4.0->0.8.
+_SPREAD_TABLES = ("documents", "embeddings")
+
+
 def load_table(spark, sf_dir: str, name: str):
     """Read one testdata table. The local files are single-row-group
-    parquet (unsplittable -> ONE partition), which would serialize every
-    per-row kernel onto one core; spread them to the session parallelism
-    up front. At cluster scale inputs arrive in many splits and this is
-    a no-op."""
+    parquet (unsplittable -> ONE partition); for the per-row-kernel
+    tables (_SPREAD_TABLES) that would serialize the kernel onto one
+    core, so those spread to the session parallelism up front. At
+    cluster scale inputs arrive in many splits and this is a no-op."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name not in _SPREAD_TABLES:
+        return df
     target = spark.sparkContext.defaultParallelism
     # inputFiles() is file-index metadata (already built by the read);
     # df.rdd.getNumPartitions() would force a full plan->RDD conversion
