@@ -9674,9 +9674,15 @@ def kg_rule_pca(spark, sf_dir):
     with the PCA join."""
     from deepref_spark.operators.kgquality import rules_pca_confidence
 
+    # spo comes from the shared stage; the wedge body stays
+    # self-derived HERE: rules_pca_confidence reads body three times
+    # (bodies, matched, pca), and three columnar-cache decodes of the
+    # staged wedge measured SLOWER than one localCheckpoint rebuild
+    # from the warm spo (5.5-6.2s vs ~4s — the shingle-posting
+    # pathology again); mine_path_rules reads it twice and keeps the
+    # staged body.
     return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2,
-                                spo=_rule_spo_stage(spark, sf_dir),
-                                body=_rule_body_stage(spark, sf_dir))
+                                spo=_rule_spo_stage(spark, sf_dir))
 
 
 @q("kg_canon_audit", _trip_cte() + f"""
