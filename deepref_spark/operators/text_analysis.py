@@ -63,10 +63,15 @@ def _tok_frame(documents: DataFrame, cols: tuple = ("doc_id",),
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish estimate (pieces of <=4 chars, the
     same piece width as the deterministic wordpiece in refsem)."""
-    toks = _tokens_col()
+    if "t" in documents.columns:  # round 6: pre-staged token reuse
+        return documents.select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.expr(_pieces_expr("t")).alias("n_pieces"),
+        )
     return documents.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(_tokens_col()).alias("n_tokens"),
         F.expr(_pieces_expr()).alias("n_pieces"),
     )
 
@@ -132,6 +137,8 @@ def quality_score(documents: DataFrame, carry_cols: tuple = (),
     pass metadata columns (lang, source, ...) through the projection so
     downstream rollups need no corpus-wide re-join. ``tokens_expr``
     names an already-staged token-array column (see _pieces_expr)."""
+    if tokens_expr is None and "t" in documents.columns:
+        tokens_expr = "t"  # round 6: pre-staged token reuse
     toks = tokens_expr or portable.norm_tokens("text", SPARK)
     cols = _quality_cols(toks)
     carry = [c for c in (carry_cols or ()) if c in documents.columns]
@@ -1179,7 +1186,8 @@ def zipf_profile(documents: DataFrame) -> DataFrame:
     rollup over the vocabulary-sized intermediate) and a broadcast
     join of the tiny per-source totals — no window, no collect.
     """
-    toks = documents.select("source", F.explode(_tokens_col()).alias("tok"))
+    toks = _tok_frame(documents, ("source",), checkpoint=False) \
+        .select("source", F.explode("t").alias("tok"))
     freq = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("freq"))
     buckets = (

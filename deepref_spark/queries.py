@@ -99,7 +99,7 @@ def _doc_toks_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage(
         spark, sf_dir, "doc_toks",
         lambda: documents(spark, sf_dir).select(
-            "doc_id", "source",
+            "doc_id", "source", "lang",
             F.expr(_p.norm_tokens("text", SPARK)).alias("t")))
 
 
@@ -2226,14 +2226,14 @@ FROM documents
 def text_token_count(spark, sf_dir):
     from deepref_spark.operators.text_analysis import token_count
 
-    return token_count(documents(spark, sf_dir))
+    return token_count(_doc_toks_stage(spark, sf_dir))
 
 
 @q("text_quality", None)  # registered below with generated oracle
 def text_quality(spark, sf_dir):
     from deepref_spark.operators.text_analysis import quality_score
 
-    return quality_score(documents(spark, sf_dir))
+    return quality_score(_doc_toks_stage(spark, sf_dir))
 
 
 def _quality_fragments() -> dict:
@@ -3215,7 +3215,7 @@ def text_quality_by_source(spark, sf_dir):
     cleaning run thresholds on."""
     from deepref_spark.operators.text_analysis import quality_by_source
 
-    return quality_by_source(documents(spark, sf_dir))
+    return quality_by_source(_doc_toks_stage(spark, sf_dir))
 
 
 def _keep_map_oracle() -> str:
@@ -3783,7 +3783,8 @@ def text_contamination(spark, sf_dir):
         for r in documents(spark, sf_dir)
         .where(F.col("doc_id") < 3).orderBy("doc_id").select("text").collect()
     ]
-    return contamination_screen(documents(spark, sf_dir), bench_texts).select(
+    return contamination_screen(_doc_toks_stage(spark, sf_dir), bench_texts,
+                                tokens_col="t").select(
         "doc_id", "n_grams", "n_hits", "contaminated"
     )
 
@@ -3835,7 +3836,8 @@ def text_decontam_coverage(spark, sf_dir):
         for r in documents(spark, sf_dir)
         .where(F.col("doc_id") < 3).orderBy("doc_id").select("text").collect()
     ]
-    return contaminated_coverage(documents(spark, sf_dir), bench_texts)
+    return contaminated_coverage(_doc_toks_stage(spark, sf_dir), bench_texts,
+                                 tokens_col="t")
 
 
 def _curate_oracle() -> str:
@@ -5258,7 +5260,7 @@ def text_zipf(spark, sf_dir):
     buckets and integer ppm shares."""
     from deepref_spark.operators.text_analysis import zipf_profile
 
-    return zipf_profile(documents(spark, sf_dir))
+    return zipf_profile(_doc_toks_stage(spark, sf_dir))
 
 
 @q("dedup_incremental", _minhash_duck() + f"""
