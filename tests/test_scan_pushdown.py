@@ -36,14 +36,17 @@ def test_documents_projection_prunes_columns(spark):
 
 
 def test_registry_query_prunes_unused_document_columns(spark):
-    # doc_winnow consumes only (doc_id, text): its parquet scan must
-    # not read the other three columns
+    # doc_winnow reads through the shared doc_toks token stage (round
+    # 6), whose build scan declares exactly (doc_id, source, lang,
+    # text); pruning must still drop the one column NO stage consumer
+    # uses (n_chars) at the parquet scan
+    Q.clear_stage_cache()
     plan = _scan_plan(Q.REGISTRY["doc_winnow"]["spark"](spark, SF))
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans, plan
     for ln in scans:
         rs = ln.split("ReadSchema:")[1]
-        assert "n_chars" not in rs and "lang" not in rs
+        assert "n_chars" not in rs
 
 
 def test_events_filter_pushdown_on_type(spark):
