@@ -9676,15 +9676,14 @@ def kg_rule_pca(spark, sf_dir):
     with the PCA join."""
     from deepref_spark.operators.kgquality import rules_pca_confidence
 
-    # spo comes from the shared stage; the wedge body stays
-    # self-derived HERE: rules_pca_confidence reads body three times
-    # (bodies, matched, pca), and three columnar-cache decodes of the
-    # staged wedge measured SLOWER than one localCheckpoint rebuild
-    # from the warm spo (5.5-6.2s vs ~4s — the shingle-posting
-    # pathology again); mine_path_rules reads it twice and keeps the
-    # staged body.
-    return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2,
-                                spo=_rule_spo_stage(spark, sf_dir))
+    # kg_rule_pca stays FULLY self-derived (the r5 shape): it reads
+    # spo five times (both wedge sides, matched, hsubj, head) and body
+    # three times, and every staged variant measured SLOWER in
+    # full-bench context (staged body 5.5-6.2s, staged spo ~5.5s vs
+    # ~3.1-3.9s self-derived) — the columnar-cache read-amplification
+    # pathology documented for the shingle postings; the 2-read
+    # consumers (mine_path_rules, maintenance_report) keep the stages.
+    return rules_pca_confidence(_canon_spo(spark, sf_dir), min_support=2)
 
 
 @q("kg_canon_audit", _trip_cte() + f"""
